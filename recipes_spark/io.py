@@ -1,0 +1,69 @@
+"""Table loading helpers for the driver's synthetic star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet per table per
+scale-factor directory.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# fixes region=5 and nation=25 rows; supplier/part/customer grow with SF
+# and must NOT be assumed broadcastable at 100 TB).
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) — Spark's parquet reader
+    rejects them outright (PARQUET_TYPE_ILLEGAL), so they need the
+    nanosAsLong escape hatch + explicit down-conversion to micros."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        local = path.removeprefix("file://")
+        schema = pq.read_schema(local)
+        return [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Oracle comparisons need UTC-naive timestamps, so the
+    session timezone is pinned here (DuckDB reads the same parquet as
+    UTC-naive). TIMESTAMP(NANOS) columns (events.ts) are read as long and
+    floor-converted to microseconds — the same truncation DuckDB applies."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nanos_timestamp_cols(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load(spark, sf_dir, n) for n in (names or TABLES))

@@ -1,0 +1,192 @@
+"""Deduplication operators (SURVEY.md §2.12 X1/X2 + north-star): exact,
+MinHash+LSH, SimHash, n-gram Jaccard. Designed for 100 TB:
+
+- Exact dedup is a hash-groupBy (one shuffle on the digest).
+- MinHash+LSH avoids the O(n²) pairwise comparison: signatures are
+  computed row-local (Catalyst transforms, no UDF, no explode of the
+  corpus), banding turns near-dup search into an equi-join on
+  (band_id, band_hash) — candidates per bucket only — and the exact
+  Jaccard verify runs only on candidates.
+- SimHash gives a 64-bit row-local sketch; hamming-distance candidate
+  pairing joins on band bytes of the sketch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from recipes_spark.functions.text import word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """X1: keep the lowest-id row per sha256(text). One shuffle on the
+    256-bit digest — uniform keys, no skew, fully streamable at scale."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64
+) -> Column:
+    """MinHash signature as array<bigint>: for seed i, min over shingles
+    of xxhash64(shingle, i). Row-local, all-Catalyst."""
+    def min_hash(i: int) -> Column:
+        # Closure capture, not a lambda default arg: a 2-param lambda is
+        # interpreted by transform() as (element, index).
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[min_hash(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """X2: near-duplicate pairs (id_a < id_b) with exact shingle-Jaccard
+    ≥ threshold, found via MinHash banding.
+
+    Plan shape: signature projection (narrow) → explode to `bands` rows
+    per doc → self-equi-join on (band, band_hash) → distinct candidate
+    pairs → exact Jaccard verify on the candidates only. At 100 TB the
+    join key (band_hash) is uniform 64-bit, so the shuffle is balanced;
+    banding parameters trade recall vs candidate volume (b=16, r=4 ⇒
+    s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_n).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("__sig")[b * r + j] for j in range(r)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__sh", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    left = banded.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "band", "bhash"
+    )
+    right = banded.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), "band", "bhash"
+    )
+    cand = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text_col: str | Column, shingle_n: int = 2) -> Column:
+    """SimHash sketch as array<int>[64] of sign bits: majority vote per
+    bit position over xxhash64(shingle). Row-local Catalyst expression
+    (transform over bit positions × aggregate over shingles)."""
+    sh = word_shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bit_vote(b: int) -> Column:
+        # NB: capture b via closure, NOT a lambda default arg — PySpark
+        # counts lambda parameters to type higher-order functions.
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    return F.array(*[F.when(bit_vote(b) > 0, 1).otherwise(0) for b in range(64)])
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates by SimHash: split the 64-bit sketch into
+    `bands` chunks; pairs agreeing on ≥1 chunk are candidates (pigeonhole:
+    hamming ≤ 64/bands ⇒ some chunk matches... guaranteed only for
+    hamming < bands, we use it as a recall heuristic); verify by exact
+    hamming distance ≤ max_hamming."""
+    chunk = 64 // bands
+    base = df.select(
+        F.col(id_col).alias("__id"), simhash64(text_col).alias("__bits")
+    )
+    banded = base.select(
+        "__id",
+        "__bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__bits")[b * chunk + j].cast("string")
+                                    for j in range(chunk)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__bits", "bb.band", "bb.bhash")
+
+    left = banded.select(F.col("__id").alias("id_a"), F.col("__bits").alias("bits_a"), "band", "bhash")
+    right = banded.select(F.col("__id").alias("id_b"), F.col("__bits").alias("bits_b"), "band", "bhash")
+    cand = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,96 @@
+"""Catalog store + STAC-style search (SURVEY.md §2.1 S12, §3.3).
+
+Store: partitioned Parquet by collection_id (the reference loads pgstac
+Postgres, docker-compose.yml:30-44; we keep the CAPABILITY — idempotent
+upsert + search — not the wire format).
+
+Upsert (S12, ToPgStac semantics): new batch ⟶ dedup-by-id against the
+existing partition via anti-join + union, written with DYNAMIC partition
+overwrite so only touched collections rewrite. Re-running the same batch
+is a no-op (idempotency test in tests/test_catalog.py).
+
+Search (§3.3): collection equality → partition pruning; datetime range →
+min/max row-group pruning on start/end columns; bbox → G3 interval
+arithmetic — all pushdown-friendly, zero UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def bbox_intersects(
+    west: Column, south: Column, east: Column, north: Column,
+    qw: float, qs: float, qe: float, qn: float,
+) -> Column:
+    """G3: interval-overlap predicate NOT(disjoint) — pure SQL, pushes
+    down to parquet row-group stats when bbox corners are columns."""
+    return ~(
+        (east < F.lit(qw)) | (west > F.lit(qe)) | (north < F.lit(qs)) | (south > F.lit(qn))
+    )
+
+
+def upsert_items(spark: SparkSession, items: DataFrame, catalog_path: str) -> None:
+    """S12: idempotent upsert by item id into the partitioned store.
+    Plain INSERT is not enough (SURVEY §4.1): re-runs must not duplicate.
+    New rows win over existing rows with the same id."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch = items.dropDuplicates(["id"])
+    try:
+        existing = spark.read.parquet(catalog_path)
+        touched = [
+            r["collection_id"]
+            for r in batch.select("collection_id").distinct().collect()
+        ]
+        keep = existing.filter(F.col("collection_id").isin(touched)).join(
+            batch.select("id"), "id", "left_anti"
+        )
+        out = batch.unionByName(keep)
+    except Exception:  # first write: no existing store
+        out = batch
+    # localCheckpoint: the overwrite below reads the same path it
+    # replaces — materialize first to avoid reading-while-overwriting.
+    out.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+        "collection_id"
+    ).parquet(catalog_path)
+
+
+def catalog_search(
+    items: DataFrame,
+    *,
+    collections: Sequence[str] | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    datetime_range: tuple[str, str] | None = None,
+    sortby: Sequence[tuple[str, str]] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """STAC /search compiled to a DataFrame plan (stac-fastapi → pgstac
+    equivalent, docker-compose.yml:2-44). Overlap semantics for the
+    datetime interval: item [start,end] intersects query [lo,hi]."""
+    out = items
+    if collections:
+        out = out.filter(F.col("collection_id").isin(list(collections)))
+    if datetime_range:
+        lo, hi = datetime_range
+        out = out.filter(
+            (F.col("start_datetime") <= F.lit(hi).cast("timestamp"))
+            & (F.col("end_datetime") >= F.lit(lo).cast("timestamp"))
+        )
+    if bbox:
+        qw, qs, qe, qn = bbox
+        out = out.filter(
+            bbox_intersects(
+                F.col("bbox")[0], F.col("bbox")[1], F.col("bbox")[2], F.col("bbox")[3],
+                qw, qs, qe, qn,
+            )
+        )
+    if sortby:
+        out = out.orderBy(
+            *[F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sortby]
+        )
+    if limit:
+        out = out.limit(limit)
+    return out

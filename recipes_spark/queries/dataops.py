@@ -1,0 +1,396 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.12, north-star):
+deduplication (exact, word-set Jaccard, MinHash+LSH, SimHash), similarity
+search (brute-force + LSH cosine top-k), text analysis (stats, lang-ID,
+quality, token counts, fingerprints), multimodal binary plumbing.
+
+Oracle notes: LSH-based ops are approximate → rows-only. Everything else
+carries a DuckDB oracle with IDENTICAL arithmetic (same split delimiter,
+same distinct/sort semantics, same rounding) so value hashes match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from recipes_spark.functions.text import STOPWORDS, fingerprint
+from recipes_spark.functions.vectors import as_double, cosine
+from recipes_spark.io import load
+from recipes_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from recipes_spark.operators.similarity import brute_force_topk, lsh_topk
+from recipes_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Deduplication.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x1_exact_dedup",
+    oracle="""
+WITH all_docs AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM all_docs
+)
+SELECT doc_id, lang FROM ranked WHERE rn = 1
+""",
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup by sha256(text), keep lowest doc_id. Input is the
+    corpus unioned with a re-keyed copy of itself so the operator has
+    guaranteed duplicates to remove. One shuffle on the digest."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    return exact_dedup(d.unionByName(dup), "text", "doc_id").select("doc_id", "lang")
+
+
+@query(
+    "near_dup_wordset",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 /
+             len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+""",
+)
+def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via word-SET Jaccard ≥ 0.8 within (lang, source) blocks —
+    the exact-verification stage of a dedup pipeline, blocked so the
+    self-join is group-local (at scale: block keys bound candidate count;
+    LSH replaces blocking when no natural key exists — see
+    x2_minhash_lsh)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("s"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "lang", "source", F.col("s").alias("s_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), "lang", "source", F.col("s").alias("s_b")
+    )
+    jac = F.size(F.array_intersect("s_a", "s_b")) / F.size(F.array_union("s_a", "s_b"))
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query("x2_minhash_lsh")
+def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash(64)+LSH(16 bands) near-dup pairs, exact 3-shingle
+    Jaccard ≥ 0.8 verified on candidates. Approximate recall → rows-only
+    check (tests assert candidate⊇wordset-pairs properties)."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", shingle_n=3, num_hashes=64, bands=16,
+        jaccard_threshold=0.8,
+    )
+
+
+@query("x2_simhash")
+def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup candidates, hamming ≤ 8 (rows-only: the
+    sketch is hash-seed specific)."""
+    d = load(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=8, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search.
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sims AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(c.v, q.qv) /
+               (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+               4) AS cosine_sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT query_id, vec_id, cosine_sim, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+@query("x3_cosine_topk", oracle=_COSINE_ORACLE)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact brute-force cosine top-10 for 5 query vectors —
+    broadcast queries × corpus, zip_with/aggregate dot products (all
+    JVM-side), window top-k. The 100 TB path is x3_lsh_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=10).withColumnRenamed("rank", "rnk")
+
+
+@query("x3_lsh_topk")
+def x3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH bucketing (4 tables × 8
+    planes) then exact re-rank of candidates. Approximate → rows-only
+    (tests assert recall ≥ threshold vs brute force)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, k=10).withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "embedding_neardup",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             4) AS cosine_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥0.95) blocked by cluster label —
+    the semantic-dedup stage of a training-data pipeline."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("v").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("v").alias("v_b"))
+    cos = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cos, 4))
+        .filter(cos >= 0.95)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x4_text_stats",
+    oracle="""
+SELECT lang, source,
+       count(*)                                         AS n_docs,
+       round(avg(n_chars), 4)                           AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 4)      AS avg_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, source
+""",
+)
+def x4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus statistics per (lang, source)."""
+    d = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+    )
+
+
+def _lang_values_sql() -> str:
+    rows = ", ".join(
+        "('" + lang + "', [" + ", ".join(f"'{w}'" for w in words) + "])"
+        for lang, words in STOPWORDS.items()
+    )
+    return f"(VALUES {rows}) AS l(lang, words)"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+WITH scores AS (
+  SELECT d.doc_id, l.lang,
+         len(list_filter(string_split(d.text, ' '),
+                         t -> list_contains(l.words, t))) AS score
+  FROM documents d CROSS JOIN {_lang_values_sql()}
+), best AS (
+  SELECT doc_id, max(score) AS best_score FROM scores GROUP BY doc_id
+)
+SELECT s.doc_id, min(s.lang) AS pred_lang
+FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.best_score
+GROUP BY s.doc_id
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-occurrence argmax (ties →
+    lexicographically first lang). Row-local Catalyst expression — no
+    shuffle, no UDF."""
+    from recipes_spark.functions.text import lang_id as lang_id_col
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_col("text").alias("pred_lang"))
+
+
+_SW_EN = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+SELECT doc_id,
+       round(greatest(least(
+         0.4 * (len(list_filter(string_split(text, ' '),
+                                t -> list_contains({_SW_EN}, t))) * 1.0
+                / len(string_split(text, ' ')))
+         + 0.3 * (1.0 - len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text))
+         + 0.3 * (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)),
+         1.0), 0.0), 4) AS quality
+FROM documents
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-quality heuristic (stopword presence + punct/digit noise) —
+    identical arithmetic to the oracle; all whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    swr = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+    punct = F.regexp_count("text", F.lit(r"[^\w\s]")) / F.length("text")
+    digit = F.regexp_count("text", F.lit(r"[0-9]")) / F.length("text")
+    q = F.round(
+        F.greatest(
+            F.least(0.4 * swr + 0.3 * (1.0 - punct) + 0.3 * (1.0 - digit), F.lit(1.0)),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    return d.select("doc_id", q.alias("quality"))
+
+
+@query(
+    "token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                                  AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))   AS bpe_tokens,
+       length(text)                                                  AS n_chars_check
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + a BPE-ish regex segmentation."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_check"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       sha256(array_to_string(list_sort(list_distinct(
+         regexp_split_to_array(lower(text), '\\s+'))), ' ')) AS fp,
+       count(*) OVER (PARTITION BY sha256(array_to_string(list_sort(list_distinct(
+         regexp_split_to_array(lower(text), '\\s+'))), ' '))) AS fp_group_size
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (sha256 of sorted distinct token bag) +
+    collision-group size — shuffled word-order near-dups collide."""
+    d = load(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    w = Window.partitionBy(fp)
+    return d.select(
+        "doc_id", fp.alias("fp"), F.count(F.lit(1)).over(w).alias("fp_group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing (X5).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text))          AS byte_len,
+       sha256(text)                        AS digest,
+       octet_length(encode(text)) % 640    AS fake_width,
+       octet_length(encode(text)) % 480    AS fake_height
+FROM documents
+""",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: opaque-binary column plumbing. Payload = utf-8 bytes of text
+    (stand-in for image/audio blobs); metadata extraction runs in an
+    Arrow-batched mapInPandas — the REAL decode (PIL/ffmpeg) is stubbed
+    with a deterministic fake (libs absent in this container), but the
+    schema/batch/partitioning path is the production one."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "digest": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    # Deterministic fake for the stubbed image decode:
+                    "fake_width": payloads.map(lambda b: len(b) % 640).astype("int64"),
+                    "fake_height": payloads.map(lambda b: len(b) % 480).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        extract,
+        schema="doc_id long, byte_len long, digest string, "
+        "fake_width long, fake_height long",
+    )

@@ -1,0 +1,172 @@
+"""Streaming-surface operators, batch-first (SURVEY.md §2.10 T2–T4):
+tumbling/sliding/session window aggregation and gap detection on the
+events table, each with a floor-arithmetic DuckDB oracle. The SAME
+expressions run under Structured Streaming in recipes_spark.streaming
+(with watermark T5 + dedup T6) — verified by rows-only tests there.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from recipes_spark.io import load
+from recipes_spark.registry import query
+
+
+@query(
+    "t2_tumbling_window",
+    oracle="""
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 * 1000000)
+         AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 10-minute tumbling windows (F.window aligns to the epoch, as
+    does the oracle's floor arithmetic). Streams unchanged under
+    readStream + withWatermark."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@query(
+    "t3_sliding_window",
+    oracle="""
+SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - k.k)
+                      * 300 * 1000000) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+GROUP BY 1, 2
+""",
+)
+def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: 10-minute windows sliding every 5 — each event lands in
+    exactly 2 windows (oracle: explicit offset expansion)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@query(
+    "t4_session_window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
+def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: native session_window (30-min gap) in batch mode. Session
+    range is [first_ts, last_ts + gap) — the oracle reproduces it with
+    gaps-and-islands (new session when gap ≥ 30 min, matching Spark's
+    half-open window). Streams with applyInPandasWithState or
+    session_window + watermark."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "gap_detect",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id, prev_ts, ts,
+       round(epoch(ts) - epoch(prev_ts), 2) AS gap_seconds
+FROM g
+WHERE epoch(ts) - epoch(prev_ts) > 3600
+""",
+)
+def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap detection (>1 h) — the lag(ts) query whose output
+    is exactly the reference's hand-maintained missing-granule blacklist
+    (avhrr…/recipe.py:93-115; SURVEY §2.5)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+    return (
+        ev.select("user_id", "ts", prev.alias("prev_ts"))
+        .filter(gap > 3600)
+        .select(
+            "user_id", "prev_ts", "ts", F.round(gap, 2).alias("gap_seconds")
+        )
+    )
+
+
+@query(
+    "t6_dedup_batch",
+    oracle="""
+WITH doubled AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value FROM events
+)
+SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids
+FROM (SELECT DISTINCT event_id, ts, user_id, event_type, value FROM doubled)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def t6_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 batch form: dropDuplicates by event_id over a doubled input
+    (streaming form = dropDuplicatesWithinWatermark, tested in
+    tests/test_streaming.py)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    doubled = ev.unionByName(ev)
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,114 @@
+"""Manifest-source queries (SURVEY.md §2.1 S1–S4): the reference's
+granule-manifest pipeline on the driver testdata's time domain.
+
+Fixture contract (FIXTURES.md §B): grid = 3-minute stamps over
+2024-01-01 → 2024-01-30 (the events table's span); blacklist = the 18
+earliest event timestamps floored to the 3-minute grid (mirrors the 18
+hand-listed missing granules at avhrr…/recipe.py:93-115); URL root =
+file:///synthetic/avhrr.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from recipes_spark.io import load
+from recipes_spark.registry import query
+from recipes_spark.sources.timegrid import render_url, time_grid
+
+GRID_START = "2024-01-01 00:00:00"
+GRID_END = "2024-01-30 00:00:00"
+URL_ROOT = "file:///synthetic/avhrr"
+CONST = "OSISAF-L2P_GHRSST-SSTsubskin-AVHRR_SST_METOP_B-sstmgr_metop01"
+
+# DuckDB fragments reused across oracles.
+_ORACLE_GRID = f"""
+SELECT generate_series AS ts
+FROM generate_series(TIMESTAMP '{GRID_START}', TIMESTAMP '{GRID_END}',
+                     INTERVAL 3 MINUTE)
+"""
+
+_ORACLE_BLACKLIST = """
+SELECT DISTINCT make_timestamp(CAST(floor(epoch(ts) / 180) * 180 AS BIGINT) * 1000000) AS ts
+FROM (SELECT ts FROM events ORDER BY ts LIMIT 18)
+"""
+
+_ORACLE_URL = f"""
+printf('{URL_ROOT}/%s/%s/%s-{CONST}_%s_%s-v02.0-fv01.0.nc',
+       strftime(ts, '%Y'),
+       lpad(CAST(dayofyear(ts) AS VARCHAR), 3, '0'),
+       strftime(ts, '%Y%m%d%H%M%S'),
+       strftime(ts, '%Y%m%d'),
+       strftime(ts, '%H%M%S'))
+"""
+
+
+def _blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """18 earliest event ts, floored to the 3-minute grid (distinct)."""
+    ev = load(spark, sf_dir, "events")
+    first18 = ev.select("ts").orderBy("ts").limit(18)
+    return first18.select(
+        F.timestamp_seconds(
+            (F.floor(F.unix_timestamp("ts") / 180) * 180).cast("long")
+        ).alias("ts")
+    ).distinct()
+
+
+@query("s1_time_grid", oracle=_ORACLE_GRID)
+def s1_time_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: sequence()+explode time grid, generated executor-side (the
+    reference builds it driver-side via pd.date_range,
+    avhrr…/recipe.py:116-118)."""
+    return time_grid(spark, GRID_START, GRID_END, freq_minutes=3)
+
+
+@query(
+    "s2_grid_minus_blacklist",
+    oracle=f"""
+WITH grid AS ({_ORACLE_GRID}), bl AS ({_ORACLE_BLACKLIST})
+SELECT g.ts FROM grid g ANTI JOIN bl ON g.ts = bl.ts
+""",
+)
+def s2_grid_minus_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: grid ∖ blacklist via broadcast left-anti join
+    (avhrr…/recipe.py:118)."""
+    grid = time_grid(spark, GRID_START, GRID_END, freq_minutes=3)
+    return grid.join(F.broadcast(_blacklist(spark, sf_dir)), "ts", "left_anti")
+
+
+@query(
+    "s3_url_render",
+    oracle=f"""
+WITH grid AS ({_ORACLE_GRID})
+SELECT ts, {_ORACLE_URL} AS url FROM grid
+""",
+)
+def s3_url_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: deterministic URL render — format_string/date_format/lpad
+    projection, zero UDFs (avhrr…/recipe.py:32-42)."""
+    grid = time_grid(spark, GRID_START, GRID_END, freq_minutes=3)
+    return grid.select("ts", render_url(URL_ROOT, CONST).alias("url"))
+
+
+@query(
+    "s4_manifest",
+    oracle=f"""
+WITH grid AS ({_ORACLE_GRID}), bl AS ({_ORACLE_BLACKLIST}),
+kept AS (SELECT g.ts FROM grid g ANTI JOIN bl ON g.ts = bl.ts)
+SELECT CAST(row_number() OVER (ORDER BY ts) - 1 AS BIGINT) AS key,
+       ts, {_ORACLE_URL} AS url
+FROM kept
+""",
+)
+def s4_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the full keyed manifest (key, ts, url) = S1∖S2 + S3
+    (FilePattern.items(), avhrr…/recipe.py:120-123)."""
+    grid = time_grid(spark, GRID_START, GRID_END, freq_minutes=3)
+    kept = grid.join(F.broadcast(_blacklist(spark, sf_dir)), "ts", "left_anti")
+    w = Window.orderBy("ts")
+    return kept.select(
+        (F.row_number().over(w) - 1).cast("long").alias("key"),
+        "ts",
+        render_url(URL_ROOT, CONST).alias("url"),
+    )

@@ -1,0 +1,808 @@
+"""Relational core (SURVEY.md §2 M1): scans, filters, the full join
+suite J1–J8, aggregations A1–A4, window functions, sort/limit/top-k,
+set ops, and the scalar-function surface — each with a DuckDB oracle.
+
+Conventions:
+- Every computed column is aliased identically in Spark and oracle SQL.
+- Float aggregates are rounded (2 or 4 dp) on BOTH sides so the driver's
+  value hash is stable against summation-order differences.
+- DuckDB ``sum(INTEGER)`` returns HUGEINT — integer sums are cast to
+  BIGINT in the oracle to match Spark's LongType.
+
+Scale notes: all joins below go through Catalyst — region/nation are
+broadcast (25 rows at any SF), fact-fact joins shuffle on their equi keys
+and AQE handles skew. The as-of join uses a union+window plan (no
+row-multiplying theta join), which scales as one shuffle + one sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from recipes_spark.io import load
+from recipes_spark.operators.joins import asof_join
+from recipes_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (M0 walking skeleton).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 2)                                    AS sum_qty,
+  round(sum(l_extendedprice), 2)                               AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4)                                    AS avg_qty,
+  round(avg(l_extendedprice), 4)                               AS avg_price,
+  round(avg(l_discount), 4)                                    AS avg_disc,
+  count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: scan → filter (pushed to parquet) → hash agg
+    (partial+final, whole-stage codegen) → sort. Mirrors the shape the
+    reference would need for collection statistics (SURVEY §2.4 A1)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    oracle="""
+SELECT
+  l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k.
+    customer filter reduces the build side; at scale AQE converts the
+    orders⋈customer join to broadcast when the filtered side is small."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_nation_revenue",
+    oracle="""
+SELECT
+  n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through the region→nation→customer FK
+    chain (J1 analog). nation/region are explicitly broadcast — they are
+    fixed-size dims (25/5 rows) at every scale factor."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join suite J5–J8: every join type the driver verifies.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, c_custkey, c_acctbal
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_orderstatus", "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT c_custkey, c_nationkey, s_suppkey, s_nationkey
+FROM customer FULL OUTER JOIN supplier ON c_nationkey = s_nationkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        "c_custkey", "c_nationkey", "s_suppkey", "s_nationkey"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 100000
+)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (J4 listing-cache hit analog)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — the S2 blacklist-drop operator shape
+    (reference avhrr recipe.py:118, DatetimeIndex.drop)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate,
+       round(l_extendedprice, 2) AS price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+  AND l_shipdate >= o_orderdate
+  AND l_shipdate <  o_orderdate + INTERVAL 30 DAY
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join J7: ship within 30 days of order. The
+    equi key keeps it a shuffled hash join; the range predicate is a
+    post-join filter, so no nested-loop blowup at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "o_orderdate",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, ts AS ets, value FROM events WHERE event_type = 'error'
+), j AS (
+  SELECT c.event_id, c.user_id, c.ts, e.ets, e.value,
+         row_number() OVER (PARTITION BY c.event_id ORDER BY e.ets DESC) AS rn
+  FROM clicks c JOIN errors e ON c.user_id = e.user_id AND e.ets <= c.ts
+)
+SELECT event_id, user_id, ts, ets AS asof_ts, round(value, 4) AS asof_value
+FROM j WHERE rn = 1
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join J8: for each click, the most recent prior error by the
+    same user. Implemented via union+window (operators/joins.py), not a
+    theta join — one shuffle on user_id, one sort, no row blowup."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ets"), "value"
+    )
+    joined = asof_join(
+        clicks, errors, left_ts="ts", right_ts="ets", by="user_id",
+        value_cols=["ets", "value"],
+    )
+    return joined.filter(F.col("ets").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ets").alias("asof_ts"),
+        F.round("value", 4).alias("asof_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation suite A1–A4.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_extent_rollup",
+    oracle="""
+SELECT o_orderpriority,
+       min(o_orderdate)          AS min_date,
+       max(o_orderdate)          AS max_date,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       count(*)                  AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_extent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 collection-extent rollup shape: per group min/max of temporal
+    and value bounds — exactly what derives `extent.spatial/temporal`
+    from items (reference collections.yaml:7-9 declares these statically)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 via Spark SQL (the SQL API is first-class engine surface)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey)  AS n_supp,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(*)                   AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+HAVING count(*) > 10
+ORDER BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4 distinct aggregation + HAVING. (approx_count_distinct is a
+    separate rows-only query — its HLL estimate differs from DuckDB's.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 10)
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No oracle — estimates are
+    implementation-specific; driver records rows-only. At 100 TB this is
+    the right default over exact countDistinct (no huge shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window suite (§2.5).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+       row_number() OVER w AS rn,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       lag(o_orderdate)  OVER w AS prev_date,
+       lead(o_orderdate) OVER w AS next_date,
+       first_value(o_orderdate) OVER w AS first_date,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first — the inter-granule gap-detection shape (SURVEY
+    §2.5: the reference's blacklist is exactly a lag(ts) gap query)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.first("o_orderdate").over(w).alias("first_date"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+    )
+
+
+@query(
+    "window_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(avg(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+FROM orders
+""",
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 top-k per group — window + filter, no global sort. At scale this
+    beats orderBy().limit() per group because each partition computes its
+    own top-k after one shuffle on the group key."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "sort_limit",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 global top-k: Spark plans orderBy+limit as TakeOrderedAndProject
+    — per-partition top-25 then a single-reduce merge, never a full sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"), "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations U1–U3.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — the blacklist EXCEPT shape (avhrr recipe.py:118)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (§2.8): strings, dates, JSON, try_cast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_strings",
+    oracle="""
+SELECT p_partkey,
+       split_part(p_brand, '#', 2)         AS brand_num,
+       split_part(p_type, ' ', 1)          AS type_head,
+       concat_ws('-', p_brand, p_type)     AS brand_type,
+       upper(p_name)                       AS name_upper,
+       length(p_name)                      AS name_len,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+FROM part
+""",
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P7/P15 string suite: path-segment extraction via split /
+    substring_index, concat_ws, lpad — the reference's URL-parsing ops
+    (insitu recipe.py:75, avhrr recipe.py:34-42) on the part table."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.element_at(F.split("p_brand", "#"), 2).alias("brand_num"),
+        F.substring_index("p_type", " ", 1).alias("type_head"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+    )
+
+
+@query(
+    "scalar_dates",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)                         AS yr,
+       month(o_orderdate)                        AS mth,
+       dayofyear(o_orderdate)                    AS doy,
+       lpad(CAST(dayofyear(o_orderdate) AS VARCHAR), 3, '0') AS doy_pad,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso,
+       strftime(o_orderdate, '%Y%m%d%H%M%S')      AS compact,
+       quarter(o_orderdate)                      AS qtr
+FROM orders
+""",
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 timestamp-normalize + S3 date-format suite (avhrr
+    recipe.py:26-29,34-42): ISO 8601 normalization, strftime patterns,
+    zero-padded day-of-year — all pure Catalyst, no UDF."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mth"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.lpad(F.dayofyear("o_orderdate").cast("string"), 3, "0").alias("doy_pad"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso"),
+        F.date_format("o_orderdate", "yyyyMMddHHmmss").alias("compact"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction on events.props (§2.8 ext): get_json_object →
+    typed aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "scalar_trycast",
+    oracle="""
+SELECT p_partkey,
+       try_cast(split_part(p_brand, '#', 2) AS INTEGER) AS brand_num,
+       try_cast(p_type AS DOUBLE)                       AS bad_cast,
+       CASE WHEN try_cast(p_type AS DOUBLE) IS NULL THEN 'quarantine'
+            ELSE 'ok' END                               AS cast_status
+FROM part
+""",
+)
+def scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 cast-with-error-context: try_cast + quarantine flag instead of
+    the reference's raise-with-attrs (insitu recipe.py:87-90) — at scale
+    bad rows route to a reject table, they don't kill the job."""
+    p = load(spark, sf_dir, "part")
+    brand_num = F.element_at(F.split("p_brand", "#"), 2).try_cast("int")
+    bad = F.col("p_type").try_cast("double")
+    return p.select(
+        "p_partkey",
+        brand_num.alias("brand_num"),
+        bad.alias("bad_cast"),
+        F.when(bad.isNull(), "quarantine").otherwise("ok").alias("cast_status"),
+    )
+
+
+@query(
+    "scalar_case_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       CASE WHEN o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+            THEN 'late-risk' ELSE 'normal' END AS flag
+FROM orders
+""",
+)
+def scalar_case_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 conditional-tagging shape (insitu recipe.py:103-108)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"),
+            "late-risk",
+        )
+        .otherwise("normal")
+        .alias("flag"),
+    )

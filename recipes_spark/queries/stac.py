@@ -1,0 +1,216 @@
+"""STAC catalog queries (SURVEY.md §2.2 P2/P4/P10/P11, §2.4 A1, §2.9
+G2/G3, §3.3): item assembly, collection-extent derivation, and catalog
+search, on STAC-shaped rows derived DETERMINISTICALLY from the orders
+table (FIXTURES.md §B) so DuckDB can re-derive them for the oracle.
+
+Derivation: each order → one item; collection = order priority class
+(5 collections); bbox from key arithmetic; temporal span = orderdate +1d.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from recipes_spark.io import load
+from recipes_spark.plans.catalog import bbox_intersects, catalog_search
+from recipes_spark.plans.items import build_items
+from recipes_spark.registry import query
+
+# Shared DuckDB derivation of the flat metadata rows (mirrors _metadata).
+_ORACLE_META = """
+SELECT
+  'item-' || CAST(o_orderkey AS VARCHAR)              AS item_id,
+  'col-' || split_part(o_orderpriority, '-', 1)       AS collection_id,
+  CAST(-180 + (o_orderkey % 340) AS DOUBLE)           AS west,
+  CAST(-85 + (o_custkey % 170) AS DOUBLE)             AS south,
+  CAST(-180 + (o_orderkey % 340) + 10 AS DOUBLE)      AS east,
+  CAST(-85 + (o_custkey % 170) + 5 AS DOUBLE)         AS north,
+  o_orderdate                                         AS start_datetime,
+  o_orderdate + INTERVAL 1 DAY                        AS end_datetime,
+  'file:///synthetic/granules/' || CAST(o_orderkey AS VARCHAR) || '.nc'
+                                                      AS source_url
+FROM orders
+"""
+
+_ORACLE_GEOJSON = """
+printf('{"type": "Polygon", "coordinates": [[[%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f]]]}',
+       east, south, east, north, west, north, west, south, east, south)
+"""
+
+
+def _metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat granule-metadata rows derived from orders — the synthetic
+    stand-in for the S11 NetCDF-attr reader output (FIXTURES.md §B,
+    granule_metadata)."""
+    o = load(spark, sf_dir, "orders")
+    west = (-180 + (F.col("o_orderkey") % 340)).cast("double")
+    south = (-85 + (F.col("o_custkey") % 170)).cast("double")
+    return o.select(
+        F.concat(F.lit("item-"), F.col("o_orderkey").cast("string")).alias("item_id"),
+        F.concat(
+            F.lit("col-"), F.substring_index("o_orderpriority", "-", 1)
+        ).alias("collection_id"),
+        west.alias("west"),
+        south.alias("south"),
+        (west + 10).alias("east"),
+        (south + 5).alias("north"),
+        F.col("o_orderdate").alias("start_datetime"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("end_datetime"),
+        F.concat(
+            F.lit("file:///synthetic/granules/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(".nc"),
+        ).alias("source_url"),
+    )
+
+
+@query(
+    "stac_item_assembly",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id,
+       collection_id,
+       west  AS bbox_w,
+       south AS bbox_s,
+       east  AS bbox_e,
+       north AS bbox_n,
+       {_ORACLE_GEOJSON} AS geometry,
+       strftime(start_datetime, '%Y-%m-%dT%H:%M:%S') AS prop_start,
+       strftime(end_datetime, '%Y-%m-%dT%H:%M:%S')   AS prop_end,
+       collection_id AS prop_collection,
+       source_url    AS asset_href,
+       'application/netcdf' AS asset_media_type,
+       'collection'  AS link_rel,
+       collection_id AS link_target
+FROM meta
+""",
+)
+def stac_item_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P11/P13: full nested item assembly (struct/map/array document)
+    then flattened projection for the oracle — the driver compares flat
+    columns, the engine keeps the nested STAC shape."""
+    items = build_items(_metadata(spark, sf_dir))
+    return items.select(
+        "id",
+        "collection_id",
+        F.col("bbox")[0].alias("bbox_w"),
+        F.col("bbox")[1].alias("bbox_s"),
+        F.col("bbox")[2].alias("bbox_e"),
+        F.col("bbox")[3].alias("bbox_n"),
+        "geometry",
+        F.col("properties.start_datetime").alias("prop_start"),
+        F.col("properties.end_datetime").alias("prop_end"),
+        F.col("properties.collection").alias("prop_collection"),
+        F.col("assets")["data"]["href"].alias("asset_href"),
+        F.col("assets")["data"]["media_type"].alias("asset_media_type"),
+        F.col("links")[0]["rel"].alias("link_rel"),
+        F.col("links")[0]["target"].alias("link_target"),
+    )
+
+
+@query(
+    "stac_collection_extents",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT collection_id,
+       min(west)  AS ext_w,
+       min(south) AS ext_s,
+       max(east)  AS ext_e,
+       max(north) AS ext_n,
+       min(start_datetime) AS temporal_start,
+       max(end_datetime)   AS temporal_end,
+       count(*)            AS n_items
+FROM meta
+GROUP BY collection_id
+ORDER BY collection_id
+""",
+)
+def stac_collection_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: derive each collection's spatial/temporal extent from its
+    items — the rollup the reference declares statically
+    (collections.yaml:7-9) and pgstac recomputes."""
+    m = _metadata(spark, sf_dir)
+    return (
+        m.groupBy("collection_id")
+        .agg(
+            F.min("west").alias("ext_w"),
+            F.min("south").alias("ext_s"),
+            F.max("east").alias("ext_e"),
+            F.max("north").alias("ext_n"),
+            F.min("start_datetime").alias("temporal_start"),
+            F.max("end_datetime").alias("temporal_end"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("collection_id")
+    )
+
+
+@query(
+    "stac_catalog_search",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id, collection_id,
+       west AS bbox_w, south AS bbox_s, east AS bbox_e, north AS bbox_n,
+       start_datetime, end_datetime
+FROM meta
+WHERE collection_id IN ('col-1', 'col-2')
+  AND start_datetime <= TIMESTAMP '1998-12-31'
+  AND end_datetime   >= TIMESTAMP '1996-01-01'
+  AND NOT (east < -50 OR west > 60 OR north < -40 OR south > 40)
+ORDER BY start_datetime DESC, id
+LIMIT 100
+""",
+)
+def stac_catalog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3: STAC search (collections + datetime interval + bbox +
+    sortby + limit) compiled to one DataFrame plan. On the partitioned
+    store, collection_id pruning skips partitions and the datetime
+    predicates prune row groups."""
+    items = build_items(_metadata(spark, sf_dir))
+    found = catalog_search(
+        items,
+        collections=["col-1", "col-2"],
+        bbox=(-50.0, -40.0, 60.0, 40.0),
+        datetime_range=("1996-01-01", "1998-12-31"),
+        sortby=[("start_datetime", "desc"), ("id", "asc")],
+        limit=100,
+    )
+    return found.select(
+        "id",
+        "collection_id",
+        F.col("bbox")[0].alias("bbox_w"),
+        F.col("bbox")[1].alias("bbox_s"),
+        F.col("bbox")[2].alias("bbox_e"),
+        F.col("bbox")[3].alias("bbox_n"),
+        "start_datetime",
+        "end_datetime",
+    )
+
+
+@query(
+    "g3_bbox_intersects",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT collection_id, count(*) AS n_intersecting
+FROM meta
+WHERE NOT (east < -20 OR west > 20 OR north < -10 OR south > 10)
+GROUP BY collection_id
+ORDER BY collection_id
+""",
+)
+def g3_bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: bbox interval-overlap predicate (pgstac's spatial filter) —
+    pure column arithmetic, pushdown-friendly."""
+    m = _metadata(spark, sf_dir)
+    return (
+        m.filter(
+            bbox_intersects(
+                F.col("west"), F.col("south"), F.col("east"), F.col("north"),
+                -20.0, -10.0, 20.0, 10.0,
+            )
+        )
+        .groupBy("collection_id")
+        .agg(F.count(F.lit(1)).alias("n_intersecting"))
+        .orderBy("collection_id")
+    )

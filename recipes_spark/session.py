@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (100 TB design):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast conversion replace hand-tuned partition counts.
+- Arrow on: every pandas-UDF island (NetCDF decode, geometry simplify)
+  moves batches, not rows.
+- shuffle.partitions here is a local-mode default; on a real cluster AQE
+  re-plans from `spark.sql.adaptive.coalescePartitions.initialPartitionNum`
+  so the static number only caps the initial fan-out.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply engine defaults to any builder (used for both local tests and
+    cluster submission — only settings that are safe in both)."""
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+
+
+def get_session(app_name: str = "recipes-spark", cpus: str | None = None) -> SparkSession:
+    """Local-mode session for tests and bench (local[N], N from
+    $SPARK_GRAFT_CPUS). On a cluster, callers pass their own session."""
+    n = cpus or DEFAULT_LOCAL_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", n)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return configure(builder).getOrCreate()

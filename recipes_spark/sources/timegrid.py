@@ -1,0 +1,139 @@
+"""Manifest sources S1–S4 & S7 (SURVEY.md §2.1): the reference's
+plan-time, driver-side granule-manifest construction
+(avhrr…/recipe.py:91-123) re-expressed as distributed DataFrame plans.
+
+The reference builds a pandas date_range + URL list on the driver (~1.57M
+entries for the full product range) and ships it to the cluster via
+beam.Create. Here the grid is a `sequence()`+`explode` plan — generated
+IN the executors, so a 10-year 3-minute grid never materializes on the
+driver — and URL rendering is pure Catalyst projection (format_string +
+date_format), no UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+#: URL template from avhrr…/recipe.py:32-42 —
+#: {root}/{year}/{doy:03d}/{yyyyMMddHHmmss}-{const}_{yyyyMMdd}_{HHmmss}-v02.0-fv01.0.nc
+DEFAULT_CONST = "OSISAF-L2P_GHRSST-SSTsubskin-AVHRR_SST_METOP_B-sstmgr_metop01"
+
+
+def time_grid(
+    spark: SparkSession,
+    start: str,
+    end: str,
+    *,
+    freq_minutes: int = 3,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """S1: regular timestamp grid [start, end] at freq_minutes.
+
+    Scale: one `sequence()` call produces the whole grid as a single
+    array on one task, so for multi-year grids we generate per-day
+    sub-sequences from an exploded day range — the grid parallelizes
+    across executors and no single array exceeds ~480 entries/day.
+    """
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(start)),
+                F.to_date(F.lit(end)),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    if n_partitions:
+        days = days.repartition(n_partitions)
+    lo = F.greatest(F.col("day").cast("timestamp"), F.lit(start).cast("timestamp"))
+    hi = F.least(
+        F.col("day").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+        - F.expr("INTERVAL 1 SECOND"),
+        F.lit(end).cast("timestamp"),
+    )
+    # Each day emits stamps aligned to the GLOBAL grid phase (start +
+    # k*freq), not to midnight: ceil the day-start to the next on-grid
+    # stamp, mirroring pd.date_range(start, end, freq).
+    step = freq_minutes * 60
+    start_s = F.unix_timestamp(F.lit(start).cast("timestamp"))
+    first_on_grid = start_s + F.ceil((F.unix_timestamp(lo) - start_s) / step) * step
+    return (
+        days.select(
+            F.explode(
+                F.sequence(
+                    F.timestamp_seconds(first_on_grid),
+                    hi,
+                    F.expr(f"INTERVAL {freq_minutes} MINUTES"),
+                )
+            ).alias("ts")
+        )
+        .filter(F.col("ts") <= F.lit(end).cast("timestamp"))
+    )
+
+
+def drop_blacklist(grid: DataFrame, blacklist: DataFrame | Sequence[str]) -> DataFrame:
+    """S2: remove known-missing timestamps (avhrr…/recipe.py:93-118,
+    DatetimeIndex.drop) — a left anti join; the blacklist side is tiny
+    and broadcast."""
+    if not isinstance(blacklist, DataFrame):
+        spark = grid.sparkSession
+        blacklist = spark.createDataFrame(
+            [(s,) for s in blacklist], "ts_str string"
+        ).select(F.col("ts_str").cast("timestamp").alias("ts"))
+    return grid.join(F.broadcast(blacklist), "ts", "left_anti")
+
+
+def render_url(root: str, const: str = DEFAULT_CONST) -> F.Column:
+    """S3: deterministic granule URL from a `ts` column
+    (avhrr…/recipe.py:32-42) — pure Catalyst: format_string +
+    date_format + lpad(dayofyear), whole-stage-codegen'd."""
+    return F.format_string(
+        "%s/%s/%s/%s-%s_%s_%s-v02.0-fv01.0.nc",
+        F.lit(root),
+        F.date_format("ts", "yyyy"),
+        F.lpad(F.dayofyear("ts").cast("string"), 3, "0"),
+        F.date_format("ts", "yyyyMMddHHmmss"),
+        F.lit(const),
+        F.date_format("ts", "yyyyMMdd"),
+        F.date_format("ts", "HHmmss"),
+    )
+
+
+def manifest(
+    spark: SparkSession,
+    start: str,
+    end: str,
+    *,
+    root: str,
+    blacklist: Sequence[str] = (),
+    freq_minutes: int = 3,
+    const: str = DEFAULT_CONST,
+) -> DataFrame:
+    """S4: keyed (key, ts, url) manifest = S1 ∖ S2 + S3 projection.
+
+    The reference keys items by list position (FilePattern.items()); we
+    key by grid position (row_number over ts) which is equivalent and
+    deterministic. At 100 TB scale prefer joining on `ts` directly —
+    the global row_number forces a single-partition window, so it is
+    provided for parity, not as a join key.
+    """
+    grid = time_grid(spark, start, end, freq_minutes=freq_minutes)
+    if blacklist:
+        grid = drop_blacklist(grid, blacklist)
+    w = Window.orderBy("ts")
+    return grid.select(
+        (F.row_number().over(w) - 1).cast("long").alias("key"),
+        "ts",
+        render_url(root, const).alias("url"),
+    )
+
+
+def manifest_from_sequence(spark: SparkSession, urls: Sequence[str]) -> DataFrame:
+    """S7: manifest from an explicit URL list
+    (FilePattern.from_sequence, insitu…/recipe.py:153)."""
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "key long, url string"
+    )

@@ -1,0 +1,73 @@
+"""Mini-driver: replicate the spark-graft driver's correctness check
+(row count + schema + order-insensitive values) locally so oracle
+mismatches surface in pytest before the real driver runs at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from recipes_spark.io import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.sql(sql).df()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, then rows by all values — order-insensitive
+    canonical form."""
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].dt.tz_localize(None) if getattr(out[c].dt, "tz", None) else out[c]
+            out[c] = out[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(out[c]):
+            out[c] = out[c].astype("int64")
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    sp = normalize(spark_df.toPandas())
+    oc = normalize(oracle_df)
+    if len(sp) != len(oc):
+        problems.append(f"{name}: row count {len(sp)} vs oracle {len(oc)}")
+    if list(sp.columns) != list(oc.columns):
+        problems.append(f"{name}: columns {list(sp.columns)} vs {list(oc.columns)}")
+        return problems
+    if problems:
+        return problems
+    for c in sp.columns:
+        a, b = sp[c], oc[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            ok = (
+                (a.isna() & b.isna())
+                | ((a - b).abs() <= 1e-9 + 1e-9 * b.abs())
+            ).all()
+        else:
+            ok = a.equals(b)
+        if not ok:
+            diff_idx = None
+            try:
+                neq = ~((a == b) | (a.isna() & b.isna()))
+                diff_idx = neq.idxmax() if neq.any() else None
+            except Exception:
+                pass
+            sample = (
+                f" first diff at row {diff_idx}: {a.iloc[diff_idx]!r} vs {b.iloc[diff_idx]!r}"
+                if diff_idx is not None
+                else ""
+            )
+            problems.append(f"{name}: column {c} values differ.{sample}")
+    return problems

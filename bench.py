@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_wall_sec", "value": <total>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Materialization is a noop-sink write (format("noop")) — full plan
+executes, nothing collects to the driver, so timings reflect the
+distributed plan, not driver serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of SURVEY.md §2: scan+agg, star join, top-k,
+# as-of, windows, sessionization, manifest build, dedup (exact + LSH),
+# similarity search, STAC assembly+search.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "join_asof",
+    "topk_per_group",
+    "window_frame",
+    "t4_session_window",
+    "s4_manifest",
+    "x1_exact_dedup",
+    "x2_minhash_lsh",
+    "x3_cosine_topk",
+    "stac_catalog_search",
+]
+
+
+def main() -> None:
+    from recipes_spark.registry import all_queries
+    from recipes_spark.session import get_session
+
+    spark = get_session("recipes-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warm the JVM + parquet footers so q1 doesn't pay one-time costs.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,12 +33,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signature(
     shingles: Column, num_hashes: int = 64
 ) -> Column:
-    """MinHash signature as array<bigint>: for seed i, min over shingles
-    of xxhash64(shingle, i). Row-local, all-Catalyst."""
+    """MinHash signature as array<bigint>. Each shingle STRING is hashed
+    once (xxhash64 walks the bytes); the `num_hashes` lanes then re-hash
+    that 8-byte base value with a per-lane seed — one mixing round,
+    ~string_len× cheaper than hashing the string per lane. Row-local,
+    all-Catalyst."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+
     def min_hash(i: int) -> Column:
         # Closure capture, not a lambda default arg: a 2-param lambda is
         # interpreted by transform() as (element, index).
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+        return F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(i))))
 
     return F.array(*[min_hash(i) for i in range(num_hashes)])
 
@@ -67,46 +72,48 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    base = df.select(
+    shingled = df.select(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, shingle_n).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    )
 
-    banded = base.select(
+    # Banding carries ONLY (id, band, bhash) into the shuffle — the
+    # shingle arrays (the wide payload) are re-joined later just for the
+    # surviving candidates. At 100 TB this is the difference between
+    # shuffling ids and shuffling the corpus 16×.
+    sigs = shingled.select(
+        "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+    banded = sigs.select(
         "__id",
-        "__sh",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("__sig")[b * r + j] for j in range(r)]
-                        ).alias("bhash"),
+                    F.xxhash64(
+                        F.lit(b), *[F.col("__sig")[b * r + j] for j in range(r)]
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("__id", "__sh", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+        ).alias("bhash"),
+    )
 
-    left = banded.select(
-        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "band", "bhash"
-    )
-    right = banded.select(
-        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), "band", "bhash"
-    )
     cand = (
-        left.join(right, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        banded.alias("a")
+        .join(banded.alias("b"), "bhash")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    sh_a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 4))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -8,4 +8,5 @@ from recipes_spark.queries import (  # noqa: F401
     manifest,
     relational,
     stac,
+    tpch_extra,
 )

@@ -1,0 +1,615 @@
+"""Extended TPC-H-style suite over the driver's simplified star schema.
+
+Widens the relational coverage of SURVEY.md §2.3-2.6 (J5-J8 subquery
+shapes the reference's STAC/pgstac query surface implies: EXISTS
+semi-joins, correlated scalar subqueries, HAVING, conditional
+aggregates, outer-join distributions). The driver testdata lacks
+partsupp / l_commitdate / l_shipmode / p_container, so Q2/Q11/Q12/
+Q20/Q21 have no faithful adaptation; every other classic query shape
+is covered below, adapted to the available columns.
+
+Scale notes (100 TB stance):
+- region/nation joins broadcast (fixed 5/25 rows at any SF).
+- customer/part/supplier grow with SF: joins against lineitem shuffle
+  on the key; AQE picks broadcast when a dim filter collapses one side.
+- Correlated scalar subqueries (q17, q22) are expressed as explicit
+  aggregate-then-join so the plan is a single shuffle per aggregate,
+  not a per-row subquery; Catalyst would decorrelate anyway, but the
+  explicit form keeps the plan identical across Spark versions.
+- EXISTS (q4) is a left-semi join: no row multiplication, map-side
+  combine on the probe side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from recipes_spark.io import load
+from recipes_spark.registry import query
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: EXISTS → left-semi join on (orderkey, shipdate>orderdate).
+    Semi join never multiplies rows; the lineitem side is filtered by the
+    join itself, so only the orders date filter needs pushdown."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan+filter+agg — every predicate reaches the
+    parquet scan (PushedFilters), zero shuffle beyond the final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: two broadcast nation joins + fact-fact shuffles. The
+    nation-pair predicate lands after the broadcasts, so Catalyst pushes
+    each side's IN(...) filter below the join."""
+    s, li, o, c, n = load(
+        spark, sf_dir, "supplier"
+    ), load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders"), load(
+        spark, sf_dir, "customer"
+    ), load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"),
+            )
+        )
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .withColumn(
+            "volume", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: conditional aggregate (share-of-total) over a 7-table
+    star join. part/region filters collapse their sides → AQE broadcasts
+    them against lineitem; only orders⋈lineitem pays a full shuffle."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle="""
+SELECT nation, o_year, round(sum(amount), 0) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity
+           AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted: no partsupp table, so supply cost is modeled as
+    0.5*p_retailprice. LIKE filter on part prunes before the fact join."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+         AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item reporting, top-20 customers by lost
+    revenue. returnflag + date filters push to both fact scans."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: outer join with a join-side predicate (NOT a post-
+    filter — customers with zero orders must survive), then a two-level
+    aggregate. count(col) semantics: nulls from the outer join count 0."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l_shipdate <  TIMESTAMP '1997-07-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo share of one month's revenue. part is the build
+    side; at 100 TB part is bucketed/broadcast-after-filter, lineitem's
+    month predicate prunes at the scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: scalar subquery (global max) against a derived view.
+    Expressed as a rank-over-empty-window-free plan: compute the agg
+    once, take max via a single-row broadcast join — the agg DataFrame
+    is reused (no double scan thanks to exchange reuse)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mr"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_part_supplier_stats",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_size IN (1, 4, 7, 10, 13)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp): distinct suppliers per part
+    group, derived from lineitem. countDistinct = two-phase hash agg
+    (partial distinct map-side, exact merge reduce-side)."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_size").isin(1, 4, 7, 10, 13))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+  )
+""",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (per-part avg quantity),
+    decorrelated by hand into agg + equi-join. The per-part aggregate
+    shuffles once on l_partkey; the join reuses that partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN-subquery with HAVING → semi join against the
+    aggregated key set. The HAVING agg and the outer agg share the
+    l_orderkey partitioning, so AQE reuses the exchange."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive mixed-table predicates. Catalyst extracts
+    the common l_quantity/p_size bounds where possible; the OR itself
+    evaluates post-join inside codegen."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#10")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted: rich-but-idle customers. Global-avg scalar
+    subquery → single-row broadcast cross join; NOT EXISTS → left-anti
+    join on o_custkey."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

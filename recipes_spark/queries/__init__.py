@@ -10,3 +10,4 @@ from recipes_spark.queries import (  # noqa: F401
     stac,
     tpch_extra,
 )
+from recipes_spark.streaming import ingest, queries as streaming_queries  # noqa: F401

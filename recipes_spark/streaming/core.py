@@ -1,0 +1,101 @@
+"""Streaming primitives: stage the events table as a file-source
+directory, read it as a stream, run to a memory sink.
+
+Why staging: the driver's events.parquet stores TIMESTAMP(NANOS), which
+Spark's (batch or streaming) parquet reader rejects without the
+nanosAsLong escape hatch, and a single monolithic file gives the file
+source no micro-batch structure. Staging batch-loads through
+recipes_spark.io.load (micros conversion applied once) and rewrites as
+N files — the stream then exercises real file discovery and, with
+maxFilesPerTrigger=1, real multi-batch watermark progression.
+
+Scale note: in production the file source watches a manifest/landing
+directory (the reference's hourly-updated HTTP listings, SURVEY §2.10
+T1); staging here stands in for that landing zone. Memory sinks are
+test-only — production sinks are foreachBatch→upsert (ingest.py) or
+kafka/parquet sinks.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from recipes_spark.io import load
+
+_STAGED: dict[tuple[str, int, int], str] = {}
+_IDS = itertools.count()
+
+
+def stage_events(
+    spark: SparkSession, sf_dir: str, *, files: int = 4, copies: int = 1
+) -> str:
+    """Rewrite events as `files` parquet files per copy under a temp dir;
+    memoized per (sf_dir, files, copies). With copies=2 every event_id
+    appears twice (dedup-operator input). File mtimes are forced into
+    write order so latestFirst=false reads them deterministically."""
+    key = (sf_dir, files, copies)
+    if key in _STAGED and os.path.isdir(_STAGED[key]):
+        return _STAGED[key]
+    root = tempfile.mkdtemp(prefix="recipes_stream_events_")
+    ev = load(spark, sf_dir, "events")
+    for copy in range(copies):
+        part = os.path.join(root, f"copy{copy}")
+        ev.repartition(files).write.mode("overwrite").parquet(part)
+        for i, name in enumerate(sorted(os.listdir(part))):
+            if name.endswith(".parquet"):
+                t = 1_600_000_000 + copy * 1000 + i
+                os.utime(os.path.join(part, name), (t, t))
+    _STAGED[key] = root
+    return root
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    files: int = 4,
+    copies: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """events as a file-source stream with the batch schema."""
+    staged = stage_events(spark, sf_dir, files=files, copies=copies)
+    schema = load(spark, sf_dir, "events").schema
+    reader = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(staged)
+
+
+def run_to_memory(
+    sdf: DataFrame, *, output_mode: str, name_hint: str = "stream"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    uniquely-named memory sink; return the sink as a batch DataFrame."""
+    name = f"{name_hint}_{next(_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name)
+
+
+def cleanup_staged() -> None:
+    for path in _STAGED.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _STAGED.clear()

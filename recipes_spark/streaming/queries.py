@@ -1,0 +1,130 @@
+"""Registered streaming queries (SURVEY.md §2.10): the T2/T3 window
+aggregations executed under Structured Streaming, watermarked late-data
+drop (T5), and stateful dedup (T6).
+
+Oracle strategy: st2/st3/st6 run the whole staged directory in one
+availableNow pass — st2/st3 in COMPLETE mode (every window emits
+regardless of watermark), st6 as a single micro-batch (no late drops) —
+so their results are deterministic and equal to the batch/DuckDB
+answer. st5 intentionally splits batches to force watermark drops and
+is rows-only (the driver records the weaker check; the exact drop
+property is asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from recipes_spark.registry import query
+from recipes_spark.streaming.core import run_to_memory, stream_events
+
+_TUMBLING_ORACLE = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 * 1000000)
+         AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("st2_tumbling_stream", oracle=_TUMBLING_ORACLE)
+def st2_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 streaming: readStream file source → watermark → 10-minute
+    tumbling windows → memory sink. Complete mode so the final windows
+    (still above watermark at stream end) emit too — result equals the
+    batch t2_tumbling_window oracle."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    return run_to_memory(agg, output_mode="complete", name_hint="st2")
+
+
+_SLIDING_ORACLE = """
+SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - k.k)
+                      * 300 * 1000000) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+GROUP BY 1, 2
+"""
+
+
+@query("st3_sliding_stream", oracle=_SLIDING_ORACLE)
+def st3_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 streaming: 10-minute windows sliding every 5 under
+    Structured Streaming, complete mode."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    return run_to_memory(agg, output_mode="complete", name_hint="st3")
+
+
+@query(
+    "st6_stream_dedup",
+    oracle="""
+SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 streaming: dropDuplicatesWithinWatermark(event_id) over a
+    doubled input (every event twice). Single micro-batch, so no row is
+    late; output = exactly one row per event_id, verified by the plain
+    per-type distinct-count oracle."""
+    ev = stream_events(spark, sf_dir, copies=2)
+    dedup = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sunk = run_to_memory(dedup, output_mode="append", name_hint="st6")
+    return (
+        sunk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("st5_watermark_late")
+def st5_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: watermark drops late data. One file per micro-batch
+    (maxFilesPerTrigger=1, mtime-ordered); after the first batches the
+    watermark has advanced past older timestamps, so a duplicate replay
+    of the directory (copies=2 interleaves a full second pass) mostly
+    drops. Rows-only check — the precise drop property is asserted in
+    tests/test_streaming.py."""
+    ev = stream_events(spark, sf_dir, files=4, copies=2, max_files_per_trigger=1)
+    dedup = ev.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sunk = run_to_memory(dedup, output_mode="append", name_hint="st5")
+    return sunk.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.max("ts").alias("max_ts"),
+    )

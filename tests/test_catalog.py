@@ -1,0 +1,88 @@
+"""S12 catalog-sink idempotency + catalog_search pruning behavior
+(SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from recipes_spark.plans.catalog import catalog_search, upsert_items
+
+
+def _items(spark, n=50, collection="c-a"):
+    return spark.range(n).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("id"),
+        F.lit(collection).alias("collection_id"),
+        F.array(
+            (F.col("id") % 360 - 180.0).cast("double"),
+            F.lit(-10.0),
+            (F.col("id") % 360 - 170.0).cast("double"),
+            F.lit(10.0),
+        ).alias("bbox"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3600).alias(
+            "start_datetime"
+        ),
+        F.timestamp_seconds(F.lit(1700003600) + F.col("id") * 3600).alias(
+            "end_datetime"
+        ),
+    )
+
+
+def test_upsert_idempotent(spark):
+    path = tempfile.mkdtemp(prefix="recipes_test_stac_") + "/catalog"
+    items = _items(spark)
+    upsert_items(spark, items, path)
+    first = spark.read.parquet(path).count()
+    upsert_items(spark, items, path)  # exact re-run: no-op
+    assert spark.read.parquet(path).count() == first == 50
+
+
+def test_upsert_new_version_wins(spark):
+    path = tempfile.mkdtemp(prefix="recipes_test_stac_") + "/catalog"
+    upsert_items(spark, _items(spark), path)
+    updated = _items(spark, n=10).withColumn(
+        "bbox", F.array(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0))
+    )
+    upsert_items(spark, updated, path)
+    store = spark.read.parquet(path)
+    assert store.count() == 50
+    assert store.filter(F.col("bbox")[2] == 1.0).count() == 10
+
+
+def test_upsert_untouched_partition_preserved(spark):
+    path = tempfile.mkdtemp(prefix="recipes_test_stac_") + "/catalog"
+    upsert_items(spark, _items(spark, collection="c-a"), path)
+    other = _items(spark, n=20, collection="c-b").withColumn(
+        "id", F.concat(F.lit("other-"), F.col("id"))
+    )
+    upsert_items(spark, other, path)
+    store = spark.read.parquet(path)
+    assert store.filter(F.col("collection_id") == "c-a").count() == 50
+    assert store.filter(F.col("collection_id") == "c-b").count() == 20
+
+
+def test_catalog_search_filters(spark):
+    items = _items(spark).cache()
+    hits = catalog_search(
+        items,
+        collections=["c-a"],
+        datetime_range=("2023-11-14T00:00:00", "2023-11-15T00:00:00"),
+        sortby=[("start_datetime", "asc")],
+        limit=5,
+    )
+    rows = hits.collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.collection_id == "c-a" for r in rows)
+    starts = [r.start_datetime for r in rows]
+    assert starts == sorted(starts)
+    none = catalog_search(items, collections=["nope"]).count()
+    assert none == 0
+
+
+def test_catalog_search_bbox(spark):
+    items = _items(spark).cache()
+    hits = catalog_search(items, bbox=(-180.0, -5.0, -150.0, 5.0))
+    for r in hits.collect():
+        w, s, e, n = r.bbox
+        assert not (e < -180.0 or w > -150.0 or n < -5.0 or s > 5.0)

@@ -1,0 +1,72 @@
+"""Streaming-surface properties (SURVEY.md §5.2 item 2): the checks the
+DuckDB oracle can't express — watermark late-drop, dedup bounds, and
+ingest idempotency."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from recipes_spark.io import load
+from recipes_spark.streaming.core import run_to_memory, stream_events
+from recipes_spark.streaming.ingest import ingest_events, upsert_batch
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_t5_watermark_drops_replayed_rows(spark):
+    """Second pass over the directory (copies=2, one file per trigger)
+    replays every event after the watermark has advanced past most
+    timestamps: dedup-by-id must keep exactly one row per id for rows
+    that were on time, and drop the replays — so n_kept is between
+    n_distinct/2 (first copy only, worst-case late drops) and
+    n_distinct."""
+    n_distinct = load(spark, SF, "events").select("event_id").distinct().count()
+    ev = stream_events(spark, SF, files=4, copies=2, max_files_per_trigger=1)
+    dedup = ev.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sunk = run_to_memory(dedup, output_mode="append", name_hint="t5_test")
+    kept = sunk.count()
+    kept_ids = sunk.select("event_id").distinct().count()
+    assert kept == kept_ids, "dedup emitted a duplicate id"
+    assert kept <= n_distinct
+    assert kept >= n_distinct // 2
+
+
+def test_t6_single_batch_dedup_exact(spark):
+    """Single micro-batch (no late rows): doubled input dedups to
+    exactly the distinct id count."""
+    n_distinct = load(spark, SF, "events").select("event_id").distinct().count()
+    ev = stream_events(spark, SF, copies=2)
+    dedup = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sunk = run_to_memory(dedup, output_mode="append", name_hint="t6_test")
+    assert sunk.count() == n_distinct
+
+
+def test_t1_ingest_idempotent(spark):
+    """Running the full ingest twice into the same catalog leaves counts
+    unchanged (ToPgStac re-run semantics, SURVEY §4.1)."""
+    catalog = tempfile.mkdtemp(prefix="recipes_test_catalog_") + "/store"
+    ingest_events(spark, SF, catalog)
+    first = spark.read.parquet(catalog).count()
+    ingest_events(spark, SF, catalog)
+    second = spark.read.parquet(catalog).count()
+    n_source = load(spark, SF, "events").select("event_id").distinct().count()
+    assert first == second == n_source
+
+
+def test_upsert_new_rows_win(spark):
+    """Upserting a changed row with an existing key replaces the old
+    row instead of duplicating it."""
+    path = tempfile.mkdtemp(prefix="recipes_test_upsert_") + "/store"
+    ev = load(spark, SF, "events").limit(100)
+    upsert_batch(ev, path, key="event_id", partition_col="event_type")
+    changed = ev.limit(10).withColumn("value", F.lit(-1.0))
+    upsert_batch(changed, path, key="event_id", partition_col="event_type")
+    store = spark.read.parquet(path)
+    assert store.count() == 100
+    assert store.filter(F.col("value") == -1.0).count() == 10

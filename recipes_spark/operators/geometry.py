@@ -1,0 +1,159 @@
+"""G1: trajectory geometry extraction + simplification (SURVEY.md §2.9).
+
+The reference calls stac_insitu.geometry.extract_geometry(ds.squeeze(),
+tolerance=0.001, x="LONGITUDE", y="LATITUDE", time="TIME")
+(insitu…/recipe.py:91-93): from a platform's coordinate arrays it
+produces a Point (stationary platform) or a Douglas-Peucker-simplified
+LineString (moving platform) plus the matching time array. shapely is
+not in this container, so the simplifier is a self-contained numpy
+Douglas-Peucker running inside an Arrow-batched pandas UDF — the one
+operator in the engine with no Catalyst/SQL equivalent (SURVEY §4.2).
+
+Scale design: the UDF is row-local (one trajectory per row, coordinate
+ARRAYs already assembled by a groupBy upstream), so it parallelizes
+embarrassingly — no shuffle inside, Arrow batch transfer, and the
+output is small (simplified arrays). Trajectories with millions of
+points per platform would instead chunk via mapInPandas, but observed
+in-situ platforms are thousands of points at most.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+GEOMETRY_SCHEMA = StructType(
+    [
+        StructField("geom_type", StringType()),
+        StructField("lon", ArrayType(DoubleType())),
+        StructField("lat", ArrayType(DoubleType())),
+        StructField("n_in", IntegerType()),
+        StructField("n_out", IntegerType()),
+        StructField("geojson", StringType()),
+    ]
+)
+
+
+def douglas_peucker_mask(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray:
+    """Boolean keep-mask of the Douglas-Peucker simplification: endpoints
+    always kept; an interior point survives iff its perpendicular
+    distance to the current segment exceeds `tol` (planar degrees, the
+    same convention as shapely's simplify the reference relies on)."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        px, py = x[i + 1 : j], y[i + 1 : j]
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            d = np.hypot(px - x[i], py - y[i])
+        else:
+            # Distance to the SEGMENT (t clamped), not the infinite
+            # line: a vertex projecting beyond an endpoint must be
+            # measured against that endpoint or the tolerance guarantee
+            # (every dropped vertex within tol of the simplified line)
+            # breaks. Matches GEOS/shapely behavior.
+            t = np.clip(((px - x[i]) * dx + (py - y[i]) * dy) / L2, 0.0, 1.0)
+            d = np.hypot(px - (x[i] + t * dx), py - (y[i] + t * dy))
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def _extract_one(lon: np.ndarray, lat: np.ndarray, tol: float) -> dict:
+    """extract_geometry semantics for one platform: finite points only;
+    all-identical (or single) position → Point, else simplified
+    LineString."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    finite = np.isfinite(lon) & np.isfinite(lat)
+    lon, lat = lon[finite], lat[finite]
+    n_in = int(len(lon))
+    if n_in == 0:
+        return {
+            "geom_type": None, "lon": [], "lat": [],
+            "n_in": 0, "n_out": 0, "geojson": None,
+        }
+    stationary = bool(np.all(lon == lon[0]) and np.all(lat == lat[0]))
+    if n_in == 1 or stationary:
+        gj = {"type": "Point", "coordinates": [float(lon[0]), float(lat[0])]}
+        return {
+            "geom_type": "Point",
+            "lon": [float(lon[0])], "lat": [float(lat[0])],
+            "n_in": n_in, "n_out": 1, "geojson": json.dumps(gj),
+        }
+    keep = douglas_peucker_mask(lon, lat, tol)
+    slon, slat = lon[keep], lat[keep]
+    gj = {
+        "type": "LineString",
+        "coordinates": [[float(a), float(b)] for a, b in zip(slon, slat)],
+    }
+    return {
+        "geom_type": "LineString",
+        "lon": [float(v) for v in slon], "lat": [float(v) for v in slat],
+        "n_in": n_in, "n_out": int(keep.sum()), "geojson": json.dumps(gj),
+    }
+
+
+def extract_geometry(
+    lon_col: Column | str, lat_col: Column | str, *, tolerance: float = 0.001
+) -> Column:
+    """Column expression: (array<double> lon, array<double> lat) →
+    geometry struct. Use after a sort_array(collect_list(...)) groupBy
+    that assembles per-platform coordinate arrays in time order."""
+
+    @F.pandas_udf(GEOMETRY_SCHEMA)
+    def _udf(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_extract_one(a, b, tolerance) for a, b in zip(lon_s, lat_s)]
+        )
+
+    return _udf(lon_col, lat_col)
+
+
+def trajectories_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic synthetic per-user trajectory from the events table
+    (testdata has no coordinate columns): each event contributes one
+    vertex, time-ordered; lon/lat derived from event fields. Stands in
+    for the reference's per-platform LONGITUDE/LATITUDE/TIME arrays."""
+    pt = F.struct(
+        F.col("ts"),
+        (F.pmod(F.col("event_id") * 7919, F.lit(36000)) / 100.0 - 180.0).alias(
+            "lon"
+        ),
+        (F.pmod(F.col("event_id") * 104729, F.lit(17000)) / 100.0 - 85.0).alias(
+            "lat"
+        ),
+    )
+    return (
+        events.select("user_id", pt.alias("pt"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("pt")).alias("pts"))
+        .select(
+            "user_id",
+            F.col("pts.lon").alias("lon"),
+            F.col("pts.lat").alias("lat"),
+            F.size("pts").alias("n_points"),
+        )
+    )

@@ -5,6 +5,7 @@ oracle SQL where the operator is SQL-expressible)."""
 from recipes_spark.queries import (  # noqa: F401
     dataops,
     events,
+    geometry,
     manifest,
     relational,
     stac,

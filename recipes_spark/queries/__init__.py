@@ -7,6 +7,8 @@ from recipes_spark.queries import (  # noqa: F401
     events,
     geometry,
     manifest,
+    multimodal,
+    reference_io,
     relational,
     stac,
     tpch_extra,

@@ -1,0 +1,194 @@
+"""X5 multimodal-column operators (SURVEY.md §2.12, north-star):
+image/audio/video as opaque BINARY columns with typed metadata.
+
+The real codecs (PIL/ffmpeg/torchaudio) are absent from this container,
+so every decode is a clearly-marked deterministic fake derived from the
+payload bytes — but the Spark-side machinery (binary columns, Arrow
+batch shape, mapInPandas schemas, one-blob→many-rows expansion) is the
+production path, and the fakes are pure byte arithmetic so DuckDB can
+replay them: these stubs are oracle-VERIFIED plumbing, not dead code.
+
+Scale notes: payloads stay in the executor (never collected); frame
+expansion multiplies rows before the shuffle, so the frame stream
+repartitions by (doc_id % N) buckets downstream if a groupBy follows;
+binary batches keep Arrow batch size bounded via
+spark.sql.execution.arrow.maxRecordsPerBatch when blobs are large.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from recipes_spark.io import load
+from recipes_spark.registry import query
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB for the image decode (PIL absent): deterministic fake
+    dimensions/channel stats from the bytes. Replace the body with
+    PIL.Image.open when the codec is available — the signature and the
+    calling mapInPandas stay identical."""
+    n = len(payload)
+    return {
+        "width": n % 640 + 1,
+        "height": n % 480 + 1,
+        "channels": 3,
+        "mean_byte": float(sum(payload)) / n if n else 0.0,
+    }
+
+
+@query(
+    "x5_image_features",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) % 640 + 1  AS width,
+       octet_length(encode(text)) % 480 + 1  AS height,
+       CAST(3 AS INT)                        AS channels,
+       round((width * height) / 1000000.0, 4) AS megapixels
+FROM documents
+ORDER BY doc_id
+""",
+)
+def x5_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5a: binary payload → image feature row via mapInPandas (decode
+    stubbed; plumbing + arithmetic oracle-verified)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_stub(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "megapixels": [
+                        round(f["width"] * f["height"] / 1_000_000.0, 4)
+                        for f in feats
+                    ],
+                }
+            )
+
+    return d.mapInPandas(
+        extract,
+        schema="doc_id long, width long, height long, channels int, "
+        "megapixels double",
+    ).orderBy("doc_id")
+
+
+@query(
+    "x5_resize_plan",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 640 + 1 AS width,
+         octet_length(encode(text)) % 480 + 1 AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(width * 256 // greatest(width, height) AS BIGINT)  AS out_width,
+       CAST(height * 256 // greatest(width, height) AS BIGINT) AS out_height
+FROM dims
+ORDER BY doc_id
+""",
+)
+def x5_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5b: aspect-preserving resize-to-256 geometry. The pixel
+    resample is the stub; the geometry arithmetic (what a 100 TB
+    pipeline plans batches around) is exact and oracle-checked —
+    pure Catalyst, no UDF."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n")
+    )
+    w = (F.col("n") % 640 + 1).cast("long")
+    h = (F.col("n") % 480 + 1).cast("long")
+    # Integer arithmetic, not float scale*dim: float rounds differently
+    # across engines exactly at integer boundaries (256.0 vs 255.999…).
+    dims = d.select("doc_id", w.alias("width"), h.alias("height"))
+    return dims.selectExpr(
+        "doc_id",
+        "width",
+        "height",
+        "CAST((width * 256) DIV greatest(width, height) AS BIGINT) AS out_width",
+        "CAST((height * 256) DIV greatest(width, height) AS BIGINT) AS out_height",
+    ).orderBy("doc_id")
+
+
+@query(
+    "x5_frame_sample",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id, octet_length(encode(text)) % 120 + 1 AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+       round(f.f / 24.0, 4) AS t_seconds
+FROM vids, LATERAL (SELECT unnest(range(0, n_frames, 12)) AS f) f
+ORDER BY doc_id, frame_idx
+""",
+)
+def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5c: video frame sampling — one blob → many frame rows (every
+    12th frame of a fake 24 fps stream whose length derives from the
+    payload). The UDTF-style expansion (§2.11) is sequence()+explode,
+    JVM-side; the per-frame pixel decode would slot into a downstream
+    mapInPandas."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.octet_length(F.encode("text", "utf-8")) % 120 + 1).alias("n_frames"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(12))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.round(F.col("frame_idx") / 24.0, 4).alias("t_seconds"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@query(
+    "x5_audio_chunks",
+    oracle="""
+WITH clips AS (
+  SELECT doc_id,
+         octet_length(encode(text)) * 100 AS n_samples,
+         md5(text)                        AS clip_digest
+  FROM documents
+)
+SELECT doc_id, clip_digest,
+       CAST(ceil(n_samples / 16000.0) AS BIGINT) AS n_chunks,
+       round(n_samples / 16000.0, 4)             AS duration_sec
+FROM clips
+ORDER BY doc_id
+""",
+)
+def x5_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5d: audio chunking plan — 16 kHz fake clips (100 samples per
+    payload byte) split into 1-second windows; digest identifies the
+    clip across the pipeline. All Catalyst (md5/ceil), no UDF."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.octet_length(F.encode("text", "utf-8")) * 100).alias("n_samples"),
+        F.md5(F.encode("text", "utf-8")).alias("clip_digest"),
+    )
+    return d.select(
+        "doc_id",
+        "clip_digest",
+        F.ceil(F.col("n_samples") / 16000.0).cast("long").alias("n_chunks"),
+        F.round(F.col("n_samples") / 16000.0, 4).alias("duration_sec"),
+    ).orderBy("doc_id")

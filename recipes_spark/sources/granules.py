@@ -1,0 +1,151 @@
+"""S10/S11: remote-file open + per-file metadata extraction
+(SURVEY.md §2.1).
+
+Reference: OpenURLWithFSSpec → OpenWithXarray → per-file STAC metadata
+(avhrr…/recipe.py:124-127; only attrs/coords are consumed downstream,
+never pixel data — SURVEY §4.1 "metadata-only reads"). Spark-first
+shape: `binaryFile` source (path, modificationTime, length, content) →
+Arrow-batched mapInPandas that decodes ONLY metadata and emits one flat
+row per file.
+
+Decode strategy: try xarray+h5netcdf if importable (real NetCDF); fall
+back to the engine's synthetic granule format — a JSON header this
+module also writes (stage_granules) — so the operator contract
+"files → metadata rows" is exercised end-to-end without NetCDF libs
+(SURVEY §7 M2.2: the contract is the operator, not the codec).
+
+Scale notes: binaryFile caps file size at
+spark.sql.sources.binaryFile.maxLength (2 GB default); granule files
+are listed into tasks by the file index, so 1.5 M granules (the
+reference's full AVHRR range) fan out as ordinary scan partitions.
+The metadata row is ~1 KB — the 100 TB of pixel payload never enters
+the shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Iterator
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+GRANULE_MAGIC = b"RSPKGRAN1\n"
+
+META_SCHEMA = (
+    "source string, granule_id string, platform string, "
+    "start_datetime timestamp, end_datetime timestamp, "
+    "west double, south double, east double, north double, "
+    "n_bytes long"
+)
+
+_STAGED: dict[tuple[str, int], str] = {}
+
+
+def granule_meta(i: int, start: str = "2024-01-01 00:00:00") -> dict:
+    """Deterministic metadata for synthetic granule i — arithmetic kept
+    SQL-expressible so the S11 oracle can recompute it in DuckDB."""
+    t0 = datetime.fromisoformat(start) + timedelta(minutes=3 * i)
+    west = float((i * 15) % 300 - 150)
+    south = float((i * 7) % 140 - 70)
+    return {
+        "granule_id": f"granule_{i:04d}",
+        "platform": "METOP_B",
+        "start_datetime": t0.isoformat(sep=" "),
+        "end_datetime": (t0 + timedelta(minutes=3)).isoformat(sep=" "),
+        "west": west,
+        "south": south,
+        "east": west + 10.0,
+        "north": south + 5.0,
+    }
+
+
+def stage_granules(n: int = 24) -> str:
+    """Write n synthetic granule files (JSON header + deterministic
+    payload padding) into a memoized temp dir; returns the dir."""
+    key = ("default", n)
+    if key in _STAGED and os.path.isdir(_STAGED[key]):
+        return _STAGED[key]
+    root = tempfile.mkdtemp(prefix="recipes_granules_")
+    for i in range(n):
+        meta = granule_meta(i)
+        header = json.dumps(meta).encode()
+        payload = bytes((i + j) % 251 for j in range(100 + i))
+        with open(os.path.join(root, f"granule_{i:04d}.nc"), "wb") as fh:
+            fh.write(GRANULE_MAGIC)
+            fh.write(len(header).to_bytes(4, "big"))
+            fh.write(header)
+            fh.write(payload)
+    _STAGED[key] = root
+    return root
+
+
+def _decode_meta(content: bytes, path: str) -> dict | None:
+    """Per-file metadata decode: real NetCDF when xarray is available,
+    else the synthetic format. Returns None for undecodable files
+    (quarantine path — P3 semantics)."""
+    if content.startswith(GRANULE_MAGIC):
+        off = len(GRANULE_MAGIC)
+        hlen = int.from_bytes(content[off : off + 4], "big")
+        meta = json.loads(content[off + 4 : off + 4 + hlen])
+        return meta
+    try:  # real NetCDF path — exercised only where the libs exist
+        import io
+
+        import xarray as xr
+
+        ds = xr.open_dataset(io.BytesIO(content))
+        a = ds.attrs
+        return {
+            "granule_id": str(a.get("id", os.path.basename(path))),
+            "platform": str(a.get("platform", "")),
+            "start_datetime": str(a.get("time_coverage_start", "")),
+            "end_datetime": str(a.get("time_coverage_end", "")),
+            "west": float(a.get("westernmost_longitude", "nan")),
+            "south": float(a.get("southernmost_latitude", "nan")),
+            "east": float(a.get("easternmost_longitude", "nan")),
+            "north": float(a.get("northernmost_latitude", "nan")),
+        }
+    except Exception:
+        return None
+
+
+def file_metadata(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S10+S11: binaryFile scan → one metadata row per decodable file.
+    Undecodable files are dropped (at scale: route to a quarantine
+    table instead, SURVEY §1.2)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                meta = _decode_meta(bytes(content), path)
+                if meta is None:
+                    continue
+                rows.append(
+                    {
+                        "source": path,
+                        "granule_id": meta["granule_id"],
+                        "platform": meta["platform"],
+                        "start_datetime": pd.Timestamp(meta["start_datetime"]),
+                        "end_datetime": pd.Timestamp(meta["end_datetime"]),
+                        "west": meta["west"],
+                        "south": meta["south"],
+                        "east": meta["east"],
+                        "north": meta["north"],
+                        "n_bytes": len(content),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "source", "granule_id", "platform", "start_datetime",
+                    "end_datetime", "west", "south", "east", "north", "n_bytes",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(extract, schema=META_SCHEMA)

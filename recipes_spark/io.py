@@ -67,3 +67,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load(spark, sf_dir, n) for n in (names or TABLES))
+
+
+def scale_partitions(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the cluster's parallelism before
+    CPU-heavy per-row work (hashing, sketching, UDF decode).
+
+    Why: a single-row-group parquet file scans as ONE task no matter how
+    many cores exist — every expensive expression then runs serially.
+    At 100 TB inputs arrive with thousands of natural splits and this is
+    a no-op (we only repartition when the scan is narrower than half the
+    default parallelism); on small/unsplittable inputs it buys full-core
+    utilization for one cheap round-robin shuffle of the input rows."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target)

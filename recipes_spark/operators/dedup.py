@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from recipes_spark.functions.text import word_shingles
+from recipes_spark.io import scale_partitions
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -72,25 +73,39 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(text_col, shingle_n).alias("__sh"),
+    shingled = scale_partitions(
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(text_col, shingle_n).alias("__sh"),
+        )
     )
 
-    # Banding carries ONLY (id, band, bhash) into the shuffle — the
-    # shingle arrays (the wide payload) are re-joined later just for the
+    # Signature via explode → 64 min-aggregates, NOT 64 nested
+    # transform/array_min expressions over the shingle array: the
+    # nested form is one giant expression tree (slow codegen, measured
+    # ~2× slower); the agg form is a flat hash-agg that combines
+    # map-side, so the shuffle carries one 64-long row per doc.
+    lanes = shingled.select(
+        "__id", F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__h")
+    )
+    sigs = lanes.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+    # Banding carries ONLY (id, bhash) into the shuffle — the shingle
+    # arrays (the wide payload) are re-joined later just for the
     # surviving candidates. At 100 TB this is the difference between
     # shuffling ids and shuffling the corpus 16×.
-    sigs = shingled.select(
-        "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
-    )
     banded = sigs.select(
         "__id",
         F.explode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.lit(b), *[F.col("__sig")[b * r + j] for j in range(r)]
+                        F.lit(b), *[F.col(f"__m{b * r + j}") for j in range(r)]
                     )
                     for b in range(bands)
                 ]
@@ -153,9 +168,9 @@ def simhash_pairs(
     hamming < bands, we use it as a recall heuristic); verify by exact
     hamming distance ≤ max_hamming."""
     chunk = 64 // bands
-    base = df.select(
-        F.col(id_col).alias("__id"), simhash64(text_col).alias("__bits")
-    )
+    base = scale_partitions(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    ).select("__id", simhash64("__t").alias("__bits"))
     banded = base.select(
         "__id",
         "__bits",

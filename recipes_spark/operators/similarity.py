@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from recipes_spark.functions.vectors import as_double, cosine
+from recipes_spark.io import scale_partitions
 
 
 def brute_force_topk(
@@ -30,7 +31,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, cross join, window
     top-k per query. Deterministic tiebreak on (rounded sim desc, id)."""
-    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
+    joined = scale_partitions(corpus).crossJoin(F.broadcast(queries)).withColumn(
         "cosine_sim",
         F.round(cosine(as_double(F.col(vec_col)), as_double(F.col(query_vec_col))), 4),
     )
@@ -92,7 +93,7 @@ def lsh_topk(
         )
         return df.select(*idcols, vcol, F.explode(buckets).alias("bucket"))
 
-    cb = bucketed(corpus, vec_col, [id_col])
+    cb = bucketed(scale_partitions(corpus), vec_col, [id_col])
     qb = bucketed(queries, query_vec_col, [query_id_col])
     cand = (
         cb.join(F.broadcast(qb), "bucket")

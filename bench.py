@@ -30,10 +30,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_nation_revenue",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
     "join_asof",
     "topk_per_group",
     "window_frame",
     "t4_session_window",
+    "st2_tumbling_stream",
     "s4_manifest",
     "x1_exact_dedup",
     "x2_minhash_lsh",

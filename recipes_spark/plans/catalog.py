@@ -64,15 +64,28 @@ def catalog_search(
     collections: Sequence[str] | None = None,
     bbox: tuple[float, float, float, float] | None = None,
     datetime_range: tuple[str, str] | None = None,
+    filter: Column | None = None,
     sortby: Sequence[tuple[str, str]] | None = None,
     limit: int | None = None,
+    page_after: str | None = None,
 ) -> DataFrame:
     """STAC /search compiled to a DataFrame plan (stac-fastapi → pgstac
     equivalent, docker-compose.yml:2-44). Overlap semantics for the
-    datetime interval: item [start,end] intersects query [lo,hi]."""
+    datetime interval: item [start,end] intersects query [lo,hi].
+
+    `filter` is the CQL2 property-filter slot: any Column predicate
+    (callers build it with pyspark.sql.functions, the engine's CQL).
+    `page_after` is keyset paging on item id — WHERE id > token instead
+    of OFFSET, so deep pages stay O(page) not O(offset) at 100 TB
+    (requires/implies an id tiebreak in sortby; plain id order when
+    sortby is None)."""
     out = items
     if collections:
         out = out.filter(F.col("collection_id").isin(list(collections)))
+    if filter is not None:
+        out = out.filter(filter)
+    if page_after is not None:
+        out = out.filter(F.col("id") > F.lit(page_after))
     if datetime_range:
         lo, hi = datetime_range
         out = out.filter(
@@ -91,6 +104,10 @@ def catalog_search(
         out = out.orderBy(
             *[F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sortby]
         )
+    elif page_after is not None or limit:
+        # Keyset paging (and plain limit) need a stable order — default
+        # to id so page 1 (no token yet) and page N agree.
+        out = out.orderBy("id")
     if limit:
         out = out.limit(limit)
     return out

@@ -80,6 +80,27 @@ def test_catalog_search_filters(spark):
     assert none == 0
 
 
+def test_catalog_search_property_filter_and_paging(spark):
+    import pyspark.sql.functions as F
+
+    items = _items(spark).cache()
+    # CQL-style property filter: any Column predicate.
+    hits = catalog_search(items, filter=F.col("bbox")[0] > 0.0)
+    assert all(r.bbox[0] > 0.0 for r in hits.collect())
+    # Keyset paging: walk 50 items in pages of 20 with no overlap.
+    seen: list[str] = []
+    token = None
+    while True:
+        page = catalog_search(items, limit=20, page_after=token).collect()
+        if not page:
+            break
+        ids = [r.id for r in page]
+        assert ids == sorted(ids)
+        seen.extend(ids)
+        token = ids[-1]
+    assert len(seen) == 50 == len(set(seen))
+
+
 def test_catalog_search_bbox(spark):
     items = _items(spark).cache()
     hits = catalog_search(items, bbox=(-180.0, -5.0, -150.0, 5.0))

@@ -73,12 +73,12 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
+    # Repartition BEFORE shingling: projections run on their input's
+    # partitioning, so shingling after the exchange uses every core
+    # (before it, a single-file scan would shingle serially).
     shingled = scale_partitions(
-        df.select(
-            F.col(id_col).alias("__id"),
-            word_shingles(text_col, shingle_n).alias("__sh"),
-        )
-    )
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    ).select("__id", word_shingles("__t", shingle_n).alias("__sh"))
 
     # Signature via explode → 64 min-aggregates, NOT 64 nested
     # transform/array_min expressions over the shingle array: the

@@ -578,6 +578,66 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolating). At 100 TB swap
+    in percentile_approx(t-digest): one pass, mergeable sketches, no
+    full sort — the exact form here doubles as its correctness
+    baseline."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(l_extendedprice, {q})"), 4
+                ).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.5, 0.75, 0.99)
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "pivot_revenue",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1 - l_discount) END), 2) AS F,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1 - l_discount) END), 2) AS O,
+       round(sum(CASE WHEN l_linestatus = 'P' THEN l_extendedprice * (1 - l_discount) END), 2) AS P
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): revenue by returnflag × linestatus. Explicit
+    value list — at scale an unpinned pivot needs a driver-side distinct
+    pass first; pinning keeps it one aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(rev), 2))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q22_idle_customers",
     oracle="""
 SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal

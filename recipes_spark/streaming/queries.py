@@ -110,6 +110,29 @@ def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("st4_session_stream")
+def st4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 streaming: session_window(30 min gap) per user under
+    Structured Streaming. Append mode (sessions emit once the watermark
+    passes session end + gap), so the trailing sessions of the stream
+    are withheld at availableNow termination — rows-only check; the
+    batch t4_session_window carries the oracle for the session
+    semantics themselves."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, output_mode="append", name_hint="st4")
+
+
 @query("st5_watermark_late")
 def st5_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: watermark drops late data. One file per micro-batch

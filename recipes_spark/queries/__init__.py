@@ -8,6 +8,7 @@ from recipes_spark.queries import (  # noqa: F401
     geometry,
     manifest,
     multimodal,
+    pipeline,
     reference_io,
     relational,
     stac,

@@ -160,11 +160,27 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10).withColumnRenamed("rank", "rnk")
 
 
+@query("x3_ivf_topk")
+def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2: IVF — k-means coarse quantizer (sample-trained),
+    nprobe=4 of 16 inverted lists probed per query, exact re-rank inside
+    the lists. Approximate → rows-only (tests assert recall vs brute
+    force)."""
+    from recipes_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=10).withColumnRenamed("rank", "rnk")
+
+
 @query("x3_lsh_topk")
 def x3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: random-hyperplane LSH bucketing (4 tables × 8
-    planes) then exact re-rank of candidates. Approximate → rows-only
-    (tests assert recall ≥ threshold vs brute force)."""
+    """X3 scale path: random-hyperplane LSH bucketing (8 tables × 4
+    planes, recall-first defaults) then exact re-rank of candidates.
+    Approximate → rows-only (tests/test_similarity.py asserts recall
+    vs brute force)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")

@@ -14,4 +14,8 @@ from recipes_spark.queries import (  # noqa: F401
     stac,
     tpch_extra,
 )
-from recipes_spark.streaming import ingest, queries as streaming_queries  # noqa: F401
+from recipes_spark.streaming import (  # noqa: F401
+    ingest,
+    queries as streaming_queries,
+    stateful,
+)

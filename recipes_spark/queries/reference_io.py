@@ -125,6 +125,45 @@ def s11_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p3_cast_quarantine",
+    oracle="""
+WITH mixed AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN event_type
+              ELSE CAST(value AS VARCHAR) END AS raw
+  FROM events
+)
+SELECT count(CASE WHEN TRY_CAST(raw AS DOUBLE) IS NOT NULL THEN 1 END)
+         AS n_good,
+       count(CASE WHEN TRY_CAST(raw AS DOUBLE) IS NULL THEN 1 END)
+         AS n_rejects,
+       round(sum(TRY_CAST(raw AS DOUBLE)), 2) AS sum_cast
+FROM mixed
+""",
+)
+def p3_cast_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (insitu…/recipe.py:87-90): try_cast split with a reject table
+    instead of the reference's fail-the-pipeline re-raise. A synthetic
+    dirty column (every 7th row non-numeric) drives the split; the
+    oracle checks both streams' counts and the typed sum."""
+    from recipes_spark.operators.quarantine import cast_split
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 0, F.col("event_type")
+        ).otherwise(F.col("value").cast("string")).alias("raw"),
+    )
+    good, rejects = cast_split(ev, [("raw", "double")], keep=["event_id"])
+    g = good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.round(F.sum("raw"), 2).alias("sum_cast"),
+    )
+    r = rejects.agg(F.count(F.lit(1)).alias("n_rejects"))
+    return g.crossJoin(r).select("n_good", "n_rejects", "sum_cast")
+
+
+@query(
     "p8_surrogate_reencode",
     oracle="""
 SELECT doc_id, text AS fixed_text, false AS changed

@@ -1,0 +1,78 @@
+"""Plan-shape assertions (SURVEY.md §4 / the '.explain and iterate'
+discipline): pushdown, broadcast choice, partial aggregation, and
+codegen must actually appear in the physical plans — a correct result
+with the wrong plan is a 100 TB failure waiting."""
+
+from __future__ import annotations
+
+import pytest
+
+from recipes_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    """Every q6 predicate is scan-eligible: PushedFilters must list the
+    shipdate/discount/quantity bounds."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q5_broadcasts_fixed_dims(spark, sf_dir):
+    """region/nation are fixed-size at any SF — the star join must use
+    broadcast hash joins, never shuffle those dims."""
+    plan = _plan(spark, sf_dir, "q5_region_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Hash agg must run partial (map-side) + final — two HashAggregate
+    nodes per aggregation."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    """The q1 scan must read only the needed lineitem columns — a scan
+    with l_orderkey/l_partkey in ReadSchema is reading the whole table
+    for a 7-column aggregation."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_quantity" in read
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert col not in read, f"unpruned column {col}: {read}"
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    """Codegen stages appear only in the AQE-final plan — execute
+    first, then inspect."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # finalize THIS df's adaptive plan (a noop write
+    # would execute a separate queryExecution)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan  # WholeStageCodegen stage markers
+
+
+@pytest.mark.parametrize(
+    "name", ["stac_catalog_search", "q3_top_revenue_orders"]
+)
+def test_limit_not_global_sort(spark, sf_dir, name):
+    """Top-k queries must plan TakeOrderedAndProject (k-row heap per
+    partition), not a full global Sort + Limit."""
+    plan = _plan(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan

@@ -23,7 +23,7 @@ Scale notes (100 TB stance):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from recipes_spark.io import load
 from recipes_spark.registry import query
@@ -575,6 +575,102 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "unpivot_extents",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2)      AS qty,
+         round(sum(l_extendedprice), 2) AS price,
+         round(sum(l_tax), 2)           AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, val FROM (
+  SELECT l_returnflag, 'qty' AS metric, qty AS val FROM wide
+  UNION ALL SELECT l_returnflag, 'price', price FROM wide
+  UNION ALL SELECT l_returnflag, 'tax', tax FROM wide
+)
+ORDER BY l_returnflag, metric
+""",
+)
+def unpivot_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long), the inverse reshape of pivot_revenue —
+    Spark's native unpivot/melt, zero row explosion beyond 3× by
+    construction."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_tax"), 2).alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty", "price", "tax"], "metric", "val"
+    ).orderBy("l_returnflag", "metric")
+
+
+@query(
+    "string_agg_regions",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+def string_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect_list → array_sort →
+    array_join. The sort inside the aggregate makes the result
+    order-deterministic — unordered listagg is a flaky-hash trap."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(sum(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (trailing 1 hour per user) — the
+    value-based frame rows-frames can't express; Spark encodes the
+    interval as a seconds offset over a unix-time ordering."""
+    ev = load(spark, sf_dir, "events")
+    # Microsecond epoch, not unix_timestamp: second-floored ordering
+    # shifts frame boundaries vs the oracle's µs-precise interval.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    ).orderBy("event_id")
 
 
 @query(

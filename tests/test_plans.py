@@ -76,3 +76,29 @@ def test_limit_not_global_sort(spark, sf_dir, name):
     partition), not a full global Sort + Limit."""
     plan = _plan(spark, sf_dir, name)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_pruning_on_partitioned_store(spark, sf_dir):
+    """The catalog-store layout (partitionBy date/collection) must prune
+    at plan time: an equality filter on the partition column appears in
+    PartitionFilters and the scan reads one partition, not all."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+
+    path = tempfile.mkdtemp(prefix="recipes_prune_") + "/events_by_day"
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    some_day = spark.read.parquet(path).select("day").first()[0]
+
+    pruned = spark.read.parquet(path).filter(F.col("day") == F.lit(some_day))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf, f"day filter not in PartitionFilters: {pf}"
+    n_days = spark.read.parquet(path).select("day").distinct().count()
+    assert pruned.select("day").distinct().count() == 1 < n_days

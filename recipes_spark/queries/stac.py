@@ -189,6 +189,44 @@ def stac_catalog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stac_cql_search",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id, collection_id, west, start_datetime
+FROM meta
+WHERE (collection_id = 'col-1' OR collection_id = 'col-3')
+  AND west BETWEEN -100 AND 50
+  AND start_datetime >= TIMESTAMP '1997-06-01'
+  AND item_id LIKE 'item-1%'
+ORDER BY id
+LIMIT 200
+""",
+)
+def stac_cql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 CQL2 property filtering: the SAME filter the STAC API would
+    receive as CQL2 text, compiled by plans/cql.py to a Column and fed
+    through catalog_search — proving text filters get the identical
+    pushdown-friendly plan as hand-written predicates."""
+    from recipes_spark.plans.cql import compile_cql
+
+    items = build_items(_metadata(spark, sf_dir)).select(
+        "id",
+        "collection_id",
+        F.col("bbox")[0].alias("west"),
+        "start_datetime",
+    )
+    cql = (
+        "(collection_id = 'col-1' OR collection_id = 'col-3') "
+        "AND west BETWEEN -100 AND 50 "
+        "AND start_datetime >= TIMESTAMP('1997-06-01 00:00:00') "
+        "AND id LIKE 'item-1%'"
+    )
+    return catalog_search(
+        items, filter=compile_cql(cql), sortby=[("id", "asc")], limit=200
+    )
+
+
+@query(
     "g3_bbox_intersects",
     oracle=f"""
 WITH meta AS ({_ORACLE_META})

@@ -17,7 +17,6 @@ spark.sql.execution.arrow.maxRecordsPerBatch when blobs are large.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd

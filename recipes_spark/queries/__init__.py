@@ -3,6 +3,7 @@ recipes_spark.registry (name → (spark, sf_dir) -> DataFrame, plus DuckDB
 oracle SQL where the operator is SQL-expressible)."""
 
 from recipes_spark.queries import (  # noqa: F401
+    corpus_ops,
     dataops,
     events,
     geometry,

@@ -1,0 +1,248 @@
+"""Training-corpus preparation operators (north star, SURVEY.md §2.12
+X4 extensions): PII scrubbing, within-document repetition scoring,
+benchmark-contamination detection, and token-length histograms — the
+cleaning passes a 100 TB pretraining pipeline runs between dedup and
+tokenization. All pure Catalyst (regexp/array/join machinery), each
+replayed exactly by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from recipes_spark.io import load
+from recipes_spark.registry import query
+
+# Deterministic synthetic PII injection: the corpus text is clean, so
+# every 5th doc gets an email and every 7th a phone appended — the same
+# injection expression on both sides keeps the oracle exact.
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+@query(
+    "x4_pii_scrub",
+    oracle=f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-867-5309' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM dirty
+ORDER BY doc_id
+""",
+)
+def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact email/phone patterns. regexp_count
+    and regexp_replace are JVM-side codegen — at 100 TB this pass is
+    scan-bound, not CPU-bound."""
+    d = load(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dirty.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x4_repetition_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 4) AS repetition
+FROM toks
+ORDER BY doc_id
+""",
+)
+def x4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (1 - distinct/total tokens): the
+    boilerplate/spam signal used to drop template-generated text. Pure
+    array ops, row-local."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.round(1.0 - F.size(F.array_distinct(t)) / F.size(t), 4).alias(
+            "repetition"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x4_contamination",
+    oracle="""
+WITH bench_sh AS (
+  SELECT DISTINCT unnest([array_to_string(t[i:i+7], ' ')
+                          FOR i IN range(1, greatest(len(t) - 6, 1))]) AS shingle
+  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 10)
+), corpus_sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+                 FOR i IN range(1, greatest(len(t) - 6, 1))])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id >= 10)
+)
+SELECT c.doc_id, count(DISTINCT c.shingle) AS n_hits
+FROM corpus_sh c JOIN bench_sh b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+)
+def x4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram collision join between the
+    corpus and a held-out set (docs 0-9 stand in for the benchmark).
+    Plan shape at 100 TB: benchmark shingles are a few million rows →
+    BROADCAST; the corpus side explodes shingles but aggregates
+    per-doc before any shuffle. Docs sharing ≥1 8-gram with the
+    benchmark are flagged with their hit count."""
+    d = load(spark, sf_dir, "documents")
+
+    def shingles(df: DataFrame) -> DataFrame:
+        toks = F.split("text", " ")
+        # Guard short docs: sequence(1, 0) DESCENDS ([1, 0]) rather
+        # than returning empty, and slice(_, 0, _) then errors.
+        sh = F.when(
+            F.size(toks) >= 8,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 7),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+    bench = (
+        shingles(d.filter(F.col("doc_id") < 10))
+        .select("shingle")
+        .distinct()
+    )
+    corpus = shingles(d.filter(F.col("doc_id") >= 10))
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x6_packing_plan",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+), packed AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT CAST(floor((cum - n) / 512) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM packed
+GROUP BY seq_id
+ORDER BY seq_id
+""",
+)
+def x6_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan (concat-and-split at 512 tokens): each doc
+    is assigned to the training sequence where its first token lands —
+    running cumsum over a global doc order, the same computation a
+    pretraining dataloader does. At 100 TB the global running sum is
+    the one truly serial dependency; production shards first (pack per
+    shard) — the per-shard plan is THIS query with a partitioned
+    window."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = d.select(F.col("doc_id"), n.alias("n")).withColumn(
+        "cum", F.sum("n").over(w)
+    )
+    return (
+        packed.select(
+            F.floor((F.col("cum") - F.col("n")) / 512).cast("long").alias(
+                "seq_id"
+            ),
+            "n",
+            "doc_id",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+@query(
+    "x4_length_histogram",
+    oracle="""
+SELECT CAST(least(floor(len(string_split(text, ' ')) / 10), 9) AS BIGINT)
+         AS bucket,
+       count(*) AS n_docs,
+       CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def x4_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (10-token buckets, capped): the corpus
+    length profile that drives packing/truncation decisions. One hash
+    agg; at scale identical."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    bucket = F.least(F.floor(n / 10), F.lit(9)).cast("long")
+    return (
+        d.select(bucket.alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )

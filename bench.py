@@ -41,6 +41,7 @@ HEADLINE = [
     "x1_exact_dedup",
     "x2_minhash_lsh",
     "x3_cosine_topk",
+    "x4_contamination",
     "stac_catalog_search",
 ]
 

@@ -216,6 +216,24 @@ def x6_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x6_stratified_sample")
+def x6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling (per-language quotas — the data-mix
+    rebalancing step). sampleBy is seeded per-row Bernoulli: exact
+    fractions are random, so rows-only; tests/test_corpus.py asserts
+    per-stratum proportion bounds. At 100 TB this is the one-pass
+    alternative to per-stratum sort+limit quotas."""
+    d = load(spark, sf_dir, "documents")
+    langs = [r[0] for r in d.select("lang").distinct().collect()]
+    fractions = {l: (0.5 if i % 2 == 0 else 0.2) for i, l in enumerate(sorted(langs))}
+    sample = d.sampleBy("lang", fractions=fractions, seed=42)
+    return (
+        sample.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
 @query(
     "x4_length_histogram",
     oracle="""

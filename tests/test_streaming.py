@@ -47,6 +47,25 @@ def test_t6_single_batch_dedup_exact(spark):
     assert sunk.count() == n_distinct
 
 
+def test_t2_complete_mode_batching_invariant(spark):
+    """Complete-mode window aggregation must not depend on micro-batch
+    boundaries: one-file-per-trigger == all-files-in-one-batch."""
+    import pyspark.sql.functions as F
+
+    def run(max_files):
+        ev = stream_events(spark, SF, max_files_per_trigger=max_files)
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+        out = run_to_memory(agg, output_mode="complete", name_hint="t2inv")
+        return {(r.ws, r.event_type): r.n for r in out.collect()}
+
+    assert run(None) == run(1)
+
+
 def test_t1_ingest_idempotent(spark):
     """Running the full ingest twice into the same catalog leaves counts
     unchanged (ToPgStac re-run semantics, SURVEY §4.1)."""

@@ -334,6 +334,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_forward",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.event_id, c.user_id, c.ts, p.pts, p.value,
+         row_number() OVER (PARTITION BY c.event_id ORDER BY p.pts ASC) AS rn
+  FROM clicks c JOIN purchases p ON c.user_id = p.user_id AND p.pts >= c.ts
+)
+SELECT event_id, user_id, ts, pts AS next_ts, round(value, 4) AS next_value
+FROM j WHERE rn = 1
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each click, the EARLIEST subsequent purchase
+    by the same user (time-to-conversion shape). Same union+window
+    plan as backward, ordering reversed."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    joined = asof_join(
+        clicks, purchases, left_ts="ts", right_ts="pts", by="user_id",
+        value_cols=["pts", "value"], direction="forward",
+    )
+    return joined.filter(F.col("pts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("pts").alias("next_ts"),
+        F.round("value", 4).alias("next_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation suite A1–A4.
 # ---------------------------------------------------------------------------

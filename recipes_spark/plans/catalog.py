@@ -58,6 +58,76 @@ def upsert_items(spark: SparkSession, items: DataFrame, catalog_path: str) -> No
     ).parquet(catalog_path)
 
 
+def compact_catalog(
+    spark: SparkSession,
+    catalog_path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    collections: Sequence[str] | None = None,
+) -> dict[str, int]:
+    """Small-files maintenance for the upsert store (S12 aftermath).
+
+    Every `upsert_items` run rewrites touched partitions with however
+    many tasks the shuffle produced; after thousands of incremental
+    runs a partition holds thousands of KB-sized files, and at 100 TB
+    the scan's task-scheduling overhead dominates the query. This op
+    rewrites each collection partition into ceil(bytes/target) files
+    of ~target_file_bytes each.
+
+    File placement is deterministic: row → file via
+    pmod(xxhash64(id), n_files), so re-running compaction is
+    idempotent (same layout), unlike a rand()-based repartition.
+    Returns {collection_id: n_files_written}. `collections` limits the
+    rewrite to named partitions (incremental maintenance — compact only
+    what last night's ingest touched).
+    """
+    store = spark.read.parquet(catalog_path)
+    if collections:
+        store = store.filter(F.col("collection_id").isin(list(collections)))
+
+    # Per-collection byte sizes from the file index (works on any
+    # Hadoop-compatible FS — no driver-side os.walk).
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    sizes: dict[str, int] = {}
+    for r in (
+        store.select(F.input_file_name().alias("f"), "collection_id")
+        .groupBy("collection_id")
+        .agg(F.collect_set("f").alias("files"))
+        .collect()
+    ):
+        total = 0
+        for f in r["files"]:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(conf).getFileStatus(p).getLen()
+        sizes[r["collection_id"]] = total
+
+    plan = {
+        c: max(1, -(-b // target_file_bytes)) for c, b in sizes.items()
+    }
+    if not plan:
+        return {}
+    plan_df = F.broadcast(
+        spark.createDataFrame(
+            [(c, n) for c, n in plan.items()], "collection_id string, __nf int"
+        )
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    bucketed = (
+        store.join(plan_df, "collection_id")
+        .withColumn("__bucket", F.pmod(F.xxhash64("id"), F.col("__nf")))
+        .repartition("collection_id", "__bucket")
+        .drop("__nf", "__bucket")
+    )
+    # Materialize before overwriting the path being read (same pattern
+    # as upsert_items).
+    bucketed.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+        "collection_id"
+    ).parquet(catalog_path)
+    return plan
+
+
 def catalog_search(
     items: DataFrame,
     *,

@@ -62,6 +62,39 @@ def test_upsert_untouched_partition_preserved(spark):
     assert store.filter(F.col("collection_id") == "c-b").count() == 20
 
 
+def test_compact_catalog(spark):
+    import glob as _glob
+
+    from recipes_spark.plans.catalog import compact_catalog
+
+    path = tempfile.mkdtemp(prefix="recipes_test_stac_") + "/catalog"
+    # Fragmented store: 200 rows spread across 40 tiny files.
+    _items(spark, n=200).repartition(40).write.partitionBy(
+        "collection_id"
+    ).parquet(path)
+    before_files = _glob.glob(f"{path}/collection_id=*/part-*.parquet")
+    before_rows = sorted(
+        r.id for r in spark.read.parquet(path).select("id").collect()
+    )
+    assert len(before_files) >= 30
+
+    plan = compact_catalog(spark, path)
+    assert plan == {"c-a": 1}  # tiny store → one target file
+    after_files = _glob.glob(f"{path}/collection_id=*/part-*.parquet")
+    assert len(after_files) < len(before_files)
+    after_rows = sorted(
+        r.id for r in spark.read.parquet(path).select("id").collect()
+    )
+    assert after_rows == before_rows
+
+    # Idempotent: second run plans the same layout, content unchanged.
+    assert compact_catalog(spark, path) == {"c-a": 1}
+    assert (
+        sorted(r.id for r in spark.read.parquet(path).select("id").collect())
+        == before_rows
+    )
+
+
 def test_catalog_search_filters(spark):
     items = _items(spark).cache()
     hits = catalog_search(

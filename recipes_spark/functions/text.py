@@ -47,6 +47,20 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     )
 
 
+def char_ngrams(col: str | Column, n: int = 5) -> Column:
+    """Distinct character n-grams via transform over a position
+    sequence + Column.substr — stays in whole-stage codegen. Texts
+    shorter than n yield their (single) truncated gram, so every doc
+    has ≥1 gram and Jaccard is total."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+
+
 def fingerprint(col: str | Column) -> Column:
     """Document fingerprint: sha256 of the sorted distinct-token bag —
     canonicalizes word order, so shuffled near-duplicates collide

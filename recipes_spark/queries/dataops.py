@@ -16,7 +16,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from recipes_spark.functions.text import STOPWORDS, fingerprint
+from recipes_spark.functions.text import STOPWORDS, char_ngrams, fingerprint
 from recipes_spark.functions.vectors import as_double, cosine
 from recipes_spark.io import load
 from recipes_spark.operators.dedup import (
@@ -97,6 +97,53 @@ def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query(
+    "near_dup_ngram",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(
+           list_transform(
+             range(1, greatest(len(text) - 4, 1) + 1),
+             i -> text[i:i+4]
+           )
+         )) AS g
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.g, b.g)) * 1.0 /
+             len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g)) * 1.0 /
+      len(list_distinct(list_concat(a.g, b.g))) >= 0.2
+""",
+)
+def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via character-5-gram Jaccard ≥ 0.2 within (lang, source)
+    blocks. Char n-grams are robust to tokenization differences
+    (punctuation, casing artifacts) that word-set Jaccard misses; the
+    gram arrays stay row-local (no explode) and the blocked self-join
+    bounds candidates exactly as near_dup_wordset."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", char_ngrams("text", 5).alias("g")
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "lang", "source", F.col("g").alias("g_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), "lang", "source", F.col("g").alias("g_b")
+    )
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.2)
         .select("id_a", "id_b", "jaccard")
     )
 

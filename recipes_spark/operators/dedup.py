@@ -134,6 +134,65 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup-group assignment: min-label propagation to a fixpoint over
+    the near-dup pair graph. Returns DataFrame[node, component] where
+    component = min node id reachable from `node` (isolated nodes map to
+    themselves) — the canonical-survivor id of each duplicate cluster.
+
+    This is the stage that turns X2 pair output into droppable rows:
+    keep one doc per component. Iterative (no SQL equivalent in Spark;
+    the DuckDB oracle uses a recursive CTE): each round joins labels to
+    edges, takes the min neighbor label, and stops when no label
+    changed. Rounds = graph diameter; dedup clusters are near-cliques,
+    so 2-3 rounds in practice. Per round: one shuffle on node id +
+    one on src — both uniform keys. localCheckpoint truncates the
+    lineage so plans don't grow with iterations (at 100 TB use a
+    reliable checkpoint dir instead). For adversarial long-chain graphs,
+    swap in large-star/small-star (Kiveris et al.) — same contract.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("n"), F.col(node_col).alias("comp")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.d == labels.n)
+            .groupBy("s")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.n == neighbor_min.s, "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
+                    "__chg"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(node_col), F.col("comp").alias("component"))
+
+
 def simhash64(text_col: str | Column, shingle_n: int = 2) -> Column:
     """SimHash sketch as array<int>[64] of sign bits: majority vote per
     bit position over xxhash64(shingle). Row-local Catalyst expression

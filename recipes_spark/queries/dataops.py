@@ -20,6 +20,7 @@ from recipes_spark.functions.text import STOPWORDS, char_ngrams, fingerprint
 from recipes_spark.functions.vectors import as_double, cosine
 from recipes_spark.io import load
 from recipes_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -145,6 +146,47 @@ def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= 0.2)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query(
+    "x2_dedup_groups",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+""",
+)
+def x2_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster assignment: word-set Jaccard ≥ 0.8 pairs → iterative
+    min-label connected components → (doc_id, group_id = min doc in
+    cluster). The "keep one per group" stage of the dedup pipeline;
+    oracle is a recursive-CTE transitive closure (tractable at sf, the
+    Spark side is the scale path)."""
+    pairs = near_dup_wordset(spark, sf_dir).select("id_a", "id_b")
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    comps = connected_components(
+        nodes, pairs, node_col="node", src_col="id_a", dst_col="id_b"
+    )
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
     )
 
 

@@ -49,3 +49,19 @@ def test_contamination_detects_planted_dup(spark, sf_dir):
     rows = hits.collect()
     for r in rows:
         assert r.n_hits >= 1
+
+
+def test_connected_components_chain_triangle_isolated(spark):
+    from recipes_spark.operators.dedup import connected_components
+
+    # Chain 1-2-3-4 (diameter 3: needs >1 propagation round),
+    # triangle 10-11-12, isolated node 20.
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20]], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}

@@ -110,6 +110,59 @@ def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st8_stream_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+       round(p.value, 2) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def st8_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join: clicks ⋈ purchases by user within a
+    1-hour conversion window, both sides watermarked so the join state
+    is bounded (Spark retains each side only until the watermark passes
+    the time-range bound — without the range condition state grows
+    forever at 100 TB). Inner matches emit as found, so one
+    availableNow pass over the staged directory equals the batch range
+    join — full DuckDB oracle."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )
+    return run_to_memory(joined, output_mode="append", name_hint="st8")
+
+
 @query("st4_session_stream")
 def st4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 streaming: session_window(30 min gap) per user under

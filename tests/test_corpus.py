@@ -65,3 +65,47 @@ def test_connected_components_chain_triangle_isolated(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property: Spark min-label propagation equals a driver-side
+    union-find on random graphs (fixed seeds — deterministic)."""
+    import random
+
+    from recipes_spark.operators.dedup import connected_components
+
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(10, 80))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # Canonical component = min node id in the component.
+        comp_min: dict[int, int] = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expect = {v: comp_min[find(v)] for v in range(n)}
+
+        nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges_df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.component
+            for r in connected_components(nodes_df, edges_df).collect()
+        }
+        assert got == expect, f"seed {seed} mismatch"

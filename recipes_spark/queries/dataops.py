@@ -499,3 +499,55 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, byte_len long, digest string, "
         "fake_width long, fake_height long",
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(c) AS n_tokens FROM tf GROUP BY doc_id
+), df AS (
+  SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round((tf.c * 1.0 / dl.n_tokens) * ln(n.n_docs * 1.0 / df.dfreq), 6)
+           AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (tf.c * 1.0 / dl.n_tokens) * ln(n.n_docs * 1.0 / df.dfreq)
+                    DESC, tf.term
+         ) AS rnk
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM scored WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 depth: top-3 TF-IDF terms per document. tf and document-length
+    aggregate off one tokenize pass; document frequency is a second agg
+    over the (doc, term) pairs — both shuffle on uniform keys. N (corpus
+    size) is a driver scalar (one count). Term-string tiebreak makes the
+    top-3 deterministic across engines."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = float(d.count())
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    score = (F.col("c") / F.col("n_tokens")) * F.log(
+        F.lit(n_docs) / F.col("dfreq")
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.round(score, 6).alias("tfidf"), "rnk")
+    )

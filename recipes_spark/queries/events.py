@@ -170,3 +170,117 @@ def t6_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, min(ts) FILTER (event_type = 'view') AS fv
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS fc
+  FROM events e JOIN per_user p USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= p.fv
+  GROUP BY e.user_id
+), pu AS (
+  SELECT e.user_id, min(e.ts) AS fp
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.fc
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM per_user WHERE fv IS NOT NULL) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM pu) AS n_purchase
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: users counted at stage k only
+    if stage k's event happens at-or-after their stage k-1 entry time.
+    Plan: three chained window mins over the SAME user_id partitioning —
+    one exchange feeds all three Window operators (plan-asserted in
+    tests); the oracle's three joins would each re-shuffle. The final
+    distinct-count agg shuffles only per-user rows, negligible at any
+    SF. This is the funnel pattern to use at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    step1 = ev.withColumn(
+        "fv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    step2 = step1.withColumn(
+        "fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("fv")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("fc")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return step3.agg(
+        F.count_distinct(F.when(F.col("fv").isNotNull(), F.col("user_id"))).alias(
+            "n_view"
+        ),
+        F.count_distinct(F.when(F.col("fc").isNotNull(), F.col("user_id"))).alias(
+            "n_click"
+        ),
+        F.count_distinct(F.when(F.col("fp").isNotNull(), F.col("user_id"))).alias(
+            "n_purchase"
+        ),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week))
+              / 604800 AS BIGINT) AS week_offset
+  FROM events e JOIN first_seen f USING (user_id)
+)
+SELECT cohort_week, week_offset, count(*) AS n_users
+FROM act GROUP BY cohort_week, week_offset
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted in
+    each later activity week. first-seen via window min (one shuffle on
+    user_id), offsets by epoch arithmetic on week-truncated stamps (no
+    calendar-diff ambiguity between engines)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.withColumn(
+            "cohort_week", F.date_trunc("week", F.min("ts").over(w))
+        )
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

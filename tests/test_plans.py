@@ -102,3 +102,15 @@ def test_partition_pruning_on_partitioned_store(spark, sf_dir):
     assert "day" in pf, f"day filter not in PartitionFilters: {pf}"
     n_days = spark.read.parquet(path).select("day").distinct().count()
     assert pruned.select("day").distinct().count() == 1 < n_days
+
+
+def test_funnel_windows_share_one_exchange(spark, sf_dir):
+    """The 3 chained funnel windows partition identically (user_id), so
+    exactly ONE hashpartitioning(user_id) exchange must feed them —
+    re-shuffling per stage is the plan bug this guards against."""
+    import re
+
+    plan = _plan(spark, sf_dir, "funnel_conversion")
+    assert len(re.findall(r"\bWindow\b", plan)) == 3
+    user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) == 1, plan

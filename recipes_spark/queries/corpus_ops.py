@@ -264,3 +264,32 @@ def x4_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "x6_hash_sample",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 100 AS bucket
+FROM documents
+WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < 30
+""",
+)
+def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~30% sample: bucket = first 8 hex chars of
+    sha256(doc_id) mod 100. Unlike rand()-based sampling this is
+    reproducible across runs/engines/partitionings, composable (bucket
+    ranges = disjoint samples, grow a sample by widening the range),
+    and needs no shuffle — row-local projection + filter, the only
+    sound way to cut eval/holdout splits from a 100 TB corpus."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < 30
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from recipes_spark.io import load
+from recipes_spark.io import load, scale_partitions
 from recipes_spark.registry import query
 
 # Deterministic synthetic PII injection: the corpus text is clean, so
@@ -48,7 +48,7 @@ def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     and regexp_replace are JVM-side codegen — at 100 TB this pass is
     scan-bound, not CPU-bound."""
     d = load(spark, sf_dir, "documents")
-    dirty = d.select(
+    dirty = scale_partitions(d).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -154,7 +154,9 @@ def x4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    corpus = shingles(d.filter(F.col("doc_id") >= 10))
+    # Fan the corpus out BEFORE shingling: the single-file testdata scan
+    # is one task, and 8-gram assembly is the CPU cost of this query.
+    corpus = shingles(scale_partitions(d.filter(F.col("doc_id") >= 10)))
     return (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from recipes_spark.functions.text import STOPWORDS, char_ngrams, fingerprint
 from recipes_spark.functions.vectors import as_double, cosine
-from recipes_spark.io import load
+from recipes_spark.io import load, scale_partitions
 from recipes_spark.operators.dedup import (
     connected_components,
     exact_dedup,
@@ -80,7 +80,7 @@ def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is group-local (at scale: block keys bound candidate count;
     LSH replaces blocking when no natural key exists — see
     x2_minhash_lsh)."""
-    d = load(spark, sf_dir, "documents").select(
+    d = scale_partitions(load(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         "source",
@@ -130,7 +130,7 @@ def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (punctuation, casing artifacts) that word-set Jaccard misses; the
     gram arrays stay row-local (no explode) and the blocked self-join
     bounds candidates exactly as near_dup_wordset."""
-    d = load(spark, sf_dir, "documents").select(
+    d = scale_partitions(load(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "source", char_ngrams("text", 5).alias("g")
     )
     a = d.select(
@@ -536,7 +536,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 deterministic across engines."""
     d = load(spark, sf_dir, "documents")
     n_docs = float(d.count())
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tok = scale_partitions(d).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))

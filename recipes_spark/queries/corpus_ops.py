@@ -295,3 +295,53 @@ def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
         F.col("bucket") < 30
     )
+
+
+@query(
+    "udtf_chunk_text",
+    oracle="""
+SELECT doc_id, u.chunk_id AS chunk_id, u.start_tok AS start_tok,
+       u.chunk AS chunk, u.n_tokens AS n_tokens
+FROM (
+  SELECT doc_id,
+         unnest([{'chunk_id': s // 15, 'start_tok': s,
+                  'chunk': array_to_string(t[s+1:s+20], ' '),
+                  'n_tokens': len(t[s+1:s+20])}
+                 FOR s IN range(0, len(t), 15)]) AS u
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+""",
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 UDTF surface: one-row→many-rows expansion through a Python
+    user-defined TABLE function joined LATERALly — overlapping 20-token
+    chunks with stride 15, the doc→chunk expansion an embedding pipeline
+    runs before ANN indexing. Arrow-optimized (useArrow): batches cross
+    the Python boundary columnar. The UDTF is the extension point for
+    expansions no builtin expresses (the reference's one-file→many-items
+    shape, e.g. per-variable NetCDF unpacking); for pure token windows a
+    Catalyst transform(sequence(...)) also works — the UDTF variant is
+    verified against the same oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_id: bigint, start_tok: bigint, chunk: string, n_tokens: bigint",
+        useArrow=True,
+    )
+    class ChunkText:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for start in range(0, len(toks), 15):
+                window = toks[start : start + 20]
+                yield start // 15, start, " ".join(window), len(window)
+
+    spark.udtf.register("recipes_chunk_text", ChunkText)
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_chunk_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.start_tok, c.chunk, c.n_tokens
+        FROM udtf_chunk_src d,
+             LATERAL recipes_chunk_text(d.text) c
+        """
+    )

@@ -553,3 +553,44 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", F.round(score, 6).alias("tfidf"), "rnk")
     )
+
+
+@query(
+    "grouped_zscore",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((n_tokens - avg(n_tokens) OVER (PARTITION BY source))
+             / stddev_samp(n_tokens) OVER (PARTITION BY source), 4) AS z
+FROM t
+""",
+)
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 grouped-map extension point: per-source token-length
+    z-scores via applyInPandas — each group arrives as ONE pandas
+    DataFrame (Arrow), normalized with numpy, returned columnar. For
+    plain z-scores a Catalyst window is the 100 TB path (no Python, no
+    per-group memory bound); applyInPandas is the hook for per-group
+    logic Catalyst can't express (sklearn fit per group, per-platform
+    trajectory models) — verified here against the exact window-SQL
+    oracle. Groups must fit in executor memory — partition-level skew
+    guard at scale."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_tokens"].mean()
+        sd = pdf["n_tokens"].std(ddof=1)
+        pdf["z"] = ((pdf["n_tokens"] - mu) / sd).round(4)
+        return pdf
+
+    return d.groupBy("source").applyInPandas(
+        zscore, schema="doc_id long, source string, n_tokens long, z double"
+    )

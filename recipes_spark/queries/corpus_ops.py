@@ -345,3 +345,115 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL recipes_chunk_text(d.text) c
         """
     )
+
+
+_SW_EN_SQL = None  # built lazily below from functions.text.STOPWORDS
+
+
+def _sw_en_sql() -> str:
+    from recipes_spark.functions.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+def _quality_sql() -> str:
+    return f"""round(greatest(least(
+           0.4 * (len(list_filter(string_split(text, ' '),
+                                  t -> list_contains({_sw_en_sql()}, t))) * 1.0
+                  / len(string_split(text, ' ')))
+           + 0.3 * (1.0 - len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text))
+           + 0.3 * (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)),
+           1.0), 0.0), 4)"""
+
+
+def _register_prune_funnel() -> None:
+    oracle = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_quality_sql()} AS q,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+), f AS (
+  SELECT n_tokens,
+         (rn = 1)                                    AS k2,
+         (rn = 1 AND q >= 0.45)                      AS k3,
+         (rn = 1 AND q >= 0.45 AND lang = 'en')      AS k4
+  FROM t
+)
+SELECT 's1_raw' AS stage, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM f
+UNION ALL
+SELECT 's2_exact_dedup', count(*) FILTER (k2),
+       CAST(sum(n_tokens) FILTER (k2) AS BIGINT) FROM f
+UNION ALL
+SELECT 's3_quality', count(*) FILTER (k3),
+       CAST(sum(n_tokens) FILTER (k3) AS BIGINT) FROM f
+UNION ALL
+SELECT 's4_lang_en', count(*) FILTER (k4),
+       CAST(sum(n_tokens) FILTER (k4) AS BIGINT) FROM f
+"""
+
+    @query("corpus_prune_funnel", oracle=oracle)
+    def corpus_prune_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end corpus-pruning funnel: raw -> exact dedup (keep
+        lowest doc_id per sha256(text)) -> quality threshold -> language
+        filter, reported as cumulative (docs, tokens) survival per stage.
+        One scan: the text column is hashed and scored map-side, so the
+        only shuffle (the dedup window) carries just (doc_id, lang,
+        n_tokens, q, hash) — never text; all four stage counts come from
+        conditional aggregation on the same pass, the audit shape a
+        100 TB cleaning pipeline needs without re-scanning per stage."""
+        from pyspark.sql import Window
+
+        from recipes_spark.functions.text import STOPWORDS
+
+        d = load(spark, sf_dir, "documents")
+        tok_arr = F.split("text", " ")
+        sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        swr = F.size(F.filter(tok_arr, lambda t: F.array_contains(sw, t))) / F.size(
+            tok_arr
+        )
+        punct = F.regexp_count("text", F.lit(r"[^\w\s]")) / F.length("text")
+        digit = F.regexp_count("text", F.lit(r"[0-9]")) / F.length("text")
+        q = F.round(
+            F.greatest(
+                F.least(
+                    0.4 * swr + 0.3 * (1.0 - punct) + 0.3 * (1.0 - digit), F.lit(1.0)
+                ),
+                F.lit(0.0),
+            ),
+            4,
+        )
+        narrow = d.select(
+            "doc_id",
+            "lang",
+            F.size(tok_arr).cast("long").alias("n_tokens"),
+            q.alias("q"),
+            F.sha2("text", 256).alias("h"),
+        )
+        rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+        t = narrow.select("lang", "n_tokens", "q", rn.alias("rn"))
+        k2 = F.col("rn") == 1
+        k3 = k2 & (F.col("q") >= 0.45)
+        k4 = k3 & (F.col("lang") == "en")
+        agg = t.agg(
+            F.count(F.lit(1)).alias("c1"),
+            F.sum("n_tokens").alias("t1"),
+            F.sum(F.when(k2, 1).otherwise(0)).alias("c2"),
+            F.sum(F.when(k2, F.col("n_tokens")).otherwise(0)).alias("t2"),
+            F.sum(F.when(k3, 1).otherwise(0)).alias("c3"),
+            F.sum(F.when(k3, F.col("n_tokens")).otherwise(0)).alias("t3"),
+            F.sum(F.when(k4, 1).otherwise(0)).alias("c4"),
+            F.sum(F.when(k4, F.col("n_tokens")).otherwise(0)).alias("t4"),
+        )
+        return agg.select(
+            F.expr(
+                "stack(4, 's1_raw', c1, t1, 's2_exact_dedup', c2, t2, "
+                "'s3_quality', c3, t3, 's4_lang_en', c4, t4) "
+                "AS (stage, n_docs, total_tokens)"
+            )
+        )
+
+
+_register_prune_funnel()

@@ -2,7 +2,22 @@
 recipes_spark.registry (name → (spark, sf_dir) -> DataFrame, plus DuckDB
 oracle SQL where the operator is SQL-expressible)."""
 
+# Import order = registration order = the order the correctness driver
+# samples queries in (it checks a bounded prefix per round). Keep the
+# suites still awaiting driver attestation ahead of the long-verified ones;
+# registry.all_queries() additionally floats unattested names to the front.
 from recipes_spark.queries import (  # noqa: F401
+    relational,
+    stac,
+)
+from recipes_spark.streaming import (  # noqa: F401
+    ingest,
+    queries as streaming_queries,
+    stateful,
+)
+from recipes_spark.queries import (  # noqa: F401
+    reference_io,
+    tpch_extra,
     corpus_ops,
     dataops,
     events,
@@ -10,13 +25,4 @@ from recipes_spark.queries import (  # noqa: F401
     manifest,
     multimodal,
     pipeline,
-    reference_io,
-    relational,
-    stac,
-    tpch_extra,
-)
-from recipes_spark.streaming import (  # noqa: F401
-    ingest,
-    queries as streaming_queries,
-    stateful,
 )

@@ -13,6 +13,8 @@ MinHash+LSH, SimHash, n-gram Jaccard. Designed for 100 TB:
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -168,6 +170,7 @@ def connected_components(
         F.col(node_col).alias("n"), F.col(node_col).alias("comp")
     ).localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.d == labels.n)
@@ -189,7 +192,17 @@ def connected_components(
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before the "
+            "label-propagation fixpoint (graph diameter exceeds max_iter); "
+            "component labels may be wrong — raise max_iter or switch to "
+            "large-star/small-star for long-chain graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("n").alias(node_col), F.col("comp").alias("component"))
 
 

@@ -30,6 +30,7 @@ def asof_join(
     by: str | Sequence[str],
     value_cols: Sequence[str],
     direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the value columns of the right row with
     the greatest ``right_ts <= left_ts`` (direction='backward'; 'forward'
@@ -38,6 +39,12 @@ def asof_join(
     Left rows with no match keep NULL value columns (left-asof
     semantics). ``value_cols`` are the right-side columns to carry; they
     must not collide with left column names (alias beforehand).
+
+    ``tiebreak`` names a right-side column that breaks ties when several
+    right rows share the same (key, right_ts): the row with the GREATEST
+    tiebreak value wins (both directions). Without it the winner among
+    tied rows is partition-order-dependent — fine for idempotent values,
+    nondeterministic otherwise.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -46,10 +53,12 @@ def asof_join(
     # Tag sides: right rows sort before left at equal ts for 'backward'
     # (so an exactly-simultaneous right row IS visible to the left row).
     left_cols = [c for c in left.columns]
+    tb_type = right.schema[tiebreak].dataType if tiebreak else None
     l_tagged = left.select(
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        *([F.lit(None).cast(tb_type).alias("__tb")] if tiebreak else []),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
     )
     r_tagged = right.select(
@@ -57,36 +66,31 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = unioned.select(
-            *unioned.columns,
-            *[
-                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in value_cols
-            ],
-        )
-    else:
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = unioned.select(
-            *unioned.columns,
-            *[
-                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in value_cols
-            ],
-        )
+    # Last key __tb asc: within rows tied on (__ts, __side), last()
+    # picks the row with the max tiebreak — deterministic both ways.
+    order = [
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc(),
+        F.col("__side").asc(),
+    ]
+    if tiebreak:
+        order.append(F.col("__tb").asc_nulls_first())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *unioned.columns,
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+    )
 
     return filled.filter(F.col("__side") == 1).select(
         *left_cols,

@@ -37,7 +37,16 @@ def salted_join(
     """Equi-join fact⋈dim on fact_key==dim_key with the fact side's hot
     keys spread across `salt` sub-partitions. `unique_col` (any column
     that varies within a key, e.g. the fact's id) seeds the salt; falls
-    back to a nondeterministic uniform salt when omitted."""
+    back to a nondeterministic uniform salt when omitted.
+
+    Only inner/left are supported: the dim side is exploded into `salt`
+    copies, so right/full outer would emit every unmatched dim row once
+    per salt value (duplicates)."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "outer joins would duplicate unmatched dim rows salt times"
+        )
     if unique_col is not None:
         salt_col = F.pmod(F.xxhash64(F.col(unique_col)), F.lit(salt))
     else:

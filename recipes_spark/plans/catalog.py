@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
@@ -41,6 +42,17 @@ def upsert_items(spark: SparkSession, items: DataFrame, catalog_path: str) -> No
     batch = items.dropDuplicates(["id"])
     try:
         existing = spark.read.parquet(catalog_path)
+    except AnalysisException as e:
+        # Only a genuinely-missing store means "first write". Any other
+        # analysis failure (corrupt store, permission, schema) must NOT
+        # silently skip the dedup anti-join — with dynamic overwrite that
+        # would drop existing rows of touched partitions.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        existing = None
+    if existing is None:
+        out = batch
+    else:
         touched = [
             r["collection_id"]
             for r in batch.select("collection_id").distinct().collect()
@@ -49,8 +61,6 @@ def upsert_items(spark: SparkSession, items: DataFrame, catalog_path: str) -> No
             batch.select("id"), "id", "left_anti"
         )
         out = batch.unionByName(keep)
-    except Exception:  # first write: no existing store
-        out = batch
     # localCheckpoint: the overwrite below reads the same path it
     # replaces — materialize first to avoid reading-while-overwriting.
     out.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
@@ -85,23 +95,24 @@ def compact_catalog(
     if collections:
         store = store.filter(F.col("collection_id").isin(list(collections)))
 
-    # Per-collection byte sizes from the file index (works on any
-    # Hadoop-compatible FS — no driver-side os.walk).
-    jvm = spark._jvm
-    jsc = spark._jsc
-    conf = jsc.hadoopConfiguration()
-    sizes: dict[str, int] = {}
-    for r in (
-        store.select(F.input_file_name().alias("f"), "collection_id")
-        .groupBy("collection_id")
-        .agg(F.collect_set("f").alias("files"))
-        .collect()
-    ):
-        total = 0
-        for f in r["files"]:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            total += p.getFileSystem(conf).getFileStatus(p).getLen()
-        sizes[r["collection_id"]] = total
+    # Per-collection byte sizes from the hidden _metadata file-source
+    # column, aggregated executor-side: distinct (file, size) pairs per
+    # collection, then sum — no per-file FileSystem RPC on the driver,
+    # so it scales to thousands of partitions/files.
+    sizes: dict[str, int] = {
+        r["collection_id"]: r["bytes"]
+        for r in (
+            store.select(
+                "collection_id",
+                F.col("_metadata.file_path").alias("__f"),
+                F.col("_metadata.file_size").alias("__sz"),
+            )
+            .distinct()
+            .groupBy("collection_id")
+            .agg(F.sum("__sz").alias("bytes"))
+            .collect()
+        )
+    }
 
     plan = {
         c: max(1, -(-b // target_file_bytes)) for c, b in sizes.items()

@@ -300,10 +300,12 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), errors AS (
-  SELECT user_id, ts AS ets, value FROM events WHERE event_type = 'error'
+  SELECT event_id AS rid, user_id, ts AS ets, value
+  FROM events WHERE event_type = 'error'
 ), j AS (
   SELECT c.event_id, c.user_id, c.ts, e.ets, e.value,
-         row_number() OVER (PARTITION BY c.event_id ORDER BY e.ets DESC) AS rn
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY e.ets DESC, e.rid DESC) AS rn
   FROM clicks c JOIN errors e ON c.user_id = e.user_id AND e.ets <= c.ts
 )
 SELECT event_id, user_id, ts, ets AS asof_ts, round(value, 4) AS asof_value
@@ -319,11 +321,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("ts").alias("ets"), "value"
+        F.col("event_id").alias("rid"), "user_id", F.col("ts").alias("ets"), "value"
     )
     joined = asof_join(
         clicks, errors, left_ts="ts", right_ts="ets", by="user_id",
-        value_cols=["ets", "value"],
+        value_cols=["ets", "value"], tiebreak="rid",
     )
     return joined.filter(F.col("ets").isNotNull()).select(
         "event_id",
@@ -340,10 +342,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), purchases AS (
-  SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase'
+  SELECT event_id AS rid, user_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
 ), j AS (
   SELECT c.event_id, c.user_id, c.ts, p.pts, p.value,
-         row_number() OVER (PARTITION BY c.event_id ORDER BY p.pts ASC) AS rn
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY p.pts ASC, p.rid DESC) AS rn
   FROM clicks c JOIN purchases p ON c.user_id = p.user_id AND p.pts >= c.ts
 )
 SELECT event_id, user_id, ts, pts AS next_ts, round(value, 4) AS next_value
@@ -359,11 +363,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("pts"), "value"
+        F.col("event_id").alias("rid"), "user_id", F.col("ts").alias("pts"), "value"
     )
     joined = asof_join(
         clicks, purchases, left_ts="ts", right_ts="pts", by="user_id",
-        value_cols=["pts", "value"], direction="forward",
+        value_cols=["pts", "value"], direction="forward", tiebreak="rid",
     )
     return joined.filter(F.col("pts").isNotNull()).select(
         "event_id",

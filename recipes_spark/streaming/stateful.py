@@ -157,9 +157,10 @@ def st7_stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the custom sessionizer over the events landing dir. Single
     availableNow batch: every user's full history arrives in one group
-    call, the processing-time timeout then flushes the final open
-    session in the termination batch — output equals the batch
-    gaps-and-islands sessionization."""
+    call and only CLOSED sessions emit — under NoTimeout each user's
+    final open session is deliberately withheld (it would need a
+    timeout or end-of-stream signal to close), matching the oracle,
+    which excludes the max-sid session per user."""
     ev = stream_events(spark, sf_dir)
     sessions = (
         ev.groupBy("user_id")

@@ -51,6 +51,50 @@ def minhash_signature(
     return F.array(*[min_hash(i) for i in range(num_hashes)])
 
 
+def band_hashes(
+    df: DataFrame,
+    *,
+    id_col: str,
+    set_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """(id, bhash) MinHash banding rows from a string-array column — the
+    candidate-generation stage shared by every Jaccard near-dup verify.
+
+    Same plan shape as minhash_lsh_pairs: explode→per-lane min-aggs for
+    the signature (flat map-side-combining hash agg), then one banding
+    row per (doc, band). A pair with Jaccard j collides in ANY band with
+    probability 1-(1-j^r)^b (r = num_hashes/bands); the 128/32 defaults
+    give miss ≈ (1-0.8^4)^32 ≈ 5e-8 at j=0.8, i.e. recall-complete in
+    practice for a 0.8-threshold verify."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    lanes = df.select(
+        id_col, F.explode(F.transform(set_col, lambda s: F.xxhash64(s))).alias("__h")
+    )
+    sigs = lanes.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), *[F.col(f"__m{b * r + j}") for j in range(r)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bhash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

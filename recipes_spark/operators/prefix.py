@@ -1,0 +1,80 @@
+"""Distributed prefix sum (the sequence-packing primitive).
+
+A running total over a global order is the one truly serial dependency
+in a pretraining packing plan. The naive Spark encoding —
+``Window.orderBy(k)`` with no partitionBy — moves the WHOLE table
+through one task (WindowExec warns about exactly this). The scalable
+plan is the classic two-pass parallel prefix sum:
+
+    1. range-repartition on the order key (S shards, globally ordered
+       across shard ids);
+    2. shard-local cumsum via a PARTITIONED window (parallel);
+    3. per-shard totals → exclusive scan on the driver (S values, a few
+       KB) → broadcast join the offsets back.
+
+Total cost: one range shuffle + one S-row collect, no serial stage.
+This mirrors how Beam/Flink express global running aggregates
+(per-bundle combine + offset redistribution).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    shards: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive running sum of ``value_col`` over the
+    global ``order_col`` order, computed shard-parallel.
+
+    ``order_col`` values must be unique (ties across a range-partition
+    boundary would make the global order ambiguous). ``shards`` defaults
+    to spark.sql.shuffle.partitions. The shard-local stage is
+    materialized (localCheckpoint) so the per-shard totals and the final
+    join read the SAME range partitioning — at cluster scale swap the
+    localCheckpoint for a reliable checkpoint/cache of the (order,
+    value, local-cum) projection, which is what a production packing
+    planner persists anyway.
+    """
+    spark = df.sparkSession
+    if shards is None:
+        shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    ranged = df.repartitionByRange(shards, F.col(order_col)).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn(out_col, F.sum(value_col).over(w)).localCheckpoint(
+        eager=True
+    )
+
+    # Exclusive scan over per-shard totals: S rows on the driver.
+    totals = sorted(
+        (r["__shard"], r["tot"] or 0)
+        for r in local.groupBy("__shard").agg(F.sum(value_col).alias("tot")).collect()
+    )
+    offsets, acc = [], 0
+    for shard, tot in totals:
+        offsets.append((shard, acc))
+        acc += tot
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__shard int, __off bigint")
+    )
+    return (
+        local.join(off_df, "__shard")
+        .withColumn(out_col, F.col(out_col) + F.col("__off"))
+        .drop("__shard", "__off")
+    )

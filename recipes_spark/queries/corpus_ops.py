@@ -188,17 +188,20 @@ def x6_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing plan (concat-and-split at 512 tokens): each doc
     is assigned to the training sequence where its first token lands —
     running cumsum over a global doc order, the same computation a
-    pretraining dataloader does. At 100 TB the global running sum is
-    the one truly serial dependency; production shards first (pack per
-    shard) — the per-shard plan is THIS query with a partitioned
-    window."""
-    from pyspark.sql import Window
+    pretraining dataloader does. The cumsum runs shard-parallel via
+    operators/prefix.partitioned_prefix_sum (range shuffle + partitioned
+    window + broadcast shard offsets), NOT an unpartitioned window —
+    the plan has no single-task stage (tests/test_plans.py asserts)."""
+    from recipes_spark.operators.prefix import partitioned_prefix_sum
 
     d = load(spark, sf_dir, "documents")
     n = F.size(F.split("text", " "))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = d.select(F.col("doc_id"), n.alias("n")).withColumn(
-        "cum", F.sum("n").over(w)
+    packed = partitioned_prefix_sum(
+        d.select(F.col("doc_id"), n.alias("n")),
+        order_col="doc_id",
+        value_col="n",
+        out_col="cum",
+        shards=32,
     )
     return (
         packed.select(

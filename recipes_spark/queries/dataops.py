@@ -20,6 +20,7 @@ from recipes_spark.functions.text import STOPWORDS, char_ngrams, fingerprint
 from recipes_spark.functions.vectors import as_double, cosine
 from recipes_spark.io import load, scale_partitions
 from recipes_spark.operators.dedup import (
+    band_hashes,
     connected_components,
     exact_dedup,
     minhash_lsh_pairs,
@@ -75,27 +76,47 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0 /
 """,
 )
 def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup via word-SET Jaccard ≥ 0.8 within (lang, source) blocks —
-    the exact-verification stage of a dedup pipeline, blocked so the
-    self-join is group-local (at scale: block keys bound candidate count;
-    LSH replaces blocking when no natural key exists — see
-    x2_minhash_lsh)."""
+    """Near-dup via word-SET Jaccard ≥ 0.8 — the exact-verification
+    stage of a dedup pipeline. Candidate pairs come from MinHash bands
+    (operators/dedup.band_hashes, 128 hashes / 32 bands: per-pair miss
+    ≈ 5e-8 at j=0.8, so the verified output equals the all-pairs oracle),
+    NOT from an all-pairs self-join within (lang, source) blocks whose
+    size is corpus-scale. The (lang, source) equality and the exact
+    Jaccard run as the verify filter on candidates only."""
     d = scale_partitions(load(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         "source",
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("s"),
     )
+    cand = (
+        band_hashes(d.select("doc_id", "s"), id_col="doc_id", set_col="s")
+        .alias("a")
+        .join(band_hashes(d.select("doc_id", "s"), id_col="doc_id", set_col="s").alias("b"), "bhash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     a = d.select(
-        F.col("doc_id").alias("id_a"), "lang", "source", F.col("s").alias("s_a")
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("s").alias("s_a"),
     )
     b = d.select(
-        F.col("doc_id").alias("id_b"), "lang", "source", F.col("s").alias("s_b")
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("s").alias("s_b"),
     )
     jac = F.size(F.array_intersect("s_a", "s_b")) / F.size(F.array_union("s_a", "s_b"))
     return (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b"))
+        )
         .withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= 0.8)
         .select("id_a", "id_b", "jaccard")
@@ -128,8 +149,18 @@ def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup via character-5-gram Jaccard ≥ 0.2 within (lang, source)
     blocks. Char n-grams are robust to tokenization differences
     (punctuation, casing artifacts) that word-set Jaccard misses; the
-    gram arrays stay row-local (no explode) and the blocked self-join
-    bounds candidates exactly as near_dup_wordset."""
+    gram arrays stay row-local (no explode).
+
+    Why this one keeps block-join candidates instead of MinHash bands
+    (unlike near_dup_wordset): at τ=0.2 the banding S-curve cannot be
+    both recall-complete and selective — recall ≈ 1 needs r=1 bands
+    (miss=(1-j)^b), but r=1 makes ANY pair with j≥0.05 collide with
+    ≥95% probability at b=64, i.e. candidates ≈ all overlapping pairs,
+    a superset of the block join. The candidate count is therefore
+    bounded by the largest (lang, source) block — O(max_block²) pairs;
+    at 100 TB loose-threshold near-dup should re-block on a finer key
+    (shard, cluster id) or raise τ, and that bound is the documented
+    contract here."""
     d = scale_partitions(load(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "source", char_ngrams("text", 5).alias("g")
     )
@@ -291,20 +322,24 @@ WHERE list_dot_product(a.v, b.v) /
 """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥0.95) blocked by cluster label —
-    the semantic-dedup stage of a training-data pipeline."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
-    )
-    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("v").alias("v_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("v").alias("v_b"))
-    cos = cosine(F.col("v_a"), F.col("v_b"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cos, 4))
-        .filter(cos >= 0.95)
-        .select("id_a", "id_b", "cosine_sim")
+    """Embedding-cosine near-dup pairs (≥0.95) — the semantic-dedup
+    stage of a training-data pipeline. Candidates come from hyperplane-
+    LSH buckets (operators/similarity.lsh_neardup_pairs), NOT an
+    all-pairs self-join within label blocks: quadratic work is bounded
+    to bucket-local, and the exact-cosine verify keeps the result
+    identical to the all-pairs oracle (recall ≈ 1 − 5e-8 per pair at
+    the 0.95 threshold; asserted = 1.0 on planted duplicates in
+    tests/test_similarity.py)."""
+    from recipes_spark.operators.similarity import lsh_neardup_pairs
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return lsh_neardup_pairs(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_cols=("label",),
+        threshold=0.95,
+        dim=64,
     )
 
 

@@ -30,7 +30,6 @@ _RECHECK: set[str] = {
     "x6_packing_plan",      # resharded cumsum (was single-task global window)
     "embedding_neardup",    # re-routed through LSH buckets (was all-pairs)
     "near_dup_wordset",     # candidates now fed from MinHash bands
-    "near_dup_ngram",       # candidates now fed from MinHash bands
 }
 
 

@@ -104,6 +104,20 @@ def test_partition_pruning_on_partitioned_store(spark, sf_dir):
     assert pruned.select("day").distinct().count() == 1 < n_days
 
 
+def test_packing_plan_has_no_single_task_stage(spark, sf_dir):
+    """The packing cumsum must run shard-parallel: the window partitions
+    by shard (never an empty partitionBy → SinglePartition exchange),
+    and shard offsets arrive via broadcast."""
+    df = QUERIES["x6_packing_plan"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # shard-offset join
+    # The checkpointed shard-local stage ran the partitioned window;
+    # nothing in the final plan re-sorts globally.
+    assert "Sort [doc_id" not in plan.replace("ASC NULLS FIRST", ""), plan
+
+
 def test_funnel_windows_share_one_exchange(spark, sf_dir):
     """The 3 chained funnel windows partition identically (user_id), so
     exactly ONE hashpartitioning(user_id) exchange must feed them —

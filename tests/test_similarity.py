@@ -10,6 +10,7 @@ from recipes_spark.io import load
 from recipes_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    lsh_neardup_pairs,
     lsh_topk,
 )
 
@@ -52,3 +53,53 @@ def test_ivf_full_probe_is_exact(topk_inputs):
     emb, queries, exact = topk_inputs
     got = ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=8).collect()
     assert {(r.query_id, r.vec_id) for r in got} == exact
+
+
+def test_lsh_neardup_recall_is_complete(spark, sf_dir):
+    """embedding_neardup's LSH candidate stage must be recall-complete at
+    the 0.95 threshold, so its exact-verify output EQUALS the all-pairs
+    answer (that equality is what lets the query keep the all-pairs
+    DuckDB oracle). The corpus has no natural ≥0.95 pairs, so plant
+    near-duplicates: each planted vector = original + small noise."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    rng = np.random.default_rng(7)
+    planted = [
+        (
+            int(r.vec_id) + 1_000_000,
+            int(r.label),
+            [float(x) for x in (np.asarray(r.embedding) + rng.normal(0, 0.02, 64))],
+        )
+        for r in emb.filter(F.col("vec_id") < 40).collect()
+    ]
+    both = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, label int, embedding array<float>")
+    )
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(
+            both, block_cols=("label",), threshold=0.95, dim=64
+        ).collect()
+    }
+
+    # All-pairs ground truth via brute force within label blocks.
+    from recipes_spark.functions.vectors import as_double, cosine
+
+    a = both.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("ea"))
+    b = both.select(F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("eb"))
+    cos = cosine(as_double(F.col("ea")), as_double(F.col("eb")))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.95)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert len(truth) >= 40  # the plant worked
+    assert got == truth, (
+        f"LSH near-dup diverged from all-pairs: missing={truth - got}, "
+        f"extra={got - truth}"
+    )

@@ -132,6 +132,53 @@ def extract_geometry(
     return _udf(lon_col, lat_col)
 
 
+TRAJECTORY_SCHEMA = StructType(
+    GEOMETRY_SCHEMA.fields + [StructField("times", ArrayType(StringType()))]
+)
+
+
+def extract_trajectory(
+    lon_col: Column | str,
+    lat_col: Column | str,
+    times_col: Column | str,
+    *,
+    tolerance: float = 0.001,
+) -> Column:
+    """extract_geometry plus the matching time array (the reference's
+    `geometry, time = extract_geometry(...)` two-value contract,
+    insitu…/recipe.py:91-93): a moving platform yields a simplified
+    LineString with `times` = the timestamps of the KEPT vertices
+    (moving-features pairing: coordinate i ↔ time i); a stationary
+    platform yields a Point with `times` null — the caller then omits
+    properties.datetimes, mirroring recipe.py:100-101 where the key is
+    added only when time is not None. `times_col` is array<string>
+    (pre-formatted ISO), index-aligned with lon/lat."""
+
+    @F.pandas_udf(TRAJECTORY_SCHEMA)
+    def _udf(
+        lon_s: pd.Series, lat_s: pd.Series, t_s: pd.Series
+    ) -> pd.DataFrame:
+        rows = []
+        for lon, lat, times in zip(lon_s, lat_s, t_s):
+            lon = np.asarray(lon, dtype=np.float64)
+            lat = np.asarray(lat, dtype=np.float64)
+            times = list(times)
+            finite = np.isfinite(lon) & np.isfinite(lat)
+            times = [t for t, ok in zip(times, finite) if ok]
+            out = _extract_one(lon, lat, tolerance)
+            if out["geom_type"] == "LineString":
+                keep = douglas_peucker_mask(
+                    lon[finite], lat[finite], tolerance
+                )
+                out["times"] = [t for t, k in zip(times, keep) if k]
+            else:
+                out["times"] = None
+            rows.append(out)
+        return pd.DataFrame(rows)
+
+    return _udf(lon_col, lat_col, times_col)
+
+
 def trajectories_from_events(events: DataFrame) -> DataFrame:
     """Deterministic synthetic per-user trajectory from the events table
     (testdata has no coordinate columns): each event contributes one
@@ -154,6 +201,9 @@ def trajectories_from_events(events: DataFrame) -> DataFrame:
             "user_id",
             F.col("pts.lon").alias("lon"),
             F.col("pts.lat").alias("lat"),
+            F.transform(
+                "pts", lambda p: F.date_format(p["ts"], "yyyy-MM-dd'T'HH:mm:ss")
+            ).alias("times"),
             F.size("pts").alias("n_points"),
         )
     )

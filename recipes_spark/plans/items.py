@@ -20,6 +20,16 @@ Hook = Callable[[DataFrame], DataFrame]
 
 MEDIA_TYPE_NETCDF = "application/netcdf"
 
+#: P9 (insitu…/recipe.py:103-108): items whose geometry is a moving
+#: trajectory (LineString + datetimes) are tagged with the
+#: moving-features STAC extension; everything else gets an empty list.
+#: The reference ships the schema URI commented out (emitting [] in both
+#: branches); the engine emits the published URI in the moving branch so
+#: the conditional is observable.
+MOVING_FEATURES_EXT = (
+    "https://stac-extensions.github.io/moving-features/v1.0.0/schema.json"
+)
+
 
 def geojson_bbox_polygon(w: Column, s: Column, e: Column, n: Column) -> Column:
     """P4: bbox → GeoJSON Polygon string — pure format_string, mirroring
@@ -46,26 +56,57 @@ def build_items(
     start_col: str = "start_datetime",
     end_col: str = "end_datetime",
     href_col: str = "source_url",
+    geometry_col: str | None = None,
+    datetimes_col: str | None = None,
     preprocess: Hook | None = None,
     postprocess: Hook | None = None,
 ) -> DataFrame:
     """P11: metadata rows → nested STAC item rows (schema per SURVEY
-    §1.1). One wide select; every field whole-stage-codegen'd."""
+    §1.1). One wide select; every field whole-stage-codegen'd.
+
+    ``geometry_col`` names a pre-computed GeoJSON string column (G1's
+    Point/LineString, operators/geometry.extract_trajectory); rows where
+    it is null fall back to the bbox Polygon — the reference's
+    moving-platform item shape (insitu…/recipe.py:91-103) vs the
+    bbox-box shape (avhrr…/recipe.py:59). ``datetimes_col`` names an
+    array<string> of ISO vertex times; when given, properties gains a
+    ``datetimes`` field (null for stationary rows — the fixed-schema
+    rendering of recipe.py:100-101's add-key-only-when-present).
+    ``stac_extensions`` is always present: [moving-features] iff the
+    geometry is a LineString with datetimes (P9), else []."""
     if preprocess is not None:
         metadata = preprocess(metadata)
     w, s, e, n = (F.col(c).cast("double") for c in bbox_cols)
+    bbox_poly = geojson_bbox_polygon(w, s, e, n)
+    geometry = (
+        F.coalesce(F.col(geometry_col), bbox_poly) if geometry_col else bbox_poly
+    )
+    empty_ext = F.array().cast("array<string>")
+    if geometry_col and datetimes_col:
+        extensions = F.when(
+            (F.get_json_object(geometry, "$.type") == "LineString")
+            & F.col(datetimes_col).isNotNull()
+            & (F.size(datetimes_col) > 0),
+            F.array(F.lit(MOVING_FEATURES_EXT)),
+        ).otherwise(empty_ext)
+    else:
+        extensions = empty_ext
+    prop_fields = [
+        iso_datetime(start_col).alias("start_datetime"),
+        iso_datetime(end_col).alias("end_datetime"),
+        F.col(collection_col).alias("collection"),
+    ]
+    if datetimes_col:
+        prop_fields.append(F.col(datetimes_col).alias("datetimes"))
     items = metadata.select(
         F.col(id_col).alias("id"),
         F.col(collection_col).alias("collection_id"),
         F.array(w, s, e, n).alias("bbox"),
-        geojson_bbox_polygon(w, s, e, n).alias("geometry"),
+        geometry.alias("geometry"),
+        extensions.alias("stac_extensions"),
         F.col(start_col).alias("start_datetime"),
         F.col(end_col).alias("end_datetime"),
-        F.struct(
-            iso_datetime(start_col).alias("start_datetime"),
-            iso_datetime(end_col).alias("end_datetime"),
-            F.col(collection_col).alias("collection"),
-        ).alias("properties"),
+        F.struct(*prop_fields).alias("properties"),
         F.create_map(
             F.lit("data"),
             F.struct(

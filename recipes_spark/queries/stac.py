@@ -252,3 +252,95 @@ def g3_bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_intersecting"))
         .orderBy("collection_id")
     )
+
+
+@query(
+    "stac_moving_platform",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, ts,
+         ((event_id * 7919) % 36000 + 36000) % 36000 / 100.0 - 180.0 AS lon,
+         ((event_id * 104729) % 17000 + 17000) % 17000 / 100.0 - 85.0 AS lat
+  FROM events
+), agg AS (
+  SELECT user_id,
+         min(ts) AS t0, max(ts) AS t1,
+         min(lon) AS w, min(lat) AS s, max(lon) AS e, max(lat) AS n,
+         (count(DISTINCT lon) = 1 AND count(DISTINCT lat) = 1) AS stationary
+  FROM pts GROUP BY user_id
+)
+SELECT 'traj-' || CAST(user_id AS VARCHAR) AS id,
+       CASE WHEN stationary THEN 'Point' ELSE 'LineString' END AS geom_type,
+       CASE WHEN stationary THEN NULL
+            ELSE 'https://stac-extensions.github.io/moving-features/v1.0.0/schema.json'
+       END AS extension,
+       CASE WHEN stationary THEN NULL
+            ELSE strftime(t0, '%Y-%m-%dT%H:%M:%S') END AS first_vertex_time,
+       CASE WHEN stationary THEN NULL
+            ELSE strftime(t1, '%Y-%m-%dT%H:%M:%S') END AS last_vertex_time,
+       strftime(t0, '%Y-%m-%dT%H:%M:%S') AS prop_start,
+       strftime(t1, '%Y-%m-%dT%H:%M:%S') AS prop_end,
+       CAST(floor(w * 100) AS BIGINT) AS west_c,
+       CAST(floor(s * 100) AS BIGINT) AS south_c,
+       CAST(floor(e * 100) AS BIGINT) AS east_c,
+       CAST(floor(n * 100) AS BIGINT) AS north_c
+FROM agg
+ORDER BY id
+""",
+)
+def stac_moving_platform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 + the reference's moving-platform item shape (insitu…/
+    recipe.py:91-108): per-platform trajectory → G1 Point/LineString
+    wired into item.geometry, vertex times into properties.datetimes,
+    and conditional moving-features extension tagging — the full
+    two-value extract_geometry contract flowing through build_items.
+
+    The oracle checks the SQL-decidable projection of the item document:
+    geometry TYPE, extension tag, endpoint vertex times (Douglas-Peucker
+    always keeps endpoints), temporal span, and the floor-scaled bbox.
+    DP interior vertices have no SQL equivalent; their containment/
+    tolerance properties are covered by tests/test_geometry.py."""
+    from recipes_spark.operators.geometry import (
+        extract_trajectory,
+        trajectories_from_events,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    traj = trajectories_from_events(ev).withColumn(
+        "g", extract_trajectory("lon", "lat", "times", tolerance=0.5)
+    )
+    meta = traj.select(
+        F.concat(F.lit("traj-"), F.col("user_id").cast("string")).alias("item_id"),
+        F.lit("insitu-trajectories").alias("collection_id"),
+        F.array_min("lon").alias("west"),
+        F.array_min("lat").alias("south"),
+        F.array_max("lon").alias("east"),
+        F.array_max("lat").alias("north"),
+        F.to_timestamp(F.element_at("times", 1)).alias("start_datetime"),
+        F.to_timestamp(F.element_at("times", -1)).alias("end_datetime"),
+        F.concat(
+            F.lit("file:///synthetic/trajectories/"),
+            F.col("user_id").cast("string"),
+            F.lit(".nc"),
+        ).alias("source_url"),
+        F.col("g.geojson").alias("geom"),
+        F.col("g.times").alias("vertex_times"),
+    )
+    items = build_items(meta, geometry_col="geom", datetimes_col="vertex_times")
+    return items.select(
+        "id",
+        F.get_json_object("geometry", "$.type").alias("geom_type"),
+        F.try_element_at("stac_extensions", F.lit(1)).alias("extension"),
+        F.try_element_at(F.col("properties.datetimes"), F.lit(1)).alias(
+            "first_vertex_time"
+        ),
+        F.try_element_at(F.col("properties.datetimes"), F.lit(-1)).alias(
+            "last_vertex_time"
+        ),
+        F.col("properties.start_datetime").alias("prop_start"),
+        F.col("properties.end_datetime").alias("prop_end"),
+        F.floor(F.col("bbox")[0] * 100).alias("west_c"),
+        F.floor(F.col("bbox")[1] * 100).alias("south_c"),
+        F.floor(F.col("bbox")[2] * 100).alias("east_c"),
+        F.floor(F.col("bbox")[3] * 100).alias("north_c"),
+    ).orderBy("id")

@@ -113,3 +113,74 @@ def test_g1_query_runs(spark, sf_dir):
     for r in rows:
         assert r.n_out <= r.n_in
         assert r.geom_type in ("Point", "LineString")
+
+
+def test_moving_platform_item_shape(spark):
+    """The insitu item contract (reference recipe.py:91-108): moving
+    platforms emit LineString + properties.datetimes paired 1:1 with
+    kept vertices + the moving-features extension; stationary platforms
+    emit Point, null datetimes, no extension. Testdata has no
+    stationary users, so craft both shapes here."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from recipes_spark.operators.geometry import extract_trajectory
+    from recipes_spark.plans.items import MOVING_FEATURES_EXT, build_items
+
+    rows = [
+        # stationary: same position thrice
+        ("p-still", [10.0, 10.0, 10.0], [5.0, 5.0, 5.0],
+         ["2024-01-01T00:00:00", "2024-01-01T01:00:00", "2024-01-01T02:00:00"]),
+        # moving: zigzag nothing simplifies away at tol=0.001
+        ("p-move", [0.0, 1.0, 2.0, 3.0], [0.0, 4.0, -4.0, 0.0],
+         ["2024-02-01T00:00:00", "2024-02-01T01:00:00",
+          "2024-02-01T02:00:00", "2024-02-01T03:00:00"]),
+        # moving with a collinear interior vertex: DP at tol=0.5 drops it,
+        # and its time must drop WITH it
+        ("p-line", [0.0, 1.0, 2.0], [0.0, 0.0, 0.0],
+         ["2024-03-01T00:00:00", "2024-03-01T01:00:00", "2024-03-01T02:00:00"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid string, lon array<double>, lat array<double>, times array<string>"
+    ).withColumn("g", extract_trajectory("lon", "lat", "times", tolerance=0.5))
+    meta = df.select(
+        F.col("pid").alias("item_id"),
+        F.lit("c").alias("collection_id"),
+        F.array_min("lon").alias("west"),
+        F.array_min("lat").alias("south"),
+        F.array_max("lon").alias("east"),
+        F.array_max("lat").alias("north"),
+        F.to_timestamp(F.element_at("times", 1)).alias("start_datetime"),
+        F.to_timestamp(F.element_at("times", -1)).alias("end_datetime"),
+        F.lit("file:///x.nc").alias("source_url"),
+        F.col("g.geojson").alias("geom"),
+        F.col("g.times").alias("vertex_times"),
+    )
+    items = {
+        r["id"]: r
+        for r in build_items(
+            meta, geometry_col="geom", datetimes_col="vertex_times"
+        ).collect()
+    }
+
+    still = items["p-still"]
+    g = json.loads(still.geometry)
+    assert g["type"] == "Point" and g["coordinates"] == [10.0, 5.0]
+    assert still.properties.datetimes is None
+    assert list(still.stac_extensions) == []
+
+    move = items["p-move"]
+    g = json.loads(move.geometry)
+    assert g["type"] == "LineString"
+    assert len(move.properties.datetimes) == len(g["coordinates"]) == 4
+    assert list(move.stac_extensions) == [MOVING_FEATURES_EXT]
+
+    line = items["p-line"]
+    g = json.loads(line.geometry)
+    assert g["type"] == "LineString"
+    assert g["coordinates"] == [[0.0, 0.0], [2.0, 0.0]]  # interior dropped
+    assert list(line.properties.datetimes) == [
+        "2024-03-01T00:00:00", "2024-03-01T02:00:00"  # time dropped with it
+    ]
+    assert list(line.stac_extensions) == [MOVING_FEATURES_EXT]

@@ -1,5 +1,7 @@
-"""Every registered oracle query must match DuckDB at sf0.001 — the
-local replica of the driver's CORRECTNESS gate (schema + rows + values).
+"""Every registered oracle query must match DuckDB at the DRIVER's
+scale factor (sf0.01 by default — see conftest.ORACLE_SF_DIR) — the
+local replica of the driver's CORRECTNESS gate (schema + rows +
+values), run at the same SF so local green predicts driver green.
 Rows-only queries are smoke-checked (runs, stable schema)."""
 
 from __future__ import annotations
@@ -14,9 +16,9 @@ ORACLES = all_oracles()
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_match(spark, sf_dir, name):
-    sdf = QUERIES[name](spark, sf_dir)
-    odf = run_oracle(ORACLES[name], sf_dir)
+def test_oracle_match(spark, oracle_sf_dir, name):
+    sdf = QUERIES[name](spark, oracle_sf_dir)
+    odf = run_oracle(ORACLES[name], oracle_sf_dir)
     problems = compare(sdf, odf, name)
     assert not problems, "\n".join(problems)
 

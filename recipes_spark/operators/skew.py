@@ -85,3 +85,47 @@ def salted_agg(
     return partial.groupBy(key).agg(
         *[recombine[fn](a).alias(a) for fn, _, a in aggs]
     )
+
+
+def salted_windowed_agg(
+    df: DataFrame,
+    *,
+    time_col: str,
+    window_duration: str,
+    key: str,
+    aggs: Sequence[tuple[str, str, str]],
+    salt: int = 8,
+    unique_col: str,
+) -> DataFrame:
+    """Two-phase TIME-WINDOWED aggregation for a skewed key: partial on
+    (key, window, salt), final on (key, window) — the salted_agg shape
+    with a tumbling `F.window` added to both group-bys.
+
+    This is the hot-key fix for windowed rollups (one device/user
+    producing most events in every window): a plain
+    groupBy(key, window) funnels the hot key's rows per window through
+    one reducer task; salting spreads them over `salt` sub-partitions,
+    then recombines the (tiny) per-salt partials. Output columns:
+    key, window_start, window_end, *aliases. Same composability rule
+    as salted_agg (sum/count/min/max)."""
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for fn, _, _ in aggs:
+        if fn not in recombine:
+            raise ValueError(f"unsupported agg for salting: {fn}")
+    win = F.window(F.col(time_col), window_duration)
+    partial = (
+        df.withColumn("__salt", F.pmod(F.xxhash64(F.col(unique_col)), F.lit(salt)))
+        .groupBy(F.col(key), win.alias("__w"), F.col("__salt"))
+        .agg(*[first[fn](c).alias(a) for fn, c, a in aggs])
+    )
+    return (
+        partial.groupBy(key, "__w")
+        .agg(*[recombine[fn](a).alias(a) for fn, _, a in aggs])
+        .select(
+            key,
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *[a for _, _, a in aggs],
+        )
+    )

@@ -89,3 +89,65 @@ def test_upsert_new_rows_win(spark):
     store = spark.read.parquet(path)
     assert store.count() == 100
     assert store.filter(F.col("value") == -1.0).count() == 10
+
+
+def test_crafted_late_row_dropped_after_eviction(spark):
+    """SURVEY §5.2's crafted-micro-batch late-data check, pinned to what
+    Spark GUARANTEES (watermark dropping is best-effort while window
+    state is live — an immediately-following replay still merges,
+    verified empirically; only post-eviction drops are contractual):
+
+      f1 advances the watermark to 10:50 → f2's carrier row finalizes +
+      EVICTS the four closed windows (batch-end eviction) → f3 replays
+      10:05, whose window was already emitted. That row must vanish —
+      no re-opened window, no duplicate append emission, 10:00 stays
+      count=1. Files are forced into order via mtime +
+      maxFilesPerTrigger=1."""
+    import os
+    import tempfile
+
+    from recipes_spark.streaming.core import run_to_memory
+
+    root = tempfile.mkdtemp(prefix="recipes_late_")
+    f1 = [
+        (1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:10:00"),
+        (3, "2024-01-01 10:20:00"), (4, "2024-01-01 10:30:00"),
+        (5, "2024-01-01 11:00:00"),
+    ]
+    f2 = [(6, "2024-01-01 11:05:00")]  # carrier: triggers emission+eviction
+    f3 = [(7, "2024-01-01 10:05:00"), (8, "2024-01-01 11:10:00")]  # late + carrier
+
+    def write_one(rows, name, mtime):
+        df = spark.createDataFrame(rows, "event_id long, ts_s string").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        sub = os.path.join(root, name)
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        for fn in os.listdir(sub):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(root, f"{name}.parquet")
+                os.rename(os.path.join(sub, fn), dst)
+                os.utime(dst, (mtime, mtime))
+
+    write_one(f1, "f1", 1_000_000)
+    write_one(f2, "f2", 2_000_000)
+    write_one(f3, "f3", 3_000_000)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = run_to_memory(agg, output_mode="append", name_hint="late_crafted")
+    emitted = [(r.ws.strftime("%H:%M"), r.n) for r in out.collect()]
+    # Each closed window appears EXACTLY once (the late replay neither
+    # re-opened 10:00 nor produced a duplicate emission) and counts 1.
+    assert sorted(emitted) == [
+        ("10:00", 1), ("10:10", 1), ("10:20", 1), ("10:30", 1)
+    ], emitted

@@ -460,3 +460,203 @@ SELECT 's4_lang_en', count(*) FILTER (k4),
 
 
 _register_prune_funnel()
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building, shard export, exact sampling, percentile filters —
+# the tokenizer-prep / export-planning tail of the corpus pipeline.
+# ---------------------------------------------------------------------------
+
+# Portable deterministic bucket hash (the only construction that hashes
+# identically in Spark and DuckDB — see x6_hash_sample):
+#   Spark : conv(substring(sha2(s, 256), 1, 8), 16, 10) % m
+#   DuckDB: CAST('0x' || substr(sha256(s), 1, 8) AS BIGINT) % m
+def _bucket(col, m: int):
+    return F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10).cast("long") % m
+
+
+@query(
+    "vocab_top_bigrams",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM words
+)
+SELECT bigram, count(*) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 100
+""",
+)
+def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary scan: top-100 word bigrams by corpus
+    frequency — the counting pass a BPE/wordpiece trainer runs first.
+    Bigram assembly is row-local (transform over an index sequence, no
+    explode until the 2-column (bigram) projection), the count is a
+    partial+final hash agg on the bigram key, and the top-k is
+    TakeOrderedAndProject — at 100 TB the shuffle carries (bigram,
+    partial count) pairs, bounded by vocabulary size, not corpus size."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.get(F.split("text", " "), i), F.get(F.split("text", " "), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
+@query(
+    "x6_shard_export",
+    oracle="""
+WITH assigned AS (
+  SELECT CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16
+           AS shard,
+         doc_id,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def x6_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export plan: every doc lands in one of 16 shards
+    via the portable sha256 bucket hash — reproducible across engines,
+    partitionings, and re-runs (re-export = identical shards, the
+    property a resumable dataloader needs). The audited projection is
+    the per-shard manifest (docs, tokens, id range); the write itself
+    is `repartition(shard).write.partitionBy(shard)` — uniform 64-bit
+    hash ⇒ balanced shards at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            _bucket(F.col("doc_id").cast("string"), 16).alias("shard"),
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "x6_stratified_topk",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT lang, doc_id FROM ranked WHERE rn <= 20
+""",
+)
+def x6_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-stratum quota sampling: the 20 docs with the smallest
+    portable hash per language — deterministic (unlike sampleBy's
+    seeded Bernoulli, x6_stratified_sample) and exactly k per stratum,
+    the contract a reproducible data-mix spec needs. One shuffle on
+    lang; per-partition top-k heap would replace row_number at extreme
+    stratum sizes (rank data is (lang, hash, id) triples, not text)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10).cast("long")
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy(h, F.col("doc_id")))
+    return (
+        d.select("lang", "doc_id", rn.alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )
+
+
+@query(
+    "x4_length_percentile_filter",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*)    OVER (PARTITION BY lang) AS cnt
+  FROM documents
+), cutoffs AS (
+  SELECT lang, max(n_chars) AS cutoff
+  FROM ranked WHERE rn = CAST(ceil(0.95 * cnt) AS BIGINT)
+  GROUP BY lang
+)
+SELECT d.lang, c.cutoff,
+       count(*) AS n_kept,
+       CAST(sum(CASE WHEN d.n_chars > c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_check
+FROM documents d JOIN cutoffs c ON d.lang = c.lang
+WHERE d.n_chars <= c.cutoff
+GROUP BY d.lang, c.cutoff
+ORDER BY d.lang
+""",
+)
+def x4_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-length pruning at an EXACT per-language p95 cutoff (the
+    rank-ceil(0.95·n) value — identical arithmetic in both engines,
+    unlike approx_percentile whose sketch is engine-specific). Cutoff
+    derivation is one narrow (lang, n_chars, id) shuffle; the filter
+    join broadcasts the per-lang cutoffs. n_dropped_check is 0 by
+    construction (kept rows never exceed the cutoff) — it pins the
+    filter direction under oracle watch."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    wl = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wl.orderBy("n_chars", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wl).alias("cnt"),
+    )
+    cutoffs = (
+        ranked.filter(F.col("rn") == F.ceil(0.95 * F.col("cnt")).cast("long"))
+        .groupBy("lang")
+        .agg(F.max("n_chars").alias("cutoff"))
+    )
+    return (
+        d.join(F.broadcast(cutoffs), "lang")
+        .filter(F.col("n_chars") <= F.col("cutoff"))
+        .groupBy("lang", "cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(
+                F.when(F.col("n_chars") > F.col("cutoff"), 1).otherwise(0)
+            ).cast("long").alias("n_dropped_check"),
+        )
+        .orderBy("lang")
+    )

@@ -698,3 +698,46 @@ def x3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_abs_err_ppm"),
         F.floor(cosine(F.col("v"), deq) * 1e6).cast("long").alias("cos_deq_ppm"),
     )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+WITH el AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS mv
+  FROM embeddings
+)
+SELECT label, pos,
+       CAST(sum(mv) AS BIGINT) AS sum_milli,
+       count(*) AS n
+FROM el
+GROUP BY label, pos
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid accumulation — the vector-aggregation
+    pattern behind k-means refit, IVF list retraining, and per-label
+    embedding drift monitors. posexplode fans each vector into (label,
+    dim, value) triples; the sum is a partial+final hash agg on (label,
+    dim) — shuffle bytes bounded by labels × dims, not corpus size.
+    Elements are floor-scaled to integer milli-units BEFORE summing so
+    the result is exact in any summation order (float centroid = sum /
+    (1000·n) at the consumer) — the same cross-engine-exactness trick
+    as x3_int8_quantize, here also making the distributed sum
+    order-insensitive by construction."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(as_double("embedding")).alias("pos", "v"))
+        .select(
+            "label",
+            "pos",
+            F.floor(F.col("v") * 1000).cast("long").alias("mv"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("mv").cast("long").alias("sum_milli"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -660,3 +660,111 @@ def x4_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x4_word_commonness",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS freq FROM words GROUP BY w
+)
+SELECT d.doc_id,
+       count(*) AS n_words,
+       CAST(sum(v.freq) AS BIGINT) AS sum_word_freq
+FROM words d JOIN vocab v ON d.w = v.w
+GROUP BY d.doc_id
+""",
+)
+def x4_word_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM-style quality signal, made cross-engine exact: each
+    doc scores the INTEGER sum of its words' corpus frequencies (mean
+    commonness = sum/n at the consumer; rare-vocabulary docs score
+    low). The classic two-pass corpus-statistics pattern: pass 1
+    aggregates the vocabulary (partial+final agg, shuffle bounded by
+    |V|), pass 2 joins the stats back per word occurrence. Integer
+    frequencies instead of log-probs because ln() differs between
+    engines in the last ulp — the log-prob variant is this query with
+    floor-scaled logs, same plan."""
+    d = load(spark, sf_dir, "documents")
+    words = scale_partitions(d).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").cast("long").alias("sum_word_freq"),
+        )
+    )
+
+
+_BLOCKED_DOMAINS = [
+    "src0-0.example.com",
+    "src1-1.example.com",
+    "src2-2.example.com",
+    "src3-3.example.com",
+    "src4-4.example.com",
+]
+
+
+@query(
+    "domain_blocklist_filter",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id, source,
+         'https://' || source || '-' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), tagged AS (
+  SELECT source,
+         regexp_extract(url, 'https://([^/]+)/', 1) AS domain
+  FROM urls
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN domain IN (
+         'src0-0.example.com', 'src1-1.example.com', 'src2-2.example.com',
+         'src3-3.example.com', 'src4-4.example.com') THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_blocked,
+       CAST(sum(CASE WHEN domain IN (
+         'src0-0.example.com', 'src1-1.example.com', 'src2-2.example.com',
+         'src3-3.example.com', 'src4-4.example.com') THEN 0 ELSE 1 END)
+         AS BIGINT) AS n_kept
+FROM tagged
+GROUP BY source
+ORDER BY source
+""",
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-domain curation: derive each doc's source URL (synthetic but
+    deterministic — the corpus has no URL column), extract the domain
+    with one regexp, tag against a broadcast blocklist, report
+    kept/blocked per source. At 100 TB the blocklist is a broadcast
+    left join + null-flag (here IN-list folded by Catalyst — same
+    pushdown-friendly shape); the regexp is the only per-row work and
+    stays in codegen."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    domain = F.regexp_extract(url, r"https://([^/]+)/", 1)
+    blocked = domain.isin(_BLOCKED_DOMAINS)
+    return (
+        d.select("source", blocked.alias("b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("b"), 1).otherwise(0)).cast("long").alias("n_blocked"),
+            F.sum(F.when(F.col("b"), 0).otherwise(1)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -741,3 +741,25 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query("x2_hll_mergeable_distinct")
+def x2_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (DataSketches HLL): per-source
+    sketches built in one pass, then UNIONED into a corpus-wide
+    estimate WITHOUT rescanning — the architecture that lets a 100 TB
+    pipeline keep per-partition/day sketches and answer global distinct
+    queries by merging kilobyte-sized state (exact countDistinct would
+    re-shuffle the corpus every time). Rows-only (DuckDB's HLL sketch
+    is a different implementation); tests/test_corpus.py bounds the
+    estimate against the exact count (HLL lgK=12 ⇒ ~1.6% rse)."""
+    d = load(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.hll_sketch_agg(F.xxhash64("text")).alias("sk"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_docs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )

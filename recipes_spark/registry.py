@@ -13,6 +13,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 from typing import Optional
 
@@ -23,13 +24,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
-#: Queries whose implementation changed this round: their old driver
-#: CORRECTNESS rows no longer attest the current code, so they are bumped
-#: to the front of the verification queue alongside brand-new queries.
-_RECHECK: set[str] = {
-    "x6_packing_plan",      # resharded cumsum (was single-task global window)
-    "embedding_neardup",    # re-routed through LSH buckets (was all-pairs)
-    "near_dup_wordset",     # candidates now fed from MinHash bands
+#: Queries whose implementation changed in round N: driver CORRECTNESS
+#: rows from rounds BEFORE N no longer attest the current code, so the
+#: query re-queues until a round >= N re-verifies it (then this entry is
+#: inert — no manual cleanup needed). name -> first round whose rows
+#: still count.
+_RECHECK: dict[str, int] = {
+    "x6_packing_plan": 2,    # resharded cumsum (was single-task global window)
+    "embedding_neardup": 2,  # re-routed through LSH buckets (was all-pairs)
+    "near_dup_wordset": 2,   # candidates now fed from MinHash bands
 }
 
 
@@ -52,23 +55,25 @@ def _driver_attested() -> set[str]:
 
     A row attests a query when its value hash matched the DuckDB oracle, or
     when the query is intentionally oracle-free and the driver recorded the
-    rows-only check. Error rows do NOT attest. Queries in ``_RECHECK`` lost
-    their attestation (the implementation changed since the row was taken).
-    """
+    rows-only check. Error rows do NOT attest, and rows from rounds before
+    a query's ``_RECHECK`` entry don't either (the implementation changed
+    after they were taken)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     names: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
+            if not isinstance(row, dict) or rnd < _RECHECK.get(name, 0):
                 continue
             if row.get("hash_match") or row.get("err") == "no_oracle":
                 names.add(name)
-    return names - _RECHECK
+    return names
 
 
 def all_queries() -> dict[str, QueryFn]:

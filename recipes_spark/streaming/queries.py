@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from recipes_spark.io import load
 from recipes_spark.registry import query
 from recipes_spark.streaming.core import run_to_memory, stream_events
 
@@ -203,4 +204,41 @@ def st5_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.countDistinct("event_id").alias("n_ids"),
         F.max("ts").alias("max_ts"),
+    )
+
+
+@query(
+    "st9_stream_static_enrich",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY segment
+""",
+)
+def st9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join: the streaming side joins a batch
+    dimension (customer) re-read per micro-batch — the standard
+    enrich-on-ingest pattern (events ⋈ user profile). The static side
+    is broadcast, so the stream never shuffles and the join is
+    STATELESS (unlike st8's stream-stream buffers: nothing to
+    watermark, no state store). One availableNow pass equals the batch
+    join — full DuckDB oracle; the rollup runs on the sunk result."""
+    ev = stream_events(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id").select(
+        "c_mktsegment", "value"
+    )
+    sunk = run_to_memory(enriched, output_mode="append", name_hint="st9")
+    return (
+        sunk.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("segment")
     )

@@ -109,3 +109,25 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in connected_components(nodes_df, edges_df).collect()
         }
         assert got == expect, f"seed {seed} mismatch"
+
+
+def test_hll_estimate_within_tolerance(spark, sf_dir):
+    """The merged per-source HLL estimate must land within 5% of the
+    exact distinct count (lgK=12 ⇒ ~1.6% rse; 5% = 3σ headroom) — the
+    accuracy contract that makes sketch-merge a usable substitute for
+    exact countDistinct at scale."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.registry import all_queries
+
+    est = all_queries()["x2_hll_mergeable_distinct"](spark, sf_dir).collect()[0]
+    exact = (
+        load(spark, sf_dir, "documents")
+        .select(F.xxhash64("text").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert abs(est.est_distinct_docs - exact) / exact < 0.05, (
+        f"HLL estimate {est.est_distinct_docs} vs exact {exact}"
+    )

@@ -23,6 +23,7 @@ from recipes_spark.queries import (  # noqa: F401
     events,
     geometry,
     manifest,
+    merge_ops,
     multimodal,
     pipeline,
 )

@@ -37,3 +37,26 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_asof_join_partitioning_invariant(spark, sf_dir):
+    """The as-of tiebreak must make the result independent of physical
+    partitioning: the same query at 3 vs 32 shuffle partitions returns
+    the identical row set (pre-fix, ties on (key, ts) were resolved by
+    partition order)."""
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()["join_asof"]
+
+    def run():
+        return {tuple(r) for r in q(spark, sf_dir).collect()}
+
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        high = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    assert low == high

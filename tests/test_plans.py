@@ -128,3 +128,18 @@ def test_funnel_windows_share_one_exchange(spark, sf_dir):
     assert len(re.findall(r"\bWindow\b", plan)) == 3
     user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
     assert len(user_exchanges) == 1, plan
+
+
+def test_vocab_topk_is_heap_not_global_sort(spark, sf_dir):
+    """vocab_top_bigrams must plan TakeOrderedAndProject (per-partition
+    k-heap over partial counts), never Sort+Limit over the vocabulary."""
+    plan = _plan(spark, sf_dir, "vocab_top_bigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_percentile_filter_broadcasts_cutoffs(spark, sf_dir):
+    """The per-lang cutoff table is 5 rows — the filter join must
+    broadcast it, never shuffle the corpus against it."""
+    plan = _plan(spark, sf_dir, "x4_length_percentile_filter")
+    assert "BroadcastHashJoin" in plan

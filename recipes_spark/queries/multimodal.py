@@ -191,3 +191,103 @@ def x5_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("n_samples") / 16000.0).cast("long").alias("n_chunks"),
         F.round(F.col("n_samples") / 16000.0, 4).alias("duration_sec"),
     ).orderBy("doc_id")
+
+
+@query(
+    "x5_real_format_headers",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 640 + 1 AS BIGINT)        AS png_width,
+       CAST(doc_id % 480 + 1 AS BIGINT)        AS png_height,
+       CAST(8 AS INT)                          AS png_bit_depth,
+       CAST(2 AS INT)                          AS png_color_type,
+       CAST(doc_id % 2 + 1 AS INT)             AS wav_channels,
+       CAST(8000 * (doc_id % 3 + 1) AS BIGINT) AS wav_sample_rate,
+       CAST(((doc_id % 100 + 1) * 100 * 10000) // (8000 * (doc_id % 3 + 1))
+            AS BIGINT)                         AS wav_duration_e4
+FROM documents
+ORDER BY doc_id
+""",
+)
+def x5_real_format_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5e: REAL binary-format decoding, stdlib-only — unlike the
+    byte-arithmetic stubs above, this builds VALID PNG and WAV payloads
+    (signature + IHDR chunk; RIFF/fmt/data chunks) and then parses them
+    back with struct.unpack exactly as a production header reader
+    would: the parser sees only bytes, never doc_id. The oracle replays
+    the GENERATOR arithmetic, so a value-hash match proves the parse
+    round-trip. CRCs are not validated (header fixture carries no
+    IDAT); swap PIL/soundfile in for pixel/sample decode with the same
+    mapInPandas shape."""
+    import struct
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make_png(w: int, h: int) -> bytes:
+            ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+            )
+
+        def make_wav(channels: int, rate: int, n_samples: int) -> bytes:
+            block_align = channels * 2
+            data_size = n_samples * block_align
+            fmt = struct.pack(
+                "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
+            )
+            return (
+                b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", data_size)
+            )
+
+        def parse_png(b: bytes) -> tuple:
+            assert b[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+            (length,) = struct.unpack(">I", b[8:12])
+            assert b[12:16] == b"IHDR" and length == 13
+            w, h = struct.unpack(">II", b[16:24])
+            depth, color = b[24], b[25]
+            return w, h, depth, color
+
+        def parse_wav(b: bytes) -> tuple:
+            assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "bad RIFF"
+            assert b[12:16] == b"fmt "
+            _, channels, rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", b[20:36]
+            )
+            assert b[36:40] == b"data"
+            (data_size,) = struct.unpack("<I", b[40:44])
+            return channels, rate, data_size // block_align
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                png = make_png(i % 640 + 1, i % 480 + 1)
+                wav = make_wav(i % 2 + 1, 8000 * (i % 3 + 1), (i % 100 + 1) * 100)
+                w, h, depth, color = parse_png(png)
+                ch, rate, n_samples = parse_wav(wav)
+                # Integer 1e-4-second units: float division + round()
+                # is banker's-rounded in Python but half-away in SQL
+                # engines — integer floor-div cannot diverge.
+                rows.append(
+                    (i, w, h, depth, color, ch, rate,
+                     (n_samples * 10000) // rate)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "png_width", "png_height", "png_bit_depth",
+                    "png_color_type", "wav_channels", "wav_sample_rate",
+                    "wav_duration_e4",
+                ],
+            )
+
+    return d.mapInPandas(
+        build_and_parse,
+        schema="doc_id long, png_width long, png_height long, "
+        "png_bit_depth int, png_color_type int, wav_channels int, "
+        "wav_sample_rate long, wav_duration_e4 long",
+    ).orderBy("doc_id")

@@ -5,8 +5,16 @@ shapes the reference's STAC/pgstac query surface implies: EXISTS
 semi-joins, correlated scalar subqueries, HAVING, conditional
 aggregates, outer-join distributions). The driver testdata lacks
 partsupp / l_commitdate / l_shipmode / p_container, so Q2/Q11/Q12/
-Q20/Q21 have no faithful adaptation; every other classic query shape
-is covered below, adapted to the available columns.
+Q20/Q21 cannot be reproduced verbatim; instead each is adapted to
+preserve its *query shape* on the available columns (see the q2/q11/
+q12/q20/q21 entries below): the part-supplier dimension is derived
+from lineitem itself, and "late" is defined against o_orderdate since
+there is no commit/receipt date.
+
+Cross-engine determinism note: wherever a value is *compared* (min-
+cost equality, HAVING threshold), money is first floored to integer
+cents per row (`floor(x * 100)` → BIGINT) so Spark and DuckDB agree
+bit-for-bit; float sums are only ever rounded for display columns.
 
 Scale notes (100 TB stance):
 - region/nation joins broadcast (fixed 5/25 rows at any SF).
@@ -768,4 +776,293 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("n_name")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(min(floor(l_extendedprice * 100.0 / l_quantity)) AS BIGINT) AS cost_cents
+  FROM lineitem
+  GROUP BY 1, 2
+), eligible AS (
+  SELECT ps_partkey, ps_suppkey, cost_cents, s_name, s_acctbal, n_name
+  FROM ps
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, s_name, n_name, cost_cents, round(s_acctbal, 2) AS acctbal
+FROM part
+JOIN eligible e ON p_partkey = ps_partkey
+WHERE p_size <= 15 AND p_type = 'ECONOMY'
+  AND cost_cents = (
+    SELECT min(cost_cents) FROM eligible e2 WHERE e2.ps_partkey = e.ps_partkey
+  )
+ORDER BY p_partkey, s_name
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp table): the part-supplier cost
+    dimension is *derived* from lineitem (min observed unit price, in
+    integer cents so both engines agree exactly), then the classic
+    correlated min-cost subquery is expressed as a window-min over
+    p_partkey — one shuffle over the (already aggregated, much smaller
+    than lineitem) ps dimension instead of a per-row subquery.
+
+    100 TB: ps is |parts|x|suppliers-per-part| ~ 100x smaller than
+    lineitem and aggregates map-side first; nation/region broadcast;
+    the window shuffle is on the pre-aggregated dimension only."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = load(spark, sf_dir, "part")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.floor(F.col("l_extendedprice") * 100.0 / F.col("l_quantity"))
+        ).alias("cost_cents")
+    )
+    eligible = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
+        .join(eligible, F.col("p_partkey") == F.col("ps_partkey"))
+        .withColumn("min_cost", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            "cost_cents",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+WITH val AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT))
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY 1
+)
+SELECT p_partkey, value_cents
+FROM val
+WHERE value_cents > (SELECT sum(value_cents) * 0.001 FROM val)
+ORDER BY value_cents DESC, p_partkey
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp): per-part shipped value from the
+    suppliers of two nations, keeping parts whose value exceeds 0.1% of
+    the group total — the HAVING-vs-global-scalar shape. Value is summed
+    in integer cents (BIGINT) so the threshold comparison is exact in
+    both engines.
+
+    100 TB: nation filter broadcasts into the supplier join, supplier
+    join shuffles once on suppkey, per-part agg map-side combines; the
+    global total is a 1-row broadcast, not a second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    val = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                )
+            ).alias("value_cents")
+        )
+    )
+    total = val.agg((F.sum("value_cents") * 0.001).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("threshold"))
+        .select("p_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "p_partkey")
+    )
+
+
+@query(
+    "q12_late_priority_lines",
+    oracle="""
+SELECT l_linestatus AS shipgroup,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no l_shipmode/commitdate): lines shipped >60
+    days after order date, split into urgent/non-urgent counts per
+    linestatus — the conditional-aggregation shape.
+
+    100 TB: shipdate range filter is pushed to the scan; one
+    fact-fact shuffle on orderkey; both conditional counts come out of
+    the same hash aggregate (one pass)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("shipgroup"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("shipgroup")
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM shipped WHERE qty > (SELECT avg(qty) FROM shipped)
+)
+ORDER BY s_name
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty): suppliers who shipped
+    an above-average quantity of 'red%' parts in 1997 — IN-subquery
+    against a derived aggregate, closed by a left-semi join. The
+    threshold is the group's own average (SF-robust, no magic constant;
+    l_quantity values are small integers so the double sums are exact).
+
+    100 TB: part filter broadcasts into the fact join, shipped is a
+    map-side-combined agg on suppkey, the semi join never multiplies
+    supplier rows."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg_qty = shipped.agg(F.avg("qty").alias("avg_qty"))
+    excess = (
+        shipped.join(F.broadcast(avg_qty))
+        .filter(F.col("qty") > F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (late = shipped >30 days after order date):
+    suppliers who were the *sole* late supplier on a multi-supplier
+    order. The EXISTS / NOT EXISTS pair is decorrelated into two
+    window aggregates over the order: distinct-supplier count and
+    distinct-late-supplier count via collect_set over a single
+    orderkey-partitioned window — one shuffle, no self-joins back onto
+    lineitem (the oracle keeps the literal double-EXISTS form to pin
+    identical semantics).
+
+    100 TB: orders have bounded line counts, so per-window collect_set
+    state is tiny; one exchange on orderkey replaces the three
+    correlated scans of the textbook plan; the supplier dim joins
+    after aggregation-eligible filtering."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        j.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+            ),
+        )
+        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        flagged.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
     )

@@ -769,3 +769,127 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x4_dup_span_fraction",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest([array_to_string(w[i:i+7], ' ')
+                   FOR i IN range(1, len(w) - 6)]) AS gram
+    FROM t WHERE len(w) >= 8
+  )
+), df AS (
+  SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       count(CASE WHEN df.n_docs >= 2 THEN 1 END) AS n_dup,
+       CAST(floor(count(CASE WHEN df.n_docs >= 2 THEN 1 END) * 10000.0
+                  / count(*)) AS BIGINT) AS dup_bps
+FROM grams g JOIN df ON g.gram = df.gram
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)
+def x4_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: share of a doc's distinct
+    8-word shingles that also occur in some other document (basis
+    points). The doc-level filter signal derived from
+    x2_dup_ngram_spans — pipelines drop or down-weight docs above a
+    dup_bps threshold.
+
+    100 TB: two shuffles — (gram → distinct-doc count) then the
+    gram-keyed join back to (doc, gram) pairs, both on uniformly
+    distributed span keys; per-doc aggregation map-side combines. The
+    gram join input would be the 64-bit hashed key in production."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 8
+    )
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 7),
+                lambda i: F.concat_ws(" ", F.slice("w", i, 8)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.count(F.when(F.col("n_docs") >= 2, 1))
+    return (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.alias("n_dup"),
+            F.floor(dup * 10000.0 / F.count(F.lit(1))).alias("dup_bps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x6_mixture_weights",
+    oracle="""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM s
+), pw AS (
+  SELECT source, n_docs, n_tokens,
+         power(n_tokens / t, 0.7) AS pwr, n_tokens / t AS p
+  FROM s, tot
+), z AS (
+  SELECT sum(pwr) AS z FROM pw
+)
+SELECT source, n_docs, n_tokens,
+       CAST(floor(pwr / z * 1000000) AS BIGINT) AS weight_ppm,
+       CAST(floor(pwr / z / p * 1000) AS BIGINT) AS repeat_millis
+FROM pw, z
+ORDER BY source
+""",
+)
+def x6_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.7): each source's
+    sampling weight is its token share raised to 0.7, renormalized —
+    the standard up-weighting of small high-quality sources when
+    composing a training mixture. repeat_millis is the implied
+    epochs-per-source (weight / natural share, ×1000).
+
+    100 TB: one map-side-combined aggregate over the corpus; the
+    power/normalize math runs on a |sources|-row table with two 1-row
+    broadcast joins. Output is floor-scaled to integer ppm so both
+    engines agree exactly."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = s.agg(F.sum("n_tokens").cast("double").alias("t"))
+    pw = (
+        s.join(F.broadcast(tot))
+        .withColumn("p", F.col("n_tokens") / F.col("t"))
+        .withColumn("pwr", F.pow(F.col("p"), F.lit(0.7)))
+    )
+    z = pw.agg(F.sum("pwr").alias("z"))
+    return (
+        pw.join(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(F.col("pwr") / F.col("z") * 1000000).alias("weight_ppm"),
+            F.floor(F.col("pwr") / F.col("z") / F.col("p") * 1000).alias(
+                "repeat_millis"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -763,3 +763,113 @@ def x2_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.count(F.lit(1)).alias("n_sources"),
     )
+
+
+@query(
+    "x2_dup_ngram_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest([array_to_string(w[i:i+7], ' ')
+                   FOR i IN range(1, len(w) - 6)]) AS gram
+    FROM t WHERE len(w) >= 8
+  )
+)
+SELECT gram, count(*) AS n_docs
+FROM grams
+GROUP BY gram
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, gram
+""",
+)
+def x2_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection (the scalable stand-in
+    for suffix-array substring dedup, Lee et al. 2021): every 8-word
+    shingle that occurs in ≥2 distinct documents. Downstream, these
+    spans drive span-level scrubbing or doc-level filtering
+    (x4_dup_span_fraction).
+
+    100 TB: shingle assembly is row-local; the only shuffle carries
+    (gram, partial distinct-doc count) after a map-side distinct on
+    (doc, gram) — bounded by corpus vocabulary of spans, and the
+    HAVING ≥2 filter collapses the long unique tail at the reducer.
+    For real corpora, hash the gram to a 64-bit key before the shuffle
+    (kept as text here so the oracle can replay it)."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 8
+    )
+    # starts 1..len-7 (1-based F.slice), mirroring the oracle's range
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 7),
+        lambda i: F.concat_ws(" ", F.slice("w", i, 8)),
+    )
+    return (
+        words.select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "gram")
+    )
+
+
+@query(
+    "x3_semantic_dedup",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.95
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src
+)
+SELECT a AS vec_id, min(b) AS rep_id, a = min(b) AS keep
+FROM reach GROUP BY a
+""",
+)
+def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: hyperplane-LSH candidate
+    pairs at cosine ≥ 0.95 (within embedding-cluster blocks) →
+    connected components → one representative (min vec_id) per
+    duplicate cluster. Returns every vector with its representative and
+    a keep flag — the keep=true rows are the deduplicated corpus.
+
+    The LSH candidate stage misses a true ≥0.95 pair with prob ≈5e-8
+    (see lsh_neardup_pairs), so the component structure — and therefore
+    the exact-arithmetic oracle — is deterministic in practice; the
+    recall=1.0 assertion lives in tests/test_similarity.py.
+
+    100 TB: quadratic work only inside LSH buckets; label-propagation
+    rounds shuffle (node, label) pairs, converging in O(diameter)
+    rounds (near-dup clusters are small and dense, diameter ~1-2)."""
+    from recipes_spark.operators.similarity import lsh_neardup_pairs
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    pairs = lsh_neardup_pairs(
+        e, id_col="vec_id", vec_col="embedding", block_cols=("label",),
+        threshold=0.95, dim=64,
+    )
+    nodes = e.select(F.col("vec_id").alias("node"))
+    comps = connected_components(
+        nodes, pairs.select("id_a", "id_b"),
+        node_col="node", src_col="id_a", dst_col="id_b",
+    )
+    return comps.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("rep_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )

@@ -22,6 +22,7 @@ from recipes_spark.io import load, scale_partitions
 from recipes_spark.operators.dedup import (
     band_hashes,
     connected_components,
+    connected_components_star,
     exact_dedup,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -214,6 +215,46 @@ def x2_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_dup_wordset(spark, sf_dir).select("id_a", "id_b")
     nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
     comps = connected_components(
+        nodes, pairs, node_col="node", src_col="id_a", dst_col="id_b"
+    )
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+
+
+@query(
+    "x2_dedup_groups_star",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+""",
+)
+def x2_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters via alternating large-star/small-star contraction
+    (Kiveris et al., SoCC 2014) instead of min-label propagation: rounds
+    scale with O(log n), not graph diameter, so adversarial long-chain
+    dup graphs converge. Same contract and oracle as x2_dedup_groups."""
+    pairs = near_dup_wordset(spark, sf_dir).select("id_a", "id_b")
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    comps = connected_components_star(
         nodes, pairs, node_col="node", src_col="id_a", dst_col="id_b"
     )
     return comps.select(

@@ -131,3 +131,69 @@ def test_hll_estimate_within_tolerance(spark, sf_dir):
     assert abs(est.est_distinct_docs - exact) / exact < 0.05, (
         f"HLL estimate {est.est_distinct_docs} vs exact {exact}"
     )
+
+
+def test_star_cc_matches_label_propagation_on_random_graphs(spark):
+    """connected_components_star (large-star/small-star) must agree with
+    min-label propagation on random graphs (fixed seeds)."""
+    import random
+
+    from recipes_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (3, 99, 2024):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, 90))
+            }
+        )
+        nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges_df = spark.createDataFrame(edges, "src long, dst long")
+        ref = {
+            r.node: r.component
+            for r in connected_components(nodes_df, edges_df).collect()
+        }
+        got = {
+            r.node: r.component
+            for r in connected_components_star(nodes_df, edges_df).collect()
+        }
+        assert got == ref, f"seed {seed} mismatch"
+
+
+def test_star_cc_long_chain_beyond_propagation_budget(spark):
+    """A 61-node path (diameter 60) exceeds label propagation's default
+    25-round budget but the star algorithm contracts it in O(log n)
+    rounds — no warning, exact labels."""
+    import warnings as w
+
+    from recipes_spark.operators.dedup import connected_components_star
+
+    n = 61
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with w.catch_warnings():
+        w.simplefilter("error")  # any max_iter warning fails the test
+        got = {
+            r.node: r.component
+            for r in connected_components_star(nodes, edges, max_iter=15).collect()
+        }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_cc_empty_edges_and_isolated(spark):
+    from recipes_spark.operators.dedup import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in [5, 9]], "node long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert got == {5: 5, 9: 9}

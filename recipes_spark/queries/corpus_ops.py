@@ -893,3 +893,44 @@ def x6_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x4_unigram_entropy",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       round(log2(len(ws)) -
+             list_sum([len(list_filter(ws, y -> y = x)) *
+                       log2(len(list_filter(ws, y -> y = x)))
+                       FOR x IN list_sort(list_distinct(ws))]) / len(ws),
+             4) AS entropy
+FROM d
+""",
+)
+def x4_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy H = log2(N) − Σ c·log2(c) / N — the
+    Gopher-style repetitiveness signal (low entropy = copy-pasted /
+    template text, filtered before training). Entirely row-local higher-
+    order-function arithmetic: no explode, no shuffle, the whole thing
+    is one narrow projection over the corpus scan. The distinct-word
+    fold runs in SORTED order on both engines so the double summation
+    is bit-identical and round(…, 4) cannot flake."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    uniq = F.array_sort(F.array_distinct(ws))
+    clogc = F.aggregate(
+        F.transform(
+            uniq,
+            lambda x: F.size(F.filter(ws, lambda y: y == x)).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, c: acc + c * F.log2(c),
+    )
+    n = F.size(ws).cast("double")
+    return d.select(
+        "doc_id", F.round(F.log2(n) - clogc / n, 4).alias("entropy")
+    )

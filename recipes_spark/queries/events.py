@@ -284,3 +284,157 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), chg AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to
+FROM chg
+""",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's
+    event_type stream into validity intervals [valid_from, valid_to)
+    (open interval = current). Change detection via lag(), interval
+    close via lead() — both windows share ONE Exchange on user_id
+    (same partitionBy), so the whole history rebuild is a single
+    shuffle regardless of history depth. event_id tiebreaks equal
+    timestamps so both engines pick identical interval boundaries."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM nxt WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       CAST(floor(n * 10000.0 / sum(n) OVER (PARTITION BY event_type))
+            AS BIGINT) AS prob_bp
+FROM pairs
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths
+    (the path-analysis primitive behind funnels and next-action
+    models). lead() pairs consecutive events (one shuffle on user_id),
+    then a count per (from, to) and a row-probability in basis points.
+    The probability is floor(n * 1e4 / total): identical IEEE multiply
+    + floor on both engines, immune to round()'s last-digit divergence.
+    The transition matrix is event_type² rows — tiny at any corpus
+    scale, so the final window runs on a trivially small input."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.floor(F.col("n") * 10000.0 / F.sum("n").over(tot))
+        .cast("long")
+        .alias("prob_bp"),
+    )
+
+
+@query(
+    "x6_zorder_layout",
+    oracle="""
+WITH q AS (
+  SELECT least(255, CAST(floor(value / 2) AS BIGINT)) AS vq,
+         CAST(hour(ts) AS BIGINT) AS hq
+  FROM events
+), z AS (
+  SELECT vq, hq,
+         list_sum([(((vq >> i) & 1) << (2*i)) + (((hq >> i) & 1) << (2*i+1))
+                   FOR i IN range(0, 8, 1)]) AS zval
+  FROM q
+)
+SELECT CAST(floor(zval / 64) AS BIGINT) AS z_bucket,
+       count(*) AS n,
+       min(vq) AS min_vq, max(vq) AS max_vq,
+       min(hq) AS min_hq, max(hq) AS max_hq
+FROM z
+GROUP BY z_bucket
+""",
+)
+def x6_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout assignment — the multi-dimensional
+    clustering behind file-level data skipping: interleave the bits of
+    two quantized dimensions so rows close in (value, hour) land in the
+    same z-range, then a write would repartitionByRange(zval) into
+    files whose per-file min/max on BOTH dims stays tight (this query
+    reports exactly those spans per z-bucket). The interleave is a
+    statically-unrolled 8-bit shift/mask projection — row-local, no
+    shuffle until the final tiny per-bucket rollup."""
+    ev = load(spark, sf_dir, "events")
+    vq = F.least(F.lit(255), F.floor(F.col("value") / 2)).cast("long")
+    hq = F.hour("ts").cast("long")
+    q = ev.select(vq.alias("vq"), hq.alias("hq"))
+    zval = None
+    for i in range(8):
+        v_bit = F.shiftleft(F.shiftright(F.col("vq"), i).bitwiseAND(F.lit(1)), 2 * i)
+        h_bit = F.shiftleft(
+            F.shiftright(F.col("hq"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        term = v_bit + h_bit
+        zval = term if zval is None else zval + term
+    return (
+        q.withColumn("zval", zval)
+        .select(
+            F.floor(F.col("zval") / 64).cast("long").alias("z_bucket"),
+            "vq",
+            "hq",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vq").alias("min_vq"),
+            F.max("vq").alias("max_vq"),
+            F.min("hq").alias("min_hq"),
+            F.max("hq").alias("max_hq"),
+        )
+    )

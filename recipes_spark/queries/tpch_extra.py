@@ -1066,3 +1066,98 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+WITH counts AS (
+  SELECT lang, source, count(*) AS n
+  FROM documents GROUP BY lang, source
+), modal AS (
+  SELECT lang, source AS modal_source, n AS modal_n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, source) AS rn
+  FROM counts
+), med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars
+  FROM documents GROUP BY lang
+)
+SELECT m.lang, modal_source, modal_n, median_chars
+FROM modal m JOIN med USING (lang)
+WHERE rn = 1
+""",
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + median per group. Native mode() is
+    tie-arbitrary in BOTH engines, so the modal value is defined as
+    (max count, then lexicographically smallest) via count + row_number
+    — reproducible everywhere. Median is interpolated percentile(0.5)
+    (== DuckDB quantile_cont). The ranking window runs on the already-
+    aggregated (lang, source) counts — group-cardinality rows, not
+    corpus rows."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
+    modal = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("source").alias("modal_source"),
+            F.col("n").alias("modal_n"),
+        )
+    )
+    med = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars")
+    )
+    return modal.join(med, "lang").select(
+        "lang", "modal_source", "modal_n", "median_chars"
+    )
+
+
+@query(
+    "x7_fuzzy_match",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[-1] AS noun
+  FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM p a JOIN p b
+  ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def x7_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via blocked fuzzy join: candidate pairs only
+    within a blocking key (the name's head noun), then Levenshtein ≤ 3
+    verify. The blocking join is an equi-join Catalyst hash-partitions
+    — never an all-pairs cross product — and the O(len²) edit-distance
+    only runs on within-block pairs; with skewed blocks, salt the key
+    (operators/skew.salted_join) to split hot nouns."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        "noun",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        "noun",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "noun")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 3)
+        .select("id_a", "id_b", "name_a", "name_b", dist.alias("dist"))
+    )

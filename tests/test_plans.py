@@ -143,3 +143,21 @@ def test_percentile_filter_broadcasts_cutoffs(spark, sf_dir):
     broadcast it, never shuffle the corpus against it."""
     plan = _plan(spark, sf_dir, "x4_length_percentile_filter")
     assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_entropy_is_shuffle_free(spark, sf_dir):
+    """Entropy is computed row-locally via higher-order functions — the
+    plan must contain NO Exchange at all (no explode + re-agg on
+    doc_id), just a narrow projection over the scan."""
+    plan = _plan(spark, sf_dir, "x4_unigram_entropy")
+    assert "Exchange" not in plan, plan
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """Change-detect (lag) and interval-close (lead) both partition by
+    user_id — one hashpartitioning(user_id) exchange must feed both."""
+    import re
+
+    plan = _plan(spark, sf_dir, "scd2_intervals")
+    user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) == 1, plan

@@ -30,18 +30,63 @@ def brute_force_topk(
     query_vec_col: str = "query_vec",
     k: int = 10,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the query set, cross join, window
-    top-k per query. Deterministic tiebreak on (rounded sim desc, id)."""
-    joined = scale_partitions(corpus).crossJoin(F.broadcast(queries)).withColumn(
-        "cosine_sim",
-        F.round(cosine(as_double(F.col(vec_col)), as_double(F.col(query_vec_col))), 4),
+    """Exact cosine top-k, two-phase: each Arrow batch computes all
+    query similarities with ONE numpy matmul and keeps only its local
+    top-k per query, so the final ranking window sees
+    O(partitions · Q · k) rows instead of O(N · Q) — at corpus scale
+    the shuffle is constant-size while the compute stays embarrassingly
+    parallel. Both phases order by (rounded sim desc, id asc); partial
+    selection under the same total order as the final makes the merge
+    exact, not approximate. The query set is collected to the driver
+    (bounded — it's the probe side, like IVF's training sample) and
+    ships inside the UDF closure."""
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    out_schema = f"{id_col} long, {query_id_col} long, cosine_sim double"
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+            )
+            S = np.round(Xn @ Qn.T, 4)  # (n, Q)
+            frames = []
+            for j, qid in enumerate(qids):
+                sims = S[:, j]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], sims[mask]
+                # Partial select under the FINAL order (sim desc, id asc):
+                # lexsort on (-sim, id), take k.
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: cand_ids[order],
+                            query_id_col: qid,
+                            "cosine_sim": cand_sims[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = scale_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        partial_topk, out_schema
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.col(id_col)
     )
     return (
-        joined.filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )

@@ -438,3 +438,119 @@ def x6_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hq").alias("max_hq"),
         )
     )
+
+
+@query(
+    "skew_salted_window",
+    oracle="""
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n,
+       min(value) AS min_value, max(value) AS max_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type, window_start
+""",
+)
+def skew_salted_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key windowed rollup via two-phase salting
+    (operators/skew.salted_windowed_agg): partial agg on
+    (event_type, hour-window, salt), recombine on (event_type, window).
+    event_type has single-digit cardinality, so an unsalted
+    groupBy(type, window) funnels each type's rows per window through
+    one reducer — the salt spreads them over 8 sub-partitions first.
+    The result is bit-identical to the plain rollup (count/min/max are
+    order-free; the sum is integer cents), which is exactly why salting
+    is safe to apply mechanically under skew."""
+    from recipes_spark.operators.skew import salted_windowed_agg
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = salted_windowed_agg(
+        ev,
+        time_col="ts",
+        window_duration="1 hour",
+        key="event_type",
+        aggs=[
+            ("count", "cents", "n"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+            ("sum", "cents", "sum_cents"),
+        ],
+        salt=8,
+        unique_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("window_start"),
+        F.col("n").cast("long").alias("n"),
+        "min_value",
+        "max_value",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
+@query(
+    "ts_resample_ffill",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+), obs AS (
+  SELECT user_id, ts, value FROM latest WHERE rn = 1
+), bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS mn,
+         date_trunc('hour', max(ts)) AS mx
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds
+)
+SELECT g.user_id, g.grid_ts, o.value
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+""",
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to an hourly grid with forward-fill: per
+    user, generate the hour grid spanning their history
+    (sequence+explode — S1's grid pattern), then carry the most recent
+    observation onto each grid point via the as-of join operator
+    (operators/joins.asof_join: union + one window, a single shuffle on
+    user_id, no range-join row blowup). Equal-timestamp observations
+    dedupe to the max event_id first so both engines fill identical
+    values; grid points before a user's first event stay NULL."""
+    from recipes_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    obs = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("obs_value"))
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("mn"),
+            F.date_trunc("hour", F.max("ts")).alias("mx"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("grid_ts"),
+        )
+    )
+    out = asof_join(
+        grid,
+        obs,
+        left_ts="grid_ts",
+        right_ts="ts",
+        by="user_id",
+        value_cols=["obs_value"],
+        direction="backward",
+    )
+    return out.select("user_id", "grid_ts", F.col("obs_value").alias("value"))

@@ -934,3 +934,66 @@ def x4_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.round(F.log2(n) - clogc / n, 4).alias("entropy")
     )
+
+
+@query(
+    "x4_source_overlap",
+    oracle="""
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS n FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+  FROM vocab a JOIN vocab b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_inter,
+       sa.n + sb.n - n_inter AS n_union,
+       CAST(floor(n_inter * 10000.0 / (sa.n + sb.n - n_inter)) AS BIGINT)
+         AS jaccard_bp
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+""",
+)
+def x4_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap matrix (Jaccard in basis points)
+    — the corpus-mixing diagnostic for "how much does source A's
+    vocabulary duplicate source B's". The self-join runs on the
+    DISTINCT (source, word) vocabulary, never the corpus: each word
+    appears at most n_sources times, so the join fan-out is bounded by
+    sources² per word and the output matrix is sources² rows."""
+    d = load(spark, sf_dir, "documents")
+    vocab = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("source_a"), "word")
+    b = vocab.select(F.col("source").alias("source_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            F.floor(
+                F.col("n_inter")
+                * 10000.0
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )

@@ -85,3 +85,61 @@ def merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("collection_id")
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, text FROM documents
+), v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 103 = 0
+)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.text <> v2.text
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two table snapshots: full outer join on the key,
+    classify added / removed / changed (content inequality), emit only
+    the delta — the diff that feeds incremental downstream rebuilds
+    instead of full recomputes. One shuffle on the join key; at scale,
+    compare a content digest (sha2) instead of raw text so the shuffle
+    carries 32 bytes per row, and partition-prune both snapshots to
+    partitions whose metadata changed. v2 is derived deterministically
+    from v1 (drops, edits, inserts) so the oracle replays it exactly."""
+    v1 = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = v1.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 101 == 0, F.concat("text", F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = v1.filter(F.col("doc_id") % 103 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    v2 = base.unionByName(added)
+    a = v1.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+    b = v2.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+    j = a.join(b, F.col("id1") == F.col("id2"), "full_outer")
+    return j.filter(
+        F.col("id1").isNull()
+        | F.col("id2").isNull()
+        | (F.col("t1") != F.col("t2"))
+    ).select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

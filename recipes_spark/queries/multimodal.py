@@ -291,3 +291,117 @@ def x5_real_format_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "png_bit_depth int, png_color_type int, wav_channels int, "
         "wav_sample_rate long, wav_duration_e4 long",
     ).orderBy("doc_id")
+
+
+@query(
+    "x5_phash_neardup",
+    oracle="""
+WITH px AS (
+  SELECT doc_id,
+         [ascii(substr(rpad(text, 64, ' '), i+1, 1))
+          FOR i IN range(0,64,1)] AS bytes
+  FROM documents
+), m AS (
+  SELECT doc_id, bytes, list_sum(bytes)/64.0 AS mu FROM px
+), bits AS (
+  SELECT doc_id,
+         [CASE WHEN bytes[i+1] > mu THEN 1 ELSE 0 END
+          FOR i IN range(0,64,1)] AS bit
+  FROM m
+), bands AS (
+  SELECT doc_id,
+    list_sum([bit[j+1]    << j FOR j IN range(0,16,1)]) AS b0,
+    list_sum([bit[16+j+1] << j FOR j IN range(0,16,1)]) AS b1,
+    list_sum([bit[32+j+1] << j FOR j IN range(0,16,1)]) AS b2,
+    list_sum([bit[48+j+1] << j FOR j IN range(0,16,1)]) AS b3
+  FROM bits
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.b0,b.b0)::BIGINT) + bit_count(xor(a.b1,b.b1)::BIGINT) +
+       bit_count(xor(a.b2,b.b2)::BIGINT) + bit_count(xor(a.b3,b.b3)::BIGINT)
+         AS hamming
+FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0,b.b0)::BIGINT) + bit_count(xor(a.b1,b.b1)::BIGINT) +
+      bit_count(xor(a.b2,b.b2)::BIGINT) + bit_count(xor(a.b3,b.b3)::BIGINT) <= 3
+""",
+)
+def x5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: perceptual-hash near-duplicate pairs over the (stubbed)
+    image payload — average-hash on the first 64 payload bytes (bit_i =
+    byte_i > mean, the aHash recipe with the codec decode swapped for
+    byte arithmetic), packed into 4 16-bit bands by one Arrow
+    mapInPandas pass (numpy bit-packing per batch — the same stage a
+    real decoder would occupy, and cheaper than a 64-wide Catalyst
+    expression tree replicated across join branches). Candidates come
+    from a band equi-join — hamming ≤ 3 over 4 bands guarantees ≥1
+    identical band by pigeonhole, so banding is recall-COMPLETE, not
+    heuristic — and the exact hamming verify runs on candidates only.
+    The oracle checks the same result via an all-pairs join (tractable
+    at oracle scale; the banded plan is the scale path)."""
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def hash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.zeros((len(pdf), 64), dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                raw = bytes(payload)[:64]
+                # rpad with spaces to 64 — mirrors the oracle exactly.
+                raw = raw + b" " * (64 - len(raw))
+                X[i] = np.frombuffer(raw, dtype=np.uint8)
+            mu = X.mean(axis=1, keepdims=True)
+            bits = (X > mu).astype(np.int64)
+            weights = 1 << np.arange(16, dtype=np.int64)
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for k in range(4):
+                out[f"b{k}"] = bits[:, 16 * k : 16 * (k + 1)] @ weights
+            yield pd.DataFrame(out)
+
+    bands = d.mapInPandas(
+        hash_bands, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    lanes = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"b{k}").alias("v")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.k", "band.v")
+    cand = (
+        lanes.alias("a")
+        .join(lanes.alias("b"), ["k", "v"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    ham = None
+    for k in range(4):
+        t = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")))
+        ham = t if ham is None else ham + t
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(ham <= 3)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+    )

@@ -9,7 +9,7 @@ replayed exactly by the DuckDB oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from recipes_spark.io import load, scale_partitions
 from recipes_spark.registry import query
@@ -996,4 +996,71 @@ def x4_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("jaccard_bp"),
         )
+    )
+
+
+@query(
+    "x6_inference_batching",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, n_tok,
+         CAST(ceil(n_tok / 32.0) AS BIGINT) AS bucket,
+         row_number() OVER (PARTITION BY CAST(ceil(n_tok / 32.0) AS BIGINT)
+                            ORDER BY doc_id) AS rn
+  FROM toks
+), batched AS (
+  SELECT bucket, CAST(floor((rn - 1) / 16) AS BIGINT) AS batch_id,
+         n_tok
+  FROM bucketed
+)
+SELECT bucket, batch_id,
+       count(*) AS n_docs,
+       max(n_tok) AS max_tok,
+       CAST(sum(n_tok) AS BIGINT) AS actual_tok,
+       CAST(floor(sum(n_tok) * 10000.0 / (max(n_tok) * count(*)))
+            AS BIGINT) AS fill_bp
+FROM batched
+GROUP BY bucket, batch_id
+""",
+)
+def x6_inference_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: docs bucket by token length
+    (32-token granularity), fixed-size batches of 16 form inside each
+    bucket, and fill_bp reports padding efficiency (actual tokens /
+    padded capacity, in basis points) — batching similar lengths
+    together is what keeps that number near 10000 instead of the
+    ~50% waste of random batching. The ranking window partitions by
+    bucket; with few buckets and a huge corpus, sub-shard the window
+    key (bucket, pmod(hash(id), k)) and offset ranks per shard the way
+    operators/prefix.partitioned_prefix_sum does — the demo keeps the
+    single-key form for oracle clarity."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "n_tok",
+        F.ceil(F.col("n_tok") / 32.0).cast("long").alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    batched = bucketed.select(
+        "bucket",
+        "n_tok",
+        F.floor((F.row_number().over(w) - 1) / 16).cast("long").alias(
+            "batch_id"
+        ),
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").cast("long").alias("actual_tok"),
+        F.floor(
+            F.sum("n_tok") * 10000.0 / (F.max("n_tok") * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("fill_bp"),
     )

@@ -914,3 +914,115 @@ def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("rep_id"),
         (F.col("node") == F.col("component")).alias("keep"),
     )
+
+
+@query(
+    "x4_filter_sweep",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         greatest(least(
+           0.4 * (len(list_filter(string_split(text, ' '),
+                                  t -> list_contains({_SW_EN}, t))) * 1.0
+                  / len(string_split(text, ' ')))
+           + 0.3 * (1.0 - len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text))
+           + 0.3 * (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)),
+           1.0), 0.0) AS q
+  FROM documents
+)
+SELECT th, count_if(q >= th) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN q >= th THEN n_tok END), 0) AS BIGINT)
+         AS n_tokens
+FROM scored
+CROSS JOIN (SELECT unnest([0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8]) AS th)
+GROUP BY th
+""",
+)
+def x4_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold operating-point sweep: for each candidate
+    cutoff, how many documents and tokens survive — the analysis that
+    picks a filter's threshold before a 100 TB run commits to it. One
+    corpus pass: the quality score computes once per row, the 7-row
+    threshold dim broadcast-joins (explode of a literal array), and the
+    rollup is a tiny (7-group) hash agg. Uses the same arithmetic as
+    quality_score so the two queries agree."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    swr = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+    punct = F.regexp_count("text", F.lit(r"[^\w\s]")) / F.length("text")
+    digit = F.regexp_count("text", F.lit(r"[0-9]")) / F.length("text")
+    q = F.greatest(
+        F.least(0.4 * swr + 0.3 * (1.0 - punct) + 0.3 * (1.0 - digit), F.lit(1.0)),
+        F.lit(0.0),
+    )
+    scored = d.select(
+        q.alias("q"), F.size(toks).cast("long").alias("n_tok")
+    )
+    ths = [0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8]
+    swept = scored.select(
+        "q", "n_tok", F.explode(F.array(*[F.lit(t) for t in ths])).alias("th")
+    )
+    return swept.groupBy("th").agg(
+        F.count_if(F.col("q") >= F.col("th")).alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("q") >= F.col("th"), F.col("n_tok"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@query(
+    "x2_incremental_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT sha256(text) AS h FROM documents
+), batch AS (
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' fresh'
+  FROM documents WHERE doc_id % 10 = 7
+), in_batch AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY sha256(text)
+                            ORDER BY doc_id) AS rn
+  FROM batch
+)
+SELECT b.doc_id FROM in_batch b
+WHERE b.rn = 1
+  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = sha256(b.text))
+""",
+)
+def x2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch dedupes within itself
+    (keep lowest id per digest) and then anti-joins the EXISTING
+    corpus digest index — the whole corpus is touched only through its
+    32-byte-per-row hash column, never re-deduped. This is the
+    steady-state shape at 100 TB: the digest index is a narrow
+    column the scan prunes to, the anti join shuffles batch-sized
+    data, and corpus growth never increases per-ingest work beyond
+    the index scan. The batch is derived deterministically (re-keyed
+    dupes + genuinely-new docs) so the oracle replays it."""
+    v1 = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_idx = v1.select(F.sha2("text", 256).alias("h"))
+    batch = (
+        v1.filter(F.col("doc_id") % 10 == 3)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        .unionByName(
+            v1.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat("text", F.lit(" fresh")).alias("text"),
+            )
+        )
+    )
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    in_batch = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("h", F.sha2("text", 256))
+    )
+    return in_batch.join(corpus_idx, "h", "left_anti").select("doc_id")

@@ -1161,3 +1161,35 @@ def x7_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 3)
         .select("id_a", "id_b", "name_a", "name_b", dist.alias("dist"))
     )
+
+
+@query(
+    "agg_argmax_conditional",
+    oracle="""
+SELECT lang,
+       max(struct_pack(nc := n_chars, id := doc_id)).id AS longest_doc,
+       max(n_chars) AS max_chars,
+       min(struct_pack(nc := n_chars, id := doc_id)).id AS shortest_doc,
+       count_if(n_chars > 500) AS n_long,
+       bool_or(source = 'src0') AS has_src0,
+       bool_and(n_chars > 0) AS all_positive
+FROM documents
+GROUP BY lang
+""",
+)
+def agg_argmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min + conditional/boolean aggregate coverage.
+    Native max_by/arg_max is tie-ARBITRARY in both engines, so argmax
+    is the lexicographic max of struct(measure, id) — deterministic
+    everywhere, one map-side-combining hash agg, no window needed.
+    count_if / bool_or / bool_and mirror 1:1 across engines."""
+    d = load(spark, sf_dir, "documents")
+    s = F.struct(F.col("n_chars").alias("nc"), F.col("doc_id").alias("id"))
+    return d.groupBy("lang").agg(
+        F.max(s).getField("id").alias("longest_doc"),
+        F.max("n_chars").alias("max_chars"),
+        F.min(s).getField("id").alias("shortest_doc"),
+        F.count_if(F.col("n_chars") > 500).alias("n_long"),
+        F.bool_or(F.col("source") == "src0").alias("has_src0"),
+        F.bool_and(F.col("n_chars") > 0).alias("all_positive"),
+    )

@@ -326,3 +326,83 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+    seed: int = 7,
+) -> np.ndarray:
+    """Product-quantization codebooks: split the vector into `m`
+    contiguous subspaces and k-means each on a bounded driver-side
+    sample (the IVF training pattern — training never reads the
+    corpus). Returns array of shape (m, k, dim/m). Deterministic for a
+    fixed seed, so code assignment is reproducible run to run."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        cents = S[rng.choice(len(S), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign PQ codes: one Arrow batch = one numpy distance matrix per
+    subspace (vectorized across rows and centroids), emitting
+    (id, codes array<int>, mse double) — `m` bytes replacing
+    dim·4 bytes, the memory step that makes billion-vector ANN fit.
+    mse is the per-row reconstruction error (quantization distortion),
+    kept so quality gates can assert distortion bounds."""
+    m, k, sub = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(X), m), dtype=np.int32)
+            recon = np.empty_like(X)
+            for j in range(m):
+                S = X[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+                recon[:, j * sub : (j + 1) * sub] = books[j][codes[:, j]]
+            mse = ((X - recon) ** 2).mean(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                    "mse": mse,
+                }
+            )
+
+    return scale_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        encode, f"{id_col} long, codes array<int>, mse double"
+    )

@@ -1026,3 +1026,23 @@ def x2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h", F.sha2("text", 256))
     )
     return in_batch.join(corpus_idx, "h", "left_anti").select("doc_id")
+
+
+@query("x3_pq_codes")
+def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding column: 8 subspaces × 16
+    centroids → 8 codes (4 bits each) per 64-dim vector, 64× smaller
+    than float64 — the compression layer under billion-scale ANN
+    (combine with IVF lists: ivf_assign for the coarse cell, PQ codes
+    for in-cell asymmetric distance). Codebooks train on a bounded
+    driver sample with a fixed seed; assignment is one numpy matmul
+    per Arrow batch. Approximate (k-means) → rows-only driver check;
+    tests assert distortion and determinism gates."""
+    from recipes_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e, m=8, k=16)
+    return pq_encode(e, books)

@@ -850,3 +850,32 @@ def scalar_case_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal")
         .alias("flag"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+SELECT lang, doc_id,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist()    OVER w, 4) AS cume,
+       nth_value(doc_id, 3) OVER w     AS third_doc
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist /
+    nth_value) — completes §2.5 beyond ranking and frames. The order
+    key is (n_chars, doc_id): unique, so ranks are tie-free and both
+    engines' default RANGE frame sees identical prefixes. The ratios
+    are exact divisions of counts — identical IEEE doubles — and
+    round(…, 4) is display-only."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "lang",
+        "doc_id",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.nth_value("doc_id", 3).over(w).alias("third_doc"),
+    )

@@ -103,3 +103,40 @@ def test_lsh_neardup_recall_is_complete(spark, sf_dir):
         f"LSH near-dup diverged from all-pairs: missing={truth - got}, "
         f"extra={got - truth}"
     )
+
+
+def test_pq_codes_distortion_and_determinism(spark, sf_dir):
+    """PQ gates: codes in [0,k), reconstruction distortion well under
+    the data's own energy (codebooks are useful), and bit-identical
+    across two runs (fixed-seed training)."""
+    import numpy as np
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e, m=8, k=16)
+    out = pq_encode(e, books).collect()
+    codes = np.asarray([r.codes for r in out])
+    assert codes.min() >= 0 and codes.max() < 16
+    mse = np.asarray([r.mse for r in out])
+    X = np.asarray([np.asarray(r.embedding, dtype=np.float64)
+                    for r in e.select("embedding").collect()])
+    energy = (X ** 2).mean()
+    assert mse.mean() < energy, (mse.mean(), energy)
+    # Principled gate: 16 centroids/subspace must strictly beat the
+    # degenerate 1-centroid (mean-only) codebook. Near-random synthetic
+    # vectors are barely compressible, so the margin is modest but must
+    # exist if k-means learned anything.
+    mean_books = train_pq_codebooks(e, m=8, k=1, iters=1)
+    mse1 = np.asarray(
+        [r.mse for r in pq_encode(e, mean_books).collect()]
+    ).mean()
+    assert mse.mean() < 0.75 * mse1, (mse.mean(), mse1)
+    again = {r.vec_id: (tuple(r.codes), r.mse)
+             for r in pq_encode(e, train_pq_codebooks(e, m=8, k=16)).collect()}
+    first = {r.vec_id: (tuple(r.codes), r.mse) for r in out}
+    assert first == again

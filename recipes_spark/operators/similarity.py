@@ -406,3 +406,99 @@ def pq_encode(
     return scale_partitions(corpus.select(id_col, vec_col)).mapInPandas(
         encode, f"{id_col} long, codes array<int>, mse double"
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF-PQ-style asymmetric-distance search: per query, build the
+    (m × k_codes) lookup table of subspace distances to every centroid
+    ONCE, score each corpus vector as the sum of m table lookups over
+    its codes (never touching the float vector), keep the batch-local
+    top `refine·k` by approximate distance, then exact-cosine re-rank
+    ONLY those candidates against the broadcast query set. This is the
+    production shape for billion-vector search: the scan reads m bytes
+    per vector, the exact math touches refine·k·partitions rows, and
+    the refinement bound (not the sketch) controls recall."""
+    m, kc, sub = books.shape
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # Distance tables: tables[q][j][c] = ||Q[q, sub_j] - books[j][c]||^2
+    tables = np.empty((len(Q), m, kc))
+    for j in range(m):
+        S = Q[:, j * sub : (j + 1) * sub]
+        tables[:, j, :] = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(
+            axis=2
+        )
+
+    n_keep = refine * k
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            frames = []
+            for qi, qid in enumerate(qids):
+                # Sum of table lookups — the ADC scan.
+                dist = tables[qi, np.arange(m)[None, :], codes].sum(axis=1)
+                mask = ids != qid
+                cids, cd = ids[mask], dist[mask]
+                order = np.lexsort((cids, cd))[:n_keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: cids[order],
+                            query_id_col: qid,
+                            "adc_dist": cd[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    coded = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
+        id_col, "codes"
+    )
+    cand = coded.mapInPandas(
+        partial, f"{id_col} long, {query_id_col} long, adc_dist double"
+    )
+    wq = Window.partitionBy(query_id_col).orderBy("adc_dist", F.col(id_col))
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_keep)
+        .select(id_col, query_id_col)
+    )
+    # Exact re-rank of the shortlist only.
+    qdf = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("__qv")
+    )
+    joined = (
+        shortlist.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), query_id_col)
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine(as_double(F.col(vec_col)), as_double(F.col("__qv"))), 4
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.col(id_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )

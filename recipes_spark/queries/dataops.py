@@ -1046,3 +1046,26 @@ def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(e, m=8, k=16)
     return pq_encode(e, books)
+
+
+@query("x3_pq_adc_topk")
+def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-rank — the
+    billion-vector search shape (scan m bytes/vector via code lookups,
+    exact math on the refine-bounded shortlist only). Approximate
+    (codebook recall) → rows-only; tests/test_similarity.py gates
+    recall against brute force."""
+    from recipes_spark.operators.similarity import (
+        pq_adc_topk,
+        train_pq_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    books = train_pq_codebooks(e, m=8, k=16)
+    return pq_adc_topk(e, queries_df, books, k=10).withColumnRenamed(
+        "rank", "rnk"
+    )

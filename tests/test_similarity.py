@@ -140,3 +140,35 @@ def test_pq_codes_distortion_and_determinism(spark, sf_dir):
              for r in pq_encode(e, train_pq_codebooks(e, m=8, k=16)).collect()}
     first = {r.vec_id: (tuple(r.codes), r.mse) for r in out}
     assert first == again
+
+
+def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
+    """ADC shortlist + exact re-rank must recover most of the true
+    top-10 (recall@10 >= 0.6 on near-random synthetic vectors, where
+    PQ sketches are weakest — real clustered embeddings do better).
+    Refinement breadth, not the sketch, is the recall knob."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        train_pq_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    truth = {}
+    for r in brute_force_topk(e, queries, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    books = train_pq_codebooks(e, m=8, k=16)
+    got = {}
+    for r in pq_adc_topk(e, queries, books, k=10, refine=8).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

@@ -1069,3 +1069,41 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(e, queries_df, books, k=10).withColumnRenamed(
         "rank", "rnk"
     )
+
+
+@query(
+    "udaf_geomean",
+    oracle="""
+SELECT lang,
+       round(exp(avg(ln(n_chars))), 4) AS geo_mean_chars,
+       count(*) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+)
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF (the UDAF leg of
+    the §2.11 surface — scalar pandas UDFs, grouped-map, stateful, and
+    UDTF are covered elsewhere): geometric mean of document length per
+    language. Arrow ships each group's column once; numpy does
+    exp(mean(log x)) — the same associative log-sum shape a native
+    partial aggregate would use, so a Catalyst rewrite is drop-in at
+    scale (exp(avg(ln)) is also the oracle's formulation)."""
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents")
+
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    @F.pandas_udf("long")
+    def ngroup(v: pd.Series) -> int:
+        # Spark refuses to mix pandas UDAFs with native aggregates in
+        # one agg — the count rides as a second pandas UDAF.
+        return len(v)
+
+    return d.groupBy("lang").agg(
+        F.round(geomean("n_chars"), 4).alias("geo_mean_chars"),
+        ngroup("n_chars").alias("n_docs"),
+    )

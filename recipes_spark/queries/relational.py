@@ -879,3 +879,40 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cume"),
         F.nth_value("doc_id", 3).over(w).alias("third_doc"),
     )
+
+
+@query(
+    "scalar_unicode",
+    oracle="""
+SELECT doc_id,
+       lower(text[1:20])                       AS head_lower,
+       reverse(text[1:10])                     AS head_rev,
+       replace(text[1:30], ' ', '_')           AS head_snake,
+       translate(text[1:20], 'aeiou', '*****') AS head_devowel,
+       repeat(lang, 3)                         AS lang3,
+       trim('x' || text[1:5] || 'x', 'x')      AS head_trim,
+       left(text, 4)                           AS l4,
+       right(text, 4)                          AS r4
+FROM documents
+""",
+)
+def scalar_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization scalar suite (lower / reverse / replace /
+    translate / repeat / trim-chars / left / right) — the per-row
+    cleanup toolkit ahead of dedup and tokenization. All whole-stage
+    codegen; substring windows keep oracle payloads small."""
+    d = load(spark, sf_dir, "documents")
+    head = lambda n: F.substring("text", 1, n)  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.lower(head(20)).alias("head_lower"),
+        F.reverse(head(10)).alias("head_rev"),
+        F.replace(head(30), F.lit(" "), F.lit("_")).alias("head_snake"),
+        F.translate(head(20), "aeiou", "*****").alias("head_devowel"),
+        F.repeat("lang", 3).alias("lang3"),
+        F.trim(F.concat(F.lit("x"), head(5), F.lit("x")), F.lit("x")).alias(
+            "head_trim"
+        ),
+        F.left("text", F.lit(4)).alias("l4"),
+        F.right("text", F.lit(4)).alias("r4"),
+    )

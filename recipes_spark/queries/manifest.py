@@ -103,12 +103,23 @@ FROM kept
 )
 def s4_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: the full keyed manifest (key, ts, url) = S1∖S2 + S3
-    (FilePattern.items(), avhrr…/recipe.py:120-123)."""
+    (FilePattern.items(), avhrr…/recipe.py:120-123). The list-position
+    key is arithmetic — grid epoch offset minus the count of
+    blacklisted stamps at or before ts (blacklist rides as one sorted-
+    array broadcast row) — replacing the single-task
+    row_number() over (order by ts) window; the plan has no
+    SinglePartition exchange (plan-asserted)."""
     grid = time_grid(spark, GRID_START, GRID_END, freq_minutes=3)
-    kept = grid.join(F.broadcast(_blacklist(spark, sf_dir)), "ts", "left_anti")
-    w = Window.orderBy("ts")
+    bl = _blacklist(spark, sf_dir)
+    kept = grid.join(F.broadcast(bl), "ts", "left_anti").crossJoin(
+        F.broadcast(bl.agg(F.sort_array(F.collect_list("ts")).alias("__bl")))
+    )
+    idx = (
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(GRID_START))) / 180
+    ).cast("long")
+    n_before = F.size(F.filter("__bl", lambda b: b <= F.col("ts")))
     return kept.select(
-        (F.row_number().over(w) - 1).cast("long").alias("key"),
+        (idx - n_before).cast("long").alias("key"),
         "ts",
         render_url(URL_ROOT, CONST).alias("url"),
     )

@@ -114,18 +114,31 @@ def manifest(
 ) -> DataFrame:
     """S4: keyed (key, ts, url) manifest = S1 ∖ S2 + S3 projection.
 
-    The reference keys items by list position (FilePattern.items()); we
-    key by grid position (row_number over ts) which is equivalent and
-    deterministic. At 100 TB scale prefer joining on `ts` directly —
-    the global row_number forces a single-partition window, so it is
-    provided for parity, not as a join key.
+    The reference keys items by list position (FilePattern.items()).
+    The key is computed ARITHMETICALLY — grid position from the epoch
+    offset, minus how many blacklisted stamps precede this one (the
+    blacklist is tiny, so it rides as one sorted-array broadcast row) —
+    NOT with `row_number() over (order by ts)`, whose empty partitionBy
+    funnels the whole grid through one task. The plan stays fully
+    row-local: no Exchange until a consumer adds one.
+
+    Epoch arithmetic assumes the grid phase has no DST discontinuity
+    inside [start, end] (true for the reference's UTC product grids).
     """
     grid = time_grid(spark, start, end, freq_minutes=freq_minutes)
+    bl_sorted = F.array()
     if blacklist:
         grid = drop_blacklist(grid, blacklist)
-    w = Window.orderBy("ts")
+        bl_sorted = F.sort_array(
+            F.array(*[F.lit(b).cast("timestamp") for b in blacklist])
+        )
+    idx = (
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(start)))
+        / (freq_minutes * 60)
+    ).cast("long")
+    n_before = F.size(F.filter(bl_sorted, lambda b: b <= F.col("ts")))
     return grid.select(
-        (F.row_number().over(w) - 1).cast("long").alias("key"),
+        (idx - n_before).cast("long").alias("key"),
         "ts",
         render_url(root, const).alias("url"),
     )

@@ -161,3 +161,12 @@ def test_scd2_windows_share_one_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "scd2_intervals")
     user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
     assert len(user_exchanges) == 1, plan
+
+
+def test_manifest_key_has_no_single_task_window(spark, sf_dir):
+    """The S4 list-position key is arithmetic (epoch offset − blacklist
+    prefix count), not row_number over an empty partitionBy — the plan
+    must contain no SinglePartition exchange."""
+    df = QUERIES["s4_manifest"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan

@@ -62,13 +62,23 @@ def main() -> None:
 
     stage_events(spark, SF_DIR)
 
-    # Min of 2 runs per query: measures the steady-state plan, not the
+    # Warm the Python workers too: the first Arrow UDF query otherwise
+    # pays one worker spawn per core — daemon startup cost, not plan
+    # cost (workers are reused afterwards; on a cluster they're
+    # long-lived).
+    import pandas as _pd
+
+    spark.range(0, 1024, 1, int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    # Min of 3 runs per query: measures the steady-state plan, not the
     # one-time whole-stage-codegen compile of run 1.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

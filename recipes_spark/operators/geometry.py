@@ -84,7 +84,11 @@ def douglas_peucker_mask(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray
 def _extract_one(lon: np.ndarray, lat: np.ndarray, tol: float) -> dict:
     """extract_geometry semantics for one platform: finite points only;
     all-identical (or single) position → Point, else simplified
-    LineString."""
+    LineString. The returned dict carries a non-schema ``__keep`` key
+    (DP keep-mask over the finite-filtered points, or None for
+    Point/empty) so callers pairing per-vertex payloads (times) reuse
+    THE mask that built the LineString instead of recomputing it —
+    one DP pass, no drift risk between vertices and payload."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     finite = np.isfinite(lon) & np.isfinite(lat)
@@ -93,7 +97,7 @@ def _extract_one(lon: np.ndarray, lat: np.ndarray, tol: float) -> dict:
     if n_in == 0:
         return {
             "geom_type": None, "lon": [], "lat": [],
-            "n_in": 0, "n_out": 0, "geojson": None,
+            "n_in": 0, "n_out": 0, "geojson": None, "__keep": None,
         }
     stationary = bool(np.all(lon == lon[0]) and np.all(lat == lat[0]))
     if n_in == 1 or stationary:
@@ -102,6 +106,7 @@ def _extract_one(lon: np.ndarray, lat: np.ndarray, tol: float) -> dict:
             "geom_type": "Point",
             "lon": [float(lon[0])], "lat": [float(lat[0])],
             "n_in": n_in, "n_out": 1, "geojson": json.dumps(gj),
+            "__keep": None,
         }
     keep = douglas_peucker_mask(lon, lat, tol)
     slon, slat = lon[keep], lat[keep]
@@ -113,6 +118,7 @@ def _extract_one(lon: np.ndarray, lat: np.ndarray, tol: float) -> dict:
         "geom_type": "LineString",
         "lon": [float(v) for v in slon], "lat": [float(v) for v in slat],
         "n_in": n_in, "n_out": int(keep.sum()), "geojson": json.dumps(gj),
+        "__keep": keep,
     }
 
 
@@ -125,9 +131,12 @@ def extract_geometry(
 
     @F.pandas_udf(GEOMETRY_SCHEMA)
     def _udf(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame(
-            [_extract_one(a, b, tolerance) for a, b in zip(lon_s, lat_s)]
-        )
+        rows = []
+        for a, b in zip(lon_s, lat_s):
+            out = _extract_one(a, b, tolerance)
+            out.pop("__keep")
+            rows.append(out)
+        return pd.DataFrame(rows)
 
     return _udf(lon_col, lat_col)
 
@@ -166,10 +175,8 @@ def extract_trajectory(
             finite = np.isfinite(lon) & np.isfinite(lat)
             times = [t for t, ok in zip(times, finite) if ok]
             out = _extract_one(lon, lat, tolerance)
+            keep = out.pop("__keep")
             if out["geom_type"] == "LineString":
-                keep = douglas_peucker_mask(
-                    lon[finite], lat[finite], tolerance
-                )
                 out["times"] = [t for t, k in zip(times, keep) if k]
             else:
                 out["times"] = None

@@ -41,6 +41,10 @@ def brute_force_topk(
     (bounded — it's the probe side, like IVF's training sample) and
     ships inside the UDF closure."""
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cosine_sim double, rank int"
+        )
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
@@ -122,6 +126,8 @@ def train_centroids(
     corpus; at 100 TB `sample` stays a few hundred thousand rows and
     the loop is numpy on the driver)."""
     rows = corpus.select(vec_col).limit(sample).collect()
+    if not rows:
+        raise ValueError("train_centroids: empty training sample")
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=n_centroids, replace=False)]
@@ -344,6 +350,8 @@ def train_pq_codebooks(
     corpus). Returns array of shape (m, k, dim/m). Deterministic for a
     fixed seed, so code assignment is reproducible run to run."""
     rows = corpus.select(vec_col).limit(sample).collect()
+    if not rows:
+        raise ValueError("train_pq_codebooks: empty training sample")
     X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
     dim = X.shape[1]
     if dim % m:
@@ -431,6 +439,10 @@ def pq_adc_topk(
     the refinement bound (not the sketch) controls recall."""
     m, kc, sub = books.shape
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cosine_sim double, rank int"
+        )
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
     # Distance tables: tables[q][j][c] = ||Q[q, sub_j] - books[j][c]||^2

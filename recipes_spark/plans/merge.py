@@ -108,42 +108,52 @@ def merge_into(
     all_tgt_keys = in_touched.select(F.col(on).alias("__k")).distinct()
     src_new = src.join(F.broadcast(all_tgt_keys), src[on] == F.col("__k"), "left_anti")
 
-    pieces = [tgt_unmatched, non_qualifying]
-    counts = {"inserted": 0, "updated": 0, "deleted": 0, "kept": 0}
+    # Tag every piece with its action so ONE materialization serves both
+    # the counts and the rewrite (the old per-action .count() calls each
+    # re-executed the target scan + joins).
+    tagged_pieces = [
+        tgt_unmatched.withColumn("__action", F.lit("kept")),
+        non_qualifying.withColumn("__action", F.lit("kept")),
+    ]
     if when_matched == "update":
-        pieces.append(src_matched)
-        counts["updated"] = src_matched.count()
+        tagged_pieces.append(src_matched.withColumn("__action", F.lit("updated")))
     elif when_matched == "ignore":
-        pieces.append(qualifying)
+        tagged_pieces.append(qualifying.withColumn("__action", F.lit("kept")))
     elif when_matched == "delete":
-        counts["deleted"] = qualifying.count()
+        tagged_pieces.append(qualifying.withColumn("__action", F.lit("deleted")))
     if when_not_matched == "insert":
-        pieces.append(src_new)
-        counts["inserted"] = src_new.count()
+        tagged_pieces.append(src_new.withColumn("__action", F.lit("inserted")))
 
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    counts["kept"] = tgt_unmatched.count() + non_qualifying.count() + (
-        qualifying.count() if when_matched == "ignore" else 0
-    )
+    tagged = tagged_pieces[0]
+    for p in tagged_pieces[1:]:
+        tagged = tagged.unionByName(p)
     # Materialize before overwriting the path being read (same pattern
-    # as upsert_items).
-    out = out.localCheckpoint(eager=True)
+    # as upsert_items); counts + remaining-partition probe + write all
+    # read the checkpoint, not the joins.
+    tagged = tagged.localCheckpoint(eager=True)
+    by_action = {
+        r["__action"]: r["n"]
+        for r in tagged.groupBy("__action").agg(F.count("*").alias("n")).collect()
+    }
+    counts = {k: by_action.get(k, 0) for k in ("inserted", "updated", "deleted", "kept")}
+    out = tagged.filter(F.col("__action") != "deleted").drop("__action")
     out.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
 
-    # Dynamic overwrite only rewrites partitions PRESENT in `out` — a
-    # delete that empties a whole partition would leave its old files
-    # behind (Hive dynamic-partition semantics) and resurrect the rows.
-    # Drop emptied touched partitions explicitly: bounded, metadata-only.
-    if when_matched == "delete":
-        remaining = {
-            r["__p"]
-            for r in out.select(F.col(partition_col).alias("__p")).distinct().collect()
-        }
+    # Dynamic overwrite only rewrites partitions PRESENT in `out` — any
+    # action that empties a touched partition (a delete, or an UPDATE
+    # that moves a key out of a partition it solely occupied) would
+    # leave its old files behind (Hive dynamic-partition semantics) and
+    # resurrect the rows. Drop emptied touched partitions explicitly:
+    # bounded, metadata-only.
+    remaining = {
+        r["__p"]
+        for r in out.select(F.col(partition_col).alias("__p")).distinct().collect()
+    }
+    emptied = set(touched) - remaining
+    if emptied:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
-        for part in set(touched) - remaining:
+        for part in emptied:
             p = jvm.org.apache.hadoop.fs.Path(
                 f"{target_path}/{partition_col}={part}"
             )

@@ -449,18 +449,38 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_EN = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 
+# ONE definition of the doc-quality arithmetic, shared by quality_score
+# (the filter) and x4_filter_sweep (the threshold calibration for that
+# filter) on BOTH the Spark and the oracle side — a weight/regex tweak
+# cannot de-synchronize the sweep from the filter it calibrates.
+_QUALITY_SQL = f"""greatest(least(
+           0.4 * (len(list_filter(string_split(text, ' '),
+                                  t -> list_contains({_SW_EN}, t))) * 1.0
+                  / len(string_split(text, ' ')))
+           + 0.3 * (1.0 - len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text))
+           + 0.3 * (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)),
+           1.0), 0.0)"""
+
+
+def _quality_expr():
+    """Unrounded quality score over the `text` column (Spark twin of
+    _QUALITY_SQL); all whole-stage codegen."""
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    swr = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+    punct = F.regexp_count("text", F.lit(r"[^\w\s]")) / F.length("text")
+    digit = F.regexp_count("text", F.lit(r"[0-9]")) / F.length("text")
+    return F.greatest(
+        F.least(0.4 * swr + 0.3 * (1.0 - punct) + 0.3 * (1.0 - digit), F.lit(1.0)),
+        F.lit(0.0),
+    )
+
 
 @query(
     "quality_score",
     oracle=f"""
 SELECT doc_id,
-       round(greatest(least(
-         0.4 * (len(list_filter(string_split(text, ' '),
-                                t -> list_contains({_SW_EN}, t))) * 1.0
-                / len(string_split(text, ' ')))
-         + 0.3 * (1.0 - len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text))
-         + 0.3 * (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)),
-         1.0), 0.0), 4) AS quality
+       round({_QUALITY_SQL}, 4) AS quality
 FROM documents
 """,
 )
@@ -468,19 +488,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-quality heuristic (stopword presence + punct/digit noise) —
     identical arithmetic to the oracle; all whole-stage codegen."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    swr = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
-    punct = F.regexp_count("text", F.lit(r"[^\w\s]")) / F.length("text")
-    digit = F.regexp_count("text", F.lit(r"[0-9]")) / F.length("text")
-    q = F.round(
-        F.greatest(
-            F.least(0.4 * swr + 0.3 * (1.0 - punct) + 0.3 * (1.0 - digit), F.lit(1.0)),
-            F.lit(0.0),
-        ),
-        4,
-    )
-    return d.select("doc_id", q.alias("quality"))
+    return d.select("doc_id", F.round(_quality_expr(), 4).alias("quality"))
 
 
 @query(
@@ -922,13 +930,7 @@ def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH scored AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tok,
-         greatest(least(
-           0.4 * (len(list_filter(string_split(text, ' '),
-                                  t -> list_contains({_SW_EN}, t))) * 1.0
-                  / len(string_split(text, ' ')))
-           + 0.3 * (1.0 - len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text))
-           + 0.3 * (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)),
-           1.0), 0.0) AS q
+         {_QUALITY_SQL} AS q
   FROM documents
 )
 SELECT th, count_if(q >= th) AS n_docs,
@@ -945,20 +947,12 @@ def x4_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks a filter's threshold before a 100 TB run commits to it. One
     corpus pass: the quality score computes once per row, the 7-row
     threshold dim broadcast-joins (explode of a literal array), and the
-    rollup is a tiny (7-group) hash agg. Uses the same arithmetic as
-    quality_score so the two queries agree."""
+    rollup is a tiny (7-group) hash agg. Shares _quality_expr with
+    quality_score so the two queries agree by construction."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    swr = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
-    punct = F.regexp_count("text", F.lit(r"[^\w\s]")) / F.length("text")
-    digit = F.regexp_count("text", F.lit(r"[0-9]")) / F.length("text")
-    q = F.greatest(
-        F.least(0.4 * swr + 0.3 * (1.0 - punct) + 0.3 * (1.0 - digit), F.lit(1.0)),
-        F.lit(0.0),
-    )
     scored = d.select(
-        q.alias("q"), F.size(toks).cast("long").alias("n_tok")
+        _quality_expr().alias("q"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
     ths = [0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8]
     swept = scored.select(

@@ -296,11 +296,20 @@ def x5_real_format_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x5_phash_neardup",
     oracle="""
-WITH px AS (
+WITH hx AS (
+  -- UTF-8 BYTES of the text, as hex pairs, truncated/space-padded to 64
+  -- bytes — byte semantics identical to the engine's encode(text,'utf-8')
+  -- path even for multi-byte characters (ascii()-per-character would
+  -- diverge on any non-ASCII text).
   SELECT doc_id,
-         [ascii(substr(rpad(text, 64, ' '), i+1, 1))
-          FOR i IN range(0,64,1)] AS bytes
+         rpad(substr(hex(encode(text)), 1, 128), 128, '20') AS h
   FROM documents
+), px AS (
+  SELECT doc_id,
+         [(strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16
+          + strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1
+          FOR i IN range(0,64,1)] AS bytes
+  FROM hx
 ), m AS (
   SELECT doc_id, bytes, list_sum(bytes)/64.0 AS mu FROM px
 ), bits AS (

@@ -80,16 +80,18 @@ def all_queries() -> dict[str, QueryFn]:
     """All registered queries, driver-UNattested first.
 
     The correctness driver samples a bounded prefix of this dict per round,
-    so ordering is staged: (1) queries changed this round (_RECHECK) and
-    brand-new queries, (2) everything without a green CORRECTNESS row yet,
-    (3) already-attested queries. Within each tier, registration order
-    (module import order in recipes_spark/queries/__init__.py) is kept.
+    so ordering is staged: (1) changed queries (_RECHECK) still awaiting
+    re-verification, (2) everything without a green CORRECTNESS row yet
+    (including brand-new queries), (3) already-attested queries. Once a
+    _RECHECK name is re-attested it leaves tier 1 and sorts like any other
+    attested query. Within each tier, registration order (module import
+    order in recipes_spark/queries/__init__.py) is kept.
     """
     _ensure_loaded()
     attested = _driver_attested()
     ordered: dict[str, QueryFn] = {}
     for name, fn in _QUERIES.items():
-        if name in _RECHECK:
+        if name in _RECHECK and name not in attested:
             ordered[name] = fn
     for name, fn in _QUERIES.items():
         if name not in attested and name not in ordered:

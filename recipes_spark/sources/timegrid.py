@@ -129,8 +129,23 @@ def manifest(
     bl_sorted = F.array()
     if blacklist:
         grid = drop_blacklist(grid, blacklist)
+        # Only blacklist stamps that actually REMOVED a grid row shift
+        # the keys: dedupe, then keep stamps on the grid phase and
+        # inside [start, end]. Off-grid/out-of-range/duplicate entries
+        # are no-ops for the anti-join and must be no-ops here too.
+        start_ts = F.lit(start).cast("timestamp")
+        end_ts = F.lit(end).cast("timestamp")
+        step = freq_minutes * 60
         bl_sorted = F.sort_array(
-            F.array(*[F.lit(b).cast("timestamp") for b in blacklist])
+            F.filter(
+                F.array_distinct(
+                    F.array(*[F.lit(b).cast("timestamp") for b in blacklist])
+                ),
+                lambda b: b.isNotNull()
+                & (b >= start_ts)
+                & (b <= end_ts)
+                & ((F.unix_timestamp(b) - F.unix_timestamp(start_ts)) % step == 0),
+            )
         )
     idx = (
         (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(start)))

@@ -67,6 +67,24 @@ def test_merge_key_moves_partition(spark):
     assert len(rows) == 4
 
 
+def test_merge_update_moves_sole_occupant(spark):
+    """An update that moves a key out of a partition it SOLELY occupied
+    must drop the emptied partition directory — dynamic overwrite never
+    rewrites a partition absent from the output, so without the cleanup
+    the old file resurrects the row (key duplicated across partitions)."""
+    path = tempfile.mkdtemp(prefix="recipes_merge_") + "/store"
+    spark.createDataFrame(
+        [(1, "a", 10.0), (3, "b", 30.0)], "id long, part string, v double"
+    ).write.mode("overwrite").partitionBy("part").parquet(path)
+    src = spark.createDataFrame([(3, "a", 33.0)], "id long, part string, v double")
+    counts = merge_into(
+        spark, path, src, on="id", partition_col="part",
+        when_matched="update", when_not_matched="insert",
+    )
+    assert counts == {"inserted": 0, "updated": 1, "deleted": 0, "kept": 1}
+    assert _rows(spark, path) == {(1, "a", 10.0), (3, "a", 33.0)}
+
+
 def test_merge_delete_with_condition(spark):
     path = _store(spark)
     src = spark.createDataFrame(

@@ -37,6 +37,28 @@ def test_cached_glob_materializes_and_hits(spark, sf_dir):
     assert live.count() == n
 
 
+def test_manifest_keys_ignore_ineffective_blacklist(spark):
+    """Keys shift only for blacklist stamps that actually REMOVED a grid
+    row: off-grid, out-of-range, and duplicate entries are no-ops for
+    the anti-join and must be no-ops for the arithmetic key too
+    (FilePattern.items() list-position parity)."""
+    from recipes_spark.sources.timegrid import manifest
+
+    def keys(blacklist):
+        m = manifest(
+            spark, "2024-01-01 00:00:00", "2024-01-01 00:12:00",
+            root="http://x", blacklist=blacklist,
+        )
+        return [r.key for r in m.orderBy("ts").collect()]
+
+    # Off-grid + out-of-range entries remove nothing: keys stay 0..4.
+    assert keys(["2024-01-01 00:01:00", "2023-12-31 23:57:00"]) == [0, 1, 2, 3, 4]
+    # A duplicated on-grid entry counts once, not twice.
+    assert keys(["2024-01-01 00:03:00", "2024-01-01 00:03:00"]) == [0, 1, 2, 3]
+    # Baseline: one effective on-grid drop.
+    assert keys(["2024-01-01 00:03:00"]) == [0, 1, 2, 3]
+
+
 def test_granule_roundtrip(spark):
     root = stage_granules(8)
     meta = file_metadata(spark, os.path.join(root, "*.nc"))

@@ -54,6 +54,39 @@ def stage_events(
     return root
 
 
+def stage_events_ordered(
+    spark: SparkSession, sf_dir: str, *, chunks: int = 4
+) -> str:
+    """Stage events as `chunks` files split along the GLOBAL
+    (ts, event_id) order — file i holds rows strictly before file i+1.
+    This is the in-order-delivery contract a CDC apply stream assumes
+    (change batches arrive in commit order); mtimes force the file
+    source to read them in that order. Memoized like stage_events."""
+    key = (sf_dir, -1, chunks)
+    if key in _STAGED and os.path.isdir(_STAGED[key]):
+        return _STAGED[key]
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    root = tempfile.mkdtemp(prefix="recipes_stream_cdc_")
+    ev = load(spark, sf_dir, "events")
+    # ntile over the global order: small table at test scale; a real
+    # landing zone is written pre-chunked by the upstream producer.
+    w = Window.orderBy("ts", "event_id")
+    chunked = ev.withColumn("__chunk", F.ntile(chunks).over(w))
+    for i in range(1, chunks + 1):
+        part = os.path.join(root, f"chunk{i:03d}.parquet")
+        chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        t = 1_600_000_000 + i
+        os.utime(part, (t, t))
+        for name in os.listdir(part):
+            os.utime(os.path.join(part, name), (t, t))
+    _STAGED[key] = root
+    return root
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,

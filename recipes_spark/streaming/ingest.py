@@ -17,6 +17,7 @@ is identical.
 from __future__ import annotations
 
 import itertools
+import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -81,6 +82,92 @@ def ingest_events(
         q.awaitTermination()
     finally:
         q.stop()
+
+
+@query(
+    "st10_cdc_merge",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type, ts AS last_ts,
+       value AS last_value
+FROM ranked WHERE rn = 1
+""",
+)
+def st10_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: a change stream (events in commit order,
+    chunked into in-order micro-batches) merged into a keyed store via
+    foreachBatch → MERGE INTO (plans/merge.py) — the plain-Parquet
+    analog of a Delta/Iceberg streaming MERGE. Each batch reduces to
+    its last change per key (row_number over ts desc, event_id desc)
+    before merging, so re-delivery of a batch is idempotent and the
+    final store is the last-writer-wins state per user — which is the
+    oracle: latest event per user over the whole table. In-order
+    delivery is the standard CDC-apply contract; the chunking preserves
+    global (ts, event_id) order across batch boundaries.
+
+    Scale shape: per batch, one narrow (key, partition) scan of the
+    target + a rewrite of touched partitions only (user_id hash-bucket
+    partitioning spreads rewrites evenly); the store never rescans the
+    stream history."""
+    from pyspark.sql import Window
+
+    from recipes_spark.plans.merge import merge_into
+    from recipes_spark.streaming.core import stage_events_ordered
+
+    staged = stage_events_ordered(spark, sf_dir, chunks=4)
+    store = tempfile.mkdtemp(prefix="recipes_cdc_store_") + "/store"
+    schema = (
+        spark.read.parquet(os.path.join(staged, "chunk001.parquet")).schema
+    )
+
+    def apply_cdc(bdf: DataFrame, _bid: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            bdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                "ts",
+                "event_type",
+                "value",
+                F.pmod("user_id", F.lit(8)).cast("int").alias("bucket"),
+            )
+        )
+        merge_into(
+            spark, store, latest, on="user_id", partition_col="bucket",
+            when_matched="update", when_not_matched="insert",
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(apply_cdc)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_cdc_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(store).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
 
 
 @query(

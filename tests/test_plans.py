@@ -163,6 +163,36 @@ def test_scd2_windows_share_one_exchange(spark, sf_dir):
     assert len(user_exchanges) == 1, plan
 
 
+def test_catalog_dim_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """A dim-filtered join against the collection_id-partitioned item
+    store must prune partitions at RUNTIME (DPP): the selective filter
+    lives on the collections dim, not the fact, so static pruning can't
+    see it — without dynamicpruningexpression in the scan's partition
+    filters, a 100 TB store scans every collection to serve a
+    one-collection query."""
+    import pyspark.sql.functions as F
+
+    items = spark.range(0, 400).select(
+        F.col("id").alias("item_id"),
+        F.concat(F.lit("c"), F.pmod("id", F.lit(8)).cast("string")).alias(
+            "collection_id"
+        ),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    path = str(tmp_path / "items")
+    items.write.partitionBy("collection_id").parquet(path)
+    store = spark.read.parquet(path)
+    dims = spark.createDataFrame(
+        [(f"c{i}", "CC" if i == 3 else "prop") for i in range(8)],
+        "collection_id string, license string",
+    )
+    joined = store.join(dims.filter(F.col("license") == "CC"), "collection_id")
+    rows = joined.collect()
+    assert len(rows) == 50
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_manifest_key_has_no_single_task_window(spark, sf_dir):
     """The S4 list-position key is arithmetic (epoch offset − blacklist
     prefix count), not row_number over an empty partitionBy — the plan

@@ -48,21 +48,43 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+def _canonical_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp flavor to TimestampType (LTZ).
+
+    Parquet writers vary the encoding (isAdjustedToUTC true/false ↔
+    Spark TIMESTAMP vs TIMESTAMP_NTZ); downstream operators —
+    ``withWatermark``, ``unix_micros``, ``cast(ts AS double)`` — accept
+    only TIMESTAMP. With the session timezone pinned UTC the NTZ→LTZ
+    cast is value-preserving, and DuckDB keeps reading the same parquet
+    as UTC-naive, so oracle hashes are unchanged. Type-driven (whatever
+    flavor arrives → one canonical type) so future testdata
+    regenerations are a no-op."""
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Oracle comparisons need UTC-naive timestamps, so the
     session timezone is pinned here (DuckDB reads the same parquet as
-    UTC-naive). TIMESTAMP(NANOS) columns (events.ts) are read as long and
-    floor-converted to microseconds — the same truncation DuckDB applies."""
+    UTC-naive). TIMESTAMP(NANOS) columns (events.ts historically) are read
+    as long and floor-converted to microseconds — the same truncation
+    DuckDB applies — and any TIMESTAMP_NTZ column is cast to the
+    session-UTC TimestampType so every downstream consumer sees ONE
+    timestamp flavor regardless of how the parquet was written."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     nanos = _nanos_timestamp_cols(path)
     if not nanos:
-        return spark.read.parquet(path)
+        return _canonical_timestamps(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))"))
-    return df
+    return _canonical_timestamps(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

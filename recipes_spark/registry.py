@@ -33,6 +33,17 @@ _RECHECK: dict[str, int] = {
     "x6_packing_plan": 2,    # resharded cumsum (was single-task global window)
     "embedding_neardup": 2,  # re-routed through LSH buckets (was all-pairs)
     "near_dup_wordset": 2,   # candidates now fed from MinHash bands
+    "s4_manifest": 2,        # arithmetic-key rewrite (ed7a8b3) post-dated r1 row
+    # round-3 TIMESTAMP_NTZ normalization (io._canonical_timestamps)
+    # changed the event-time type every one of these sees:
+    "gap_detect": 3,
+    "window_range_interval": 3,
+    "st2_tumbling_stream": 3,
+    "st3_sliding_stream": 3,
+    "st4_session_stream": 3,
+    "st5_watermark_late": 3,
+    "st6_stream_dedup": 3,
+    "st8_stream_join": 3,
 }
 
 

@@ -83,15 +83,96 @@ def stage_granules(n: int = 24) -> str:
     return root
 
 
+#: NetCDF classic external types → value byte width (CDF spec §"Data").
+_NC_WIDTH = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8}
+_NC_FMT = {1: "b", 3: "h", 4: "i", 5: "f", 6: "d"}
+
+
+def _parse_netcdf_classic_attrs(content: bytes) -> dict | None:
+    """Global attributes of a NetCDF *classic* file (magic CDF\\x01 or
+    CDF\\x02) parsed with pure stdlib struct — no xarray/h5netcdf needed.
+
+    The format is public and simple: big-endian header of
+    magic, numrecs, dim_list, gatt_list, var_list; we stop after
+    gatt_list because S11 is metadata-only (the reference likewise reads
+    only attrs/coords: avhrr…/recipe.py:125-127). NetCDF-4 (HDF5
+    container, magic \\x89HDF) falls through to the xarray branch.
+    Returns the attr dict, or None if not classic NetCDF."""
+    import struct
+
+    if len(content) < 8 or content[:3] != b"CDF" or content[3] not in (1, 2):
+        return None
+    pos = 8  # skip magic + numrecs
+
+    def read_int() -> int:
+        nonlocal pos
+        v = struct.unpack_from(">i", content, pos)[0]
+        pos += 4
+        return v
+
+    def read_name() -> str:
+        nonlocal pos
+        n = read_int()
+        s = content[pos : pos + n].decode("utf-8", "replace")
+        pos += (n + 3) & ~3  # names pad to 4-byte boundary
+        return s
+
+    try:
+        # dim_list: tag(0x0A)+count, or ABSENT (0,0)
+        tag, count = read_int(), read_int()
+        if tag not in (0, 0x0A):
+            return None
+        for _ in range(count):
+            read_name()
+            read_int()  # dim length
+        # gatt_list: tag(0x0C)+count, or ABSENT
+        tag, count = read_int(), read_int()
+        if tag not in (0, 0x0C):
+            return None
+        attrs: dict = {}
+        for _ in range(count):
+            name = read_name()
+            nc_type, nelems = read_int(), read_int()
+            width = _NC_WIDTH.get(nc_type)
+            if width is None:
+                return None
+            raw = content[pos : pos + width * nelems]
+            pos += (width * nelems + 3) & ~3  # values pad to 4
+            if nc_type == 2:  # NC_CHAR → string
+                attrs[name] = raw.decode("utf-8", "replace")
+            else:
+                vals = struct.unpack(f">{nelems}{_NC_FMT[nc_type]}", raw)
+                attrs[name] = vals[0] if nelems == 1 else list(vals)
+        return attrs
+    except (struct.error, IndexError):
+        return None
+
+
 def _decode_meta(content: bytes, path: str) -> dict | None:
-    """Per-file metadata decode: real NetCDF when xarray is available,
-    else the synthetic format. Returns None for undecodable files
-    (quarantine path — P3 semantics)."""
+    """Per-file metadata decode: synthetic format, NetCDF classic
+    (stdlib parser), then real NetCDF-4 via xarray when the libs are
+    available. Returns None for undecodable files (quarantine path —
+    P3 semantics)."""
     if content.startswith(GRANULE_MAGIC):
         off = len(GRANULE_MAGIC)
         hlen = int.from_bytes(content[off : off + 4], "big")
         meta = json.loads(content[off + 4 : off + 4 + hlen])
         return meta
+    classic = _parse_netcdf_classic_attrs(content)
+    if classic is not None:
+        try:
+            return {
+                "granule_id": str(classic.get("id", os.path.basename(path))),
+                "platform": str(classic.get("platform", "")),
+                "start_datetime": str(classic.get("time_coverage_start", "")),
+                "end_datetime": str(classic.get("time_coverage_end", "")),
+                "west": float(classic.get("westernmost_longitude", "nan")),
+                "south": float(classic.get("southernmost_latitude", "nan")),
+                "east": float(classic.get("easternmost_longitude", "nan")),
+                "north": float(classic.get("northernmost_latitude", "nan")),
+            }
+        except (TypeError, ValueError):
+            return None
     try:  # real NetCDF path — exercised only where the libs exist
         import io
 

@@ -51,6 +51,57 @@ def minhash_signature(
     return F.array(*[min_hash(i) for i in range(num_hashes)])
 
 
+def _band_rows(
+    df: DataFrame,
+    *,
+    id_col: str,
+    set_col: str,
+    num_hashes: int,
+    bands: int,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, bhash) banding rows via TWO single-column aggregations:
+    min per (id, lane), then a bit_xor combine per (id, band).
+
+    Why not one groupBy(id) with `num_hashes` min-agg columns: that
+    generates one enormous whole-stage-codegen method whose Janino
+    compile dominates runtime and (under AQE's per-stage replanning)
+    recompiles unpredictably — measured 5-20 s/run vs a stable sub-2 s
+    for this shape at sf0.1. Each agg here has ONE aggregate expression
+    (tiny codegen); map-side partial agg means the lane shuffle carries
+    the same data volume as the wide form (num_hashes mins per doc),
+    just as narrow rows. The band hash is bit_xor over
+    xxhash64(lane, lane_min) — lanes are distinct within a band, so the
+    xor equals iff the ordered lane-min tuple equals (up to a ~2^-64
+    collision), exactly the banding-collision condition."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    carry = list(carry_cols)
+    lanes = df.select(
+        id_col,
+        *carry,
+        F.explode(F.transform(set_col, lambda s: F.xxhash64(s))).alias("__h"),
+    ).select(
+        id_col,
+        *carry,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__lane"),
+        "__h",
+    )
+    # carry_cols are functionally dependent on id, so adding them to the
+    # grouping keys changes nothing about the aggregation — they just
+    # ride along so callers can band-join WITHIN blocking keys (see
+    # band_hashes docstring) without a join back to the source.
+    mins = lanes.groupBy(id_col, *carry, "__lane").agg(
+        F.min(F.xxhash64(F.col("__h"), F.col("__lane"))).alias("__m")
+    )
+    return (
+        mins.groupBy(id_col, *carry, F.expr(f"__lane DIV {r}").alias("__band"))
+        .agg(F.expr("bit_xor(xxhash64('band', __lane, __m))").alias("bhash"))
+        .select(id_col, *carry, "bhash")
+    )
+
+
 def band_hashes(
     df: DataFrame,
     *,
@@ -58,40 +109,32 @@ def band_hashes(
     set_col: str,
     num_hashes: int = 128,
     bands: int = 32,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, bhash) MinHash banding rows from a string-array column — the
-    candidate-generation stage shared by every Jaccard near-dup verify.
+    """(id, *carry_cols, bhash) MinHash banding rows from a string-array
+    column — the candidate-generation stage shared by every Jaccard
+    near-dup verify.
 
-    Same plan shape as minhash_lsh_pairs: explode→per-lane min-aggs for
-    the signature (flat map-side-combining hash agg), then one banding
-    row per (doc, band). A pair with Jaccard j collides in ANY band with
-    probability 1-(1-j^r)^b (r = num_hashes/bands); the 128/32 defaults
-    give miss ≈ (1-0.8^4)^32 ≈ 5e-8 at j=0.8, i.e. recall-complete in
-    practice for a 0.8-threshold verify."""
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-    lanes = df.select(
-        id_col, F.explode(F.transform(set_col, lambda s: F.xxhash64(s))).alias("__h")
-    )
-    sigs = lanes.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    return sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col(f"__m{b * r + j}") for j in range(r)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bhash"),
+    A pair with Jaccard j collides in ANY band with probability
+    1-(1-j^r)^b (r = num_hashes/bands); the 128/32 defaults give miss
+    ≈ (1-0.8^4)^32 ≈ 5e-8 at j=0.8, i.e. recall-complete in practice
+    for a 0.8-threshold verify.
+
+    When the downstream pair-filter includes blocking-key equality
+    (same language, same source, …), pass those keys as `carry_cols`
+    and include them in the candidate join: banding's s-curve admits
+    every pair above ≈ (1/bands)^(1/r) ≈ 0.42 Jaccard, so on a corpus
+    with high baseline similarity the bhash join alone degenerates
+    toward all-pairs; blocking bounds each join group by the block
+    size instead. Results are EXACTLY unchanged — the equality filter
+    moves from post-verify to candidate generation."""
+    return _band_rows(
+        df,
+        id_col=id_col,
+        set_col=set_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        carry_cols=carry_cols,
     )
 
 
@@ -115,10 +158,6 @@ def minhash_lsh_pairs(
     banding parameters trade recall vs candidate volume (b=16, r=4 ⇒
     s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-
     # Repartition BEFORE shingling: projections run on their input's
     # partitioning, so shingling after the exchange uses every core
     # (before it, a single-file scan would shingle serially).
@@ -126,37 +165,18 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     ).select("__id", word_shingles("__t", shingle_n).alias("__sh"))
 
-    # Signature via explode → 64 min-aggregates, NOT 64 nested
-    # transform/array_min expressions over the shingle array: the
-    # nested form is one giant expression tree (slow codegen, measured
-    # ~2× slower); the agg form is a flat hash-agg that combines
-    # map-side, so the shuffle carries one 64-long row per doc.
-    lanes = shingled.select(
-        "__id", F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__h")
-    )
-    sigs = lanes.groupBy("__id").agg(
-        *[
-            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-
-    # Banding carries ONLY (id, bhash) into the shuffle — the shingle
-    # arrays (the wide payload) are re-joined later just for the
+    # Banding carries ONLY (id, bhash) into the candidate shuffle — the
+    # shingle arrays (the wide payload) are re-joined later just for the
     # surviving candidates. At 100 TB this is the difference between
-    # shuffling ids and shuffling the corpus 16×.
-    banded = sigs.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col(f"__m{b * r + j}") for j in range(r)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bhash"),
+    # shuffling ids and shuffling the corpus 16×. Signature+banding use
+    # the two-narrow-agg shape (_band_rows) — see its docstring for why
+    # the wide num_hashes-column agg form is a codegen trap.
+    banded = _band_rows(
+        shingled,
+        id_col="__id",
+        set_col="__sh",
+        num_hashes=num_hashes,
+        bands=bands,
     )
 
     cand = (

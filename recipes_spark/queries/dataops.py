@@ -80,44 +80,35 @@ def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup via word-SET Jaccard ≥ 0.8 — the exact-verification
     stage of a dedup pipeline. Candidate pairs come from MinHash bands
     (operators/dedup.band_hashes, 128 hashes / 32 bands: per-pair miss
-    ≈ 5e-8 at j=0.8, so the verified output equals the all-pairs oracle),
-    NOT from an all-pairs self-join within (lang, source) blocks whose
-    size is corpus-scale. The (lang, source) equality and the exact
-    Jaccard run as the verify filter on candidates only."""
+    ≈ 5e-8 at j=0.8, so the verified output equals the all-pairs
+    oracle). The (lang, source) equality the query requires is part of
+    the CANDIDATE join key (band_hashes carry_cols) — same results,
+    but each band-join group is bounded by the block size, which keeps
+    candidate volume proportional to true near-dups even on corpora
+    whose baseline cross-doc Jaccard exceeds banding's ≈0.42 s-curve
+    threshold."""
     d = scale_partitions(load(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         "source",
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("s"),
     )
+    bh = band_hashes(
+        d, id_col="doc_id", set_col="s", carry_cols=("lang", "source")
+    )
     cand = (
-        band_hashes(d.select("doc_id", "s"), id_col="doc_id", set_col="s")
-        .alias("a")
-        .join(band_hashes(d.select("doc_id", "s"), id_col="doc_id", set_col="s").alias("b"), "bhash")
+        bh.alias("a")
+        .join(bh.alias("b"), ["bhash", "lang", "source"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    a = d.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("source").alias("source_a"),
-        F.col("s").alias("s_a"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
-        F.col("s").alias("s_b"),
-    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
     jac = F.size(F.array_intersect("s_a", "s_b")) / F.size(F.array_union("s_a", "s_b"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .filter(
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("source_a") == F.col("source_b"))
-        )
         .withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= 0.8)
         .select("id_a", "id_b", "jaccard")

@@ -44,6 +44,12 @@ _RECHECK: dict[str, int] = {
     "st5_watermark_late": 3,
     "st6_stream_dedup": 3,
     "st8_stream_join": 3,
+    # round-3 banding rewrite (two-narrow-agg _band_rows; blocked
+    # candidate join in near_dup_wordset):
+    "x2_minhash_lsh": 3,
+    "near_dup_wordset": 3,
+    "x2_dedup_groups": 3,
+    "x2_dedup_groups_star": 3,
 }
 
 

@@ -50,6 +50,10 @@ _RECHECK: dict[str, int] = {
     "near_dup_wordset": 3,
     "x2_dedup_groups": 3,
     "x2_dedup_groups_star": 3,
+    # round-3 perf rewrites (bigint SimHash sketch; broadcast-probe
+    # blocked fuzzy join):
+    "x2_simhash": 3,
+    "x7_fuzzy_match": 3,
 }
 
 

@@ -195,3 +195,120 @@ def st1_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "st11_stream_incremental_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT sha256(text) AS h FROM documents
+), batch AS (
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' fresh'
+  FROM documents WHERE doc_id % 10 = 7
+), in_batch AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY sha256(text)
+                            ORDER BY doc_id) AS rn
+  FROM batch
+)
+SELECT b.doc_id FROM in_batch b
+WHERE b.rn = 1
+  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = sha256(b.text))
+""",
+)
+def st11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of x2_incremental_dedup — the SAME contract
+    (batch dedupes against itself and the corpus digest index; output =
+    genuinely new docs) executed as a Structured Streaming pipeline:
+
+      landing files → withWatermark(ingest_ts)
+                    → dropDuplicatesWithinWatermark(digest)   [stream state]
+                    → foreachBatch: anti-join corpus index → append sink
+
+    The staged landing zone replays the batch TWICE (copies, mtime-
+    ordered), so every digest arrives again and must be dropped by the
+    dedup state, not by luck — re-delivery idempotence is the property
+    under test. The oracle is x2_incremental_dedup's: batch boundaries
+    and the replay must not change the answer.
+
+    Scale shape: dedup state holds one digest per in-watermark doc
+    (32 bytes/row); the corpus index is only ever touched as a narrow
+    digest column anti-joined per micro-batch — batch-sized shuffles,
+    corpus-sized scans, never corpus-sized shuffles."""
+    from recipes_spark.io import load
+
+    v1 = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_idx = v1.select(F.sha2("text", 256).alias("h"))
+    batch = (
+        v1.filter(F.col("doc_id") % 10 == 3)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        .unionByName(
+            v1.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat("text", F.lit(" fresh")).alias("text"),
+            )
+        )
+        .withColumn("h", F.sha2("text", 256))
+        # Synthetic arrival time derived from doc_id: deterministic, and
+        # distinct per row (the two derivation arms use disjoint source
+        # ids), so watermark progression is reproducible.
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(
+                F.lit(1_600_000_000) + F.pmod("doc_id", F.lit(1_000_000))
+            ),
+        )
+    )
+
+    staged = tempfile.mkdtemp(prefix="recipes_st11_landing_")
+    # Two chunks (split by derivation arm → ascending doc_id across
+    # chunk boundaries) × two copies (full replay) in forced mtime order.
+    chunks = [
+        batch.filter(F.col("doc_id") < 3_000_000),
+        batch.filter(F.col("doc_id") >= 3_000_000),
+    ]
+    seq = 0
+    for copy in range(2):
+        for i, chunk in enumerate(chunks):
+            part = os.path.join(staged, f"copy{copy}_chunk{i}.parquet")
+            chunk.coalesce(1).write.mode("overwrite").parquet(part)
+            t = 1_600_000_000 + seq
+            os.utime(part, (t, t))
+            for name in os.listdir(part):
+                os.utime(os.path.join(part, name), (t, t))
+            seq += 1
+
+    out_dir = tempfile.mkdtemp(prefix="recipes_st11_out_") + "/kept"
+
+    def dedup_against_corpus(bdf: DataFrame, _bid: int) -> None:
+        kept = bdf.join(corpus_idx, "h", "left_anti").select("doc_id")
+        kept.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        # 30-day delay >> the data's time span: nothing is ever late, so
+        # every replayed digest is dropped by STATE (the property under
+        # test), not by watermark lateness.
+        .withWatermark("ingest_ts", "30 days")
+        .dropDuplicatesWithinWatermark(["h"])
+    )
+    q = (
+        stream.writeStream.foreachBatch(dedup_against_corpus)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st11_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select("doc_id")

@@ -200,3 +200,60 @@ def test_manifest_key_has_no_single_task_window(spark, sf_dir):
     df = QUERIES["s4_manifest"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_fact_fact_join_injects_runtime_bloom_filter(spark, sf_dir):
+    """100 TB fact-fact joins (SCALE.md): when neither side broadcasts,
+    Spark's runtime Bloom-filter injection must prune the probe side's
+    shuffle input with might_contain(bloom_filter_agg(build keys)) —
+    row-level runtime filtering, the shuffle-volume complement to
+    bucketing and DPP. Asserted under fact-fact thresholds (broadcast
+    off); results must equal the unfiltered join."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = j.collect()
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        j2 = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        assert sorted(map(tuple, j2.collect())) == sorted(map(tuple, expected))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -243,34 +243,79 @@ def lsh_neardup_pairs(
     all-pairs answer on planted duplicates."""
     rng = np.random.default_rng(seed)
     tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
-    vec = as_double(F.col(vec_col))
-    buckets = F.array(
-        *[
-            F.concat(F.lit(f"t{t}:"), hyperplane_sketch(vec, planes))
-            for t, planes in enumerate(tables)
-        ]
-    )
     blocks = list(block_cols)
-    bucketed_df = scale_partitions(df).select(
-        F.col(id_col), *blocks, F.col(vec_col), F.explode(buckets).alias("bucket")
+    base = scale_partitions(df)
+
+    # Bucket assignment is ONE numpy einsum per Arrow batch — all
+    # n_tables × n_planes dot products vectorized, vs ~n_tables×n_planes
+    # ×dim interpreted HOF expression evals per row in the Catalyst
+    # form. The sketch only drives candidate RECALL (the exact-cosine
+    # verify below decides membership), so float-summation-order
+    # differences vs the JVM are immaterial.
+    T = np.stack(tables)  # (n_tables, n_planes, dim)
+    in_fields = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    bucket_schema = ", ".join(
+        [f"{id_col} {in_fields[id_col]}"]
+        + [f"{c} {in_fields[c]}" for c in blocks]
+        + ["bucket string"]
     )
-    a = bucketed_df.select(
-        F.col(id_col).alias("id_a"), *blocks, F.col(vec_col).alias("__va"), "bucket"
-    )
+    n_tables_ = n_tables
+
+    def assign_buckets(batches):
+        pow2 = 1 << np.arange(n_planes - 1, -1, -1)
+        prefixes = np.array([f"t{t}:" for t in range(n_tables_)])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            signs = np.einsum("tpd,nd->ntp", T, V) > 0  # (n, tables, planes)
+            codes = (signs * pow2).sum(axis=2)  # (n, tables)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_tables_),
+                    **{c: pdf[c].to_numpy().repeat(n_tables_) for c in blocks},
+                    "bucket": np.char.add(
+                        np.tile(prefixes, len(pdf)),
+                        codes.astype(np.int64).ravel().astype(str),
+                    ),
+                }
+            )
+            yield out
+
+    # Banding rows carry (id, blocks, bucket) ONLY — the vector payload
+    # stays out of the n_tables-times-exploded candidate shuffle (the
+    # same never-shuffle-the-corpus-16× rule as MinHash banding) and
+    # re-joins just for the surviving distinct pairs.
+    bucketed_df = base.mapInPandas(assign_buckets, schema=bucket_schema)
+    a = bucketed_df.select(F.col(id_col).alias("id_a"), *blocks, "bucket")
     b = bucketed_df.select(
         F.col(id_col).alias("id_b"),
         *[F.col(c).alias(f"__b_{c}") for c in blocks],
-        F.col(vec_col).alias("__vb"),
         "bucket",
     )
     cond = a["bucket"] == b["bucket"]
     for c in blocks:
         cond = cond & (a[c] == b[f"__b_{c}"])
-    cos = cosine(as_double(F.col("__va")), as_double(F.col("__vb")))
-    return (
+    cand = (
         a.join(b, cond)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])  # pair may collide in >1 table
+        # The candidate list is BYTE-small (two ids/row) so AQE coalesces
+        # it to ~1 partition, which would serialize the CPU-heavy cosine
+        # verify below (the vector joins are broadcasts — they inherit
+        # this partitioning). An explicit round-robin repartition is
+        # exempt from AQE coalescing; it shuffles only id pairs.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = cosine(as_double(F.col("__va")), as_double(F.col("__vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine_sim", F.round(cos, 4))
         .filter(cos >= threshold)
         .select("id_a", "id_b", "cosine_sim")

@@ -614,7 +614,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = scale_partitions(d).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    # tf feeds three consumers (itself, dl, dfreq); materialize the
+    # tokenize+count once instead of re-executing it per branch
+    # (Catalyst does not share subplans across DataFrame branches).
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     score = (F.col("c") / F.col("n_tokens")) * F.log(

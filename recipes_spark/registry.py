@@ -31,7 +31,6 @@ _ORACLES: dict[str, str] = {}
 #: still count.
 _RECHECK: dict[str, int] = {
     "x6_packing_plan": 2,    # resharded cumsum (was single-task global window)
-    "embedding_neardup": 2,  # re-routed through LSH buckets (was all-pairs)
     "near_dup_wordset": 2,   # candidates now fed from MinHash bands
     "s4_manifest": 2,        # arithmetic-key rewrite (ed7a8b3) post-dated r1 row
     # round-3 TIMESTAMP_NTZ normalization (io._canonical_timestamps)
@@ -51,9 +50,13 @@ _RECHECK: dict[str, int] = {
     "x2_dedup_groups": 3,
     "x2_dedup_groups_star": 3,
     # round-3 perf rewrites (bigint SimHash sketch; broadcast-probe
-    # blocked fuzzy join):
+    # blocked fuzzy join; numpy LSH sketch + payload-free banding join
+    # + parallel verify; materialized tf):
     "x2_simhash": 3,
     "x7_fuzzy_match": 3,
+    "embedding_neardup": 3,
+    "x3_semantic_dedup": 3,
+    "tfidf_top_terms": 3,
 }
 
 

@@ -96,22 +96,6 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sketch(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-bit sketch: bit_j = 1 iff vec·plane_j > 0. planes is a
-    (n_planes, dim) literal matrix (deterministic seed) folded into the
-    plan as array literals — row-local, no shuffle."""
-    bits = []
-    for row in planes:
-        plane = F.array(*[F.lit(float(x)) for x in row])
-        d = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(d > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
-
-
 def train_centroids(
     corpus: DataFrame,
     *,
@@ -216,6 +200,54 @@ def ivf_topk(
     )
 
 
+def _hyperplane_buckets(
+    df: DataFrame,
+    *,
+    tables: list[np.ndarray],
+    vec_col: str,
+    keep_cols: list[str],
+) -> DataFrame:
+    """(keep_cols…, bucket) rows: `len(tables)` sign-bit buckets per
+    vector, assigned with ONE numpy einsum per Arrow batch — all
+    n_tables × n_planes dot products vectorized, vs that many
+    interpreted HOF expression evaluations per row in the Catalyst
+    form. Buckets only drive candidate RECALL (an exact re-rank/verify
+    decides membership downstream), so float-summation-order
+    differences vs the JVM are immaterial."""
+    T = np.stack(tables)  # (n_tables, n_planes, dim)
+    n_tables, n_planes, _ = T.shape
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(
+        [f"{c} {in_fields[c]}" for c in keep_cols] + ["bucket string"]
+    )
+
+    def assign(batches):
+        pow2 = 1 << np.arange(n_planes - 1, -1, -1)
+        prefixes = np.array([f"t{t}:" for t in range(n_tables)])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            signs = np.einsum("tpd,nd->ntp", T, V) > 0  # (n, tables, planes)
+            codes = (signs * pow2).sum(axis=2)  # (n, tables)
+            yield pd.DataFrame(
+                {
+                    **{
+                        c: pdf[c].to_numpy().repeat(n_tables)
+                        for c in keep_cols
+                    },
+                    "bucket": np.char.add(
+                        np.tile(prefixes, len(pdf)),
+                        codes.astype(np.int64).ravel().astype(str),
+                    ),
+                }
+            )
+
+    return df.mapInPandas(assign, schema=schema)
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     *,
@@ -246,49 +278,13 @@ def lsh_neardup_pairs(
     blocks = list(block_cols)
     base = scale_partitions(df)
 
-    # Bucket assignment is ONE numpy einsum per Arrow batch — all
-    # n_tables × n_planes dot products vectorized, vs ~n_tables×n_planes
-    # ×dim interpreted HOF expression evals per row in the Catalyst
-    # form. The sketch only drives candidate RECALL (the exact-cosine
-    # verify below decides membership), so float-summation-order
-    # differences vs the JVM are immaterial.
-    T = np.stack(tables)  # (n_tables, n_planes, dim)
-    in_fields = {f.name: f.dataType.simpleString() for f in base.schema.fields}
-    bucket_schema = ", ".join(
-        [f"{id_col} {in_fields[id_col]}"]
-        + [f"{c} {in_fields[c]}" for c in blocks]
-        + ["bucket string"]
-    )
-    n_tables_ = n_tables
-
-    def assign_buckets(batches):
-        pow2 = 1 << np.arange(n_planes - 1, -1, -1)
-        prefixes = np.array([f"t{t}:" for t in range(n_tables_)])
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            signs = np.einsum("tpd,nd->ntp", T, V) > 0  # (n, tables, planes)
-            codes = (signs * pow2).sum(axis=2)  # (n, tables)
-            out = pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy().repeat(n_tables_),
-                    **{c: pdf[c].to_numpy().repeat(n_tables_) for c in blocks},
-                    "bucket": np.char.add(
-                        np.tile(prefixes, len(pdf)),
-                        codes.astype(np.int64).ravel().astype(str),
-                    ),
-                }
-            )
-            yield out
-
     # Banding rows carry (id, blocks, bucket) ONLY — the vector payload
     # stays out of the n_tables-times-exploded candidate shuffle (the
     # same never-shuffle-the-corpus-16× rule as MinHash banding) and
     # re-joins just for the surviving distinct pairs.
-    bucketed_df = base.mapInPandas(assign_buckets, schema=bucket_schema)
+    bucketed_df = _hyperplane_buckets(
+        base, tables=tables, vec_col=vec_col, keep_cols=[id_col, *blocks]
+    )
     a = bucketed_df.select(F.col(id_col).alias("id_a"), *blocks, "bucket")
     b = bucketed_df.select(
         F.col(id_col).alias("id_b"),
@@ -348,22 +344,31 @@ def lsh_topk(
     rng = np.random.default_rng(seed)
     tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
 
-    def bucketed(df: DataFrame, vcol: str, idcols: list[str]) -> DataFrame:
-        vec = as_double(F.col(vcol))
-        buckets = F.array(
-            *[
-                F.concat(F.lit(f"t{t}:"), hyperplane_sketch(vec, planes))
-                for t, planes in enumerate(tables)
-            ]
-        )
-        return df.select(*idcols, vcol, F.explode(buckets).alias("bucket"))
-
-    cb = bucketed(scale_partitions(corpus), vec_col, [id_col])
-    qb = bucketed(queries, query_vec_col, [query_id_col])
-    cand = (
+    base = scale_partitions(corpus)
+    # Bucket rows carry ids only (numpy-vectorized assignment); corpus
+    # and query vectors re-join just for surviving candidates — see
+    # _hyperplane_buckets / lsh_neardup_pairs for the rationale.
+    cb = _hyperplane_buckets(
+        base, tables=tables, vec_col=vec_col, keep_cols=[id_col]
+    )
+    qb = _hyperplane_buckets(
+        queries, tables=tables, vec_col=query_vec_col, keep_cols=[query_id_col]
+    )
+    cand_ids = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
+        # byte-small id pairs get AQE-coalesced to ~1 partition, which
+        # would serialize the cosine re-rank; round-robin is exempt.
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    )
+    cand = (
+        cand_ids.join(base.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
         .withColumn(
             "cosine_sim",
             F.round(

@@ -701,15 +701,24 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     full sort — the exact form here doubles as its correctness
     baseline."""
     li = load(spark, sf_dir, "lineitem")
+    # ONE percentile aggregate with an array of fractions, not four:
+    # each exact-percentile aggregate buffers (and partial-agg shuffles)
+    # the complete per-group value list, so four separate aggs walk and
+    # serialize that list four times — measured 12-40 s vs ~3 s at
+    # sf0.1 for the array form.
+    qs = (0.25, 0.5, 0.75, 0.99)
+    fracs = ", ".join(str(q) for q in qs)
     return (
         li.groupBy("l_returnflag")
         .agg(
+            F.expr(f"percentile(l_extendedprice, array({fracs}))").alias("__p")
+        )
+        .select(
+            "l_returnflag",
             *[
-                F.round(
-                    F.expr(f"percentile(l_extendedprice, {q})"), 4
-                ).alias(f"p{int(q * 100)}")
-                for q in (0.25, 0.5, 0.75, 0.99)
-            ]
+                F.round(F.element_at("__p", i + 1), 4).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(qs)
+            ],
         )
         .orderBy("l_returnflag")
     )

@@ -57,6 +57,8 @@ _RECHECK: dict[str, int] = {
     "embedding_neardup": 3,
     "x3_semantic_dedup": 3,
     "tfidf_top_terms": 3,
+    "x3_lsh_topk": 3,
+    "agg_percentiles": 3,
 }
 
 

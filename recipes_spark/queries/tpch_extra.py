@@ -1220,3 +1220,32 @@ def agg_argmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("source") == "src0").alias("has_src0"),
         F.bool_and(F.col("n_chars") > 0).alias("all_positive"),
     )
+
+
+@query("agg_percentiles_approx")
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of agg_percentiles: percentile_approx's mergeable
+    sketch (one pass, bounded memory, partial-aggregates combine
+    map-side) instead of buffering every per-group value. accuracy=10000
+    bounds rank error at 1/10000 of the group. Approximate and
+    engine-specific → no DuckDB oracle; tests/test_oracle.py gates it
+    against the exact percentiles at ≤0.5% relative error."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = (0.25, 0.5, 0.75, 0.99)
+    fracs = ", ".join(str(q) for q in qs)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"percentile_approx(l_extendedprice, array({fracs}), 10000)"
+            ).alias("__p")
+        )
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.element_at("__p", i + 1), 4).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(qs)
+            ],
+        )
+        .orderBy("l_returnflag")
+    )

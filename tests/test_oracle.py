@@ -60,3 +60,25 @@ def test_asof_join_partitioning_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default)
     assert low == high
+
+
+def test_approx_percentiles_track_exact(spark, oracle_sf_dir):
+    """agg_percentiles_approx must stay within 0.5% relative error of
+    the exact per-group percentiles — the gate that lets the sketch
+    stand in for the exact aggregate at 100 TB."""
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()
+    exact = {
+        r["l_returnflag"]: r.asDict()
+        for r in q["agg_percentiles"](spark, oracle_sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r.asDict()
+        for r in q["agg_percentiles_approx"](spark, oracle_sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, ex in exact.items():
+        for col in ("p25", "p50", "p75", "p99"):
+            rel = abs(approx[flag][col] - ex[col]) / abs(ex[col])
+            assert rel <= 0.005, (flag, col, approx[flag][col], ex[col])

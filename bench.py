@@ -72,8 +72,11 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Min of 3 runs per query: measures the steady-state plan, not the
-    # one-time whole-stage-codegen compile of run 1.
+    # Min of 3 CONSECUTIVE runs per query: measures the steady-state
+    # plan, not the one-time whole-stage-codegen compile of run 1.
+    # (Interleaving the passes was tried and is systematically slower:
+    # the suite's generated-code units overflow the JVM's bounded
+    # codegen compile cache between passes, so every pass recompiles.)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

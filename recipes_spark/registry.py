@@ -31,7 +31,6 @@ _ORACLES: dict[str, str] = {}
 #: still count.
 _RECHECK: dict[str, int] = {
     "x6_packing_plan": 2,    # resharded cumsum (was single-task global window)
-    "near_dup_wordset": 2,   # candidates now fed from MinHash bands
     "s4_manifest": 2,        # arithmetic-key rewrite (ed7a8b3) post-dated r1 row
     # round-3 TIMESTAMP_NTZ normalization (io._canonical_timestamps)
     # changed the event-time type every one of these sees:

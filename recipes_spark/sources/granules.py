@@ -148,11 +148,29 @@ def _parse_netcdf_classic_attrs(content: bytes) -> dict | None:
         return None
 
 
+def _attrs_to_meta(attrs: dict, path: str) -> dict:
+    """Map CF/ACDD-style global attributes (whatever codec produced
+    them) to the engine's meta contract. Raises on malformed values —
+    callers decide whether to fall through to another codec."""
+    return {
+        "granule_id": str(attrs.get("id", os.path.basename(path))),
+        "platform": str(attrs.get("platform", "")),
+        "start_datetime": str(attrs.get("time_coverage_start", "")),
+        "end_datetime": str(attrs.get("time_coverage_end", "")),
+        "west": float(attrs.get("westernmost_longitude", "nan")),
+        "south": float(attrs.get("southernmost_latitude", "nan")),
+        "east": float(attrs.get("easternmost_longitude", "nan")),
+        "north": float(attrs.get("northernmost_latitude", "nan")),
+    }
+
+
 def _decode_meta(content: bytes, path: str) -> dict | None:
     """Per-file metadata decode: synthetic format, NetCDF classic
-    (stdlib parser), then real NetCDF-4 via xarray when the libs are
-    available. Returns None for undecodable files (quarantine path —
-    P3 semantics)."""
+    (stdlib parser), then xarray when the libs are available — a
+    classic parse whose ATTRS don't fit the meta contract (e.g.
+    array-valued geo attributes) still falls through to xarray, which
+    may read the same file through a richer codec. Returns None for
+    undecodable files (quarantine path — P3 semantics)."""
     if content.startswith(GRANULE_MAGIC):
         off = len(GRANULE_MAGIC)
         hlen = int.from_bytes(content[off : off + 4], "big")
@@ -161,35 +179,16 @@ def _decode_meta(content: bytes, path: str) -> dict | None:
     classic = _parse_netcdf_classic_attrs(content)
     if classic is not None:
         try:
-            return {
-                "granule_id": str(classic.get("id", os.path.basename(path))),
-                "platform": str(classic.get("platform", "")),
-                "start_datetime": str(classic.get("time_coverage_start", "")),
-                "end_datetime": str(classic.get("time_coverage_end", "")),
-                "west": float(classic.get("westernmost_longitude", "nan")),
-                "south": float(classic.get("southernmost_latitude", "nan")),
-                "east": float(classic.get("easternmost_longitude", "nan")),
-                "north": float(classic.get("northernmost_latitude", "nan")),
-            }
+            return _attrs_to_meta(classic, path)
         except (TypeError, ValueError):
-            return None
-    try:  # real NetCDF path — exercised only where the libs exist
+            pass  # fall through to the xarray branch
+    try:  # real NetCDF-4/HDF5 path — exercised only where the libs exist
         import io
 
         import xarray as xr
 
         ds = xr.open_dataset(io.BytesIO(content))
-        a = ds.attrs
-        return {
-            "granule_id": str(a.get("id", os.path.basename(path))),
-            "platform": str(a.get("platform", "")),
-            "start_datetime": str(a.get("time_coverage_start", "")),
-            "end_datetime": str(a.get("time_coverage_end", "")),
-            "west": float(a.get("westernmost_longitude", "nan")),
-            "south": float(a.get("southernmost_latitude", "nan")),
-            "east": float(a.get("easternmost_longitude", "nan")),
-            "north": float(a.get("northernmost_latitude", "nan")),
-        }
+        return _attrs_to_meta(ds.attrs, path)
     except Exception:
         return None
 

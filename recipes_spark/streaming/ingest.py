@@ -262,6 +262,20 @@ def st11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+    # Within-batch digest ties resolve to min doc_id AT THE PRODUCER
+    # (same keep-min window as the batch twin x2_incremental_dedup and
+    # the oracle's rn=1): dropDuplicatesWithinWatermark keeps the
+    # first-ARRIVING row per key, which for same-file duplicates is
+    # shuffle-order-dependent — the stream state's job here is
+    # cross-batch/replay re-delivery, not intra-batch tie-breaking.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    batch = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
     staged = tempfile.mkdtemp(prefix="recipes_st11_landing_")
     # Two chunks (split by derivation arm → ascending doc_id across

@@ -1064,3 +1064,57 @@ def x6_inference_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fill_bp"),
     )
+
+
+@query(
+    "x4_vocab_encode",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), freq AS (
+  SELECT term, count(*) AS n FROM tok GROUP BY term
+), vocab AS (
+  SELECT term, row_number() OVER (ORDER BY n DESC, term) AS id
+  FROM freq ORDER BY n DESC, term LIMIT 1000
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       count(*) FILTER (WHERE v.id IS NULL) AS n_oov,
+       CAST(sum(coalesce(v.id, 0)) AS BIGINT) AS ids_checksum
+FROM tok t LEFT JOIN vocab v USING (term)
+GROUP BY t.doc_id
+""",
+)
+def x4_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary application: build a frequency-ranked
+    top-1000 vocab (id = rank), then encode every document's tokens to
+    ids via a BROADCAST join — the apply-a-trained-tokenizer shape of a
+    training-data pipeline. Output is per-doc (token count, OOV count,
+    id checksum): aggregation makes the contract order-insensitive and
+    oracle-friendly while still proving every token went through the
+    vocab lookup.
+
+    Scale shape: the frequency agg shuffles (term, partial count) —
+    bounded by vocabulary, not corpus; top-1000 selection is
+    TakeOrderedAndProject (k-row heap per partition, NO global sort);
+    the rank window then runs on 1000 rows (bounded single partition,
+    deliberate); encoding is a broadcast hash join, zero corpus
+    shuffle. Two corpus tokenize passes (vocab build + encode) — at
+    100 TB persist the tokenized view or train on a sample instead."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = freq.orderBy(F.desc("n"), F.asc("term")).limit(1000)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    vocab = top.withColumn("id", F.row_number().over(w)).select("term", "id")
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.coalesce("id", F.lit(0))).cast("long").alias("ids_checksum"),
+        )
+    )

@@ -257,3 +257,13 @@ def test_fact_fact_join_injects_runtime_bloom_filter(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_vocab_encode_heap_topk_and_broadcast_apply(spark, sf_dir):
+    """x4_vocab_encode's two scale properties: vocabulary selection is
+    a k-row heap (TakeOrderedAndProject), never a global sort of the
+    term frequencies, and the encode join broadcasts the vocab (zero
+    corpus shuffle for the lookup)."""
+    plan = _plan(spark, sf_dir, "x4_vocab_encode")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

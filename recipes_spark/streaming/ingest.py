@@ -326,3 +326,132 @@ def st11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.read.parquet(out_dir).select("doc_id")
+
+
+@query(
+    "st12_stream_neardup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 /
+             len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+""",
+)
+def st12_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup: documents arrive in doc_id-ordered
+    micro-batches; each batch MinHash-bands its docs, probes the
+    accumulated band-hash index (all earlier docs) PLUS itself for
+    candidates, verifies exact word-set Jaccard >= 0.8, then appends
+    its own bands to the index — the incremental form of
+    near_dup_wordset. Every (a, b) pair is discovered exactly once, in
+    b's batch, so the union of per-batch pair outputs EQUALS the batch
+    query's all-pairs answer — which is the oracle.
+
+    Scale shape (the production ingest-dedup loop): the index holds
+    (id, blocking keys, bhash) — 24 bytes + keys per doc per band,
+    never text; per batch the band join shuffles batch-sized band rows
+    against an index partitioned by bhash; verify re-joins word sets
+    from the corpus store for surviving candidates only. Index growth
+    is linear in corpus size but only ever equi-joined, never scanned
+    quadratically."""
+    from recipes_spark.io import load
+    from recipes_spark.operators.dedup import band_hashes
+
+    # Same word-set tokenization as near_dup_wordset / its oracle.
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("s"),
+    )
+
+    staged = tempfile.mkdtemp(prefix="recipes_st12_landing_")
+    chunks = 3
+    bounds = d.select(
+        F.percentile_approx("doc_id", [i / chunks for i in range(1, chunks)], 10000)
+    ).first()[0]
+    lo = [None, *bounds]
+    hi = [*bounds, None]
+    for i in range(chunks):
+        part = os.path.join(staged, f"chunk{i}.parquet")
+        c = d
+        if lo[i] is not None:
+            c = c.filter(F.col("doc_id") > lo[i])
+        if hi[i] is not None:
+            c = c.filter(F.col("doc_id") <= hi[i])
+        c.select("doc_id", "lang", "source").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        t = 1_600_000_000 + i
+        os.utime(part, (t, t))
+        for name in os.listdir(part):
+            os.utime(os.path.join(part, name), (t, t))
+
+    index_dir = tempfile.mkdtemp(prefix="recipes_st12_index_") + "/bands"
+    pairs_dir = tempfile.mkdtemp(prefix="recipes_st12_pairs_") + "/pairs"
+    sets_a = d.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sets_b = d.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+
+    def neardup_batch(bdf: DataFrame, _bid: int) -> None:
+        ids = bdf.select("doc_id", "lang", "source")
+        batch_sets = ids.join(d, ["doc_id", "lang", "source"])
+        bands = band_hashes(
+            batch_sets,
+            id_col="doc_id",
+            set_col="s",
+            carry_cols=("lang", "source"),
+        ).localCheckpoint(eager=True)
+        try:
+            older = spark.read.parquet(index_dir)
+            probe = older.unionByName(bands)
+        except Exception:  # first batch: no index yet
+            probe = bands
+        cand = (
+            bands.withColumnRenamed("doc_id", "id_b")
+            .join(
+                probe.withColumnRenamed("doc_id", "id_a"),
+                ["bhash", "lang", "source"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        jac = F.size(F.array_intersect("s_a", "s_b")) / F.size(
+            F.array_union("s_a", "s_b")
+        )
+        verified = (
+            cand.join(sets_a, "id_a")
+            .join(sets_b, "id_b")
+            .withColumn("jaccard", F.round(jac, 4))
+            .filter(jac >= 0.8)
+            .select("id_a", "id_b", "jaccard")
+        )
+        verified.write.mode("append").parquet(pairs_dir)
+        bands.write.mode("append").parquet(index_dir)
+
+    q = (
+        spark.readStream.schema("doc_id long, lang string, source string")
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(neardup_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st12_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(pairs_dir).select("id_a", "id_b", "jaccard")

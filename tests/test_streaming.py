@@ -151,3 +151,21 @@ def test_crafted_late_row_dropped_after_eviction(spark):
     assert sorted(emitted) == [
         ("10:00", 1), ("10:10", 1), ("10:20", 1), ("10:30", 1)
     ], emitted
+
+
+def test_stream_neardup_equals_batch(spark, sf_dir):
+    """st12's union-of-batches pair output must EQUAL the batch
+    near_dup_wordset answer — every pair is discovered exactly once, in
+    the batch where its larger id arrives."""
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()
+    stream = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in q["st12_stream_neardup"](spark, sf_dir).collect()
+    }
+    batch = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in q["near_dup_wordset"](spark, sf_dir).collect()
+    }
+    assert stream == batch

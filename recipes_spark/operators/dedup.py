@@ -138,6 +138,35 @@ def band_hashes(
     )
 
 
+def jaccard_verify(
+    cand: DataFrame,
+    sets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    set_col: str = "s",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact set-Jaccard verify over candidate (id_a, id_b) pairs: join
+    each side's set array back from `sets` and keep pairs with Jaccard
+    ≥ threshold, emitting (id_a, id_b, jaccard rounded to 4 digits).
+
+    The ONE definition of the near-dup verify contract — shared by the
+    batch (near_dup_wordset) and streaming (st12_stream_neardup) paths
+    so threshold/rounding/join semantics cannot drift between them."""
+    a = sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("__sa"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("__sb"))
+    jac = F.size(F.array_intersect("__sa", "__sb")) / F.size(
+        F.array_union("__sa", "__sb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -24,6 +24,7 @@ from recipes_spark.operators.dedup import (
     connected_components,
     connected_components_star,
     exact_dedup,
+    jaccard_verify,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -103,16 +104,7 @@ def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
-    jac = F.size(F.array_intersect("s_a", "s_b")) / F.size(F.array_union("s_a", "s_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= 0.8)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return jaccard_verify(cand, d, id_col="doc_id", set_col="s")
 
 
 @query(

@@ -87,6 +87,23 @@ def stage_events_ordered(
     return root
 
 
+def stage_ordered(dfs, *, prefix: str) -> str:
+    """Write each DataFrame as one single-file parquet chunk with
+    strictly increasing mtimes, so a latestFirst=false file-source
+    stream delivers them as in-order micro-batches (one per file with
+    maxFilesPerTrigger=1). The shared landing-zone stager for the
+    incremental dedup/near-dup queries (st11/st12)."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    for i, df in enumerate(dfs):
+        part = os.path.join(root, f"chunk{i:03d}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        t = 1_600_000_000 + i
+        os.utime(part, (t, t))
+        for name in os.listdir(part):
+            os.utime(os.path.join(part, name), (t, t))
+    return root
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,

@@ -277,29 +277,25 @@ def st11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .drop("__rn")
     )
 
-    staged = tempfile.mkdtemp(prefix="recipes_st11_landing_")
     # Two chunks (split by derivation arm → ascending doc_id across
     # chunk boundaries) × two copies (full replay) in forced mtime order.
+    from recipes_spark.streaming.core import stage_ordered
+
     chunks = [
         batch.filter(F.col("doc_id") < 3_000_000),
         batch.filter(F.col("doc_id") >= 3_000_000),
     ]
-    seq = 0
-    for copy in range(2):
-        for i, chunk in enumerate(chunks):
-            part = os.path.join(staged, f"copy{copy}_chunk{i}.parquet")
-            chunk.coalesce(1).write.mode("overwrite").parquet(part)
-            t = 1_600_000_000 + seq
-            os.utime(part, (t, t))
-            for name in os.listdir(part):
-                os.utime(os.path.join(part, name), (t, t))
-            seq += 1
+    staged = stage_ordered(chunks * 2, prefix="recipes_st11_landing_")
 
     out_dir = tempfile.mkdtemp(prefix="recipes_st11_out_") + "/kept"
 
-    def dedup_against_corpus(bdf: DataFrame, _bid: int) -> None:
+    def dedup_against_corpus(bdf: DataFrame, bid: int) -> None:
         kept = bdf.join(corpus_idx, "h", "left_anti").select("doc_id")
-        kept.write.mode("append").parquet(out_dir)
+        # Per-batch OVERWRITE subdir: foreachBatch is at-least-once and
+        # a retried batch re-emits the same rows (the dedup state it
+        # reads is the checkpointed pre-batch version) — an append sink
+        # would duplicate them.
+        kept.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={bid}"))
 
     stream = (
         spark.readStream.schema(batch.schema)
@@ -363,44 +359,45 @@ def st12_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is linear in corpus size but only ever equi-joined, never scanned
     quadratically."""
     from recipes_spark.io import load
-    from recipes_spark.operators.dedup import band_hashes
+    from recipes_spark.operators.dedup import band_hashes, jaccard_verify
+    from recipes_spark.streaming.core import stage_ordered
 
-    # Same word-set tokenization as near_dup_wordset / its oracle.
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_sort(F.array_distinct(F.split("text", " "))).alias("s"),
+    # Same word-set tokenization as near_dup_wordset / its oracle;
+    # materialized ONCE — the bounds scan, chunk staging, and every
+    # micro-batch's set joins all read the checkpoint instead of
+    # re-tokenizing the corpus per reference.
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_sort(F.array_distinct(F.split("text", " "))).alias("s"),
+        )
+        .localCheckpoint(eager=True)
     )
 
-    staged = tempfile.mkdtemp(prefix="recipes_st12_landing_")
     chunks = 3
     bounds = d.select(
         F.percentile_approx("doc_id", [i / chunks for i in range(1, chunks)], 10000)
     ).first()[0]
     lo = [None, *bounds]
     hi = [*bounds, None]
+    chunk_dfs = []
     for i in range(chunks):
-        part = os.path.join(staged, f"chunk{i}.parquet")
         c = d
         if lo[i] is not None:
             c = c.filter(F.col("doc_id") > lo[i])
         if hi[i] is not None:
             c = c.filter(F.col("doc_id") <= hi[i])
-        c.select("doc_id", "lang", "source").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part)
-        t = 1_600_000_000 + i
-        os.utime(part, (t, t))
-        for name in os.listdir(part):
-            os.utime(os.path.join(part, name), (t, t))
+        chunk_dfs.append(c.select("doc_id", "lang", "source"))
+    staged = stage_ordered(chunk_dfs, prefix="recipes_st12_landing_")
 
     index_dir = tempfile.mkdtemp(prefix="recipes_st12_index_") + "/bands"
     pairs_dir = tempfile.mkdtemp(prefix="recipes_st12_pairs_") + "/pairs"
-    sets_a = d.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
-    sets_b = d.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    band_cols = ["doc_id", "lang", "source", "bhash"]
 
-    def neardup_batch(bdf: DataFrame, _bid: int) -> None:
+    def neardup_batch(bdf: DataFrame, bid: int) -> None:
         ids = bdf.select("doc_id", "lang", "source")
         batch_sets = ids.join(d, ["doc_id", "lang", "source"])
         bands = band_hashes(
@@ -409,10 +406,13 @@ def st12_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             set_col="s",
             carry_cols=("lang", "source"),
         ).localCheckpoint(eager=True)
-        try:
-            older = spark.read.parquet(index_dir)
+        # Existence check, NOT a broad try/except around the read: a
+        # corrupt index at batch N>0 must raise (silently treating it
+        # as "first batch" would drop every cross-batch pair).
+        if os.path.isdir(index_dir):
+            older = spark.read.parquet(index_dir).select(*band_cols)
             probe = older.unionByName(bands)
-        except Exception:  # first batch: no index yet
+        else:
             probe = bands
         cand = (
             bands.withColumnRenamed("doc_id", "id_b")
@@ -424,18 +424,16 @@ def st12_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-        jac = F.size(F.array_intersect("s_a", "s_b")) / F.size(
-            F.array_union("s_a", "s_b")
+        verified = jaccard_verify(cand, d, id_col="doc_id", set_col="s")
+        # Per-batch OVERWRITE subdirs (batch=<id> partition layout), not
+        # blind appends: foreachBatch is at-least-once, and a retried
+        # batch must replace its own prior output, never duplicate it.
+        verified.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={bid}")
         )
-        verified = (
-            cand.join(sets_a, "id_a")
-            .join(sets_b, "id_b")
-            .withColumn("jaccard", F.round(jac, 4))
-            .filter(jac >= 0.8)
-            .select("id_a", "id_b", "jaccard")
+        bands.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={bid}")
         )
-        verified.write.mode("append").parquet(pairs_dir)
-        bands.write.mode("append").parquet(index_dir)
 
     q = (
         spark.readStream.schema("doc_id long, lang string, source string")

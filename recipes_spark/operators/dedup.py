@@ -271,30 +271,41 @@ def connected_components(
         F.col(node_col).alias("n"), F.col(node_col).alias("comp")
     ).localCheckpoint(eager=True)
 
+    def label_sig(df: DataFrame) -> int:
+        # Labels only ever DECREASE, so the xor-hash of (n, comp)
+        # changes whenever any label moves — fixpoint ⟺ signature
+        # stable. (A plain sum(comp) signature would risk silent
+        # precision loss at corpus scale; same construction as
+        # connected_components_star's edge signature.)
+        return int(
+            df.agg(
+                F.coalesce(F.expr("bit_xor(xxhash64(n, comp))"), F.lit(0)).alias(
+                    "h"
+                )
+            ).first()["h"]
+        )
+
+    sig = label_sig(labels)
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels, und.d == labels.n)
-            .groupBy("s")
-            .agg(F.min("comp").alias("ncomp"))
+        # One round = a node's new label is min(own, neighbors'): the
+        # union-then-min form needs ONE join + ONE groupBy per round
+        # (the join-neighbor-min-then-rejoin form costs an extra join
+        # shuffle and a separate changed-count pass).
+        contrib = und.join(labels, und.d == labels.n).select(
+            F.col("s").alias("n"), "comp"
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.n == neighbor_min.s, "left")
-            .select(
-                "n",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
-                    "__chg"
-                ),
-            )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("__chg")).limit(1).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
+        labels = (
+            labels.unionByName(contrib)
+            .groupBy("n")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        new_sig = label_sig(labels)
+        if new_sig == sig:
             converged = True
             break
+        sig = new_sig
     if not converged:
         warnings.warn(
             f"connected_components hit max_iter={max_iter} before the "

@@ -923,7 +923,7 @@ WITH scored AS (
          {_QUALITY_SQL} AS q
   FROM documents
 )
-SELECT th, count_if(q >= th) AS n_docs,
+SELECT th, CAST(count_if(q >= th) AS BIGINT) AS n_docs,
        CAST(coalesce(sum(CASE WHEN q >= th THEN n_tok END), 0) AS BIGINT)
          AS n_tokens
 FROM scored

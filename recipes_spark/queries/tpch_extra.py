@@ -866,7 +866,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH val AS (
   SELECT l_partkey AS p_partkey,
-         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT))
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT)
            AS value_cents
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
@@ -1197,7 +1198,7 @@ SELECT lang,
        max(struct_pack(nc := n_chars, id := doc_id)).id AS longest_doc,
        max(n_chars) AS max_chars,
        min(struct_pack(nc := n_chars, id := doc_id)).id AS shortest_doc,
-       count_if(n_chars > 500) AS n_long,
+       CAST(count_if(n_chars > 500) AS BIGINT) AS n_long,
        bool_or(source = 'src0') AS has_src0,
        bool_and(n_chars > 0) AS all_positive
 FROM documents

@@ -19,6 +19,20 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     return con.sql(sql).df()
 
 
+def oracle_output_types(sql: str, sf_dir: str) -> list[tuple[str, str]]:
+    """(column, DuckDB logical type) for an oracle's output, WITHOUT
+    executing it — lazy relation metadata only. Used by the dtype audit:
+    a HUGEINT output column means pandas will coerce it to float64 and the
+    driver will hash-mismatch Spark's int64 even when values are equal."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    rel = con.sql(sql)
+    return list(zip(rel.columns, [str(t) for t in rel.types]))
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, then rows by all values — order-insensitive
     canonical form."""
@@ -50,6 +64,23 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
         return problems
     for c in sp.columns:
         a, b = sp[c], oc[c]
+        # Driver-faithful dtype gate: the real driver hashes raw values, so
+        # an int64 Spark column against a float64 oracle column (the DuckDB
+        # HUGEINT → pandas float64 leak) mismatches there even when the
+        # values are numerically equal. Fail it here too, so the leak can
+        # never pass pytest and then burn a driver row.
+        int_vs_float = (
+            pd.api.types.is_integer_dtype(a) and pd.api.types.is_float_dtype(b)
+        ) or (
+            pd.api.types.is_float_dtype(a) and pd.api.types.is_integer_dtype(b)
+        )
+        if int_vs_float:
+            problems.append(
+                f"{name}: column {c} dtype class mismatch — spark {a.dtype} vs "
+                f"oracle {b.dtype} (cast the oracle aggregate, e.g. "
+                f"CAST(sum(...) AS BIGINT))"
+            )
+            continue
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             ok = (
                 (a.isna() & b.isna())

@@ -9,10 +9,29 @@ from __future__ import annotations
 import pytest
 
 from recipes_spark.registry import all_oracles, all_queries
-from tests.oracle_harness import compare, run_oracle
+from tests.oracle_harness import compare, oracle_output_types, run_oracle
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_no_hugeint_output(oracle_sf_dir, name):
+    """DuckDB widens integer sum/count_if/product to HUGEINT, which pandas
+    converts to float64 — the driver then hash-mismatches Spark's int64
+    even when every value is equal (the r3 q11/agg_argmax failure class).
+    Audit every oracle's lazy output schema: any HUGEINT column must be
+    CAST(... AS BIGINT) at the output. Catches the whole class without
+    executing a single query."""
+    bad = [
+        (col, typ)
+        for col, typ in oracle_output_types(ORACLES[name], oracle_sf_dir)
+        if "HUGEINT" in typ.upper()
+    ]
+    assert not bad, (
+        f"{name}: HUGEINT oracle output column(s) {bad} — wrap the "
+        "aggregate in CAST(... AS BIGINT) (see relational.py docstring)"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

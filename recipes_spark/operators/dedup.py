@@ -243,6 +243,15 @@ def connected_components(
     component = min node id reachable from `node` (isolated nodes map to
     themselves) — the canonical-survivor id of each duplicate cluster.
 
+    PRECONDITION: every edge endpoint must appear in `nodes`. The
+    union+min round materializes label rows for any endpoint it sees,
+    so an out-of-set endpoint would (a) gain an output row of its own
+    and (b) relay labels between its neighbors — and if its id is the
+    component minimum, the "canonical survivor" would not be a `nodes`
+    row at all. Callers derive edges from the node set (pair output of
+    the banding stages), so this holds by construction; it is a
+    contract, not an incidental detail.
+
     This is the stage that turns X2 pair output into droppable rows:
     keep one doc per component. Iterative (no SQL equivalent in Spark;
     the DuckDB oracle uses a recursive CTE): each round joins labels to
@@ -429,7 +438,14 @@ def simhash_sketch(
     per row) evaluates interpreted per element — measured 53 s at sf0.1
     vs ~2 s for this plan. Stage 1 counts set bits per (id, bit) with
     map-side combine; stage 2 folds the 64 majority votes into the
-    sketch with a single sum of distinct powers of two."""
+    sketch with a single sum of distinct powers of two.
+
+    Documents whose shingle set is EMPTY (text shorter than the shingle
+    width) produce no lanes and are excluded from the output — they
+    cannot be near-dup candidates. (The row-local form gave them an
+    all-zero sketch, silently pairing every empty/short doc at hamming
+    0; exclusion is the intended semantics — route empty docs to an
+    exact-dedup pass instead.)"""
     shingled = scale_partitions(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     ).select("__id", word_shingles("__t", shingle_n).alias("__sh"))

@@ -215,10 +215,12 @@ def _hyperplane_buckets(
     decides membership downstream), so float-summation-order
     differences vs the JVM are immaterial."""
     T = np.stack(tables)  # (n_tables, n_planes, dim)
-    n_tables, n_planes, _ = T.shape
+    n_tables, n_planes, dim = T.shape
     in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    # Backtick-quote names in the DDL string so a column needing quoting
+    # fails here (schema parse) rather than deep inside the Arrow task.
     schema = ", ".join(
-        [f"{c} {in_fields[c]}" for c in keep_cols] + ["bucket string"]
+        [f"`{c}` {in_fields[c]}" for c in keep_cols] + ["`bucket` string"]
     )
 
     def assign(batches):
@@ -227,9 +229,23 @@ def _hyperplane_buckets(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            try:
+                # np.stack (not asarray) so ragged vectors raise a clear
+                # shape error instead of building an object array that
+                # einsum rejects with an opaque executor-side message.
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    f"{vec_col!r} must be fixed-length numeric vectors "
+                    f"(expected dim={dim}): {exc}"
+                ) from exc
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"{vec_col!r} vectors have dim {V.shape[1]}, but the "
+                    f"hyperplane tables were drawn for dim {dim}"
+                )
             signs = np.einsum("tpd,nd->ntp", T, V) > 0  # (n, tables, planes)
             codes = (signs * pow2).sum(axis=2)  # (n, tables)
             yield pd.DataFrame(

@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from recipes_spark.io import load
 from recipes_spark.registry import query
-from recipes_spark.sources.timegrid import render_url, time_grid
+from recipes_spark.sources.timegrid import (
+    manifest_from_sequence,
+    render_url,
+    time_grid,
+)
 
 GRID_START = "2024-01-01 00:00:00"
 GRID_END = "2024-01-30 00:00:00"
@@ -123,3 +127,29 @@ def s4_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         render_url(URL_ROOT, CONST).alias("url"),
     )
+
+
+#: S7 fixture: an explicit granule list, the shape the reference feeds to
+#: FilePattern.from_sequence (insitu…/recipe.py:153) — a hand-curated set
+#: of files rather than a generated grid.
+S7_URLS = tuple(
+    f"file:///synthetic/insitu/split_catalog_{i:04d}.nc" for i in range(24)
+)
+
+
+@query(
+    "s7_manifest_from_sequence",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS key,
+       printf('file:///synthetic/insitu/split_catalog_%04d.nc', i) AS url
+FROM range(24) t(i)
+""",
+)
+def s7_manifest_from_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: manifest from a static URL sequence
+    (FilePattern.from_sequence, insitu…/recipe.py:153) — list-position
+    keys, driver-side createDataFrame. The list is by definition
+    driver-resident (the user hands it over), so unlike S1-S4 there is
+    no executor-side generation to do; at scale the list stays
+    metadata-sized (file names, not file contents)."""
+    return manifest_from_sequence(spark, S7_URLS)

@@ -118,16 +118,19 @@ def _parse_netcdf_classic_attrs(content: bytes) -> dict | None:
         return s
 
     try:
-        # dim_list: tag(0x0A)+count, or ABSENT (0,0)
+        # dim_list: tag(0x0A)+count, or ABSENT — which the spec defines
+        # as BOTH ints zero; tag==0 with count!=0 is malformed, and
+        # iterating `count` entries anyway would mis-parse garbage into
+        # plausible-looking attrs instead of quarantining the file.
         tag, count = read_int(), read_int()
-        if tag not in (0, 0x0A):
+        if tag not in (0, 0x0A) or (tag == 0 and count != 0):
             return None
         for _ in range(count):
             read_name()
             read_int()  # dim length
-        # gatt_list: tag(0x0C)+count, or ABSENT
+        # gatt_list: tag(0x0C)+count, or ABSENT (same 0,0 rule)
         tag, count = read_int(), read_int()
-        if tag not in (0, 0x0C):
+        if tag not in (0, 0x0C) or (tag == 0 and count != 0):
             return None
         attrs: dict = {}
         for _ in range(count):

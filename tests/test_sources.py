@@ -175,6 +175,24 @@ def test_netcdf_classic_metadata_decode(spark):
     assert str(r.start_datetime) == "2024-01-01 00:00:00"
 
 
+def test_netcdf_classic_rejects_absent_tag_with_count():
+    """A malformed header claiming ABSENT (tag=0) dim/gatt lists with a
+    NONZERO count must be rejected (return None → quarantine path), not
+    iterated into garbage attrs that happen to look plausible."""
+    import struct
+
+    from recipes_spark.sources.granules import _parse_netcdf_classic_attrs
+
+    good = _cdf1_bytes({"id": "g1"})
+    assert _parse_netcdf_classic_attrs(good) == {"id": "g1"}
+    # corrupt the dim_list header: ABSENT tag but count=3
+    bad_dim = good[:8] + struct.pack(">ii", 0, 3) + good[16:]
+    assert _parse_netcdf_classic_attrs(bad_dim) is None
+    # corrupt the gatt_list header the same way
+    bad_gatt = good[:16] + struct.pack(">ii", 0, 2) + good[24:]
+    assert _parse_netcdf_classic_attrs(bad_gatt) is None
+
+
 def test_netcdf_xarray_roundtrip_decode(spark):
     """xarray-written NetCDF decodes through file_metadata. The libs
     aren't in this container — recorded as a skip so the gap is visible

@@ -25,17 +25,47 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _fs_glob(pattern: str) -> list[str]:
+    """Sorted listing for ONE pattern, protocol-dispatched.
+
+    Plain paths and file:// use stdlib glob (no dependency); any other
+    proto://... pattern (http, s3, gs, ...) goes through
+    fsspec.filesystem(proto).glob — the exact call the reference makes
+    (insitu…/recipe.py:40 `fs.glob`), available wherever fsspec is
+    installed. Runs executor-side inside mapInPandas, so remote listing
+    latency parallelizes across patterns instead of serializing on the
+    driver."""
+    proto, sep, rest = pattern.partition("://")
+    if not sep:
+        return sorted(_glob.glob(pattern))
+    if proto == "file":
+        return ["file://" + p for p in sorted(_glob.glob(rest))]
+    try:
+        import fsspec
+    except ImportError as exc:  # pragma: no cover - fsspec not in container
+        raise ImportError(
+            f"listing {proto}:// patterns requires fsspec "
+            "(pip install fsspec[http])"
+        ) from exc
+    fs = fsspec.filesystem(proto)
+    out = []
+    for p in sorted(str(x) for x in fs.glob(pattern)):
+        out.append(p if "://" in p else f"{proto}://{p}")
+    return out
+
+
 def glob_listing(spark: SparkSession, patterns: list[str]) -> DataFrame:
     """S5: distributed listing — one row per (pattern, url), sorted
     within pattern like the reference's sorted(fs.glob(...)). Local
-    filesystem via glob; swap fsspec in for http/s3 the same way."""
+    filesystem via glob; proto://... patterns dispatch to fsspec
+    executor-side (see _fs_glob)."""
     pat_df = spark.createDataFrame([(p,) for p in patterns], "pattern string")
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for p in pdf["pattern"]:
-                for url in sorted(_glob.glob(p)):
+                for url in _fs_glob(p):
                     out.append((p, url))
             yield pd.DataFrame(out, columns=["pattern", "url"])
 

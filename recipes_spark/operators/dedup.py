@@ -167,6 +167,84 @@ def jaccard_verify(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    rare_df_max: int = 10,
+    threshold: float = 0.9,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Subset-containment near-dups: pairs where the SMALLER document's
+    shingle set is ≥ `threshold` contained in the larger's —
+    |Sa ∩ Sb| / min(|Sa|, |Sb|). Symmetric Jaccard misses these when the
+    lengths differ (a doc quoted inside a 10× longer one has Jaccard
+    ≈ 0.1 but containment ≈ 1.0), and they are exactly the
+    quote/boilerplate/wrapper duplicates a training corpus wants found.
+
+    Candidate generation blocks on RARE shingles: a shingle appearing in
+    ≤ rare_df_max documents (within the blocking keys) is a candidate
+    key; documents sharing one become a pair to verify. Frequent
+    shingles ("in the course of") generate no candidates, so the join
+    fan-out per gram is bounded by rare_df_max² — no all-pairs blow-up.
+    This is a recall heuristic with a sharp guarantee: a contained doc
+    whose shared shingles are ALL high-frequency is missed; in practice
+    contained text carries the containee's rare shingles verbatim.
+    Containment is reported in floor basis points so both engines
+    compute the identical integer (same IEEE divide/multiply/floor).
+
+    100 TB: two narrow shuffles (gram df count, candidate equi-join on
+    gram) over (id, gram) rows — never the corpus; the verify join
+    carries shingle arrays for candidate ids only. Persist `sets`
+    upstream if the input plan is expensive (it is scanned three
+    times)."""
+    blocks = list(block_cols)
+    sets = df.select(
+        F.col(id_col).alias("__id"),
+        *blocks,
+        word_shingles(text_col, shingle_n).alias("__s"),
+    )
+    grams = sets.select("__id", *blocks, F.explode("__s").alias("__g"))
+    rare = (
+        grams.groupBy("__g", *blocks)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= rare_df_max)
+        .select("__g", *blocks)
+    )
+    rare_grams = grams.join(rare, ["__g", *blocks])
+    a = rare_grams.select(
+        F.col("__id").alias("id_a"), *[F.col(c) for c in blocks], "__g"
+    )
+    b = rare_grams.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in blocks],
+        F.col("__g").alias("__gb"),
+    )
+    cond = [a["__g"] == b["__gb"]] + [
+        a[c] == b[f"__b_{c}"] for c in blocks
+    ]
+    cand = (
+        a.join(b, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = sets.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    cont = F.size(F.array_intersect("__sa", "__sb")) / F.least(
+        F.size("__sa"), F.size("__sb")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment_bp", F.floor(cont * 10000).cast("long"))
+        .filter(F.col("containment_bp") >= int(threshold * 10000))
+        .select("id_a", "id_b", "containment_bp")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -23,6 +23,7 @@ from recipes_spark.operators.dedup import (
     band_hashes,
     connected_components,
     connected_components_star,
+    containment_pairs,
     exact_dedup,
     jaccard_verify,
     minhash_lsh_pairs,
@@ -243,6 +244,125 @@ def x2_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("node").alias("doc_id"), F.col("component").alias("group_id")
     )
+
+
+@query(
+    "x2_best_survivor",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), comp AS (
+  SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+), surv AS (
+  SELECT c.group_id,
+         max(struct_pack(nc := d.n_chars, nid := -d.doc_id)).nid AS neg_id
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+  GROUP BY c.group_id
+)
+SELECT c.doc_id, c.group_id, -s.neg_id AS survivor_id,
+       c.doc_id = -s.neg_id AS keep
+FROM comp c JOIN surv s ON c.group_id = s.group_id
+""",
+)
+def x2_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: production dedup keeps the BEST
+    document of each duplicate cluster (longest here; swap any quality
+    score in), not the minimum id — the min-id label is just the
+    cluster's canonical NAME. Components from the same near-dup pairs
+    as x2_dedup_groups, then one argmax per cluster: the lexicographic
+    max of struct(n_chars, -doc_id) is deterministic under ties (larger
+    doc wins, then SMALLER id) with one map-side-combining hash agg —
+    no per-group sort, no window over the corpus. The survivor table
+    broadcast-joins back onto the labels (clusters ≪ docs at scale)."""
+    pairs = near_dup_wordset(spark, sf_dir).select("id_a", "id_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comps = connected_components(
+        nodes, pairs, node_col="node", src_col="id_a", dst_col="id_b"
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
+    labeled = comps.join(docs, "doc_id")
+    surv = labeled.groupBy("group_id").agg(
+        (-F.max(
+            F.struct(F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nid"))
+        ).getField("nid")).alias("survivor_id")
+    )
+    return (
+        labeled.join(F.broadcast(surv), "group_id")
+        .select(
+            "doc_id",
+            "group_id",
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id")).alias("keep"),
+        )
+    )
+
+
+@query(
+    "x2_containment",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+        FROM documents)
+), grams AS (
+  SELECT doc_id, lang, source, unnest(s) AS g FROM d
+), rare AS (
+  SELECT g, lang, source FROM grams
+  GROUP BY g, lang, source HAVING count(*) <= 10
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a
+  JOIN rare r ON a.g = r.g AND a.lang = r.lang AND a.source = r.source
+  JOIN grams b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         CAST(floor(len(list_intersect(da.s, db.s)) * 1.0
+                    / least(len(da.s), len(db.s)) * 10000) AS BIGINT)
+           AS containment_bp
+  FROM cand
+  JOIN d da ON cand.id_a = da.doc_id
+  JOIN d db ON cand.id_b = db.doc_id
+)
+SELECT id_a, id_b, containment_bp FROM scored WHERE containment_bp >= 9000
+""",
+)
+def x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-containment dedup: the smaller doc's 3-shingle set ≥ 90%
+    contained in the larger's — catches quoted/wrapped/boilerplate
+    duplicates whose symmetric Jaccard is low because the lengths
+    differ. Candidates block on rare shingles (per-(lang, source)
+    document frequency ≤ 10) so fan-out per gram is bounded; see
+    operators/dedup.containment_pairs for the scale analysis. Score in
+    floor basis points — identical integer both engines."""
+    d = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=3,
+        rare_df_max=10,
+        threshold=0.9,
+        block_cols=("lang", "source"),
+    ).orderBy("id_a", "id_b")
 
 
 @query("x2_minhash_lsh")

@@ -31,6 +31,7 @@ from collections.abc import Iterator
 from datetime import datetime, timedelta
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 GRANULE_MAGIC = b"RSPKGRAN1\n"
@@ -196,6 +197,38 @@ def _decode_meta(content: bytes, path: str) -> dict | None:
         return None
 
 
+_META_COLUMNS = [
+    "source", "granule_id", "platform", "start_datetime",
+    "end_datetime", "west", "south", "east", "north", "n_bytes",
+]
+
+
+def _meta_rows(pairs) -> pd.DataFrame:
+    """(path, content-bytes) pairs → the S11 metadata frame. Shared by
+    the binaryFile scan and the remote-URL open so both paths decode
+    through the identical codec chain."""
+    rows = []
+    for path, content in pairs:
+        meta = _decode_meta(content, path)
+        if meta is None:
+            continue
+        rows.append(
+            {
+                "source": path,
+                "granule_id": meta["granule_id"],
+                "platform": meta["platform"],
+                "start_datetime": pd.Timestamp(meta["start_datetime"]),
+                "end_datetime": pd.Timestamp(meta["end_datetime"]),
+                "west": meta["west"],
+                "south": meta["south"],
+                "east": meta["east"],
+                "north": meta["north"],
+                "n_bytes": len(content),
+            }
+        )
+    return pd.DataFrame(rows, columns=_META_COLUMNS)
+
+
 def file_metadata(spark: SparkSession, path_glob: str) -> DataFrame:
     """S10+S11: binaryFile scan → one metadata row per decodable file.
     Undecodable files are dropped (at scale: route to a quarantine
@@ -204,31 +237,59 @@ def file_metadata(spark: SparkSession, path_glob: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                meta = _decode_meta(bytes(content), path)
-                if meta is None:
-                    continue
-                rows.append(
-                    {
-                        "source": path,
-                        "granule_id": meta["granule_id"],
-                        "platform": meta["platform"],
-                        "start_datetime": pd.Timestamp(meta["start_datetime"]),
-                        "end_datetime": pd.Timestamp(meta["end_datetime"]),
-                        "west": meta["west"],
-                        "south": meta["south"],
-                        "east": meta["east"],
-                        "north": meta["north"],
-                        "n_bytes": len(content),
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "source", "granule_id", "platform", "start_datetime",
-                    "end_datetime", "west", "south", "east", "north", "n_bytes",
-                ],
+            yield _meta_rows(
+                (path, bytes(content))
+                for path, content in zip(pdf["path"], pdf["content"])
             )
 
     return files.select("path", "content").mapInPandas(extract, schema=META_SCHEMA)
+
+
+def _fetch_url(url: str) -> bytes:
+    """Executor-side byte fetch for ONE url. http(s):// uses stdlib
+    urllib — the dependency-free core of the reference's
+    OpenURLWithFSSpec (avhrr…/recipe.py:124) for its actual use case
+    (public HTTP granule servers); file:// and bare paths read locally;
+    any other protocol dispatches to fsspec when installed."""
+    proto, sep, rest = url.partition("://")
+    if not sep:
+        with open(url, "rb") as fh:
+            return fh.read()
+    if proto == "file":
+        with open(rest, "rb") as fh:
+            return fh.read()
+    if proto in ("http", "https"):
+        from urllib.request import urlopen
+
+        with urlopen(url, timeout=60) as resp:
+            return resp.read()
+    try:
+        import fsspec
+    except ImportError as exc:  # pragma: no cover - fsspec not in container
+        raise ImportError(
+            f"opening {proto}:// URLs requires fsspec (pip install fsspec)"
+        ) from exc
+    with fsspec.open(url, "rb") as fh:
+        return fh.read()
+
+
+def url_metadata(
+    urls: DataFrame, *, url_col: str = "url", n_partitions: int | None = None
+) -> DataFrame:
+    """S10+S11 over a URL manifest (the S1–S7 output shape) instead of
+    a filesystem glob: fetch each url's bytes executor-side and decode
+    through the same codec chain as file_metadata.
+
+    Scale: the manifest is metadata-sized rows; repartitioning it
+    spreads the network-bound fetches across the cluster (the reference
+    fans the same work out as Beam DoFn bundles). Granule payloads
+    exist only inside their task — one metadata row (~1 KB) per file
+    survives, so 100 TB of granule bytes never enter a shuffle."""
+    if n_partitions:
+        urls = urls.repartition(n_partitions)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _meta_rows((u, _fetch_url(u)) for u in pdf[url_col])
+
+    return urls.select(F.col(url_col)).mapInPandas(extract, schema=META_SCHEMA)

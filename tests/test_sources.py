@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 
@@ -220,6 +221,67 @@ def test_netcdf_classic_metadata_decode(spark):
     assert r.platform == "METOP_B"
     assert r.west == -150.0 and r.north == -65.0
     assert str(r.start_datetime) == "2024-01-01 00:00:00"
+
+
+def test_url_metadata_over_local_http(spark):
+    """S10 remote open, for real: serve staged granules (+ one CDF-1
+    NetCDF) over a local http.server, fetch them executor-side from a
+    URL manifest via stdlib urllib, and decode through the same codec
+    chain as the filesystem path — the reference's open-HTTP-NetCDF
+    shape (avhrr recipe) with zero extra dependencies."""
+    import http.server
+    import socketserver
+    import threading
+
+    from recipes_spark.sources.granules import url_metadata
+
+    import shutil
+
+    # Copy the staged granules into a fresh dir: stage_granules memoizes
+    # per (key, n), so adding a file to its dir would leak into any other
+    # test that staged the same count.
+    root = tempfile.mkdtemp(prefix="recipes_test_http_")
+    for name in os.listdir(stage_granules(6)):
+        shutil.copy(os.path.join(stage_granules(6), name), root)
+    with open(os.path.join(root, "osisaf_cdf1.nc"), "wb") as fh:
+        fh.write(
+            _cdf1_bytes(
+                {
+                    "id": "http_cdf1_granule",
+                    "platform": "METOP_B",
+                    "time_coverage_start": "2024-02-01 00:00:00",
+                    "time_coverage_end": "2024-02-01 00:03:00",
+                    "westernmost_longitude": 10.0,
+                    "southernmost_latitude": -5.0,
+                    "easternmost_longitude": 20.0,
+                    "northernmost_latitude": 0.0,
+                }
+            )
+        )
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=root
+    )
+    with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            names = sorted(os.listdir(root))
+            manifest = spark.createDataFrame(
+                [(f"http://127.0.0.1:{port}/{n}",) for n in names],
+                "url string",
+            )
+            rows = {
+                r.granule_id: r
+                for r in url_metadata(manifest, n_partitions=4).collect()
+            }
+        finally:
+            httpd.shutdown()
+    assert len(rows) == 7
+    assert rows["http_cdf1_granule"].west == 10.0
+    assert rows["granule_0003"].platform == "METOP_B"
+    assert rows["granule_0003"].source.startswith("http://127.0.0.1:")
 
 
 def test_netcdf_classic_rejects_absent_tag_with_count():

@@ -197,14 +197,23 @@ def containment_pairs(
 
     100 TB: two narrow shuffles (gram df count, candidate equi-join on
     gram) over (id, gram) rows — never the corpus; the verify join
-    carries shingle arrays for candidate ids only. Persist `sets`
-    upstream if the input plan is expensive (it is scanned three
-    times)."""
+    carries shingle arrays for candidate ids only. The shingle table is
+    computed ONCE — scale_partitions fans the (possibly single-split)
+    input across cores before the CPU-heavy shingling, and the eager
+    localCheckpoint stops the three consumers (gram explode, both
+    verify sides) from re-running it; at 100 TB swap the checkpoint for
+    a persisted/staged table of (id, blocks, shingles)."""
     blocks = list(block_cols)
-    sets = df.select(
-        F.col(id_col).alias("__id"),
-        *blocks,
-        word_shingles(text_col, shingle_n).alias("__s"),
+    sets = (
+        scale_partitions(
+            df.select(F.col(id_col).alias("__id"), *blocks, text_col)
+        )
+        .select(
+            "__id",
+            *blocks,
+            word_shingles(text_col, shingle_n).alias("__s"),
+        )
+        .localCheckpoint(eager=True)
     )
     grams = sets.select("__id", *blocks, F.explode("__s").alias("__g"))
     rare = (

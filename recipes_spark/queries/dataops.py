@@ -550,6 +550,101 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", lang_id_col("text").alias("pred_lang"))
 
 
+@query(
+    "x4_lang_confusion",
+    oracle=f"""
+WITH scores AS (
+  SELECT d.doc_id, d.lang AS true_lang, l.lang,
+         len(list_filter(string_split(d.text, ' '),
+                         t -> list_contains(l.words, t))) AS score
+  FROM documents d CROSS JOIN {_lang_values_sql()}
+), best AS (
+  SELECT doc_id, max(score) AS best_score FROM scores GROUP BY doc_id
+), pred AS (
+  SELECT s.doc_id, min(s.true_lang) AS true_lang, min(s.lang) AS pred_lang
+  FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.best_score
+  GROUP BY s.doc_id
+)
+SELECT true_lang, pred_lang, count(*) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+""",
+)
+def x4_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier QA for the lang-ID heuristic: labeled-vs-predicted
+    confusion counts — the evaluation every corpus-filter model needs
+    before its verdicts gate a 100 TB run. Reuses the exact lang_id
+    scoring column so the matrix can never diverge from the classifier
+    it audits; one row-local projection + one tiny (|langs|²-row) hash
+    agg, no extra shuffle beyond the groupBy."""
+    from recipes_spark.functions.text import lang_id as lang_id_col
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("true_lang"),
+            lang_id_col("text").alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "x2_component_stats",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), comp AS (
+  SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+), sizes AS (
+  SELECT group_id, count(*) AS csize FROM comp GROUP BY group_id
+)
+SELECT csize, count(*) AS n_components,
+       CAST(sum(csize) AS BIGINT) AS n_docs,
+       CAST(sum(csize - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY csize ORDER BY csize
+""",
+)
+def x2_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the cluster-size histogram plus how many
+    docs a keep-one-per-cluster policy would drop — the number a 100 TB
+    dedup run reports before anyone commits to deleting data. Two tiny
+    hash aggs on top of the connected-components labels; sizes are
+    (group, count) rows, so the histogram costs nothing next to the
+    pair generation it audits."""
+    pairs = near_dup_wordset(spark, sf_dir).select("id_a", "id_b")
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    comps = connected_components(
+        nodes, pairs, node_col="node", src_col="id_a", dst_col="id_b"
+    )
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        sizes.groupBy("csize")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("csize").cast("bigint").alias("n_docs"),
+            F.sum(F.col("csize") - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("csize")
+    )
+
+
 _SW_EN = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 
 # ONE definition of the doc-quality arithmetic, shared by quality_score

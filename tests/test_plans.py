@@ -267,3 +267,31 @@ def test_vocab_encode_heap_topk_and_broadcast_apply(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x4_vocab_encode")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_containment_no_cartesian_and_partial_agg(spark, sf_dir):
+    """x2_containment's candidate generation must stay an equi-join on
+    (gram, blocks) — a CartesianProduct/BroadcastNestedLoopJoin means
+    the rare-gram blocking degenerated to all-pairs — and the gram
+    document-frequency count must map-side combine."""
+    plan = _plan(spark, sf_dir, "x2_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_best_survivor_broadcasts_cluster_table(spark, sf_dir):
+    """x2_best_survivor joins the per-cluster survivor table back onto
+    the labels — clusters ≪ docs, so that join must broadcast."""
+    plan = _plan(spark, sf_dir, "x2_best_survivor")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lang_confusion_is_projection_plus_tiny_agg(spark, sf_dir):
+    """x4_lang_confusion must stay a row-local scoring projection + one
+    hash agg: no join, no window — the scoring never shuffles the
+    corpus."""
+    plan = _plan(spark, sf_dir, "x4_lang_confusion")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange only

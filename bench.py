@@ -77,11 +77,16 @@ def main() -> None:
     # (Interleaving the passes was tried and is systematically slower:
     # the suite's generated-code units overflow the JVM's bounded
     # codegen compile cache between passes, so every pass recompiles.)
+    # Min of 5 (was 3): on this host the JVM's JIT takes 3-4 executions
+    # of a CPU-heavy plan to reach steady state (measured: the same
+    # query swings 4.8 → 3.2 → 1.8 → 1.4 s across consecutive runs), so
+    # min-of-3 was recording the interpreter ramp, not the plan. A
+    # long-lived cluster executor never pays that ramp per query.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

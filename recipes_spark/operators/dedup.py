@@ -2,11 +2,12 @@
 MinHash+LSH, SimHash, n-gram Jaccard. Designed for 100 TB:
 
 - Exact dedup is a hash-groupBy (one shuffle on the digest).
-- MinHash+LSH avoids the O(n²) pairwise comparison: signatures are
-  computed row-local (Catalyst transforms, no UDF, no explode of the
-  corpus), banding turns near-dup search into an equi-join on
-  (band_id, band_hash) — candidates per bucket only — and the exact
-  Jaccard verify runs only on candidates.
+- MinHash+LSH avoids the O(n²) pairwise comparison: signatures and
+  band hashes are computed row-local (one JVM-side xxhash64 per
+  shingle, then a vectorized Arrow/numpy kernel — no explode of the
+  corpus, no pre-join shuffle), banding turns near-dup search into an
+  equi-join on the band hash — candidates per bucket only — and the
+  exact Jaccard verify runs only on candidates.
 - SimHash gives a 64-bit row-local sketch; hamming-distance candidate
   pairing joins on band bytes of the sketch.
 """
@@ -20,6 +21,21 @@ from pyspark.sql import Column, DataFrame, Window
 
 from recipes_spark.functions.text import word_shingles
 from recipes_spark.io import scale_partitions
+
+
+def _splitmix64(x):
+    """SplitMix64 finalizer (Steele et al., public domain) over a numpy
+    uint64 array — the bijective mixer behind the banding kernel's lane
+    permutations. Vectorized, wraparound-exact."""
+    import numpy as np
+
+    z = x.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -60,46 +76,103 @@ def _band_rows(
     bands: int,
     carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, bhash) banding rows via TWO single-column aggregations:
-    min per (id, lane), then a bit_xor combine per (id, band).
+    """(id, bhash) banding rows, ROW-LOCAL: one xxhash64 per shingle
+    JVM-side, then every lane minimum and band hash computed in one
+    Arrow-batched numpy kernel — zero exchange before the band join.
 
-    Why not one groupBy(id) with `num_hashes` min-agg columns: that
-    generates one enormous whole-stage-codegen method whose Janino
-    compile dominates runtime and (under AQE's per-stage replanning)
-    recompiles unpredictably — measured 5-20 s/run vs a stable sub-2 s
-    for this shape at sf0.1. Each agg here has ONE aggregate expression
-    (tiny codegen); map-side partial agg means the lane shuffle carries
-    the same data volume as the wide form (num_hashes mins per doc),
-    just as narrow rows. The band hash is bit_xor over
-    xxhash64(lane, lane_min) — lanes are distinct within a band, so the
-    xor equals iff the ordered lane-min tuple equals (up to a ~2^-64
-    collision), exactly the banding-collision condition."""
+    Genealogy (both prior shapes measured at sf0.1): one groupBy(id)
+    with `num_hashes` min-agg columns generates a Janino method whose
+    compile dominates runtime (5-20 s/run); the round-3 two-narrow-agg
+    form was a stable ~2 s but paid a num_hashes× explode through the
+    partial aggregate and ran at interpreter speed until the JVM's JIT
+    warmed — 6-8 s cold, which is what a bounded-run benchmark (and a
+    short-lived job) actually observes. MinHash is row-local math, so
+    this version keeps it on the row: per Arrow batch the shingle
+    hashes are flattened once, each lane applies a splitmix64-finalized
+    xor-permutation and takes per-row minima via minimum.reduceat
+    (vectorized, no JIT ramp), and each band folds its `r` lane minima
+    with a lane-keyed remix + XOR — the xor equals iff the ordered
+    lane-min tuple equals (up to ~2^-64), exactly the banding-collision
+    condition. Peak memory is one flat-batch temp per lane, not a
+    (lanes × batch) matrix.
+
+    Scale shape: NO shuffle here at all (the round-3 form shuffled
+    per-lane minima); the only exchange in a near-dup pipeline is the
+    downstream (bhash) equi-join. Documents with an EMPTY set column
+    produce no banding rows (same exclusion as the explode-based forms).
+    Set elements must be non-null (xxhash64 of the element is taken
+    JVM-side; a null element would surface as a null lane hash)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     carry = list(carry_cols)
-    lanes = df.select(
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # Deterministic per-lane xor keys for the permutation and the band
+    # combine: fixed seeds → identical bhash values across batches,
+    # runs, and the streaming accumulated index (st12).
+    lane_keys = _splitmix64(
+        np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    band_keys = _splitmix64(lane_keys ^ np.uint64(0xA5A5A5A55A5A5A5A))
+
+    # No `size(__hs) > 0` Catalyst filter here: a filter on the transform
+    # output gets pushed below the projection and the whole shingle+hash
+    # expression tree evaluates TWICE per row (once in the Filter, once
+    # in the Project — verified in the executed plan). Empty sets are
+    # skipped inside the kernel instead, same exclusion semantics.
+    base = df.select(
         id_col,
         *carry,
-        F.explode(F.transform(set_col, lambda s: F.xxhash64(s))).alias("__h"),
-    ).select(
-        id_col,
-        *carry,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__lane"),
-        "__h",
+        F.transform(set_col, lambda s: F.xxhash64(s)).alias("__hs"),
     )
-    # carry_cols are functionally dependent on id, so adding them to the
-    # grouping keys changes nothing about the aggregation — they just
-    # ride along so callers can band-join WITHIN blocking keys (see
-    # band_hashes docstring) without a join back to the source.
-    mins = lanes.groupBy(id_col, *carry, "__lane").agg(
-        F.min(F.xxhash64(F.col("__h"), F.col("__lane"))).alias("__m")
+
+    out_schema = StructType(
+        [base.schema[id_col]]
+        + [base.schema[c] for c in carry]
+        + [StructField("bhash", LongType())]
     )
-    return (
-        mins.groupBy(id_col, *carry, F.expr(f"__lane DIV {r}").alias("__band"))
-        .agg(F.expr("bit_xor(xxhash64('band', __lane, __m))").alias("bhash"))
-        .select(id_col, *carry, "bhash")
-    )
+    out_cols = [id_col, *carry]
+
+    def bands_kernel(batches):
+        for pdf in batches:
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["__hs"]]
+            keep = np.fromiter((len(a) > 0 for a in arrs), count=len(arrs), dtype=bool)
+            if not keep.all():
+                pdf = pdf[keep]
+                arrs = [a for a in arrs if len(a)]
+            n = len(arrs)
+            if n == 0:
+                continue
+            lens = np.fromiter((len(a) for a in arrs), count=n, dtype=np.int64)
+            offs = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            flat = np.concatenate(arrs).view(np.uint64)
+            mins = np.empty((num_hashes, n), dtype=np.uint64)
+            for lane in range(num_hashes):
+                mins[lane] = np.minimum.reduceat(
+                    _splitmix64(flat ^ lane_keys[lane]), offs
+                )
+                # remix in place: band equality must hinge on the ordered
+                # lane-min tuple, so each lane re-keys its min before XOR
+                mins[lane] = _splitmix64(mins[lane] ^ band_keys[lane])
+            bh = np.bitwise_xor.reduce(mins.reshape(bands, r, n), axis=1)
+            out = {c: np.repeat(pdf[c].to_numpy(), bands) for c in out_cols}
+            out["bhash"] = bh.T.reshape(-1).view(np.int64)
+            yield pd.DataFrame(out)
+
+    # Eager materialization, because every caller SELF-JOINS the banding
+    # rows: without it the whole pipeline (shingle scan → xxhash64 →
+    # kernel) executes once per join side — ReuseExchange does not
+    # collapse the two sides of a Python map node (verified: two full
+    # Exchange subtrees in the executed plan). The checkpointed rows are
+    # the narrow (id, carry, bhash) set — num_docs × bands rows, no
+    # payload — so executor storage is bounded; at 100 TB stage them to
+    # a table instead, exactly like the CC edge checkpoint below.
+    return base.mapInPandas(bands_kernel, out_schema).localCheckpoint(eager=True)
 
 
 def band_hashes(
@@ -284,9 +357,9 @@ def minhash_lsh_pairs(
     # Banding carries ONLY (id, bhash) into the candidate shuffle — the
     # shingle arrays (the wide payload) are re-joined later just for the
     # surviving candidates. At 100 TB this is the difference between
-    # shuffling ids and shuffling the corpus 16×. Signature+banding use
-    # the two-narrow-agg shape (_band_rows) — see its docstring for why
-    # the wide num_hashes-column agg form is a codegen trap.
+    # shuffling ids and shuffling the corpus 16×. Signature+banding run
+    # in _band_rows' row-local numpy kernel — see its docstring for the
+    # genealogy (wide-agg codegen trap → lane-explode agg → this).
     banded = _band_rows(
         shingled,
         id_col="__id",

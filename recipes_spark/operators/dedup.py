@@ -678,3 +678,93 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> bytes:
+    """Build a Bloom filter over sha256(key_col) as a packed little-endian
+    bitmap of `m_bits` bits — the mergeable membership sketch an
+    incremental-dedup ingest keeps per corpus shard.
+
+    Bit positions are PORTABLE: position_i = int(hex_digest[8i+1 .. 8i+8],
+    16) % m_bits for i in 0..k-1 (1-based hex offsets) — byte-identical
+    to DuckDB's CAST('0x' || substr(sha256(x), 1+8*i, 8) AS BIGINT) %
+    m_bits, so an exact SQL oracle can replay membership decisions.
+
+    Scale: the distinct-positions collect is bounded by m_bits (≤ m/8
+    bytes of bitmap state regardless of corpus size — that IS the bloom
+    property); the position dedup is one hash agg on a uniform key. The
+    returned bitmap is driver-held and meant for sparkContext.broadcast;
+    merging shards = bitwise OR of bitmaps."""
+    import numpy as np
+
+    if k * 8 > 64:
+        raise ValueError("k slices of 8 hex chars must fit sha256's first 64")
+    hexd = F.sha2(F.col(key_col), 256)
+    pos_cols = [
+        (F.conv(F.substring(hexd, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits)
+        for i in range(k)
+    ]
+    rows = (
+        df.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m_bits // 8 + (m_bits % 8 > 0), dtype=np.uint8)
+    pos = np.fromiter((r["p"] for r in rows), dtype=np.int64, count=len(rows))
+    np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bitmap.tobytes()
+
+
+def bloom_members(
+    df: DataFrame,
+    key_col: str,
+    bitmap: bytes,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Rows of `df` whose sha256(key_col) tests POSITIVE against the
+    `bloom_build` bitmap (all k bits set) — i.e. candidate duplicates
+    against the indexed corpus: every true duplicate passes (no false
+    negatives), a tunable fraction of non-duplicates passes (false
+    positives; size m_bits for the target rate, ~n*k/ln(2) bits for
+    ~1.6% at k=4). Downstream exact verify (digest anti-join) removes
+    the false positives; the bloom's job is to shrink that join's probe
+    side from the whole batch to the candidates.
+
+    The k positions are computed JVM-side (same portable construction
+    as bloom_build); the bit test is a scalar pandas UDF over those k
+    LONG columns — a filter predicate, so ONLY k longs per row cross
+    the Arrow boundary (a mapInPandas filter would round-trip every
+    payload column, e.g. the full document text). No shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap)
+    hexd = F.sha2(F.col(key_col), 256)
+    pos_cols = [
+        (F.conv(F.substring(hexd, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits)
+        for i in range(k)
+    ]
+
+    # Built lazily (inside the call): pandas_udf resolves its return
+    # type against the active session at decoration time. Un-annotated
+    # + explicit returnType because k is a runtime parameter and the
+    # type-hint path rejects *args signatures.
+    def _hit(*ps):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        hit = np.ones(len(ps[0]), dtype=bool)
+        for p_ser in ps:
+            p = p_ser.to_numpy()
+            hit &= (bm[p >> 3] >> (p & 7).astype(np.uint8) & 1).astype(bool)
+        return pd.Series(hit)
+
+    bloom_hit = F.pandas_udf(_hit, "boolean")
+    return df.filter(bloom_hit(*pos_cols))

@@ -1118,3 +1118,111 @@ def x4_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("id", F.lit(0))).cast("long").alias("ids_checksum"),
         )
     )
+
+
+@query(
+    "x6_jsonl_roundtrip",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS total_chars,
+       CAST(sum(CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT)) AS BIGINT)
+         AS text_checksum,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def x6_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL shard export + re-ingest: write `documents` as sharded
+    JSON-lines (the lingua franca of LLM corpora), read the shards back
+    with an EXPLICIT schema, and audit integrity per language — doc
+    count, character count, a portable per-doc text checksum
+    (sha256-prefix sum), and the id range. The oracle computes the same
+    audit from the ORIGINAL parquet, so any doc the round trip drops,
+    duplicates, or mutates (JSON escaping, unicode, embedded newlines)
+    breaks the value hash.
+
+    Scale shape: the write is embarrassingly parallel (one JSONL shard
+    per task, zero shuffle); the read-back is a schema'd json scan —
+    the explicit schema matters at 100 TB because schema INFERENCE is a
+    full extra pass over the data; the audit is one hash agg on lang."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="recipes_jsonl_") + "/docs"
+    d.repartition(8).write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.sum(
+                F.conv(F.substring(F.sha2("text", 256), 1, 8), 16, 10).cast("long")
+            )
+            .cast("long")
+            .alias("text_checksum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "x4_unigram_nll",
+    oracle="""
+WITH dt AS (
+  SELECT doc_id, w AS term, count(*) AS k
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+cnt AS (SELECT term, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt)
+SELECT doc_id,
+       round(sum(k * -ln(c * 1.0 / t)) / sum(k), 4) AS nll
+FROM dt JOIN cnt USING (term) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def x4_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the CCNet/C4 perplexity-filter shape):
+    train token counts over the corpus, score every document by its
+    mean negative log-likelihood under that LM (low = common
+    boilerplate, high = rare-token gibberish) — the column a
+    perplexity-based quality gate thresholds on.
+
+    Scale shape: tokens collapse to per-doc (term, k) counts FIRST (one
+    hash agg with map-side combine), so the LM join carries
+    distinct-terms-per-doc rows, not the raw token stream — and the
+    stopword skew of a term-keyed token join collapses with it (a
+    stopword contributes ONE row per doc, weighted by k, instead of k
+    rows); the unigram table derives from that same aggregate (no
+    second corpus pass); the grand total is a 1-row broadcast.
+    round(,4) absorbs float-summation-order divergence between engines."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    cnt = dt.groupBy("term").agg(F.sum("k").cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    return (
+        dt.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("k") * -F.log(F.col("c") / F.col("t"))) / F.sum("k"),
+                4,
+            ).alias("nll")
+        )
+        .orderBy("doc_id")
+    )

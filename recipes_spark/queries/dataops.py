@@ -1306,3 +1306,51 @@ def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geomean("n_chars"), 4).alias("geo_mean_chars"),
         ngroup("n_chars").alias("n_docs"),
     )
+
+
+@query(
+    "x2_bloom_candidates",
+    oracle="""
+WITH offs AS (SELECT * FROM (VALUES (1), (9)) t(off)),
+idx AS (SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+pos AS (SELECT DISTINCT CAST('0x' || substr(h, off, 8) AS BIGINT) % 4096 AS p
+        FROM idx CROSS JOIN offs),
+inc AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 2 = 1),
+bits AS (SELECT doc_id, CAST('0x' || substr(h, off, 8) AS BIGINT) % 4096 AS p
+         FROM inc CROSS JOIN offs)
+SELECT doc_id FROM bits JOIN pos USING (p)
+GROUP BY doc_id HAVING count(*) = 2
+ORDER BY doc_id
+""",
+)
+def x2_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup, candidate stage: index the
+    even-id half of the corpus into a REAL packed bitmap
+    (operators/dedup.bloom_build), then bloom-test the odd-id half
+    (bloom_members) — the membership sketch an ingest pipeline keeps so
+    each incoming batch probes m/8 bytes of state instead of joining
+    the full corpus index. Every true duplicate passes (no false
+    negatives); candidates then go to the exact digest verify
+    (x2_incremental_dedup's anti-join), which this stage exists to
+    shrink.
+
+    The bitmap here is deliberately UNDERSIZED (m=4096, k=2 — far below
+    the ~n*k/ln 2 sizing rule) so the false-positive path is exercised
+    and non-empty at every test SF; the DuckDB oracle replays the exact
+    bit positions (portable sha256-slice hash), proving membership
+    decisions bit-for-bit. Production sizing note: this corpus has no
+    exact dups across the parity split, so every candidate is a bloom
+    false positive by construction — which is precisely what makes the
+    oracle sharp (any position-math drift changes the set)."""
+    from recipes_spark.operators.dedup import bloom_build, bloom_members
+
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    bitmap = bloom_build(
+        d.filter(F.col("doc_id") % 2 == 0), "text", m_bits=4096, k=2
+    )
+    inc = d.filter(F.col("doc_id") % 2 == 1)
+    return (
+        bloom_members(inc, "text", bitmap, m_bits=4096, k=2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

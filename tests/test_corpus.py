@@ -197,3 +197,49 @@ def test_star_cc_empty_edges_and_isolated(spark):
         for r in connected_components_star(nodes, edges).collect()
     }
     assert got == {5: 5, 9: 9}
+
+
+def test_bloom_no_false_negatives_and_portable_positions(spark, sf_dir):
+    """Every indexed key must bloom-test positive against its own
+    bitmap (the defining bloom guarantee), and the bit positions must
+    be the portable sha256-slice construction — checked by asserting a
+    NON-indexed corpus's pass rate stays near the analytic false-positive
+    rate (a position-math bug sends it to 0% or 100%)."""
+    from recipes_spark.io import load
+    from recipes_spark.operators.dedup import bloom_build, bloom_members
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = d.filter("doc_id % 2 = 0")
+    inc = d.filter("doc_id % 2 = 1")
+    m, k = 1 << 16, 4
+    bm = bloom_build(idx, "text", m_bits=m, k=k)
+
+    n_idx = idx.count()
+    # no false negatives: the index side passes in full
+    assert bloom_members(idx, "text", bm, m_bits=m, k=k).count() == n_idx
+
+    # false-positive rate ≈ (1 - e^(-k*n/m))^k; allow a wide band
+    import math
+
+    fpr = (1 - math.exp(-k * n_idx / m)) ** k
+    n_inc = inc.count()
+    hits = bloom_members(inc, "text", bm, m_bits=m, k=k).count()
+    assert hits <= max(10, 5 * fpr * n_inc), (hits, fpr, n_inc)
+
+
+def test_bloom_merge_is_bitwise_or(spark, sf_dir):
+    """Shard merge contract: OR of two shard bitmaps ≡ bitmap of the
+    union — the property that makes the sketch distributable."""
+    import numpy as np
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.dedup import bloom_build
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    m, k = 4096, 2
+    a = bloom_build(d.filter("doc_id % 3 = 0"), "text", m_bits=m, k=k)
+    b = bloom_build(d.filter("doc_id % 3 = 1"), "text", m_bits=m, k=k)
+    both = bloom_build(d.filter("doc_id % 3 <= 1"), "text", m_bits=m, k=k)
+    assert bytes(
+        np.frombuffer(a, np.uint8) | np.frombuffer(b, np.uint8)
+    ) == both

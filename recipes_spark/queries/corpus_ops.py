@@ -916,21 +916,47 @@ def x4_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher-style repetitiveness signal (low entropy = copy-pasted /
     template text, filtered before training). Entirely row-local higher-
     order-function arithmetic: no explode, no shuffle, the whole thing
-    is one narrow projection over the corpus scan. The distinct-word
-    fold runs in SORTED order on both engines so the double summation
-    is bit-identical and round(…, 4) cannot flake."""
+    is one narrow projection over the corpus scan.
+
+    Counts come from RUN LENGTHS of the sorted word array (boundary
+    indices → adjacent differences), which is O(N) HOF work per doc —
+    the naive per-distinct-word filter scan is O(distinct·N) and
+    measured 14 s vs ~1 s at sf0.1 (HOFs evaluate interpreted, so the
+    constant matters). Runs of a sorted array enumerate distinct words
+    in sorted order, so the c·log2(c) fold visits terms in EXACTLY the
+    oracle's list_sort(list_distinct(...)) order — the double summation
+    stays bit-identical and round(…, 4) cannot flake."""
     d = load(spark, sf_dir, "documents")
     ws = F.split("text", " ")
-    uniq = F.array_sort(F.array_distinct(ws))
-    clogc = F.aggregate(
-        F.transform(
-            uniq,
-            lambda x: F.size(F.filter(ws, lambda y: y == x)).cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, c: acc + c * F.log2(c),
+    s = F.array_sort(ws)
+    n_int = F.size(ws)
+    # CRITICAL: `s` only ever appears as a direct HOF ARGUMENT, never
+    # inside a lambda body — a lambda-body subexpression re-evaluates
+    # per ELEMENT (no CSE inside HOFs), which turns the per-row sort
+    # into O(N² log N); an element_at(s, i) formulation of the
+    # boundaries was measured at 34 s vs ~1 s at sf0.1 for this reason.
+    nxt = F.concat(
+        F.slice(s, 2, n_int - 1), F.array(F.lit(None).cast("string"))
     )
-    n = F.size(ws).cast("double")
+    # 1-based positions where a run of equal words ends
+    ends = F.filter(
+        F.zip_with(
+            F.zip_with(s, nxt, lambda a, b: b.isNull() | (a != b)),
+            F.sequence(F.lit(1), n_int),
+            lambda flag, i: F.when(flag, i),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # run length = this run's end − previous run's end
+    counts = F.zip_with(
+        ends,
+        F.concat(F.array(F.lit(0)), F.slice(ends, 1, F.size(ends) - 1)),
+        lambda e, p: (e - p).cast("double"),
+    )
+    clogc = F.aggregate(
+        counts, F.lit(0.0), lambda acc, c: acc + c * F.log2(c)
+    )
+    n = n_int.cast("double")
     return d.select(
         "doc_id", F.round(F.log2(n) - clogc / n, 4).alias("entropy")
     )

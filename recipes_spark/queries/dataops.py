@@ -1354,3 +1354,75 @@ def x2_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x3_kmeans_assign",
+    oracle="""
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+d AS (
+  SELECT v.vec_id, c.cid,
+         list_sum([ (ev[i] - cv[i]) * (ev[i] - cv[i]) FOR i IN range(1, 65) ]) AS dist
+  FROM v CROSS JOIN c
+),
+sel AS (SELECT vec_id, cid, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d)
+SELECT vec_id,
+       min(cid) AS cluster,
+       CAST(floor(min(dist) * 1e6) AS BIGINT) AS dist_micro
+FROM sel WHERE dist = md
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+)
+def x3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means ASSIGNMENT step (k=8, centroids = the first k
+    vectors — deterministic seeding): every vector goes to its nearest
+    centroid by squared L2, ties to the smaller centroid id. Paired
+    with `embedding_centroids` (the refit step) this is one full
+    distributed k-means iteration — the training loop behind IVF list
+    construction (operators/similarity.ivf_topk).
+
+    Scale shape: centroids are collected (k·dim doubles, bounded by
+    design) and inlined as literals, so assignment is ROW-LOCAL map
+    work — zero shuffle, no join: the canonical broadcast-kmeans plan.
+    Distances fold sequentially (aggregate over zip_with) in array
+    order, matching DuckDB's list-comprehension + list_sum order, so
+    the doubles are bit-identical and the floor-scaled micro output
+    cannot flake; the argmin is array_min over (dist, cid) structs —
+    lexicographic, so the tie-break is part of the comparison."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cv"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    ev = as_double("embedding")
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(ev, c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cid"].cast("long").alias("cid"),
+        ),
+    )
+    best = F.array_min(dists)
+    return (
+        e.select(
+            "vec_id",
+            best["cid"].alias("cluster"),
+            F.floor(best["dist"] * 1e6).cast("long").alias("dist_micro"),
+        )
+        .orderBy("vec_id")
+    )

@@ -295,3 +295,25 @@ def test_lang_confusion_is_projection_plus_tiny_agg(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange") <= 2  # partial->final agg exchange only
+
+
+def test_kmeans_assign_is_zero_shuffle_map_work(spark, sf_dir):
+    """x3_kmeans_assign inlines the collected centroids as literals, so
+    the assignment plan must be a pure projection over the embeddings
+    scan — no join, no aggregation exchange (the only Exchange allowed
+    is the final orderBy's range partitioning)."""
+    plan = _plan(spark, sf_dir, "x3_kmeans_assign")
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_unigram_nll_preaggregates_before_lm_join(spark, sf_dir):
+    """x4_unigram_nll must collapse the token stream to per-doc
+    (term, k) counts BEFORE the LM join — the join input aggregate is
+    what kills the stopword skew. Assert an aggregate sits below the
+    term join (two agg pairs: dt build + final per-doc) and the grand
+    total arrives via broadcast."""
+    plan = _plan(spark, sf_dir, "x4_unigram_nll")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for dt and final agg

@@ -1252,3 +1252,71 @@ def x4_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x4_unicode_normalize",
+    oracle="""
+WITH dirty AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+                      THEN ' cafe' || chr(769) || ' A' || chr(778)
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       (nfc_normalize(t) <> t) AS changed,
+       CAST(len(nfc_normalize(t)) AS BIGINT) AS nfc_len,
+       CAST('0x' || substr(sha256(nfc_normalize(t)), 1, 8) AS BIGINT) AS nfc_hash
+FROM dirty
+ORDER BY doc_id
+""",
+)
+def x4_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization pass a corpus
+    needs BEFORE exact dedup and tokenization (decomposed 'e'+U+0301
+    and composed 'é' must hash identically or every dedup stage
+    under-merges). The corpus text is clean, so every 4th doc gets
+    deterministic decomposed sequences appended (same injection
+    expression both engines, the x4_pii_scrub pattern); output audits
+    the normalization per doc: changed flag, post-NFC codepoint count,
+    portable sha256-prefix hash of the normalized text — the oracle
+    replays it with DuckDB's nfc_normalize, pinning Python
+    unicodedata.normalize('NFC') to an independent implementation.
+
+    Spark has no built-in NFC, so this is an Arrow-batched pandas UDF
+    (string in, string out, row-local) — zero shuffle; the length/hash
+    audit stays JVM-side on the UDF output. At 100 TB this pass runs
+    once at ingest and persists, not per-query."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(" cafe" + chr(769) + " A" + chr(778)),
+        ).otherwise(F.lit("")),
+    )
+
+    # Built lazily (active-session return-type resolution); explicit
+    # un-annotated form because this module stringifies annotations
+    # (future-annotations) without a module-level pandas import.
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+    nfc = F.pandas_udf(_nfc, "string")
+
+    return (
+        d.select("doc_id", dirty.alias("t"))
+        .select("doc_id", "t", nfc("t").alias("n"))
+        .select(
+            "doc_id",
+            (F.col("n") != F.col("t")).alias("changed"),
+            F.length("n").cast("long").alias("nfc_len"),
+            F.conv(F.substring(F.sha2("n", 256), 1, 8), 16, 10)
+            .cast("long")
+            .alias("nfc_hash"),
+        )
+        .orderBy("doc_id")
+    )

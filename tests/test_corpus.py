@@ -243,3 +243,40 @@ def test_bloom_merge_is_bitwise_or(spark, sf_dir):
     assert bytes(
         np.frombuffer(a, np.uint8) | np.frombuffer(b, np.uint8)
     ) == both
+
+
+def test_band_rows_partition_invariant_and_edge_cases(spark):
+    """The banding kernel's bhash values must be a pure function of the
+    (id, set) row — invariant to partitioning and batching — because
+    st12's accumulated band-hash index compares hashes produced in
+    DIFFERENT micro-batches. Also pins edge semantics: empty sets emit
+    no rows; a single-element set and duplicate elements are fine."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.operators.dedup import band_hashes
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "d"]),      # identical set -> identical bhashes
+        (3, []),                         # empty -> excluded
+        (4, ["z"]),                      # singleton
+        (5, ["a", "a", "a"]),            # duplicates
+        (6, list("the quick brown fox jumps".split())),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s array<string>")
+
+    def collect_bands(d):
+        out = band_hashes(d, id_col="doc_id", set_col="s",
+                          num_hashes=32, bands=8)
+        return sorted((r["doc_id"], r["bhash"]) for r in out.collect())
+
+    one = collect_bands(df.coalesce(1))
+    many = collect_bands(df.repartition(5, "doc_id"))
+    assert one == many
+
+    ids = {i for i, _ in one}
+    assert 3 not in ids
+    assert {1, 2, 4, 5, 6} <= ids
+    b1 = sorted(h for i, h in one if i == 1)
+    b2 = sorted(h for i, h in one if i == 2)
+    assert b1 == b2 and len(b1) == 8

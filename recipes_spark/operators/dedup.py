@@ -746,6 +746,8 @@ def bloom_members(
     import numpy as np
     import pandas as pd
 
+    if k * 8 > 64:
+        raise ValueError("k slices of 8 hex chars must fit sha256's first 64")
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bitmap)
     hexd = F.sha2(F.col(key_col), 256)

@@ -41,7 +41,13 @@ def get_session(app_name: str = "recipes-spark", cpus: str | None = None) -> Spa
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", n)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g (was 8g): in local mode the driver heap IS the executor
+        # heap for all N threads; at 8g the 16-query bench hit GC
+        # pressure in its back half (st2/x2 2x inflated, position-
+        # dependent) — 24g measured 12.0s vs 15.7s total, every query
+        # at or under its best. Cluster deployments size executors
+        # instead (SCALE.md "Knobs").
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return configure(builder).getOrCreate()

@@ -453,3 +453,94 @@ def st12_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(pairs_dir).select("id_a", "id_b", "jaccard")
+
+
+@query(
+    "st13_stream_bloom_probe",
+    oracle="""
+WITH offs AS (SELECT * FROM (VALUES (1), (9)) t(off)),
+b AS (SELECT doc_id, doc_id % 4 AS bid, sha256(text) AS h FROM documents),
+pos AS (
+  SELECT DISTINCT bid, CAST('0x' || substr(h, off, 8) AS BIGINT) % 4096 AS p
+  FROM b CROSS JOIN offs
+)
+SELECT doc_id
+FROM (
+  SELECT b.doc_id, count(DISTINCT o.off) AS nhit
+  FROM b
+  CROSS JOIN offs o
+  JOIN pos pp
+    ON pp.p = CAST('0x' || substr(b.h, o.off, 8) AS BIGINT) % 4096
+   AND pp.bid < b.bid
+  GROUP BY b.doc_id
+  HAVING count(DISTINCT o.off) = 2
+)
+ORDER BY doc_id
+""",
+)
+def st13_stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bloom-probed dedup: the corpus arrives as four ordered
+    micro-batches (bid = doc_id % 4); each batch is bloom-TESTED against
+    the bitmap accumulated from all PRIOR batches, then its own bit
+    positions are OR-ed in. Output = every doc the sketch flags as a
+    candidate duplicate of earlier data — st11's exact-index probe with
+    the index replaced by m/8 bytes of mergeable bloom state, the shape
+    an ingest keeps when the corpus digest index no longer fits a join.
+
+    Batch-transactionality: the bitmap is persisted per batch id
+    (overwrite) and each batch rebuilds its input state as the OR of
+    all PRIOR batches' persisted bitmaps — so an at-least-once retry of
+    batch N reloads exactly the pre-N state and re-emits identical
+    output (same idempotence argument as st11's per-batch subdirs).
+    The DuckDB oracle replays the exact bit positions (portable
+    sha256-slice hash) with the same prior-batch visibility rule —
+    bit-for-bit, not statistical (m deliberately undersized at 4096 so
+    the candidate path is exercised at every test SF)."""
+    import numpy as np
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.dedup import bloom_build, bloom_members
+
+    m_bits, k = 4096, 2
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [d.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
+
+    from recipes_spark.streaming.core import stage_ordered
+
+    staged = stage_ordered(chunks, prefix="recipes_st13_landing_")
+    out_dir = tempfile.mkdtemp(prefix="recipes_st13_out_") + "/cand"
+    state_dir = tempfile.mkdtemp(prefix="recipes_st13_state_")
+
+    def probe_then_absorb(bdf: DataFrame, bid: int) -> None:
+        prior = np.zeros(m_bits // 8, dtype=np.uint8)
+        for j in range(bid):
+            with open(os.path.join(state_dir, f"bloom_{j}.bin"), "rb") as fh:
+                prior |= np.frombuffer(fh.read(), dtype=np.uint8)
+        cand = bloom_members(bdf, "text", prior.tobytes(), m_bits=m_bits, k=k)
+        cand.select("doc_id").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={bid}")
+        )
+        own = bloom_build(bdf, "text", m_bits=m_bits, k=k)
+        with open(os.path.join(state_dir, f"bloom_{bid}.bin"), "wb") as fh:
+            fh.write(own)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe_then_absorb)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st13_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select("doc_id").orderBy("doc_id")

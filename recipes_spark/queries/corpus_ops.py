@@ -1320,3 +1320,70 @@ def x4_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x6_epoch_shuffle",
+    oracle="""
+WITH e AS (SELECT * FROM (VALUES (0), (1)) t(epoch)),
+h AS (
+  SELECT epoch, doc_id,
+         CAST('0x' || substr(sha256(CAST(epoch AS VARCHAR) || ':' ||
+                                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+  FROM documents CROSS JOIN e
+)
+SELECT epoch, hv % 16 AS shard, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch, hv % 16
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos
+FROM h
+ORDER BY epoch, shard, pos
+""",
+)
+def x6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded epoch shuffling — the dataloader-order primitive: every
+    (epoch, doc) gets a portable hash, docs land in the shard the hash
+    selects, and the shard-local rank IS the read order. Reproducible
+    (same epoch → same order on any engine, any partitioning, any
+    re-run — the resumable-training contract) yet decorrelated across
+    epochs (epoch is in the hash). Two epochs materialized here; the
+    oracle replays both orders exactly.
+
+    Scale shape: the epoch dimension is a 2-row broadcast cross join;
+    ranking partitions on (epoch, shard) — 32 windows of n/16 rows
+    each, never a global sort; a dataloader consumes shard files
+    independently, so the full ordered corpus is never assembled in
+    one place. More epochs = more rows, same per-window size."""
+    d = load(spark, sf_dir, "documents")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    hv = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    ":",
+                    F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
+    return (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .withColumn("hv", hv)
+        .withColumn("shard", F.pmod("hv", F.lit(16)))
+        .select(
+            "epoch",
+            "shard",
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("pos"),
+            "hv",
+        )
+        .drop("hv")
+        .orderBy("epoch", "shard", "pos")
+    )

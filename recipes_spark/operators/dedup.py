@@ -139,7 +139,13 @@ def _band_rows(
 
     def bands_kernel(batches):
         for pdf in batches:
-            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["__hs"]]
+            # None = NULL set column (e.g. null text upstream): same
+            # exclusion as an empty set, matching the explode-based
+            # forms which produced no rows for NULL arrays.
+            arrs = [
+                np.asarray(a if a is not None else (), dtype=np.int64)
+                for a in pdf["__hs"]
+            ]
             keep = np.fromiter((len(a) > 0 for a in arrs), count=len(arrs), dtype=bool)
             if not keep.all():
                 pdf = pdf[keep]
@@ -703,15 +709,11 @@ def bloom_build(
     merging shards = bitwise OR of bitmaps."""
     import numpy as np
 
-    if k * 8 > 64:
-        raise ValueError("k slices of 8 hex chars must fit sha256's first 64")
-    hexd = F.sha2(F.col(key_col), 256)
-    pos_cols = [
-        (F.conv(F.substring(hexd, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits)
-        for i in range(k)
-    ]
     rows = (
-        df.select(F.explode(F.array(*pos_cols)).alias("p"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.explode(F.array(*_bloom_positions(key_col, m_bits, k))).alias("p")
+        )
         .distinct()
         .collect()
     )
@@ -746,15 +748,9 @@ def bloom_members(
     import numpy as np
     import pandas as pd
 
-    if k * 8 > 64:
-        raise ValueError("k slices of 8 hex chars must fit sha256's first 64")
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bitmap)
-    hexd = F.sha2(F.col(key_col), 256)
-    pos_cols = [
-        (F.conv(F.substring(hexd, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits)
-        for i in range(k)
-    ]
+    pos_cols = _bloom_positions(key_col, m_bits, k)
 
     # Built lazily (inside the call): pandas_udf resolves its return
     # type against the active session at decoration time. Un-annotated
@@ -769,4 +765,25 @@ def bloom_members(
         return pd.Series(hit)
 
     bloom_hit = F.pandas_udf(_hit, "boolean")
-    return df.filter(bloom_hit(*pos_cols))
+    # NULL keys test negative by definition (bloom_build excludes them,
+    # so their positions were never set) and are filtered JVM-side —
+    # they must not reach the kernel, where a null position column
+    # arrives as float64 NaN and the bit math fails.
+    return df.filter(F.col(key_col).isNotNull()).filter(bloom_hit(*pos_cols))
+
+
+def _bloom_positions(key_col: str, m_bits: int, k: int) -> list:
+    """The ONE definition of the portable bloom bit positions —
+    position_i = int(sha256_hex[8i+1 .. 8i+8], 16) % m_bits, the
+    construction DuckDB replays as CAST('0x' || substr(sha256(x),
+    1+8*i, 8) AS BIGINT) % m_bits. Shared by bloom_build and
+    bloom_members so build and probe can never drift apart (a silent
+    disagreement would break the no-false-negative guarantee with no
+    error)."""
+    if k * 8 > 64:
+        raise ValueError("k slices of 8 hex chars must fit sha256's first 64")
+    hexd = F.sha2(F.col(key_col), 256)
+    return [
+        (F.conv(F.substring(hexd, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits)
+        for i in range(k)
+    ]

@@ -1175,10 +1175,18 @@ def x6_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per task, zero shuffle); the read-back is a schema'd json scan —
     the explicit schema matters at 100 TB because schema INFERENCE is a
     full extra pass over the data; the audit is one hash agg on lang."""
+    import hashlib
+    import os
     import tempfile
 
     d = load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="recipes_jsonl_") + "/docs"
+    # STABLE output path per source dir (not mkdtemp-per-call): the
+    # returned DataFrame is lazy, so the shards must outlive this
+    # function — a fresh dir per invocation would leave one full JSONL
+    # corpus copy per bench/test run; the overwrite bounds disk usage
+    # at one copy per SF.
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"recipes_jsonl_{tag}", "docs")
     d.repartition(8).write.mode("overwrite").json(out)
     back = spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"

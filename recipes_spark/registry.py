@@ -43,8 +43,8 @@ _RECHECK: dict[str, int] = {
     "st6_stream_dedup": 3,
     "st8_stream_join": 3,
     # round-3 banding rewrite (two-narrow-agg _band_rows; blocked
-    # candidate join in near_dup_wordset):
-    "x2_minhash_lsh": 3,
+    # candidate join in near_dup_wordset) — x2_minhash_lsh moved to the
+    # round-4 tier below:
     "near_dup_wordset": 3,
     "x2_dedup_groups": 3,
     "x2_dedup_groups_star": 3,
@@ -63,6 +63,14 @@ _RECHECK: dict[str, int] = {
     "q11_important_parts": 4,
     "agg_argmax_conditional": 4,
     "x4_filter_sweep": 4,
+    # round-4 banding hash-family change (splitmix64 numpy kernel replaced
+    # the xxhash64 lane aggregates): every ORACLED consumer was verified
+    # bit-identical at sf0.001/0.01/0.1 before landing, but these two are
+    # candidate-set-sensitive without a full oracle (x2_minhash_lsh is
+    # rows-only; st12's banding feeds an accumulated cross-batch index),
+    # so a marginal pair COULD differ — re-attest under the new family:
+    "x2_minhash_lsh": 4,
+    "st12_stream_neardup": 4,
 }
 
 

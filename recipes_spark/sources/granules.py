@@ -288,8 +288,23 @@ def url_metadata(
     if n_partitions:
         urls = urls.repartition(n_partitions)
 
+    def fetch_or_skip(u: str) -> bytes | None:
+        # Unreachable/missing granules quarantine (dropped row) like
+        # undecodable ones — a single 404 on a 100 TB manifest scan must
+        # not fail the job through task retries. OSError covers URLError/
+        # HTTPError/timeouts and local file errors; a missing fsspec
+        # (ImportError) is a configuration error and still raises.
+        try:
+            return _fetch_url(u)
+        except OSError:
+            return None
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _meta_rows((u, _fetch_url(u)) for u in pdf[url_col])
+            yield _meta_rows(
+                (u, content)
+                for u in pdf[url_col]
+                if (content := fetch_or_skip(u)) is not None
+            )
 
     return urls.select(F.col(url_col)).mapInPandas(extract, schema=META_SCHEMA)

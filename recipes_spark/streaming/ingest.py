@@ -400,12 +400,15 @@ def st12_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def neardup_batch(bdf: DataFrame, bid: int) -> None:
         ids = bdf.select("doc_id", "lang", "source")
         batch_sets = ids.join(d, ["doc_id", "lang", "source"])
+        # band_hashes materializes its output itself (eager checkpoint
+        # at the operator tail) — no caller-side checkpoint on top, or
+        # every micro-batch copies the banding rows twice.
         bands = band_hashes(
             batch_sets,
             id_col="doc_id",
             set_col="s",
             carry_cols=("lang", "source"),
-        ).localCheckpoint(eager=True)
+        )
         # Existence check, NOT a broad try/except around the read: a
         # corrupt index at batch N>0 must raise (silently treating it
         # as "first batch" would drop every cross-batch pair).

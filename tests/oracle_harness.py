@@ -67,7 +67,12 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
         # Driver-faithful dtype gate: the real driver hashes raw values, so
         # an int64 Spark column against a float64 oracle column (the DuckDB
         # HUGEINT → pandas float64 leak) mismatches there even when the
-        # values are numerically equal. Fail it here too, so the leak can
+        # values are numerically equal. Deliberately strict for NULLABLE
+        # integer outputs too: Spark's toPandas converts a long column with
+        # any NULL to float64, and the driver sees exactly the same — so a
+        # query whose integer output can be NULL must coalesce() (or the
+        # oracle must produce matching floats); failing here predicts the
+        # driver, which is this harness's whole contract. Fail it here too, so the leak can
         # never pass pytest and then burn a driver row.
         int_vs_float = (
             pd.api.types.is_integer_dtype(a) and pd.api.types.is_float_dtype(b)

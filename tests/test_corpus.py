@@ -280,3 +280,29 @@ def test_band_rows_partition_invariant_and_edge_cases(spark):
     b1 = sorted(h for i, h in one if i == 1)
     b2 = sorted(h for i, h in one if i == 2)
     assert b1 == b2 and len(b1) == 8
+
+
+def test_banding_and_bloom_exclude_null_inputs(spark):
+    """NULL set columns (null text upstream) and NULL bloom keys are
+    EXCLUDED, not crashes: the kernel treats a NULL array like an empty
+    one, and bloom build/probe filter null keys (they test negative by
+    definition — their positions were never set)."""
+    from recipes_spark.operators.dedup import (
+        band_hashes,
+        bloom_build,
+        bloom_members,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, None), (3, ["x", "y", "z", "w"])],
+        "doc_id long, s array<string>",
+    )
+    out = band_hashes(df, id_col="doc_id", set_col="s", num_hashes=16, bands=4)
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+    kdf = spark.createDataFrame(
+        [(1, "aa"), (2, None), (3, "bb")], "id long, t string"
+    )
+    bm = bloom_build(kdf, "t", m_bits=1024, k=2)
+    mem = bloom_members(kdf, "t", bm, m_bits=1024, k=2)
+    assert {r["id"] for r in mem.collect()} == {1, 3}

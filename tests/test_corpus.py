@@ -306,3 +306,62 @@ def test_banding_and_bloom_exclude_null_inputs(spark):
     bm = bloom_build(kdf, "t", m_bits=1024, k=2)
     mem = bloom_members(kdf, "t", bm, m_bits=1024, k=2)
     assert {r["id"] for r in mem.collect()} == {1, 3}
+
+
+def test_band_rows_matches_per_row_reference(spark):
+    """The vectorized kernel (flat concat + minimum.reduceat + reshape)
+    must equal a straightforward per-row reference: same splitmix64
+    lane permutation and band fold computed one document at a time in
+    plain Python over the SAME xxhash64 base values. Catches
+    segmentation/reshape/ordering bugs independent of any downstream
+    query."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recipes_spark.operators.dedup import _splitmix64, band_hashes
+
+    num_hashes, bands = 32, 8
+    r = num_hashes // bands
+    rows = [
+        (1, ["alpha", "beta", "gamma"]),
+        (2, ["delta"]),
+        (3, ["alpha", "alpha", "zeta", "eta", "theta", "iota", "kappa"]),
+        (4, ["x%d" % i for i in range(50)]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s array<string>")
+
+    # independent reference: per row, per lane, plain min over mixed values
+    base = {
+        row["doc_id"]: row["hs"]
+        for row in df.select(
+            "doc_id", F.transform("s", lambda x: F.xxhash64(x)).alias("hs")
+        ).collect()
+    }
+    lane_keys = _splitmix64(
+        np.arange(1, num_hashes + 1, dtype=np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+    )
+    band_keys = _splitmix64(lane_keys ^ np.uint64(0xA5A5A5A55A5A5A5A))
+    expected = set()
+    for did, hs in base.items():
+        hv = np.array(hs, dtype=np.int64).view(np.uint64)
+        mixed = [
+            _splitmix64(
+                np.array([_splitmix64(hv ^ lane_keys[lane]).min()])
+                ^ band_keys[lane]
+            )[0]
+            for lane in range(num_hashes)
+        ]
+        for b in range(bands):
+            acc = np.bitwise_xor.reduce(
+                np.array(mixed[b * r : (b + 1) * r], dtype=np.uint64)
+            )
+            expected.add((did, int(np.uint64(acc).astype(np.int64))))
+
+    got = {
+        (row["doc_id"], row["bhash"])
+        for row in band_hashes(
+            df, id_col="doc_id", set_col="s", num_hashes=num_hashes, bands=bands
+        ).collect()
+    }
+    assert got == expected

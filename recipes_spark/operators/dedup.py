@@ -717,7 +717,7 @@ def bloom_build(
         .distinct()
         .collect()
     )
-    bitmap = np.zeros(m_bits // 8 + (m_bits % 8 > 0), dtype=np.uint8)
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
     pos = np.fromiter((r["p"] for r in rows), dtype=np.int64, count=len(rows))
     np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
     return bitmap.tobytes()
@@ -761,6 +761,16 @@ def bloom_members(
         hit = np.ones(len(ps[0]), dtype=bool)
         for p_ser in ps:
             p = p_ser.to_numpy()
+            # Defensive in-kernel guard: the JVM-side isNotNull filter
+            # below should keep NULL positions out, but that relies on
+            # ExtractPythonUDFs placing the filter under the UDF — an
+            # optimizer-dependent invariant. If a null ever leaks in it
+            # arrives as float64 NaN; treat any non-integer/non-finite
+            # position as a miss instead of crashing the bit math.
+            if p.dtype.kind == "f":
+                finite = np.isfinite(p)
+                hit &= finite
+                p = np.where(finite, p, 0).astype(np.int64)
             hit &= (bm[p >> 3] >> (p & 7).astype(np.uint8) & 1).astype(bool)
         return pd.Series(hit)
 
@@ -782,6 +792,12 @@ def _bloom_positions(key_col: str, m_bits: int, k: int) -> list:
     error)."""
     if k * 8 > 64:
         raise ValueError("k slices of 8 hex chars must fit sha256's first 64")
+    if m_bits % 8:
+        # Every bitmap consumer (bloom_build, st13's prior-state OR)
+        # sizes state as exactly m_bits//8 bytes; a non-multiple of 8
+        # would make build and merge disagree on length and fail with a
+        # shape error far from the cause. Fail loudly at the API edge.
+        raise ValueError(f"m_bits must be a multiple of 8, got {m_bits}")
     hexd = F.sha2(F.col(key_col), 256)
     return [
         (F.conv(F.substring(hexd, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits)

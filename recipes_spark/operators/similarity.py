@@ -445,14 +445,19 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign PQ codes: one Arrow batch = one numpy distance matrix per
     subspace (vectorized across rows and centroids), emitting
-    (id, codes array<int>, mse double) — `m` bytes replacing
+    (id, keep_cols…, codes array<int>, mse double) — `m` bytes replacing
     dim·4 bytes, the memory step that makes billion-vector ANN fit.
     mse is the per-row reconstruction error (quantization distortion),
-    kept so quality gates can assert distortion bounds."""
+    kept so quality gates can assert distortion bounds. `keep_cols`
+    ride through the Arrow pass so a composed pipeline (ivf_pq_topk's
+    list id) never needs a corpus-size self-join to reattach them."""
     m, k, sub = books.shape
+    in_fields = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}
+    keep_ddl = "".join(f", `{c}` {in_fields[c]}" for c in keep_cols)
 
     def encode(batches):
         for pdf in batches:
@@ -469,16 +474,17 @@ def pq_encode(
                 codes[:, j] = np.argmin(d2, axis=1)
                 recon[:, j * sub : (j + 1) * sub] = books[j][codes[:, j]]
             mse = ((X - recon) ** 2).mean(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "codes": list(codes),
-                    "mse": mse,
-                }
-            )
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            out["codes"] = list(codes)
+            out["mse"] = mse
+            yield pd.DataFrame(out)
 
-    return scale_partitions(corpus.select(id_col, vec_col)).mapInPandas(
-        encode, f"{id_col} long, codes array<int>, mse double"
+    return scale_partitions(
+        corpus.select(id_col, *keep_cols, vec_col)
+    ).mapInPandas(
+        encode, f"{id_col} long{keep_ddl}, codes array<int>, mse double"
     )
 
 
@@ -559,6 +565,143 @@ def pq_adc_topk(
         .select(id_col, query_id_col)
     )
     # Exact re-rank of the shortlist only.
+    qdf = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("__qv")
+    )
+    joined = (
+        shortlist.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), query_id_col)
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine(as_double(F.col(vec_col)), as_double(F.col("__qv"))), 4
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.col(id_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF + PQ composed end-to-end — the billion-vector ANN plan as ONE
+    DataFrame pipeline (the shape SURVEY's north star describes; the
+    reference's catalog search is the metadata analog of this probe):
+
+      1. coarse quantize: every corpus vector lands in one of
+         `n_centroids` inverted lists (`ivf_assign`, one narrow
+         Arrow pass — at 100 TB the list id IS the Parquet partition
+         key, so a probe is a partition-pruned scan);
+      2. PQ-encode the corpus ONCE (`pq_encode`) — the probed scan then
+         reads `m` small codes per vector instead of dim·8 bytes;
+      3. probe: each query visits only its `nprobe` nearest lists
+         (corpus ⋈ broadcast(query→list), an equi-join on the list id —
+         compute drops to ~nprobe/n_centroids of brute force);
+      4. ADC score inside the probed lists: per-query subspace
+         distance tables are built once on the driver (Q·m·n_codes
+         doubles) and shipped in the UDF closure; each candidate costs
+         m table lookups, never touching its float vector;
+      5. shortlist `refine·k` per query by ADC distance, then exact
+         cosine re-rank of ONLY that shortlist against the float
+         vectors (broadcast query side).
+
+    Both trainings read a bounded driver-side sample. Codes are over
+    RAW vectors (IVFFlat-style) rather than residuals — residual
+    encoding buys accuracy at the cost of a second codebook family;
+    `refine` is the recall knob here and the gate in
+    tests/test_similarity.py holds recall@k >= 0.9 against brute force.
+    """
+    cents = train_centroids(
+        corpus, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+    )
+    books = train_pq_codebooks(corpus, vec_col=vec_col, m=m, k=n_codes)
+    mm, kc, sub = books.shape
+
+    # (1)+(2): one pass assigns the list id; the encode pass carries it
+    # through (keep_cols) — NO corpus-size self-join to reattach it.
+    assigned = scale_partitions(corpus.select(id_col, vec_col)).withColumn(
+        "__list", ivf_assign(F.col(vec_col), cents)
+    )
+    listed = pq_encode(
+        assigned, books, id_col=id_col, vec_col=vec_col, keep_cols=("__list",)
+    ).select(id_col, "__list", "codes")
+
+    # (3): per-query probe lists + ADC distance tables, driver-side numpy
+    # (bounded: Q × n_centroids and Q × m × n_codes).
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cosine_sim double, rank int"
+        )
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    probe_lists = np.argsort(-(Qn @ Cn.T), axis=1)[:, :nprobe]
+    tables = np.empty((len(Q), mm, kc))
+    for j in range(mm):
+        S = Q[:, j * sub : (j + 1) * sub]
+        tables[:, j, :] = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(
+            axis=2
+        )
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(
+        [
+            (int(qid), int(c))
+            for qid, lists in zip(qids, probe_lists)
+            for c in lists
+        ],
+        f"{query_id_col} long, __list int",
+    )
+
+    # (4): candidate = probed-list join; ADC score via one vectorized
+    # lookup per Arrow batch. Only (id, query_id, codes) rows flow —
+    # never the float vectors.
+    qindex = {int(qid): i for i, qid in enumerate(qids)}
+
+    @F.pandas_udf("double")
+    def _adc(qid_ser: pd.Series, codes_ser: pd.Series) -> pd.Series:
+        if not len(qid_ser):
+            return pd.Series(np.empty(0))
+        qi = qid_ser.map(qindex).to_numpy(dtype=np.int64)
+        codes = np.asarray(list(codes_ser), dtype=np.int64)  # (n, m)
+        dist = tables[qi[:, None], np.arange(mm)[None, :], codes].sum(axis=1)
+        return pd.Series(dist)
+
+    cand = (
+        listed.join(F.broadcast(probe_df), "__list")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("adc_dist", _adc(F.col(query_id_col), F.col("codes")))
+    )
+
+    # (5): shortlist by ADC, exact re-rank on the shortlist only.
+    n_keep = refine * k
+    wq = Window.partitionBy(query_id_col).orderBy("adc_dist", F.col(id_col))
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_keep)
+        .select(id_col, query_id_col)
+    )
     qdf = queries.select(
         F.col(query_id_col), F.col(query_vec_col).alias("__qv")
     )

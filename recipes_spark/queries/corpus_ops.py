@@ -1180,12 +1180,16 @@ def x6_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = load(spark, sf_dir, "documents")
-    # STABLE output path per source dir (not mkdtemp-per-call): the
-    # returned DataFrame is lazy, so the shards must outlive this
-    # function — a fresh dir per invocation would leave one full JSONL
-    # corpus copy per bench/test run; the overwrite bounds disk usage
-    # at one copy per SF.
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    # STABLE output path per (process, source dir) — not mkdtemp-per-call:
+    # the returned DataFrame is lazy, so the shards must outlive this
+    # function; overwriting a per-call dir would leave one full JSONL
+    # corpus copy per bench/test run. The pid in the tag keeps a
+    # CONCURRENT run (parallel pytest/bench) from clobbering shards a
+    # previously returned lazy DataFrame in another process still reads;
+    # within one process, re-invocation overwrites before the old plan
+    # re-executes only if the caller re-runs it — same-process reuse is
+    # the documented bound (one copy per SF per process).
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
     out = os.path.join(tempfile.gettempdir(), f"recipes_jsonl_{tag}", "docs")
     d.repartition(8).write.mode("overwrite").json(out)
     back = spark.read.schema(
@@ -1219,7 +1223,8 @@ WITH dt AS (
 cnt AS (SELECT term, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY term),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt)
 SELECT doc_id,
-       round(sum(k * -ln(c * 1.0 / t)) / sum(k), 4) AS nll
+       CAST(floor(sum(k * -ln(c * 1.0 / t)) / sum(k) * 1e6) AS BIGINT)
+         AS nll_micro
 FROM dt JOIN cnt USING (term) CROSS JOIN tot
 GROUP BY doc_id
 ORDER BY doc_id
@@ -1239,7 +1244,11 @@ def x4_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword contributes ONE row per doc, weighted by k, instead of k
     rows); the unigram table derives from that same aggregate (no
     second corpus pass); the grand total is a 1-row broadcast.
-    round(,4) absorbs float-summation-order divergence between engines."""
+    The score lands as floor(nll·1e6) cast to BIGINT on BOTH engines —
+    the repo's floor-scaled-integer convention for derived doubles
+    (like x3_kmeans_assign's dist_micro): round(,4) on a float sum is
+    summation-order-sensitive at the half-ulp boundary, and a
+    float-vs-float hash compare can flake where an integer cannot."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
     dt = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -1253,10 +1262,13 @@ def x4_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("k") * -F.log(F.col("c") / F.col("t"))) / F.sum("k"),
-                4,
-            ).alias("nll")
+            F.floor(
+                F.sum(F.col("k") * -F.log(F.col("c") / F.col("t")))
+                / F.sum("k")
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("nll_micro")
         )
         .orderBy("doc_id")
     )

@@ -71,6 +71,13 @@ _RECHECK: dict[str, int] = {
     # so a marginal pair COULD differ — re-attest under the new family:
     "x2_minhash_lsh": 4,
     "st12_stream_neardup": 4,
+    # round-5 output-shape fix: codes array<int> → packed BIGINT so the
+    # driver's canonicalizer can sort/hash the (rows-only) output; the r4
+    # row was an ERROR, so re-queue under the new shape:
+    "x3_pq_codes": 5,
+    # round-5 oracle-convention fix: nll round(,4) double → floor-scaled
+    # BIGINT nll_micro (summation-order flake risk flagged in r4 ADVICE):
+    "x4_unigram_nll": 5,
 }
 
 

@@ -33,6 +33,26 @@ def oracle_output_types(sql: str, sf_dir: str) -> list[tuple[str, str]]:
     return list(zip(rel.columns, [str(t) for t in rel.types]))
 
 
+def driver_canonicalize(df: pd.DataFrame) -> None:
+    """Replicate the DRIVER's canonicalization on a query output and
+    raise if it cannot be canonicalized. The driver pandas-sorts EVERY
+    query's output columns (including rows-only / no-oracle queries)
+    and value-hashes the cells; a top-level array/map/struct column
+    reaches `Categorical(..., ordered=True)` → `factorize` and dies
+    with `TypeError: unhashable type` — exactly how `x3_pq_codes`
+    burned the round-4 driver row despite 445 green local tests.
+    Running this over every registered query makes the whole
+    output-shape contract mechanical (like the HUGEINT audit did for
+    oracle dtypes): any output the driver cannot sort/hash fails
+    pytest first."""
+    out = df[sorted(df.columns)]
+    # Driver-style row sort over all output columns (this is the call
+    # that throws on unhashable cells — lexsort factorizes object cols).
+    out = out.sort_values(by=list(out.columns), kind="mergesort")
+    # Driver-style value hash: every cell must be hashable.
+    pd.util.hash_pandas_object(out, index=False)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, then rows by all values — order-insensitive
     canonical form."""

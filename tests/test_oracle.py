@@ -9,7 +9,12 @@ from __future__ import annotations
 import pytest
 
 from recipes_spark.registry import all_oracles, all_queries
-from tests.oracle_harness import compare, oracle_output_types, run_oracle
+from tests.oracle_harness import (
+    compare,
+    driver_canonicalize,
+    oracle_output_types,
+    run_oracle,
+)
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
@@ -42,11 +47,19 @@ def test_oracle_match(spark, oracle_sf_dir, name):
     assert not problems, "\n".join(problems)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_runs(spark, sf_dir, name):
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_driver_canonicalizable(spark, sf_dir, name):
+    """EVERY registered query — oracled or rows-only — must produce an
+    output the driver can canonicalize (pandas sort over all columns +
+    cell value-hash). Round 3's leak was dtypes, round 4's was an
+    array<int> cell that crashed the driver's sorter on a rows-only
+    query; this runs the driver-style canonicalization at sf0.001 over
+    the full registry so no output-shape violation can reach the
+    driver again. Subsumes the old rows-only smoke check (full
+    execution + stable schema)."""
     df = QUERIES[name](spark, sf_dir)
     assert df.columns  # stable schema
-    df.limit(5).collect()  # executes without error
+    driver_canonicalize(df.toPandas())
 
 
 def test_entry_smoke(spark):

@@ -172,3 +172,35 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
         len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
     ]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivf_pq_recall_vs_brute_force(spark, oracle_sf_dir):
+    """The composed IVF→PQ/ADC→exact-rerank plan (x3_ivf_pq_topk's
+    operator, same params) must hold mean recall@10 >= 0.9 against
+    brute force at the DRIVER's scale factor — the quality gate that
+    lets the billion-vector shape stand in for exact search. Run on
+    near-uniform synthetic vectors, IVF's weakest case (no cluster
+    structure), hence the generous nprobe; measured headroom at these
+    params: 0.94."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+
+    e = load(spark, oracle_sf_dir, "embeddings").cache()
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(e, queries, k=10).collect()
+    }
+    got = ivf_pq_topk(
+        e, queries, k=10, n_centroids=16, nprobe=14, refine=16
+    ).collect()
+    r = sum(1 for row in got if (row.query_id, row.vec_id) in exact) / len(exact)
+    assert r >= 0.9, f"IVF+PQ recall@10 {r:.2f} < 0.9"

@@ -403,6 +403,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Dedup-group assignment: min-label propagation to a fixpoint over
     the near-dup pair graph. Returns DataFrame[node, component] where
@@ -462,7 +463,9 @@ def connected_components(
 
     sig = label_sig(labels)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # One round = a node's new label is min(own, neighbors'): the
         # union-then-min form needs ONE join + ONE groupBy per round
         # (the join-neighbor-min-then-rejoin form costs an extra join
@@ -490,6 +493,12 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        # Diagnostic out-param (stress probes / SCALE.md measurements):
+        # rounds-to-fixpoint is the scale-critical number for an
+        # iterative op, and it is invisible from the returned plan.
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels.select(F.col("n").alias(node_col), F.col("comp").alias("component"))
 
 
@@ -501,6 +510,7 @@ def connected_components_star(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -539,9 +549,11 @@ def connected_components_star(
 
     sig = edge_sig(e)
     converged = e.isEmpty()
+    rounds = 0
     for _ in range(max_iter):
         if converged:
             break
+        rounds += 1
         # Large-star: symmetrize, attach strictly-greater neighbors to
         # the neighborhood min.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -582,6 +594,10 @@ def connected_components_star(
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        # See connected_components: rounds-to-fixpoint for SCALE probes.
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     # At the fixpoint e holds (child, root) star edges; roots and
     # isolated nodes label themselves.
     return nodes.select(F.col(node_col).alias("n")).join(

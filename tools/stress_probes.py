@@ -1,0 +1,245 @@
+"""Stress probes backing SCALE.md's beyond-test-SF claims.
+
+Each probe scales one iterative/stateful operator family ~10x past the
+bench scale factor (or onto an adversarial graph shape) and prints ONE
+JSON line with the measured numbers that SCALE.md records. Run on
+demand (not part of pytest — minutes, not seconds):
+
+    python tools/stress_probes.py [probe ...]    # default: all
+
+Probes:
+  cc_chain        star-CC rounds/time on a 100k-node path graph — the
+                  diameter-adversarial shape where label propagation
+                  needs 100k rounds; large/small-star must stay O(log n).
+  cc_skew         star-CC on a graph whose single giant component holds
+                  50% of all nodes (random recursive tree) — the skew
+                  shape where the component minimum becomes a hub during
+                  contraction.
+  bloom_10x       bloom_build + bloom_members over documents x10
+                  (shifted ids): build/probe wall time, measured
+                  false-positive rate vs the analytic rate, and the
+                  bitmap staying m/8 bytes regardless of corpus size.
+  epoch_shuffle   the x6_epoch_shuffle plan shape at 1x and 10x corpus:
+                  wall times + the scaling exponent
+                  log(t10/t1)/log(10) (1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession, Window
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _spark() -> SparkSession:
+    from recipes_spark.session import get_session
+
+    return get_session(
+        "recipes-stress-probes", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+
+
+def probe_cc_chain(spark: SparkSession, n: int = 100_000) -> dict:
+    from recipes_spark.operators.dedup import connected_components_star
+
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats: dict = {}
+    t0 = time.perf_counter()
+    comp = connected_components_star(nodes, edges, stats=stats)
+    n_components = comp.select("component").distinct().count()
+    dt = time.perf_counter() - t0
+    return {
+        "probe": "cc_chain",
+        "nodes": n,
+        "diameter": n - 1,
+        "rounds": stats.get("rounds"),
+        "converged": stats.get("converged"),
+        "n_components": n_components,
+        "sec": round(dt, 2),
+    }
+
+
+def probe_cc_skew(spark: SparkSession, n: int = 100_000) -> dict:
+    """One component = 50% of all nodes: nodes 1..n/2-1 each attach to a
+    pseudo-random earlier node (xxhash64-derived parent — a random
+    recursive tree over half the node set); the other half stays
+    isolated. During star contraction node 0 becomes a hub with ~n/2
+    neighbors — the skew condition under which per-node label
+    propagation degrades and groupBy-min must carry the giant key via
+    map-side partial aggregation."""
+    from recipes_spark.operators.dedup import connected_components_star
+
+    half = n // 2
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = (
+        spark.range(1, half)
+        .select(
+            F.col("id").alias("src"),
+            F.pmod(F.xxhash64("id"), F.col("id")).alias("dst"),
+        )
+    )
+    stats: dict = {}
+    t0 = time.perf_counter()
+    comp = connected_components_star(nodes, edges, stats=stats)
+    sizes = (
+        comp.groupBy("component")
+        .count()
+        .agg(
+            F.max("count").alias("giant"),
+            F.count(F.lit(1)).alias("n_components"),
+        )
+        .first()
+    )
+    dt = time.perf_counter() - t0
+    return {
+        "probe": "cc_skew",
+        "nodes": n,
+        "giant_component": int(sizes["giant"]),
+        "giant_frac": round(sizes["giant"] / n, 3),
+        "n_components": int(sizes["n_components"]),
+        "rounds": stats.get("rounds"),
+        "converged": stats.get("converged"),
+        "sec": round(dt, 2),
+    }
+
+
+def _docs_10x(spark: SparkSession, reps_n: int = 10):
+    from recipes_spark.io import load, scale_partitions
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    reps = spark.range(reps_n).select(F.col("id").alias("rep"))
+    return scale_partitions(
+        d.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            # Perturb the copies so keys are distinct (dedup text would
+            # collapse the bloom key space and undercount the build).
+            F.concat_ws("#", "text", F.col("rep").cast("string")).alias("text"),
+        )
+    )
+
+
+def probe_bloom_10x(spark: SparkSession) -> dict:
+    from recipes_spark.operators.dedup import bloom_build, bloom_members
+
+    corpus = _docs_10x(spark).cache()
+    n = corpus.count()
+    m_bits, k = 1 << 20, 4
+    t0 = time.perf_counter()
+    bitmap = bloom_build(corpus, "text", m_bits=m_bits, k=k)
+    t_build = time.perf_counter() - t0
+    # Probe side: same size, entirely FRESH keys — every hit is a false
+    # positive, so hits/n is the measured FP rate.
+    fresh = corpus.select("doc_id", F.concat_ws("!", "text", F.lit("fresh")).alias("text"))
+    t0 = time.perf_counter()
+    fp = bloom_members(fresh, "text", bitmap, m_bits=m_bits, k=k).count()
+    t_probe = time.perf_counter() - t0
+    # Members must all hit (no false negatives — the bloom contract).
+    hits = bloom_members(corpus, "text", bitmap, m_bits=m_bits, k=k).count()
+    load_factor = n * k / m_bits
+    analytic_fp = (1 - 2.718281828 ** (-load_factor)) ** k
+    corpus.unpersist()
+    return {
+        "probe": "bloom_10x",
+        "keys": n,
+        "m_bits": m_bits,
+        "bitmap_bytes": len(bitmap),
+        "build_sec": round(t_build, 2),
+        "probe_sec": round(t_probe, 2),
+        "false_negatives": n - hits,
+        "fp_rate": round(fp / n, 5),
+        "analytic_fp_rate": round(analytic_fp, 5),
+    }
+
+
+def _epoch_shuffle_time(df) -> float:
+    hv = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    ":",
+                    F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    spark = df.sparkSession
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    w = Window.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
+    t0 = time.perf_counter()
+    (
+        df.select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .withColumn("hv", hv)
+        .withColumn("shard", F.pmod("hv", F.lit(16)))
+        .select("epoch", "shard", F.row_number().over(w).alias("pos"))
+        .agg(F.count(F.lit(1)), F.max("pos"))
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
+def probe_epoch_shuffle(spark: SparkSession) -> dict:
+    import math
+
+    from recipes_spark.io import load, scale_partitions
+
+    one = scale_partitions(
+        load(spark, SF_DIR, "documents").select("doc_id")
+    ).cache()
+    n1 = one.count()
+    ten = _docs_10x(spark).select("doc_id").cache()
+    n10 = ten.count()
+    hundred = _docs_10x(spark, reps_n=100).select("doc_id").cache()
+    n100 = hundred.count()
+    t1 = min(_epoch_shuffle_time(one) for _ in range(3))
+    t10 = min(_epoch_shuffle_time(ten) for _ in range(3))
+    t100 = min(_epoch_shuffle_time(hundred) for _ in range(3))
+    one.unpersist()
+    ten.unpersist()
+    hundred.unpersist()
+    return {
+        "probe": "epoch_shuffle",
+        "rows_1x": n1,
+        "rows_10x": n10,
+        "rows_100x": n100,
+        "sec_1x": round(t1, 2),
+        "sec_10x": round(t10, 2),
+        "sec_100x": round(t100, 2),
+        # 10x->100x exponent: the 1x point is job-overhead-dominated
+        # (sub-second), so the data-cost slope only shows past it.
+        "scaling_exponent_10_to_100": round(
+            math.log(t100 / t10) / math.log(n100 / n10), 2
+        ),
+    }
+
+
+PROBES = {
+    "cc_chain": probe_cc_chain,
+    "cc_skew": probe_cc_skew,
+    "bloom_10x": probe_bloom_10x,
+    "epoch_shuffle": probe_epoch_shuffle,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(PROBES)
+    spark = _spark()
+    for name in names:
+        print(json.dumps(PROBES[name](spark)), flush=True)

@@ -1004,9 +1004,15 @@ def x2_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate WITHOUT rescanning — the architecture that lets a 100 TB
     pipeline keep per-partition/day sketches and answer global distinct
     queries by merging kilobyte-sized state (exact countDistinct would
-    re-shuffle the corpus every time). Rows-only (DuckDB's HLL sketch
-    is a different implementation); tests/test_corpus.py bounds the
-    estimate against the exact count (HLL lgK=12 ⇒ ~1.6% rse)."""
+    re-shuffle the corpus every time).
+
+    PERMANENTLY rows-only by design: DuckDB's approx_count_distinct is
+    a different HLL implementation (different hashing/registers), so
+    the estimates can never hash-match. The accuracy contract lives in
+    tests/test_corpus.py::test_hll_estimate_within_tolerance — merged
+    estimate within 5% of the exact distinct count (lgK=12 ⇒ ~1.6%
+    rse, 5% = 3σ headroom); that assertion, not a value hash, is what
+    attests this query."""
     d = load(spark, sf_dir, "documents")
     per_source = d.groupBy("source").agg(
         F.hll_sketch_agg(F.xxhash64("text")).alias("sk"),

@@ -1228,9 +1228,15 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of agg_percentiles: percentile_approx's mergeable
     sketch (one pass, bounded memory, partial-aggregates combine
     map-side) instead of buffering every per-group value. accuracy=10000
-    bounds rank error at 1/10000 of the group. Approximate and
-    engine-specific → no DuckDB oracle; tests/test_oracle.py gates it
-    against the exact percentiles at ≤0.5% relative error."""
+    bounds rank error at 1/10000 of the group.
+
+    PERMANENTLY rows-only by design: the sketch is engine-specific
+    (Greenwald-Khanna variant), so no DuckDB oracle can replay it. The
+    accuracy contract lives in
+    tests/test_oracle.py::test_approx_percentiles_track_exact — every
+    per-group p25/p50/p75/p99 within 0.5% relative error of the exact
+    percentile at the driver SF; that assertion, not a value hash, is
+    what attests this query."""
     li = load(spark, sf_dir, "lineitem")
     qs = (0.25, 0.5, 0.75, 0.99)
     fracs = ", ".join(str(q) for q in qs)

@@ -1407,3 +1407,133 @@ def x6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("hv")
         .orderBy("epoch", "shard", "pos")
     )
+
+
+@query(
+    "x4_bpe_merge_step",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, count(*) AS cnt FROM w WHERE len(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair, cnt
+  FROM wc
+)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+FROM pairs
+GROUP BY pair
+ORDER BY freq DESC, pair
+LIMIT 20
+""",
+)
+def x4_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge round (Sennrich et al. 2016, the
+    tokenizer-training core): count adjacent symbol pairs across the
+    corpus and emit the top merge candidates — iterate this and each
+    round's winner becomes a new vocabulary symbol.
+
+    Scale shape — THE trick that makes corpus-scale BPE feasible: pairs
+    are enumerated over the DISTINCT word vocabulary weighted by word
+    frequency, never over the token stream (a vocab is ~10⁶ rows
+    regardless of corpus size; the stream is the corpus itself). So one
+    merge round = one word-count hash agg (map-side combinable, the
+    only corpus-sized shuffle) + a vocab-local pair explode + a
+    pair-count agg + TakeOrderedAndProject(20). Later rounds reuse the
+    materialized word counts — cost per round is vocab-sized.
+    Char-level pairs here (round 1 from a char alphabet); the
+    symbol-sequence generalization changes the explode expression, not
+    the plan shape."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.char_length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wc.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "x4_cms_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), tc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+), deps AS (SELECT unnest(range(0, 4)) AS dep),
+counters AS (
+  SELECT dep,
+         CAST('0x' || substr(sha256(CAST(dep AS VARCHAR) || ':' || term), 1, 8)
+              AS BIGINT) % 1024 AS b,
+         CAST(sum(cnt) AS BIGINT) AS c
+  FROM tc CROSS JOIN deps
+  GROUP BY 1, 2
+), probe AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 20
+), pb AS (
+  SELECT p.term, d.dep,
+         CAST('0x' || substr(sha256(CAST(d.dep AS VARCHAR) || ':' || p.term), 1, 8)
+              AS BIGINT) % 1024 AS b
+  FROM probe p CROSS JOIN deps d
+)
+SELECT pb.term, min(c.c) AS est
+FROM pb JOIN counters c ON pb.dep = c.dep AND pb.b = c.b
+GROUP BY pb.term
+ORDER BY est DESC, term
+LIMIT 30
+""",
+)
+def x4_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection through a count-min sketch
+    (operators/sketches.py): corpus token frequencies collapse into
+    4×1024 sum-mergeable counters, and candidate terms (the distinct
+    vocabulary of a 20-doc probe sample) are ranked by their estimated
+    corpus frequency — the "which n-grams are boilerplate" query a
+    cleaning pipeline asks WITHOUT materializing the full term
+    dictionary.
+
+    Scale shape: one per-term hash agg (the only corpus shuffle) →
+    fixed depth·width counter state → broadcast-join estimation that
+    never rescans the corpus; per-shard sketches merge by summing
+    counters (property-tested), so the 100 TB form keeps daily shard
+    sketches and answers global questions by merging kilobytes. The
+    sha256-slice buckets are portable, so the DuckDB oracle replays
+    the counters AND the estimates bit-for-bit — the estimate's
+    +collision inflation is deterministic, not noise; the
+    overestimate-bound contract (est ≥ exact, est ≤ exact + ~e/width·N)
+    is asserted separately in tests/test_corpus.py."""
+    from recipes_spark.operators.sketches import cms_counters, cms_estimate
+
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    counters = cms_counters(tc, depth=4, width=1024)
+    probes = (
+        d.filter(F.col("doc_id") < 20)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    return (
+        cms_estimate(probes, counters, depth=4, width=1024)
+        .orderBy(F.desc("est"), "term")
+        .limit(30)
+    )

@@ -424,6 +424,62 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10).withColumnRenamed("rank", "rnk")
 
 
+_FILTERED_COSINE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en' AND d.n_chars >= 200
+), sims AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(c.v, q.qv) /
+               (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+               4) AS cosine_sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT query_id, vec_id, cosine_sim, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+@query("x3_filtered_topk", oracle=_FILTERED_COSINE_ORACLE)
+def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — the production ANN feature
+    every vector store grows next ("top-k english docs over 200 chars
+    similar to this one"): the candidate set is restricted by a
+    relational predicate on the documents table BEFORE any vector math.
+
+    Scale shape: pre-filtering (restrict, then search) beats
+    post-filtering (search, then drop) whenever the predicate is
+    selective — post-filter top-k can return < k rows after the drop,
+    and the vector scan wastes compute on excluded rows. Here the
+    predicate join keys on the vector id, so at 100 TB metadata
+    columns live WITH the vectors (one table / colocated bucketing)
+    and the filter prunes the scan itself — the ANN legs (IVF lists,
+    PQ codes) then index only surviving rows. Exact search on the
+    filtered corpus → full DuckDB oracle (the approximate legs reuse
+    this as their recall baseline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    allowed = docs.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select(F.col("doc_id").alias("vec_id"))
+    corpus = emb.join(allowed, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(corpus, queries, k=10).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
 @query("x3_ivf_topk")
 def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #2: IVF — k-means coarse quantizer (sample-trained),

@@ -365,3 +365,65 @@ def test_band_rows_matches_per_row_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_cms_overestimate_bound_and_merge(spark, sf_dir):
+    """The count-min contracts that make the sketch usable at scale:
+    (1) estimates NEVER undercount (hard guarantee — every occurrence
+    increments all its buckets); (2) overcount stays within the
+    ~e/width · N collision bound; (3) per-shard sketches merged by
+    summing counters EQUAL the whole-corpus sketch (sum-mergeability —
+    the property that lets 100 TB keep per-day sketches)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+        cms_merge,
+    )
+
+    depth, width = 4, 1024
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .cache()
+    )
+    counters = cms_counters(tc, depth=depth, width=width)
+    exact = {r["term"]: r["cnt"] for r in tc.collect()}
+    n_total = sum(exact.values())
+    probes = tc.select("term")
+    est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(probes, counters, depth=depth, width=width).collect()
+    }
+    bound = math.e / width * n_total
+    assert set(est) == set(exact)
+    for t, e in est.items():
+        assert e >= exact[t], f"CMS undercounted {t!r}: {e} < {exact[t]}"
+        assert e <= exact[t] + 2 * bound, (
+            f"CMS overcount for {t!r} beyond 2x the e/w*N bound: "
+            f"{e} vs exact {exact[t]} + {2 * bound:.1f}"
+        )
+
+    # Shard mergeability: counters(half A) + counters(half B) == counters(all).
+    def half_counts(pred):
+        return (
+            d.filter(pred)
+            .select(F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    a = cms_counters(half_counts(F.col("doc_id") % 2 == 0), depth=depth, width=width)
+    b = cms_counters(half_counts(F.col("doc_id") % 2 == 1), depth=depth, width=width)
+    merged = {
+        (r["dep"], r["b"]): r["c"] for r in cms_merge(a, b).collect()
+    }
+    whole = {(r["dep"], r["b"]): r["c"] for r in counters.collect()}
+    tc.unpersist()
+    assert merged == whole

@@ -95,9 +95,14 @@ def cms_estimate(
 
     The probe side is queries (small); the counter side is ≤depth·width
     rows → broadcast — estimation is a broadcast join, it never touches
-    the corpus. Probe terms absent from every counter row would drop
-    out of the inner join; callers probing terms that exist in the
-    corpus (the heavy-hitter use) always hit all `depth` rows."""
+    the corpus. A probe term's bucket that no corpus term mapped to has
+    NO counter row; that absence means counter value 0 (so the min —
+    the estimate — is 0): left join + coalesce, or a term unseen by the
+    sketch would take its min over only the collision-inflated buckets
+    and report a phantom frequency. Corpus-member probes always hit all
+    `depth` rows (their own counts are in every bucket), so this only
+    shows with out-of-corpus probes — the streaming prior-batch probe
+    (st14) hits it on every first occurrence."""
     pb = probes.select(
         F.col(term_col).alias("term"),
         F.explode(
@@ -113,7 +118,7 @@ def cms_estimate(
         ).alias("__db"),
     ).select("term", "__db.dep", "__db.b")
     return (
-        pb.join(F.broadcast(counters), ["dep", "b"])
+        pb.join(F.broadcast(counters), ["dep", "b"], "left")
         .groupBy("term")
-        .agg(F.min("c").alias("est"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est"))
     )

@@ -1537,3 +1537,76 @@ def x4_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), "term")
         .limit(30)
     )
+
+
+@query(
+    "x6_temperature_sample",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), thr AS (
+  SELECT source, n_docs,
+         CAST(floor(least(1.0, 8.0 / sqrt(n_docs)) * 1e6) AS BIGINT)
+           AS threshold_micro
+  FROM counts
+), hashed AS (
+  SELECT d.source, t.n_docs, t.threshold_micro,
+         CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000000 AS hv
+  FROM documents d JOIN thr t USING (source)
+)
+SELECT source, n_docs, threshold_micro,
+       CAST(sum(CASE WHEN hv < threshold_micro THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM hashed
+GROUP BY source, n_docs, threshold_micro
+ORDER BY source
+""",
+)
+def x6_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-balancing (the UniMax / multilingual
+    sampling shape, tau = 0.5): each source's keep-probability is
+    min(1, C / n_s^(1-tau)) so small sources survive whole while large
+    ones are downsampled toward a flatter mixture; per-doc keep
+    decisions are a PORTABLE hash threshold (sha256-slice of doc_id vs
+    floor(p*1e6)), so the sample is reproducible across engines, runs,
+    and partitionings — the property that keeps a training mixture
+    stable across pipeline re-executions — and the oracle replays every
+    decision exactly. Float safety: sqrt and divide are IEEE-exact and
+    the threshold lands as floor(p*1e6) BIGINT on both engines (the
+    repo's floor-scaled convention); no pow(), whose libm rounding
+    differs.
+
+    Scale shape: source counts are a group-count broadcast (sources ≈
+    dozens); the keep test is row-local (scan-bound, no shuffle); the
+    rollup is a source-keyed hash agg. At 100 TB this is one pass."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    thr = counts.withColumn(
+        "threshold_micro",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(8.0) / F.sqrt("n_docs")) * F.lit(1e6)
+        ).cast("long"),
+    )
+    hv = (
+        F.conv(
+            F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        d.join(F.broadcast(thr), "source")
+        .withColumn("hv", hv)
+        .groupBy("source", "n_docs", "threshold_micro")
+        .agg(
+            F.sum(F.when(F.col("hv") < F.col("threshold_micro"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+        .select("source", "n_docs", "threshold_micro", "n_kept")
+        .orderBy("source")
+    )

@@ -547,3 +547,135 @@ def st13_stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out_dir).select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "st14_stream_cms",
+    oracle="""
+WITH docs AS (SELECT doc_id, doc_id % 4 AS bid, text FROM documents),
+tc AS (
+  SELECT bid, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT bid, unnest(string_split(text, ' ')) AS term FROM docs)
+  GROUP BY bid, term
+),
+deps AS (SELECT unnest(range(0, 4)) AS dep),
+counters AS (
+  SELECT bid, dep,
+         CAST('0x' || substr(sha256(CAST(dep AS VARCHAR) || ':' || term), 1, 8)
+              AS BIGINT) % 1024 AS b,
+         CAST(sum(cnt) AS BIGINT) AS c
+  FROM tc CROSS JOIN deps
+  GROUP BY 1, 2, 3
+),
+probe AS (SELECT DISTINCT bid, term FROM tc WHERE bid > 0),
+pb AS (
+  SELECT p.bid, p.term, d.dep,
+         CAST('0x' || substr(sha256(CAST(d.dep AS VARCHAR) || ':' || p.term), 1, 8)
+              AS BIGINT) % 1024 AS b
+  FROM probe p CROSS JOIN deps d
+),
+prior AS (
+  SELECT pb.bid, pb.term, pb.dep, COALESCE(SUM(c.c), 0) AS cc
+  FROM pb LEFT JOIN counters c
+    ON c.dep = pb.dep AND c.b = pb.b AND c.bid < pb.bid
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(bid AS INT) AS bid, term, CAST(min(cc) AS BIGINT) AS prior_est
+FROM prior
+GROUP BY bid, term
+HAVING min(cc) >= 200
+ORDER BY bid, term
+""",
+)
+def st14_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min heavy-hitter probe — st13's bloom pattern
+    with the FREQUENCY sketch (operators/sketches.py): the corpus
+    arrives as four ordered micro-batches; each batch estimates its
+    terms' frequency across all PRIOR batches from the merged prior
+    counter tables (flagging already-hot terms, prior_est >= 200),
+    then persists its OWN batch's counters. The incremental form of
+    "which tokens are boilerplate": per-batch work = one batch-sized
+    hash agg + a broadcast estimate join; accumulated state = one
+    depth*width counter table per batch, merged by SUM — never a
+    term dictionary.
+
+    Batch-transactionality mirrors st13: counters are persisted per
+    batch id (overwrite), and each batch rebuilds its prior state as
+    the merge of all PRIOR batches' persisted tables, so an
+    at-least-once retry of batch N reloads exactly the pre-N state and
+    re-emits identical output. The sha256-slice buckets are portable,
+    so the DuckDB oracle replays every counter and estimate — including
+    the left-join zero for a bucket no prior term mapped to —
+    bit-for-bit with the same prior-batch visibility rule."""
+    from recipes_spark.io import load
+    from recipes_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+        cms_merge,
+    )
+    from recipes_spark.streaming.core import stage_ordered
+
+    depth, width, thresh = 4, 1024, 200
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [d.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
+    staged = stage_ordered(chunks, prefix="recipes_st14_landing_")
+    out_dir = tempfile.mkdtemp(prefix="recipes_st14_out_") + "/hot"
+    state_dir = tempfile.mkdtemp(prefix="recipes_st14_state_")
+    out_schema = "bid int, term string, prior_est long"
+
+    def probe_then_absorb(bdf: DataFrame, bid: int) -> None:
+        tc = (
+            bdf.select(F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        if bid > 0:
+            prior = cms_merge(
+                *[
+                    spark.read.parquet(os.path.join(state_dir, f"c_{j}"))
+                    for j in range(bid)
+                ]
+            )
+            hot = (
+                cms_estimate(
+                    tc.select("term"), prior, depth=depth, width=width
+                )
+                .filter(F.col("est") >= thresh)
+                .select(
+                    F.lit(bid).cast("int").alias("bid"),
+                    "term",
+                    F.col("est").alias("prior_est"),
+                )
+            )
+        else:
+            hot = spark.createDataFrame([], out_schema)
+        hot.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={bid}")
+        )
+        cms_counters(tc, depth=depth, width=width).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"c_{bid}"))
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(probe_then_absorb)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st14_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema(out_schema)
+        .parquet(out_dir)
+        .select("bid", "term", "prior_est")
+        .orderBy("bid", "term")
+    )

@@ -114,3 +114,43 @@ def test_approx_percentiles_track_exact(spark, oracle_sf_dir):
         for col in ("p25", "p50", "p75", "p99"):
             rel = abs(approx[flag][col] - ex[col]) / abs(ex[col])
             assert rel <= 0.005, (flag, col, approx[flag][col], ex[col])
+
+
+PARTITION_SENSITIVE = [
+    # Window-rank / top-k / hash-bucketed / kernel-backed queries where a
+    # partitioning-dependent tie-break or partial-aggregation order is
+    # the classic silent-nondeterminism bug class. Each must return an
+    # identical row set at 3 vs 32 shuffle partitions.
+    "topk_per_group",
+    "window_rank",
+    "x6_epoch_shuffle",
+    "x4_cms_heavy_hitters",
+    "x4_bpe_merge_step",
+    "vocab_top_bigrams",
+    "x2_minhash_lsh",
+    "x3_filtered_topk",
+    "x6_temperature_sample",
+    "x6_inference_batching",
+]
+
+
+@pytest.mark.parametrize("name", PARTITION_SENSITIVE)
+def test_partition_invariance(spark, sf_dir, name):
+    """Results must be independent of physical partitioning: the same
+    query at 3 vs 32 shuffle partitions returns the identical
+    (order-insensitive) row set. Generalizes the as-of join invariant
+    below to the query classes where partition-order leaks hide —
+    window tie-breaks, partial top-k selection, Arrow-kernel batch
+    boundaries, hash-threshold sampling."""
+
+    def rows(parts: str) -> set:
+        default = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            return {
+                tuple(r) for r in QUERIES[name](spark, sf_dir).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", default)
+
+    assert rows("3") == rows("32")

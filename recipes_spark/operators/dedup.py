@@ -782,11 +782,13 @@ def bloom_members(
             # ExtractPythonUDFs placing the filter under the UDF — an
             # optimizer-dependent invariant. If a null ever leaks in it
             # arrives as float64 NaN; treat any non-integer/non-finite
-            # position as a miss instead of crashing the bit math.
+            # position as a miss instead of crashing (NaN) or silently
+            # truncating (a finite 5.5 would otherwise test bit 5).
             if p.dtype.kind == "f":
-                finite = np.isfinite(p)
-                hit &= finite
-                p = np.where(finite, p, 0).astype(np.int64)
+                valid = np.isfinite(p)
+                valid &= np.where(valid, p == np.floor(p), False)
+                hit &= valid
+                p = np.where(valid, p, 0).astype(np.int64)
             hit &= (bm[p >> 3] >> (p & 7).astype(np.uint8) & 1).astype(bool)
         return pd.Series(hit)
 

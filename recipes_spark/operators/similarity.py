@@ -20,6 +20,77 @@ from recipes_spark.functions.vectors import as_double, cosine
 from recipes_spark.io import scale_partitions
 
 
+def _collect_queries(
+    queries: DataFrame, query_id_col: str, query_vec_col: str
+):
+    """(qids int64[Q], Q float64[Q, dim]) or None when the query side
+    is empty — the bounded driver-side collect every top-k operator
+    starts with (the probe side is small by construction). ONE
+    definition so the empty-result short-circuit and the dtype
+    conventions cannot drift between operators."""
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return None
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    return qids, Q
+
+
+def _empty_topk(spark, query_id_col: str, id_col: str) -> DataFrame:
+    return spark.createDataFrame(
+        [], f"{query_id_col} long, {id_col} long, cosine_sim double, rank int"
+    )
+
+
+def _rank_topk(
+    scored: DataFrame, query_id_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Final top-k ordering shared by every similarity tail: per query,
+    (cosine_sim desc, id asc) — the deterministic total order the
+    partial-selection stages must also use for their merge to be
+    exact."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine re-rank of an (id, query_id) shortlist against the
+    float vectors (broadcast query side) — the tail shared by the
+    sketch-scan operators (pq_adc_topk, ivf_pq_topk): the approximate
+    stage only CHOOSES candidates, exact math always decides the
+    final order."""
+    qdf = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("__qv")
+    )
+    joined = (
+        shortlist.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), query_id_col)
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine(as_double(F.col(vec_col)), as_double(F.col("__qv"))), 4
+            ),
+        )
+    )
+    return _rank_topk(joined, query_id_col, id_col, k)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -40,13 +111,10 @@ def brute_force_topk(
     exact, not approximate. The query set is collected to the driver
     (bounded — it's the probe side, like IVF's training sample) and
     ships inside the UDF closure."""
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, cosine_sim double, rank int"
-        )
-    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    collected = _collect_queries(queries, query_id_col, query_vec_col)
+    if collected is None:
+        return _empty_topk(corpus.sparkSession, query_id_col, id_col)
+    qids, Q = collected
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
 
     out_schema = f"{id_col} long, {query_id_col} long, cosine_sim double"
@@ -86,14 +154,7 @@ def brute_force_topk(
     partial = scale_partitions(corpus.select(id_col, vec_col)).mapInPandas(
         partial_topk, out_schema
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.col(id_col)
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
-    )
+    return _rank_topk(partial, query_id_col, id_col, k)
 
 
 def train_centroids(
@@ -192,12 +253,7 @@ def ivf_topk(
             cosine(as_double(F.col(vec_col)), F.col(query_vec_col)), 4
         ),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
-    )
+    return _rank_topk(sims, query_id_col, id_col, k)
 
 
 def _hyperplane_buckets(
@@ -392,12 +448,7 @@ def lsh_topk(
             ),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
-    )
+    return _rank_topk(cand, query_id_col, id_col, k)
 
 
 def train_pq_codebooks(
@@ -510,13 +561,10 @@ def pq_adc_topk(
     per vector, the exact math touches refine·k·partitions rows, and
     the refinement bound (not the sketch) controls recall."""
     m, kc, sub = books.shape
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, cosine_sim double, rank int"
-        )
-    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    collected = _collect_queries(queries, query_id_col, query_vec_col)
+    if collected is None:
+        return _empty_topk(corpus.sparkSession, query_id_col, id_col)
+    qids, Q = collected
     # Distance tables: tables[q][j][c] = ||Q[q, sub_j] - books[j][c]||^2
     tables = np.empty((len(Q), m, kc))
     for j in range(m):
@@ -565,26 +613,15 @@ def pq_adc_topk(
         .select(id_col, query_id_col)
     )
     # Exact re-rank of the shortlist only.
-    qdf = queries.select(
-        F.col(query_id_col), F.col(query_vec_col).alias("__qv")
-    )
-    joined = (
-        shortlist.join(corpus.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qdf), query_id_col)
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                cosine(as_double(F.col(vec_col)), as_double(F.col("__qv"))), 4
-            ),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.col(id_col)
-    )
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
+    return _exact_rerank(
+        shortlist,
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=k,
     )
 
 
@@ -648,13 +685,10 @@ def ivf_pq_topk(
 
     # (3): per-query probe lists + ADC distance tables, driver-side numpy
     # (bounded: Q × n_centroids and Q × m × n_codes).
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, cosine_sim double, rank int"
-        )
-    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    collected = _collect_queries(queries, query_id_col, query_vec_col)
+    if collected is None:
+        return _empty_topk(corpus.sparkSession, query_id_col, id_col)
+    qids, Q = collected
     Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
     probe_lists = np.argsort(-(Qn @ Cn.T), axis=1)[:, :nprobe]
@@ -702,24 +736,13 @@ def ivf_pq_topk(
         .filter(F.col("__r") <= n_keep)
         .select(id_col, query_id_col)
     )
-    qdf = queries.select(
-        F.col(query_id_col), F.col(query_vec_col).alias("__qv")
-    )
-    joined = (
-        shortlist.join(corpus.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qdf), query_id_col)
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                cosine(as_double(F.col(vec_col)), as_double(F.col("__qv"))), 4
-            ),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.col(id_col)
-    )
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
+    return _exact_rerank(
+        shortlist,
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=k,
     )

@@ -1185,11 +1185,26 @@ def x6_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # function; overwriting a per-call dir would leave one full JSONL
     # corpus copy per bench/test run. The pid in the tag keeps a
     # CONCURRENT run (parallel pytest/bench) from clobbering shards a
-    # previously returned lazy DataFrame in another process still reads;
-    # within one process, re-invocation overwrites before the old plan
-    # re-executes only if the caller re-runs it — same-process reuse is
-    # the documented bound (one copy per SF per process).
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    # previously returned lazy DataFrame in another process still reads.
+    # Per-pid dirs would otherwise ACCUMULATE across runs on a
+    # long-lived host, so dead owners' dirs are reaped first: a pid
+    # that no longer exists cannot hold a lazy plan over its shards,
+    # making the reap race-free where a same-hash rm -rf would not be.
+    base = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    tmp = tempfile.gettempdir()
+    for entry in os.listdir(tmp):
+        if not entry.startswith(f"recipes_jsonl_{base}_"):
+            continue
+        try:
+            owner = int(entry.rsplit("_", 1)[1])
+            os.kill(owner, 0)  # raises if the owning process is gone
+        except (ValueError, ProcessLookupError):
+            import shutil
+
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
+    tag = f"{base}_{os.getpid()}"
     out = os.path.join(tempfile.gettempdir(), f"recipes_jsonl_{tag}", "docs")
     d.repartition(8).write.mode("overwrite").json(out)
     back = spark.read.schema(
@@ -1246,9 +1261,14 @@ def x4_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     second corpus pass); the grand total is a 1-row broadcast.
     The score lands as floor(nll·1e6) cast to BIGINT on BOTH engines —
     the repo's floor-scaled-integer convention for derived doubles
-    (like x3_kmeans_assign's dist_micro): round(,4) on a float sum is
-    summation-order-sensitive at the half-ulp boundary, and a
-    float-vs-float hash compare can flake where an integer cannot."""
+    (like x3_kmeans_assign's dist_micro). What this buys, precisely:
+    round(,4) diverges between engines even on BIT-IDENTICAL doubles
+    (Spark BigDecimal HALF_UP vs DuckDB float-scaling — the dominant,
+    deterministic mismatch mode); floor() on the same double is the
+    same IEEE operation everywhere, so the only residual risk is a
+    summation-order ulp difference landing exactly on a 1e-6 floor
+    boundary (~ulp/1e-6 ≈ 1e-9 per row — not zero, but four orders
+    quieter than round's implementation divergence)."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
     dt = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))

@@ -72,8 +72,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
+    return compare_frames(spark_df.toPandas(), oracle_df, name)
+
+
+def compare_frames(
+    spark_pdf: pd.DataFrame, oracle_df: pd.DataFrame, name: str
+) -> list[str]:
+    """compare() on an already-collected Spark result — lets a caller
+    reuse one toPandas() for both the oracle compare and the
+    driver-canonicalization check instead of executing the query
+    twice."""
     problems: list[str] = []
-    sp = normalize(spark_df.toPandas())
+    sp = normalize(spark_pdf)
     oc = normalize(oracle_df)
     if len(sp) != len(oc):
         problems.append(f"{name}: row count {len(sp)} vs oracle {len(oc)}")

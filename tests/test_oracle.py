@@ -10,7 +10,7 @@ import pytest
 
 from recipes_spark.registry import all_oracles, all_queries
 from tests.oracle_harness import (
-    compare,
+    compare_frames,
     driver_canonicalize,
     oracle_output_types,
     run_oracle,
@@ -43,20 +43,28 @@ def test_oracle_no_hugeint_output(oracle_sf_dir, name):
 def test_oracle_match(spark, oracle_sf_dir, name):
     sdf = QUERIES[name](spark, oracle_sf_dir)
     odf = run_oracle(ORACLES[name], oracle_sf_dir)
-    problems = compare(sdf, odf, name)
+    spdf = sdf.toPandas()
+    # Driver-style canonicalization on the SAME collected result the
+    # oracle compare uses — oracled queries get the output-shape check
+    # here (at the driver's SF, no second execution); rows-only queries
+    # get it in test_driver_canonicalizable.
+    driver_canonicalize(spdf)
+    problems = compare_frames(spdf, odf, name)
     assert not problems, "\n".join(problems)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_driver_canonicalizable(spark, sf_dir, name):
-    """EVERY registered query — oracled or rows-only — must produce an
-    output the driver can canonicalize (pandas sort over all columns +
-    cell value-hash). Round 3's leak was dtypes, round 4's was an
-    array<int> cell that crashed the driver's sorter on a rows-only
-    query; this runs the driver-style canonicalization at sf0.001 over
-    the full registry so no output-shape violation can reach the
-    driver again. Subsumes the old rows-only smoke check (full
-    execution + stable schema)."""
+    """EVERY registered query must produce an output the driver can
+    canonicalize (pandas sort over all columns + cell value-hash):
+    round 3's leak was dtypes, round 4's was an array<int> cell that
+    crashed the driver's sorter on a rows-only query. Coverage is
+    split to avoid running every oracled query twice —
+    test_oracle_match canonicalizes the oracled queries' outputs on
+    its already-collected result; this test runs the rows-only
+    remainder at sf0.001 (subsuming the old rows-only smoke check:
+    full execution + stable schema). Together: no output-shape
+    violation can reach the driver."""
     df = QUERIES[name](spark, sf_dir)
     assert df.columns  # stable schema
     driver_canonicalize(df.toPandas())
@@ -141,15 +149,18 @@ def test_partition_invariance(spark, sf_dir, name):
     (order-insensitive) row set. Generalizes the as-of join invariant
     below to the query classes where partition-order leaks hide —
     window tie-breaks, partial top-k selection, Arrow-kernel batch
-    boundaries, hash-threshold sampling."""
+    boundaries, hash-threshold sampling. Multiset compare (Counter,
+    not set) so a partitioning-dependent duplicate row — same values,
+    different multiplicity — also fails."""
+    from collections import Counter
 
-    def rows(parts: str) -> set:
+    def rows(parts: str) -> Counter:
         default = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             spark.conf.set("spark.sql.shuffle.partitions", parts)
-            return {
+            return Counter(
                 tuple(r) for r in QUERIES[name](spark, sf_dir).collect()
-            }
+            )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", default)
 

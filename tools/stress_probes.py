@@ -133,31 +133,45 @@ def probe_bloom_10x(spark: SparkSession) -> dict:
     from recipes_spark.operators.dedup import bloom_build, bloom_members
 
     corpus = _docs_10x(spark).cache()
-    n = corpus.count()
+    n_rows = corpus.count()
+    # The FP/load arithmetic is over DISTINCT keys: the testdata plants
+    # duplicate texts (for the dedup queries), so replicated copies
+    # share keys and row counts would overstate both the load factor
+    # and the probe denominator.
+    n_keys = corpus.select("text").distinct().count()
     m_bits, k = 1 << 20, 4
     t0 = time.perf_counter()
     bitmap = bloom_build(corpus, "text", m_bits=m_bits, k=k)
     t_build = time.perf_counter() - t0
-    # Probe side: same size, entirely FRESH keys — every hit is a false
-    # positive, so hits/n is the measured FP rate.
-    fresh = corpus.select("doc_id", F.concat_ws("!", "text", F.lit("fresh")).alias("text"))
+    # Probe side: entirely FRESH keys — every distinct hit is a false
+    # positive, so fp/n_fresh_keys is the measured FP rate.
+    fresh = corpus.select(
+        F.concat_ws("!", "text", F.lit("fresh")).alias("text")
+    ).distinct()
+    n_fresh = fresh.count()
     t0 = time.perf_counter()
     fp = bloom_members(fresh, "text", bitmap, m_bits=m_bits, k=k).count()
     t_probe = time.perf_counter() - t0
     # Members must all hit (no false negatives — the bloom contract).
-    hits = bloom_members(corpus, "text", bitmap, m_bits=m_bits, k=k).count()
-    load_factor = n * k / m_bits
+    hits = (
+        bloom_members(corpus, "text", bitmap, m_bits=m_bits, k=k)
+        .select("text")
+        .distinct()
+        .count()
+    )
+    load_factor = n_keys * k / m_bits
     analytic_fp = (1 - 2.718281828 ** (-load_factor)) ** k
     corpus.unpersist()
     return {
         "probe": "bloom_10x",
-        "keys": n,
+        "rows": n_rows,
+        "distinct_keys": n_keys,
         "m_bits": m_bits,
         "bitmap_bytes": len(bitmap),
         "build_sec": round(t_build, 2),
         "probe_sec": round(t_probe, 2),
-        "false_negatives": n - hits,
-        "fp_rate": round(fp / n, 5),
+        "false_negatives": n_keys - hits,
+        "fp_rate": round(fp / n_fresh, 5),
         "analytic_fp_rate": round(analytic_fp, 5),
     }
 

@@ -497,6 +497,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    coarse_centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Assign PQ codes: one Arrow batch = one numpy distance matrix per
     subspace (vectorized across rows and centroids), emitting
@@ -505,10 +506,24 @@ def pq_encode(
     mse is the per-row reconstruction error (quantization distortion),
     kept so quality gates can assert distortion bounds. `keep_cols`
     ride through the Arrow pass so a composed pipeline (ivf_pq_topk's
-    list id) never needs a corpus-size self-join to reattach them."""
+    list id) never needs a corpus-size self-join to reattach them.
+
+    `coarse_centroids` fuses the IVF coarse assignment into the SAME
+    kernel (an extra `__list int` output column, max-cosine argmax —
+    identical math to `ivf_assign`): the IVF-PQ index build then reads
+    and Arrow-transfers every vector ONCE instead of once per pass —
+    at 100 TB the index build is a real job and the vector column is
+    its dominant byte volume."""
     m, k, sub = books.shape
     in_fields = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}
     keep_ddl = "".join(f", `{c}` {in_fields[c]}" for c in keep_cols)
+    list_ddl = ", `__list` int" if coarse_centroids is not None else ""
+    Cn = (
+        coarse_centroids
+        / np.linalg.norm(coarse_centroids, axis=1, keepdims=True)
+        if coarse_centroids is not None
+        else None
+    )
 
     def encode(batches):
         for pdf in batches:
@@ -528,6 +543,11 @@ def pq_encode(
             out = {id_col: pdf[id_col].to_numpy()}
             for c in keep_cols:
                 out[c] = pdf[c].to_numpy()
+            if Cn is not None:
+                Xn = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                out["__list"] = np.argmax(Xn @ Cn.T, axis=1).astype(np.int32)
             out["codes"] = list(codes)
             out["mse"] = mse
             yield pd.DataFrame(out)
@@ -535,7 +555,7 @@ def pq_encode(
     return scale_partitions(
         corpus.select(id_col, *keep_cols, vec_col)
     ).mapInPandas(
-        encode, f"{id_col} long{keep_ddl}, codes array<int>, mse double"
+        encode, f"{id_col} long{keep_ddl}{list_ddl}, codes array<int>, mse double"
     )
 
 
@@ -674,13 +694,16 @@ def ivf_pq_topk(
     books = train_pq_codebooks(corpus, vec_col=vec_col, m=m, k=n_codes)
     mm, kc, sub = books.shape
 
-    # (1)+(2): one pass assigns the list id; the encode pass carries it
-    # through (keep_cols) — NO corpus-size self-join to reattach it.
-    assigned = scale_partitions(corpus.select(id_col, vec_col)).withColumn(
-        "__list", ivf_assign(F.col(vec_col), cents)
-    )
+    # (1)+(2) FUSED: one Arrow pass assigns the coarse list AND encodes
+    # the codes (pq_encode's coarse_centroids) — the vector column is
+    # read and Arrow-transferred once, not once per pass, and no
+    # corpus-size self-join reattaches anything.
     listed = pq_encode(
-        assigned, books, id_col=id_col, vec_col=vec_col, keep_cols=("__list",)
+        corpus,
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        coarse_centroids=cents,
     ).select(id_col, "__list", "codes")
 
     # (3): per-query probe lists + ADC distance tables, driver-side numpy

@@ -427,3 +427,34 @@ def test_cms_overestimate_bound_and_merge(spark, sf_dir):
     whole = {(r["dep"], r["b"]): r["c"] for r in counters.collect()}
     tc.unpersist()
     assert merged == whole
+
+
+def test_cms_never_undercounts_under_heavy_collision(spark):
+    """The never-undercount guarantee must hold at an operating point
+    the corpus test can't reach: width=4, depth=2 over 64 distinct
+    terms forces ~16 terms per bucket, so every estimate is heavily
+    collision-inflated — and still none may fall below its true count
+    (min over depths can only pick a counter that CONTAINS the term's
+    own increments). Also pins the out-of-corpus probe path: absent
+    terms may overestimate (collisions) but a term whose every bucket
+    is untouched estimates exactly 0."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.operators.sketches import cms_counters, cms_estimate
+
+    depth, width = 2, 4
+    terms = spark.range(640).select(
+        F.concat(F.lit("t"), (F.col("id") % 64).cast("string")).alias("term")
+    )
+    tc = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    exact = {r["term"]: r["cnt"] for r in tc.collect()}
+    counters = cms_counters(tc, depth=depth, width=width)
+    est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(
+            tc.select("term"), counters, depth=depth, width=width
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for t, e in est.items():
+        assert e >= exact[t], f"undercount for {t}: {e} < {exact[t]}"

@@ -317,3 +317,51 @@ def test_unigram_nll_preaggregates_before_lm_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x4_unigram_nll")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final for dt and final agg
+
+
+def test_filtered_topk_pushes_predicate_and_broadcasts(spark, sf_dir):
+    """x3_filtered_topk is the PRE-filter ANN shape: the metadata
+    predicate must reach the documents scan (PushedFilters), and the
+    filtered id set must broadcast into the vector join — the plan that
+    prunes vector compute instead of post-dropping results."""
+    plan = _plan(spark, sf_dir, "x3_filtered_topk")
+    assert "BroadcastHashJoin" in plan
+    # The documents FileScan line is width-truncated before its
+    # PushedFilters section prints, so assert on DataFilters (the same
+    # pushed predicates, printed earlier in the node).
+    doc_scan = next(
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line and "documents.parquet" in line
+    )
+    assert "(lang" in doc_scan and "(n_chars" in doc_scan, doc_scan
+
+
+def test_bpe_merge_is_two_aggs_and_heap_topk(spark, sf_dir):
+    """x4_bpe_merge_step's scale claim: ONE corpus-sized shuffle (the
+    word-count agg) + one vocab-sized shuffle (pair counts), top-20 via
+    a k-row heap — never a global sort."""
+    plan = _plan(spark, sf_dir, "x4_bpe_merge_step")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan.count(
+        "Exchange hashpartitioning"
+    )
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_cms_estimation_broadcasts_counters(spark, sf_dir):
+    """x4_cms_heavy_hitters: the counter table (≤ depth·width rows)
+    must BROADCAST into the estimation join — heavy-hitter queries
+    never shuffle the corpus against the sketch — and the top-30 is a
+    heap, not a sort."""
+    plan = _plan(spark, sf_dir, "x4_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_sample_broadcasts_thresholds(spark, sf_dir):
+    """x6_temperature_sample: per-source thresholds (a handful of rows)
+    broadcast onto the corpus scan; the keep test itself is row-local,
+    so the only corpus shuffle is the final source rollup."""
+    plan = _plan(spark, sf_dir, "x6_temperature_sample")
+    assert "BroadcastHashJoin" in plan

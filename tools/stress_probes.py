@@ -244,11 +244,82 @@ def probe_epoch_shuffle(spark: SparkSession) -> dict:
     }
 
 
+def probe_ann_10x(spark: SparkSession) -> dict:
+    """IVF-PQ index build + query at 1x and 10x the vector corpus
+    (embeddings replicated with shifted ids): the build (fused
+    assign+encode Arrow pass) should scale linearly; query latency
+    should grow sub-linearly because the probe only scans nprobe/n_c
+    of the lists and the ADC scan reads m bytes per candidate."""
+    import math
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    e1 = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").cache()
+    n1 = e1.count()
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    e10 = (
+        e1.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .cache()
+    )
+    n10 = e10.count()
+    out = {"probe": "ann_10x", "vectors_1x": n1, "vectors_10x": n10}
+    for tag, corpus in (("1x", e1), ("10x", e10)):
+        cents = train_centroids(corpus)
+        books = train_pq_codebooks(corpus, m=8, k=16)
+        t = min(
+            _timed(
+                lambda: pq_encode(
+                    corpus, books, coarse_centroids=cents
+                ).count()
+            )
+            for _ in range(3)
+        )
+        out[f"build_sec_{tag}"] = round(t, 2)
+        queries = corpus.limit(5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        t = min(
+            _timed(
+                lambda: ivf_pq_topk(
+                    corpus, queries, k=10, n_centroids=16, nprobe=4, refine=4
+                ).count()
+            )
+            for _ in range(3)
+        )
+        out[f"query_sec_{tag}"] = round(t, 2)
+    out["build_scaling_exponent"] = round(
+        math.log(out["build_sec_10x"] / out["build_sec_1x"])
+        / math.log(n10 / n1),
+        2,
+    )
+    e1.unpersist()
+    e10.unpersist()
+    return out
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "cc_chain": probe_cc_chain,
     "cc_skew": probe_cc_skew,
     "bloom_10x": probe_bloom_10x,
     "epoch_shuffle": probe_epoch_shuffle,
+    "ann_10x": probe_ann_10x,
 }
 
 

@@ -1630,3 +1630,114 @@ def x6_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "threshold_micro", "n_kept")
         .orderBy("source")
     )
+
+
+# Literal unicode ranges (not \p{Script=...} classes, whose semantics
+# differ between Java regex and RE2): identical character-range
+# patterns evaluate identically in both engines.
+_LATIN_RE = "[A-Za-zÀ-ɏ]"
+_CJK_RE = "[一-鿿]"
+_CYR_RE = "[Ѐ-ӿ]"
+
+
+@query(
+    "x4_script_mix",
+    oracle=f"""
+WITH dirty AS (
+  -- The synthetic corpus is ASCII-only even for lang='zh' docs, so the
+  -- script signal is INJECTED deterministically (the x4_pii_scrub
+  -- pattern): every 4th doc gains a CJK run, every 6th a Cyrillic run,
+  -- sized relative to the doc so the 10% mixing threshold is exercised
+  -- in both directions. Identical expression on both engines.
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN repeat(' 世界和平与发展', CAST(doc_id % 3 + 1 AS INT) * 8)
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN repeat(' мир и дружба', CAST(doc_id % 2 + 1 AS INT) * 8)
+                 ELSE '' END AS text
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '{_LATIN_RE}')) AS BIGINT) AS n_latin,
+         CAST(len(regexp_extract_all(text, '{_CJK_RE}')) AS BIGINT) AS n_cjk,
+         CAST(len(regexp_extract_all(text, '{_CYR_RE}')) AS BIGINT) AS n_cyr,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+  FROM dirty
+)
+SELECT doc_id, n_chars, n_latin, n_cjk, n_cyr, n_digit,
+       CAST(CASE WHEN (CASE WHEN n_latin * 10 >= n_chars THEN 1 ELSE 0 END
+                     + CASE WHEN n_cjk * 10 >= n_chars THEN 1 ELSE 0 END
+                     + CASE WHEN n_cyr * 10 >= n_chars THEN 1 ELSE 0 END) >= 2
+            THEN 1 ELSE 0 END AS INT) AS is_mixed
+FROM counts
+ORDER BY doc_id
+""",
+)
+def x4_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document — the mixed-language
+    signal `lang_id` (which picks ONE label) cannot express: per-doc
+    counts of Latin / CJK / Cyrillic / digit codepoints, plus an
+    integer is_mixed flag (≥2 script families each covering ≥10% of
+    characters — the docs a monolingual pipeline mis-handles and a
+    multilingual one routes to segmentation). Patterns are literal
+    codepoint RANGES, not \\p{{Script=...}} classes, because Java regex
+    and RE2 disagree on class semantics but evaluate identical ranges
+    identically; the thresholds are integer cross-multiplications (no
+    float shares to flake).
+
+    Scale shape: four regexp_count projections, row-local — scan-bound
+    whole-stage codegen, zero shuffle before the (orderBy-only) sink.
+
+    The synthetic corpus is ASCII-only, so CJK/Cyrillic runs are
+    injected deterministically (same expression both engines) — the
+    thresholds and the mixed flag are then exercised non-degenerately
+    at every SF."""
+    base = scale_partitions(load(spark, sf_dir, "documents"))
+    d = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.expr(
+                    "repeat(' 世界和平与发展', CAST(doc_id % 3 + 1 AS INT) * 8)"
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.expr(
+                    "repeat(' мир и дружба', CAST(doc_id % 2 + 1 AS INT) * 8)"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    n = F.char_length("text").cast("long")
+    lat = F.regexp_count("text", F.lit(_LATIN_RE)).cast("long")
+    cjk = F.regexp_count("text", F.lit(_CJK_RE)).cast("long")
+    cyr = F.regexp_count("text", F.lit(_CYR_RE)).cast("long")
+    dig = F.regexp_count("text", F.lit("[0-9]")).cast("long")
+    big = lambda c: F.when(c * 10 >= F.col("n_chars"), 1).otherwise(0)  # noqa: E731
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_chars"),
+            lat.alias("n_latin"),
+            cjk.alias("n_cjk"),
+            cyr.alias("n_cyr"),
+            dig.alias("n_digit"),
+        )
+        .withColumn(
+            "is_mixed",
+            F.when(
+                big(F.col("n_latin")) + big(F.col("n_cjk")) + big(F.col("n_cyr"))
+                >= 2,
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
+        .orderBy("doc_id")
+    )

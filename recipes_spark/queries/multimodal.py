@@ -414,3 +414,90 @@ def x5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ham <= 3)
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
     )
+
+
+@query(
+    "x5_jpeg_headers",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 1920 + 1 AS BIGINT) AS jpg_width,
+       CAST(doc_id % 1080 + 1 AS BIGINT) AS jpg_height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS jpg_ncomp,
+       CAST(doc_id % 3 + 2 AS INT) AS jpg_nsegments
+FROM documents
+ORDER BY doc_id
+""",
+)
+def x5_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5f: REAL JPEG structure parsing, stdlib-only — the harder
+    sibling of the PNG/WAV fixture: JPEG headers are NOT at fixed
+    offsets, so the parser performs the genuine marker WALK (0xFF
+    marker, big-endian segment length, skip, repeat) over a VALID
+    stream (SOI → APP0/JFIF → a doc-dependent number of COM segments →
+    SOF0 → EOI). The variable COM padding is the point: dimensions land
+    at a different byte offset per document, so only a correct walk —
+    not offset arithmetic — recovers them. The oracle replays the
+    generator arithmetic; a value-hash match proves the walk. Same
+    mapInPandas shape a production image-metadata pass uses (swap PIL
+    in for pixel decode)."""
+    import struct
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make_jpeg(w: int, h: int, ncomp: int, ncom: int) -> bytes:
+            out = b"\xff\xd8"  # SOI
+            jfif = (
+                b"JFIF\x00\x01\x01\x00"
+                + struct.pack(">HH", 72, 72)
+                + b"\x00\x00"
+            )
+            out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
+            for i in range(ncom):
+                comment = f"pad segment {i}".encode()
+                out += b"\xff\xfe" + struct.pack(">H", 2 + len(comment)) + comment
+            comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+            sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + comps
+            out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+            return out + b"\xff\xd9"  # EOI
+
+        def parse_jpeg(b: bytes) -> tuple:
+            assert b[:2] == b"\xff\xd8", "bad SOI"
+            i, nseg = 2, 0
+            w = h = ncomp = None
+            while i < len(b):
+                assert b[i] == 0xFF, f"lost sync at {i}"
+                marker = b[i + 1]
+                if marker == 0xD9:  # EOI
+                    break
+                (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+                nseg += 1
+                if marker == 0xC0:  # SOF0: precision, height, width, ncomp
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    ncomp = b[i + 9]
+                i += 2 + seglen
+            assert w is not None, "no SOF0 found"
+            return w, h, ncomp, nseg
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                jpg = make_jpeg(
+                    i % 1920 + 1, i % 1080 + 1, 3 if i % 2 == 0 else 1, i % 3
+                )
+                w, h, ncomp, nseg = parse_jpeg(jpg)
+                rows.append((i, w, h, ncomp, nseg))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "jpg_width", "jpg_height", "jpg_ncomp",
+                    "jpg_nsegments",
+                ],
+            )
+
+    return d.mapInPandas(
+        build_and_parse,
+        schema="doc_id long, jpg_width long, jpg_height long, "
+        "jpg_ncomp int, jpg_nsegments int",
+    ).orderBy("doc_id")

@@ -1741,3 +1741,169 @@ def x4_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x4_bigram_nll",
+    oracle="""
+WITH dirty AS (
+  -- Held-out docs (doc_id % 10 = 0) gain two NOVEL tokens — the tiny
+  -- synthetic vocabulary is otherwise fully covered by the 90% train
+  -- split, leaving the backoff branches near-dead (1 OOV bigram at
+  -- sf0.01). The injection is deterministic and identical on both
+  -- engines; train tables read the ORIGINAL text of train docs only,
+  -- so the LM itself is unaffected.
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 10 = 0
+                      THEN ' zz' || CAST(doc_id AS VARCHAR)
+                           || ' qq' || CAST(doc_id % 7 AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM dirty
+  WHERE len(string_split(text, ' ')) >= 2
+), dt2 AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+  FROM (
+    SELECT doc_id,
+           unnest([w[i] FOR i IN range(1, len(w))]) AS w1,
+           unnest([w[i + 1] FOR i IN range(1, len(w))]) AS w2
+    FROM w
+  )
+  GROUP BY doc_id, w1, w2
+), train2 AS (
+  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c2
+  FROM dt2 WHERE doc_id % 10 != 0 GROUP BY w1, w2
+), train1 AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id % 10 != 0)
+  GROUP BY term
+), n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM train1),
+scored AS (
+  SELECT d.doc_id, d.k,
+         CASE WHEN t2.c2 IS NOT NULL THEN t2.c2 * 1.0 / h.c1
+              WHEN t1.c1 IS NOT NULL THEN 0.4 * t1.c1 / n1.n
+              ELSE 0.4 / n1.n END AS s,
+         CASE WHEN t2.c2 IS NULL THEN d.k ELSE 0 END AS oov_k
+  FROM dt2 d
+  LEFT JOIN train2 t2 ON d.w1 = t2.w1 AND d.w2 = t2.w2
+  LEFT JOIN train1 h ON d.w1 = h.term
+  LEFT JOIN train1 t1 ON d.w2 = t1.term
+  CROSS JOIN n1
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       CAST(sum(oov_k) AS BIGINT) AS oov_bigrams,
+       CAST(floor(sum(k * -ln(s)) / sum(k) * 1e6) AS BIGINT) AS nll2_micro
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def x4_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score with stupid backoff (Brants et al. 2007)
+    on an honest train/held-out split — the next rung above
+    x4_unigram_nll toward the KenLM perplexity filter: the LM trains on
+    90% of docs (doc_id % 10 != 0) and scores EVERY doc, so held-out
+    docs contain genuinely unseen bigrams and the backoff path
+    (0.4 · unigram, or 0.4/N for unseen words) actually executes —
+    scoring a corpus with its own LM would leave backoff dead code.
+
+    Scale shape mirrors the unigram query, one level up: bigram
+    positions collapse to per-doc (w1, w2, k) FIRST (hash agg with
+    map-side combine), so the LM joins carry distinct-bigrams-per-doc
+    rows, never the position stream; the bigram and unigram tables
+    derive from those aggregates; the train-total is a 1-row
+    broadcast. At 100 TB the bigram table is the big object — it
+    shuffles once at build and the score join is bigram-keyed
+    (uniform). Output lands as floor-scaled BIGINT (nll2_micro) plus
+    exact integer bigram/OOV counts."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    # Deterministic held-out-only novel tokens (see oracle comment):
+    # exercises BOTH backoff branches (unseen bigram with known w2;
+    # unseen w2 entirely) without touching the train split.
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" zz"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" qq"),
+                    (F.col("doc_id") % 7).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    w = F.split("text", " ")
+    docs = dirty.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS w1,"
+                "             element_at(w, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    dt2 = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    train2 = (
+        dt2.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.sum("k").cast("long").alias("c2"))
+    )
+    train1 = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    n1 = train1.agg(F.sum("c1").cast("long").alias("n"))
+    scored = (
+        dt2.join(train2, ["w1", "w2"], "left")
+        .join(
+            train1.select(F.col("term").alias("w1"), F.col("c1").alias("c1_w1")),
+            "w1",
+            "left",
+        )
+        .join(
+            train1.select(F.col("term").alias("w2"), F.col("c1").alias("c1_w2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(n1))
+        .withColumn(
+            "s",
+            F.when(
+                F.col("c2").isNotNull(), F.col("c2") * 1.0 / F.col("c1_w1")
+            )
+            .when(
+                F.col("c1_w2").isNotNull(),
+                0.4 * F.col("c1_w2") / F.col("n"),
+            )
+            .otherwise(0.4 / F.col("n")),
+        )
+        .withColumn(
+            "oov_k",
+            F.when(F.col("c2").isNull(), F.col("k")).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum("oov_k").cast("long").alias("oov_bigrams"),
+            F.floor(
+                F.sum(F.col("k") * -F.log("s")) / F.sum("k") * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("nll2_micro"),
+        )
+        .orderBy("doc_id")
+    )

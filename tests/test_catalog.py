@@ -140,3 +140,41 @@ def test_catalog_search_bbox(spark):
     for r in hits.collect():
         w, s, e, n = r.bbox
         assert not (e < -180.0 or w > -150.0 or n < -5.0 or s > 5.0)
+
+
+def test_schema_evolution_merge_and_backfill_defaults(spark, tmp_path):
+    """Schema evolution on a partitioned parquet store — the 100 TB
+    operational reality that a new STAC extension / metadata column
+    lands on NEW shards while years of old shards predate it: reading
+    with mergeSchema must union the schemas (old rows NULL for the new
+    column), a coalesce() default must backfill without rewriting old
+    shards, and predicate pushdown on the new column must still prune
+    (NULL rows drop out of a positive filter, which is the correct
+    semantics for 'added later')."""
+    import pyspark.sql.functions as F
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(i, f"old{i}") for i in range(10)], "id long, name string"
+    ).write.mode("overwrite").parquet(f"{store}/shard=2023")
+    spark.createDataFrame(
+        [(i, f"new{i}", i % 3) for i in range(10, 20)],
+        "id long, name string, quality int",
+    ).write.mode("overwrite").parquet(f"{store}/shard=2024")
+
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(store)
+    assert set(merged.columns) == {"id", "name", "quality"}
+    rows = {r["id"]: r["quality"] for r in merged.collect()}
+    assert all(rows[i] is None for i in range(10))
+    assert all(rows[i] == i % 3 for i in range(10, 20))
+
+    # Backfill default without rewriting old shards.
+    filled = merged.withColumn(
+        "quality", F.coalesce("quality", F.lit(-1))
+    )
+    assert {r["quality"] for r in filled.filter(F.col("id") < 10).collect()} == {-1}
+
+    # A positive filter on the evolved column excludes pre-evolution rows.
+    assert merged.filter(F.col("quality") >= 0).count() == 10

@@ -1530,3 +1530,98 @@ def x3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "x7_pagerank",
+    oracle="""
+WITH RECURSIVE params AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), edges AS (
+  -- Two out-edges per node: (i*i+1) %% n is non-bijective (squares
+  -- cluster), so in-degrees vary and ranks genuinely diverge;
+  -- (7i+1) %% n keeps the graph strongly connected-ish. w=0 self-loops
+  -- guarantee every node receives a row each iteration (a node with no
+  -- real in-edges would otherwise drop out of the recursive term).
+  SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM params) AS dst,
+         1 AS w FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 1) % (SELECT n FROM params), 1 FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id, 0 FROM documents
+), pr(iter, node, r) AS (
+  SELECT 0, doc_id, 1000000 // (SELECT n FROM params) FROM documents
+  UNION ALL
+  SELECT iter + 1, e.dst,
+         150000 // (SELECT n FROM params)
+         + CAST(sum(CASE WHEN e.w = 1 THEN (85 * r) // 200 ELSE 0 END)
+                AS BIGINT)
+  FROM pr JOIN edges e ON pr.node = e.src
+  WHERE iter < 10
+  GROUP BY iter + 1, e.dst
+)
+SELECT node, CAST(r AS BIGINT) AS rank_micro
+FROM pr WHERE iter = 10
+ORDER BY rank_micro DESC, node
+LIMIT 50
+""",
+)
+def x7_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank in exact FIXED-POINT integer arithmetic — an iterative
+    float-state algorithm with a bit-exact cross-engine oracle, which
+    float PageRank cannot have (per-iteration summation order changes
+    the doubles): rank lives in micro-units and every operation is
+    integer (`(85 * r) div 200` = damping 0.85 over out-degree 2,
+    truncating division — identical in Spark `div` and DuckDB `//` for
+    positive operands), so 10 power iterations produce identical
+    integers on both engines. The graph is deterministic arithmetic
+    over doc ids (one non-bijective edge family so in-degrees — and
+    hence ranks — genuinely diverge).
+
+    Scale shape — the canonical iterative-join pattern, complementing
+    connected-components' label-state iteration with NUMERIC state:
+    per iteration one join on src (uniform key) + one hash agg on dst
+    + a left-join against the node list for zero-in-degree nodes;
+    localCheckpoint truncates lineage per round (reliable checkpoint
+    dir on a cluster); total mass is conserved up to truncation, so
+    no normalization pass is needed. The DuckDB oracle replays all 10
+    iterations with a recursive CTE (w=0 self-loops keep empty-inbox
+    nodes alive in the recursive term — Spark uses a real left join)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    edges = (
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * F.col("node") + 1) % n).alias("dst"),
+        )
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                ((F.col("node") * 7 + 1) % n).alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = 150000 // n
+    r = nodes.withColumn("r", F.lit(1000000 // n).cast("long"))
+    for _ in range(10):
+        contrib = (
+            edges.join(r, edges.src == r.node)
+            .select("dst", F.expr("(85 * r) div 200").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        r = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("c", F.lit(0))).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        r.select("node", F.col("r").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(50)
+    )

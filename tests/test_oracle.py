@@ -139,6 +139,10 @@ PARTITION_SENSITIVE = [
     "x3_filtered_topk",
     "x6_temperature_sample",
     "x6_inference_batching",
+    # Iterative integer-state ranking: per-iteration join+agg must not
+    # leak partial-agg order (integers make it provably invariant —
+    # this pins that the implementation keeps it so).
+    "x7_pagerank",
 ]
 
 

@@ -424,3 +424,61 @@ def test_fetch_url_fsspec_dispatch_with_double(monkeypatch):
 
     assert granules._fetch_url("s3://bucket/g.nc") == b"granule-bytes"
     assert opened == {"url": "s3://bucket/g.nc", "mode": "rb"}
+
+
+def test_decode_meta_xarray_fallthrough_with_double(monkeypatch):
+    """The xarray branch of the S11 codec chain (reference:
+    OpenWithXarray, avhrr…/recipe.py:125-127), exercised against an
+    in-process double since the container lacks xarray: an HDF5-magic
+    payload (not synthetic, not NetCDF classic) must route to
+    xarray.open_dataset and map the dataset's CF/ACDD attrs through
+    _attrs_to_meta; an exception inside the codec must quarantine
+    (return None), never raise."""
+    import sys
+    import types
+
+    from recipes_spark.sources import granules
+
+    opened = {}
+
+    class _FakeDs:
+        attrs = {
+            "id": "GRANULE-42",
+            "platform": "metop-b",
+            "time_coverage_start": "2024-03-01T00:00:00Z",
+            "time_coverage_end": "2024-03-01T00:03:00Z",
+            "westernmost_longitude": "-12.5",
+            "southernmost_latitude": "30.0",
+            "easternmost_longitude": "4.25",
+            "northernmost_latitude": "45.5",
+        }
+
+    fake = types.ModuleType("xarray")
+
+    def open_dataset(buf):
+        opened["n_bytes"] = len(buf.getvalue())
+        return _FakeDs()
+
+    fake.open_dataset = open_dataset
+    monkeypatch.setitem(sys.modules, "xarray", fake)
+
+    hdf5_payload = b"\x89HDF\r\n\x1a\n" + b"\x00" * 64
+    meta = granules._decode_meta(hdf5_payload, "/g/file.nc")
+    assert opened["n_bytes"] == len(hdf5_payload)  # full bytes reached codec
+    assert meta == {
+        "granule_id": "GRANULE-42",
+        "platform": "metop-b",
+        "start_datetime": "2024-03-01T00:00:00Z",
+        "end_datetime": "2024-03-01T00:03:00Z",
+        "west": -12.5,
+        "south": 30.0,
+        "east": 4.25,
+        "north": 45.5,
+    }
+
+    # Codec failure => quarantine, not crash.
+    def boom(buf):
+        raise OSError("corrupt HDF5")
+
+    fake.open_dataset = boom
+    assert granules._decode_meta(hdf5_payload, "/g/file.nc") is None

@@ -1238,8 +1238,8 @@ WITH dt AS (
 cnt AS (SELECT term, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY term),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt)
 SELECT doc_id,
-       CAST(floor(sum(k * -ln(c * 1.0 / t)) / sum(k) * 1e6) AS BIGINT)
-         AS nll_micro
+       CAST(sum(k * CAST(floor(-ln(c * 1.0 / t) * 1e6) AS BIGINT))
+            // CAST(sum(k) AS BIGINT) AS BIGINT) AS nll_micro
 FROM dt JOIN cnt USING (term) CROSS JOIN tot
 GROUP BY doc_id
 ORDER BY doc_id
@@ -1259,16 +1259,19 @@ def x4_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword contributes ONE row per doc, weighted by k, instead of k
     rows); the unigram table derives from that same aggregate (no
     second corpus pass); the grand total is a 1-row broadcast.
-    The score lands as floor(nll·1e6) cast to BIGINT on BOTH engines —
-    the repo's floor-scaled-integer convention for derived doubles
-    (like x3_kmeans_assign's dist_micro). What this buys, precisely:
-    round(,4) diverges between engines even on BIT-IDENTICAL doubles
-    (Spark BigDecimal HALF_UP vs DuckDB float-scaling — the dominant,
-    deterministic mismatch mode); floor() on the same double is the
-    same IEEE operation everywhere, so the only residual risk is a
-    summation-order ulp difference landing exactly on a 1e-6 floor
-    boundary (~ulp/1e-6 ≈ 1e-9 per row — not zero, but four orders
-    quieter than round's implementation divergence)."""
+    The score follows FIXTURES.md's integer-exact convention taken all
+    the way: each term's -ln(p) is floor-scaled to integer micro-units
+    BEFORE the weighted sum, and the per-doc mean is integer division —
+    so the aggregation is pure integer math, order-insensitive by
+    construction (distributed vs sequential summation cannot diverge,
+    and partition count cannot change the result). What floor buys over
+    round(,4): round diverges between engines even on BIT-IDENTICAL
+    doubles (Spark BigDecimal HALF_UP vs DuckDB float-scaling); floor
+    on the same double is the same IEEE operation everywhere. The only
+    residual cross-engine risk is the ln() implementation itself
+    (Java Math.log vs libm, each correct to ~1 ulp) landing exactly on
+    a 1e-6 floor boundary for some term — ~1e-9 per distinct term,
+    with no amplification through the sum."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
     dt = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -1282,13 +1285,17 @@ def x4_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.floor(
-                F.sum(F.col("k") * -F.log(F.col("c") / F.col("t")))
-                / F.sum("k")
-                * F.lit(1e6)
-            )
-            .cast("long")
-            .alias("nll_micro")
+            F.sum(
+                F.col("k")
+                * F.floor(-F.log(F.col("c") / F.col("t")) * F.lit(1e6)).cast(
+                    "long"
+                )
+            ).alias("__num"),
+            F.sum("k").alias("__den"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(__num div __den AS BIGINT)").alias("nll_micro"),
         )
         .orderBy("doc_id")
     )
@@ -1683,7 +1690,7 @@ def x4_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer is_mixed flag (≥2 script families each covering ≥10% of
     characters — the docs a monolingual pipeline mis-handles and a
     multilingual one routes to segmentation). Patterns are literal
-    codepoint RANGES, not \\p{{Script=...}} classes, because Java regex
+    codepoint RANGES, not \\p{Script=...} classes, because Java regex
     and RE2 disagree on class semantics but evaluate identical ranges
     identically; the thresholds are integer cross-multiplications (no
     float shares to flake).
@@ -1795,7 +1802,8 @@ scored AS (
 SELECT doc_id,
        CAST(sum(k) AS BIGINT) AS n_bigrams,
        CAST(sum(oov_k) AS BIGINT) AS oov_bigrams,
-       CAST(floor(sum(k * -ln(s)) / sum(k) * 1e6) AS BIGINT) AS nll2_micro
+       CAST(sum(k * CAST(floor(-ln(s) * 1e6) AS BIGINT))
+            // CAST(sum(k) AS BIGINT) AS BIGINT) AS nll2_micro
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
@@ -1817,7 +1825,9 @@ def x4_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive from those aggregates; the train-total is a 1-row
     broadcast. At 100 TB the bigram table is the big object — it
     shuffles once at build and the score join is bigram-keyed
-    (uniform). Output lands as floor-scaled BIGINT (nll2_micro) plus
+    (uniform). Output follows the FIXTURES.md integer-exact
+    convention (per-term floor-scale before the weighted sum, integer
+    division for the mean — order-insensitive by construction) plus
     exact integer bigram/OOV counts."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
     # Deterministic held-out-only novel tokens (see oracle comment):
@@ -1899,11 +1909,20 @@ def x4_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("k").cast("long").alias("n_bigrams"),
             F.sum("oov_k").cast("long").alias("oov_bigrams"),
-            F.floor(
-                F.sum(F.col("k") * -F.log("s")) / F.sum("k") * F.lit(1e6)
-            )
-            .cast("long")
-            .alias("nll2_micro"),
+            # FIXTURES.md integer-exact convention: per-term floor to
+            # micro-units BEFORE the weighted sum, integer division for
+            # the mean — the aggregation is pure integer math, so
+            # summation order / partition count cannot move the result.
+            F.sum(
+                F.col("k")
+                * F.floor(-F.log("s") * F.lit(1e6)).cast("long")
+            ).alias("__num"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "oov_bigrams",
+            F.expr("CAST(__num div n_bigrams AS BIGINT)").alias("nll2_micro"),
         )
         .orderBy("doc_id")
     )

@@ -1537,16 +1537,24 @@ def x3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE params AS (
   SELECT CAST(count(*) AS BIGINT) AS n FROM documents
-), edges AS (
+), raw_edges AS (
   -- Two out-edges per node: (i*i+1) %% n is non-bijective (squares
   -- cluster), so in-degrees vary and ranks genuinely diverge;
-  -- (7i+1) %% n keeps the graph strongly connected-ish. w=0 self-loops
-  -- guarantee every node receives a row each iteration (a node with no
-  -- real in-edges would otherwise drop out of the recursive term).
-  SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM params) AS dst,
-         1 AS w FROM documents
+  -- (7i+1) %% n keeps the graph strongly connected-ish.
+  SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM params) AS dst
+  FROM documents
   UNION ALL
-  SELECT doc_id, (doc_id * 7 + 1) % (SELECT n FROM params), 1 FROM documents
+  SELECT doc_id, (doc_id * 7 + 1) % (SELECT n FROM params) FROM documents
+), edges AS (
+  -- Restrict to EXISTING dst nodes: if doc_ids were ever non-contiguous
+  -- the modular targets could be phantom ids — the engine drops their
+  -- mass via a node-list join, so the oracle must drop the same edges
+  -- or phantom rows would survive the recursive term and reach the
+  -- top-50. w=0 self-loops guarantee every node receives a row each
+  -- iteration (a node with no real in-edges would otherwise drop out
+  -- of the recursive term).
+  SELECT r.src, r.dst, 1 AS w
+  FROM raw_edges r JOIN documents dn ON r.dst = dn.doc_id
   UNION ALL
   SELECT doc_id, doc_id, 0 FROM documents
 ), pr(iter, node, r) AS (
@@ -1601,6 +1609,12 @@ def x7_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("node") * 7 + 1) % n).alias("dst"),
             )
         )
+        # Keep only edges whose dst EXISTS — with contiguous 0..n-1 ids
+        # this is a no-op, but it makes the mass-drop behavior explicit
+        # and structurally identical to the oracle's edge filter for
+        # any id domain (the contiguity of the fixture is incidental,
+        # not an invariant the query may rely on).
+        .join(nodes.select(F.col("node").alias("dst")), "dst")
         .localCheckpoint(eager=True)
     )
     base = 150000 // n

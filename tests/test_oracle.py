@@ -143,6 +143,10 @@ PARTITION_SENSITIVE = [
     # leak partial-agg order (integers make it provably invariant —
     # this pins that the implementation keeps it so).
     "x7_pagerank",
+    # Integer-exact LM scores (per-term floor BEFORE the weighted sum,
+    # integer-division mean): provably order-insensitive — pinned here.
+    "x4_unigram_nll",
+    "x4_bigram_nll",
 ]
 
 

@@ -769,3 +769,92 @@ def ivf_pq_topk(
         query_vec_col=query_vec_col,
         k=k,
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    shortlist: int = 50,
+    lambda_tenths: int = 7,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity rerank (Carbonell &
+    Goldstein 1998) — the standard post-retrieval step that trades
+    relevance against redundancy: greedily pick the candidate
+    maximizing λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s).
+
+    Architecture note, deliberate: retrieval (brute/IVF-PQ/LSH) is the
+    distributed stage; MMR operates on the RETRIEVED SHORTLIST
+    (Q × `shortlist` rows) and is inherently sequential-greedy, so it
+    runs driver-side on the collected shortlist + its vectors —
+    bounded by construction, exactly where every production vector
+    store runs it. Scores are integer micro-units with λ in tenths
+    (score·10 = 7·sim_q − 3·max_sim, integer throughout after a
+    per-pair floor), ties broken by lowest id — bit-deterministic
+    across runs, partitionings, and engines."""
+    cand = brute_force_topk(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=shortlist,
+    )
+    rows = cand.select(query_id_col, id_col).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r[query_id_col], []).append(r[id_col])
+    need_ids = sorted({i for ids in by_q.values() for i in ids})
+    spark = corpus.sparkSession
+    vec_rows = (
+        corpus.join(
+            F.broadcast(
+                spark.createDataFrame([(i,) for i in need_ids], f"{id_col} long")
+            ),
+            id_col,
+        )
+        .select(id_col, vec_col)
+        .collect()
+    )
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in vec_rows}
+    qcollected = _collect_queries(queries, query_id_col, query_vec_col)
+    if qcollected is None:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, mmr_micro long, rank int"
+        )
+    qids, Q = qcollected
+    qvec = {int(q): Q[i] for i, q in enumerate(qids)}
+
+    def sim_micro(a: np.ndarray, b: np.ndarray) -> int:
+        na = max(float(np.linalg.norm(a)), 1e-300)
+        nb = max(float(np.linalg.norm(b)), 1e-300)
+        return int(np.floor(float(a @ b) / (na * nb) * 1e6))
+
+    out = []
+    for q, ids in sorted(by_q.items()):
+        simq = {i: sim_micro(vecs[i], qvec[q]) for i in ids}
+        selected: list = []
+        remaining = sorted(ids)
+        while remaining and len(selected) < k:
+            best_id, best_score = None, None
+            for i in remaining:
+                red = max(
+                    (sim_micro(vecs[i], vecs[s]) for s in selected), default=0
+                )
+                score = lambda_tenths * simq[i] - (10 - lambda_tenths) * red
+                # Deterministic: strict improvement wins; ties keep the
+                # LOWEST id (remaining is sorted ascending).
+                if best_score is None or score > best_score:
+                    best_id, best_score = i, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out.append((int(q), int(best_id), int(best_score), len(selected)))
+    return spark.createDataFrame(
+        out, f"{query_id_col} long, {id_col} long, mmr_micro long, rank int"
+    )

@@ -1639,3 +1639,24 @@ def x7_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "node")
         .limit(50)
     )
+
+
+@query("x3_mmr_topk")
+def x3_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: brute-force shortlist (distributed
+    stage) → maximal-marginal-relevance greedy rerank (bounded
+    driver-side stage, where every production vector store runs it) —
+    λ=0.7 relevance vs redundancy in integer micro-units, ties to the
+    lowest id. Greedy-sequential → no SQL oracle (rows-only);
+    tests/test_similarity.py gates determinism across partitionings,
+    redundancy reduction vs plain top-k, and relevance retention."""
+    from recipes_spark.operators.similarity import mmr_rerank
+
+    e = load(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return mmr_rerank(e, queries_df, k=10, shortlist=50).withColumnRenamed(
+        "rank", "rnk"
+    )

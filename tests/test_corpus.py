@@ -458,3 +458,63 @@ def test_cms_never_undercounts_under_heavy_collision(spark):
     assert set(est) == set(exact)
     for t, e in est.items():
         assert e >= exact[t], f"undercount for {t}: {e} < {exact[t]}"
+
+
+def test_portable_hash_three_way_agreement(spark):
+    """The portable sha256-slice hash underpins every bit-exact sketch
+    oracle (bloom positions, CMS buckets, epoch shuffle, temperature
+    sampling): pin all THREE implementations against each other on
+    adversarial keys — Spark's conv(substring(sha2)), DuckDB's
+    CAST('0x'||substr(sha256)), and Python's hashlib — including
+    unicode, empties-adjacent, long keys, and digest prefixes that
+    start with 0 (where a naive parse could drop leading zeros)."""
+    import hashlib
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    keys = (
+        ["", " ", "a", "0", "00000000"]
+        + ["日本語テキスト", "mixed 语言 текст", "emoji 🚀 key"]
+        + [f"key-{i}" * (i % 7 + 1) for i in range(50)]
+    )
+    mod = 4096
+
+    def py_bucket(k: str, d: int) -> int:
+        h = hashlib.sha256(f"{d}:{k}".encode()).hexdigest()
+        return int(h[:8], 16) % mod
+
+    expected = {(k, d): py_bucket(k, d) for k in keys for d in range(4)}
+
+    sdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    cols = [
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(F.lit(f"{d}:"), F.col("k")), 256), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        ).alias(f"b{d}")
+        for d in range(4)
+    ]
+    spark_got = {
+        (r["k"], d): r[f"b{d}"]
+        for r in sdf.select("k", *cols).collect()
+        for d in range(4)
+    }
+    assert spark_got == expected
+
+    con = duckdb.connect()
+    duck_got = {}
+    for k in keys:
+        for d in range(4):
+            (b,) = con.execute(
+                "SELECT CAST('0x' || substr(sha256(? || ':' || ?), 1, 8) "
+                f"AS BIGINT) % {mod}",
+                [str(d), k],
+            ).fetchone()
+            duck_got[(k, d)] = b
+    assert duck_got == expected

@@ -238,3 +238,64 @@ def test_fused_assign_encode_matches_two_pass(spark, sf_dir):
     a = {r["vec_id"]: (r["__list"], tuple(r["codes"])) for r in two.collect()}
     b = {r["vec_id"]: (r["__list"], tuple(r["codes"])) for r in fused.collect()}
     assert a == b
+
+
+def test_mmr_diversifies_and_stays_relevant(spark, sf_dir):
+    """MMR contracts: (1) deterministic — identical output at 3 vs 32
+    shuffle partitions (greedy runs on a deterministically-ordered
+    shortlist); (2) redundancy drops — mean pairwise cosine within the
+    MMR selection is <= that of the plain top-k for every query;
+    (3) relevance retained — rank-1 equals the plain top-1 (the first
+    greedy pick has no redundancy term)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    e = load(spark, sf_dir, "embeddings").cache()
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def run():
+        return [tuple(r) for r in mmr_rerank(e, q, k=10, shortlist=50).collect()]
+
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        high = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    assert sorted(low) == sorted(high)
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in e.collect()}
+
+    def mean_pairwise(ids):
+        sims = []
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                va, vb = vecs[a], vecs[b]
+                sims.append(
+                    float(va @ vb)
+                    / (np.linalg.norm(va) * np.linalg.norm(vb))
+                )
+        return sum(sims) / len(sims)
+
+    plain = {}
+    for r in brute_force_topk(e, q, k=10).collect():
+        plain.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    mmr = {}
+    for qid, vid, _, rnk in high:
+        mmr.setdefault(qid, []).append((rnk, vid))
+    assert set(plain) == set(mmr)
+    for qid in plain:
+        p_ids = [v for _, v in sorted(plain[qid])]
+        m_ids = [v for _, v in sorted(mmr[qid])]
+        assert m_ids[0] == p_ids[0]  # relevance retained at rank 1
+        assert mean_pairwise(m_ids) <= mean_pairwise(p_ids) + 1e-9, qid

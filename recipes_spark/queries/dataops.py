@@ -1660,3 +1660,147 @@ def x3_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(e, queries_df, k=10, shortlist=50).withColumnRenamed(
         "rank", "rnk"
     )
+
+
+@query(
+    "x6_leakage_safe_split",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(string_split(text, ' '))) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), comp AS (
+  SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+), assign AS (
+  SELECT doc_id,
+         CAST('0x' || substr(sha256(CAST(group_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10 AS cb,
+         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10 AS rb
+  FROM comp
+), schemes AS (
+  SELECT 'cluster' AS scheme, doc_id,
+         CASE WHEN cb < 8 THEN 0 WHEN cb = 8 THEN 1 ELSE 2 END AS split
+  FROM assign
+  UNION ALL
+  SELECT 'row', doc_id,
+         CASE WHEN rb < 8 THEN 0 WHEN rb = 8 THEN 1 ELSE 2 END
+  FROM assign
+), counts AS (
+  SELECT scheme,
+         CAST(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         CAST(sum(CASE WHEN split = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM schemes GROUP BY scheme
+), leaks AS (
+  SELECT sa.scheme, CAST(count(*) AS BIGINT) AS leaked_pairs
+  FROM pairs p
+  JOIN schemes sa ON sa.doc_id = p.id_a
+  JOIN schemes sb ON sb.doc_id = p.id_b AND sb.scheme = sa.scheme
+  WHERE sa.split <> sb.split
+  GROUP BY sa.scheme
+)
+SELECT c.scheme, c.n_train, c.n_val, c.n_test,
+       CAST(COALESCE(l.leaked_pairs, 0) AS BIGINT) AS leaked_pairs
+FROM counts c LEFT JOIN leaks l ON c.scheme = l.scheme
+ORDER BY c.scheme
+""",
+)
+def x6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splitting — THE eval-integrity
+    operation for LLM data: assigning splits per ROW lets near-
+    duplicate pairs straddle train and test (memorized-answer leakage);
+    assigning per DEDUP CLUSTER (portable hash of the component
+    representative → 80/10/10) makes cross-split leakage zero BY
+    CONSTRUCTION. This query runs both schemes on the same corpus and
+    audits them against the near-dup pair set: the output row for
+    'cluster' must show leaked_pairs = 0 while 'row' shows the leakage
+    a naive split silently ships (asserted in tests, visible in the
+    oracle-matched output).
+
+    Scale shape: reuses the dedup stack (recall-complete MinHash
+    banding pairs → connected components); split assignment is a
+    row-local portable hash; the audit joins the pair list (narrow)
+    against the split map twice — both joins on uniform doc ids. The
+    oracle replays everything: all-pairs Jaccard, a recursive-CTE
+    transitive closure, and the same integer hash buckets."""
+    pairs = near_dup_wordset(spark, sf_dir).select("id_a", "id_b")
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    comp = connected_components(
+        nodes, pairs, node_col="node", src_col="id_a", dst_col="id_b"
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
+
+    def bucket10(col):
+        return (
+            F.conv(
+                F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10
+            ).cast("long")
+            % 10
+        )
+
+    def to_split(b):
+        return F.when(b < 8, 0).when(b == 8, 1).otherwise(2)
+
+    assign = comp.select(
+        "doc_id",
+        to_split(bucket10(F.col("group_id"))).alias("cluster_split"),
+        to_split(bucket10(F.col("doc_id"))).alias("row_split"),
+    )
+    schemes = assign.select(
+        F.lit("cluster").alias("scheme"),
+        "doc_id",
+        F.col("cluster_split").alias("split"),
+    ).unionByName(
+        assign.select(
+            F.lit("row").alias("scheme"), "doc_id", F.col("row_split").alias("split")
+        )
+    )
+    counts = schemes.groupBy("scheme").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    sa = schemes.select(
+        "scheme", F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+    )
+    sb = schemes.select(
+        "scheme", F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+    )
+    leaks = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["scheme", "id_b"])
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy("scheme")
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_pairs"))
+    )
+    return (
+        counts.join(leaks, "scheme", "left")
+        .select(
+            "scheme",
+            "n_train",
+            "n_val",
+            "n_test",
+            F.coalesce("leaked_pairs", F.lit(0)).cast("long").alias("leaked_pairs"),
+        )
+        .orderBy("scheme")
+    )

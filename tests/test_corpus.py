@@ -518,3 +518,24 @@ def test_portable_hash_three_way_agreement(spark):
             ).fetchone()
             duck_got[(k, d)] = b
     assert duck_got == expected
+
+
+def test_leakage_safe_split_contract(spark, sf_dir):
+    """The split-scheme audit must show the structural property, not
+    just match the oracle: cluster-level assignment has ZERO cross-
+    split near-dup pairs by construction (both endpoints share the
+    component hash), while row-level assignment leaks some — the
+    silent eval-contamination a naive split ships. Also: every doc is
+    in exactly one split under both schemes."""
+    from recipes_spark.io import load
+    from recipes_spark.registry import all_queries
+
+    rows = {
+        r["scheme"]: r.asDict()
+        for r in all_queries()["x6_leakage_safe_split"](spark, sf_dir).collect()
+    }
+    n_docs = load(spark, sf_dir, "documents").count()
+    for scheme, r in rows.items():
+        assert r["n_train"] + r["n_val"] + r["n_test"] == n_docs, scheme
+    assert rows["cluster"]["leaked_pairs"] == 0
+    assert rows["row"]["leaked_pairs"] > 0

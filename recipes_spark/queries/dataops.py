@@ -379,8 +379,12 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x2_simhash")
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup candidates, hamming ≤ 8 (rows-only: the
-    sketch is hash-seed specific)."""
+    """SimHash-64 near-dup candidates, hamming ≤ 8 (PERMANENTLY
+    rows-only: the sketch is hash-seed specific). Quality contract in
+    tests/test_corpus.py::test_simhash_recall_on_planted_neardups —
+    pigeonhole-complete recall at hamming ≤ bands-1, ≥0.8 planted
+    recall at the full bound, and every emitted pair's sketch distance
+    honors max_hamming."""
     d = load(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", max_hamming=8, bands=4)
 

@@ -504,9 +504,13 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_approx_distinct")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No oracle — estimates are
-    implementation-specific; driver records rows-only. At 100 TB this is
-    the right default over exact countDistinct (no huge shuffle)."""
+    """approx_count_distinct (HLL++). PERMANENTLY rows-only —
+    estimates are implementation-specific, no SQL oracle can replay
+    them. The accuracy contract lives in
+    tests/test_corpus.py::test_approx_distinct_tracks_exact: every
+    per-group estimate within 6% of the exact distinct count
+    (rsd=0.02 requested; 6% = 3 sigma). At 100 TB this is the right
+    default over exact countDistinct (no huge shuffle)."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")

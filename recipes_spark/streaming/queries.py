@@ -171,7 +171,10 @@ def st4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes session end + gap), so the trailing sessions of the stream
     are withheld at availableNow termination — rows-only check; the
     batch t4_session_window carries the oracle for the session
-    semantics themselves."""
+    semantics themselves, and tests/test_streaming.py::
+    test_st4_stream_sessions_subset_of_batch pins that every EMITTED
+    streaming session equals its batch twin exactly (the stream may
+    withhold trailing sessions, never invent or distort one)."""
     ev = stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")

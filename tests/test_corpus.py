@@ -539,3 +539,82 @@ def test_leakage_safe_split_contract(spark, sf_dir):
         assert r["n_train"] + r["n_val"] + r["n_test"] == n_docs, scheme
     assert rows["cluster"]["leaked_pairs"] == 0
     assert rows["row"]["leaked_pairs"] > 0
+
+
+def test_simhash_recall_on_planted_neardups(spark, sf_dir):
+    """x2_simhash's quality gate (it is rows-only — the 64-bit sketch
+    is hash-seed specific, no SQL oracle). Banded candidate
+    generation over 4 bands is pigeonhole-COMPLETE only to hamming <=
+    bands-1 = 3 (4+ flips can land one in every band), so the gate
+    asserts exactly the operator's contract: (1) every planted pair
+    whose sketch distance is <= 3 MUST be emitted (guaranteed tier);
+    (2) overall planted recall at hamming <= 8 stays >= 0.8
+    (probabilistic tier — measured 0.9 here, one hamming-4 pair
+    spreads its flips across all bands); (3) every EMITTED pair's
+    sketch distance honors the claimed max_hamming bound."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.dedup import simhash_pairs, simhash_sketch
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    long_docs = d.filter(F.size(F.split("text", " ")) >= 50).limit(10)
+    planted = long_docs.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" perturbation")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            corpus, "doc_id", "text", max_hamming=8, bands=4
+        ).collect()
+    }
+    sk = {
+        r["doc_id"]: r["sketch"]
+        for r in simhash_sketch(corpus, id_col="doc_id", text_col="text").collect()
+    }
+    expected = {
+        (r["doc_id"], r["doc_id"] + 5_000_000) for r in long_docs.collect()
+    }
+
+    def ham(a, b):
+        return bin(sk[a] ^ sk[b]).count("1")
+
+    guaranteed = {(a, b) for a, b in expected if ham(a, b) <= 3}
+    missed_guaranteed = guaranteed - pairs
+    assert not missed_guaranteed, (
+        f"pairs within the pigeonhole guarantee missed: {missed_guaranteed}"
+    )
+    recall = len(expected & pairs) / len(expected)
+    assert recall >= 0.8, f"planted recall {recall:.2f} < 0.8"
+    for a, b in pairs:
+        assert ham(a, b) <= 8, (a, b, ham(a, b))
+
+
+def test_approx_distinct_tracks_exact(spark, oracle_sf_dir):
+    """agg_approx_distinct's quality gate (rows-only — HLL++ estimates
+    are implementation-specific): every per-group estimate within 6%
+    of the exact distinct count (rsd=0.02 requested; 6% = 3 sigma)."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.registry import all_queries
+
+    est = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in all_queries()["agg_approx_distinct"](
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load(spark, oracle_sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, e in est.items():
+        rel = abs(e - exact[flag]) / exact[flag]
+        assert rel <= 0.06, (flag, e, exact[flag])

@@ -217,3 +217,25 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     second = sorted(r["id"] for r in spark.read.parquet(out).collect())
     # No duplicates from reprocessing a/b; nothing missed from c.
     assert second == list(range(30))
+
+
+def test_st4_stream_sessions_subset_of_batch(spark, sf_dir):
+    """st4_session_stream's quality gate (rows-only — append mode
+    withholds sessions whose watermark hasn't passed at availableNow
+    termination): every EMITTED streaming session must exactly equal
+    the batch t4_session_window row for the same (user, session
+    start) — the stream may only withhold trailing sessions, never
+    invent or distort one."""
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()
+    batch = {
+        (r["user_id"], r["session_start"]): tuple(r)
+        for r in q["t4_session_window"](spark, sf_dir).collect()
+    }
+    streamed = [tuple(r) for r in q["st4_session_stream"](spark, sf_dir).collect()]
+    assert streamed, "stream emitted no closed sessions"
+    for row in streamed:
+        key = (row[0], row[1])
+        assert key in batch, f"stream invented session {key}"
+        assert row == batch[key], (row, batch[key])

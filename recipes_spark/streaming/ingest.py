@@ -458,6 +458,36 @@ def st12_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(pairs_dir).select("id_a", "id_b", "jaccard")
 
 
+def bloom_probe_then_absorb(
+    out_dir: str, state_dir: str, *, m_bits: int, k: int
+):
+    """st13's per-micro-batch body as a module-level factory so the
+    batch-transactionality claim is TESTABLE: each invocation rebuilds
+    its prior state as the OR of all PRIOR batches' persisted bitmaps
+    and overwrites its own outputs, so re-invoking batch N (an
+    at-least-once retry) reloads exactly the pre-N state and re-emits
+    identical candidates — pinned by
+    tests/test_streaming.py::test_sketch_state_batches_are_retry_idempotent."""
+    import numpy as np
+
+    from recipes_spark.operators.dedup import bloom_build, bloom_members
+
+    def probe_then_absorb(bdf: DataFrame, bid: int) -> None:
+        prior = np.zeros(m_bits // 8, dtype=np.uint8)
+        for j in range(bid):
+            with open(os.path.join(state_dir, f"bloom_{j}.bin"), "rb") as fh:
+                prior |= np.frombuffer(fh.read(), dtype=np.uint8)
+        cand = bloom_members(bdf, "text", prior.tobytes(), m_bits=m_bits, k=k)
+        cand.select("doc_id").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={bid}")
+        )
+        own = bloom_build(bdf, "text", m_bits=m_bits, k=k)
+        with open(os.path.join(state_dir, f"bloom_{bid}.bin"), "wb") as fh:
+            fh.write(own)
+
+    return probe_then_absorb
+
+
 @query(
     "st13_stream_bloom_probe",
     oracle="""
@@ -499,10 +529,7 @@ def st13_stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256-slice hash) with the same prior-batch visibility rule —
     bit-for-bit, not statistical (m deliberately undersized at 4096 so
     the candidate path is exercised at every test SF)."""
-    import numpy as np
-
     from recipes_spark.io import load
-    from recipes_spark.operators.dedup import bloom_build, bloom_members
 
     m_bits, k = 4096, 2
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -513,19 +540,9 @@ def st13_stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_ordered(chunks, prefix="recipes_st13_landing_")
     out_dir = tempfile.mkdtemp(prefix="recipes_st13_out_") + "/cand"
     state_dir = tempfile.mkdtemp(prefix="recipes_st13_state_")
-
-    def probe_then_absorb(bdf: DataFrame, bid: int) -> None:
-        prior = np.zeros(m_bits // 8, dtype=np.uint8)
-        for j in range(bid):
-            with open(os.path.join(state_dir, f"bloom_{j}.bin"), "rb") as fh:
-                prior |= np.frombuffer(fh.read(), dtype=np.uint8)
-        cand = bloom_members(bdf, "text", prior.tobytes(), m_bits=m_bits, k=k)
-        cand.select("doc_id").write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={bid}")
-        )
-        own = bloom_build(bdf, "text", m_bits=m_bits, k=k)
-        with open(os.path.join(state_dir, f"bloom_{bid}.bin"), "wb") as fh:
-            fh.write(own)
+    probe_then_absorb = bloom_probe_then_absorb(
+        out_dir, state_dir, m_bits=m_bits, k=k
+    )
 
     stream = (
         spark.readStream.schema(d.schema)
@@ -547,6 +564,64 @@ def st13_stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out_dir).select("doc_id").orderBy("doc_id")
+
+
+def cms_probe_then_absorb(
+    spark: SparkSession,
+    out_dir: str,
+    state_dir: str,
+    *,
+    depth: int,
+    width: int,
+    thresh: int,
+):
+    """st14's per-micro-batch body as a module-level factory (see
+    bloom_probe_then_absorb): prior state is the SUM-merge of all
+    PRIOR batches' persisted counter tables, own outputs are
+    overwrites — so a retry of batch N is byte-identical. Pinned by
+    tests/test_streaming.py::test_sketch_state_batches_are_retry_idempotent."""
+    from recipes_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+        cms_merge,
+    )
+
+    out_schema = "bid int, term string, prior_est long"
+
+    def probe_then_absorb(bdf: DataFrame, bid: int) -> None:
+        tc = (
+            bdf.select(F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        if bid > 0:
+            prior = cms_merge(
+                *[
+                    spark.read.parquet(os.path.join(state_dir, f"c_{j}"))
+                    for j in range(bid)
+                ]
+            )
+            hot = (
+                cms_estimate(
+                    tc.select("term"), prior, depth=depth, width=width
+                )
+                .filter(F.col("est") >= thresh)
+                .select(
+                    F.lit(bid).cast("int").alias("bid"),
+                    "term",
+                    F.col("est").alias("prior_est"),
+                )
+            )
+        else:
+            hot = spark.createDataFrame([], out_schema)
+        hot.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={bid}")
+        )
+        cms_counters(tc, depth=depth, width=width).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"c_{bid}"))
+
+    return probe_then_absorb
 
 
 @query(
@@ -608,11 +683,6 @@ def st14_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the left-join zero for a bucket no prior term mapped to —
     bit-for-bit with the same prior-batch visibility rule."""
     from recipes_spark.io import load
-    from recipes_spark.operators.sketches import (
-        cms_counters,
-        cms_estimate,
-        cms_merge,
-    )
     from recipes_spark.streaming.core import stage_ordered
 
     depth, width, thresh = 4, 1024, 200
@@ -622,39 +692,9 @@ def st14_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="recipes_st14_out_") + "/hot"
     state_dir = tempfile.mkdtemp(prefix="recipes_st14_state_")
     out_schema = "bid int, term string, prior_est long"
-
-    def probe_then_absorb(bdf: DataFrame, bid: int) -> None:
-        tc = (
-            bdf.select(F.explode(F.split("text", " ")).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        )
-        if bid > 0:
-            prior = cms_merge(
-                *[
-                    spark.read.parquet(os.path.join(state_dir, f"c_{j}"))
-                    for j in range(bid)
-                ]
-            )
-            hot = (
-                cms_estimate(
-                    tc.select("term"), prior, depth=depth, width=width
-                )
-                .filter(F.col("est") >= thresh)
-                .select(
-                    F.lit(bid).cast("int").alias("bid"),
-                    "term",
-                    F.col("est").alias("prior_est"),
-                )
-            )
-        else:
-            hot = spark.createDataFrame([], out_schema)
-        hot.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={bid}")
-        )
-        cms_counters(tc, depth=depth, width=width).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(state_dir, f"c_{bid}"))
+    probe_then_absorb = cms_probe_then_absorb(
+        spark, out_dir, state_dir, depth=depth, width=width, thresh=thresh
+    )
 
     q = (
         spark.readStream.schema(d.schema)

@@ -239,3 +239,66 @@ def test_st4_stream_sessions_subset_of_batch(spark, sf_dir):
         key = (row[0], row[1])
         assert key in batch, f"stream invented session {key}"
         assert row == batch[key], (row, batch[key])
+
+
+def test_sketch_state_batches_are_retry_idempotent(spark, sf_dir, tmp_path):
+    """The batch-transactionality claim behind st13/st14, exercised by
+    an ACTUAL re-invocation (not just documented): after running
+    batches 0..2, re-running batch 1 — an at-least-once redelivery —
+    must leave its emitted output, its persisted state, and the
+    downstream batch-2 output byte-identical, because each batch
+    rebuilds its prior from PRIOR batches' persisted state and
+    overwrites its own."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.streaming.ingest import (
+        bloom_probe_then_absorb,
+        cms_probe_then_absorb,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [d.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+
+    def snapshot(out_dir, state_dir):
+        out = {}
+        for bid in range(3):
+            p = os.path.join(out_dir, f"batch={bid}")
+            out[bid] = sorted(
+                tuple(r) for r in spark.read.parquet(p).collect()
+            )
+        state = {}
+        for name in sorted(os.listdir(state_dir)):
+            full = os.path.join(state_dir, name)
+            if os.path.isfile(full):
+                state[name] = open(full, "rb").read()
+            else:
+                state[name] = sorted(
+                    tuple(r) for r in spark.read.parquet(full).collect()
+                )
+        return out, state
+
+    import os
+
+    for kind, factory in (
+        (
+            "bloom",
+            lambda o, s: bloom_probe_then_absorb(o, s, m_bits=4096, k=2),
+        ),
+        (
+            "cms",
+            lambda o, s: cms_probe_then_absorb(
+                spark, o, s, depth=4, width=1024, thresh=50
+            ),
+        ),
+    ):
+        out_dir = str(tmp_path / f"{kind}_out")
+        state_dir = str(tmp_path / f"{kind}_state")
+        os.makedirs(state_dir, exist_ok=True)
+        fn = factory(out_dir, state_dir)
+        for bid, bdf in enumerate(batches):
+            fn(bdf, bid)
+        before = snapshot(out_dir, state_dir)
+        fn(batches[1], 1)  # redelivery of batch 1
+        after = snapshot(out_dir, state_dir)
+        assert after == before, f"{kind}: retry of batch 1 changed state/output"

@@ -831,23 +831,35 @@ def mmr_rerank(
     qids, Q = qcollected
     qvec = {int(q): Q[i] for i, q in enumerate(qids)}
 
-    def sim_micro(a: np.ndarray, b: np.ndarray) -> int:
+    def cos(a: np.ndarray, b: np.ndarray) -> float:
         na = max(float(np.linalg.norm(a)), 1e-300)
         nb = max(float(np.linalg.norm(b)), 1e-300)
-        return int(np.floor(float(a @ b) / (na * nb) * 1e6))
+        return float(a @ b) / (na * nb)
+
+    def simq_micro(a: np.ndarray, b: np.ndarray) -> int:
+        # QUANTIZED LIKE THE SHORTLIST: brute_force_topk ranks on
+        # np.round(cos, 4), so the relevance term must quantize the
+        # same way or a 4-decimal tie could order differently here
+        # than there and break the rank-1 == plain-top-1 contract
+        # (both orders then break ties by lowest id).
+        return int(round(float(np.round(cos(a, b), 4)) * 1e6))
+
+    def red_micro(a: np.ndarray, b: np.ndarray) -> int:
+        return int(np.floor(cos(a, b) * 1e6))
 
     out = []
     for q, ids in sorted(by_q.items()):
-        simq = {i: sim_micro(vecs[i], qvec[q]) for i in ids}
+        simq = {i: simq_micro(vecs[i], qvec[q]) for i in ids}
         selected: list = []
         remaining = sorted(ids)
+        # Incremental MMR: carry each candidate's running max
+        # redundancy and fold in only the newly selected item —
+        # O(k·shortlist) pair sims, not O(k²·shortlist).
+        red = {i: 0 for i in remaining}
         while remaining and len(selected) < k:
             best_id, best_score = None, None
             for i in remaining:
-                red = max(
-                    (sim_micro(vecs[i], vecs[s]) for s in selected), default=0
-                )
-                score = lambda_tenths * simq[i] - (10 - lambda_tenths) * red
+                score = lambda_tenths * simq[i] - (10 - lambda_tenths) * red[i]
                 # Deterministic: strict improvement wins; ties keep the
                 # LOWEST id (remaining is sorted ascending).
                 if best_score is None or score > best_score:
@@ -855,6 +867,8 @@ def mmr_rerank(
             selected.append(best_id)
             remaining.remove(best_id)
             out.append((int(q), int(best_id), int(best_score), len(selected)))
+            for i in remaining:
+                red[i] = max(red[i], red_micro(vecs[i], vecs[best_id]))
     return spark.createDataFrame(
         out, f"{query_id_col} long, {id_col} long, mmr_micro long, rank int"
     )

@@ -24,11 +24,14 @@ from pyspark.sql import Column, DataFrame
 
 
 def _cms_bucket(term_col: str | Column, d: int, width: int) -> Column:
-    """Portable bucket for hash row `d` — sha256-slice like the bloom
-    filter, with the depth index baked into the hashed string so the d
-    rows are independent hash functions."""
-    hexd = F.sha2(F.concat(F.lit(f"{d}:"), F.col(term_col) if isinstance(term_col, str) else term_col), 256)
-    return F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long") % width
+    """Portable bucket for hash row `d` — the shared sha256-slice
+    construction (functions/portable_hash.py) with the depth index
+    baked into the hashed string so the d rows are independent hash
+    functions."""
+    from recipes_spark.functions.portable_hash import sha_slice_bucket
+
+    c = F.col(term_col) if isinstance(term_col, str) else term_col
+    return sha_slice_bucket(F.concat(F.lit(f"{d}:"), c), width)
 
 
 def cms_counters(

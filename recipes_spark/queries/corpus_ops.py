@@ -472,7 +472,9 @@ _register_prune_funnel()
 #   Spark : conv(substring(sha2(s, 256), 1, 8), 16, 10) % m
 #   DuckDB: CAST('0x' || substr(sha256(s), 1, 8) AS BIGINT) % m
 def _bucket(col, m: int):
-    return F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10).cast("long") % m
+    from recipes_spark.functions.portable_hash import sha_slice_bucket
+
+    return sha_slice_bucket(col, m)
 
 
 @query(

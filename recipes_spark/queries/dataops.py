@@ -74,8 +74,12 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
 FROM d a JOIN d b
   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+-- Integer form of Spark's round(jaccard, 4) >= 0.8 filter:
+-- x >= 15999/20000 decided on the TRUE rational (no exact
+-- boundary is feasible: gcd(15999,20000)=1 and union < 20000),
+-- so the unrounded-double boundary class cannot diverge.
+WHERE 20000 * len(list_intersect(a.s, b.s)) >=
+      15999 * len(list_distinct(list_concat(a.s, b.s)))
 """,
 )
 def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,8 +180,12 @@ WITH RECURSIVE d AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM d a JOIN d b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+  -- Integer form of Spark's round(jaccard, 4) >= 0.8 filter:
+  -- x >= 15999/20000 decided on the TRUE rational (no exact
+  -- boundary is feasible: gcd(15999,20000)=1 and union < 20000),
+  -- so the unrounded-double boundary class cannot diverge.
+  WHERE 20000 * len(list_intersect(a.s, b.s)) >=
+        15999 * len(list_distinct(list_concat(a.s, b.s)))
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -217,8 +225,12 @@ WITH RECURSIVE d AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM d a JOIN d b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+  -- Integer form of Spark's round(jaccard, 4) >= 0.8 filter:
+  -- x >= 15999/20000 decided on the TRUE rational (no exact
+  -- boundary is feasible: gcd(15999,20000)=1 and union < 20000),
+  -- so the unrounded-double boundary class cannot diverge.
+  WHERE 20000 * len(list_intersect(a.s, b.s)) >=
+        15999 * len(list_distinct(list_concat(a.s, b.s)))
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -257,8 +269,12 @@ WITH RECURSIVE d AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM d a JOIN d b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+  -- Integer form of Spark's round(jaccard, 4) >= 0.8 filter:
+  -- x >= 15999/20000 decided on the TRUE rational (no exact
+  -- boundary is feasible: gcd(15999,20000)=1 and union < 20000),
+  -- so the unrounded-double boundary class cannot diverge.
+  WHERE 20000 * len(list_intersect(a.s, b.s)) >=
+        15999 * len(list_distinct(list_concat(a.s, b.s)))
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -660,8 +676,12 @@ WITH RECURSIVE d AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM d a JOIN d b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+  -- Integer form of Spark's round(jaccard, 4) >= 0.8 filter:
+  -- x >= 15999/20000 decided on the TRUE rational (no exact
+  -- boundary is feasible: gcd(15999,20000)=1 and union < 20000),
+  -- so the unrounded-double boundary class cannot diverge.
+  WHERE 20000 * len(list_intersect(a.s, b.s)) >=
+        15999 * len(list_distinct(list_concat(a.s, b.s)))
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -1677,8 +1697,12 @@ WITH RECURSIVE d AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM d a JOIN d b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+  -- Integer form of Spark's round(jaccard, 4) >= 0.8 filter:
+  -- x >= 15999/20000 decided on the TRUE rational (no exact
+  -- boundary is feasible: gcd(15999,20000)=1 and union < 20000),
+  -- so the unrounded-double boundary class cannot diverge.
+  WHERE 20000 * len(list_intersect(a.s, b.s)) >=
+        15999 * len(list_distinct(list_concat(a.s, b.s)))
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -1742,19 +1766,24 @@ def x6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the split map twice — both joins on uniform doc ids. The
     oracle replays everything: all-pairs Jaccard, a recursive-CTE
     transitive closure, and the same integer hash buckets."""
-    pairs = near_dup_wordset(spark, sf_dir).select("id_a", "id_b")
+    # Materialize the expensive pair plan ONCE: it feeds BOTH the
+    # connected-components loop (which checkpoints only its own copy)
+    # and the leakage-audit join below — without this the full
+    # banding + Jaccard-verify pipeline would execute twice.
+    pairs = (
+        near_dup_wordset(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
     comp = connected_components(
         nodes, pairs, node_col="node", src_col="id_a", dst_col="id_b"
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
 
     def bucket10(col):
-        return (
-            F.conv(
-                F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10
-            ).cast("long")
-            % 10
-        )
+        from recipes_spark.functions.portable_hash import sha_slice_bucket
+
+        return sha_slice_bucket(col.cast("string"), 10)
 
     def to_split(b):
         return F.when(b < 8, 0).when(b == 8, 1).otherwise(2)

@@ -566,6 +566,12 @@ def st13_stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("doc_id").orderBy("doc_id")
 
 
+#: st14's output schema — ONE definition shared by the factory's
+#: batch-0 empty frame and the query's schema'd read-back, so the two
+#: cannot drift.
+_ST14_OUT_SCHEMA = "bid int, term string, prior_est long"
+
+
 def cms_probe_then_absorb(
     spark: SparkSession,
     out_dir: str,
@@ -585,8 +591,6 @@ def cms_probe_then_absorb(
         cms_estimate,
         cms_merge,
     )
-
-    out_schema = "bid int, term string, prior_est long"
 
     def probe_then_absorb(bdf: DataFrame, bid: int) -> None:
         tc = (
@@ -613,7 +617,7 @@ def cms_probe_then_absorb(
                 )
             )
         else:
-            hot = spark.createDataFrame([], out_schema)
+            hot = spark.createDataFrame([], _ST14_OUT_SCHEMA)
         hot.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={bid}")
         )
@@ -691,7 +695,6 @@ def st14_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_ordered(chunks, prefix="recipes_st14_landing_")
     out_dir = tempfile.mkdtemp(prefix="recipes_st14_out_") + "/hot"
     state_dir = tempfile.mkdtemp(prefix="recipes_st14_state_")
-    out_schema = "bid int, term string, prior_est long"
     probe_then_absorb = cms_probe_then_absorb(
         spark, out_dir, state_dir, depth=depth, width=width, thresh=thresh
     )
@@ -714,7 +717,7 @@ def st14_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return (
-        spark.read.schema(out_schema)
+        spark.read.schema(_ST14_OUT_SCHEMA)
         .parquet(out_dir)
         .select("bid", "term", "prior_est")
         .orderBy("bid", "term")

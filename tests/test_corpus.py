@@ -558,7 +558,18 @@ def test_simhash_recall_on_planted_neardups(spark, sf_dir):
     from recipes_spark.operators.dedup import simhash_pairs, simhash_sketch
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    long_docs = d.filter(F.size(F.split("text", " ")) >= 50).limit(10)
+    # Deterministic planted set: LIMIT without ORDER BY is
+    # re-evaluation-dependent, and this plan executes in several
+    # separate jobs (corpus build, pairs, sketches) — collect the ids
+    # ONCE and drive every downstream set from that list.
+    planted_ids = [
+        r["doc_id"]
+        for r in d.filter(F.size(F.split("text", " ")) >= 50)
+        .orderBy("doc_id")
+        .limit(10)
+        .collect()
+    ]
+    long_docs = d.filter(F.col("doc_id").isin(planted_ids))
     planted = long_docs.select(
         (F.col("doc_id") + 5_000_000).alias("doc_id"),
         F.concat("text", F.lit(" perturbation")).alias("text"),
@@ -575,7 +586,7 @@ def test_simhash_recall_on_planted_neardups(spark, sf_dir):
         for r in simhash_sketch(corpus, id_col="doc_id", text_col="text").collect()
     }
     expected = {
-        (r["doc_id"], r["doc_id"] + 5_000_000) for r in long_docs.collect()
+        (i, i + 5_000_000) for i in planted_ids
     }
 
     def ham(a, b):

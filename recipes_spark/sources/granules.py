@@ -176,10 +176,19 @@ def _decode_meta(content: bytes, path: str) -> dict | None:
     may read the same file through a richer codec. Returns None for
     undecodable files (quarantine path — P3 semantics)."""
     if content.startswith(GRANULE_MAGIC):
-        off = len(GRANULE_MAGIC)
-        hlen = int.from_bytes(content[off : off + 4], "big")
-        meta = json.loads(content[off + 4 : off + 4 + hlen])
-        return meta
+        # Corrupt payloads behind a valid magic (truncated header,
+        # garbage JSON, JSON of the wrong shape) must QUARANTINE like
+        # any other undecodable file — one bad granule on a 100 TB
+        # manifest scan must not fail the task through retries.
+        try:
+            off = len(GRANULE_MAGIC)
+            hlen = int.from_bytes(content[off : off + 4], "big")
+            meta = json.loads(content[off + 4 : off + 4 + hlen])
+            if not isinstance(meta, dict) or not _REQUIRED_META <= set(meta):
+                return None
+            return meta
+        except (ValueError, UnicodeDecodeError):
+            return None
     classic = _parse_netcdf_classic_attrs(content)
     if classic is not None:
         try:
@@ -197,6 +206,13 @@ def _decode_meta(content: bytes, path: str) -> dict | None:
         return None
 
 
+#: Keys every decoded meta dict must carry — _meta_rows dereferences
+#: them, so a codec returning a partial dict would crash row assembly.
+_REQUIRED_META = {
+    "granule_id", "platform", "start_datetime", "end_datetime",
+    "west", "south", "east", "north",
+}
+
 _META_COLUMNS = [
     "source", "granule_id", "platform", "start_datetime",
     "end_datetime", "west", "south", "east", "north", "n_bytes",
@@ -209,7 +225,10 @@ def _meta_rows(pairs) -> pd.DataFrame:
     through the identical codec chain."""
     rows = []
     for path, content in pairs:
-        meta = _decode_meta(content, path)
+        try:
+            meta = _decode_meta(content, path)
+        except Exception:
+            meta = None  # quarantine any codec surprise, never fail the task
         if meta is None:
             continue
         rows.append(

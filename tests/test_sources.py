@@ -482,3 +482,41 @@ def test_decode_meta_xarray_fallthrough_with_double(monkeypatch):
 
     fake.open_dataset = boom
     assert granules._decode_meta(hdf5_payload, "/g/file.nc") is None
+
+
+def test_decode_meta_quarantines_arbitrary_bytes():
+    """P3 quarantine semantics at the codec boundary, fuzzed: for ANY
+    byte string — including corrupt payloads behind a VALID synthetic
+    magic (garbage JSON, truncated length, valid JSON of the wrong
+    shape) and truncated/garbled NetCDF-classic headers — _decode_meta
+    returns a dict or None, never raises. One bad granule on a 100 TB
+    manifest scan must not fail the job through task retries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from recipes_spark.sources import granules
+
+    magic = granules.GRANULE_MAGIC
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=400),
+            st.binary(max_size=200).map(lambda b: magic + b),
+            st.binary(max_size=200).map(lambda b: b"CDF\x02" + b),
+            st.binary(max_size=200).map(lambda b: b"CDF\x01" + b),
+        )
+    )
+    def fuzz(content):
+        out = granules._decode_meta(content, "/g/fuzz.nc")
+        assert out is None or isinstance(out, dict)
+
+    fuzz()
+
+    # Shape-level corruption behind a valid magic: well-formed JSON that
+    # is not the meta contract must quarantine, not KeyError later.
+    import json
+
+    payload = json.dumps({"unexpected": 1}).encode()
+    framed = magic + len(payload).to_bytes(4, "big") + payload
+    assert granules._decode_meta(framed, "/g/wrong-shape.nc") is None

@@ -53,6 +53,28 @@ def driver_canonicalize(df: pd.DataFrame) -> None:
     pd.util.hash_pandas_object(out, index=False)
 
 
+def assert_plan_hygiene(sdf, name: str) -> None:
+    """Execution anti-pattern audit, mechanical: no registered query's
+    physical plan may contain a CartesianProduct (an unbroadcast
+    cross join — every intended scalar crossJoin in the repo
+    broadcasts its 1-row side, so it compiles to
+    BroadcastNestedLoopJoin) or BatchEvalPython (a row-at-a-time
+    Python UDF — every Python island must be Arrow-batched:
+    ArrowEvalPython / mapInPandas / grouped map). Runs on the
+    already-constructed DataFrame inside the oracle and
+    canonicalization tests, so the whole registry is swept every suite
+    run at no extra execution cost (a swept-clean baseline was
+    verified over all 186 queries before pinning this)."""
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in plan — broadcast the small side"
+    )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan — use a pandas_udf "
+        "or mapInPandas (Arrow-batched)"
+    )
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, then rows by all values — order-insensitive
     canonical form."""

@@ -10,6 +10,7 @@ import pytest
 
 from recipes_spark.registry import all_oracles, all_queries
 from tests.oracle_harness import (
+    assert_plan_hygiene,
     compare_frames,
     driver_canonicalize,
     oracle_output_types,
@@ -42,6 +43,7 @@ def test_oracle_no_hugeint_output(oracle_sf_dir, name):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, oracle_sf_dir, name):
     sdf = QUERIES[name](spark, oracle_sf_dir)
+    assert_plan_hygiene(sdf, name)
     odf = run_oracle(ORACLES[name], oracle_sf_dir)
     spdf = sdf.toPandas()
     # Driver-style canonicalization on the SAME collected result the
@@ -67,6 +69,7 @@ def test_driver_canonicalizable(spark, sf_dir, name):
     violation can reach the driver."""
     df = QUERIES[name](spark, sf_dir)
     assert df.columns  # stable schema
+    assert_plan_hygiene(df, name)
     driver_canonicalize(df.toPandas())
 
 

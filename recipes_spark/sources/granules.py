@@ -187,7 +187,10 @@ def _decode_meta(content: bytes, path: str) -> dict | None:
             if not isinstance(meta, dict) or not _REQUIRED_META <= set(meta):
                 return None
             return meta
-        except (ValueError, UnicodeDecodeError):
+        except (ValueError, UnicodeDecodeError, RecursionError):
+            # RecursionError: json.loads on pathologically nested
+            # payloads ('['*100k behind a valid magic) — still a
+            # corrupt-file shape, still quarantine.
             return None
     classic = _parse_netcdf_classic_attrs(content)
     if classic is not None:
@@ -225,26 +228,34 @@ def _meta_rows(pairs) -> pd.DataFrame:
     through the identical codec chain."""
     rows = []
     for path, content in pairs:
+        # ONE quarantine boundary around decode AND row assembly: a
+        # key-complete meta dict can still carry unparseable values
+        # (a garbage datetime string, a non-numeric bound) that only
+        # fail here — pd.Timestamp / float() raising must skip the
+        # file like any other corruption, never fail the task. The
+        # explicit float() casts also keep a stringy-but-valid numeric
+        # from reaching Arrow as an object column against the double
+        # schema.
         try:
             meta = _decode_meta(content, path)
+            if meta is None:
+                continue
+            rows.append(
+                {
+                    "source": path,
+                    "granule_id": str(meta["granule_id"]),
+                    "platform": str(meta["platform"]),
+                    "start_datetime": pd.Timestamp(meta["start_datetime"]),
+                    "end_datetime": pd.Timestamp(meta["end_datetime"]),
+                    "west": float(meta["west"]),
+                    "south": float(meta["south"]),
+                    "east": float(meta["east"]),
+                    "north": float(meta["north"]),
+                    "n_bytes": len(content),
+                }
+            )
         except Exception:
-            meta = None  # quarantine any codec surprise, never fail the task
-        if meta is None:
-            continue
-        rows.append(
-            {
-                "source": path,
-                "granule_id": meta["granule_id"],
-                "platform": meta["platform"],
-                "start_datetime": pd.Timestamp(meta["start_datetime"]),
-                "end_datetime": pd.Timestamp(meta["end_datetime"]),
-                "west": meta["west"],
-                "south": meta["south"],
-                "east": meta["east"],
-                "north": meta["north"],
-                "n_bytes": len(content),
-            }
-        )
+            continue  # quarantine any codec/row surprise
     return pd.DataFrame(rows, columns=_META_COLUMNS)
 
 

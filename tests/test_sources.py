@@ -520,3 +520,43 @@ def test_decode_meta_quarantines_arbitrary_bytes():
     payload = json.dumps({"unexpected": 1}).encode()
     framed = magic + len(payload).to_bytes(4, "big") + payload
     assert granules._decode_meta(framed, "/g/wrong-shape.nc") is None
+
+
+def test_meta_rows_quarantines_bad_values_and_deep_nesting():
+    """The two holes the review found in the quarantine boundary,
+    pinned: (1) a KEY-complete meta dict with unparseable VALUES (bad
+    datetime, non-numeric bound) must be skipped by _meta_rows, not
+    raise out of row assembly; (2) pathologically nested JSON behind a
+    valid magic (RecursionError out of json.loads — beyond what
+    bounded random fuzz can generate) must quarantine in _decode_meta
+    itself."""
+    import json
+
+    from recipes_spark.sources import granules
+
+    magic = granules.GRANULE_MAGIC
+
+    def frame(obj) -> bytes:
+        payload = json.dumps(obj).encode()
+        return magic + len(payload).to_bytes(4, "big") + payload
+
+    good = {
+        "granule_id": "g1", "platform": "p",
+        "start_datetime": "2024-01-01T00:00:00", "end_datetime":
+        "2024-01-01T00:03:00", "west": -1.0, "south": -2.0,
+        "east": 1.0, "north": 2.0,
+    }
+    bad_dt = dict(good, start_datetime="zzz not a date")
+    bad_num = dict(good, west="not-a-number")
+    out = granules._meta_rows(
+        [
+            ("/g/good.nc", frame(good)),
+            ("/g/bad-dt.nc", frame(bad_dt)),
+            ("/g/bad-num.nc", frame(bad_num)),
+        ]
+    )
+    assert list(out["source"]) == ["/g/good.nc"]
+    assert out["west"].dtype.kind == "f"  # never an object column
+
+    deep = magic + (100_000).to_bytes(4, "big") + b"[" * 100_000
+    assert granules._decode_meta(deep, "/g/deep.nc") is None

@@ -25,15 +25,31 @@ def fix_surrogates_py(s: str | None) -> str | None:
     """Round-trip through surrogateescape: lone surrogates (produced by
     decoding mojibake bytes with errors='surrogateescape') re-encode to
     their original bytes, then decode strictly with replacement for
-    anything still invalid. Clean strings pass through unchanged."""
+    anything still invalid. Clean strings pass through unchanged.
+
+    TOTAL over all Python strings (fuzz-pinned): surrogateescape only
+    maps the \\udc80-\\udcff range back to bytes — any OTHER lone
+    surrogate (\\ud800 from truncated UTF-16, an unpaired \\uD800 out
+    of JSON) raises UnicodeEncodeError from the encode itself. Those
+    characters are unrepairable by construction and become U+FFFD,
+    per-character so repairable \\udcXX bytes in the SAME string still
+    round-trip."""
     if s is None:
         return None
     try:
-        return s.encode("utf-8", "surrogateescape").decode("utf-8")
+        b = s.encode("utf-8", "surrogateescape")
+    except UnicodeEncodeError:
+        parts = []
+        for ch in s:
+            try:
+                parts.append(ch.encode("utf-8", "surrogateescape"))
+            except UnicodeEncodeError:
+                parts.append(b"\xef\xbf\xbd")  # U+FFFD replacement
+        b = b"".join(parts)
+    try:
+        return b.decode("utf-8")
     except UnicodeDecodeError:
-        return s.encode("utf-8", "surrogateescape").decode(
-            "utf-8", errors="replace"
-        )
+        return b.decode("utf-8", errors="replace")
 
 
 _UDF = None

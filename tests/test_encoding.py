@@ -58,3 +58,35 @@ def test_decode_and_fix_binary_repair(spark):
     assert got[1] == "ok"
     assert "\udcff" not in got[2] and "�" in got[2]
     assert got[3] is None
+
+
+def test_fix_surrogates_fuzz_total_and_jvm_safe():
+    """The P8 repair contract, fuzzed: for ANY Python string —
+    including lone surrogates in every position, mixed with real
+    multibyte text — fix_surrogates_py (1) never raises, (2) returns
+    a string that strictly UTF-8 encodes (i.e. contains NO lone
+    surrogates — the property that makes it safe to hand to the JVM,
+    where a lone surrogate would corrupt to U+FFFD unpredictably),
+    and (3) is idempotent (repairing a repaired string is identity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from recipes_spark.functions.encoding import fix_surrogates_py
+
+    # Surrogate-capable text: hypothesis's text() excludes surrogates,
+    # so splice them in explicitly.
+    surrogates = st.integers(0xD800, 0xDFFF).map(chr)
+    pieces = st.lists(
+        st.one_of(st.text(max_size=8), surrogates), max_size=12
+    ).map("".join)
+
+    @settings(max_examples=500, deadline=None)
+    @given(pieces)
+    def fuzz(s):
+        out = fix_surrogates_py(s)
+        assert isinstance(out, str)
+        out.encode("utf-8")  # strict — would raise on any lone surrogate
+        assert fix_surrogates_py(out) == out
+
+    fuzz()
+    assert fix_surrogates_py(None) is None

@@ -150,6 +150,13 @@ PARTITION_SENSITIVE = [
     # integer-division mean): provably order-insensitive — pinned here.
     "x4_unigram_nll",
     "x4_bigram_nll",
+    # Deterministic-tiebreak claims (struct-max lexicographic argmax,
+    # per-stratum quotas, per-cluster survivor selection): the entire
+    # point of those tiebreaks is partition-independence — pin it.
+    "agg_mode_median",
+    "agg_argmax_conditional",
+    "x6_stratified_topk",
+    "x2_best_survivor",
 ]
 
 

@@ -155,29 +155,40 @@ class _Parser:
         return ~col if negate else col
 
     # -- boolean structure -------------------------------------------------
-    def unary(self) -> Column:
+    #: Max boolean-nesting depth. A recursive-descent parser's stack
+    #: tracks input nesting, so unbounded '(((…' or 'NOT NOT …' from a
+    #: hostile/garbage filter would escape as RecursionError — an
+    #: uncontrolled crash class for a user-facing query compiler. Any
+    #: legitimate catalog filter is orders of magnitude shallower.
+    MAX_DEPTH = 200
+
+    def unary(self, depth: int = 0) -> Column:
+        if depth > self.MAX_DEPTH:
+            raise CQLError(
+                f"filter nesting deeper than {self.MAX_DEPTH} levels"
+            )
         if self.peek() == "NOT":
             self.next()
-            return ~self.unary()
+            return ~self.unary(depth + 1)
         if self.peek() == "lp":
             self.next()
-            c = self.or_expr()
+            c = self.or_expr(depth + 1)
             self.next("rp")
             return c
         return self.predicate()
 
-    def and_expr(self) -> Column:
-        c = self.unary()
+    def and_expr(self, depth: int = 0) -> Column:
+        c = self.unary(depth)
         while self.peek() == "AND":
             self.next()
-            c = c & self.unary()
+            c = c & self.unary(depth)
         return c
 
-    def or_expr(self) -> Column:
-        c = self.and_expr()
+    def or_expr(self, depth: int = 0) -> Column:
+        c = self.and_expr(depth)
         while self.peek() == "OR":
             self.next()
-            c = c | self.and_expr()
+            c = c | self.and_expr(depth)
         return c
 
     def parse(self) -> Column:

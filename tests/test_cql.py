@@ -81,3 +81,37 @@ def test_errors():
                 "value ! 3", "value = 1 extra"):
         with pytest.raises(CQLError):
             compile_cql(bad)
+
+
+def test_cql_fuzz_controlled_errors():
+    """Error-discipline fuzz: for ANY input text the compiler either
+    returns a Column or raises CQLError — never an uncontrolled
+    exception type (IndexError from token lookahead, RecursionError
+    from deep nesting, etc.). A user-facing query compiler's crash
+    class IS its API."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from recipes_spark.plans.cql import CQLError, compile_cql
+
+    tokens = st.sampled_from(
+        ["value", "=", "<", ">=", "AND", "OR", "NOT", "(", ")", "'x'",
+         "1", "3.5", "BETWEEN", "IN", "LIKE", "IS", "NULL", ",",
+         "T2024-01-01T00:00:00Z", "%", "'unterminated", "!", "  "]
+    )
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(tokens, max_size=14).map(" ".join))
+    def fuzz(text):
+        try:
+            compile_cql(text)
+        except CQLError:
+            pass
+
+    fuzz()
+
+    # Deep nesting must not blow the recursion limit uncontrolled.
+    deep = "(" * 2000 + "value = 1" + ")" * 2000
+    try:
+        compile_cql(deep)
+    except CQLError:
+        pass

@@ -629,3 +629,41 @@ def test_approx_distinct_tracks_exact(spark, oracle_sf_dir):
     for flag, e in est.items():
         rel = abs(e - exact[flag]) / exact[flag]
         assert rel <= 0.06, (flag, e, exact[flag])
+
+
+def test_jsonl_ingest_quarantines_corrupt_lines(spark, tmp_path):
+    """Malformed lines in crawled JSONL (truncated writes, encoding
+    damage, junk) must quarantine, not vanish silently or fail the
+    read: PERMISSIVE mode + columnNameOfCorruptRecord gives the same
+    P3 semantics as the granule codec — valid rows intact, corrupt
+    lines countable/routable. The assert on BOTH counts pins that the
+    corrupt rows are visible (silent nulling would pass a naive
+    valid-rows-only check)."""
+    import pyspark.sql.functions as F
+
+    path = tmp_path / "shard.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "ok one"}',
+        '{"doc_id": 2, "text": "ok two"}',
+        '{"doc_id": 3, "text": "truncated',  # cut mid-string
+        "not json at all",
+        '{"doc_id": 4, "text": "ok three"}',
+    ]
+    path.write_text("\n".join(lines))
+    df = (
+        spark.read.schema(
+            "doc_id BIGINT, text STRING, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(path))
+        .cache()
+    )
+    valid = df.filter(F.col("_corrupt_record").isNull())
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["doc_id"] for r in valid.collect()) == [1, 2, 4]
+    assert corrupt.count() == 2
+    # The quarantined payloads carry the original line for triage.
+    payloads = {r["_corrupt_record"] for r in corrupt.collect()}
+    assert any("truncated" in p for p in payloads)
+    df.unpersist()

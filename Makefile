@@ -31,3 +31,8 @@ probes:
 # the moment to decide whether registry._RECHECK entries are needed.
 lockfile:
 	python tests/test_recheck_hygiene.py
+
+# Regenerate the headline plan-fingerprint lockfile after a DELIBERATE
+# physical-plan change (the test names the changed queries).
+planlock:
+	python tools/plan_fingerprints.py

@@ -365,3 +365,36 @@ def test_temperature_sample_broadcasts_thresholds(spark, sf_dir):
     so the only corpus shuffle is the final source rollup."""
     plan = _plan(spark, sf_dir, "x6_temperature_sample")
     assert "BroadcastHashJoin" in plan
+
+
+def test_headline_plan_fingerprints_locked(spark):
+    """Plan-REGRESSION lock: wall time on a shared host swings 2×
+    (SCALE.md), so timing diffs are weak signal — but a physical-plan
+    change (broadcast→shuffle, un-pushed filter, extra exchange) is
+    deterministic and is what predicts 100 TB behavior. Every headline
+    query's normalized plan hash must match
+    tools/plan_fingerprints.json; a deliberate plan change regenerates
+    it (`python tools/plan_fingerprints.py`) in the same commit, which
+    is the moment to ask whether the new plan is the one you want.
+    Cross-session hash stability is implied: the lockfile was written
+    by a DIFFERENT session than the one running this test."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_fingerprints import LOCKFILE, current_fingerprints
+
+    with open(LOCKFILE) as fh:
+        locked = json.load(fh)
+    cur = current_fingerprints(spark)
+    changed = sorted(
+        set(k for k in cur if locked.get(k) != cur[k]) | (set(locked) - set(cur))
+    )
+    assert not changed, (
+        "headline physical plans changed: " + ", ".join(changed)
+        + " — if deliberate, regenerate with `python tools/plan_fingerprints.py`"
+        " in the same commit (and ask whether the new plan is the one you want)"
+    )

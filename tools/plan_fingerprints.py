@@ -1,0 +1,73 @@
+"""Plan-fingerprint lockfile: hashes of the NORMALIZED physical plans
+of the bench headline queries.
+
+Why: per-query wall time on a shared host swings 2× (SCALE.md), so a
+time diff is a weak regression signal — but a PHYSICAL PLAN change
+(a broadcast that became a shuffle, a pushed filter that stopped
+pushing, an extra exchange) is deterministic and is what actually
+predicts the 100 TB behavior. The lockfile pins the plan; any commit
+that changes a headline plan fails the suite until the fingerprint is
+regenerated DELIBERATELY:
+
+    python tools/plan_fingerprints.py      # regenerate the lockfile
+
+Normalization strips the run-varying parts of the plan string (expr
+ids, plan ids, lambda variable counters, file listings, statistics)
+— stability across fresh sessions is itself asserted by the test.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LOCKFILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "plan_fingerprints.json")
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def normalize_plan(plan: str) -> str:
+    p = re.sub(r"#\d+[L]?", "#N", plan)              # expression ids
+    p = re.sub(r"plan_id=\d+", "plan_id=N", p)
+    p = re.sub(r"lambda x_\d+", "lambda x_K", p)     # session lambda counter
+    p = re.sub(r"InMemoryFileIndex\([^)]*\)\[[^\]]*\]", "FILES", p)
+    p = re.sub(r"file:[^,\s\]]+", "PATH", p)
+    p = re.sub(r"Statistics\([^)]*\)", "STATS", p)
+    p = re.sub(r"\(\d+ paths?\)", "(paths)", p)
+    return p
+
+
+def plan_hash(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return hashlib.sha256(normalize_plan(plan).encode()).hexdigest()[:12]
+
+
+def current_fingerprints(spark) -> dict[str, str]:
+    from bench import HEADLINE
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()
+    out = {}
+    for name in HEADLINE:
+        if name.startswith("st") or name == "t4_session_window":
+            # Streaming-harness queries EXECUTE at construction and
+            # their plans include run-local temp paths in source nodes
+            # — covered by their oracles instead.
+            continue
+        out[name] = plan_hash(q[name](spark, SF_DIR))
+    return out
+
+
+if __name__ == "__main__":
+    from recipes_spark.session import get_session
+
+    spark = get_session("plan-fingerprints", cpus="8")
+    with open(LOCKFILE, "w") as fh:
+        json.dump(current_fingerprints(spark), fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {LOCKFILE}")

@@ -39,6 +39,14 @@ def normalize_plan(plan: str) -> str:
     p = re.sub(r"file:[^,\s\]]+", "PATH", p)
     p = re.sub(r"Statistics\([^)]*\)", "STATS", p)
     p = re.sub(r"\(\d+ paths?\)", "(paths)", p)
+    # Partition COUNTS are environment (spark.sql.shuffle.partitions /
+    # core count), not plan shape — the lock must hold under any
+    # SPARK_GRAFT_CPUS. Keep the partitioning KEYS, mask the counts.
+    p = re.sub(r"(hashpartitioning\([^()]*), \d+\)", r"\1, P)", p)
+    p = re.sub(r"(rangepartitioning\([^()]*), \d+\)", r"\1, P)", p)
+    p = re.sub(r"RoundRobinPartitioning\(\d+\)", "RoundRobinPartitioning(P)", p)
+    p = re.sub(r"coalesced from \d+", "coalesced from P", p)
+    p = re.sub(r"splits=\d+", "splits=P", p)  # Range default parallelism
     return p
 
 

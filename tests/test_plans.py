@@ -387,6 +387,11 @@ def test_headline_plan_fingerprints_locked(spark):
     )
     from plan_fingerprints import LOCKFILE, current_fingerprints
 
+    # Earlier tests cache() tables; a matching cached fragment rewrites
+    # a scan into InMemoryTableScan and changes the plan hash — that is
+    # session state, not a plan regression. Compare against the
+    # cache-free plans the lockfile (a fresh session) recorded.
+    spark.catalog.clearCache()
     with open(LOCKFILE) as fh:
         locked = json.load(fh)
     cur = current_fingerprints(spark)

@@ -51,7 +51,23 @@ def normalize_plan(plan: str) -> str:
 
 
 def plan_hash(df) -> str:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Capture UNTRUNCATED: Spark elides long field lists with '…' at
+    # maxToStringFields, and the cut position shifts with expr-id digit
+    # widths (session-dependent) — content lost to truncation cannot be
+    # normalized back. Raise the limit for the capture, restore after.
+    conf = df.sparkSession.conf
+    prev_fields = conf.get("spark.sql.debug.maxToStringFields", "25")
+    prev_meta = conf.get("spark.sql.maxMetadataStringLength", "100")
+    try:
+        conf.set("spark.sql.debug.maxToStringFields", "10000")
+        # Scan-node metadata (DataFilters/ReadSchema lists) abbreviates
+        # at maxMetadataStringLength CHARS — the cut lands mid-token at
+        # a position that shifts with expr-id digit widths.
+        conf.set("spark.sql.maxMetadataStringLength", "100000")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        conf.set("spark.sql.debug.maxToStringFields", prev_fields)
+        conf.set("spark.sql.maxMetadataStringLength", prev_meta)
     return hashlib.sha256(normalize_plan(plan).encode()).hexdigest()[:12]
 
 

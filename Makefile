@@ -2,7 +2,7 @@
 # harness run, promoted out of the agent harness so they survive any
 # environment (CI, a fresh clone, a reviewer's shell).
 
-.PHONY: verify test bench probes lockfile
+.PHONY: verify test bench probes lockfile planlock
 
 # Driver simulation: import __spark_entry__ with a PLAIN SparkSession
 # (hostile non-UTC timezone, no engine tuning), smoke entry(), and

@@ -787,6 +787,10 @@ def bloom_members(
             if p.dtype.kind == "f":
                 valid = np.isfinite(p)
                 valid &= np.where(valid, p == np.floor(p), False)
+                # Negative finite positions would wrap-index the bitmap
+                # (Python negative indexing reads a bit from the END) —
+                # treat them as a miss like every other invalid leak.
+                valid &= np.where(valid, p >= 0, False)
                 hit &= valid
                 p = np.where(valid, p, 0).astype(np.int64)
             hit &= (bm[p >> 3] >> (p & 7).astype(np.uint8) & 1).astype(bool)

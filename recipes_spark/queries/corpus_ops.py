@@ -1148,6 +1148,11 @@ def x4_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Age bound for x6_jsonl_roundtrip scratch dirs: generous vs any single
+# test/bench run (~minutes), small vs "forever" on a long-lived host.
+_JSONL_MAX_AGE_S = 6 * 3600
+
+
 @query(
     "x6_jsonl_roundtrip",
     oracle="""
@@ -1192,20 +1197,35 @@ def x6_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-lived host, so dead owners' dirs are reaped first: a pid
     # that no longer exists cannot hold a lazy plan over its shards,
     # making the reap race-free where a same-hash rm -rf would not be.
+    # pid liveness alone is NOT a sufficient signal — a recycled pid
+    # owned by an unrelated live process would keep a dead run's corpus
+    # copy on disk forever — so dir age is the backstop: any dir older
+    # than _JSONL_MAX_AGE_S is reaped regardless of the kill(0) probe
+    # (no legitimate lazy plan over these shards survives that long;
+    # every consumer materializes within a single test/bench run).
     base = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     tmp = tempfile.gettempdir()
+    import shutil
+    import time
+
     for entry in os.listdir(tmp):
         if not entry.startswith(f"recipes_jsonl_{base}_"):
+            continue
+        full = os.path.join(tmp, entry)
+        try:
+            expired = time.time() - os.stat(full).st_mtime > _JSONL_MAX_AGE_S
+        except OSError:
+            expired = False  # raced with another reaper — already gone
+        if expired:
+            shutil.rmtree(full, ignore_errors=True)
             continue
         try:
             owner = int(entry.rsplit("_", 1)[1])
             os.kill(owner, 0)  # raises if the owning process is gone
         except (ValueError, ProcessLookupError):
-            import shutil
-
-            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+            shutil.rmtree(full, ignore_errors=True)
         except PermissionError:
-            pass  # pid alive under another uid — leave it
+            pass  # pid alive under another uid — age bound covers it
     tag = f"{base}_{os.getpid()}"
     out = os.path.join(tempfile.gettempdir(), f"recipes_jsonl_{tag}", "docs")
     d.repartition(8).write.mode("overwrite").json(out)
@@ -1619,14 +1639,7 @@ def x6_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), F.lit(8.0) / F.sqrt("n_docs")) * F.lit(1e6)
         ).cast("long"),
     )
-    hv = (
-        F.conv(
-            F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 1000000
-    )
+    hv = _bucket(F.col("doc_id").cast("string"), 1_000_000)
     return (
         d.join(F.broadcast(thr), "source")
         .withColumn("hv", hv)

@@ -227,6 +227,89 @@ def stac_cql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stac_cql_spatial",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id, collection_id,
+       west, south, east, north, start_datetime
+FROM meta
+WHERE NOT (east < -50 OR west > 60 OR north < -40 OR south > 40)
+  AND collection_id IN ('col-1', 'col-2', 'col-3')
+ORDER BY id
+LIMIT 300
+""",
+)
+def stac_cql_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 CQL2 SPATIAL filtering (O2 completion): the filter string a
+    STAC client sends for a polygon search — `S_INTERSECTS(geometry,
+    POLYGON(...))` — compiled by plans/cql.py to the G3 bbox
+    interval-overlap arithmetic on the item's bbox array (the same
+    predicate pgstac evaluates against its geometry index,
+    docker-compose.yml:30-44). The polygon's envelope is computed at
+    COMPILE time, so the runtime predicate is four pushdown-friendly
+    double comparisons — zero UDFs, prunes parquet row groups on the
+    corner stats."""
+    from recipes_spark.plans.cql import compile_cql
+
+    items = build_items(_metadata(spark, sf_dir))
+    cql = (
+        "S_INTERSECTS(geometry, "
+        "POLYGON((-50 -40, 60 -40, 60 40, -50 40, -50 -40))) "
+        "AND collection_id IN ('col-1', 'col-2', 'col-3')"
+    )
+    found = catalog_search(
+        items, filter=compile_cql(cql), sortby=[("id", "asc")], limit=300
+    )
+    return found.select(
+        "id",
+        "collection_id",
+        F.col("bbox")[0].alias("west"),
+        F.col("bbox")[1].alias("south"),
+        F.col("bbox")[2].alias("east"),
+        F.col("bbox")[3].alias("north"),
+        "start_datetime",
+    )
+
+
+@query(
+    "stac_cql_temporal",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id, collection_id, start_datetime, end_datetime
+FROM meta
+WHERE (end_datetime < TIMESTAMP '1994-01-01'
+       OR start_datetime > TIMESTAMP '1997-06-01'
+       OR (start_datetime <= TIMESTAMP '1995-04-30'
+           AND end_datetime >= TIMESTAMP '1995-03-01'))
+  AND lower(collection_id) IN ('col-2', 'col-4')
+ORDER BY id
+LIMIT 500
+""",
+)
+def stac_cql_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 CQL2 TEMPORAL filtering + CASEI (O2 completion): T_BEFORE /
+    T_AFTER / T_INTERSECTS over the item's [start_datetime,
+    end_datetime] interval (anyinteracts semantics, exactly pgstac's
+    datetime handling) and the CASEI case-insensitive accessor on the
+    collection property — all compiled to plain column predicates that
+    push down to the scan."""
+    from recipes_spark.plans.cql import compile_cql
+
+    items = build_items(_metadata(spark, sf_dir))
+    cql = (
+        "(T_BEFORE(datetime, TIMESTAMP('1994-01-01 00:00:00')) "
+        "OR T_AFTER(datetime, TIMESTAMP('1997-06-01 00:00:00')) "
+        "OR T_INTERSECTS(datetime, "
+        "INTERVAL('1995-03-01 00:00:00', '1995-04-30 00:00:00'))) "
+        "AND CASEI(collection_id) IN (CASEI('COL-2'), CASEI('Col-4'))"
+    )
+    found = catalog_search(
+        items, filter=compile_cql(cql), sortby=[("id", "asc")], limit=500
+    )
+    return found.select("id", "collection_id", "start_datetime", "end_datetime")
+
+
+@query(
     "g3_bbox_intersects",
     oracle=f"""
 WITH meta AS ({_ORACLE_META})

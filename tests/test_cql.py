@@ -76,6 +76,126 @@ def test_string_escaping(spark):
     assert df.filter(compile_cql("s = 'it''s'")).count() == 1
 
 
+@pytest.fixture(scope="module")
+def geo(spark):
+    df = spark.createDataFrame(
+        [
+            (1, -10.0, -5.0, 10.0, 5.0, "2020-03-01", "2020-03-05", "Col-A"),
+            (2, 100.0, 40.0, 120.0, 60.0, "2021-01-01", "2021-02-01", "col-b"),
+            (3, -170.0, -80.0, -150.0, -60.0, "2019-06-01", "2019-06-02", "COL-A"),
+        ],
+        "id long, west double, south double, east double, north double,"
+        " s string, e string, coll string",
+    )
+    return (
+        df.withColumn("start_datetime", F.col("s").cast("timestamp"))
+        .withColumn("end_datetime", F.col("e").cast("timestamp"))
+        .cache()
+    )
+
+
+_SC = ("west", "south", "east", "north")
+
+
+def _ids(df, pred):
+    return [r.id for r in df.filter(pred).select("id").orderBy("id").collect()]
+
+
+def test_s_intersects_geometries(geo):
+    assert _ids(geo, compile_cql(
+        "S_INTERSECTS(geometry, BBOX(-20, -10, 0, 0))", spatial_cols=_SC
+    )) == [1]
+    # Polygon → envelope; matches the box item fully inside it.
+    assert _ids(geo, compile_cql(
+        "S_INTERSECTS(geometry, POLYGON((90 30, 130 30, 130 70, 90 70, 90 30)))",
+        spatial_cols=_SC,
+    )) == [2]
+    assert _ids(geo, compile_cql(
+        "S_INTERSECTS(geometry, POINT(0 0))", spatial_cols=_SC
+    )) == [1]
+    # Hand-built G3 equivalence on the whole table.
+    from recipes_spark.plans.catalog import bbox_intersects
+
+    got = compile_cql(
+        "S_INTERSECTS(geometry, BBOX(-180, -90, 0, 0))", spatial_cols=_SC
+    )
+    want = bbox_intersects(
+        F.col("west"), F.col("south"), F.col("east"), F.col("north"),
+        -180.0, -90.0, 0.0, 0.0,
+    )
+    assert _ids(geo, got) == _ids(geo, want)
+
+
+def test_s_intersects_default_bbox_array(spark):
+    # Default spatial_cols = the build_items item shape (bbox array).
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 10.0, 10.0]), (2, [50.0, 50.0, 60.0, 60.0])],
+        "id long, bbox array<double>",
+    )
+    pred = compile_cql("S_INTERSECTS(geometry, BBOX(5, 5, 20, 20))")
+    assert [r.id for r in df.filter(pred).collect()] == [1]
+
+
+def test_temporal_operators(geo):
+    assert _ids(geo, compile_cql(
+        "T_INTERSECTS(datetime, "
+        "INTERVAL('2020-02-01 00:00:00', '2020-03-02 00:00:00'))"
+    )) == [1]
+    # ANYINTERACTS is an alias; '..' opens an end.
+    assert _ids(geo, compile_cql(
+        "ANYINTERACTS(datetime, INTERVAL('..', '2019-12-31 00:00:00'))"
+    )) == [3]
+    assert _ids(geo, compile_cql(
+        "T_BEFORE(datetime, TIMESTAMP('2020-12-31 00:00:00'))"
+    )) == [1, 3]
+    assert _ids(geo, compile_cql(
+        "T_AFTER(datetime, DATE('2020-12-31'))"
+    )) == [2]
+    # Instant = degenerate interval for T_INTERSECTS.
+    assert _ids(geo, compile_cql(
+        "T_INTERSECTS(datetime, TIMESTAMP('2020-03-03 00:00:00'))"
+    )) == [1]
+
+
+def test_casei(geo):
+    assert _ids(geo, compile_cql("CASEI(coll) = 'col-a'")) == [1, 3]
+    assert _ids(geo, compile_cql("CASEI(coll) = CASEI('COL-B')")) == [2]
+    assert _ids(geo, compile_cql(
+        "CASEI(coll) IN (CASEI('COL-A'), 'col-b')"
+    )) == [1, 2, 3]
+
+
+def test_spatial_temporal_compose_with_property_filters(geo):
+    got = compile_cql(
+        "S_INTERSECTS(geometry, BBOX(-180, -90, 180, 90)) "
+        "AND T_BEFORE(datetime, TIMESTAMP('2020-12-31 00:00:00')) "
+        "AND NOT CASEI(coll) = 'col-b' AND id >= 1",
+        spatial_cols=_SC,
+    )
+    assert _ids(geo, got) == [1, 3]
+
+
+def test_spatial_temporal_errors(geo):
+    for bad in (
+        "S_INTERSECTS(geometry, CIRCLE(0 0 1))",
+        "S_INTERSECTS(geometry BBOX(0, 0, 1, 1))",
+        "T_BEFORE(datetime, INTERVAL('..', '2020-01-01 00:00:00'))",
+        "T_AFTER(datetime, INTERVAL('2020-01-01 00:00:00', '..'))",
+        "T_INTERSECTS(datetime, 5)",
+        "CASEI(coll",
+    ):
+        with pytest.raises(CQLError):
+            compile_cql(bad, spatial_cols=_SC)
+    # Schemas without footprints reject the operators loudly.
+    with pytest.raises(CQLError):
+        compile_cql("S_INTERSECTS(geometry, BBOX(0, 0, 1, 1))", spatial_cols=None)
+    with pytest.raises(CQLError):
+        compile_cql(
+            "T_AFTER(datetime, TIMESTAMP('2020-01-01 00:00:00'))",
+            temporal_cols=None,
+        )
+
+
 def test_errors():
     for bad in ("value >", "AND value = 1", "value = 'unterminated",
                 "value ! 3", "value = 1 extra"):
@@ -97,7 +217,9 @@ def test_cql_fuzz_controlled_errors():
     tokens = st.sampled_from(
         ["value", "=", "<", ">=", "AND", "OR", "NOT", "(", ")", "'x'",
          "1", "3.5", "BETWEEN", "IN", "LIKE", "IS", "NULL", ",",
-         "T2024-01-01T00:00:00Z", "%", "'unterminated", "!", "  "]
+         "T2024-01-01T00:00:00Z", "%", "'unterminated", "!", "  ",
+         "S_INTERSECTS", "T_BEFORE", "ANYINTERACTS", "BBOX", "POLYGON",
+         "POINT", "INTERVAL", "CASEI", "'..'", "-4"]
     )
     @settings(max_examples=400, deadline=None)
     @given(st.lists(tokens, max_size=14).map(" ".join))

@@ -139,6 +139,60 @@ def compact_catalog(
     return plan
 
 
+def effective_sortby(
+    sortby: Sequence[tuple[str, str]] | None,
+) -> list[tuple[str, str]]:
+    """The TOTAL order a search actually runs under: the caller's
+    sortby with an `id asc` tiebreak appended unless id is already a
+    sort key. Without the tiebreak, equal-key rows reorder freely
+    between runs (Spark's sort is not stable across shuffles), which
+    destabilizes limit results and makes keyset paging unsound —
+    pgstac's token paging enforces the same id tiebreak."""
+    keys = [(c, d.lower()) for c, d in (sortby or [])]
+    for c, d in keys:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sortby direction must be asc|desc, got {d!r}")
+    if not any(c == "id" for c, _ in keys):
+        keys.append(("id", "asc"))
+    return keys
+
+
+def page_token(row, sortby: Sequence[tuple[str, str]] | None = None) -> tuple:
+    """Keyset token for the NEXT page: the full effective-sortby key
+    tuple of `row` (the last row of the current page). Feed it back as
+    catalog_search(page_after=token) with the SAME sortby."""
+    return tuple(row[c] for c, _ in effective_sortby(sortby))
+
+
+def _keyset_predicate(
+    keys: Sequence[tuple[str, str]], token: Sequence
+) -> Column:
+    """Tuple-comparison expansion: rows strictly AFTER `token` in the
+    lexicographic (keys, directions) order —
+    (k1 > v1) OR (k1 = v1 AND k2 > v2) OR …, with > flipped to < for
+    desc keys. Pure column arithmetic: the first-key disjunct pushes
+    down to parquet min/max stats, so deep pages stay O(page) scans,
+    never OFFSET. Sort keys must be non-null (ours are: datetimes and
+    id) — a NULL key value would make every comparison unknown."""
+    if len(token) != len(keys):
+        raise ValueError(
+            f"page_after token has {len(token)} values but the effective "
+            f"sort key is {[c for c, _ in keys]} — pass the full key tuple "
+            "of the last row (see page_token()); a bare id token is only "
+            "valid for plain id ordering"
+        )
+    disjuncts = []
+    for i, ((col, direction), val) in enumerate(zip(keys, token)):
+        strict = F.col(col) < F.lit(val) if direction == "desc" else F.col(col) > F.lit(val)
+        for j in range(i - 1, -1, -1):
+            strict = (F.col(keys[j][0]) == F.lit(token[j])) & strict
+        disjuncts.append(strict)
+    out = disjuncts[0]
+    for d in disjuncts[1:]:
+        out = out | d
+    return out
+
+
 def catalog_search(
     items: DataFrame,
     *,
@@ -148,7 +202,7 @@ def catalog_search(
     filter: Column | None = None,
     sortby: Sequence[tuple[str, str]] | None = None,
     limit: int | None = None,
-    page_after: str | None = None,
+    page_after: str | Sequence | None = None,
 ) -> DataFrame:
     """STAC /search compiled to a DataFrame plan (stac-fastapi → pgstac
     equivalent, docker-compose.yml:2-44). Overlap semantics for the
@@ -156,17 +210,25 @@ def catalog_search(
 
     `filter` is the CQL2 property-filter slot: any Column predicate
     (callers build it with pyspark.sql.functions, the engine's CQL).
-    `page_after` is keyset paging on item id — WHERE id > token instead
-    of OFFSET, so deep pages stay O(page) not O(offset) at 100 TB
-    (requires/implies an id tiebreak in sortby; plain id order when
-    sortby is None)."""
+
+    Paging is KEYSET (pgstac search tokens), never OFFSET: the order is
+    always the caller's sortby with an enforced `id asc` tiebreak
+    (total, deterministic — see effective_sortby), and `page_after` is
+    the full sortby-key tuple of the previous page's last row
+    (page_token()). The filter is the tuple-comparison expansion, so a
+    deep page is still one pruned scan + TakeOrderedAndProject — O(page),
+    not O(offset), at 100 TB. A bare-string id token is accepted ONLY
+    for plain id ordering; combining it with any other sortby raises
+    (that combination silently dropped rows before round 7)."""
     out = items
     if collections:
         out = out.filter(F.col("collection_id").isin(list(collections)))
     if filter is not None:
         out = out.filter(filter)
+    keys = effective_sortby(sortby)
     if page_after is not None:
-        out = out.filter(F.col("id") > F.lit(page_after))
+        token = (page_after,) if isinstance(page_after, str) else tuple(page_after)
+        out = out.filter(_keyset_predicate(keys, token))
     if datetime_range:
         lo, hi = datetime_range
         out = out.filter(
@@ -181,14 +243,10 @@ def catalog_search(
                 qw, qs, qe, qn,
             )
         )
-    if sortby:
+    if sortby or page_after is not None or limit:
         out = out.orderBy(
-            *[F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sortby]
+            *[F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in keys]
         )
-    elif page_after is not None or limit:
-        # Keyset paging (and plain limit) need a stable order — default
-        # to id so page 1 (no token yet) and page N agree.
-        out = out.orderBy("id")
     if limit:
         out = out.limit(limit)
     return out

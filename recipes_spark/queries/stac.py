@@ -13,7 +13,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from recipes_spark.io import load
-from recipes_spark.plans.catalog import bbox_intersects, catalog_search
+from recipes_spark.plans.catalog import (
+    bbox_intersects,
+    catalog_search,
+    page_token,
+)
 from recipes_spark.plans.items import build_items
 from recipes_spark.registry import query
 
@@ -307,6 +311,63 @@ def stac_cql_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         items, filter=compile_cql(cql), sortby=[("id", "asc")], limit=500
     )
     return found.select("id", "collection_id", "start_datetime", "end_datetime")
+
+
+@query(
+    "stac_paged_search",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id, collection_id, start_datetime
+FROM meta
+WHERE collection_id IN ('col-1', 'col-2')
+  AND start_datetime <= TIMESTAMP '1995-05-30'
+  AND end_datetime   >= TIMESTAMP '1995-03-01'
+""",
+)
+def stac_paged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 keyset paging under NON-id sortby (pgstac search tokens,
+    docker-compose.yml:30-44): pages a `(start_datetime desc, id asc)`
+    search with the full sortby-key-tuple token (plans/catalog.py
+    page_token / _keyset_predicate) and returns the CONCATENATION of
+    all pages. The oracle is the UNPAGED filtered set — hash equality
+    proves the pages tile the result exactly: no row dropped at a page
+    boundary (the pre-round-7 id-token bug), none duplicated, ties on
+    start_datetime split across pages safely via the id tiebreak.
+
+    Each loop step collects one page's key columns (bounded by
+    page_size — the client-side cursor a STAC consumer holds anyway);
+    the returned DataFrame is the lazy union of the per-page plans, and
+    every page is one pruned scan + TakeOrderedAndProject, O(page) not
+    O(offset)."""
+    items = build_items(_metadata(spark, sf_dir)).select(
+        "id", "collection_id", "start_datetime", "end_datetime"
+    )
+    sortby = [("start_datetime", "desc")]
+    search = dict(
+        collections=["col-1", "col-2"],
+        datetime_range=("1995-03-01", "1995-05-30"),
+        sortby=sortby,
+    )
+    page_size = 64
+    pages: list[DataFrame] = []
+    token = None
+    for _ in range(200):  # hard cap: a non-advancing token is a bug
+        page = catalog_search(
+            items, limit=page_size, page_after=token, **search
+        )
+        keys = page.select("start_datetime", "id").collect()
+        if not keys:
+            break
+        pages.append(page.select("id", "collection_id", "start_datetime"))
+        if len(keys) < page_size:
+            break
+        token = page_token(keys[-1], sortby)
+    else:
+        raise RuntimeError("stac_paged_search: token failed to advance")
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @query(

@@ -134,6 +134,94 @@ def test_catalog_search_property_filter_and_paging(spark):
     assert len(seen) == 50 == len(set(seen))
 
 
+def test_keyset_paging_non_id_sortby(spark):
+    """Round-7 fix: paging a (start_datetime desc) search with the full
+    key-tuple token tiles the result exactly — the old id-only token
+    silently dropped rows that sort later with smaller ids."""
+    from recipes_spark.plans.catalog import page_token
+
+    items = _items(spark).cache()
+    sortby = [("start_datetime", "desc")]
+    expect = [
+        r.id
+        for r in catalog_search(items, sortby=sortby, limit=50).collect()
+    ]
+    seen: list[str] = []
+    token = None
+    while True:
+        page = catalog_search(
+            items, sortby=sortby, limit=7, page_after=token
+        ).collect()
+        if not page:
+            break
+        seen.extend(r.id for r in page)
+        if len(page) < 7:
+            break
+        token = page_token(page[-1], sortby)
+    assert seen == expect  # same rows, same global order, no drops/dupes
+
+
+def test_keyset_paging_ties_split_across_pages(spark):
+    """Equal sort keys at a page boundary: the enforced id tiebreak
+    keeps the order total, so no row is lost or repeated."""
+    from recipes_spark.plans.catalog import page_token
+
+    # 40 items, only 4 distinct start_datetimes → every page boundary
+    # lands inside a tie group.
+    items = _items(spark, n=40).withColumn(
+        "start_datetime",
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + F.pmod(F.xxhash64("id"), F.lit(4)) * 3600
+        ),
+    ).cache()
+    sortby = [("start_datetime", "desc")]
+    expect = sorted(r.id for r in items.collect())
+    seen: list[str] = []
+    token = None
+    while True:
+        page = catalog_search(
+            items, sortby=sortby, limit=6, page_after=token
+        ).collect()
+        if not page:
+            break
+        seen.extend(r.id for r in page)
+        if len(page) < 6:
+            break
+        token = page_token(page[-1], sortby)
+    assert sorted(seen) == expect and len(seen) == len(set(seen))
+
+
+def test_keyset_paging_rejects_bare_token_with_sortby(spark):
+    """The pre-round-7 silent wrong-answer combination — a bare id
+    token under non-id sortby — is now a loud error."""
+    import pytest
+
+    items = _items(spark)
+    with pytest.raises(ValueError, match="full key tuple"):
+        catalog_search(
+            items,
+            sortby=[("start_datetime", "desc")],
+            limit=5,
+            page_after="item-10",
+        ).collect()
+
+
+def test_sortby_is_deterministic_under_ties(spark):
+    """sortby without an explicit id key still yields a total order
+    (id tiebreak appended), so limit results are run-stable."""
+    items = _items(spark, n=30).withColumn(
+        "start_datetime", F.timestamp_seconds(F.lit(1700000000))
+    )
+    a = [r.id for r in catalog_search(
+        items, sortby=[("start_datetime", "asc")], limit=10
+    ).collect()]
+    b = [r.id for r in catalog_search(
+        items.repartition(8), sortby=[("start_datetime", "asc")], limit=10
+    ).collect()]
+    assert a == b
+
+
 def test_catalog_search_bbox(spark):
     items = _items(spark).cache()
     hits = catalog_search(items, bbox=(-180.0, -5.0, -150.0, 5.0))

@@ -77,6 +77,104 @@ class CQLError(ValueError):
     pass
 
 
+# -- shared predicate builders (text parser + cql2-json walker) -----------
+
+_DATE_ONLY = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _validate_instant(s: str, what: str = "instant") -> str:
+    """Compile-time validation of a temporal literal. An unparseable
+    string would cast to NULL at runtime, silently filtering out every
+    row — a user-facing query compiler must fail loudly instead."""
+    from datetime import datetime
+
+    t = s[:-1] + "+00:00" if s.endswith(("Z", "z")) else s
+    try:
+        datetime.fromisoformat(t.replace(" ", "T", 1) if " " in t else t)
+    except ValueError:
+        raise CQLError(f"unparseable {what}: {s!r}") from None
+    return s
+
+
+def _expand_bounds(lo: str | None, hi: str | None) -> tuple[str | None, str | None]:
+    """Validate interval bounds and widen date-only strings to the full
+    day they denote (CQL2: a DATE spans the whole day — '2020-12-31' as
+    an upper bound includes items up to that day's last microsecond)."""
+    if lo is not None:
+        lo = _validate_instant(lo, "interval start")
+    if hi is not None:
+        hi = _validate_instant(hi, "interval end")
+        if _DATE_ONLY.match(hi):
+            hi = f"{hi} 23:59:59.999999"
+    return lo, hi
+
+
+def _instant_bounds(kind: str, s: str) -> tuple[str, str]:
+    """A temporal-operator instant as a [lo, hi] interval: a TIMESTAMP
+    is the degenerate [t, t]; a DATE covers its whole day, so
+    T_AFTER(datetime, DATE('2020-12-31')) only admits items starting
+    AFTER that day ends."""
+    s = _validate_instant(s, kind.lower())
+    if kind == "DATE" or _DATE_ONLY.match(s):
+        return (f"{s[:10]} 00:00:00", f"{s[:10]} 23:59:59.999999")
+    return (s, s)
+
+
+def _envelope_predicate(
+    spatial_cols: tuple[Column, Column, Column, Column],
+    env: tuple[float, float, float, float],
+) -> Column:
+    """G3 interval-overlap against a query envelope. An
+    antimeridian-crossing bbox (west > east — legal in STAC/CQL2)
+    splits into the two wrapped longitude ranges OR'd together; a
+    single naive envelope would match almost nothing."""
+    w, s, e, n = env
+    if w > e:
+        return _envelope_predicate(spatial_cols, (w, s, 180.0, n)) | (
+            _envelope_predicate(spatial_cols, (-180.0, s, e, n))
+        )
+    from recipes_spark.plans.catalog import bbox_intersects
+
+    cw, cs, ce, cn = spatial_cols
+    return bbox_intersects(cw, cs, ce, cn, w, s, e, n)
+
+
+def _temporal_predicate(
+    op: str,
+    lo: str | None,
+    hi: str | None,
+    temporal_cols: tuple[Column, Column],
+) -> Column:
+    """T_INTERSECTS/ANYINTERACTS (item [start,end] overlaps query
+    [lo,hi]; an open end drops its bound), T_BEFORE (item ends before
+    the query starts), T_AFTER (item starts after the query ends)."""
+    start, end = temporal_cols
+
+    def ts(v: str) -> Column:
+        return F.lit(v).cast("timestamp")
+
+    if op in ("T_INTERSECTS", "ANYINTERACTS"):
+        conds = []
+        if hi is not None:
+            conds.append(start <= ts(hi))
+        if lo is not None:
+            conds.append(end >= ts(lo))
+        if not conds:
+            return F.lit(True)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    if op == "T_BEFORE":
+        if lo is None:
+            raise CQLError("T_BEFORE needs a bounded interval start")
+        return end < ts(lo)
+    # T_AFTER
+    if hi is None:
+        raise CQLError("T_AFTER needs a bounded interval end")
+    return start > ts(hi)
+
+
 def _tokenize(text: str) -> list[tuple[str, str]]:
     out, pos = [], 0
     while pos < len(text):
@@ -131,16 +229,17 @@ class _Parser:
             self.next("lp")
             s = self.next("str")[1:-1]
             self.next("rp")
-            return F.lit(s).cast("timestamp")
+            return F.lit(_validate_instant(s, "timestamp")).cast("timestamp")
         if k == "DATE":
             self.next()
             self.next("lp")
             s = self.next("str")[1:-1]
             self.next("rp")
-            return F.lit(s).cast("date")
+            return F.lit(_validate_instant(s, "date")).cast("date")
         if k == "CASEI":
-            # CQL2 case-insensitive wrapper: CASEI(x) = CASEI('Y') must
-            # match regardless of case on EITHER side — lower() both.
+            # CQL2 case-insensitive accessor: folds ONLY its own
+            # operand (per-spec) — callers wanting case-blind equality
+            # wrap BOTH sides, as in CASEI(x) = CASEI('Y').
             self.next()
             self.next("lp")
             inner = self.operand()
@@ -201,7 +300,8 @@ class _Parser:
 
     def _interval(self) -> tuple[str | None, str | None]:
         """INTERVAL('lo','hi') with '..' open ends, or a TIMESTAMP/DATE
-        instant (degenerate [t, t] interval)."""
+        instant — a TIMESTAMP is the degenerate [t, t], a DATE spans
+        its whole day. Bounds are validated at compile time."""
         k = self.peek()
         if k == "INTERVAL":
             self.next()
@@ -210,13 +310,15 @@ class _Parser:
             self.next("comma")
             hi = self.next("str")[1:-1]
             self.next("rp")
-            return (None if lo == ".." else lo, None if hi == ".." else hi)
+            return _expand_bounds(
+                None if lo == ".." else lo, None if hi == ".." else hi
+            )
         if k in ("TIMESTAMP", "DATE"):
-            self.next()
+            kind = self.next().upper()
             self.next("lp")
             s = self.next("str")[1:-1]
             self.next("rp")
-            return (s, s)
+            return _instant_bounds(kind, s)
         raise CQLError(
             f"expected INTERVAL/TIMESTAMP/DATE, got {self.toks[self.i][1]!r}"
         )
@@ -231,12 +333,9 @@ class _Parser:
         self.next("lp")
         self.next("word")  # the queryable name ('geometry') — resolved
         self.next("comma")  # through spatial_cols, pgstac-queryables style
-        qw, qs, qe, qn = self._geom_envelope()
+        env = self._geom_envelope()
         self.next("rp")
-        from recipes_spark.plans.catalog import bbox_intersects
-
-        w, s, e, n = self.spatial_cols
-        return bbox_intersects(w, s, e, n, qw, qs, qe, qn)
+        return _envelope_predicate(self.spatial_cols, env)
 
     def temporal_pred(self) -> Column:
         if self.temporal_cols is None:
@@ -250,33 +349,7 @@ class _Parser:
         self.next("comma")
         lo, hi = self._interval()
         self.next("rp")
-        start, end = self.temporal_cols
-
-        def ts(v: str) -> Column:
-            return F.lit(v).cast("timestamp")
-
-        if op in ("T_INTERSECTS", "ANYINTERACTS"):
-            # anyinteracts: item [start,end] overlaps query [lo,hi];
-            # an open end drops its bound (always satisfied that side).
-            conds = []
-            if hi is not None:
-                conds.append(start <= ts(hi))
-            if lo is not None:
-                conds.append(end >= ts(lo))
-            if not conds:
-                return F.lit(True)
-            out = conds[0]
-            for c in conds[1:]:
-                out = out & c
-            return out
-        if op == "T_BEFORE":
-            if lo is None:
-                raise CQLError("T_BEFORE needs a bounded interval start")
-            return end < ts(lo)
-        # T_AFTER
-        if hi is None:
-            raise CQLError("T_AFTER needs a bounded interval end")
-        return start > ts(hi)
+        return _temporal_predicate(op, lo, hi, self.temporal_cols)
 
     # -- predicates --------------------------------------------------------
     def predicate(self) -> Column:
@@ -378,6 +451,39 @@ def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _resolve_cols(
+    spatial_cols: tuple[Column | str, ...] | None,
+    temporal_cols: tuple[Column | str, Column | str] | None,
+) -> tuple[
+    tuple[Column, Column, Column, Column] | None,
+    tuple[Column, Column] | None,
+]:
+    """Shared queryable resolution for both CQL2 encodings. The default
+    sentinel is matched with an isinstance-guarded string compare:
+    Column.__eq__ returns a Column, and truth-testing that raises —
+    naively comparing a caller's Column tuple against the sentinel
+    would crash instead of resolving."""
+    sp = None
+    if (
+        spatial_cols is not None
+        and len(spatial_cols) == 1
+        and isinstance(spatial_cols[0], str)
+        and spatial_cols[0] == "__item_bbox__"
+    ):
+        b = F.col("bbox")
+        sp = (b[0], b[1], b[2], b[3])
+    elif spatial_cols is not None:
+        if len(spatial_cols) != 4:
+            raise CQLError("spatial_cols must be 4 (w, s, e, n) columns")
+        sp = tuple(_as_col(c) for c in spatial_cols)
+    tp = (
+        (_as_col(temporal_cols[0]), _as_col(temporal_cols[1]))
+        if temporal_cols is not None
+        else None
+    )
+    return sp, tp
+
+
 def compile_cql(
     text: str,
     *,
@@ -396,17 +502,193 @@ def compile_cql(
     temporal queryable to the item's (start, end) interval columns.
     Pass None to reject spatial/temporal operators outright (a schema
     with no footprint)."""
-    sp = None
-    if spatial_cols == ("__item_bbox__",):
-        b = F.col("bbox")
-        sp = (b[0], b[1], b[2], b[3])
-    elif spatial_cols is not None:
-        if len(spatial_cols) != 4:
-            raise CQLError("spatial_cols must be 4 (w, s, e, n) columns")
-        sp = tuple(_as_col(c) for c in spatial_cols)
-    tp = (
-        (_as_col(temporal_cols[0]), _as_col(temporal_cols[1]))
-        if temporal_cols is not None
-        else None
-    )
+    sp, tp = _resolve_cols(spatial_cols, temporal_cols)
     return _Parser(_tokenize(text), spatial_cols=sp, temporal_cols=tp).parse()
+
+
+# -- cql2-json ------------------------------------------------------------
+
+_JSON_CMP = {"=", "<>", "<", ">", "<=", ">="}
+
+
+class _JsonWalker:
+    """cql2-json AST → Column, emitting the SAME predicate tree as the
+    text parser (both route through the shared builders above). This is
+    the encoding stac-fastapi POSTs by default — pgstac evaluates both
+    encodings identically (docker-compose.yml:2-28), and so do we."""
+
+    MAX_DEPTH = _Parser.MAX_DEPTH
+
+    def __init__(
+        self,
+        spatial_cols: tuple[Column, Column, Column, Column] | None,
+        temporal_cols: tuple[Column, Column] | None,
+    ):
+        self.spatial_cols = spatial_cols
+        self.temporal_cols = temporal_cols
+
+    def walk(self, node, depth: int = 0) -> Column:
+        if depth > self.MAX_DEPTH:
+            raise CQLError(
+                f"filter nesting deeper than {self.MAX_DEPTH} levels"
+            )
+        if not isinstance(node, dict) or "op" not in node:
+            raise CQLError(f"expected {{'op': …, 'args': …}}, got {node!r}")
+        op = str(node["op"]).lower()
+        args = node.get("args", [])
+        if not isinstance(args, list):
+            raise CQLError(f"args of {op!r} must be a list")
+        if op in ("and", "or"):
+            if not args:
+                raise CQLError(f"{op!r} needs at least one argument")
+            parts = [self.walk(a, depth + 1) for a in args]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if op == "and" else (out | p)
+            return out
+        if op == "not":
+            self._arity(op, args, 1)
+            return ~self.walk(args[0], depth + 1)
+        if op in _JSON_CMP:
+            self._arity(op, args, 2)
+            left, right = self.operand(args[0]), self.operand(args[1])
+            return {
+                "=": left == right, "<>": left != right,
+                "<": left < right, ">": left > right,
+                "<=": left <= right, ">=": left >= right,
+            }[op]
+        if op == "between":
+            self._arity(op, args, 3)
+            a = self.operand(args[0])
+            return (a >= self.operand(args[1])) & (a <= self.operand(args[2]))
+        if op == "in":
+            self._arity(op, args, 2)
+            if not isinstance(args[1], list) or not args[1]:
+                raise CQLError("'in' needs a non-empty list second argument")
+            return self.operand(args[0]).isin(
+                *[self.operand(v) for v in args[1]]
+            )
+        if op == "isnull":
+            self._arity(op, args, 1)
+            return self.operand(args[0]).isNull()
+        if op == "like":
+            self._arity(op, args, 2)
+            if not isinstance(args[1], str):
+                raise CQLError("'like' pattern must be a string")
+            return self.operand(args[0]).like(args[1])
+        if op == "s_intersects":
+            if self.spatial_cols is None:
+                raise CQLError(
+                    "s_intersects used but no spatial columns configured — "
+                    "pass spatial_cols= to compile_cql_json"
+                )
+            self._arity(op, args, 2)
+            return _envelope_predicate(
+                self.spatial_cols, self._geom_envelope(args[1])
+            )
+        if op in ("t_intersects", "anyinteracts", "t_before", "t_after"):
+            if self.temporal_cols is None:
+                raise CQLError(
+                    "temporal operator used but no temporal columns "
+                    "configured — pass temporal_cols= to compile_cql_json"
+                )
+            self._arity(op, args, 2)
+            lo, hi = self._interval(args[1])
+            return _temporal_predicate(op.upper(), lo, hi, self.temporal_cols)
+        raise CQLError(f"unsupported cql2-json op: {op!r}")
+
+    @staticmethod
+    def _arity(op: str, args: list, n: int) -> None:
+        if len(args) != n:
+            raise CQLError(f"{op!r} takes {n} arguments, got {len(args)}")
+
+    def operand(self, node) -> Column:
+        if isinstance(node, dict):
+            if "property" in node:
+                return F.col(str(node["property"]))
+            if node.get("op", "").lower() == "casei":
+                # Per-spec accessor: folds only its own operand — wrap
+                # BOTH sides for case-blind equality.
+                args = node.get("args", [])
+                self._arity("casei", args, 1)
+                return F.lower(self.operand(args[0]))
+            if "timestamp" in node:
+                return F.lit(
+                    _validate_instant(node["timestamp"], "timestamp")
+                ).cast("timestamp")
+            if "date" in node:
+                return F.lit(_validate_instant(node["date"], "date")).cast(
+                    "date"
+                )
+            raise CQLError(f"unsupported operand: {node!r}")
+        if isinstance(node, (bool, int, float, str)):
+            return F.lit(node)
+        raise CQLError(f"unsupported literal: {node!r}")
+
+    @staticmethod
+    def _geom_envelope(g) -> tuple[float, float, float, float]:
+        """GeoJSON geometry / {'bbox': […]} → (w, s, e, n) envelope —
+        same conservative-envelope semantics as the text grammar."""
+        if not isinstance(g, dict):
+            raise CQLError(f"expected geometry object, got {g!r}")
+        if "bbox" in g:
+            box = g["bbox"]
+            if not (isinstance(box, list) and len(box) == 4):
+                raise CQLError("bbox must be [west, south, east, north]")
+            w, s, e, n = (float(v) for v in box)
+            return (w, s, e, n)
+        typ = str(g.get("type", "")).lower()
+        coords = g.get("coordinates")
+        if typ == "point":
+            x, y = float(coords[0]), float(coords[1])
+            return (x, y, x, y)
+        if typ == "polygon":
+            if not coords or not coords[0]:
+                raise CQLError("polygon needs a non-empty exterior ring")
+            xs = [float(p[0]) for p in coords[0]]
+            ys = [float(p[1]) for p in coords[0]]
+            return (min(xs), min(ys), max(xs), max(ys))
+        raise CQLError(f"unsupported geometry type: {g.get('type')!r}")
+
+    @staticmethod
+    def _interval(node) -> tuple[str | None, str | None]:
+        if isinstance(node, dict):
+            if "interval" in node:
+                iv = node["interval"]
+                if not (isinstance(iv, list) and len(iv) == 2):
+                    raise CQLError("interval must be a 2-element list")
+                lo, hi = iv
+                return _expand_bounds(
+                    None if lo in ("..", None) else lo,
+                    None if hi in ("..", None) else hi,
+                )
+            if "timestamp" in node:
+                return _instant_bounds("TIMESTAMP", node["timestamp"])
+            if "date" in node:
+                return _instant_bounds("DATE", node["date"])
+        raise CQLError(f"expected interval/timestamp/date, got {node!r}")
+
+
+def compile_cql_json(
+    filt,
+    *,
+    spatial_cols: tuple[Column | str, ...] | None = ("__item_bbox__",),
+    temporal_cols: tuple[Column | str, Column | str] | None = (
+        "start_datetime",
+        "end_datetime",
+    ),
+) -> Column:
+    """CQL2 JSON (dict or JSON string) → Column predicate — the POST
+    /search encoding stac-fastapi sends by default. Same queryable
+    resolution and the same compiled predicate tree as compile_cql:
+    both encodings of one filter produce identical pushdown-friendly
+    column arithmetic (asserted in tests/test_cql.py)."""
+    if isinstance(filt, (str, bytes)):
+        import json
+
+        try:
+            filt = json.loads(filt)
+        except ValueError as e:
+            raise CQLError(f"invalid cql2-json: {e}") from None
+    sp, tp = _resolve_cols(spatial_cols, temporal_cols)
+    return _JsonWalker(sp, tp).walk(filt)

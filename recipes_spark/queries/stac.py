@@ -314,6 +314,65 @@ def stac_cql_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stac_cql_json_search",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id, collection_id, west, east, start_datetime
+FROM meta
+WHERE (NOT (east < 150 OR west > 180 OR north < -40 OR south > 40)
+       OR NOT (east < -180 OR west > -170 OR north < -40 OR south > 40))
+  AND start_datetime <= TIMESTAMP '1996-12-31 23:59:59.999999'
+  AND end_datetime   >= TIMESTAMP '1995-01-01'
+  AND lower(collection_id) IN ('col-1', 'col-3')
+  AND item_id LIKE 'item-%'
+ORDER BY id
+LIMIT 400
+""",
+)
+def stac_cql_json_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 CQL2 JSON encoding (round-7 O2 closure): the exact filter
+    body a stac-fastapi client POSTs to /search — `{"op": …, "args":
+    […]}` — compiled by plans/cql.compile_cql_json through the SAME
+    predicate builders as the text encoding (pgstac evaluates both,
+    docker-compose.yml:2-28). Exercises the round-7 semantics fixes
+    end-to-end: an antimeridian-crossing bbox (west > east → two
+    wrapped longitude ranges OR'd), a date-only interval bound widened
+    to end-of-day, and the CASEI accessor — all still pure
+    pushdown-friendly column arithmetic."""
+    from recipes_spark.plans.cql import compile_cql_json
+
+    items = build_items(_metadata(spark, sf_dir))
+    filt = {
+        "op": "and",
+        "args": [
+            {"op": "s_intersects", "args": [
+                {"property": "geometry"},
+                {"bbox": [150, -40, -170, 40]},
+            ]},
+            {"op": "anyinteracts", "args": [
+                {"property": "datetime"},
+                {"interval": ["1995-01-01", "1996-12-31"]},
+            ]},
+            {"op": "in", "args": [
+                {"op": "casei", "args": [{"property": "collection_id"}]},
+                ["col-1", "col-3"],
+            ]},
+            {"op": "like", "args": [{"property": "id"}, "item-%"]},
+        ],
+    }
+    found = catalog_search(
+        items, filter=compile_cql_json(filt), sortby=[("id", "asc")], limit=400
+    )
+    return found.select(
+        "id",
+        "collection_id",
+        F.col("bbox")[0].alias("west"),
+        F.col("bbox")[2].alias("east"),
+        "start_datetime",
+    )
+
+
+@query(
     "stac_paged_search",
     oracle=f"""
 WITH meta AS ({_ORACLE_META})

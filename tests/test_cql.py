@@ -237,3 +237,189 @@ def test_cql_fuzz_controlled_errors():
         compile_cql(deep)
     except CQLError:
         pass
+
+
+# -- cql2-json (round 7): same predicate tree from the POST encoding ------
+
+
+def _json_ids(df, obj, **kw):
+    from recipes_spark.plans.cql import compile_cql_json
+
+    return [
+        r.id
+        for r in df.filter(compile_cql_json(obj, **kw))
+        .select("id").orderBy("id").collect()
+    ]
+
+
+def test_json_comparisons_and_boolean(ev):
+    from recipes_spark.plans.cql import compile_cql_json
+
+    obj = {
+        "op": "and",
+        "args": [
+            {"op": "or", "args": [
+                {"op": "=", "args": [{"property": "event_type"}, "click"]},
+                {"op": "=", "args": [{"property": "event_type"}, "view"]},
+            ]},
+            {"op": "not", "args": [
+                {"op": "<", "args": [{"property": "value"}, 10]},
+            ]},
+        ],
+    }
+    want = (
+        (F.col("event_type") == "click") | (F.col("event_type") == "view")
+    ) & ~(F.col("value") < 10)
+    assert _count(ev, compile_cql_json(obj)) == _count(ev, want)
+
+
+def test_json_between_in_like_isnull(ev):
+    from recipes_spark.plans.cql import compile_cql_json
+
+    assert _count(ev, compile_cql_json(
+        {"op": "between", "args": [{"property": "value"}, 20, 30]}
+    )) == _count(ev, F.col("value").between(20, 30))
+    assert _count(ev, compile_cql_json(
+        {"op": "in", "args": [{"property": "event_type"}, ["click", "view"]]}
+    )) == _count(ev, F.col("event_type").isin("click", "view"))
+    assert _count(ev, compile_cql_json(
+        {"op": "like", "args": [{"property": "event_type"}, "c%"]}
+    )) == _count(ev, F.col("event_type").like("c%"))
+    assert _count(ev, compile_cql_json(
+        {"op": "not", "args": [
+            {"op": "isNull", "args": [{"property": "event_type"}]}
+        ]}
+    )) == ev.count()
+
+
+def test_json_matches_text_encoding(geo):
+    """The SAME filter in both encodings compiles to the same rows —
+    the pgstac dual-encoding guarantee."""
+    from recipes_spark.plans.cql import compile_cql, compile_cql_json
+
+    text = (
+        "S_INTERSECTS(geometry, BBOX(-180, -90, 180, 90)) "
+        "AND T_BEFORE(datetime, TIMESTAMP('2020-12-31 00:00:00')) "
+        "AND NOT CASEI(coll) = 'col-b' AND id >= 1"
+    )
+    obj = {
+        "op": "and",
+        "args": [
+            {"op": "s_intersects", "args": [
+                {"property": "geometry"},
+                {"bbox": [-180, -90, 180, 90]},
+            ]},
+            {"op": "t_before", "args": [
+                {"property": "datetime"},
+                {"timestamp": "2020-12-31 00:00:00"},
+            ]},
+            {"op": "not", "args": [
+                {"op": "=", "args": [
+                    {"op": "casei", "args": [{"property": "coll"}]}, "col-b",
+                ]},
+            ]},
+            {"op": ">=", "args": [{"property": "id"}, 1]},
+        ],
+    }
+    assert _ids(geo, compile_cql(text, spatial_cols=_SC)) == _json_ids(
+        geo, obj, spatial_cols=_SC
+    ) == [1, 3]
+
+
+def test_json_geometries_and_intervals(geo):
+    poly = {"op": "s_intersects", "args": [
+        {"property": "geometry"},
+        {"type": "Polygon",
+         "coordinates": [[[90, 30], [130, 30], [130, 70], [90, 70], [90, 30]]]},
+    ]}
+    assert _json_ids(geo, poly, spatial_cols=_SC) == [2]
+    point = {"op": "s_intersects", "args": [
+        {"property": "geometry"}, {"type": "Point", "coordinates": [0, 0]},
+    ]}
+    assert _json_ids(geo, point, spatial_cols=_SC) == [1]
+    open_iv = {"op": "anyinteracts", "args": [
+        {"property": "datetime"},
+        {"interval": ["..", "2019-12-31 00:00:00"]},
+    ]}
+    assert _json_ids(geo, open_iv) == [3]
+    # JSON-string input works too.
+    import json as _json
+
+    assert _json_ids(geo, _json.dumps(open_iv)) == [3]
+
+
+def test_json_errors(geo):
+    from recipes_spark.plans.cql import CQLError, compile_cql_json
+
+    for bad in (
+        {"op": "frobnicate", "args": []},
+        {"op": "=", "args": [{"property": "id"}]},
+        {"op": "in", "args": [{"property": "id"}, []]},
+        {"op": "s_intersects", "args": [
+            {"property": "geometry"}, {"type": "Circle", "coordinates": []},
+        ]},
+        {"op": "t_before", "args": [{"property": "datetime"}, 5]},
+        {"no_op": 1},
+        "not json at all {",
+    ):
+        with pytest.raises(CQLError):
+            compile_cql_json(bad, spatial_cols=_SC)
+    deep = {"op": "not", "args": []}
+    for _ in range(500):
+        deep = {"op": "not", "args": [deep]}
+    with pytest.raises(CQLError):
+        compile_cql_json(deep)
+
+
+def test_date_instant_spans_whole_day(geo):
+    """ADVICE r6: a DATE instant covers its full day — T_AFTER with
+    DATE('2021-01-01') must NOT admit an item starting later that same
+    day, and T_INTERSECTS with a DATE matches items overlapping any
+    time within the day."""
+    # Item 2 starts 2021-01-01 00:00:00 — not after the day 2021-01-01.
+    assert _ids(geo, compile_cql("T_AFTER(datetime, DATE('2021-01-01'))")) == []
+    # But it does intersect that day.
+    assert _ids(geo, compile_cql(
+        "T_INTERSECTS(datetime, DATE('2021-01-01'))"
+    )) == [2]
+    # Date-only upper interval bound widens to end of day.
+    assert _ids(geo, compile_cql(
+        "T_INTERSECTS(datetime, INTERVAL('2021-01-01', '2021-01-01'))"
+    )) == [2]
+
+
+def test_antimeridian_bbox_splits(geo):
+    """ADVICE r6: west > east is an antimeridian crossing — compiles to
+    the two wrapped ranges, so the Bering-strait box matches item 3
+    (lon -170..-150) instead of nothing."""
+    assert _ids(geo, compile_cql(
+        "S_INTERSECTS(geometry, BBOX(160, -90, -140, 90))", spatial_cols=_SC
+    )) == [3]
+    # ...and does NOT match item 1 (lon -10..10, outside both ranges).
+    assert 1 not in _ids(geo, compile_cql(
+        "S_INTERSECTS(geometry, BBOX(160, -90, -140, 90))", spatial_cols=_SC
+    ))
+
+
+def test_bad_temporal_literals_fail_at_compile_time(geo):
+    """ADVICE r6: unparseable instants raise CQLError at compile time
+    instead of casting to NULL and silently filtering every row."""
+    for bad in (
+        "T_BEFORE(datetime, TIMESTAMP('not-a-time'))",
+        "T_INTERSECTS(datetime, INTERVAL('2020-13-45', '..'))",
+        "ts >= TIMESTAMP('2024-99-99 00:00:00')",
+    ):
+        with pytest.raises(CQLError):
+            compile_cql(bad)
+
+
+def test_sentinel_guard_accepts_column_tuple(geo):
+    """ADVICE r6: passing real Column objects as spatial_cols must not
+    crash on the sentinel equality check."""
+    pred = compile_cql(
+        "S_INTERSECTS(geometry, BBOX(-20, -10, 0, 0))",
+        spatial_cols=(
+            F.col("west"), F.col("south"), F.col("east"), F.col("north")
+        ),
+    )
+    assert _ids(geo, pred) == [1]

@@ -42,10 +42,14 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables on their bucket keys. With equal
     bucket counts the physical plan contains NO Exchange on either side
-    (asserted in tests/test_bucketing.py)."""
+    (asserted in tests/test_bucketing.py). The MERGE hint pins the
+    sort-merge strategy: at 100 TB neither fact side broadcasts, and
+    without the hint a small test-scale side would tempt AQE into a
+    BroadcastHashJoin, hiding the zero-exchange shape this operator
+    exists to provide."""
     lt = spark.table(left_table)
     rt = spark.table(right_table)
-    return lt.join(rt, lt[key_l] == rt[key_r])
+    return lt.hint("merge").join(rt.hint("merge"), lt[key_l] == rt[key_r])
 
 
 def has_shuffle(df: DataFrame) -> bool:

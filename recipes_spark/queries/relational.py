@@ -295,6 +295,61 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_bucketed",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def join_bucketed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed zero-exchange fact-fact join (SURVEY §4.2, the 100 TB
+    shuffle-diet centerpiece): lineitem and orders are written ONCE
+    bucketed by orderkey (operators/bucketing.py write_bucketed), then
+    the join reads bucket i of each side into the same task — the
+    physical plan has no shuffle Exchange on either join side (the
+    only Exchange left is the 5-group rollup's); pinned in
+    tools/plan_fingerprints.json. Integer-exact aggregates (count /
+    distinct / whole-number quantities) so the oracle compare is
+    FP-order-free."""
+    import re as _re
+    import tempfile as _tempfile
+
+    from recipes_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
+    lt, rt = f"bx_lineitem_{tag}", f"bx_orders_{tag}"
+    if not (spark.catalog.tableExists(lt) and spark.catalog.tableExists(rt)):
+        root = _tempfile.mkdtemp(prefix="recipes_bucketed_")
+        write_bucketed(
+            load(spark, sf_dir, "lineitem").select(
+                "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+            ),
+            lt, key="l_orderkey", buckets=8, path=f"{root}/{lt}",
+        )
+        write_bucketed(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            rt, key="o_orderkey", buckets=8, path=f"{root}/{rt}",
+        )
+    joined = bucketed_join(spark, lt, rt, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("qty").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "join_asof",
     oracle="""
 WITH clicks AS (

@@ -430,6 +430,49 @@ def stac_paged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_compact",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT collection_id,
+       count(*) AS n_items,
+       min(item_id) AS min_id,
+       max(item_id) AS max_id
+FROM meta
+GROUP BY collection_id
+ORDER BY collection_id
+""",
+)
+def catalog_compact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 aftermath maintenance (plans/catalog.py compact_catalog):
+    build the item store deliberately FRAGMENTED (16 writer tasks × 5
+    collection partitions ≈ 80 tiny files — the state thousands of
+    incremental upserts leave behind), compact it with deterministic
+    pmod(xxhash64(id)) file placement, then read the store back and
+    roll it up. Hash equality with the orders-derived oracle proves the
+    rewrite is content-preserving: no row lost, duplicated, or moved
+    across collections. File-count reduction itself is asserted in
+    tests/test_catalog.py::test_compact_catalog."""
+    import tempfile as _tempfile
+
+    from recipes_spark.plans.catalog import compact_catalog
+
+    items = build_items(_metadata(spark, sf_dir))
+    path = _tempfile.mkdtemp(prefix="recipes_compact_") + "/catalog"
+    items.repartition(16).write.partitionBy("collection_id").parquet(path)
+    compact_catalog(spark, path, target_file_bytes=4 << 20)
+    store = spark.read.parquet(path)
+    return (
+        store.groupBy("collection_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("collection_id")
+    )
+
+
+@query(
     "g3_bbox_intersects",
     oracle=f"""
 WITH meta AS ({_ORACLE_META})

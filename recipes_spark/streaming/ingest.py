@@ -572,6 +572,43 @@ def st13_stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST14_OUT_SCHEMA = "bid int, term string, prior_est long"
 
 
+def st14_term_counts(bdf: DataFrame) -> DataFrame:
+    """st14's per-batch term-count agg — module-level so the batch-side
+    plan is fingerprintable (tools/plan_fingerprints.json
+    st14_batch_side) with exactly the expression tree the foreachBatch
+    body executes."""
+    return (
+        bdf.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def st14_hot_terms(
+    tc: DataFrame,
+    prior: DataFrame,
+    bid: int,
+    *,
+    depth: int,
+    width: int,
+    thresh: int,
+) -> DataFrame:
+    """st14's probe leg: estimate each term's frequency across the
+    merged PRIOR counters, keep the already-hot ones. Shared by the
+    foreachBatch body and the plan-fingerprint twin."""
+    from recipes_spark.operators.sketches import cms_estimate
+
+    return (
+        cms_estimate(tc.select("term"), prior, depth=depth, width=width)
+        .filter(F.col("est") >= thresh)
+        .select(
+            F.lit(bid).cast("int").alias("bid"),
+            "term",
+            F.col("est").alias("prior_est"),
+        )
+    )
+
+
 def cms_probe_then_absorb(
     spark: SparkSession,
     out_dir: str,
@@ -593,11 +630,7 @@ def cms_probe_then_absorb(
     )
 
     def probe_then_absorb(bdf: DataFrame, bid: int) -> None:
-        tc = (
-            bdf.select(F.explode(F.split("text", " ")).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        )
+        tc = st14_term_counts(bdf)
         if bid > 0:
             prior = cms_merge(
                 *[
@@ -605,16 +638,8 @@ def cms_probe_then_absorb(
                     for j in range(bid)
                 ]
             )
-            hot = (
-                cms_estimate(
-                    tc.select("term"), prior, depth=depth, width=width
-                )
-                .filter(F.col("est") >= thresh)
-                .select(
-                    F.lit(bid).cast("int").alias("bid"),
-                    "term",
-                    F.col("est").alias("prior_est"),
-                )
+            hot = st14_hot_terms(
+                tc, prior, bid, depth=depth, width=width, thresh=thresh
             )
         else:
             hot = spark.createDataFrame([], _ST14_OUT_SCHEMA)

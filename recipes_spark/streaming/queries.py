@@ -31,14 +31,14 @@ GROUP BY 1, 2
 """
 
 
-@query("st2_tumbling_stream", oracle=_TUMBLING_ORACLE)
-def st2_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2 streaming: readStream file source → watermark → 10-minute
-    tumbling windows → memory sink. Complete mode so the final windows
-    (still above watermark at stream end) emit too — result equals the
-    batch t2_tumbling_window oracle."""
-    ev = stream_events(spark, sf_dir)
-    agg = (
+def tumbling_agg(ev: DataFrame) -> DataFrame:
+    """st2's transformation as a plain DataFrame→DataFrame function:
+    the SAME expression tree runs streamed (below) and batch —
+    withWatermark is a no-op on a batch input, so the batch twin is
+    plan-fingerprintable (tools/plan_fingerprints.json st2_batch_side)
+    and a regression in the window-agg plan fails the suite even
+    though the streaming harness's own plan embeds run-local paths."""
+    return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
@@ -49,6 +49,15 @@ def st2_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
         )
     )
+
+
+@query("st2_tumbling_stream", oracle=_TUMBLING_ORACLE)
+def st2_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 streaming: readStream file source → watermark → 10-minute
+    tumbling windows → memory sink. Complete mode so the final windows
+    (still above watermark at stream end) emit too — result equals the
+    batch t2_tumbling_window oracle."""
+    agg = tumbling_agg(stream_events(spark, sf_dir))
     return run_to_memory(agg, output_mode="complete", name_hint="st2")
 
 

@@ -71,6 +71,44 @@ def plan_hash(df) -> str:
     return hashlib.sha256(normalize_plan(plan).encode()).hexdigest()[:12]
 
 
+def extra_plans(spark) -> dict[str, str]:
+    """Non-headline plans worth pinning:
+
+    - join_bucketed — the zero-exchange bucketed fact-fact join
+      (SURVEY §4.2): a shuffle Exchange appearing on either join side
+      is exactly the regression this lock exists to catch.
+    - st2_batch_side / st14_batch_side — the streaming queries' OWN
+      harness plans embed run-local temp paths, but their batch-side
+      transformations are ordinary DataFrames (streaming/queries.py
+      tumbling_agg; streaming/ingest.py st14_term_counts +
+      st14_hot_terms, the exact functions the foreachBatch body calls)
+      applied here to batch inputs — so a broadcast-gone-shuffle or an
+      un-pruned scan in the streamed plan fails the suite too.
+    """
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.sketches import cms_counters
+    from recipes_spark.registry import all_queries
+    from recipes_spark.streaming.ingest import st14_hot_terms, st14_term_counts
+    from recipes_spark.streaming.queries import tumbling_agg
+
+    out = {}
+    out["join_bucketed"] = plan_hash(
+        all_queries()["join_bucketed"](spark, SF_DIR)
+    )
+    ev = load(spark, SF_DIR, "events")
+    out["st2_batch_side"] = plan_hash(tumbling_agg(ev))
+    tc = st14_term_counts(
+        load(spark, SF_DIR, "documents").select("doc_id", "text")
+    )
+    prior = cms_counters(tc, depth=4, width=1024)
+    out["st14_batch_side"] = plan_hash(
+        st14_hot_terms(tc, prior, 1, depth=4, width=1024, thresh=200)
+    )
+    return out
+
+
 def current_fingerprints(spark) -> dict[str, str]:
     from bench import HEADLINE
     from recipes_spark.registry import all_queries
@@ -81,9 +119,10 @@ def current_fingerprints(spark) -> dict[str, str]:
         if name.startswith("st") or name == "t4_session_window":
             # Streaming-harness queries EXECUTE at construction and
             # their plans include run-local temp paths in source nodes
-            # — covered by their oracles instead.
+            # — their batch-side twins are pinned via extra_plans.
             continue
         out[name] = plan_hash(q[name](spark, SF_DIR))
+    out.update(extra_plans(spark))
     return out
 
 

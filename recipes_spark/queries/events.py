@@ -65,9 +65,11 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "t4_session_window",
-    oracle="""
+#: Gaps-and-islands derivation of 30-min-gap sessions — shared by the
+#: batch t4 and streaming st4 oracles (SURVEY §5.2: a session's bounds
+#: are SQL-derivable from ordered event gaps; new session when the gap
+#: is ≥ 30 min, matching Spark's half-open session window).
+SESSION_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -87,8 +89,10 @@ SELECT user_id,
        count(*) AS n_events
 FROM numbered
 GROUP BY user_id, sid
-""",
-)
+"""
+
+
+@query("t4_session_window", oracle=SESSION_ORACLE)
 def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: native session_window (30-min gap) in batch mode. Session
     range is [first_ts, last_ts + gap) — the oracle reproduces it with

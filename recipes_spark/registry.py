@@ -78,6 +78,10 @@ _RECHECK: dict[str, int] = {
     # round-5 oracle-convention fix: nll round(,4) double → floor-scaled
     # BIGINT nll_micro (summation-order flake risk flagged in r4 ADVICE):
     "x4_unigram_nll": 5,
+    # round-7: st4 moved from append-mode rows-only to COMPLETE mode
+    # with the full gaps-and-islands oracle — prior rows-only rows
+    # attest the old append behavior, not the oracled one:
+    "st4_session_stream": 7,
 }
 
 

@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from recipes_spark.io import load
+from recipes_spark.queries.events import SESSION_ORACLE as _SESSION_ORACLE
 from recipes_spark.registry import query
 from recipes_spark.streaming.core import run_to_memory, stream_events
 
@@ -173,19 +174,10 @@ def st8_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append", name_hint="st8")
 
 
-@query("st4_session_stream")
-def st4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4 streaming: session_window(30 min gap) per user under
-    Structured Streaming. Append mode (sessions emit once the watermark
-    passes session end + gap), so the trailing sessions of the stream
-    are withheld at availableNow termination — rows-only check; the
-    batch t4_session_window carries the oracle for the session
-    semantics themselves, and tests/test_streaming.py::
-    test_st4_stream_sessions_subset_of_batch pins that every EMITTED
-    streaming session equals its batch twin exactly (the stream may
-    withhold trailing sessions, never invent or distort one)."""
-    ev = stream_events(spark, sf_dir)
-    agg = (
+def session_agg(ev: DataFrame) -> DataFrame:
+    """st4's session aggregation (30-min gap per user) — shared by the
+    complete-mode registered query and the append-mode emission test."""
+    return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -196,7 +188,24 @@ def st4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(agg, output_mode="append", name_hint="st4")
+
+
+@query("st4_session_stream", oracle=_SESSION_ORACLE)
+def st4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 streaming: session_window(30 min gap) per user under
+    Structured Streaming, COMPLETE mode (round 7) so the trailing
+    sessions still above the watermark at availableNow termination
+    emit too — output equals the batch twin and carries the full
+    gaps-and-islands DuckDB oracle (SURVEY §5.2). The production
+    append-mode path (sessions emit once the watermark passes session
+    end + gap, trailing sessions withheld) keeps its own guarantee in
+    tests/test_streaming.py::test_st4_stream_sessions_subset_of_batch:
+    every EMITTED append-mode session equals its batch twin exactly."""
+    return run_to_memory(
+        session_agg(stream_events(spark, sf_dir)),
+        output_mode="complete",
+        name_hint="st4",
+    )
 
 
 @query("st5_watermark_late")

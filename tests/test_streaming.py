@@ -220,25 +220,49 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
 
 
 def test_st4_stream_sessions_subset_of_batch(spark, sf_dir):
-    """st4_session_stream's quality gate (rows-only — append mode
-    withholds sessions whose watermark hasn't passed at availableNow
-    termination): every EMITTED streaming session must exactly equal
-    the batch t4_session_window row for the same (user, session
-    start) — the stream may only withhold trailing sessions, never
-    invent or distort one."""
+    """The production APPEND-mode session path (sessions emit once the
+    watermark passes session end + gap; trailing sessions withheld at
+    availableNow termination): every EMITTED streaming session must
+    exactly equal the batch t4_session_window row for the same (user,
+    session start) — the stream may only withhold trailing sessions,
+    never invent or distort one. (The registered st4_session_stream
+    runs COMPLETE mode since round 7 and carries the full oracle; this
+    pins the append-mode leg the registered query no longer covers.)"""
     from recipes_spark.registry import all_queries
+    from recipes_spark.streaming.core import run_to_memory, stream_events
+    from recipes_spark.streaming.queries import session_agg
 
     q = all_queries()
     batch = {
         (r["user_id"], r["session_start"]): tuple(r)
         for r in q["t4_session_window"](spark, sf_dir).collect()
     }
-    streamed = [tuple(r) for r in q["st4_session_stream"](spark, sf_dir).collect()]
+    appended = run_to_memory(
+        session_agg(stream_events(spark, sf_dir)),
+        output_mode="append",
+        name_hint="st4a",
+    )
+    streamed = [tuple(r) for r in appended.collect()]
     assert streamed, "stream emitted no closed sessions"
     for row in streamed:
         key = (row[0], row[1])
         assert key in batch, f"stream invented session {key}"
         assert row == batch[key], (row, batch[key])
+
+
+def test_st4_complete_equals_batch(spark, sf_dir):
+    """The registered complete-mode st4 equals the batch twin exactly —
+    the property its DuckDB oracle attests at the driver."""
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()
+    batch = sorted(
+        tuple(r) for r in q["t4_session_window"](spark, sf_dir).collect()
+    )
+    streamed = sorted(
+        tuple(r) for r in q["st4_session_stream"](spark, sf_dir).collect()
+    )
+    assert streamed == batch
 
 
 def test_sketch_state_batches_are_retry_idempotent(spark, sf_dir, tmp_path):

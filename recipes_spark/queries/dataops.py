@@ -1556,6 +1556,45 @@ def x3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pagerank_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    n: int,
+    iters: int = 10,
+    damping: int = 85,
+    den: int = 200,
+    total: int = 1_000_000,
+) -> DataFrame:
+    """The x7 power-iteration loop as a reusable operator (also driven
+    at 10x/100x with a power-law degree distribution by
+    tools/stress_probes.py probe_pagerank): per iteration one join on
+    src + one hash agg on dst + a left join for zero-in-degree nodes,
+    all in integer micro-units (`(damping * r) div den`, den = 100 ×
+    out-degree), localCheckpoint truncating lineage per round. Returns
+    (node, r) after `iters` rounds."""
+    base = (total * (100 - damping) // 100) // n
+    r = nodes.withColumn("r", F.lit(total // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(r, edges.src == r.node)
+            .select("dst", F.expr(f"({damping} * r) div {den}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        r = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("c", F.lit(0))).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r
+
+
+
+
 @query(
     "x7_pagerank",
     oracle="""
@@ -1641,23 +1680,7 @@ def x7_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nodes.select(F.col("node").alias("dst")), "dst")
         .localCheckpoint(eager=True)
     )
-    base = 150000 // n
-    r = nodes.withColumn("r", F.lit(1000000 // n).cast("long"))
-    for _ in range(10):
-        contrib = (
-            edges.join(r, edges.src == r.node)
-            .select("dst", F.expr("(85 * r) div 200").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").cast("long").alias("c"))
-        )
-        r = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce("c", F.lit(0))).cast("long").alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    r = pagerank_fixed_point(nodes, edges, n=n, iters=10)
     return (
         r.select("node", F.col("r").alias("rank_micro"))
         .orderBy(F.desc("rank_micro"), "node")

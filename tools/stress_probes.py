@@ -308,6 +308,79 @@ def probe_ann_10x(spark: SparkSession) -> dict:
     return out
 
 
+def probe_pagerank(spark: SparkSession) -> dict:
+    """x7's fixed-point PageRank loop (queries/dataops.py
+    pagerank_fixed_point) at 1x/10x/100x the sf0.1 graph (5k docs →
+    up to 500k nodes / 1M edges, 10 iterations each), plus a
+    power-law-skew leg at 10x where one edge family maps dst =
+    floor(u^3 · n) — a Zipf-ish in-degree distribution whose hub
+    node absorbs ~1% of ALL edges, the adversarial shape for the
+    per-iteration dst aggregation (map-side partial agg must carry the
+    hub key, same skew condition as cc_skew). Reports wall per scale,
+    the 1x→100x scaling exponent (1.0 = linear; rounds are fixed at
+    10 so the exponent isolates per-round cost), and the measured max
+    in-degree of the skew graph."""
+    import math
+
+    from recipes_spark.io import load
+    from recipes_spark.queries.dataops import pagerank_fixed_point
+
+    base_n = load(spark, SF_DIR, "documents").count()
+
+    def graph(n: int, skew: bool):
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        fam1 = nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * F.col("node") + 1) % n).alias("dst"),
+        )
+        if skew:
+            u = (
+                F.pmod(F.xxhash64("node"), F.lit(1_000_000)).cast("double")
+                / 1e6
+            )
+            fam2 = nodes.select(
+                F.col("node").alias("src"),
+                F.least(
+                    F.lit(n - 1), F.floor(F.pow(u, F.lit(3.0)) * n)
+                ).cast("long").alias("dst"),
+            )
+        else:
+            fam2 = nodes.select(
+                F.col("node").alias("src"),
+                ((F.col("node") * 7 + 1) % n).alias("dst"),
+            )
+        return nodes, fam1.unionByName(fam2).localCheckpoint(eager=True)
+
+    out: dict = {"probe": "pagerank", "nodes_1x": base_n, "iters": 10}
+    for tag, mult in (("1x", 1), ("10x", 10), ("100x", 100)):
+        n = base_n * mult
+        nodes, edges = graph(n, skew=False)
+        # min-of-2: the first 1x run otherwise absorbs the session's
+        # cold-JIT ramp and inverts the 1x/10x ordering (SCALE.md
+        # "Measuring on a shared/noisy host").
+        out[f"sec_{tag}"] = round(
+            min(
+                _timed(
+                    lambda: pagerank_fixed_point(nodes, edges, n=n).count()
+                )
+                for _ in range(2)
+            ),
+            2,
+        )
+    out["scaling_exponent"] = round(
+        math.log(out["sec_100x"] / out["sec_1x"]) / math.log(100), 2
+    )
+    n = base_n * 10
+    nodes, edges = graph(n, skew=True)
+    out["skew_max_in_degree"] = (
+        edges.groupBy("dst").count().agg(F.max("count")).first()[0]
+    )
+    out["sec_skew_10x"] = round(
+        _timed(lambda: pagerank_fixed_point(nodes, edges, n=n).count()), 2
+    )
+    return out
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -320,6 +393,7 @@ PROBES = {
     "bloom_10x": probe_bloom_10x,
     "epoch_shuffle": probe_epoch_shuffle,
     "ann_10x": probe_ann_10x,
+    "pagerank": probe_pagerank,
 }
 
 

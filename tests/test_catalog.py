@@ -266,3 +266,54 @@ def test_schema_evolution_merge_and_backfill_defaults(spark, tmp_path):
 
     # A positive filter on the evolved column excludes pre-evolution rows.
     assert merged.filter(F.col("quality") >= 0).count() == 10
+
+
+def test_keyset_paging_tiling_property(spark):
+    """Property: for ANY (sort key, direction, page size), keyset pages
+    tile the full sorted result exactly — same multiset of rows, same
+    global order, no drops or duplicates at any boundary. Runs the
+    hypothesis cases against one cached 60-row frame with heavy ties
+    (7 distinct sort values) so nearly every boundary lands in a tie."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from recipes_spark.plans.catalog import page_token
+
+    items = _items(spark, n=60).withColumn(
+        "start_datetime",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64("id"), F.lit(7)) * 60
+        ),
+    ).cache()
+    items.count()
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        key=st.sampled_from(["start_datetime", "collection_id", "id"]),
+        direction=st.sampled_from(["asc", "desc"]),
+        page=st.integers(min_value=1, max_value=70),
+    )
+    def tile(key, direction, page):
+        sortby = [(key, direction)]
+        expect = [
+            r.id
+            for r in catalog_search(items, sortby=sortby, limit=60).collect()
+        ]
+        seen, token = [], None
+        for _ in range(100):
+            rows = catalog_search(
+                items, sortby=sortby, limit=page, page_after=token
+            ).collect()
+            if not rows:
+                break
+            seen.extend(r.id for r in rows)
+            if len(rows) < page:
+                break
+            token = page_token(rows[-1], sortby)
+        assert seen == expect
+
+    tile()

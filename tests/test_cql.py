@@ -423,3 +423,49 @@ def test_sentinel_guard_accepts_column_tuple(geo):
         ),
     )
     assert _ids(geo, pred) == [1]
+
+
+def test_cql_json_fuzz_controlled_errors(spark):
+    """Error-discipline fuzz for the JSON walker, mirroring the text
+    fuzz: for ANY JSON-ish structure the compiler either returns a
+    Column or raises CQLError — never IndexError/KeyError/TypeError/
+    RecursionError. The POST body comes straight off the wire, so the
+    walker's crash class IS its API."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from recipes_spark.plans.cql import CQLError, compile_cql_json
+
+    leaves = st.one_of(
+        st.none(), st.booleans(), st.integers(-5, 5), st.floats(allow_nan=False),
+        st.sampled_from([
+            "click", "2020-01-01", "..", "value", "c%",
+            {"property": "value"}, {"property": "ts"},
+            {"timestamp": "2020-01-01 00:00:00"}, {"timestamp": "garbage"},
+            {"date": "2020-01-01"}, {"interval": ["..", ".."]},
+            {"bbox": [0, 0, 1, 1]}, {"bbox": [1, 2]},
+            {"type": "Point", "coordinates": [0, 0]},
+            {"type": "Polygon", "coordinates": []},
+        ]),
+    )
+    ops = st.sampled_from([
+        "and", "or", "not", "=", "<", ">=", "between", "in", "isNull",
+        "like", "casei", "s_intersects", "t_before", "anyinteracts", "bogus",
+    ])
+    nodes = st.recursive(
+        leaves,
+        lambda kids: st.fixed_dictionaries(
+            {"op": ops, "args": st.lists(kids, max_size=3)}
+        ),
+        max_leaves=8,
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(nodes)
+    def fuzz(node):
+        try:
+            compile_cql_json(node)
+        except CQLError:
+            pass
+
+    fuzz()

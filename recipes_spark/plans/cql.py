@@ -88,6 +88,8 @@ def _validate_instant(s: str, what: str = "instant") -> str:
     row — a user-facing query compiler must fail loudly instead."""
     from datetime import datetime
 
+    if not isinstance(s, str):
+        raise CQLError(f"{what} must be a string, got {s!r}")
     t = s[:-1] + "+00:00" if s.endswith(("Z", "z")) else s
     try:
         datetime.fromisoformat(t.replace(" ", "T", 1) if " " in t else t)
@@ -606,7 +608,7 @@ class _JsonWalker:
         if isinstance(node, dict):
             if "property" in node:
                 return F.col(str(node["property"]))
-            if node.get("op", "").lower() == "casei":
+            if str(node.get("op", "")).lower() == "casei":
                 # Per-spec accessor: folds only its own operand — wrap
                 # BOTH sides for case-blind equality.
                 args = node.get("args", [])
@@ -628,26 +630,32 @@ class _JsonWalker:
     @staticmethod
     def _geom_envelope(g) -> tuple[float, float, float, float]:
         """GeoJSON geometry / {'bbox': […]} → (w, s, e, n) envelope —
-        same conservative-envelope semantics as the text grammar."""
+        same conservative-envelope semantics as the text grammar.
+        Malformed coordinate structures (wrong arity, non-numeric,
+        missing) raise CQLError, never Index/Type/ValueError — the
+        geometry arrives off the wire and the crash class is the API."""
         if not isinstance(g, dict):
             raise CQLError(f"expected geometry object, got {g!r}")
-        if "bbox" in g:
-            box = g["bbox"]
-            if not (isinstance(box, list) and len(box) == 4):
-                raise CQLError("bbox must be [west, south, east, north]")
-            w, s, e, n = (float(v) for v in box)
-            return (w, s, e, n)
-        typ = str(g.get("type", "")).lower()
-        coords = g.get("coordinates")
-        if typ == "point":
-            x, y = float(coords[0]), float(coords[1])
-            return (x, y, x, y)
-        if typ == "polygon":
-            if not coords or not coords[0]:
-                raise CQLError("polygon needs a non-empty exterior ring")
-            xs = [float(p[0]) for p in coords[0]]
-            ys = [float(p[1]) for p in coords[0]]
-            return (min(xs), min(ys), max(xs), max(ys))
+        try:
+            if "bbox" in g:
+                box = g["bbox"]
+                if not (isinstance(box, list) and len(box) == 4):
+                    raise CQLError("bbox must be [west, south, east, north]")
+                w, s, e, n = (float(v) for v in box)
+                return (w, s, e, n)
+            typ = str(g.get("type", "")).lower()
+            coords = g.get("coordinates")
+            if typ == "point":
+                x, y = float(coords[0]), float(coords[1])
+                return (x, y, x, y)
+            if typ == "polygon":
+                if not coords or not coords[0]:
+                    raise CQLError("polygon needs a non-empty exterior ring")
+                xs = [float(p[0]) for p in coords[0]]
+                ys = [float(p[1]) for p in coords[0]]
+                return (min(xs), min(ys), max(xs), max(ys))
+        except (TypeError, ValueError, IndexError, KeyError) as exc:
+            raise CQLError(f"malformed geometry {g!r}: {exc}") from None
         raise CQLError(f"unsupported geometry type: {g.get('type')!r}")
 
     @staticmethod
@@ -658,6 +666,11 @@ class _JsonWalker:
                 if not (isinstance(iv, list) and len(iv) == 2):
                     raise CQLError("interval must be a 2-element list")
                 lo, hi = iv
+                for v in (lo, hi):
+                    if v is not None and not isinstance(v, str):
+                        raise CQLError(
+                            f"interval bounds must be strings, got {v!r}"
+                        )
                 return _expand_bounds(
                     None if lo in ("..", None) else lo,
                     None if hi in ("..", None) else hi,

@@ -442,10 +442,16 @@ def test_cql_json_fuzz_controlled_errors(spark):
             "click", "2020-01-01", "..", "value", "c%",
             {"property": "value"}, {"property": "ts"},
             {"timestamp": "2020-01-01 00:00:00"}, {"timestamp": "garbage"},
+            {"timestamp": 123}, {"date": None},
             {"date": "2020-01-01"}, {"interval": ["..", ".."]},
+            {"interval": [1, 2]}, {"interval": "nope"},
             {"bbox": [0, 0, 1, 1]}, {"bbox": [1, 2]},
+            {"bbox": ["a", "b", "c", "d"]},
             {"type": "Point", "coordinates": [0, 0]},
+            {"type": "Point"}, {"type": "Point", "coordinates": "xy"},
             {"type": "Polygon", "coordinates": []},
+            {"type": "Polygon", "coordinates": ["ring"]},
+            {"op": 7, "args": []},
         ]),
     )
     ops = st.sampled_from([

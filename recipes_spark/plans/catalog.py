@@ -193,6 +193,95 @@ def _keyset_predicate(
     return out
 
 
+def encode_page_token(
+    row, sortby: Sequence[tuple[str, str]] | None = None
+) -> str:
+    """OPAQUE wire token for the next page — the pgstac search-token
+    equivalent (docker-compose.yml:30-44: stac-fastapi hands clients an
+    opaque `token` param, never raw sort values). The effective-sortby
+    key tuple of `row` is JSON-serialized (datetimes/dates tagged and
+    ISO-encoded so they survive the trip) and URL-safe base64 wrapped;
+    clients echo it back verbatim and decode_page_token restores the
+    typed tuple for catalog_search(page_after=…)."""
+    import base64
+    import datetime as _dt
+    import json
+
+    def enc(v):
+        if isinstance(v, _dt.datetime):
+            return {"__ts__": v.isoformat()}
+        if isinstance(v, _dt.date):
+            return {"__d__": v.isoformat()}
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        raise ValueError(f"unsupported token value type: {type(v).__name__}")
+
+    vals = [enc(v) for v in page_token(row, sortby)]
+    return base64.urlsafe_b64encode(
+        json.dumps(vals, separators=(",", ":")).encode()
+    ).decode()
+
+
+def decode_page_token(token: str) -> tuple:
+    """Inverse of encode_page_token. A tampered/garbage token raises
+    ValueError (loudly — a malformed wire token must never silently
+    become a wrong page)."""
+    import base64
+    import datetime as _dt
+    import json
+
+    def dec(v):
+        if isinstance(v, dict):
+            if "__ts__" in v:
+                return _dt.datetime.fromisoformat(v["__ts__"])
+            if "__d__" in v:
+                return _dt.date.fromisoformat(v["__d__"])
+            raise ValueError(f"unknown token tag: {v!r}")
+        return v
+
+    try:
+        vals = json.loads(base64.urlsafe_b64decode(token.encode()))
+    except Exception as exc:
+        raise ValueError(f"malformed page token: {exc}") from None
+    if not isinstance(vals, list):
+        raise ValueError("malformed page token: not a key tuple")
+    return tuple(dec(v) for v in vals)
+
+
+def search_pages(
+    items: DataFrame,
+    *,
+    page_size: int,
+    sortby: Sequence[tuple[str, str]] | None = None,
+    max_pages: int = 10_000,
+    **search,
+):
+    """Iterate a catalog search page by page (the engine-side loop a
+    STAC client's `next` links drive): yields each page's DataFrame
+    plan lazily, advancing the keyset token from the page's last row.
+    Per step only the page's sort-key columns are collected (bounded by
+    page_size — the cursor the client holds anyway); each yielded page
+    is one pruned scan + TakeOrderedAndProject. Raises if the token
+    fails to advance within max_pages (a bug, not a bigger catalog —
+    raise max_pages for genuinely huge walks)."""
+    keys = effective_sortby(sortby)
+    token = None
+    for _ in range(max_pages):
+        page = catalog_search(
+            items, sortby=sortby, limit=page_size, page_after=token, **search
+        )
+        rows = page.select(*[c for c, _ in keys]).collect()
+        if not rows:
+            return
+        yield page
+        if len(rows) < page_size:
+            return
+        token = tuple(rows[-1][c] for c, _ in keys)
+    raise RuntimeError(
+        f"search_pages: token failed to advance within {max_pages} pages"
+    )
+
+
 def catalog_search(
     items: DataFrame,
     *,

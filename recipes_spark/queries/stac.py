@@ -16,7 +16,8 @@ from recipes_spark.io import load
 from recipes_spark.plans.catalog import (
     bbox_intersects,
     catalog_search,
-    page_token,
+    decode_page_token,
+    encode_page_token,
 )
 from recipes_spark.plans.items import build_items
 from recipes_spark.registry import query
@@ -386,9 +387,10 @@ WHERE collection_id IN ('col-1', 'col-2')
 def stac_paged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 keyset paging under NON-id sortby (pgstac search tokens,
     docker-compose.yml:30-44): pages a `(start_datetime desc, id asc)`
-    search with the full sortby-key-tuple token (plans/catalog.py
-    page_token / _keyset_predicate) and returns the CONCATENATION of
-    all pages. The oracle is the UNPAGED filtered set — hash equality
+    search with the full sortby-key-tuple token — carried between pages
+    as the OPAQUE base64 wire token a STAC client echoes back
+    (plans/catalog.py encode_page_token/decode_page_token →
+    _keyset_predicate) — and returns the CONCATENATION of all pages. The oracle is the UNPAGED filtered set — hash equality
     proves the pages tile the result exactly: no row dropped at a page
     boundary (the pre-round-7 id-token bug), none duplicated, ties on
     start_datetime split across pages safely via the id tiebreak.
@@ -412,7 +414,10 @@ def stac_paged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     token = None
     for _ in range(200):  # hard cap: a non-advancing token is a bug
         page = catalog_search(
-            items, limit=page_size, page_after=token, **search
+            items,
+            limit=page_size,
+            page_after=decode_page_token(token) if token else None,
+            **search,
         )
         keys = page.select("start_datetime", "id").collect()
         if not keys:
@@ -420,7 +425,9 @@ def stac_paged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages.append(page.select("id", "collection_id", "start_datetime"))
         if len(keys) < page_size:
             break
-        token = page_token(keys[-1], sortby)
+        # Full wire round trip: typed key tuple → opaque base64 token
+        # (what a STAC client echoes back) → typed tuple.
+        token = encode_page_token(keys[-1], sortby)
     else:
         raise RuntimeError("stac_paged_search: token failed to advance")
     out = pages[0]

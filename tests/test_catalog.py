@@ -317,3 +317,52 @@ def test_keyset_paging_tiling_property(spark):
         assert seen == expect
 
     tile()
+
+
+def test_opaque_token_round_trip(spark):
+    """encode_page_token → (wire) → decode_page_token preserves typed
+    key tuples (timestamps included), and a garbage token fails loudly."""
+    import pytest
+
+    from recipes_spark.plans.catalog import (
+        decode_page_token,
+        encode_page_token,
+        page_token,
+    )
+
+    items = _items(spark).cache()
+    sortby = [("start_datetime", "desc")]
+    last = catalog_search(items, sortby=sortby, limit=5).collect()[-1]
+    tok = encode_page_token(last, sortby)
+    assert isinstance(tok, str) and tok.isascii()
+    assert decode_page_token(tok) == page_token(last, sortby)
+    # Paging with the decoded wire token == paging with the raw tuple.
+    via_wire = catalog_search(
+        items, sortby=sortby, limit=5, page_after=decode_page_token(tok)
+    ).collect()
+    direct = catalog_search(
+        items, sortby=sortby, limit=5, page_after=page_token(last, sortby)
+    ).collect()
+    assert via_wire == direct and via_wire
+    for garbage in ("notbase64!!", "eyJ4Ijog", "AAAA"):
+        with pytest.raises(ValueError):
+            decode_page_token(garbage)
+
+
+def test_search_pages_iterator(spark):
+    """search_pages yields page plans that tile the full result and
+    stops cleanly on the short final page."""
+    from recipes_spark.plans.catalog import search_pages
+
+    items = _items(spark).cache()
+    sortby = [("start_datetime", "desc")]
+    expect = [
+        r.id for r in catalog_search(items, sortby=sortby, limit=50).collect()
+    ]
+    seen = []
+    n_pages = 0
+    for page in search_pages(items, page_size=12, sortby=sortby):
+        seen.extend(r.id for r in page.collect())
+        n_pages += 1
+    assert seen == expect
+    assert n_pages == 5  # 50 rows / 12 → 4 full pages + short page of 2

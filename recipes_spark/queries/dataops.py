@@ -1158,6 +1158,105 @@ def x2_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_span_scrub",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), occ AS (
+  SELECT doc_id, u.i AS i, u.gram AS gram FROM (
+    SELECT doc_id,
+           unnest([{'i': i, 'gram': array_to_string(w[i:i+7], ' ')}
+                   FOR i IN range(1, len(w) - 6)]) AS u
+    FROM t WHERE len(w) >= 8
+  )
+), dup AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM occ)
+  GROUP BY gram HAVING count(*) >= 2
+), starts AS (
+  SELECT o.doc_id, list_sort(list(DISTINCT o.i)) AS ss
+  FROM occ o JOIN dup d USING (gram)
+  GROUP BY o.doc_id
+), scrub AS (
+  SELECT t.doc_id, t.w,
+         CASE WHEN s.ss IS NULL THEN t.w
+              ELSE [t.w[j] FOR j IN range(1, len(t.w) + 1)
+                    IF len(list_filter(s.ss,
+                           x -> x <= j AND j <= x + 7)) = 0]
+         END AS kept
+  FROM t LEFT JOIN starts s USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS text_scrubbed,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_removed
+FROM scrub
+""",
+)
+def x2_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL — the transform stage of exact substring
+    dedup (Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better"; dolma/BigCode span scrubbing): every token covered
+    by an 8-word shingle that occurs in ≥2 distinct documents is
+    dropped, and the surviving tokens are reassembled in order. Returns
+    the cleaned corpus (doc_id, text_scrubbed) plus kept/removed
+    counts — x2_dup_ngram_spans DETECTS the spans; this query applies
+    them.
+
+    100 TB: identical shuffle diet to the detector — shingle assembly
+    is row-local, the duplicate-set shuffle carries (gram, doc) after a
+    map-side distinct, and the only new exchange ships each doc's
+    duplicated START POSITIONS back (a short int array, never text).
+    The rewrite itself is a per-row higher-order function: position
+    filter + concat, zero additional shuffle. For real corpora hash the
+    gram to 64-bit before the shuffle (text kept here so the oracle
+    replays it)."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    # 1-based start positions, mirroring the oracle's range(1, len-6)
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 7),
+        lambda i: F.struct(
+            i.alias("i"), F.concat_ws(" ", F.slice("w", i, 8)).alias("gram")
+        ),
+    )
+    occ = (
+        words.filter(F.size("w") >= 8)
+        .select("doc_id", F.explode(gram_structs).alias("g"))
+        .select("doc_id", "g.i", "g.gram")
+    )
+    dup = (
+        occ.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    starts = occ.join(dup, "gram").groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("i")).alias("ss")
+    )
+    # Token at 1-based position j survives iff no duplicated span start
+    # s covers it (s <= j <= s+7). F.filter's index is 0-based.
+    kept = F.filter(
+        "w",
+        lambda tok, j: ~F.exists(
+            "ss", lambda s: (s <= j + 1) & (j + 1 <= s + 7)
+        ),
+    )
+    return (
+        words.join(starts, "doc_id", "left")
+        .withColumn("ss", F.coalesce("ss", F.expr("CAST(array() AS array<int>)")))
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "kept").alias("text_scrubbed"),
+            F.size("kept").cast("long").alias("n_kept"),
+            (F.size("w") - F.size("kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
+@query(
     "x3_semantic_dedup",
     oracle="""
 WITH RECURSIVE e AS (

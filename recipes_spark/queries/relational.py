@@ -350,6 +350,53 @@ def join_bucketed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY segment
+""",
+)
+def join_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted equi-join (SURVEY §2 scale notes): the
+    fact side's hot keys are spread over 8 salt sub-partitions
+    (operators/skew.py salted_join — deterministic event_id-seeded
+    salt; the dim side explodes into 8 copies, one per salt value), so
+    a power-law key can't produce a straggler task. shuffle_hash hint
+    on the dim keeps the demonstration on the shuffle path salting
+    exists for (AQE handles sort-merge skew; salting covers the
+    broadcast-ineligible hot-key dim join at 100 TB). Result is
+    bit-identical to the plain join — the oracle IS the unsalted SQL.
+    Integer-exact aggregates (count / distinct / per-row floor) so the
+    compare is FP-order-free."""
+    from recipes_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(
+        ev, cust, fact_key="user_id", dim_key="c_custkey",
+        salt=8, unique_col="event_id",
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.floor("value").cast("long")).alias("sum_floor_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
     "join_asof",
     oracle="""
 WITH clicks AS (

@@ -22,6 +22,10 @@ Probes:
   epoch_shuffle   the x6_epoch_shuffle plan shape at 1x and 10x corpus:
                   wall times + the scaling exponent
                   log(t10/t1)/log(10) (1.0 = linear).
+  skew_join       hot-key join (50% of fact rows on ONE key) under
+                  sort-merge+AQE vs shuffled-hash unsalted vs 8-way
+                  salted_join — all three legs must agree on the
+                  answer; wall times show where salting pays.
 """
 
 from __future__ import annotations
@@ -381,6 +385,61 @@ def probe_pagerank(spark: SparkSession) -> dict:
     return out
 
 
+def probe_skew_join(
+    spark: SparkSession, n: int = 16_000_000, k: int = 100_000
+) -> dict:
+    """Hot-key join under the three physical strategies the 100 TB
+    design names (operators/skew.py docstring): sort-merge + AQE (AQE's
+    skew splitter owns this case), shuffled-hash UNSALTED (the
+    straggler case AQE cannot split — one task probes the whole hot
+    key), and shuffled-hash SALTED 8-way (the engine's salted_join).
+    Fact: n rows, 50% on ONE key, rest uniform over k keys; dim: k
+    rows. All three legs must agree on count and payload sum — the
+    probe is a correctness check as well as a wall-time comparison."""
+    from recipes_spark.operators.skew import salted_join
+
+    fact = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(0).cast("long"))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(k)))
+        .alias("key"),
+    )
+    dim = spark.range(k).select(
+        F.col("id").alias("dkey"), (F.col("id") % 997).alias("payload")
+    )
+
+    def run(df) -> tuple[int, int]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+        ).collect()[0]
+        return r["n"], r["s"]
+
+    legs = {
+        "smj_aqe": fact.join(dim.hint("merge"), fact.key == dim.dkey),
+        "shuffle_hash_unsalted": fact.join(
+            dim.hint("shuffle_hash"), fact.key == dim.dkey
+        ),
+        "shuffle_hash_salted8": salted_join(
+            fact, dim.hint("shuffle_hash"), fact_key="key", dim_key="dkey",
+            salt=8, unique_col="row_id",
+        ),
+    }
+    answers = {name: run(df) for name, df in legs.items()}  # warm + verify
+    assert len(set(answers.values())) == 1, f"legs disagree: {answers}"
+    times = {
+        name: round(min(_timed(lambda d=df: run(d)) for _ in range(3)), 2)
+        for name, df in legs.items()
+    }
+    return {
+        "probe": "skew_join",
+        "n_fact": n,
+        "n_dim": k,
+        "hot_share": 0.5,
+        "rows_joined": answers["smj_aqe"][0],
+        "wall_s": times,
+    }
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -394,6 +453,7 @@ PROBES = {
     "epoch_shuffle": probe_epoch_shuffle,
     "ann_10x": probe_ann_10x,
     "pagerank": probe_pagerank,
+    "skew_join": probe_skew_join,
 }
 
 

@@ -232,12 +232,23 @@ def decode_page_token(token: str) -> tuple:
 
     def dec(v):
         if isinstance(v, dict):
+            # Tag values MUST be ISO strings: fromisoformat(123) raises
+            # TypeError, which would escape the ValueError contract for
+            # a wire-crafted token like [{"__ts__": 123}].
             if "__ts__" in v:
+                if not isinstance(v["__ts__"], str):
+                    raise ValueError(f"bad __ts__ token value: {v!r}")
                 return _dt.datetime.fromisoformat(v["__ts__"])
             if "__d__" in v:
+                if not isinstance(v["__d__"], str):
+                    raise ValueError(f"bad __d__ token value: {v!r}")
                 return _dt.date.fromisoformat(v["__d__"])
             raise ValueError(f"unknown token tag: {v!r}")
-        return v
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        # Nested lists etc. never come from encode_page_token — reject
+        # instead of letting them flow into the keyset predicate.
+        raise ValueError(f"bad token value type: {type(v).__name__}")
 
     try:
         vals = json.loads(base64.urlsafe_b64decode(token.encode()))

@@ -349,6 +349,52 @@ def test_opaque_token_round_trip(spark):
             decode_page_token(garbage)
 
 
+def test_decode_page_token_crash_class():
+    """Error-discipline fuzz for the wire-token decoder: a client can
+    send ANY string (including valid base64 of hostile JSON — e.g.
+    [{"__ts__": 123}] would have hit fromisoformat(123) → TypeError).
+    The contract is tuple-or-ValueError, never TypeError/KeyError/
+    AttributeError."""
+    import base64
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from recipes_spark.plans.catalog import decode_page_token
+
+    hostile_json = st.recursive(
+        st.one_of(
+            st.none(), st.booleans(), st.integers(), st.floats(allow_nan=False),
+            st.text(max_size=20),
+            st.sampled_from([
+                {"__ts__": 123}, {"__ts__": None}, {"__ts__": "2020-01-01"},
+                {"__ts__": "junk"}, {"__d__": 5}, {"__d__": "2020-01-01"},
+                {"other": 1}, {},
+            ]),
+        ),
+        lambda inner: st.lists(inner, max_size=4),
+        max_leaves=8,
+    )
+    tokens = st.one_of(
+        st.text(max_size=40),
+        hostile_json.map(
+            lambda v: base64.urlsafe_b64encode(json.dumps(v).encode()).decode()
+        ),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(tok=tokens)
+    def run(tok):
+        try:
+            out = decode_page_token(tok)
+            assert isinstance(out, tuple)
+        except ValueError:
+            pass
+
+    run()
+
+
 def test_search_pages_iterator(spark):
     """search_pages yields page plans that tile the full result and
     stops cleanly on the short final page."""

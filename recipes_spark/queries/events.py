@@ -113,6 +113,66 @@ def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t4_session_dynamic_gap",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         ts + CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+                   ELSE INTERVAL 30 MINUTE END AS ev_end
+  FROM events
+), marked AS (
+  SELECT user_id, ts, ev_end,
+         CASE WHEN max(ev_end) OVER prev IS NULL
+                OR ts >= max(ev_end) OVER prev
+              THEN 1 ELSE 0 END AS new_session
+  FROM g
+  WINDOW prev AS (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), numbered AS (
+  SELECT user_id, ts, ev_end,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ev_end) AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
+def t4_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 extension: session_window with a DYNAMIC per-event gap (a
+    column expression — errors time out after 10 minutes, everything
+    else after 30). Each event contributes a half-open window
+    [ts, ts+gap(event)); overlapping windows merge into one session,
+    so the plain lag-gap oracle is WRONG here (a long-gap event can
+    bridge past a short-gap one) — the oracle is the running-max form:
+    new session when ts >= max over all PRIOR events of (ts + gap),
+    session end = max event end.
+
+    100 TB: same single hash-shuffle on user_id as fixed-gap sessions;
+    the merge is per-key local. Dynamic gaps are the production shape
+    for mixed-activity sessionization (short timeouts for error
+    bursts, long for browsing)."""
+    ev = load(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "gap_detect",
     oracle="""
 WITH g AS (

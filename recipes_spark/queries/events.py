@@ -112,9 +112,10 @@ def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "t4_session_dynamic_gap",
-    oracle="""
+#: Running-max gaps-and-islands derivation of DYNAMIC-gap sessions —
+#: shared by the batch t4_session_dynamic_gap and streaming
+#: st15_session_dynamic_stream oracles.
+DYNAMIC_SESSION_ORACLE = """
 WITH g AS (
   SELECT user_id, ts,
          ts + CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
@@ -140,8 +141,30 @@ SELECT user_id,
        count(*) AS n_events
 FROM numbered
 GROUP BY user_id, sid
-""",
-)
+"""
+
+
+def dynamic_gap_session_agg(ev: DataFrame) -> DataFrame:
+    """The dynamic-gap session aggregation as a plain DF→DF function —
+    shared by the batch query below and the streaming twin
+    (streaming/queries.py st15), so both run the identical expression
+    tree."""
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("t4_session_dynamic_gap", oracle=DYNAMIC_SESSION_ORACLE)
 def t4_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 extension: session_window with a DYNAMIC per-event gap (a
     column expression — errors time out after 10 minutes, everything
@@ -156,20 +179,7 @@ def t4_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge is per-key local. Dynamic gaps are the production shape
     for mixed-activity sessionization (short timeouts for error
     bursts, long for browsing)."""
-    ev = load(spark, sf_dir, "events")
-    gap = F.when(
-        F.col("event_type") == "error", F.lit("10 minutes")
-    ).otherwise(F.lit("30 minutes"))
-    return (
-        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
-    )
+    return dynamic_gap_session_agg(load(spark, sf_dir, "events"))
 
 
 @query(

@@ -17,7 +17,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from recipes_spark.io import load
+from recipes_spark.queries.events import (
+    DYNAMIC_SESSION_ORACLE as _DYNAMIC_SESSION_ORACLE,
+)
 from recipes_spark.queries.events import SESSION_ORACLE as _SESSION_ORACLE
+from recipes_spark.queries.events import dynamic_gap_session_agg
 from recipes_spark.registry import query
 from recipes_spark.streaming.core import run_to_memory, stream_events
 
@@ -205,6 +209,20 @@ def st4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_agg(stream_events(spark, sf_dir)),
         output_mode="complete",
         name_hint="st4",
+    )
+
+
+@query("st15_session_dynamic_stream", oracle=_DYNAMIC_SESSION_ORACLE)
+def st15_session_dynamic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 streaming, dynamic per-event gap: the SAME expression tree as
+    the batch t4_session_dynamic_gap (events.dynamic_gap_session_agg —
+    errors time out after 10 minutes, everything else 30) under
+    Structured Streaming, COMPLETE mode so trailing sessions emit at
+    availableNow termination. Shares the running-max gaps-and-islands
+    oracle with the batch twin."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    return run_to_memory(
+        dynamic_gap_session_agg(ev), output_mode="complete", name_hint="st15"
     )
 
 

@@ -1695,6 +1695,88 @@ def pagerank_fixed_point(
 
 
 @query(
+    "x7_triangle_count",
+    oracle="""
+WITH ids AS (
+  SELECT doc_id, (SELECT count(*) FROM documents) AS n FROM documents
+), raw AS (
+  SELECT doc_id AS u, (doc_id + 1) % n AS v FROM ids
+  UNION ALL SELECT doc_id, (doc_id + 2) % n FROM ids
+  UNION ALL SELECT doc_id, (doc_id*doc_id + 1) % n FROM ids
+  UNION ALL SELECT doc_id, (doc_id*7 + 1) % n FROM ids
+), e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node
+ORDER BY n_triangles DESC, node
+LIMIT 50
+""",
+)
+def x7_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts, top 50 — the third graph primitive
+    next to connected components (x2_dedup_groups) and PageRank: the
+    local clustering signal entity-resolution and community detection
+    build on. Deterministic graph over doc ids (ring + chord + two
+    arithmetic families, same style as x7_pagerank's edges).
+
+    The count uses the DAG orientation trick: every undirected edge is
+    stored once as (a < b), and a triangle is found exactly once as
+    e1=(a,b), e2=(b,c), e3=(a,c) with a<b<c — two equi-joins, no
+    double counting, no post-dedup. At 100 TB orient by (degree, id)
+    instead of id so hubs get LOW out-degree in the DAG and the join
+    fan-out per vertex is bounded (the standard compact-forward
+    refinement); the join/agg shape is identical. Spark reuses the
+    exchanged edge relation across the three join legs
+    (ReuseExchange), so the edge set shuffles once."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    u = F.col("doc_id")
+    fams = [
+        (u + 1) % n, (u + 2) % n, (u * u + 1) % n, (u * 7 + 1) % n,
+    ]
+    raw = None
+    for fam in fams:
+        part = d.select(u.alias("u"), fam.cast("long").alias("v"))
+        raw = part if raw is None else raw.unionByName(part)
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(50)
+    )
+
+
+@query(
     "x7_pagerank",
     oracle="""
 WITH RECURSIVE params AS (

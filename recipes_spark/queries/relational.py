@@ -619,6 +619,93 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_corr_regression",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS qx,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS py
+  FROM lineitem
+), s AS (
+  SELECT flag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qx) AS DOUBLE) AS sx,
+         CAST(sum(py) AS DOUBLE) AS sy,
+         CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+         CAST(sum(py * py) AS DOUBLE) AS syy,
+         CAST(sum(qx * py) AS DOUBLE) AS sxy
+  FROM b GROUP BY flag
+), m AS (
+  SELECT flag, n, sx, sy,
+         (n * sxy - sx * sy) AS cov_n,
+         (n * sxx - sx * sx) AS varx_n,
+         (n * syy - sy * sy) AS vary_n
+  FROM s
+)
+SELECT flag, n,
+       CAST(floor(1000000.0 * cov_n / sqrt(varx_n * vary_n)) AS BIGINT)
+         AS corr_micro,
+       CAST(floor(1000000.0 * cov_n / varx_n) AS BIGINT)
+         AS slope_micro,
+       CAST(floor(1000000.0 * (sy - (cov_n / varx_n) * sx) / n) AS BIGINT)
+         AS intercept_micro
+FROM m
+ORDER BY flag
+""",
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard statistical aggregates — CORR / REGR_SLOPE /
+    REGR_INTERCEPT per group — made CROSS-ENGINE EXACT, which the
+    built-ins cannot be (both engines stream co-moments in partition
+    order; float corr() differs run to run). The trick extends the
+    repo's integer-exact discipline to second moments: inputs become
+    integers (quantity; price in cents), the five co-moment sums are
+    EXACT big integers (Spark decimal(38,0) — sum(py²) overflows
+    int64 at sf0.1 — DuckDB HUGEINT), and only then does one
+    fixed-shape scalar expression cast them to double, so both engines
+    round the same exact integers and compute bit-identical doubles;
+    outputs are floor-scaled micro-units.
+
+    100 TB: one map-side-combining hash agg on integer/decimal sums —
+    the same single-shuffle shape as any groupBy sum; the statistics
+    are O(groups) driver-free scalar math."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("qx"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("py"),
+    )
+    dec = "decimal(38,0)"
+    s = b.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").cast("double").alias("sx"),
+        F.sum("py").cast("double").alias("sy"),
+        F.sum((F.col("qx") * F.col("qx")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("py") * F.col("py")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("qx") * F.col("py")).cast(dec)).cast("double").alias("sxy"),
+    )
+    m = s.select(
+        "flag", "n", "sx", "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx_n"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary_n"),
+    )
+    micro = F.lit(1000000.0)
+    return m.select(
+        "flag", "n",
+        F.floor(
+            micro * F.col("cov_n") / F.sqrt(F.col("varx_n") * F.col("vary_n"))
+        ).alias("corr_micro"),
+        F.floor(micro * F.col("cov_n") / F.col("varx_n")).alias("slope_micro"),
+        F.floor(
+            micro
+            * (F.col("sy") - (F.col("cov_n") / F.col("varx_n")) * F.col("sx"))
+            / F.col("n")
+        ).alias("intercept_micro"),
+    ).orderBy("flag")
+
+
 # ---------------------------------------------------------------------------
 # Window suite (§2.5).
 # ---------------------------------------------------------------------------

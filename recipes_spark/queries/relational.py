@@ -1109,3 +1109,59 @@ def scalar_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.left("text", F.lit(4)).alias("l4"),
         F.right("text", F.lit(4)).alias("r4"),
     )
+
+
+@query(
+    "scalar_array_hof",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(w, t -> len(t) >= 6)) AS BIGINT) AS n_long,
+       CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT)
+         AS total_chars,
+       list_max(w) AS top_token,
+       array_to_string(list_sort(w)[1:3], ' ') AS first3_sorted,
+       CAST(len(list_filter(range(1, len(w) + 1),
+                            j -> w[j] = w[len(w) + 1 - j])) AS BIGINT)
+         AS n_mirror
+FROM t
+""",
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array higher-order-function suite (§2.8 extension):
+    transform / filter / aggregate / array_sort / slice / array_max
+    plus an index-lambda mirror-position count — the per-row
+    collection toolkit (token stats, sorted prefixes, palindromic
+    positions) mirrored 1:1 against DuckDB's list_* lambdas. Every
+    expression is Catalyst HOF (JVM, no Python): at 100 TB this whole
+    suite is a single scan projection with zero shuffles.
+    F.filter's index lambda is 0-based vs the oracle's 1-based
+    range — both sides compare w[j] against its mirror position."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    return t.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size(F.filter("w", lambda tok: F.length(tok) >= 6))
+        .cast("long")
+        .alias("n_long"),
+        F.aggregate(
+            "w", F.lit(0).cast("long"), lambda acc, tok: acc + F.length(tok)
+        ).alias("total_chars"),
+        F.array_max("w").alias("top_token"),
+        F.concat_ws(" ", F.slice(F.array_sort("w"), 1, 3)).alias(
+            "first3_sorted"
+        ),
+        F.size(
+            F.filter(
+                "w",
+                lambda tok, j: tok
+                == F.element_at(F.col("w"), F.size("w") - j),
+            )
+        )
+        .cast("long")
+        .alias("n_mirror"),
+    )

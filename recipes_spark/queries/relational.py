@@ -706,6 +706,78 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("flag")
 
 
+@query(
+    "agg_chisquare_ab",
+    oracle="""
+WITH e AS (
+  SELECT c_mktsegment AS segment,
+         user_id % 2 AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+  FROM events ev JOIN customer c ON ev.user_id = c.c_custkey
+), counts AS (
+  SELECT segment,
+         CAST(count_if(variant = 0 AND hit = 1) AS BIGINT) AS a,
+         CAST(count_if(variant = 0 AND hit = 0) AS BIGINT) AS b,
+         CAST(count_if(variant = 1 AND hit = 1) AS BIGINT) AS c,
+         CAST(count_if(variant = 1 AND hit = 0) AS BIGINT) AS d
+  FROM e GROUP BY segment
+), m AS (
+  SELECT segment, a, b, c, d,
+         CAST(a AS DOUBLE) AS fa, CAST(b AS DOUBLE) AS fb,
+         CAST(c AS DOUBLE) AS fc, CAST(d AS DOUBLE) AS fd
+  FROM counts
+)
+SELECT segment, a, b, c, d,
+       CAST(floor(1000000.0
+         * ((fa + fb + fc + fd) * (fa * fd - fb * fc) * (fa * fd - fb * fc))
+         / ((fa + fb) * (fc + fd) * (fa + fc) * (fb + fd))) AS BIGINT)
+         AS chi2_micro
+FROM m
+ORDER BY segment
+""",
+)
+def agg_chisquare_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment analysis: 2x2 chi-square statistic per segment
+    (variant = user_id parity, outcome = purchase), CROSS-ENGINE EXACT
+    via the same discipline as agg_corr_regression — the contingency
+    cells are exact integers from one conditional-count hash agg, and
+    the statistic N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) is one
+    fixed-shape double expression over them (integer chi-square
+    numerators pass 1e19 at sf0.1, so the scalar stage is double),
+    emitted as floor-scaled micro-units.
+
+    100 TB: the dimension join broadcasts, the contingency table is
+    one map-side-combining agg (4 count_ifs), and the statistic is
+    O(groups) scalar math — the experiment-readout query at any
+    scale."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    e = ev.join(F.broadcast(cust), "user_id").select(
+        "segment",
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+    )
+    counts = e.groupBy("segment").agg(
+        F.count_if((F.col("variant") == 0) & (F.col("hit") == 1)).alias("a"),
+        F.count_if((F.col("variant") == 0) & (F.col("hit") == 0)).alias("b"),
+        F.count_if((F.col("variant") == 1) & (F.col("hit") == 1)).alias("c"),
+        F.count_if((F.col("variant") == 1) & (F.col("hit") == 0)).alias("d"),
+    )
+    fa, fb, fc, fd = [
+        F.col(x).cast("double") for x in ("a", "b", "c", "d")
+    ]
+    chi2 = (
+        (fa + fb + fc + fd) * (fa * fd - fb * fc) * (fa * fd - fb * fc)
+    ) / ((fa + fb) * (fc + fd) * (fa + fc) * (fb + fd))
+    return counts.select(
+        "segment", "a", "b", "c", "d",
+        F.floor(F.lit(1000000.0) * chi2).alias("chi2_micro"),
+    ).orderBy("segment")
+
+
 # ---------------------------------------------------------------------------
 # Window suite (§2.5).
 # ---------------------------------------------------------------------------

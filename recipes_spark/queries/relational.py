@@ -707,6 +707,57 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_bitmap_merge",
+    oracle="""
+WITH h AS (
+  SELECT lang,
+         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 63 AS pos
+  FROM documents
+)
+SELECT lang,
+       bit_or(1::BIGINT << pos)  AS member_bitmap,
+       bit_and(1::BIGINT << pos) AS common_bitmap,
+       bit_xor(1::BIGINT << pos) AS parity_bitmap,
+       CAST(count(DISTINCT pos) AS BIGINT) AS n_positions
+FROM h
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def agg_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates as BITMAP MERGE — the algebra under the bloom
+    filter (operators/dedup.py): each doc sets one bit of a 63-bit word
+    (portable sha-slice position; the sign bit stays clear — DuckDB
+    raises on BIGINT 1<<63 where Spark would wrap silently), and bit_or/bit_and/bit_xor fold the
+    words per group. bit_or IS the bloom-bitmap union (associative,
+    commutative, map-side combinable — why sketch state merges for free
+    at 100 TB); xor gives per-position insert parity. Exact integers,
+    mirrored 1:1 in DuckDB."""
+    d = load(spark, sf_dir, "documents")
+    pos = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("long") % 63
+    )
+    return (
+        d.select("lang", pos.alias("pos"))
+        # F.shiftleft only takes a literal bit count — the per-row
+        # shift needs the SQL form.
+        .withColumn(
+            "word", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")
+        )
+        .groupBy("lang")
+        .agg(
+            F.bit_or("word").alias("member_bitmap"),
+            F.bit_and("word").alias("common_bitmap"),
+            F.bit_xor("word").alias("parity_bitmap"),
+            F.countDistinct("pos").alias("n_positions"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "agg_chisquare_ab",
     oracle="""
 WITH e AS (

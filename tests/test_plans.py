@@ -367,6 +367,30 @@ def test_temperature_sample_broadcasts_thresholds(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_salted_join_stays_on_shuffle_hash_path(spark, sf_dir):
+    """join_salted: the whole point is the broadcast-INELIGIBLE
+    shuffled-hash regime (SCALE.md skew_join probe) — the salted join
+    itself must compile to a ShuffledHashJoin on (key, salt), not get
+    silently broadcast (which would make the salt dead weight and the
+    demonstration vacuous)."""
+    plan = _plan(spark, sf_dir, "join_salted")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "__salt" in plan
+
+
+def test_triangle_count_reuses_edge_exchange(spark, sf_dir):
+    """x7_triangle_count: the distinct edge set feeds three join legs —
+    the exchange must be computed once and reused (ReusedExchange /
+    ReusedShuffle markers), not rebuilt per leg; and the DAG
+    orientation means no CartesianProduct anywhere. Reuse only shows in
+    the AQE-FINAL plan, so execute before inspecting."""
+    df = QUERIES["x7_triangle_count"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_headline_plan_fingerprints_locked(spark):
     """Plan-REGRESSION lock: wall time on a shared host swings 2×
     (SCALE.md), so timing diffs are weak signal — but a physical-plan

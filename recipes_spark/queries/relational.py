@@ -707,6 +707,67 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_map_ops",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(lang) AS BIGINT) AS lang_len
+  FROM documents
+), k AS (
+  SELECT doc_id, n_chars, n_tokens, lang_len,
+         CAST(2 + CASE WHEN n_tokens >= 60 THEN 1 ELSE 0 END AS INT)
+           AS n_keys
+  FROM t
+)
+SELECT doc_id, n_keys, 'chars' AS key,
+       CAST(n_chars * 2 AS BIGINT) AS value
+FROM k
+UNION ALL
+SELECT doc_id, n_keys, 'tokens', n_tokens * 2
+FROM k WHERE n_tokens >= 60
+UNION ALL
+SELECT doc_id, n_keys, 'lang_len', lang_len
+FROM k
+""",
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface (§2.8 extension — the typed-metadata shape the
+    multimodal columns carry): map_from_arrays → key-dependent
+    map_filter (tokens kept only when ≥ 60 — 225/500 docs at sf0.01,
+    so the lambda genuinely bites) → transform_values (double every
+    value) → map_concat with a second map → size + explode back to
+    rows. All Catalyst map expressions (no Python); the oracle derives
+    the identical (doc_id, key, value) rows relationally, so the
+    semantics — not just the shape — are attested. Output is exploded
+    BECAUSE the driver canonicalizer cannot hash a top-level map cell
+    (the r4 lesson driver_canonicalize pins)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.col("n_chars").alias("nc"),
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+        F.length("lang").cast("long").alias("ll"),
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("chars"), F.lit("tokens")),
+        F.array(F.col("nc").cast("long"), F.col("nt")),
+    )
+    filt = F.map_filter(m, lambda k, v: (k != F.lit("tokens")) | (v >= 60))
+    doubled = F.transform_values(filt, lambda k, v: v * 2)
+    mc = F.map_concat(doubled, F.create_map(F.lit("lang_len"), F.col("ll")))
+    return (
+        t.select("doc_id", mc.alias("m"))
+        .select(
+            "doc_id",
+            F.size("m").alias("n_keys"),
+            F.explode("m").alias("key", "value"),
+        )
+    )
+
+
+@query(
     "agg_bitmap_merge",
     oracle="""
 WITH h AS (

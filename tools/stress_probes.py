@@ -26,6 +26,10 @@ Probes:
                   sort-merge+AQE vs shuffled-hash unsalted vs 8-way
                   salted_join — all three legs must agree on the
                   answer; wall times show where salting pays.
+  zorder_pruning  the SAME rows written random vs z-ordered, a 2-D
+                  selective predicate checked against every parquet
+                  footer (files an engine could skip) and timed as a
+                  real filtered scan on both layouts.
 """
 
 from __future__ import annotations
@@ -440,6 +444,87 @@ def probe_skew_join(
     }
 
 
+def probe_zorder_pruning(spark: SparkSession, n_files: int = 32) -> dict:
+    """Data-skipping payoff of the z-order layout (x6_zorder_layout
+    computes the assignment; this measures what it BUYS): events
+    written to n_files twice — hash-random vs repartitionByRange on
+    the Morton value — then a 2-D selective predicate
+    (vq BETWEEN 10 AND 14 AND hq = 7) is checked against every file's
+    parquet footer min/max (the skip decision an engine makes) and
+    timed as an actual filtered scan on both layouts. Both layouts
+    must return the same row count."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from recipes_spark.io import load
+
+    ev = load(spark, SF_DIR, "events")
+    vq = F.least(F.lit(255), F.floor(F.col("value") / 2)).cast("long")
+    hq = F.hour("ts").cast("long")
+    q = ev.select(vq.alias("vq"), hq.alias("hq"), "event_id", "value")
+    zval = None
+    for i in range(8):
+        v_bit = F.shiftleft(
+            F.shiftright(F.col("vq"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        h_bit = F.shiftleft(
+            F.shiftright(F.col("hq"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        term = v_bit + h_bit
+        zval = term if zval is None else zval + term
+    q = q.withColumn("zval", zval)
+
+    root = tempfile.mkdtemp(prefix="recipes_zorder_probe_")
+    paths = {"random": f"{root}/random", "zorder": f"{root}/zorder"}
+    q.repartition(n_files).drop("zval").write.parquet(paths["random"])
+    q.repartitionByRange(n_files, "zval").drop("zval").write.parquet(
+        paths["zorder"]
+    )
+
+    def prunable(path: str) -> tuple[int, int]:
+        kept = total = 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = _pq.ParquetFile(f).metadata
+            names = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            lo_v = hi_v = lo_h = hi_h = None
+            for rg in range(md.num_row_groups):
+                sv = md.row_group(rg).column(names["vq"]).statistics
+                sh = md.row_group(rg).column(names["hq"]).statistics
+                lo_v = sv.min if lo_v is None else min(lo_v, sv.min)
+                hi_v = sv.max if hi_v is None else max(hi_v, sv.max)
+                lo_h = sh.min if lo_h is None else min(lo_h, sh.min)
+                hi_h = sh.max if hi_h is None else max(hi_h, sh.max)
+            total += 1
+            # file must be READ iff [lo,hi] intersects the predicate
+            if not (hi_v < 10 or lo_v > 14 or hi_h < 7 or lo_h > 7):
+                kept += 1
+        return kept, total
+
+    stats: dict = {"probe": "zorder_pruning", "n_files": n_files}
+    counts = {}
+    for name, path in paths.items():
+        kept, total = prunable(path)
+        df = spark.read.parquet(path).filter(
+            "vq BETWEEN 10 AND 14 AND hq = 7"
+        )
+        counts[name] = df.count()
+        wall = min(_timed(df.count) for _ in range(3))
+        stats[name] = {
+            "files_scanned": kept,
+            "files_total": total,
+            "wall_s": round(wall, 3),
+        }
+    assert counts["random"] == counts["zorder"], counts
+    stats["rows_selected"] = counts["zorder"]
+    shutil.rmtree(root, ignore_errors=True)
+    return stats
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -454,6 +539,7 @@ PROBES = {
     "ann_10x": probe_ann_10x,
     "pagerank": probe_pagerank,
     "skew_join": probe_skew_join,
+    "zorder_pruning": probe_zorder_pruning,
 }
 
 

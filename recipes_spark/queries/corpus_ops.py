@@ -1153,6 +1153,48 @@ def x4_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSONL_MAX_AGE_S = 6 * 3600
 
 
+def _scratch_dir(kind: str, sf_dir: str) -> str:
+    """STABLE scratch dir per (kind, process, source dir) with
+    dead-owner reaping — shared by the export/re-ingest round-trip
+    queries (jsonl, csv). Not mkdtemp-per-call: returned DataFrames
+    are lazy, so written shards must outlive the building function,
+    and a per-call dir would leave one corpus copy per run. The pid in
+    the tag keeps CONCURRENT runs from clobbering each other's shards;
+    dead owners' dirs are reaped first (a dead pid cannot hold a lazy
+    plan), and dir AGE is the backstop for recycled pids: any dir
+    older than _JSONL_MAX_AGE_S goes regardless of the kill(0) probe —
+    no legitimate lazy plan survives that long."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    base = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    tmp = tempfile.gettempdir()
+    prefix = f"recipes_{kind}_{base}_"
+    for entry in os.listdir(tmp):
+        if not entry.startswith(prefix):
+            continue
+        full = os.path.join(tmp, entry)
+        try:
+            expired = time.time() - os.stat(full).st_mtime > _JSONL_MAX_AGE_S
+        except OSError:
+            expired = False  # raced with another reaper — already gone
+        if expired:
+            shutil.rmtree(full, ignore_errors=True)
+            continue
+        try:
+            owner = int(entry.rsplit("_", 1)[1])
+            os.kill(owner, 0)  # raises if the owning process is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(full, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — age bound covers it
+    return os.path.join(tmp, f"{prefix}{os.getpid()}")
+
+
+
 @query(
     "x6_jsonl_roundtrip",
     oracle="""
@@ -1182,52 +1224,12 @@ def x6_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per task, zero shuffle); the read-back is a schema'd json scan —
     the explicit schema matters at 100 TB because schema INFERENCE is a
     full extra pass over the data; the audit is one hash agg on lang."""
-    import hashlib
     import os
-    import tempfile
 
     d = load(spark, sf_dir, "documents")
-    # STABLE output path per (process, source dir) — not mkdtemp-per-call:
-    # the returned DataFrame is lazy, so the shards must outlive this
-    # function; overwriting a per-call dir would leave one full JSONL
-    # corpus copy per bench/test run. The pid in the tag keeps a
-    # CONCURRENT run (parallel pytest/bench) from clobbering shards a
-    # previously returned lazy DataFrame in another process still reads.
-    # Per-pid dirs would otherwise ACCUMULATE across runs on a
-    # long-lived host, so dead owners' dirs are reaped first: a pid
-    # that no longer exists cannot hold a lazy plan over its shards,
-    # making the reap race-free where a same-hash rm -rf would not be.
-    # pid liveness alone is NOT a sufficient signal — a recycled pid
-    # owned by an unrelated live process would keep a dead run's corpus
-    # copy on disk forever — so dir age is the backstop: any dir older
-    # than _JSONL_MAX_AGE_S is reaped regardless of the kill(0) probe
-    # (no legitimate lazy plan over these shards survives that long;
-    # every consumer materializes within a single test/bench run).
-    base = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    tmp = tempfile.gettempdir()
-    import shutil
-    import time
-
-    for entry in os.listdir(tmp):
-        if not entry.startswith(f"recipes_jsonl_{base}_"):
-            continue
-        full = os.path.join(tmp, entry)
-        try:
-            expired = time.time() - os.stat(full).st_mtime > _JSONL_MAX_AGE_S
-        except OSError:
-            expired = False  # raced with another reaper — already gone
-        if expired:
-            shutil.rmtree(full, ignore_errors=True)
-            continue
-        try:
-            owner = int(entry.rsplit("_", 1)[1])
-            os.kill(owner, 0)  # raises if the owning process is gone
-        except (ValueError, ProcessLookupError):
-            shutil.rmtree(full, ignore_errors=True)
-        except PermissionError:
-            pass  # pid alive under another uid — age bound covers it
-    tag = f"{base}_{os.getpid()}"
-    out = os.path.join(tempfile.gettempdir(), f"recipes_jsonl_{tag}", "docs")
+    # Scratch-path lifecycle (stable per process+source, dead-owner
+    # reaping): see _scratch_dir.
+    out = os.path.join(_scratch_dir("jsonl", sf_dir), "docs")
     d.repartition(8).write.mode("overwrite").json(out)
     back = spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
@@ -1247,6 +1249,55 @@ def x6_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x6_csv_roundtrip",
+    oracle="""
+SELECT doc_id,
+       'a,"' || text[1:15] || '"' || chr(10) || lang AS gnarly,
+       n_chars
+FROM documents
+""",
+)
+def x6_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV shard export + re-ingest under ADVERSARIAL field content:
+    every row carries a field with an embedded comma, double quote, and
+    newline — the three things that break naive CSV pipelines — written
+    with Spark's csv sink (quoted + escaped), read back with an
+    EXPLICIT schema and multiLine=true (an embedded newline otherwise
+    splits the record), and returned per-doc so the driver's value hash
+    attests byte-exact survival against the ORIGINAL parquet-derived
+    oracle. multiLine is the scale caveat worth knowing: it makes each
+    CSV FILE single-task (records can span line boundaries, so Spark
+    cannot split on newlines) — shard-count = parallelism, set by the
+    repartition(8) at write time; without embedded newlines the normal
+    splittable reader applies.
+
+    Scale shape: embarrassingly-parallel write (one shard per task,
+    zero shuffle), schema'd read-back (inference would be a full extra
+    pass at 100 TB)."""
+    import os
+
+    d = load(spark, sf_dir, "documents")
+    gnarly = F.concat(
+        F.lit('a,"'),
+        F.substring("text", 1, 15),
+        F.lit('"'),
+        F.lit(chr(10)),
+        F.col("lang"),
+    )
+    out = os.path.join(_scratch_dir("csv", sf_dir), "docs")
+    (
+        d.select("doc_id", gnarly.alias("gnarly"), "n_chars")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out)
+    )
+    return spark.read.schema("doc_id BIGINT, gnarly STRING, n_chars BIGINT").option(
+        "header", True
+    ).option("multiLine", True).csv(out)
 
 
 @query(

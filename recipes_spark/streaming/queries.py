@@ -178,6 +178,84 @@ def st8_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append", name_hint="st8")
 
 
+@query(
+    "st16_stream_outer_join",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 1 HOUR AS w
+), matched AS (
+  SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+  FROM c JOIN p
+    ON c.user_id = p.p_user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+), outer_emitted AS (
+  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+         c.click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+  FROM c, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.p_user_id = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+    AND c.click_ts + INTERVAL 1 HOUR < wm.w
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM outer_emitted
+""",
+)
+def st16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — st8's conversion join with the
+    unconverted clicks kept. Outer (null-extended) rows can only emit
+    once the watermark proves no match can still arrive: a click's
+    state evicts when its match window's upper bound passes the GLOBAL
+    watermark (min over both inputs of max event time − delay), and
+    availableNow's final no-data batch fires that eviction, so the
+    emitted set is deterministic and the oracle derives it exactly —
+    all inner matches, plus unmatched clicks with
+    click_ts + 1 HOUR < least(max_click_ts, max_purchase_ts) − 1 HOUR
+    (the trailing unmatched clicks are WITHHELD, by design: Spark
+    cannot rule out a future match for them). At 100 TB this eviction
+    bound is also the state-size bound — without the time-range
+    condition the outer join would buffer both streams forever."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return run_to_memory(joined, output_mode="append", name_hint="st16")
+
+
 def session_agg(ev: DataFrame) -> DataFrame:
     """st4's session aggregation (30-min gap per user) — shared by the
     complete-mode registered query and the append-mode emission test."""

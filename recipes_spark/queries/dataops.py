@@ -1695,6 +1695,70 @@ def pagerank_fixed_point(
 
 
 @query(
+    "x7_hierarchy_levels",
+    oracle="""
+WITH RECURSIVE r AS (
+  SELECT doc_id, doc_id AS root, 0 AS depth
+  FROM documents WHERE doc_id < 3
+  UNION ALL
+  SELECT d.doc_id, r.root, r.depth + 1
+  FROM documents d JOIN r ON d.doc_id // 3 = r.doc_id
+  WHERE d.doc_id >= 3
+)
+SELECT doc_id, root, CAST(depth AS BIGINT) AS depth
+FROM r
+""",
+)
+def x7_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal — root + depth for every node of a forest
+    (org charts, BOM explosions, category trees): the recursive-CTE
+    workload Spark has no native operator for, run as LEVEL-SYNCHRONOUS
+    BFS — each round joins the current frontier to the child edges and
+    unions the next level; rounds = tree depth. The forest is
+    deterministic arithmetic over doc ids (parent = id div 3, roots
+    {0,1,2} — depth ~log₃ n), and the oracle is the genuine
+    WITH RECURSIVE closure.
+
+    100 TB: each round is ONE hash join (frontier ⋈ edges on parent)
+    + union; localCheckpoint keeps lineage flat, and the frontier
+    count that gates the loop is the same O(1)-row driver read the CC
+    convergence check uses. Depth-bounded hierarchies (catalogs, org
+    trees: depth 10-20) fit this shape exactly; for pathological
+    chain-depth graphs switch to pointer doubling (the CC star trick,
+    operators/dedup.py) — rounds drop to O(log n)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    edges = d.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").alias("child"),
+        F.floor(F.col("doc_id") / 3).cast("long").alias("parent"),
+    )
+    frontier = d.filter(F.col("doc_id") < 3).select(
+        "doc_id",
+        F.col("doc_id").alias("root"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    out = frontier
+    while True:
+        frontier = (
+            edges.join(
+                frontier.select(
+                    F.col("doc_id").alias("parent"), "root", "depth"
+                ),
+                "parent",
+            )
+            .select(
+                F.col("child").alias("doc_id"),
+                "root",
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not frontier.head(1):
+            break
+        out = out.unionByName(frontier)
+    return out
+
+
+@query(
     "x7_triangle_count",
     oracle="""
 WITH ids AS (

@@ -183,6 +183,64 @@ def t4_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_max_concurrency",
+    oracle="""
+WITH deltas AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+), running AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS active
+  FROM deltas
+)
+SELECT event_type, CAST(max(active) AS BIGINT) AS max_concurrent
+FROM running
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def event_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap maximum via SWEEP LINE: each event is active
+    for [ts, ts+30min); +1/-1 boundary deltas, a running sum ordered by
+    (time, delta) — delta before +1 at equal instants, so an interval
+    ending exactly when another starts does NOT overlap it
+    (half-open semantics) — and the per-type max of the running count.
+    The classic max-concurrent-sessions / peak-load query, impossible
+    with plain aggregation (overlap is a cross-row property).
+
+    Determinism under ties: equal (t, delta) rows are interchangeable —
+    the running sum telescopes identically whatever their relative
+    order, so the MAX is well-defined. 100 TB: one shuffle on
+    event_type feeds both the window and the final max; boundary rows
+    are 2× events but two narrow columns. A skewed single type would
+    take per-key salting of the window (skew_salted_window's shape)."""
+    ev = load(spark, sf_dir, "events")
+    deltas = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.select("event_type", F.sum("delta").over(w).alias("active"))
+        .groupBy("event_type")
+        .agg(F.max("active").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
+
+
+@query(
     "gap_detect",
     oracle="""
 WITH g AS (

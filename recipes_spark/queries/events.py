@@ -241,6 +241,167 @@ def event_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_overlap_duration",
+    oracle="""
+WITH deltas AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+), running AS (
+  SELECT event_type, t, delta,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS active,
+         lead(t) OVER (PARTITION BY event_type
+                       ORDER BY t, delta) AS nt
+  FROM deltas
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN active >= 2 AND nt IS NOT NULL
+                     THEN epoch_us(nt) - epoch_us(t) ELSE 0 END)
+            AS BIGINT) AS overlap_micros
+FROM running
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def event_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total CONTENDED time per event type — the sweep line of
+    event_max_concurrency extended with segment durations: between each
+    boundary and the next (lead over the same (t, delta) order), the
+    running count is constant, so the total time with >= 2 intervals
+    simultaneously active is the sum of segment lengths where
+    active >= 2. Capacity-planning's other half: not just HOW HIGH the
+    peak (max_concurrency) but HOW LONG the system spends overlapped.
+
+    Determinism under ties: segments between equal-t boundaries have
+    zero length, so their order-dependent intermediate `active` values
+    contribute nothing; the boundary segment out of a tie group carries
+    the full tie group's telescoped sum, which is order-invariant.
+    Micros, not seconds, so sub-second boundary gaps are exact integers
+    on both engines. 100 TB: identical shape to max_concurrency — one
+    shuffle on event_type, window + final agg in the same exchange."""
+    ev = load(spark, sf_dir, "events")
+    deltas = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    order = Window.partitionBy("event_type").orderBy("t", "delta")
+    run = deltas.select(
+        "event_type",
+        "t",
+        F.sum("delta")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("active"),
+        F.lead("t").over(order).alias("nt"),
+    )
+    seg = F.when(
+        (F.col("active") >= 2) & F.col("nt").isNotNull(),
+        F.unix_micros("nt") - F.unix_micros("t"),
+    ).otherwise(F.lit(0))
+    return (
+        run.groupBy("event_type")
+        .agg(F.sum(seg).cast("long").alias("overlap_micros"))
+        .orderBy("event_type")
+    )
+
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH err AS (
+  SELECT event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT err.event_id AS error_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(epoch_us(least(err.e, pur.e))
+                - epoch_us(greatest(err.s, pur.s))) AS BIGINT)
+         AS overlap_micros
+FROM err JOIN pur
+  ON err.s < pur.e AND pur.s < err.e
+GROUP BY err.event_id
+ORDER BY error_id
+"""
+
+
+@query("join_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP JOIN with no equi key — the join
+    class behind incident correlation ("which purchases ran during
+    each error window"), ad attribution, and sensor alignment, which
+    naive SQL evaluates as an O(n*m) theta join. Spark-first strategy:
+    quantize time into fixed buckets (1800 s = the interval length, so
+    each interval replicates to at most 2 buckets), equi-join on the
+    bucket — a genuine partitioned hash join — then apply the exact
+    overlap predicate (half-open: a.s < b.e AND b.s < a.e) inside the
+    bucket. A pair whose intervals overlap shares the bucket of
+    max(a.s, b.s) by construction, and the RESPONSIBILITY filter
+    (bucket == that one) emits each pair exactly once with no
+    distinct/dedup pass.
+
+    100 TB: replication factor = len/bucket + 1 (= 2 here); the only
+    shuffle is on the bucket key, which is time — append-mostly data
+    arrives nearly bucket-sorted, and a hot bucket (event storm) salts
+    like any hot join key. The oracle is the plain theta join; DuckDB's
+    IEJoin evaluates it exactly — both sides must agree pair-for-pair."""
+    ev = load(spark, sf_dir, "events")
+    width = 1800 * 1_000_000  # bucket = interval length, in micros
+
+    def side(event_type: str) -> DataFrame:
+        f = ev.filter(F.col("event_type") == event_type)
+        s_us = F.unix_micros("ts")
+        e_us = F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+        return f.select(
+            "event_id",
+            s_us.alias("s_us"),
+            e_us.alias("e_us"),
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / width).cast("long"),
+                    F.floor((e_us - 1) / width).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+
+    a = side("error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("s_us").alias("a_s"),
+        F.col("e_us").alias("a_e"),
+        "bucket",
+    )
+    b = side("purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("a_s") < F.col("b_e"))
+        & (F.col("b_s") < F.col("a_e"))
+        & (
+            F.col("bucket")
+            == F.floor(F.greatest("a_s", "b_s") / width).cast("long")
+        )
+    )
+    overlap = F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+    return (
+        pairs.groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(overlap).cast("long").alias("overlap_micros"),
+        )
+        .orderBy("error_id")
+    )
+
+
+@query(
     "gap_detect",
     oracle="""
 WITH g AS (

@@ -724,6 +724,100 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_QUANTILE_ORACLE = """
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) // 500000 AS bucket,
+         count(*) AS c
+  FROM lineitem
+  GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, bucket, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM h
+)
+SELECT l_returnflag,
+       CAST(max(CASE WHEN cum >= ((n * 50 + 99) // 100)
+                      AND cum - c < ((n * 50 + 99) // 100)
+                     THEN (bucket * 500000)
+                          + ((((n * 50 + 99) // 100) - (cum - c)) * 500000) // c
+                END) AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN cum >= ((n * 90 + 99) // 100)
+                      AND cum - c < ((n * 90 + 99) // 100)
+                     THEN (bucket * 500000)
+                          + ((((n * 90 + 99) // 100) - (cum - c)) * 500000) // c
+                END) AS BIGINT) AS p90_cents
+FROM cum
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_histogram_quantile", oracle=_HIST_QUANTILE_ORACLE)
+def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a MERGEABLE equi-width histogram — the
+    deterministic scale path between `agg_percentiles` (exact, buffers
+    every per-group value through the shuffle) and
+    `agg_percentiles_approx` (t-digest, no cross-engine oracle):
+    bucket = price_cents div $5000, per-bucket exact integer counts
+    (partial aggregation = the sketch merge, O(#buckets) state per
+    group), then p50/p90 by integer linear interpolation inside the
+    bucket holding rank ceil(q*n/100). Every operation is integer
+    (floor cents, truncating div on positive operands), so Spark and
+    DuckDB produce the SAME estimate bit-for-bit — which neither
+    exact-sort percentiles at scale nor t-digest can promise.
+
+    100 TB: one narrow shuffle of (group, bucket, count) rows — the
+    value stream never moves; refine accuracy by shrinking the bucket
+    width (state grows linearly, shuffle stays metadata-sized). This is
+    the equi-width member of the repo's mergeable-sketch family (bloom
+    bitmaps, count-min counters)."""
+    li = load(spark, sf_dir, "lineitem")
+    width = 500_000
+    h = li.select(
+        "l_returnflag",
+        F.expr(f"cast(floor(l_extendedprice * 100) as bigint) div {width}").alias(
+            "bucket"
+        ),
+    )
+    hist = h.groupBy("l_returnflag", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "bucket",
+        "c",
+        F.sum("c")
+        .over(
+            Window.partitionBy("l_returnflag")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    def pick(q: int):
+        need = f"((n * {q} + 99) div 100)"
+        est = (
+            f"(bucket * {width}) + (({need} - (cum - c)) * {width}) div c"
+        )
+        return F.max(
+            F.expr(
+                f"CASE WHEN cum >= {need} AND cum - c < {need} "
+                f"THEN {est} END"
+            )
+        ).cast("long")
+
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(pick(50).alias("p50_cents"), pick(90).alias("p90_cents"))
+        .orderBy("l_returnflag")
+    )
+
+
 @query(
     "pivot_revenue",
     oracle="""

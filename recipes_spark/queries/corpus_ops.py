@@ -301,6 +301,64 @@ def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x6_weighted_sample",
+    oracle="""
+SELECT source, doc_id, n_chars, priority
+FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) // n_chars AS priority,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) // n_chars, doc_id) AS rn
+  FROM documents
+  WHERE n_chars > 0
+)
+WHERE rn <= 5
+ORDER BY source, doc_id
+""",
+)
+def x6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED deterministic sampling — hash-priority selection where
+    a doc's chance of making the sample scales with its weight
+    (n_chars here; quality score in production): priority =
+    portable_hash(doc_id) div weight, keep the 5 LOWEST priorities per
+    source. A doc with 2x the weight halves its priority, exactly the
+    A-ES weighted-reservoir idea (rank by u^(1/w)) carried out in
+    integer arithmetic so both engines agree bit-for-bit — rand()-based
+    weighted sampling is neither reproducible nor cross-engine
+    checkable.
+
+    Complements x6_hash_sample (uniform) and x6_temperature_sample
+    (source-level rates) with ROW-level weights. 100 TB: priority is a
+    row-local projection; per-source top-5 is one TakeOrdered-style
+    window — at scale swap the window for a per-partition partial top-k
+    then merge (brute_force_topk's two-phase shape), same total order."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    prio = d.select(
+        "source", "doc_id", "n_chars", h.alias("__h")
+    ).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr("__h div n_chars").alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        prio.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
     "udtf_chunk_text",
     oracle="""
 SELECT doc_id, u.chunk_id AS chunk_id, u.start_tok AS start_tok,

@@ -444,6 +444,72 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10).withColumnRenamed("rank", "rnk")
 
 
+_RADIUS_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT query_id, vec_id, cosine_sim
+FROM (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(c.v, q.qv) /
+               (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+               4) AS cosine_sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+WHERE cosine_sim >= 0.25
+ORDER BY query_id, vec_id
+"""
+
+
+@query("x3_radius_search", oracle=_RADIUS_ORACLE)
+def x3_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search — every corpus vector whose cosine with
+    a query exceeds a threshold, the near-duplicate-audit and
+    recall-evaluation complement to top-k (top-k bounds the OUTPUT,
+    radius bounds the SIMILARITY; dedup wants the latter). Pure
+    Catalyst: the 5-row query side broadcasts, dot product and norms
+    are zip_with/aggregate folds (JVM, no Python), and the threshold
+    filter runs where the data lives — no ranking window, no shuffle
+    at all beyond the broadcast, so the plan is a single map-side pass
+    over the corpus. Threshold compares the SAME round(sim, 4) value
+    both engines emit (the x3 family convention).
+
+    100 TB: embarrassingly parallel scan; for selective thresholds
+    swap the scan for the LSH-bucketed candidate path (x3_lsh_topk's
+    banding) and keep this exact predicate as the verify stage."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def as_d(col):
+        return F.transform(F.col(col), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ev, qv = as_d("embedding"), as_d("query_vec")
+    sim = F.round(
+        dot(ev, qv) / (F.sqrt(dot(ev, ev)) * F.sqrt(dot(qv, qv))), 4
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.25)
+        .orderBy("query_id", "vec_id")
+    )
+
+
 _FILTERED_COSINE_ORACLE = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1838,6 +1904,109 @@ def x7_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(50)
     )
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    """One synchronized label-propagation round as a DuckDB CTE: each
+    node adopts the most frequent label among its neighbors' previous
+    labels, smallest label winning ties."""
+    return f"""{out} AS (
+  SELECT node, label FROM (
+    SELECT e.v AS node, l.label,
+           row_number() OVER (PARTITION BY e.v
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM und e JOIN {prev} l ON l.node = e.u
+    GROUP BY e.v, l.label
+  ) WHERE rn = 1
+)"""
+
+
+_LABEL_PROP_ORACLE = f"""
+WITH nodes AS (
+  SELECT doc_id AS node, (SELECT count(*) FROM documents) AS n
+  FROM documents
+), raw AS (
+  SELECT node AS u, (node + 1) % n AS v FROM nodes
+  UNION ALL
+  SELECT node, (node * node + 1) % n FROM nodes
+), und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM raw WHERE u <> v
+    UNION ALL
+    SELECT v, u FROM raw WHERE u <> v
+  )
+), l0 AS (
+  SELECT node, node % 16 AS label FROM nodes
+), {_lp_round_sql("l0", "l1")},
+{_lp_round_sql("l1", "l2")},
+{_lp_round_sql("l2", "l3")}
+SELECT node, CAST(label AS BIGINT) AS label FROM l3 ORDER BY node
+"""
+
+
+@query("x7_label_propagation", oracle=_LABEL_PROP_ORACLE)
+def x7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation — the
+    fourth graph primitive next to connected components, PageRank, and
+    triangle counting: each round every node adopts the MODE of its
+    neighbors' labels (smallest label on ties), 3 rounds from 16 seed
+    labels (node % 16). Unlike CC's min-propagation (which converges to
+    one label per component), mode-propagation finds DENSE regions —
+    the dedup-cluster refinement and social-community workload.
+
+    Fully deterministic: integer labels, integer counts, and a total
+    tiebreak (count desc, label asc) make every round a pure function
+    of the previous one, so the DuckDB oracle replays all 3 rounds
+    verbatim as chained CTEs. Spark argmax = max(struct(count,
+    -label)) — one hash agg on (dst, label) + one on dst per round, no
+    window. 100 TB: per-round cost is degree-bounded (|E| rows through
+    two exchanges); hub nodes partial-aggregate map-side because the
+    (node, label) key splits their inboxes; rounds are fixed (3), not
+    diameter-bounded — LP is used precisely because a few rounds
+    suffice."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    u = F.col("node")
+    raw = (
+        nodes.select(u.alias("u"), ((u + 1) % n).alias("v"))
+        .unionByName(
+            nodes.select(u.alias("u"), ((u * u + 1) % n).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    und = (
+        raw.unionByName(
+            raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", (u % 16).alias("label"))
+    for _ in range(3):
+        counts = (
+            und.join(
+                labels.select(F.col("node").alias("u"), "label"), "u"
+            )
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("v").alias("node"),
+                (-F.col("m.nl")).cast("long").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.orderBy("node")
 
 
 @query(

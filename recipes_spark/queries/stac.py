@@ -152,6 +152,57 @@ def stac_collection_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stac_aggregations",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT collection_id,
+       strftime(start_datetime, '%Y-%m') AS month,
+       CAST(floor(west / 30) AS BIGINT)  AS cell_lon,
+       CAST(floor(south / 30) AS BIGINT) AS cell_lat,
+       count(*) AS n_items
+FROM meta
+GROUP BY GROUPING SETS (
+  (collection_id, strftime(start_datetime, '%Y-%m')),
+  (collection_id, CAST(floor(west / 30) AS BIGINT),
+                  CAST(floor(south / 30) AS BIGINT))
+)
+""",
+)
+def stac_aggregations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAC API *aggregation extension* surface (stac-fastapi serves
+    /aggregations over pgstac: datetime frequency histograms + spatial
+    grid frequencies — the faceted-search panel every catalog UI
+    draws): per collection, monthly item counts AND 30-degree grid-cell
+    counts, in ONE pass via GROUPING SETS, so the item table is scanned
+    and shuffled once for both facets rather than once per aggregation.
+    Rows from the temporal facet carry NULL cells and vice versa —
+    exactly the STAC aggregation response's independent bucket lists.
+
+    100 TB: grouping sets expand map-side (each input row feeds both
+    partial aggregates before the single exchange); months and cells
+    are both low-cardinality, so the shuffle is bucket-sized, not
+    item-sized. On the partitioned catalog, collection_id partition
+    pruning applies before any aggregation."""
+    m = _metadata(spark, sf_dir)
+    m.createOrReplaceTempView("stac_agg_meta")
+    return spark.sql(
+        """
+        SELECT collection_id,
+               date_format(start_datetime, 'yyyy-MM') AS month,
+               CAST(floor(west / 30) AS BIGINT)  AS cell_lon,
+               CAST(floor(south / 30) AS BIGINT) AS cell_lat,
+               count(*) AS n_items
+        FROM stac_agg_meta
+        GROUP BY GROUPING SETS (
+          (collection_id, date_format(start_datetime, 'yyyy-MM')),
+          (collection_id, CAST(floor(west / 30) AS BIGINT),
+                          CAST(floor(south / 30) AS BIGINT))
+        )
+        """
+    )
+
+
+@query(
     "stac_catalog_search",
     oracle=f"""
 WITH meta AS ({_ORACLE_META})

@@ -1906,6 +1906,41 @@ def x7_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_propagation_rounds(
+    und: DataFrame, labels: DataFrame, *, rounds: int
+) -> DataFrame:
+    """Synchronous mode-label propagation over a DIRECTED edge list
+    `und(u, v)` (pass both directions for an undirected graph) from
+    seed `labels(node, label)`: each round every node with in-edges
+    adopts the most frequent label among its in-neighbors' previous
+    labels, smallest label winning ties (argmax = max(struct(count,
+    -label)) — two hash aggs per round, no window). Nodes with no
+    in-edges drop out; callers wanting keep-own-label semantics union
+    the isolated nodes back."""
+    for _ in range(rounds):
+        counts = (
+            und.join(
+                labels.select(F.col("node").alias("u"), "label"), "u"
+            )
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select(
+                F.col("v").alias("node"),
+                (-F.col("m.nl")).cast("long").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def _lp_round_sql(prev: str, out: str) -> str:
     """One synchronized label-propagation round as a DuckDB CTE: each
     node adopts the most frequent label among its neighbors' previous
@@ -1983,30 +2018,7 @@ def x7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = nodes.select("node", (u % 16).alias("label"))
-    for _ in range(3):
-        counts = (
-            und.join(
-                labels.select(F.col("node").alias("u"), "label"), "u"
-            )
-            .groupBy("v", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = (
-            counts.groupBy("v")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("c"), (-F.col("label")).alias("nl")
-                    )
-                ).alias("m")
-            )
-            .select(
-                F.col("v").alias("node"),
-                (-F.col("m.nl")).cast("long").alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return labels.orderBy("node")
+    return label_propagation_rounds(und, labels, rounds=3).orderBy("node")
 
 
 @query(

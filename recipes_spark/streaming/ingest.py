@@ -747,3 +747,191 @@ def st14_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bid", "term", "prior_est")
         .orderBy("bid", "term")
     )
+
+
+#: st17's output schema — shared by the factory's batch-0 empty frame
+#: and the schema'd read-back (the st14 convention).
+_ST17_OUT_SCHEMA = "bid int, n_prior long, p50_cents long, p90_cents long"
+
+#: One histogram bucket = $10 of event value, in cents.
+_ST17_WIDTH = 1000
+
+
+def st17_value_hist(bdf: DataFrame) -> DataFrame:
+    """st17's per-batch histogram agg — module-level so the batch-side
+    plan is fingerprintable with exactly the expression tree the
+    foreachBatch body executes: bucket = value-cents div $10, exact
+    integer counts. This IS the mergeable quantile-sketch state (the
+    streaming twin of agg_histogram_quantile's batch histogram)."""
+    return (
+        bdf.select(
+            F.expr(
+                f"cast(floor(value * 100) as bigint) div {_ST17_WIDTH}"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def st17_prior_quantiles(prior: DataFrame, bid: int) -> DataFrame:
+    """st17's probe leg: p50/p90 of everything seen in PRIOR batches,
+    from the SUM-merged histogram alone — integer interpolation inside
+    the bucket holding rank ceil(q*n/100), identical to
+    agg_histogram_quantile. The window is global but runs over
+    #buckets rows (sketch-sized, not event-sized)."""
+    from pyspark.sql import Window
+
+    cum = prior.select(
+        "bucket",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+
+    def pick(q: int):
+        need = f"((n * {q} + 99) div 100)"
+        est = (
+            f"(bucket * {_ST17_WIDTH}) + "
+            f"(({need} - (cum - c)) * {_ST17_WIDTH}) div c"
+        )
+        return F.max(
+            F.expr(f"CASE WHEN cum >= {need} AND cum - c < {need} THEN {est} END")
+        ).cast("long")
+
+    return cum.agg(
+        F.lit(bid).cast("int").alias("bid"),
+        F.max("n").cast("long").alias("n_prior"),
+        pick(50).alias("p50_cents"),
+        pick(90).alias("p90_cents"),
+    )
+
+
+def hist_probe_then_absorb(spark: SparkSession, out_dir: str, state_dir: str):
+    """st17's per-micro-batch body (the st13/st14 sketch-state shape):
+    prior state = SUM-merge of all PRIOR batches' persisted histogram
+    tables; own outputs are per-bid overwrites, so an at-least-once
+    retry of batch N reloads exactly the pre-N state and re-emits
+    identical output."""
+
+    def probe_then_absorb(bdf: DataFrame, bid: int) -> None:
+        hist = st17_value_hist(bdf)
+        if bid > 0:
+            prior = (
+                spark.read.parquet(
+                    *[os.path.join(state_dir, f"h_{j}") for j in range(bid)]
+                )
+                .groupBy("bucket")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+            out = st17_prior_quantiles(prior, bid)
+        else:
+            out = spark.createDataFrame([], _ST17_OUT_SCHEMA)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={bid}")
+        )
+        hist.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"h_{bid}")
+        )
+
+    return probe_then_absorb
+
+
+@query(
+    "st17_stream_hist_quantile",
+    oracle="""
+WITH ev AS (
+  SELECT event_id % 4 AS bid,
+         CAST(floor(value * 100) AS BIGINT) // 1000 AS bucket
+  FROM events
+), h AS (
+  SELECT bid, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), prior AS (
+  SELECT p.bid, h.bucket, CAST(sum(h.c) AS BIGINT) AS c
+  FROM (SELECT DISTINCT bid FROM ev WHERE bid > 0) p
+  JOIN h ON h.bid < p.bid
+  GROUP BY 1, 2
+), cum AS (
+  SELECT bid, bucket, c,
+         sum(c) OVER (PARTITION BY bid ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY bid) AS n
+  FROM prior
+)
+SELECT CAST(bid AS INT) AS bid,
+       CAST(max(n) AS BIGINT) AS n_prior,
+       CAST(max(CASE WHEN cum >= ((n * 50 + 99) // 100)
+                      AND cum - c < ((n * 50 + 99) // 100)
+                     THEN (bucket * 1000)
+                          + ((((n * 50 + 99) // 100) - (cum - c)) * 1000) // c
+                END) AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN cum >= ((n * 90 + 99) // 100)
+                      AND cum - c < ((n * 90 + 99) // 100)
+                     THEN (bucket * 1000)
+                          + ((((n * 90 + 99) // 100) - (cum - c)) * 1000) // c
+                END) AS BIGINT) AS p90_cents
+FROM cum
+GROUP BY bid
+ORDER BY bid
+""",
+)
+def st17_stream_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming QUANTILE tracking from mergeable histogram state —
+    the third member of the sketch-state ingest family (st13 bloom =
+    membership, st14 count-min = frequency, st17 histogram =
+    DISTRIBUTION): events arrive as four ordered micro-batches; each
+    batch reports the p50/p90 of everything seen in PRIOR batches from
+    the SUM-merge of their persisted bucket tables, then persists its
+    own histogram. The live latency-dashboard shape ("p90 so far"),
+    with per-batch state that is O(#buckets) rows regardless of event
+    volume — the value stream itself is never retained.
+
+    Batch-transactionality mirrors st13/st14: per-bid overwrites +
+    prior-only visibility make at-least-once retries byte-identical.
+    Every operation is integer (floor cents, truncating div on
+    positive values), so the DuckDB oracle replays each batch's merged
+    prior histogram and interpolated quantile estimate bit-for-bit."""
+    from recipes_spark.io import load
+    from recipes_spark.streaming.core import stage_ordered
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    chunks = [ev.filter(F.pmod("event_id", F.lit(4)) == i) for i in range(4)]
+    staged = stage_ordered(chunks, prefix="recipes_st17_landing_")
+    out_dir = tempfile.mkdtemp(prefix="recipes_st17_out_") + "/quantiles"
+    state_dir = tempfile.mkdtemp(prefix="recipes_st17_state_")
+    probe_then_absorb = hist_probe_then_absorb(spark, out_dir, state_dir)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(probe_then_absorb)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st17_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema(_ST17_OUT_SCHEMA)
+        .parquet(out_dir)
+        .select("bid", "n_prior", "p50_cents", "p90_cents")
+        .orderBy("bid")
+    )

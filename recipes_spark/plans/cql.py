@@ -20,25 +20,31 @@ Grammar (standard precedence NOT > AND > OR):
                 | IS [NOT] NULL | [NOT] LIKE operand)
   operand    := number | string | TIMESTAMP '(' string ')'
                 | DATE '(' string ')' | CASEI '(' operand ')'
+                | ACCENTI '(' operand ')'
                 | true | false | identifier
 
 Spatial / temporal operators (the pgstac surface the reference's query
 side evaluates, docker-compose.yml:30-44):
-  spatial_pred  := S_INTERSECTS '(' identifier ',' geom ')'
+  spatial_pred  := (S_INTERSECTS|S_CONTAINS|S_WITHIN|S_DISJOINT)
+                   '(' identifier ',' geom ')'
   geom          := BBOX '(' num ',' num ',' num ',' num ')'
                  | POINT '(' num num ')'
                  | POLYGON '(' '(' num num (',' num num)* ')' ')'
-  temporal_pred := (T_INTERSECTS|ANYINTERACTS|T_BEFORE|T_AFTER)
+  temporal_pred := (T_INTERSECTS|ANYINTERACTS|T_BEFORE|T_AFTER
+                    |T_DURING|T_CONTAINS)
                    '(' identifier ',' interval_or_instant ')'
   interval_or_instant := INTERVAL '(' str ',' str ')'   -- '..' = open
                        | TIMESTAMP '(' str ')' | DATE '(' str ')'
 
 The engine stores footprints as bbox corner columns (not full
-geometries — SURVEY §2.9 G3), so S_INTERSECTS compiles to the G3
-interval-overlap arithmetic against the query geometry's ENVELOPE, and
-the temporal operators compile to predicates over the item's
-[start_datetime, end_datetime] interval (anyinteracts semantics for
-T_INTERSECTS, strictly-before/after for T_BEFORE/T_AFTER). The spatial
+geometries — SURVEY §2.9 G3), so the spatial relations compile to
+corner arithmetic against the query geometry's ENVELOPE (exact for
+bbox footprints: intersects = G3 overlap, disjoint its negation,
+contains/within = corner containment), and the temporal operators
+compile to predicates over the item's [start_datetime, end_datetime]
+interval (anyinteracts semantics for T_INTERSECTS, strictly-
+before/after for T_BEFORE/T_AFTER, inside/covers for
+T_DURING/T_CONTAINS). The spatial
 property identifier resolves through ``spatial_cols`` and the temporal
 one through ``temporal_cols`` — the same indirection pgstac's
 queryables mapping performs. Everything compiles to plain column
@@ -67,10 +73,31 @@ _TOKEN = re.compile(
 
 _KEYWORDS = {"AND", "OR", "NOT", "BETWEEN", "IN", "IS", "NULL", "LIKE",
              "TRUE", "FALSE", "TIMESTAMP", "DATE", "INTERVAL", "CASEI",
-             "S_INTERSECTS", "T_INTERSECTS", "T_BEFORE", "T_AFTER",
-             "ANYINTERACTS", "BBOX", "POINT", "POLYGON"}
+             "ACCENTI", "S_INTERSECTS", "S_CONTAINS", "S_WITHIN",
+             "S_DISJOINT", "T_INTERSECTS", "T_BEFORE", "T_AFTER",
+             "T_DURING", "T_CONTAINS", "ANYINTERACTS", "BBOX", "POINT",
+             "POLYGON"}
 
-_TEMPORAL_OPS = {"T_INTERSECTS", "ANYINTERACTS", "T_BEFORE", "T_AFTER"}
+_SPATIAL_OPS = {"S_INTERSECTS", "S_CONTAINS", "S_WITHIN", "S_DISJOINT"}
+
+_TEMPORAL_OPS = {
+    "T_INTERSECTS", "ANYINTERACTS", "T_BEFORE", "T_AFTER",
+    "T_DURING", "T_CONTAINS",
+}
+
+#: Latin diacritic fold for the ACCENTI accessor: a fixed translate()
+#: table (pure Catalyst, no UDF). Covers the Latin-1/Latin-Extended
+#: letters catalogs actually carry; pgstac's unaccent() extension is the
+#: reference behavior.
+_ACCENT_SRC = (
+    "áàâäãåāÁÀÂÄÃÅĀéèêëēÉÈÊËĒíìîïīÍÌÎÏĪóòôöõōÓÒÔÖÕŌúùûüūÚÙÛÜŪ"
+    "çÇñÑýÿÝšŠžŽ"
+)
+_ACCENT_DST = (
+    "aaaaaaaAAAAAAAeeeeeEEEEEiiiiiIIIIIooooooOOOOOO"
+    "uuuuuUUUUUcCnNyyYsSzZ"
+)
+assert len(_ACCENT_SRC) == len(_ACCENT_DST)
 
 
 class CQLError(ValueError):
@@ -141,6 +168,36 @@ def _envelope_predicate(
     return bbox_intersects(cw, cs, ce, cn, w, s, e, n)
 
 
+def _spatial_predicate(
+    op: str,
+    spatial_cols: tuple[Column, Column, Column, Column],
+    env: tuple[float, float, float, float],
+) -> Column:
+    """The four CQL2 spatial relations over envelope footprints (exact
+    for the engine's bbox geometries, G3): INTERSECTS = interval
+    overlap, DISJOINT = its negation, CONTAINS = item envelope covers
+    the query envelope, WITHIN = item envelope inside it. An
+    antimeridian-crossing query (west > east) splits into the two
+    wrapped ranges: OR for intersects/within (either piece suffices),
+    AND for contains (a non-wrapping item must cover both pieces —
+    effectively the full longitude span)."""
+    if op == "S_DISJOINT":
+        return ~_envelope_predicate(spatial_cols, env)
+    w, s, e, n = env
+    if op == "S_INTERSECTS":
+        return _envelope_predicate(spatial_cols, env)
+    if w > e:
+        parts = [(w, s, 180.0, n), (-180.0, s, e, n)]
+        a = _spatial_predicate(op, spatial_cols, parts[0])
+        b = _spatial_predicate(op, spatial_cols, parts[1])
+        return (a & b) if op == "S_CONTAINS" else (a | b)
+    cw, cs, ce, cn = spatial_cols
+    if op == "S_CONTAINS":
+        return (cw <= w) & (cs <= s) & (ce >= e) & (cn >= n)
+    # S_WITHIN
+    return (cw >= w) & (cs >= s) & (ce <= e) & (cn <= n)
+
+
 def _temporal_predicate(
     op: str,
     lo: str | None,
@@ -149,11 +206,24 @@ def _temporal_predicate(
 ) -> Column:
     """T_INTERSECTS/ANYINTERACTS (item [start,end] overlaps query
     [lo,hi]; an open end drops its bound), T_BEFORE (item ends before
-    the query starts), T_AFTER (item starts after the query ends)."""
+    the query starts), T_AFTER (item starts after the query ends),
+    T_DURING (item inside the query interval; open ends drop their
+    bound), T_CONTAINS (item covers the query interval — open query
+    ends are rejected loudly: nothing finite contains an unbounded
+    interval, and silently matching nothing is the compiler's one
+    forbidden failure mode)."""
     start, end = temporal_cols
 
     def ts(v: str) -> Column:
         return F.lit(v).cast("timestamp")
+
+    def _all(conds: list[Column]) -> Column:
+        if not conds:
+            return F.lit(True)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
 
     if op in ("T_INTERSECTS", "ANYINTERACTS"):
         conds = []
@@ -161,12 +231,18 @@ def _temporal_predicate(
             conds.append(start <= ts(hi))
         if lo is not None:
             conds.append(end >= ts(lo))
-        if not conds:
-            return F.lit(True)
-        out = conds[0]
-        for c in conds[1:]:
-            out = out & c
-        return out
+        return _all(conds)
+    if op == "T_DURING":
+        conds = []
+        if lo is not None:
+            conds.append(start >= ts(lo))
+        if hi is not None:
+            conds.append(end <= ts(hi))
+        return _all(conds)
+    if op == "T_CONTAINS":
+        if lo is None or hi is None:
+            raise CQLError("T_CONTAINS needs a bounded interval")
+        return (start <= ts(lo)) & (end >= ts(hi))
     if op == "T_BEFORE":
         if lo is None:
             raise CQLError("T_BEFORE needs a bounded interval start")
@@ -247,6 +323,15 @@ class _Parser:
             inner = self.operand()
             self.next("rp")
             return F.lower(inner)
+        if k == "ACCENTI":
+            # CQL2 accent-insensitive accessor — same per-operand
+            # folding contract as CASEI, via a fixed translate table
+            # (pure Catalyst; pgstac's unaccent() is the reference).
+            self.next()
+            self.next("lp")
+            inner = self.operand()
+            self.next("rp")
+            return F.translate(inner, _ACCENT_SRC, _ACCENT_DST)
         if k == "TRUE":
             self.next()
             return F.lit(True)
@@ -326,18 +411,18 @@ class _Parser:
         )
 
     def spatial_pred(self) -> Column:
+        op = self.next().upper()  # S_INTERSECTS/S_CONTAINS/S_WITHIN/S_DISJOINT
         if self.spatial_cols is None:
             raise CQLError(
-                "S_INTERSECTS used but no spatial columns configured — "
+                f"{op} used but no spatial columns configured — "
                 "pass spatial_cols= to compile_cql"
             )
-        self.next()  # S_INTERSECTS
         self.next("lp")
         self.next("word")  # the queryable name ('geometry') — resolved
         self.next("comma")  # through spatial_cols, pgstac-queryables style
         env = self._geom_envelope()
         self.next("rp")
-        return _envelope_predicate(self.spatial_cols, env)
+        return _spatial_predicate(op, self.spatial_cols, env)
 
     def temporal_pred(self) -> Column:
         if self.temporal_cols is None:
@@ -356,7 +441,7 @@ class _Parser:
     # -- predicates --------------------------------------------------------
     def predicate(self) -> Column:
         k = self.peek()
-        if k == "S_INTERSECTS":
+        if k in _SPATIAL_OPS:
             return self.spatial_pred()
         if k in _TEMPORAL_OPS:
             return self.temporal_pred()
@@ -578,17 +663,18 @@ class _JsonWalker:
             if not isinstance(args[1], str):
                 raise CQLError("'like' pattern must be a string")
             return self.operand(args[0]).like(args[1])
-        if op == "s_intersects":
+        if op in ("s_intersects", "s_contains", "s_within", "s_disjoint"):
             if self.spatial_cols is None:
                 raise CQLError(
-                    "s_intersects used but no spatial columns configured — "
+                    f"{op} used but no spatial columns configured — "
                     "pass spatial_cols= to compile_cql_json"
                 )
             self._arity(op, args, 2)
-            return _envelope_predicate(
-                self.spatial_cols, self._geom_envelope(args[1])
+            return _spatial_predicate(
+                op.upper(), self.spatial_cols, self._geom_envelope(args[1])
             )
-        if op in ("t_intersects", "anyinteracts", "t_before", "t_after"):
+        if op in ("t_intersects", "anyinteracts", "t_before", "t_after",
+                  "t_during", "t_contains"):
             if self.temporal_cols is None:
                 raise CQLError(
                     "temporal operator used but no temporal columns "
@@ -614,6 +700,12 @@ class _JsonWalker:
                 args = node.get("args", [])
                 self._arity("casei", args, 1)
                 return F.lower(self.operand(args[0]))
+            if str(node.get("op", "")).lower() == "accenti":
+                args = node.get("args", [])
+                self._arity("accenti", args, 1)
+                return F.translate(
+                    self.operand(args[0]), _ACCENT_SRC, _ACCENT_DST
+                )
             if "timestamp" in node:
                 return F.lit(
                     _validate_instant(node["timestamp"], "timestamp")

@@ -366,6 +366,54 @@ def stac_cql_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stac_cql_containment",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id, collection_id,
+       west, south, east, north, start_datetime, end_datetime
+FROM meta
+WHERE west >= -120 AND south >= -60 AND east <= 20 AND north <= 60
+  AND start_datetime >= TIMESTAMP '1993-01-01'
+  AND end_datetime <= TIMESTAMP '1996-12-31 23:59:59'
+ORDER BY id
+LIMIT 400
+""",
+)
+def stac_cql_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 CQL2 CONTAINMENT relations (round-7 widening toward full
+    pgstac operator parity): S_WITHIN — items whose footprint lies
+    inside the query box, the "fully covered by my AOI" search
+    S_INTERSECTS over-matches — composed with T_DURING — items whose
+    whole interval sits inside the query window. Both compile to plain
+    corner/bound comparisons (exact for bbox footprints), pushed to the
+    scan like every other CQL2 predicate; S_CONTAINS / S_DISJOINT /
+    T_CONTAINS / ACCENTI land in the same compiler pass (plans/cql.py,
+    tests/test_cql.py pins each against hand-built predicates and the
+    cql2-json encoding)."""
+    from recipes_spark.plans.cql import compile_cql
+
+    items = build_items(_metadata(spark, sf_dir))
+    cql = (
+        "S_WITHIN(geometry, BBOX(-120, -60, 20, 60)) "
+        "AND T_DURING(datetime, "
+        "INTERVAL('1993-01-01 00:00:00', '1996-12-31 23:59:59'))"
+    )
+    found = catalog_search(
+        items, filter=compile_cql(cql), sortby=[("id", "asc")], limit=400
+    )
+    return found.select(
+        "id",
+        "collection_id",
+        F.col("bbox")[0].alias("west"),
+        F.col("bbox")[1].alias("south"),
+        F.col("bbox")[2].alias("east"),
+        F.col("bbox")[3].alias("north"),
+        "start_datetime",
+        "end_datetime",
+    )
+
+
+@query(
     "stac_cql_json_search",
     oracle=f"""
 WITH meta AS ({_ORACLE_META})

@@ -165,6 +165,75 @@ def test_casei(geo):
     )) == [1, 2, 3]
 
 
+def test_spatial_relations(geo):
+    """S_CONTAINS / S_WITHIN / S_DISJOINT over envelope footprints —
+    exact for the engine's bbox geometries."""
+    assert _ids(geo, compile_cql(
+        "S_CONTAINS(geometry, BBOX(-5, -2, 5, 2))", spatial_cols=_SC
+    )) == [1]
+    assert _ids(geo, compile_cql(
+        "S_WITHIN(geometry, BBOX(-20, -10, 20, 10))", spatial_cols=_SC
+    )) == [1]
+    assert _ids(geo, compile_cql(
+        "S_DISJOINT(geometry, BBOX(-20, -10, 0, 0))", spatial_cols=_SC
+    )) == [2, 3]
+    # DISJOINT is exactly NOT INTERSECTS on every row.
+    got_d = set(_ids(geo, compile_cql(
+        "S_DISJOINT(geometry, BBOX(90, 30, 130, 70))", spatial_cols=_SC
+    )))
+    got_i = set(_ids(geo, compile_cql(
+        "S_INTERSECTS(geometry, BBOX(90, 30, 130, 70))", spatial_cols=_SC
+    )))
+    assert got_d == {1, 2, 3} - got_i
+
+
+def test_spatial_relations_antimeridian(geo):
+    """A west>east query wraps: WITHIN matches an item inside EITHER
+    longitude piece; CONTAINS needs an item covering BOTH (none here)."""
+    assert _ids(geo, compile_cql(
+        "S_WITHIN(geometry, BBOX(160, -90, -140, 90))", spatial_cols=_SC
+    )) == [3]
+    assert _ids(geo, compile_cql(
+        "S_CONTAINS(geometry, BBOX(170, 0, -170, 10))", spatial_cols=_SC
+    )) == []
+
+
+def test_temporal_during_contains(geo):
+    assert _ids(geo, compile_cql(
+        "T_DURING(datetime, "
+        "INTERVAL('2020-01-01 00:00:00', '2020-12-31 00:00:00'))"
+    )) == [1]
+    # Open end drops its bound: started any time in/after 2019.
+    assert _ids(geo, compile_cql(
+        "T_DURING(datetime, INTERVAL('2019-01-01 00:00:00', '..'))"
+    )) == [1, 2, 3]
+    assert _ids(geo, compile_cql(
+        "T_CONTAINS(datetime, "
+        "INTERVAL('2020-03-02 00:00:00', '2020-03-03 00:00:00'))"
+    )) == [1]
+    # Nothing finite contains an unbounded interval — loud, not empty.
+    with pytest.raises(CQLError):
+        compile_cql(
+            "T_CONTAINS(datetime, INTERVAL('2020-01-01 00:00:00', '..'))"
+        )
+
+
+def test_accenti(spark):
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "cafe"), (3, "CAFÉ"), (4, "tea")],
+        "id long, name string",
+    )
+
+    def ids(pred):
+        return [r.id for r in df.filter(pred).select("id").orderBy("id").collect()]
+
+    assert ids(compile_cql("ACCENTI(name) = 'cafe'")) == [1, 2]
+    # Accessors compose: case- AND accent-blind equality.
+    assert ids(compile_cql("CASEI(ACCENTI(name)) = 'cafe'")) == [1, 2, 3]
+    with pytest.raises(CQLError):
+        compile_cql("ACCENTI(name")
+
+
 def test_spatial_temporal_compose_with_property_filters(geo):
     got = compile_cql(
         "S_INTERSECTS(geometry, BBOX(-180, -90, 180, 90)) "
@@ -250,6 +319,73 @@ def _json_ids(df, obj, **kw):
         for r in df.filter(compile_cql_json(obj, **kw))
         .select("id").orderBy("id").collect()
     ]
+
+
+def test_json_new_relations_match_text(geo):
+    """The round-7 widening ops produce the same rows from both
+    encodings: s_contains/s_within/s_disjoint, t_during/t_contains,
+    accenti."""
+    cases = [
+        (
+            {"op": "s_within", "args": [
+                {"property": "geometry"},
+                {"bbox": [-20.0, -10.0, 20.0, 10.0]},
+            ]},
+            "S_WITHIN(geometry, BBOX(-20, -10, 20, 10))",
+        ),
+        (
+            {"op": "s_contains", "args": [
+                {"property": "geometry"},
+                {"bbox": [-5.0, -2.0, 5.0, 2.0]},
+            ]},
+            "S_CONTAINS(geometry, BBOX(-5, -2, 5, 2))",
+        ),
+        (
+            {"op": "s_disjoint", "args": [
+                {"property": "geometry"},
+                {"bbox": [-20.0, -10.0, 0.0, 0.0]},
+            ]},
+            "S_DISJOINT(geometry, BBOX(-20, -10, 0, 0))",
+        ),
+        (
+            {"op": "t_during", "args": [
+                {"property": "datetime"},
+                {"interval": ["2020-01-01 00:00:00", "2020-12-31 00:00:00"]},
+            ]},
+            "T_DURING(datetime, "
+            "INTERVAL('2020-01-01 00:00:00', '2020-12-31 00:00:00'))",
+        ),
+        (
+            {"op": "t_contains", "args": [
+                {"property": "datetime"},
+                {"interval": ["2020-03-02 00:00:00", "2020-03-03 00:00:00"]},
+            ]},
+            "T_CONTAINS(datetime, "
+            "INTERVAL('2020-03-02 00:00:00', '2020-03-03 00:00:00'))",
+        ),
+        (
+            {"op": "=", "args": [
+                {"op": "accenti", "args": [{"op": "casei", "args": [
+                    {"property": "coll"}]}]},
+                "col-a",
+            ]},
+            "ACCENTI(CASEI(coll)) = 'col-a'",
+        ),
+    ]
+    for obj, text in cases:
+        assert _json_ids(geo, obj, spatial_cols=_SC) == _ids(
+            geo, compile_cql(text, spatial_cols=_SC)
+        ), text
+    # t_contains open bound raises in the json encoding too.
+    with pytest.raises(CQLError):
+        from recipes_spark.plans.cql import compile_cql_json
+
+        compile_cql_json(
+            {"op": "t_contains", "args": [
+                {"property": "datetime"},
+                {"interval": ["2020-01-01 00:00:00", ".."]},
+            ]}
+        )
 
 
 def test_json_comparisons_and_boolean(ev):

@@ -301,6 +301,76 @@ def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 4, 1) + 1),
+           i -> array_to_string(t[i:i+4], ' ')
+         ))) AS gram
+  FROM toks
+), firsts AS (
+  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END)
+            AS BIGINT) AS n_novel,
+       CAST((count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) * 10000)
+            // count(*) AS BIGINT) AS novelty_bp
+FROM g JOIN firsts f USING (gram)
+GROUP BY g.doc_id
+ORDER BY doc_id
+""",
+)
+def x4_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY per document — for each doc, the fraction of its
+    distinct word 5-grams whose FIRST occurrence (min doc_id over the
+    corpus) is this doc: the memorization/novelty signal train-set
+    curation uses to find boilerplate-heavy docs (low novelty = mostly
+    n-grams already seen earlier) and is the per-doc complement of
+    x2_span_scrub's span removal. Basis points via integer floor, so
+    both engines agree exactly.
+
+    100 TB: distinct grams stay row-local until ONE exchange on the
+    gram key (the window's partition), which is near-uniform (natural
+    text n-grams are heavy-tailed but the window's min is
+    partial-aggregatable map-side); the per-doc rollup reuses the
+    doc_id exchange. At real scale ship xxhash64(gram) through the
+    shuffle instead of the string — equality is all the min needs —
+    and accept the 2^-64 collision rate."""
+    from recipes_spark.functions.text import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("gram")
+    )
+    first = Window.partitionBy("gram")
+    marked = g.select(
+        "doc_id",
+        (F.min("doc_id").over(first) == F.col("doc_id")).alias("is_novel"),
+    )
+    novel = F.sum(F.when(F.col("is_novel"), 1).otherwise(0))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 10000) div n_grams").alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x6_weighted_sample",
     oracle="""
 SELECT source, doc_id, n_chars, priority

@@ -351,51 +351,31 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives nearly bucket-sorted, and a hot bucket (event storm) salts
     like any hot join key. The oracle is the plain theta join; DuckDB's
     IEJoin evaluates it exactly — both sides must agree pair-for-pair."""
+    from recipes_spark.operators.joins import interval_overlap_join
+
     ev = load(spark, sf_dir, "events")
-    width = 1800 * 1_000_000  # bucket = interval length, in micros
 
     def side(event_type: str) -> DataFrame:
-        f = ev.filter(F.col("event_type") == event_type)
-        s_us = F.unix_micros("ts")
-        e_us = F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
-        return f.select(
-            "event_id",
-            s_us.alias("s_us"),
-            e_us.alias("e_us"),
-            F.explode(
-                F.sequence(
-                    F.floor(s_us / width).cast("long"),
-                    F.floor((e_us - 1) / width).cast("long"),
-                )
-            ).alias("bucket"),
+        return ev.filter(F.col("event_type") == event_type).select(
+            F.col("event_id").alias("id"),
+            F.unix_micros("ts").alias("s_us"),
+            F.unix_micros(
+                F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+            ).alias("e_us"),
         )
 
-    a = side("error").select(
-        F.col("event_id").alias("error_id"),
-        F.col("s_us").alias("a_s"),
-        F.col("e_us").alias("a_e"),
-        "bucket",
+    pairs = interval_overlap_join(
+        side("error"),
+        side("purchase"),
+        a_id="error_id",
+        b_id="purchase_id",
+        width_us=1800 * 1_000_000,  # bucket = the interval length
     )
-    b = side("purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("s_us").alias("b_s"),
-        F.col("e_us").alias("b_e"),
-        "bucket",
-    )
-    pairs = a.join(b, "bucket").filter(
-        (F.col("a_s") < F.col("b_e"))
-        & (F.col("b_s") < F.col("a_e"))
-        & (
-            F.col("bucket")
-            == F.floor(F.greatest("a_s", "b_s") / width).cast("long")
-        )
-    )
-    overlap = F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
     return (
         pairs.groupBy("error_id")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.sum(overlap).cast("long").alias("overlap_micros"),
+            F.sum("overlap_us").cast("long").alias("overlap_micros"),
         )
         .orderBy("error_id")
     )

@@ -439,6 +439,64 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id AS rid, user_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.event_id, c.user_id, c.ts, p.pts, p.value,
+         row_number() OVER (
+           PARTITION BY c.event_id
+           ORDER BY abs(epoch_us(p.pts) - epoch_us(c.ts)) ASC,
+                    p.pts ASC,
+                    p.rid DESC
+         ) AS rn
+  FROM clicks c JOIN purchases p ON c.user_id = p.user_id
+)
+SELECT event_id, user_id, ts, pts AS nearest_ts,
+       round(value, 4) AS nearest_value
+FROM j WHERE rn = 1
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction=NEAREST — the third merge_asof direction,
+    completing J8: each click takes the purchase closest in time in
+    EITHER direction (sensor alignment, nearest-quote matching), equal
+    distances resolving to the earlier row and same-instant rows to
+    the greatest id. Still ONE shuffle + one sort (asof_nearest_join,
+    operators/joins.py): both direction fills run over the same sorted
+    partition, and a row-local CASE picks the nearer — where the naive
+    encoding (abs-distance rank over a full per-key theta join, which
+    IS the oracle) multiplies rows before filtering."""
+    from recipes_spark.operators.joins import asof_nearest_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    joined = asof_nearest_join(
+        clicks, purchases, left_ts="ts", right_ts="pts", by="user_id",
+        value_cols=["value"], tiebreak="rid",
+    )
+    return joined.filter(F.col("__nearest_ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("__nearest_ts").alias("nearest_ts"),
+        F.round("value", 4).alias("nearest_value"),
+    )
+
+
+@query(
     "join_asof_forward",
     oracle="""
 WITH clicks AS (
@@ -1114,6 +1172,67 @@ def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").cast("long").alias("name_len"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
     )
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+WITH u AS (
+  SELECT o_orderkey,
+         'https://cat.example.org/api/v1/items/item-'
+           || CAST(o_orderkey AS VARCHAR) || '.json?coll=col-'
+           || split_part(o_orderpriority, '-', 1)
+           || '&page=' || CAST(o_orderkey % 7 AS VARCHAR) AS url
+  FROM orders
+)
+SELECT o_orderkey,
+       split_part(url, '/', 3) AS host,
+       substr(split_part(url, '?', 1),
+              9 + length(split_part(url, '/', 3))) AS path,
+       split_part(url, '?', 2) AS qs,
+       regexp_extract(split_part(url, '?', 2), 'coll=([^&]*)', 1) AS coll,
+       CAST(regexp_extract(split_part(url, '?', 2), 'page=([^&]*)', 1)
+            AS BIGINT) AS page,
+       split_part(string_split(split_part(url, '?', 1), '/')[-1],
+                  '.', 1) AS stem
+FROM u
+ORDER BY o_orderkey
+""",
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-parsing scalar surface — the reference's domain is remote
+    URLs end to end (granule hrefs, glob listings, asset links), and a
+    catalog engine must decompose them: Spark's parse_url builtin
+    (HOST / PATH / QUERY / per-key QUERY extraction) plus a filename
+    stem, against a DuckDB oracle that re-derives the identical parts
+    with split_part/regexp arithmetic — two independent parsers
+    agreeing on every component. URLs are built deterministically from
+    orders, so both engines see the same inputs. Pure Catalyst,
+    row-local, codegen-friendly."""
+    o = load(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://cat.example.org/api/v1/items/item-"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(".json?coll=col-"),
+        F.substring_index("o_orderpriority", "-", 1),
+        F.lit("&page="),
+        (F.col("o_orderkey") % 7).cast("string"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    path = F.parse_url("url", F.lit("PATH"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        path.alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("qs"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("coll")).alias("coll"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page"))
+        .cast("long")
+        .alias("page"),
+        F.substring_index(
+            F.substring_index(path, "/", -1), ".", 1
+        ).alias("stem"),
+    ).orderBy("o_orderkey")
 
 
 @query(

@@ -525,6 +525,96 @@ def probe_zorder_pruning(spark: SparkSession, n_files: int = 32) -> dict:
     return stats
 
 
+def probe_interval_join(
+    spark: SparkSession, n1: int = 200_000, n10: int = 2_000_000
+) -> dict:
+    """The bucketed interval-overlap join (operators/joins.py
+    interval_overlap_join, registered as join_interval_overlap) beyond
+    the bench SF, three legs:
+
+    1. width-independence: at n1 per side (uniform starts over 30
+       days, 30-min intervals), widths 900 s / 1800 s / 7200 s must
+       produce the IDENTICAL (pair count, total overlap) — independent
+       parameterizations agreeing is the correctness check a single
+       oracle run cannot give at this scale.
+    2. uniform 1x/10x: count-only wall time at n1 and n10 per side →
+       scaling exponent (candidate pairs grow ~linearly when density
+       per bucket is constant-bounded... here density grows 10x too, so
+       the honest exponent includes the quadratic in-bucket term —
+       that's the point of measuring).
+    3. storm: n10 A-side with 50% of intervals starting inside ONE
+       hour against a uniform B side — the hot-bucket shape. Measured
+       with the SAME width and with a 16x finer width. MEASURED
+       OUTCOME (recorded in SCALE.md): the finer grid is ~9x SLOWER —
+       buckets narrower than the interval length replicate every
+       interval into more buckets without shrinking the candidate
+       product. The correct hot-bucket mitigation is salting the
+       bucket key, not refining the grid; this probe is the evidence.
+    """
+    from recipes_spark.operators.joins import interval_overlap_join
+
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ilen_us = 1800 * 1_000_000
+
+    def uniform(n: int):
+        return spark.range(n).select(
+            F.col("id"),
+            (F.pmod(F.xxhash64("id"), F.lit(span_us))).alias("s_us"),
+        ).select("id", "s_us", (F.col("s_us") + ilen_us).alias("e_us"))
+
+    def storm(n: int):
+        hour_us = 3600 * 1_000_000
+        return spark.range(n).select(
+            F.col("id"),
+            F.when(
+                F.col("id") % 2 == 0,
+                F.pmod(F.xxhash64("id"), F.lit(hour_us)),
+            )
+            .otherwise(F.pmod(F.xxhash64("id", "id"), F.lit(span_us)))
+            .alias("s_us"),
+        ).select("id", "s_us", (F.col("s_us") + ilen_us).alias("e_us"))
+
+    def run(a, b, width_us: int) -> tuple[int, int]:
+        r = (
+            interval_overlap_join(a, b, width_us=width_us)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("overlap_us").alias("s"),
+            )
+            .collect()[0]
+        )
+        return r["n"], r["s"]
+
+    a1, b1 = uniform(n1), uniform(n1 + 1)
+    answers = {
+        w: run(a1, b1, w * 1_000_000) for w in (900, 1800, 7200)
+    }
+    assert len(set(answers.values())) == 1, f"widths disagree: {answers}"
+
+    a10, b10 = uniform(n10), uniform(n10 + 1)
+    t1 = min(_timed(lambda: run(a1, b1, ilen_us)) for _ in range(3))
+    t10 = min(_timed(lambda: run(a10, b10, ilen_us)) for _ in range(3))
+
+    sa = storm(n10)
+    ts_coarse = min(_timed(lambda: run(sa, b10, ilen_us)) for _ in range(2))
+    ts_fine = min(
+        _timed(lambda: run(sa, b10, ilen_us // 16)) for _ in range(2)
+    )
+    import math
+
+    return {
+        "probe": "interval_join",
+        "n_1x": n1,
+        "n_10x": n10,
+        "pairs_1x": answers[1800][0],
+        "wall_s_1x": round(t1, 2),
+        "wall_s_10x": round(t10, 2),
+        "exponent": round(math.log(t10 / t1) / math.log(n10 / n1), 2),
+        "storm_wall_s": round(ts_coarse, 2),
+        "storm_wall_s_fine16": round(ts_fine, 2),
+    }
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -540,6 +630,7 @@ PROBES = {
     "pagerank": probe_pagerank,
     "skew_join": probe_skew_join,
     "zorder_pruning": probe_zorder_pruning,
+    "interval_join": probe_interval_join,
 }
 
 

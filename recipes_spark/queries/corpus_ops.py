@@ -301,6 +301,77 @@ def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_source_kl",
+    oracle="""
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM t GROUP BY 1, 2
+), m AS (
+  SELECT source, term, c,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ns,
+         CAST(sum(c) OVER (PARTITION BY term) AS BIGINT)   AS cw,
+         CAST(sum(c) OVER () AS BIGINT)                    AS n
+  FROM c
+)
+SELECT source,
+       CAST(sum(CAST(floor(
+         (c * 1.0 / ns) * log2((c * 1.0 * n) / (ns * 1.0 * cw)) * 1000000
+       ) AS BIGINT)) AS BIGINT) AS kl_micro
+FROM m
+GROUP BY source
+ORDER BY source
+""",
+)
+def x4_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    D(P_source || P_corpus) = Σ p_s(w)·log2(p_s(w)/p(w)) — the
+    domain-shift / contamination-drift signal mixture tuning reads
+    (a source whose token distribution diverges is over-specialized or
+    polluted). Follows x4_unigram_nll's exactness discipline: every
+    per-term contribution is FLOORED to integer micro-units before the
+    sum, so the aggregate is an order-free integer SUM — summation
+    order, the float-aggregate flake class, cannot differ between
+    engines. All count ratios are exact-integer-valued doubles
+    (products < 2^53) fed to the same log2 expression shape on both
+    sides.
+
+    100 TB: one shuffle to (source, term) counts — the token stream
+    collapses map-side; the three marginals are windows over the
+    counts frame (term-partition, source-partition, global), each
+    vocabulary-sized, never token-sized."""
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = c.select(
+        "source",
+        "term",
+        "c",
+        F.sum("c").over(Window.partitionBy("source")).alias("ns"),
+        F.sum("c").over(Window.partitionBy("term")).alias("cw"),
+        F.sum("c").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    term_kl = F.floor(
+        (F.col("c") / F.col("ns"))
+        * F.log2((F.col("c") * F.col("n")) / (F.col("ns") * F.col("cw")))
+        * 1_000_000
+    ).cast("long")
+    return (
+        m.groupBy("source")
+        .agg(F.sum(term_kl).cast("long").alias("kl_micro"))
+        .orderBy("source")
+    )
+
+
+@query(
     "x4_ngram_novelty",
     oracle="""
 WITH toks AS (

@@ -2022,6 +2022,106 @@ def x7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x7_common_neighbors",
+    oracle="""
+WITH nodes AS (
+  SELECT doc_id AS node, (SELECT count(*) FROM documents) AS n
+  FROM documents
+), raw AS (
+  SELECT node AS u, (node + 1) % n AS v FROM nodes
+  UNION ALL
+  SELECT node, (node * node + 1) % n FROM nodes
+), e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v
+), und AS (
+  SELECT a AS u, b AS x FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+), common AS (
+  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS cn
+  FROM e
+  JOIN und n1 ON n1.u = e.a
+  JOIN und n2 ON n2.u = e.b AND n2.x = n1.x
+  GROUP BY e.a, e.b
+)
+SELECT e.a AS a, e.b AS b,
+       COALESCE(c.cn, 0) AS cn,
+       CAST((COALESCE(c.cn, 0) * 10000)
+            // (da.d + db.d - COALESCE(c.cn, 0)) AS BIGINT) AS jaccard_bp
+FROM e
+JOIN deg da ON da.node = e.a
+JOIN deg db ON db.node = e.b
+LEFT JOIN common c ON c.a = e.a AND c.b = e.b
+ORDER BY jaccard_bp DESC, e.a, e.b
+LIMIT 100
+""",
+)
+def x7_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood JACCARD per edge — |N(a)∩N(b)| / |N(a)∪N(b)| for
+    every existing edge, top 100: the classic link-prediction /
+    entity-resolution score (two records whose graph neighborhoods
+    overlap are probably the same thing), the per-EDGE counterpart of
+    x7_triangle_count's per-node count. Same deterministic arithmetic
+    graph as label propagation; common-neighbor counting is the
+    wedge join (edge ⋈ neighbors-of-a ⋈ neighbors-of-b on the shared
+    endpoint), the union size comes from degrees by inclusion-
+    exclusion — no set materialization, and basis points by integer
+    floor keep both engines bit-identical.
+
+    100 TB: the wedge join's cost is Σ_edges min-degree work — orient
+    the probe side by (degree, id) like compact-forward triangle
+    counting so hub neighborhoods are enumerated from their
+    low-degree endpoints; degrees and the final top-100 are
+    metadata-sized."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    u = F.col("node")
+    raw = nodes.select(u.alias("u"), ((u + 1) % n).alias("v")).unionByName(
+        nodes.select(u.alias("u"), ((u * u + 1) % n).alias("v"))
+    )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("x")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("x"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    common = (
+        e.join(
+            und.select(F.col("u").alias("a"), F.col("x").alias("x1")), "a"
+        )
+        .join(
+            und.select(F.col("u").alias("b"), F.col("x").alias("x1")),
+            ["b", "x1"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    out = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        .join(common, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("cn", F.lit(0)).cast("long").alias("cn"),
+            F.expr(
+                "(coalesce(cn, 0) * 10000) div "
+                "(da + db - coalesce(cn, 0))"
+            ).alias("jaccard_bp"),
+        )
+    )
+    return out.orderBy(F.desc("jaccard_bp"), "a", "b").limit(100)
+
+
+@query(
     "x7_pagerank",
     oracle="""
 WITH RECURSIVE params AS (

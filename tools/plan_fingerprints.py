@@ -84,6 +84,17 @@ def extra_plans(spark) -> dict[str, str]:
       st14_hot_terms, the exact functions the foreachBatch body calls)
       applied here to batch inputs — so a broadcast-gone-shuffle or an
       un-pruned scan in the streamed plan fails the suite too.
+    - join_interval_overlap — the bucketed interval join must stay a
+      PARTITIONED equi-join on the bucket key: losing the equi
+      component (e.g. the join condition collapsing into a pure
+      filter) degrades it to the O(n·m) nested-loop it exists to
+      avoid.
+    - join_asof_nearest — the one-shuffle claim: both direction fills
+      share a single hashpartitioning(user_id) exchange; a second
+      exchange or a join appearing in this plan is the regression.
+    - st17_batch_side — st17's foreachBatch transformations
+      (st17_value_hist + st17_prior_quantiles) on batch inputs, the
+      same pinning the other sketch-state streams get.
     """
     import pyspark.sql.functions as F
 
@@ -106,6 +117,20 @@ def extra_plans(spark) -> dict[str, str]:
     out["st14_batch_side"] = plan_hash(
         st14_hot_terms(tc, prior, 1, depth=4, width=1024, thresh=200)
     )
+    q = all_queries()
+    out["join_interval_overlap"] = plan_hash(
+        q["join_interval_overlap"](spark, SF_DIR)
+    )
+    out["join_asof_nearest"] = plan_hash(
+        q["join_asof_nearest"](spark, SF_DIR)
+    )
+    from recipes_spark.streaming.ingest import (
+        st17_prior_quantiles,
+        st17_value_hist,
+    )
+
+    hist = st17_value_hist(ev.select("event_id", "value"))
+    out["st17_batch_side"] = plan_hash(st17_prior_quantiles(hist, 1))
     return out
 
 

@@ -982,6 +982,130 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_autocorr",
+    oracle="""
+WITH b AS (
+  SELECT event_type, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), l AS (
+  SELECT event_type, event_id, ts, c,
+         lag(c) OVER (PARTITION BY event_type
+                      ORDER BY ts, event_id) AS p
+  FROM b
+), f AS (
+  SELECT event_type, event_id, ts,
+         CASE WHEN p IS NOT NULL THEN c END AS cx, p
+  FROM l
+), s AS (
+  SELECT event_type, event_id,
+         CAST(count(p) OVER w AS BIGINT)            AS n,
+         CAST(sum(cx) OVER w AS DOUBLE)             AS sx,
+         CAST(sum(p) OVER w AS DOUBLE)              AS sy,
+         CAST(sum(cx * cx) OVER w AS DOUBLE)        AS sxx,
+         CAST(sum(p * p) OVER w AS DOUBLE)          AS syy,
+         CAST(sum(cx * p) OVER w AS DOUBLE)         AS sxy
+  FROM f
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT event_type, event_id, n,
+         (n * sxy - sx * sy) AS cov_n,
+         (n * sxx - sx * sx) AS varx_n,
+         (n * syy - sy * sy) AS vary_n
+  FROM s
+)
+SELECT event_type, event_id, n,
+       CASE WHEN varx_n > 0 AND vary_n > 0
+            THEN CAST(floor(1000000.0 * cov_n / sqrt(varx_n * vary_n))
+                      AS BIGINT)
+       END AS corr_micro
+FROM m
+WHERE n >= 10
+ORDER BY event_type, event_id
+""",
+)
+def window_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING lag-1 autocorrelation per event type over a 50-row
+    frame — the online drift/seasonality detector — carrying
+    agg_corr_regression's cross-engine exactness into WINDOW frames:
+    co-moment sums accumulate as exact integers inside the frame
+    (bounded by 50 rows x cents², far under int64), are cast to double
+    once, and one fixed-shape scalar expression produces bit-identical
+    floor-scaled micro-units on both engines — float corr() over a
+    moving window cannot promise that on either engine alone.
+
+    The frame and the lag share the (ts, event_id) TOTAL order, so
+    both engines agree on exactly which 50 rows each frame holds even
+    under timestamp ties. 100 TB: one shuffle on event_type feeds the
+    lag and all six frame sums (same-partition windows share the
+    exchange); per-row state is the 50-row frame, independent of
+    history."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    l = b.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "c",
+        F.lag("c").over(order).alias("p"),
+    )
+    f = l.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.when(F.col("p").isNotNull(), F.col("c")).alias("cx"),
+        "p",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, Window.currentRow)
+    )
+    s = f.select(
+        "event_type",
+        "event_id",
+        F.count("p").over(w).alias("n"),
+        F.sum("cx").over(w).cast("double").alias("sx"),
+        F.sum("p").over(w).cast("double").alias("sy"),
+        F.sum(F.col("cx") * F.col("cx")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("p") * F.col("p")).over(w).cast("double").alias("syy"),
+        F.sum(F.col("cx") * F.col("p")).over(w).cast("double").alias("sxy"),
+    )
+    m = s.select(
+        "event_type",
+        "event_id",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx_n"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary_n"),
+    )
+    return (
+        m.filter(F.col("n") >= 10)
+        .select(
+            "event_type",
+            "event_id",
+            "n",
+            F.when(
+                (F.col("varx_n") > 0) & (F.col("vary_n") > 0),
+                F.floor(
+                    1000000.0
+                    * F.col("cov_n")
+                    / F.sqrt(F.col("varx_n") * F.col("vary_n"))
+                ).cast("long"),
+            ).alias("corr_micro"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+@query(
     "window_analytic",
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,

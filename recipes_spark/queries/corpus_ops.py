@@ -476,19 +476,14 @@ def x6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local projection; per-source top-5 is one TakeOrdered-style
     window — at scale swap the window for a per-partition partial top-k
     then merge (brute_force_topk's two-phase shape), same total order."""
+    from recipes_spark.functions.portable_hash import weighted_priority
+
     d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    h = F.conv(
-        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8),
-        16,
-        10,
-    ).cast("long")
     prio = d.select(
-        "source", "doc_id", "n_chars", h.alias("__h")
-    ).select(
         "source",
         "doc_id",
         "n_chars",
-        F.expr("__h div n_chars").alias("priority"),
+        weighted_priority("doc_id", "n_chars").alias("priority"),
     )
     w = Window.partitionBy("source").orderBy("priority", "doc_id")
     return (

@@ -72,3 +72,64 @@ def g2_trajectory_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_PIP_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(-180 + (c_custkey * 7) % 360 AS DOUBLE)  AS px,
+         CAST(-90 + (c_custkey * 13) % 180 AS DOUBLE)  AS py
+  FROM customer
+)
+SELECT c_custkey, px, py
+FROM pts
+WHERE (40.0 - (-60.0)) * (py - (-30.0)) - (0.0 - (-30.0)) * (px - (-60.0)) >= 0
+  AND (80.0 - 40.0) * (py - 0.0) - (40.0 - 0.0) * (px - 40.0) >= 0
+  AND (0.0 - 80.0) * (py - 40.0) - (70.0 - 40.0) * (px - 80.0) >= 0
+  AND (-80.0 - 0.0) * (py - 70.0) - (35.0 - 70.0) * (px - 0.0) >= 0
+  AND (-60.0 - (-80.0)) * (py - 35.0) - (-30.0 - 35.0) * (px - (-80.0)) >= 0
+ORDER BY c_custkey
+"""
+
+
+@query("g4_point_in_polygon", oracle=_PIP_ORACLE)
+def g4_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: true point-in-polygon for a CONVEX query polygon — the step
+    beyond the engine's envelope semantics (G3/S_INTERSECTS): a point
+    is inside a counterclockwise convex ring iff every edge's cross
+    product (x2−x1)(py−y1) − (y2−y1)(px−x1) is non-negative — five
+    pure-Catalyst comparisons for this pentagon, zero UDFs, fully
+    pushdown-friendly. Points derive from customer keys (integer
+    arithmetic → exactly representable doubles), so every cross
+    product is an exact double and the sign test is deterministic on
+    both engines — float PIP on measured coordinates would need an
+    epsilon, but the DEGENERATE-case policy (on-edge = inside, the >=)
+    is explicit either way.
+
+    100 TB: row-local projection + filter, scan-bound; a concave or
+    multi-ring polygon decomposes into convex pieces OR'd together at
+    compile time (the CQL2 spatial compiler's planned extension
+    point), keeping the per-row cost edges-linear with no UDF."""
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (-180 + (F.col("c_custkey") * 7) % 360).cast("double").alias("px"),
+        (-90 + (F.col("c_custkey") * 13) % 180).cast("double").alias("py"),
+    )
+    # CCW pentagon: (-60,-30) (40,0) (80,40) (0,70) (-80,35)
+    ring = [
+        (-60.0, -30.0),
+        (40.0, 0.0),
+        (80.0, 40.0),
+        (0.0, 70.0),
+        (-80.0, 35.0),
+    ]
+    px, py = F.col("px"), F.col("py")
+    cond = None
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        edge = (
+            F.lit(x2 - x1) * (py - F.lit(y1))
+            - F.lit(y2 - y1) * (px - F.lit(x1))
+        ) >= 0
+        cond = edge if cond is None else (cond & edge)
+    return pts.filter(cond).orderBy("c_custkey")

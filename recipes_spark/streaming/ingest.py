@@ -935,3 +935,148 @@ def st17_stream_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bid", "n_prior", "p50_cents", "p90_cents")
         .orderBy("bid")
     )
+
+
+#: st18's output schema (st14 convention: shared by batch-0 empty frame
+#: and schema'd read-back).
+_ST18_OUT_SCHEMA = "bid int, source string, doc_id long, priority long"
+
+
+def st18_batch_candidates(bdf: DataFrame) -> DataFrame:
+    """st18's per-batch candidate selection: each batch's own top-5
+    priorities per source. Truncating per batch is LOSSLESS for the
+    running sample — any member of the merged top-5 is necessarily in
+    its own batch's top-5 (the classic mergeable-top-k argument) — so
+    the persisted state is k rows per (batch, source), never the
+    corpus."""
+    from pyspark.sql import Window
+
+    from recipes_spark.functions.portable_hash import weighted_priority
+
+    prio = bdf.filter(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        weighted_priority("doc_id", "n_chars").alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        prio.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+def sample_merge_then_emit(spark: SparkSession, out_dir: str, state_dir: str):
+    """st18's per-micro-batch body: merge own candidates with all PRIOR
+    batches' persisted candidate tables, emit the RUNNING top-5 per
+    source (batches 0..bid inclusive — a live sample, so batch 0 emits
+    too), persist own candidates. Overwrite-by-bid + prior-only state
+    reads make at-least-once retries byte-identical (st13/st14/st17's
+    transactionality contract)."""
+    from pyspark.sql import Window
+
+    def merge_then_emit(bdf: DataFrame, bid: int) -> None:
+        own = st18_batch_candidates(bdf)
+        pool = own
+        if bid > 0:
+            prior = spark.read.parquet(
+                *[os.path.join(state_dir, f"s_{j}") for j in range(bid)]
+            )
+            pool = pool.unionByName(prior)
+        w = Window.partitionBy("source").orderBy("priority", "doc_id")
+        out = (
+            pool.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select(
+                F.lit(bid).cast("int").alias("bid"),
+                "source",
+                "doc_id",
+                "priority",
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={bid}")
+        )
+        own.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"s_{bid}")
+        )
+
+    return merge_then_emit
+
+
+@query(
+    "st18_stream_weighted_sample",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, n_chars, doc_id % 4 AS bid
+  FROM documents WHERE n_chars > 0
+), pr AS (
+  SELECT doc_id, source, bid,
+         CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) // n_chars AS priority
+  FROM docs
+), bids AS (
+  SELECT unnest(range(0, 4)) AS obid
+), ranked AS (
+  SELECT b.obid, p.source, p.doc_id, p.priority,
+         row_number() OVER (PARTITION BY b.obid, p.source
+                            ORDER BY p.priority, p.doc_id) AS rn
+  FROM bids b JOIN pr p ON p.bid <= b.obid
+)
+SELECT CAST(obid AS INT) AS bid, source, doc_id, priority
+FROM ranked WHERE rn <= 5
+ORDER BY bid, source, doc_id
+""",
+)
+def st18_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WEIGHTED RESERVOIR — the sampling member of the
+    sketch-state ingest family (st13 membership, st14 frequency, st17
+    distribution, st18 SAMPLE): the corpus arrives as four ordered
+    micro-batches; after each, the engine emits the running top-5
+    hash-priority sample per source over everything seen so far.
+    Deterministic priorities (weighted_priority, the exact same
+    expression x6_weighted_sample uses) make the streaming sample
+    EQUAL to the batch sample over the same prefix — the property
+    rand()-based reservoirs cannot have and the DuckDB oracle checks
+    per prefix. State per batch = its own top-5 per source (mergeable
+    top-k: truncation is lossless for the union's top-5), so state
+    size is k x sources x batches rows — never the corpus.
+
+    Retry-idempotent by the family's contract: per-bid overwrites,
+    prior state = persisted tables of batches < bid, own candidates
+    recomputed from the redelivered batch."""
+    from recipes_spark.io import load
+    from recipes_spark.streaming.core import stage_ordered
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    chunks = [d.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
+    staged = stage_ordered(chunks, prefix="recipes_st18_landing_")
+    out_dir = tempfile.mkdtemp(prefix="recipes_st18_out_") + "/sample"
+    state_dir = tempfile.mkdtemp(prefix="recipes_st18_state_")
+    merge_then_emit = sample_merge_then_emit(spark, out_dir, state_dir)
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(merge_then_emit)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st18_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema(_ST18_OUT_SCHEMA)
+        .parquet(out_dir)
+        .select("bid", "source", "doc_id", "priority")
+        .orderBy("bid", "source", "doc_id")
+    )

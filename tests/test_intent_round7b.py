@@ -226,3 +226,51 @@ def test_st17_hist_state_retry_idempotent(spark, sf_dir, tmp_path):
     before = snapshot()
     fn(batches[1], 1)  # at-least-once redelivery
     assert snapshot() == before
+
+
+def test_st18_sample_state_retry_idempotent(spark, sf_dir, tmp_path):
+    """st18's running weighted sample: redelivering batch 1 after
+    batches 0..2 must leave every emitted prefix sample and every
+    persisted candidate table byte-identical."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.streaming.ingest import sample_merge_then_emit
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    batches = [
+        d.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)
+    ]
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir, exist_ok=True)
+    fn = sample_merge_then_emit(spark, out_dir, state_dir)
+
+    def snapshot():
+        out = {
+            bid: sorted(
+                tuple(r)
+                for r in spark.read.parquet(
+                    os.path.join(out_dir, f"batch={bid}")
+                ).collect()
+            )
+            for bid in range(3)
+        }
+        state = {
+            name: sorted(
+                tuple(r)
+                for r in spark.read.parquet(
+                    os.path.join(state_dir, name)
+                ).collect()
+            )
+            for name in sorted(os.listdir(state_dir))
+        }
+        return out, state
+
+    for bid, bdf in enumerate(batches):
+        fn(bdf, bid)
+    before = snapshot()
+    fn(batches[1], 1)
+    assert snapshot() == before

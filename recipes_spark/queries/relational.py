@@ -1299,6 +1299,47 @@ def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_regex",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS BIGINT) AS n_ta,
+       regexp_extract(text, '(s[a-z]+)', 1) AS first_s,
+       CAST(len(regexp_extract_all(text, '\\b[a-z]{4}\\b')) AS BIGINT)
+         AS n4,
+       regexp_replace(text, '\\btable\\b', 'T', 'g') AS scrubbed,
+       COALESCE(array_to_string(regexp_extract_all(text, 'w[a-z]+'), '|'),
+                '') AS all_w
+FROM documents
+ORDER BY doc_id
+""",
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface — count / extract-first / extract-all /
+    global-replace — on the corpus text, pinned against DuckDB's RE2
+    implementations computing the same patterns (Java regex vs RE2
+    agree on this ASCII class-and-boundary subset; the suite
+    deliberately stays inside the common dialect). Two dialect traps
+    the oracle encodes: DuckDB regexp_replace is FIRST-match unless
+    the 'g' flag (Spark's is always global), and DuckDB's
+    array_to_string over a no-match extract yields NULL where Spark's
+    array_join yields '' (hence the COALESCE). Row-local,
+    codegen-resident — regex evaluation is the scan-bound hot path of
+    every quality-filter pipeline (x4_pii_scrub, lang_id), so the
+    primitives get their own oracled query."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("ta[a-z]+")).cast("long").alias("n_ta"),
+        F.regexp_extract("text", "(s[a-z]+)", 1).alias("first_s"),
+        F.regexp_count("text", F.lit(r"\b[a-z]{4}\b")).cast("long").alias("n4"),
+        F.regexp_replace("text", r"\btable\b", "T").alias("scrubbed"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("(w[a-z]+)"), 1), "|"
+        ).alias("all_w"),
+    ).orderBy("doc_id")
+
+
+@query(
     "scalar_url_parse",
     oracle="""
 WITH u AS (

@@ -16,6 +16,7 @@ arithmetic — all pushdown-friendly, zero UDFs.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -350,3 +351,56 @@ def catalog_search(
     if limit:
         out = out.limit(limit)
     return out
+
+
+def snapshot_commit(
+    spark: SparkSession, df: DataFrame, store_path: str, version: int
+) -> None:
+    """Append-only SNAPSHOT commit — the manifest mechanism behind
+    table-format time travel (Delta/Iceberg's capability on plain
+    parquet): version N's data files land under ``data/v{N}/``, and
+    the version's MANIFEST (``_manifests/v{N}``) lists the complete
+    file set visible at N = the previous manifest's files plus the new
+    ones. Readers resolve a version through its manifest only, so
+    files written by LATER versions are invisible to earlier reads —
+    snapshot isolation by construction, no tombstones needed for the
+    append-only case.
+
+    Both writes are overwrite-by-version, so re-committing version N
+    (an at-least-once retry) is idempotent. The new-file listing comes
+    from the scan's _metadata column (executor-side), not a driver
+    filesystem walk; the manifest is file-count-sized metadata."""
+    data_dir = os.path.join(store_path, "data", f"v{version}")
+    df.write.mode("overwrite").parquet(data_dir)
+    new_files = (
+        spark.read.parquet(data_dir)
+        .select(F.col("_metadata.file_path").alias("file"))
+        .distinct()
+        .withColumn("version", F.lit(version).cast("int"))
+    )
+    manifest = new_files
+    if version > 1:
+        prior = spark.read.parquet(
+            os.path.join(store_path, "_manifests", f"v{version - 1}")
+        )
+        manifest = prior.unionByName(new_files)
+    manifest.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        os.path.join(store_path, "_manifests", f"v{version}")
+    )
+
+
+def snapshot_read(
+    spark: SparkSession, store_path: str, version: int
+) -> DataFrame:
+    """Time-travel read: resolve `version`'s manifest to its file list
+    (a bounded, file-count-sized driver collect — the same class as
+    every table format's metadata read) and scan exactly those files.
+    Later versions' files are never touched, whatever else has been
+    written to the store since."""
+    files = [
+        r["file"]
+        for r in spark.read.parquet(
+            os.path.join(store_path, "_manifests", f"v{version}")
+        ).collect()
+    ]
+    return spark.read.parquet(*files)

@@ -301,6 +301,82 @@ def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x6_interleave_schedule",
+    oracle="""
+WITH w AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS wt
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(wt) AS BIGINT) AS total FROM w
+), quota AS (
+  SELECT source, wt,
+         greatest(1, (wt * 200) // (SELECT total FROM tot)) AS q
+  FROM w
+), slots AS (
+  SELECT source, wt, CAST(unnest(range(0, q)) AS BIGINT) AS k
+  FROM quota
+), keyed AS (
+  SELECT source, k,
+         ((k + 1) * 1000000000000) // wt AS vkey
+  FROM slots
+)
+SELECT CAST(row_number() OVER (ORDER BY vkey, source, k) AS BIGINT)
+         AS position,
+       source, k, vkey
+FROM keyed
+ORDER BY position
+""",
+)
+def x6_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED-FAIR INTERLEAVE — the schedule a training
+    data loader follows when mixing sources by weight (the consumer of
+    x6_mixture_weights): source s's k-th item is scheduled at virtual
+    time (k+1)/w_s, and the global order sorts those times — standard
+    weighted fair queueing, so heavier sources both appear earlier and
+    recur more often, with NO long same-source runs (the failure mode
+    of naive concatenation) and no RNG (reproducible across runs,
+    engines, and partitionings). Virtual times are scaled-integer
+    division, so both engines sort identical keys; (source, k) breaks
+    the remaining ties totally.
+
+    100 TB: the schedule is quota-sized metadata (~one row per emitted
+    shard slot), not corpus-sized — compute it once, broadcast it, and
+    let each reader task binary-search its slot range; the corpus
+    itself is never globally sorted."""
+    d = load(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("wt")
+    )
+    total = w.agg(F.sum("wt").cast("long").alias("total"))
+    quota = w.crossJoin(F.broadcast(total)).select(
+        "source",
+        "wt",
+        F.greatest(F.lit(1), F.expr("(wt * 200) div total")).alias("q"),
+    )
+    slots = quota.select(
+        "source",
+        "wt",
+        F.explode(F.sequence(F.lit(0), F.col("q") - 1)).alias("k"),
+    ).select(
+        "source",
+        F.col("k").cast("long").alias("k"),
+        F.expr("((k + 1) * 1000000000000) div wt").alias("vkey"),
+    )
+    return (
+        slots.select(
+            F.row_number()
+            .over(Window.orderBy("vkey", "source", "k"))
+            .cast("long")
+            .alias("position"),
+            "source",
+            "k",
+            "vkey",
+        )
+        .orderBy("position")
+    )
+
+
+@query(
     "x4_source_kl",
     oracle="""
 WITH t AS (

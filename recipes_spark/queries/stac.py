@@ -366,6 +366,70 @@ def stac_cql_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_time_travel",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META}),
+v1 AS (SELECT * FROM meta WHERE west < 50),
+agg1 AS (
+  SELECT 1 AS version, collection_id,
+         CAST(count(*) AS BIGINT) AS n_items,
+         min(item_id) AS min_id, max(item_id) AS max_id
+  FROM v1 GROUP BY collection_id
+), agg2 AS (
+  SELECT 2 AS version, collection_id,
+         CAST(count(*) AS BIGINT) AS n_items,
+         min(item_id) AS min_id, max(item_id) AS max_id
+  FROM meta GROUP BY collection_id
+)
+SELECT * FROM agg1 UNION ALL SELECT * FROM agg2
+ORDER BY version, collection_id
+""",
+)
+def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the catalog store (plans/catalog.py
+    snapshot_commit/snapshot_read) — the table-format capability (Delta
+    /Iceberg snapshots) built from plain parquet + version manifests:
+    commit v1 (items west of 50°), commit v2 (the remaining items),
+    then read BOTH versions back — v1's read resolves through v1's
+    manifest, so v2's files, sitting in the same store tree, are
+    invisible to it. The output aggregates each version's read per
+    collection; the oracle derives the same two snapshots logically,
+    so a manifest leak (v1 read seeing v2 rows) or a lost file breaks
+    the count/extent hash immediately.
+
+    100 TB: manifests are file-count-sized metadata; the version
+    resolution collect is the same bounded metadata read every table
+    format performs; data files are immutable once committed, so
+    snapshot reads are plain pruned parquet scans."""
+    from recipes_spark.plans.catalog import snapshot_commit, snapshot_read
+    from recipes_spark.queries.corpus_ops import _scratch_dir
+
+    store = _scratch_dir("timetravel", sf_dir)
+    m = _metadata(spark, sf_dir)
+    snapshot_commit(spark, m.filter(F.col("west") < 50), store, 1)
+    snapshot_commit(spark, m.filter(F.col("west") >= 50), store, 2)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("collection_id").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("item_id").alias("min_id"),
+            F.max("item_id").alias("max_id"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "collection_id",
+            "n_items",
+            "min_id",
+            "max_id",
+        )
+
+    return (
+        agg(snapshot_read(spark, store, 1), 1)
+        .unionByName(agg(snapshot_read(spark, store, 2), 2))
+        .orderBy("version", "collection_id")
+    )
+
+
+@query(
     "stac_cql_containment",
     oracle=f"""
 WITH meta AS ({_ORACLE_META})

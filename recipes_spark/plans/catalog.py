@@ -366,10 +366,23 @@ def snapshot_commit(
     snapshot isolation by construction, no tombstones needed for the
     append-only case.
 
-    Both writes are overwrite-by-version, so re-committing version N
-    (an at-least-once retry) is idempotent. The new-file listing comes
-    from the scan's _metadata column (executor-side), not a driver
-    filesystem walk; the manifest is file-count-sized metadata."""
+    Retry semantics are the table formats' optimistic concurrency:
+    re-committing the LATEST version is idempotent (overwrite-by-
+    version; its manifest re-derives from the unchanged prior manifest
+    plus its own fresh file listing), but re-committing a SUPERSEDED
+    version is rejected loudly — its overwrite would replace part
+    files that later manifests reference by name, silently breaking
+    every later snapshot (the failure the intent test plants). The
+    new-file listing comes from the scan's _metadata column
+    (executor-side), not a driver filesystem walk; the manifest is
+    file-count-sized metadata."""
+    next_manifest = os.path.join(store_path, "_manifests", f"v{version + 1}")
+    if os.path.isdir(next_manifest):
+        raise ValueError(
+            f"snapshot version {version} is already superseded by "
+            f"v{version + 1} — committing it would invalidate later "
+            "manifests (optimistic-concurrency rejection)"
+        )
     data_dir = os.path.join(store_path, "data", f"v{version}")
     df.write.mode("overwrite").parquet(data_dir)
     new_files = (

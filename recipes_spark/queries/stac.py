@@ -401,10 +401,17 @@ def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution collect is the same bounded metadata read every table
     format performs; data files are immutable once committed, so
     snapshot reads are plain pruned parquet scans."""
+    import os
+    import shutil
+
     from recipes_spark.plans.catalog import snapshot_commit, snapshot_read
     from recipes_spark.queries.corpus_ops import _scratch_dir
 
-    store = _scratch_dir("timetravel", sf_dir)
+    # Fresh store per invocation: a re-run replays commit 1, which the
+    # optimistic-concurrency guard would (rightly) reject against the
+    # previous run's surviving manifests.
+    store = os.path.join(_scratch_dir("timetravel", sf_dir), "store")
+    shutil.rmtree(store, ignore_errors=True)
     m = _metadata(spark, sf_dir)
     snapshot_commit(spark, m.filter(F.col("west") < 50), store, 1)
     snapshot_commit(spark, m.filter(F.col("west") >= 50), store, 2)

@@ -228,6 +228,74 @@ def test_st17_hist_state_retry_idempotent(spark, sf_dir, tmp_path):
     assert snapshot() == before
 
 
+def test_snapshot_isolation_and_retry(spark, tmp_path):
+    """Three committed versions: every earlier version's read must be
+    unaffected by later commits (manifest isolation), and re-committing
+    a middle version (at-least-once retry) must leave all three reads
+    identical."""
+    from pyspark.sql import Row
+
+    from recipes_spark.plans.catalog import snapshot_commit, snapshot_read
+
+    store = str(tmp_path / "store")
+    batches = {
+        1: [Row(id=1, v="a"), Row(id=2, v="b")],
+        2: [Row(id=3, v="c")],
+        3: [Row(id=4, v="d"), Row(id=5, v="e")],
+    }
+    for ver, rows in batches.items():
+        snapshot_commit(spark, spark.createDataFrame(rows), store, ver)
+
+    def read(ver):
+        return sorted(
+            tuple(r) for r in snapshot_read(spark, store, ver).collect()
+        )
+
+    assert read(1) == [(1, "a"), (2, "b")]
+    assert read(2) == [(1, "a"), (2, "b"), (3, "c")]
+    assert read(3) == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+    # Retry of the LATEST version is idempotent...
+    snapshot_commit(spark, spark.createDataFrame(batches[3]), store, 3)
+    assert read(1) == [(1, "a"), (2, "b")]
+    assert read(2) == [(1, "a"), (2, "b"), (3, "c")]
+    assert read(3) == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+    # ...but a SUPERSEDED version's retry is rejected loudly: its
+    # overwrite would delete part files v3's manifest references by
+    # name, silently corrupting the later snapshot.
+    import pytest
+
+    with pytest.raises(ValueError, match="superseded"):
+        snapshot_commit(spark, spark.createDataFrame(batches[2]), store, 2)
+    assert read(3) == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+
+def test_interleave_schedule_fairness(spark, sf_dir):
+    """The weighted-fair schedule's defining properties on the real
+    fixture: quotas are proportional-with-floor, heavier sources never
+    starve, and there is no long same-source run (the failure mode of
+    naive concatenation that the interleave exists to prevent)."""
+    from recipes_spark.registry import all_queries
+
+    rows = all_queries()["x6_interleave_schedule"](spark, sf_dir).collect()
+    order = [r["source"] for r in sorted(rows, key=lambda r: r["position"])]
+    assert len(set(order)) > 1
+    # Longest same-source run: near-equal weights must interleave
+    # tightly — a run of 3+ means the virtual-time keys are wrong.
+    longest = cur = 1
+    for a, b in zip(order, order[1:]):
+        cur = cur + 1 if a == b else 1
+        longest = max(longest, cur)
+    assert longest <= 2
+    # Every source's k sequence is gapless from 0 (no starved slots).
+    from collections import defaultdict
+
+    ks = defaultdict(list)
+    for r in rows:
+        ks[r["source"]].append(r["k"])
+    for src, seq in ks.items():
+        assert sorted(seq) == list(range(len(seq))), src
+
+
 def test_st18_sample_state_retry_idempotent(spark, sf_dir, tmp_path):
     """st18's running weighted sample: redelivering batch 1 after
     batches 0..2 must leave every emitted prefix sample and every

@@ -403,17 +403,28 @@ def snapshot_commit(
 
 
 def snapshot_read(
-    spark: SparkSession, store_path: str, version: int
+    spark: SparkSession,
+    store_path: str,
+    version: int,
+    *,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Time-travel read: resolve `version`'s manifest to its file list
     (a bounded, file-count-sized driver collect — the same class as
     every table format's metadata read) and scan exactly those files.
     Later versions' files are never touched, whatever else has been
-    written to the store since."""
+    written to the store since. ``merge_schema=True`` unions the file
+    schemas (additive schema EVOLUTION across snapshot versions:
+    columns absent from older files read as NULL) — without it Spark
+    takes one file's schema and silently drops columns the sampled
+    file lacks, which is the wrong default for an evolved store."""
     files = [
         r["file"]
         for r in spark.read.parquet(
             os.path.join(store_path, "_manifests", f"v{version}")
         ).collect()
     ]
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)

@@ -437,6 +437,73 @@ def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_schema_evolution",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META}),
+v1 AS (
+  SELECT item_id, collection_id, CAST(NULL AS BIGINT) AS quality_cents
+  FROM meta WHERE west < 50
+), v2 AS (
+  SELECT item_id, collection_id,
+         CAST(floor(west * 100) AS BIGINT) AS quality_cents
+  FROM meta WHERE west >= 50
+), merged AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT collection_id,
+       CAST(count(*) AS BIGINT)             AS n_items,
+       CAST(count(quality_cents) AS BIGINT) AS n_scored,
+       CAST(sum(quality_cents) AS BIGINT)   AS sum_quality_cents
+FROM merged
+GROUP BY collection_id
+ORDER BY collection_id
+""",
+)
+def catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION across snapshot versions — the third
+    table-format capability next to time travel and optimistic
+    commits: version 1 items have no `quality_cents`; version 2 items
+    carry the new column; a merge-schema snapshot read unions the file
+    schemas so v1-origin rows surface the column as NULL instead of
+    the column silently vanishing (Spark's default samples ONE file's
+    footer — the wrong behavior for an evolved store, which is exactly
+    why snapshot_read exposes merge_schema). The oracle derives the
+    same evolved union logically, so a dropped column, a wrong NULL
+    policy, or cross-version row leakage all break the hash.
+
+    100 TB: merge-schema costs one footer read per file at planning —
+    table formats amortize it by storing the schema in the manifest;
+    the data files are never rewritten for an additive change."""
+    import os
+    import shutil
+
+    from recipes_spark.plans.catalog import snapshot_commit, snapshot_read
+    from recipes_spark.queries.corpus_ops import _scratch_dir
+
+    store = os.path.join(_scratch_dir("schemaevo", sf_dir), "store")
+    shutil.rmtree(store, ignore_errors=True)
+    m = _metadata(spark, sf_dir)
+    v1 = m.filter(F.col("west") < 50).select("item_id", "collection_id")
+    v2 = m.filter(F.col("west") >= 50).select(
+        "item_id",
+        "collection_id",
+        F.floor(F.col("west") * 100).cast("long").alias("quality_cents"),
+    )
+    snapshot_commit(spark, v1, store, 1)
+    snapshot_commit(spark, v2, store, 2)
+    evolved = snapshot_read(spark, store, 2, merge_schema=True)
+    return (
+        evolved.groupBy("collection_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count("quality_cents").alias("n_scored"),
+            F.sum("quality_cents").cast("long").alias("sum_quality_cents"),
+        )
+        .orderBy("collection_id")
+    )
+
+
+@query(
     "stac_cql_containment",
     oracle=f"""
 WITH meta AS ({_ORACLE_META})

@@ -301,6 +301,84 @@ def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x6_corpus_clean_e2e",
+    oracle="""
+WITH dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                               ORDER BY doc_id) AS rn
+  FROM documents
+), survivors AS (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM dedup WHERE rn = 1
+), quality AS (
+  SELECT * FROM survivors
+  WHERE len(string_split(text, ' ')) >= 30 AND n_chars >= 100
+), sampled AS (
+  SELECT * FROM quality
+  WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 < 50
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)  AS total_chars,
+       CAST(sum(CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT))
+            AS BIGINT)               AS text_checksum,
+       min(doc_id)                   AS min_id,
+       max(doc_id)                   AS max_id
+FROM sampled
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def x6_corpus_clean_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus cleaning as ONE composed plan — the proof the
+    pipeline pieces COMPOSE, not just pass in isolation: exact dedup
+    (sha256 group, min-id survivor — x1's rule), quality filtering
+    (token and char floors — the x4 family's signal shape), and the
+    deterministic 50% hash sample (x6_hash_sample's bucket rule), then
+    a per-(lang, source) audit whose portable text checksum makes any
+    dropped, duplicated, or mutated doc break the hash. The oracle
+    replays every stage, so a stage-ordering bug (sampling before
+    dedup changes survivors), an off-by-one in a floor, or a
+    nondeterministic survivor all surface as a value mismatch.
+
+    100 TB: dedup is the only shuffle (uniform sha keys); the filters
+    and the sample are row-local and run map-side AFTER the survivor
+    window's exchange — Catalyst pipelines all three into the same
+    stage, which is the point of expressing the pipeline as one
+    DataFrame instead of three materialized passes."""
+    from recipes_spark.functions.portable_hash import sha_slice_bucket
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    survivors = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    quality = survivors.filter(
+        (F.size(F.split("text", " ")) >= 30) & (F.col("n_chars") >= 100)
+    )
+    sampled = quality.filter(
+        sha_slice_bucket(F.col("doc_id").cast("string"), 100) < 50
+    )
+    checksum = F.conv(
+        F.substring(F.sha2("text", 256), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        sampled.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(checksum).cast("long").alias("text_checksum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
     "x6_interleave_schedule",
     oracle="""
 WITH w AS (

@@ -157,6 +157,19 @@ PARTITION_SENSITIVE = [
     "agg_argmax_conditional",
     "x6_stratified_topk",
     "x2_best_survivor",
+    # Round-7 second wave: nearest-asof's per-instant tie
+    # pre-aggregation, the weighted sample's (priority, id) window
+    # tiebreak, label propagation's (count, -label) struct argmax, the
+    # rolling-corr frame membership under timestamp ties, the
+    # interval join's responsibility filter, and the interleave's
+    # total (vkey, source, k) order — each is a determinism CLAIM, so
+    # each is pinned against partitioning here.
+    "join_asof_nearest",
+    "x6_weighted_sample",
+    "x7_label_propagation",
+    "window_autocorr",
+    "join_interval_overlap",
+    "x6_interleave_schedule",
 ]
 
 

@@ -342,11 +342,12 @@ def x6_corpus_clean_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup changes survivors), an off-by-one in a floor, or a
     nondeterministic survivor all surface as a value mismatch.
 
-    100 TB: dedup is the only shuffle (uniform sha keys); the filters
-    and the sample are row-local and run map-side AFTER the survivor
-    window's exchange — Catalyst pipelines all three into the same
-    stage, which is the point of expressing the pipeline as one
-    DataFrame instead of three materialized passes."""
+    100 TB: the CORPUS moves through exactly one shuffle (the dedup
+    window on uniform sha keys); the filters and the sample are
+    row-local in the same stage, and the audit's own exchange ships
+    only partial-aggregated (lang, source) rows — group-count-sized,
+    not corpus-sized. One DataFrame instead of three materialized
+    passes is the point."""
     from recipes_spark.functions.portable_hash import sha_slice_bucket
 
     d = load(spark, sf_dir, "documents")

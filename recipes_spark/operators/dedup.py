@@ -404,11 +404,22 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
     stats: dict | None = None,
+    initial_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup-group assignment: min-label propagation to a fixpoint over
     the near-dup pair graph. Returns DataFrame[node, component] where
     component = min node id reachable from `node` (isolated nodes map to
     themselves) — the canonical-survivor id of each duplicate cluster.
+
+    ``initial_labels`` (DataFrame[node, component]) seeds the
+    propagation instead of the identity labeling — the INCREMENTAL
+    form: pass a previous run's output (new nodes default to their own
+    id) and the fixpoint is provably the same as a full recompute
+    (each seed label is a node id inside its own component, and min
+    propagation is confluent: any upper-bound seed within the
+    component converges to the component minimum) while rounds shrink
+    to roughly the diameter of the NEW structure, because old
+    components are already collapsed to their minimum.
 
     PRECONDITION: every edge endpoint must appear in `nodes`. The
     union+min round materializes label rows for any endpoint it sees,
@@ -443,9 +454,22 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(node_col).alias("n"), F.col(node_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    if initial_labels is not None:
+        seeds = initial_labels.select(
+            F.col("node").alias("n"), F.col("component").alias("__seed")
+        )
+        labels = (
+            nodes.select(F.col(node_col).alias("n"))
+            .join(seeds, "n", "left")
+            .select(
+                "n", F.coalesce("__seed", F.col("n")).alias("comp")
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        labels = nodes.select(
+            F.col(node_col).alias("n"), F.col(node_col).alias("comp")
+        ).localCheckpoint(eager=True)
 
     def label_sig(df: DataFrame) -> int:
         # Labels only ever DECREASE, so the xor-hash of (n, comp)

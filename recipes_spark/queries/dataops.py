@@ -2022,6 +2022,49 @@ def x7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_incremental_cc",
+    oracle="""
+SELECT doc_id AS node,
+       CAST(doc_id - (doc_id % 7) AS BIGINT) AS component
+FROM documents
+ORDER BY node
+""",
+)
+def x2_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup-cluster maintenance — the nightly-ingest shape
+    where recomputing connected components over the whole corpus per
+    batch would be the scale killer: phase 1 runs CC over the prior
+    corpus (doc_id < 300), phase 2 ingests the remaining docs and runs
+    CC over the full edge set SEEDED with phase 1's labels
+    (connected_components(initial_labels=...)). Min propagation is
+    confluent — any seed that is a node id inside its own component
+    converges to the same fixpoint as a full recompute — so the
+    incremental result is EXACT, not approximate, while old
+    components start already collapsed and only the new structure
+    costs rounds. The chain graph (i—i+1 within runs of 7) makes
+    components span the ingest boundary, so phase 2 genuinely merges
+    prior clusters with new nodes; the oracle is the closed-form
+    component id (run minimum)."""
+    from recipes_spark.operators.dedup import connected_components
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    nodes = d.select(F.col("doc_id").alias("node"))
+    edges = (
+        d.filter((F.col("doc_id") % 7) != 6)
+        .select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") + 1).alias("dst"),
+        )
+        .join(nodes.select(F.col("node").alias("dst")), "dst")
+    )
+    old_nodes = nodes.filter(F.col("node") < 300)
+    old_edges = edges.filter(F.col("dst") < 300)
+    prior = connected_components(old_nodes, old_edges)
+    full = connected_components(nodes, edges, initial_labels=prior)
+    return full.orderBy("node")
+
+
+@query(
     "x7_common_neighbors",
     oracle="""
 WITH nodes AS (

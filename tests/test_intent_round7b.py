@@ -115,6 +115,36 @@ def test_histogram_quantile_interpolates_within_the_right_bucket(
     assert rows[0]["p90_cents"] == 900_000
 
 
+def test_histogram_quantile_within_one_bucket_of_exact(spark, sf_dir):
+    """The sketch's accuracy CONTRACT: the histogram estimate and the
+    true quantile live in the same $5000 bucket, so |est - exact| <
+    500000 cents — checked against the exact percentile on the real
+    fixture for both quantiles and every group."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+
+    est = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_histogram_quantile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9))"
+            ).alias("p")
+        )
+        .collect()
+    }
+    for flag, row in est.items():
+        for col, q in (("p50_cents", 0), ("p90_cents", 1)):
+            true_cents = exact[flag]["p"][q] * 100
+            assert abs(row[col] - true_cents) < 500_000, (flag, col)
+
+
 def test_label_propagation_converges_per_triangle(spark):
     """Two disjoint triangles with id-seeded labels: mode propagation
     with the (count desc, label asc) tiebreak must converge each
@@ -294,6 +324,44 @@ def test_interleave_schedule_fairness(spark, sf_dir):
         ks[r["source"]].append(r["k"])
     for src, seq in ks.items():
         assert sorted(seq) == list(range(len(seq))), src
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """Confluence of seeded min propagation on a messier planted graph
+    than the query's chains: two phases of nodes with cross-phase
+    merge edges — CC seeded with phase 1's labels must equal a
+    from-scratch CC over everything, including a component whose NEW
+    minimum arrives in phase 2 (node 1 joins the 10-cluster), the case
+    where stale seeds must be overwritten downward."""
+    from recipes_spark.operators.dedup import connected_components
+
+    old_edges = [(10, 11), (11, 12), (20, 21), (30, 31), (31, 32)]
+    new_edges = [(12, 40), (41, 42), (1, 10)]  # merge + new + new-min
+    all_nodes = sorted({n for e in old_edges + new_edges for n in e})
+    old_nodes = sorted({n for e in old_edges for n in e})
+
+    def df_nodes(ns):
+        return spark.createDataFrame([(n,) for n in ns], "node long")
+
+    def df_edges(es):
+        return spark.createDataFrame(es, "src long, dst long")
+
+    prior = connected_components(df_nodes(old_nodes), df_edges(old_edges))
+    inc = connected_components(
+        df_nodes(all_nodes),
+        df_edges(old_edges + new_edges),
+        initial_labels=prior,
+    )
+    full = connected_components(
+        df_nodes(all_nodes), df_edges(old_edges + new_edges)
+    )
+    as_map = lambda df: {r["node"]: r["component"] for r in df.collect()}
+    got, want = as_map(inc), as_map(full)
+    assert got == want
+    # The 1—10 edge must have pulled the whole old 10-cluster (and its
+    # phase-2 extension through 40) down to the new minimum 1.
+    for n in (1, 10, 11, 12, 40):
+        assert got[n] == 1
 
 
 def test_st18_sample_state_retry_idempotent(spark, sf_dir, tmp_path):

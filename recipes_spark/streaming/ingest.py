@@ -1080,3 +1080,135 @@ def st18_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bid", "source", "doc_id", "priority")
         .orderBy("bid", "source", "doc_id")
     )
+
+
+#: st19's output schema (family convention).
+_ST19_OUT_SCHEMA = "bid int, node long, component long"
+
+
+def _chain_edges(nodes: DataFrame) -> DataFrame:
+    """st19's deterministic near-dup graph over the PRESENT node set:
+    i — i+1 within runs of 7 (components therefore span ingest-batch
+    boundaries), an edge existing only when both endpoints are
+    present."""
+    return (
+        nodes.filter((F.col("node") % 7) != 6)
+        .select(
+            F.col("node").alias("src"), (F.col("node") + 1).alias("dst")
+        )
+        .join(nodes.select(F.col("node").alias("dst")), "dst")
+    )
+
+
+def cc_merge_then_emit(spark: SparkSession, out_dir: str, state_dir: str):
+    """st19's per-micro-batch body: read the PRIOR batch's label table,
+    run connected_components over the now-present node set SEEDED with
+    those labels (new nodes default to themselves; confluence
+    guarantees the result equals a full recompute), persist the new
+    label table under this bid, emit the full running labeling.
+    Per-bid overwrites + prior-only reads = the family's
+    retry-idempotence contract."""
+    from recipes_spark.operators.dedup import connected_components
+
+    def merge_then_emit(bdf: DataFrame, bid: int) -> None:
+        new_nodes = bdf.select(F.col("doc_id").alias("node"))
+        if bid > 0:
+            prior = spark.read.parquet(
+                os.path.join(state_dir, f"l_{bid - 1}")
+            )
+            nodes = prior.select("node").unionByName(new_nodes).distinct()
+            labels = connected_components(
+                nodes, _chain_edges(nodes), initial_labels=prior
+            )
+        else:
+            labels = connected_components(
+                new_nodes, _chain_edges(new_nodes)
+            )
+        labels = labels.localCheckpoint(eager=True)
+        labels.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"l_{bid}")
+        )
+        labels.select(
+            F.lit(bid).cast("int").alias("bid"), "node", "component"
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={bid}")
+        )
+
+    return merge_then_emit
+
+
+@query(
+    "st19_stream_incremental_cc",
+    oracle="""
+WITH params AS (
+  SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS chunk FROM documents
+), bids AS (
+  SELECT unnest(range(0, 4)) AS bid
+)
+SELECT CAST(b.bid AS INT) AS bid,
+       d.doc_id AS node,
+       CAST(d.doc_id - (d.doc_id % 7) AS BIGINT) AS component
+FROM bids b, params p, documents d
+WHERE d.doc_id < (b.bid + 1) * p.chunk
+ORDER BY bid, node
+""",
+)
+def st19_stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUP-CLUSTER MAINTENANCE — the state of the
+    sketch-state family is now a LABELING: documents arrive as four
+    ordered id-range batches over a chain graph whose components (runs
+    of 7) span batch boundaries; each batch runs
+    connected_components SEEDED with the previous batch's persisted
+    labels (x2_incremental_cc's operator) and emits the full running
+    labeling. Seeding makes the per-batch cost proportional to the NEW
+    structure — old components are already collapsed — while
+    confluence keeps every emitted labeling EXACTLY equal to a full
+    recompute over everything seen, which is what the closed-form
+    oracle checks per prefix (id-prefix arrival truncates runs, so the
+    component id is the run minimum at every prefix).
+
+    Retry-idempotent by the family contract: label tables persist per
+    bid (overwrite), each batch reads only bid-1's table. At 100 TB
+    the label table is a partitioned parquet keyed by node — the same
+    store the catalog upsert maintains — and per-night work is the
+    attachment structure, not the corpus."""
+    from recipes_spark.io import load
+    from recipes_spark.streaming.core import stage_ordered
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    chunk = -(-n // 4)
+    chunks = [
+        d.filter(
+            (F.col("doc_id") >= i * chunk) & (F.col("doc_id") < (i + 1) * chunk)
+        )
+        for i in range(4)
+    ]
+    staged = stage_ordered(chunks, prefix="recipes_st19_landing_")
+    out_dir = tempfile.mkdtemp(prefix="recipes_st19_out_") + "/labels"
+    state_dir = tempfile.mkdtemp(prefix="recipes_st19_state_")
+    merge_then_emit = cc_merge_then_emit(spark, out_dir, state_dir)
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(merge_then_emit)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st19_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema(_ST19_OUT_SCHEMA)
+        .parquet(out_dir)
+        .select("bid", "node", "component")
+        .orderBy("bid", "node")
+    )

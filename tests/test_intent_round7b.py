@@ -326,6 +326,59 @@ def test_interleave_schedule_fairness(spark, sf_dir):
         assert sorted(seq) == list(range(len(seq))), src
 
 
+def test_st19_label_state_retry_idempotent(spark, sf_dir, tmp_path):
+    """st19's running labeling: redelivering batch 1 after batches 0..2
+    must leave every emitted labeling and every persisted label table
+    byte-identical (it reads only batch 0's table and overwrites its
+    own)."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.streaming.ingest import cc_merge_then_emit
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    chunk = -(-n // 3)
+    batches = [
+        d.filter(
+            (F.col("doc_id") >= i * chunk)
+            & (F.col("doc_id") < (i + 1) * chunk)
+        )
+        for i in range(3)
+    ]
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir, exist_ok=True)
+    fn = cc_merge_then_emit(spark, out_dir, state_dir)
+
+    def snapshot():
+        out = {
+            bid: sorted(
+                tuple(r)
+                for r in spark.read.parquet(
+                    os.path.join(out_dir, f"batch={bid}")
+                ).collect()
+            )
+            for bid in range(3)
+        }
+        state = {
+            name: sorted(
+                tuple(r)
+                for r in spark.read.parquet(
+                    os.path.join(state_dir, name)
+                ).collect()
+            )
+            for name in sorted(os.listdir(state_dir))
+        }
+        return out, state
+
+    for bid, bdf in enumerate(batches):
+        fn(bdf, bid)
+    before = snapshot()
+    fn(batches[1], 1)
+    assert snapshot() == before
+
+
 def test_incremental_cc_equals_full_recompute(spark):
     """Confluence of seeded min propagation on a messier planted graph
     than the query's chains: two phases of nodes with cross-phase

@@ -615,6 +615,76 @@ def probe_interval_join(
     }
 
 
+def probe_incremental_cc(spark: SparkSession, n: int = 400_000) -> dict:
+    """The seeded (incremental) connected_components path vs a full
+    recompute on a chain-heavy graph (runs of 40 — deliberately
+    diameter-adversarial for min propagation): phase 1 = the first 90%
+    of nodes in 40-chains; phase 2 ingests the last 10% as ATTACHMENTS
+    to existing clusters (one edge each to an old node — the realistic
+    nightly shape: new documents are near-dups of existing ones, not
+    whole new deep structures). Measures rounds-to-fixpoint and wall
+    for (a) full CC from identity labels over everything — which must
+    re-propagate every 40-chain — vs (b) CC seeded with phase 1's
+    labels, where old components start collapsed and only the 1-edge
+    attachments iterate. Rounds is the scale-critical number for an
+    iterative op. Both label sets are asserted identical first
+    (confluence is a correctness property, not a hope)."""
+    from recipes_spark.operators.dedup import connected_components
+
+    run = 40
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    cut = int(n * 0.9)
+    old_nodes = nodes.filter(F.col("node") < cut)
+    old_edges = (
+        old_nodes.filter((F.col("node") % run) != (run - 1))
+        .select(
+            F.col("node").alias("src"), (F.col("node") + 1).alias("dst")
+        )
+        .filter(F.col("dst") < cut)
+    )
+    new_edges = nodes.filter(F.col("node") >= cut).select(
+        (F.col("node") % cut).alias("src"), F.col("node").alias("dst")
+    )
+    edges = old_edges.unionByName(new_edges)
+
+    prior_stats: dict = {}
+    prior = connected_components(
+        old_nodes, old_edges, max_iter=100, stats=prior_stats
+    ).localCheckpoint(eager=True)
+
+    full_stats: dict = {}
+    t_full = _timed(
+        lambda: connected_components(
+            nodes, edges, max_iter=100, stats=full_stats
+        ).count()
+    )
+    inc_stats: dict = {}
+    t_inc = _timed(
+        lambda: connected_components(
+            nodes, edges, max_iter=100, stats=inc_stats,
+            initial_labels=prior,
+        ).count()
+    )
+    a = connected_components(nodes, edges, max_iter=100)
+    b = connected_components(nodes, edges, max_iter=100, initial_labels=prior)
+    mismatch = (
+        a.withColumnRenamed("component", "ca")
+        .join(b.withColumnRenamed("component", "cb"), "node")
+        .filter(F.col("ca") != F.col("cb"))
+        .count()
+    )
+    assert mismatch == 0, f"{mismatch} label mismatches"
+    return {
+        "probe": "incremental_cc",
+        "n_nodes": n,
+        "run_len": run,
+        "rounds_full": full_stats["rounds"],
+        "rounds_incremental": inc_stats["rounds"],
+        "wall_s_full": round(t_full, 2),
+        "wall_s_incremental": round(t_inc, 2),
+    }
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -631,6 +701,7 @@ PROBES = {
     "skew_join": probe_skew_join,
     "zorder_pruning": probe_zorder_pruning,
     "interval_join": probe_interval_join,
+    "incremental_cc": probe_incremental_cc,
 }
 
 

@@ -456,6 +456,87 @@ def x6_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_zipf_fit",
+    oracle="""
+WITH tc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+  FROM tc
+), pts AS (
+  SELECT CAST(floor(ln(r) * 1000000) AS BIGINT) AS x,
+         CAST(floor(ln(c) * 1000000) AS BIGINT) AS y
+  FROM ranked WHERE r <= 1000
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT n,
+       CAST(floor(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+            AS BIGINT) AS slope_micro,
+       CAST(floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                  / n) AS BIGINT) AS intercept_micro
+FROM s
+""",
+)
+def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT over the corpus vocabulary — the log-log regression
+    slope of frequency against rank for the top 1000 terms, the
+    corpus-health diagnostic (natural text sits near slope −1;
+    template/boilerplate-heavy corpora flatten, spam steepens).
+    Exactness discipline = agg_corr_regression's: each point's log
+    coordinates are FLOORED to integer micro-units (ln of
+    integer-valued doubles — the same accepted per-term libm class as
+    the NLL/KL family), the co-moment sums accumulate as exact
+    integers, and one fixed-shape double expression emits floor-scaled
+    slope/intercept — the regression itself cannot float-flake.
+
+    100 TB: term counts are the usual map-side-combining shuffle; the
+    rank window runs over the VOCABULARY (not the token stream) and
+    the fit reads 1000 rows — the whole statistic is metadata-sized
+    after the first aggregation."""
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = tc.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "term"))
+        .alias("r"),
+    ).filter(F.col("r") <= 1000)
+    pts = ranked.select(
+        F.floor(F.log("r") * 1_000_000).cast("long").alias("x"),
+        F.floor(F.log("c") * 1_000_000).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "n",
+        F.floor(1000000.0 * cov_n / varx_n).cast("long").alias("slope_micro"),
+        F.floor(
+            (F.col("sy") - (cov_n / varx_n) * F.col("sx")) / F.col("n")
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )
+
+
+@query(
     "x4_source_kl",
     oracle="""
 WITH t AS (

@@ -381,6 +381,119 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_LATENCY_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT c.event_id, min(p.pts) AS npts, c.ts
+  FROM clicks c JOIN purchases p
+    ON p.user_id = c.user_id AND p.pts >= c.ts
+  GROUP BY c.event_id, c.ts
+), lat AS (
+  SELECT (epoch_us(npts) - epoch_us(ts)) // 600000000 AS bucket
+  FROM pairs
+), h AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY bucket
+), cum AS (
+  SELECT bucket, c,
+         sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS n
+  FROM h
+)
+SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+       CAST(max(CASE WHEN cum >= ((n * 50 + 99) // 100)
+                      AND cum - c < ((n * 50 + 99) // 100)
+                     THEN (bucket * 600000000)
+                          + ((((n * 50 + 99) // 100) - (cum - c))
+                             * 600000000) // c
+                END) AS BIGINT) AS p50_latency_us,
+       CAST(max(CASE WHEN cum >= ((n * 90 + 99) // 100)
+                      AND cum - c < ((n * 90 + 99) // 100)
+                     THEN (bucket * 600000000)
+                          + ((((n * 90 + 99) // 100) - (cum - c))
+                             * 600000000) // c
+                END) AS BIGINT) AS p90_latency_us
+FROM cum
+"""
+
+
+@query("funnel_latency_quantiles", oracle=_FUNNEL_LATENCY_ORACLE)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution — p50/p90 of click→next-purchase
+    latency per user — COMPOSING two of the engine's primitives:
+    the forward as-of join (operators/joins.asof_join — one shuffle,
+    no row blowup; the oracle's theta-join + min is exactly the
+    encoding it avoids) feeding the mergeable histogram quantile
+    (agg_histogram_quantile's integer interpolation over 10-minute
+    buckets). The funnel question product analytics actually asks —
+    not just HOW MANY convert (funnel_conversion) but HOW FAST — with
+    a bit-identical cross-engine answer.
+
+    100 TB: the as-of is one exchange on user_id; latencies collapse
+    to bucket counts map-side, so the quantile's window reads
+    bucket-count rows. The composition adds no new shuffle class."""
+    from recipes_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    width = 600 * 1_000_000
+    joined = asof_join(
+        clicks, purchases, left_ts="ts", right_ts="pts", by="user_id",
+        value_cols=["pts"], direction="forward", tiebreak="rid",
+    ).filter(F.col("pts").isNotNull())
+    h = (
+        joined.select(
+            F.expr(
+                f"(unix_micros(pts) - unix_micros(ts)) div {width}"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = h.select(
+        "bucket",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("c")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+
+    def pick(q: int):
+        need = f"((n * {q} + 99) div 100)"
+        est = (
+            f"(bucket * {width}) + (({need} - (cum - c)) * {width}) div c"
+        )
+        return F.max(
+            F.expr(f"CASE WHEN cum >= {need} AND cum - c < {need} THEN {est} END")
+        ).cast("long")
+
+    return cum.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        pick(50).alias("p50_latency_us"),
+        pick(90).alias("p90_latency_us"),
+    )
+
+
 @query(
     "gap_detect",
     oracle="""

@@ -133,3 +133,83 @@ def g4_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) >= 0
         cond = edge if cond is None else (cond & edge)
     return pts.filter(cond).orderBy("c_custkey")
+
+
+_TILE_ORACLE = """
+WITH meta AS (
+  SELECT 'item-' || CAST(o_orderkey AS VARCHAR) AS item_id,
+         CAST(-180 + (o_orderkey % 340) AS DOUBLE) AS west,
+         CAST(-85 + (o_custkey % 170) AS DOUBLE)   AS south,
+         CAST(-180 + (o_orderkey % 340) + 10 AS DOUBLE) AS east,
+         CAST(-85 + (o_custkey % 170) + 5 AS DOUBLE)    AS north
+  FROM orders
+), tiles AS (
+  SELECT item_id,
+         unnest(range(CAST(floor((west + 180) / 22.5) AS BIGINT),
+                      least(CAST(floor((east + 180) / 22.5) AS BIGINT),
+                            15) + 1)) AS tx,
+         CAST(floor((south + 90) / 22.5) AS BIGINT) AS ty_lo,
+         least(CAST(floor((north + 90) / 22.5) AS BIGINT), 7) AS ty_hi
+  FROM meta
+), cells AS (
+  SELECT item_id, tx, unnest(range(ty_lo, ty_hi + 1)) AS ty FROM tiles
+)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_items
+FROM cells
+GROUP BY tx, ty
+ORDER BY tx, ty
+"""
+
+
+@query("g5_tile_cover", oracle=_TILE_ORACLE)
+def g5_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: TILE-COVER index — for every item footprint, the z=4 grid
+    tiles (16×8 over lon/lat) it intersects, rolled up to per-tile item
+    counts: the tile index a map/catalog server builds so a viewport
+    query touches only its tiles' items (the reference serves satellite
+    footprints through exactly such spatial indexing, pgstac-side).
+    Pure Catalyst: floor arithmetic for the corner tiles, one
+    2-D explode via sequence() for the covered range (clamped at the
+    grid edge so the +10°/+5° fixture boxes cannot run off the
+    antimeridian tile), then a hash agg.
+
+    100 TB: replication factor = tiles per footprint (bounded by
+    footprint/tile size); the only shuffle carries (tile, count)
+    partials — this is interval_overlap_join's bucket-replication idea
+    in two dimensions, and the same salting rule applies to a hot tile
+    (a popular coastal cell)."""
+    o = load(spark, sf_dir, "orders")
+    west = (-180 + (F.col("o_orderkey") % 340)).cast("double")
+    south = (-85 + (F.col("o_custkey") % 170)).cast("double")
+    m = o.select(
+        F.concat(F.lit("item-"), F.col("o_orderkey").cast("string")).alias(
+            "item_id"
+        ),
+        west.alias("west"),
+        south.alias("south"),
+        (west + 10).alias("east"),
+        (south + 5).alias("north"),
+    )
+    tx_lo = F.floor((F.col("west") + 180) / 22.5).cast("long")
+    tx_hi = F.least(
+        F.floor((F.col("east") + 180) / 22.5).cast("long"), F.lit(15)
+    )
+    ty_lo = F.floor((F.col("south") + 90) / 22.5).cast("long")
+    ty_hi = F.least(
+        F.floor((F.col("north") + 90) / 22.5).cast("long"), F.lit(7)
+    )
+    cells = m.select(
+        "item_id",
+        F.explode(F.sequence(tx_lo, tx_hi)).alias("tx"),
+        ty_lo.alias("ty_lo"),
+        ty_hi.alias("ty_hi"),
+    ).select(
+        "item_id",
+        "tx",
+        F.explode(F.sequence("ty_lo", "ty_hi")).alias("ty"),
+    )
+    return (
+        cells.groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("tx", "ty")
+    )

@@ -1299,6 +1299,53 @@ def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_intervals",
+    oracle="""
+SELECT o_orderkey,
+       date_trunc('week', o_orderdate)    AS week_start,
+       date_trunc('month', o_orderdate)   AS month_start,
+       date_trunc('quarter', o_orderdate) AS quarter_start,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       o_orderdate + INTERVAL 3 MONTH     AS plus_3mo,
+       o_orderdate - INTERVAL 45 DAY      AS minus_45d,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+            AS BIGINT) AS days_since_95
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def scalar_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic scalar surface — truncation to week/month/
+    quarter boundaries, month-end, interval add/subtract with
+    end-of-month clamping, day-of-week, and day deltas — the date
+    dimension every partitioned catalog and reporting rollup bends
+    around. Dialect notes the oracle encodes: DuckDB dayofweek is
+    0=Sunday where Spark's is 1=Sunday (hence the +1), and both
+    engines start date_trunc('week') on Monday — pinned here so a
+    regression in either assumption breaks the hash rather than a
+    downstream report."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        # DATE surfaces as pandas object vs the oracle's datetime64 —
+        # normalize both sides to TIMESTAMP for the driver's dtype gate.
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3mo"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 45 DAYS")).alias("minus_45d"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        )
+        .cast("long")
+        .alias("days_since_95"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "scalar_regex",
     oracle="""
 SELECT doc_id,

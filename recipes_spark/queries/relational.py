@@ -1680,3 +1680,184 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_mirror"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample statistical inference (round-7 widening): the experiment
+# readouts a data pipeline runs after an A/B split — parametric (Welch's
+# t) and rank-based (Mann-Whitney U) — both CROSS-ENGINE EXACT via the
+# agg_corr_regression discipline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS hi,
+         CAST(l_quantity AS BIGINT) AS qx
+  FROM lineitem
+), s AS (
+  SELECT flag,
+         CAST(sum(hi) AS BIGINT) AS n1,
+         CAST(count(*) - sum(hi) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN hi = 1 THEN qx ELSE 0 END) AS DOUBLE) AS s1,
+         CAST(sum(CASE WHEN hi = 0 THEN qx ELSE 0 END) AS DOUBLE) AS s2,
+         CAST(sum(CASE WHEN hi = 1 THEN qx * qx ELSE 0 END) AS DOUBLE) AS q1,
+         CAST(sum(CASE WHEN hi = 0 THEN qx * qx ELSE 0 END) AS DOUBLE) AS q2
+  FROM b GROUP BY flag
+), v AS (
+  SELECT flag, n1, n2,
+         s1 / n1 AS m1, s2 / n2 AS m2,
+         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+         (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+  FROM s
+), w AS (
+  SELECT flag, n1, n2, m1, m2, v1, v2,
+         v1 / n1 + v2 / n2 AS se2
+  FROM v
+)
+SELECT flag, n1, n2,
+       CAST(floor(1000000.0 * (m1 - m2) / sqrt(se2)) AS BIGINT) AS t_micro,
+       CAST(floor(1000000.0 * se2 * se2 /
+            ((v1 / n1) * (v1 / n1) / (n1 - 1)
+             + (v2 / n2) * (v2 / n2) / (n2 - 1))) AS BIGINT) AS df_micro
+FROM w ORDER BY flag
+""",
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test per group (does the high-discount
+    sample ship different quantities?), CROSS-ENGINE EXACT: the
+    per-sample sufficient statistics (n, sum x, sum x^2) are exact
+    int64 sums from ONE conditional hash agg (quantity <= 50, so
+    sum(x^2) < 2.5e3 * rows — int64-safe far past 100 TB), then one
+    fixed-shape double expression computes the t statistic and the
+    Welch-Satterthwaite degrees of freedom; both engines round the
+    same exact integers through the same IEEE operation tree, so the
+    floor-scaled micro outputs are bit-identical.
+
+    100 TB: a single map-side-combining agg over six conditional sums —
+    the same one-shuffle shape as q1 — and O(groups) scalar math after;
+    no second pass, no driver math."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("hi"),
+        F.col("l_quantity").cast("long").alias("qx"),
+    )
+    qx2 = F.col("qx") * F.col("qx")
+    s = b.groupBy("flag").agg(
+        F.sum("hi").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("hi")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("hi") == 1, F.col("qx")).otherwise(0))
+        .cast("double").alias("s1"),
+        F.sum(F.when(F.col("hi") == 0, F.col("qx")).otherwise(0))
+        .cast("double").alias("s2"),
+        F.sum(F.when(F.col("hi") == 1, qx2).otherwise(0))
+        .cast("double").alias("q1"),
+        F.sum(F.when(F.col("hi") == 0, qx2).otherwise(0))
+        .cast("double").alias("q2"),
+    )
+    v = s.select(
+        "flag", "n1", "n2",
+        (F.col("s1") / F.col("n1")).alias("m1"),
+        (F.col("s2") / F.col("n2")).alias("m2"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+         / (F.col("n1") - 1)).alias("v1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2"))
+         / (F.col("n2") - 1)).alias("v2"),
+    )
+    w = v.select(
+        "flag", "n1", "n2", "m1", "m2", "v1", "v2",
+        (F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")).alias("se2"),
+    )
+    micro = F.lit(1000000.0)
+    return w.select(
+        "flag", "n1", "n2",
+        F.floor(
+            micro * (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se2"))
+        ).alias("t_micro"),
+        F.floor(
+            micro * F.col("se2") * F.col("se2")
+            / (
+                (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1"))
+                / (F.col("n1") - 1)
+                + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2"))
+                / (F.col("n2") - 1)
+            )
+        ).alias("df_micro"),
+    ).orderBy("flag")
+
+
+@query(
+    "agg_mannwhitney",
+    oracle="""
+WITH r AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+           + count(*) OVER (PARTITION BY event_type, value) - 1 AS r2
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(sum(g1) AS BIGINT) AS n1,
+         CAST(count(*) - sum(g1) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN g1 = 1 THEN r2 ELSE 0 END) AS BIGINT) AS twor1
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       twor1 - n1 * (n1 + 1) AS u1_twice,
+       CAST(floor(1000000.0 * (twor1 - n1 * (n1 + 1) - n1 * n2)
+            / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 3.0))
+            AS BIGINT) AS z_micro
+FROM s ORDER BY event_type
+""",
+)
+def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) per event type between the even- and
+    odd-user cohorts — the nonparametric twin of agg_welch_ttest for
+    skewed metrics where a mean test misleads. EXACT despite ties:
+    each row's DOUBLED midrank is the integer 2*rank() + tie_count - 1
+    (a tie group spanning min-rank a with k members has average rank
+    a + (k-1)/2, so twice that is 2a + k - 1), so 2*R1 and the doubled
+    U statistic u1_twice = 2R1 - n1(n1+1) stay in exact int64
+    (midrank sums pass int64 only beyond ~2e9 rows PER GROUP — salt
+    the group key before that); the normal-approximation z (no tie
+    correction) is one fixed double expression over exact integers,
+    floor-scaled.
+
+    100 TB: one shuffle on event_type feeds both windows (the
+    (type, value) tie count is a finer partitioning of the same
+    exchange) and the final agg — the skew-salted-window shape applies
+    if one type dominates."""
+    ev = load(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    w_tie = Window.partitionBy("event_type", "value")
+    r = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("g1"),
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        ).cast("long").alias("r2"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.sum("g1").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, F.col("r2")).otherwise(0))
+        .cast("long").alias("twor1"),
+    )
+    num = F.col("twor1") - F.col("n1") * (F.col("n1") + 1)
+    return s.select(
+        "event_type", "n1", "n2",
+        num.alias("u1_twice"),
+        F.floor(
+            F.lit(1000000.0) * (num - F.col("n1") * F.col("n2"))
+            / F.sqrt(
+                F.col("n1").cast("double") * F.col("n2")
+                * (F.col("n1") + F.col("n2") + 1) / 3.0
+            )
+        ).alias("z_micro"),
+    ).orderBy("event_type")

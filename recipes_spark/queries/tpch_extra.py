@@ -1350,3 +1350,75 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+WITH pts AS (
+  SELECT p_brand AS brand,
+         CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size,
+         count(*) AS n_parts
+  FROM part
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT brand, price_cents, size, CAST(n_parts AS BIGINT) AS n_parts,
+         min(size) OVER (PARTITION BY brand
+                         ORDER BY price_cents, size
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS best_prev
+  FROM pts
+)
+SELECT brand, price_cents, size, n_parts
+FROM ranked
+WHERE best_prev IS NULL OR size < best_prev
+ORDER BY brand, price_cents, size
+""",
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D SKYLINE (Pareto frontier) of parts minimizing
+    (price, size): a point survives iff no other point in its brand is
+    <= on both axes and < on one. The classic dominance query plain
+    SQL aggregation cannot express row-locally — solved in ONE ordered
+    window pass: over DISTINCT (price_cents, size) pairs sorted by
+    (price asc, size asc), a pair is dominated exactly when the
+    running MIN of size over strictly-preceding rows is <= its size
+    (an earlier row has strictly smaller price, or equal price with
+    strictly smaller size — either way a dominator), so the frontier
+    is the strictly-decreasing-size prefix chain. Prices compare as
+    floored integer cents (the tpch_extra cross-engine discipline).
+
+    100 TB: the dedup agg and the window share one exchange on brand
+    (chained same-key window rule); per-brand sort is Tungsten
+    spillable. An UNPARTITIONED skyline would instead do local
+    per-partition frontiers (mapPartitions or a grid bucket) then a
+    driver-light merge of the tiny candidate set — the standard
+    block-nested-loop-skyline decomposition; the per-brand form is the
+    shape both need."""
+    p = load(spark, sf_dir, "part")
+    pts = (
+        p.select(
+            F.col("p_brand").alias("brand"),
+            F.floor(F.col("p_retailprice") * 100).alias("price_cents"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .groupBy("brand", "price_cents", "size")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("price_cents", "size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = pts.select(
+        "brand", "price_cents", "size", "n_parts",
+        F.min("size").over(w).alias("best_prev"),
+    )
+    return (
+        ranked.filter(
+            F.col("best_prev").isNull() | (F.col("size") < F.col("best_prev"))
+        )
+        .select("brand", "price_cents", "size", "n_parts")
+        .orderBy("brand", "price_cents", "size")
+    )

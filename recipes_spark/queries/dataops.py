@@ -2429,3 +2429,84 @@ def x6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scheme")
     )
+
+
+@query(
+    "x7_sssp_khop",
+    oracle="""
+WITH RECURSIVE ids AS (
+  SELECT doc_id, (SELECT count(*) FROM documents) AS n FROM documents
+), raw AS (
+  SELECT doc_id AS src, (doc_id + 1) % n AS dst, doc_id % 7 + 1 AS w FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % n, (doc_id + 3) % 7 + 1 FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id*doc_id + 1) % n, (doc_id + 6) % 7 + 1 FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id*7 + 1) % n, (doc_id + 9) % 7 + 1 FROM ids
+), e AS (
+  SELECT src, dst, min(w) AS w FROM raw WHERE src <> dst GROUP BY 1, 2
+), walk(node, dist, hops) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, walk.dist + e.w, walk.hops + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.hops < 6
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node
+""",
+)
+def x7_sssp_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths bounded at K=6 hops (weighted
+    Bellman-Ford) — the fourth graph primitive after CC, PageRank, and
+    triangle counting; the bounded-hop form is both the practical
+    variant (influence radius, delivery-network reach) and the one
+    with an EXACT recursive-CTE oracle: after k relaxation rounds
+    D_k(v) = min cost over paths of <= k edges, which the oracle's
+    hop-bounded path enumeration reproduces exactly (integer weights,
+    multi-edges collapsed to min weight per (src, dst) on both sides).
+
+    Deterministic weighted digraph over doc ids (the x7 arithmetic
+    families, weights (doc_id + 3f) % 7 + 1). Each round is one join
+    on src + one min hash-agg — frontier-sized, never path-sized
+    (the oracle enumerates paths; the engine never does) — with
+    localCheckpoint keeping lineage flat. 100 TB: identical shape to
+    pagerank_fixed_point's probe-measured rounds (SCALE.md: 0.25
+    scaling exponent at 100x edges); for unbounded SSSP run rounds to
+    a fixed point with a convergence check, same per-round plan."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    u = F.col("doc_id")
+    fams = [
+        ((u + 1) % n, u % 7 + 1),
+        ((u + 2) % n, (u + 3) % 7 + 1),
+        ((u * u + 1) % n, (u + 6) % 7 + 1),
+        ((u * 7 + 1) % n, (u + 9) % 7 + 1),
+    ]
+    raw = None
+    for dst, w in fams:
+        part = d.select(
+            u.alias("src"), dst.cast("long").alias("dst"),
+            w.cast("long").alias("w"),
+        )
+        raw = part if raw is None else raw.unionByName(part)
+    e = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame([(0, 0)], "node long, dist long")
+    for _ in range(6):
+        cand = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.orderBy("node")

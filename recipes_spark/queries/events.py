@@ -940,3 +940,90 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="backward",
     )
     return out.select("user_id", "grid_ts", F.col("obs_value").alias("value"))
+
+
+@query(
+    "event_pattern_match",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+), s1 AS (
+  SELECT user_id, event_type, event_id, us,
+         max(CASE WHEN event_type = 'view' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+  FROM e
+), s2 AS (
+  SELECT user_id, event_type, us,
+         max(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                   AND us - lv <= 86400000000 THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lqc
+  FROM s1
+)
+SELECT user_id,
+       CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count_if(event_type = 'purchase' AND lqc IS NOT NULL
+                     AND us - lqc <= 86400000000) AS BIGINT) AS n_converted
+FROM s2
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered SEQUENCE detection per user — view -> click -> purchase
+    with each hop within 24 hours — the MATCH_RECOGNIZE / funnel-path
+    workload, solved without row explosion: two stacked running maxes
+    over ONE user-ordered pass. `lv` carries the latest view seen
+    strictly before each event; a click becomes QUALIFIED when a view
+    precedes it within the hop window; `lqc` carries the latest
+    qualified click; a purchase converts when a qualified click
+    precedes it within the window. Strictly-preceding frames
+    (UNBOUNDED..1 PRECEDING) plus the (us, event_id) total order make
+    equal-timestamp behavior deterministic and identical across
+    engines; all arithmetic is integer epoch-micros.
+
+    100 TB: both windows and the final agg partition by user_id, so
+    the whole query is ONE exchange (chained same-key window rule) +
+    a per-user sort — no self-join, no per-hop shuffle, no candidate
+    blow-up for longer patterns (each extra hop is one more running
+    max over the same sort)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    hop = 86_400_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = ev.select(
+        "user_id", "event_type", "event_id", "us",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("us"))
+        ).over(w).alias("lv"),
+    )
+    s2 = s1.select(
+        "user_id", "event_type", "us",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("lv").isNotNull()
+                & (F.col("us") - F.col("lv") <= hop),
+                F.col("us"),
+            )
+        ).over(w).alias("lqc"),
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        s2.groupBy("user_id")
+        .agg(
+            F.count_if(is_purchase).alias("n_purchase"),
+            F.count_if(
+                is_purchase
+                & F.col("lqc").isNotNull()
+                & (F.col("us") - F.col("lqc") <= hop)
+            ).alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )

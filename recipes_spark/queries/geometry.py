@@ -213,3 +213,115 @@ def g5_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"))
         .orderBy("tx", "ty")
     )
+
+
+@query(
+    "g6_grid_knn",
+    oracle="""
+WITH pts AS (
+  SELECT event_id,
+         (event_id * 48271) % 10000 AS px,
+         (event_id * 16807) % 10000 AS py
+  FROM events
+), q AS (
+  SELECT event_id AS query_id, px, py FROM pts WHERE event_id % 101 = 0
+), s AS (
+  SELECT event_id AS site_id, px, py FROM pts WHERE event_id % 101 <> 0
+), d AS (
+  SELECT q.query_id, s.site_id,
+         (q.px - s.px) * (q.px - s.px)
+           + (q.py - s.py) * (q.py - s.py) AS d2
+  FROM q, s
+), m AS (
+  SELECT query_id, min(d2) AS best_d2 FROM d GROUP BY query_id
+)
+SELECT d.query_id,
+       CAST(m.best_d2 AS BIGINT) AS d2,
+       CAST(min(d.site_id) AS BIGINT) AS site_id
+FROM d JOIN m ON d.query_id = m.query_id AND d.d2 = m.best_d2
+GROUP BY d.query_id, m.best_d2
+ORDER BY d.query_id
+""",
+)
+def g6_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT nearest-neighbor spatial join via GRID BUCKETING — the
+    geo twin of x3's vector ANN, but with a proof instead of a recall
+    gate: sites replicate to their 3x3 neighbor cells (cell = 1000
+    units), queries equi-join their own cell, and the block-best
+    candidate is PROVABLY the global nearest whenever its squared
+    distance is <= cell^2 (any site outside the 3x3 block is > one
+    full cell away in some axis). Queries the block cannot certify —
+    empty neighborhood or best beyond the radius — fall back to a
+    brute-force pass, so the result is exact by construction while
+    the expensive scan runs only on the (empty here, rare anywhere)
+    uncertified remainder. Deterministic integer coordinates hashed
+    from event ids; ties break to the smallest site id via struct-min.
+
+    100 TB: the replicated-grid join is the standard distributed
+    spatial-join plan — replicate the SMALLER relation 9x (here sites;
+    flip to queries when queries dominate), shuffle both on cell, and
+    the per-cell work is density-bounded instead of all-pairs. The
+    fallback leg broadcasts only the uncertified queries. The oracle
+    is the all-pairs definition the grid plan must reproduce."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 48271) % 10000).alias("px"),
+        ((F.col("event_id") * 16807) % 10000).alias("py"),
+    )
+    g = 1000
+    qs = pts.filter(F.col("event_id") % 101 == 0).select(
+        F.col("event_id").alias("query_id"), "px", "py"
+    )
+    st = pts.filter(F.col("event_id") % 101 != 0).select(
+        F.col("event_id").alias("site_id"),
+        F.col("px").alias("sx"),
+        F.col("py").alias("sy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    sites9 = st.select(
+        "site_id", "sx", "sy", F.explode(offsets).alias("o")
+    ).select(
+        "site_id", "sx", "sy",
+        (F.floor(F.col("sx") / g) + F.col("o.dx")).alias("cx"),
+        (F.floor(F.col("sy") / g) + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    block = (
+        qs.join(
+            sites9,
+            (F.floor(F.col("px") / g) == F.col("cx"))
+            & (F.floor(F.col("py") / g) == F.col("cy")),
+        )
+        .select("query_id", d2.alias("d2"), "site_id")
+        .groupBy("query_id")
+        .agg(F.min(F.struct("d2", "site_id")).alias("best"))
+        .select(
+            "query_id",
+            F.col("best.d2").alias("d2"),
+            F.col("best.site_id").alias("site_id"),
+        )
+    )
+    certified = block.filter(F.col("d2") <= g * g)
+    leftover = qs.join(certified, "query_id", "left_anti")
+    brute = (
+        F.broadcast(leftover)
+        .crossJoin(st)
+        .select("query_id", d2.alias("d2"), "site_id")
+        .groupBy("query_id")
+        .agg(F.min(F.struct("d2", "site_id")).alias("best"))
+        .select(
+            "query_id",
+            F.col("best.d2").alias("d2"),
+            F.col("best.site_id").alias("site_id"),
+        )
+    )
+    return certified.unionByName(brute).orderBy("query_id")

@@ -2422,3 +2422,61 @@ def x4_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x6_orc_roundtrip",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, lang, n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks[1:3], ' ') AS tok3,
+       lang,
+       n_chars
+FROM t
+""",
+)
+def x6_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC shard export + re-ingest with a NESTED column — the
+    columnar-sink counterpart of x6_csv_roundtrip that CSV cannot
+    express: the token array survives as a real list<string> (no
+    stringly encoding), written with Spark's built-in ORC sink and
+    read back with an explicit schema. Scalars derived AFTER the
+    read-back (token count, first-3 join) feed the driver's value
+    hash, attesting the array's order and content survived the format
+    boundary against the parquet-derived oracle.
+
+    Scale shape: embarrassingly-parallel write (one shard per task,
+    zero shuffle), schema'd splittable read-back (ORC stripes split
+    like parquet row groups; no multiLine single-task caveat), column
+    pruning and predicate pushdown work on read exactly as for
+    parquet — the interchange path when the downstream stack is
+    Hive/Trino-flavored."""
+    import os
+
+    d = load(spark, sf_dir, "documents")
+    out = os.path.join(_scratch_dir("orc", sf_dir), "docs")
+    (
+        d.select(
+            "doc_id",
+            F.split("text", " ").alias("toks"),
+            "lang",
+            "n_chars",
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    back = spark.read.schema(
+        "doc_id BIGINT, toks ARRAY<STRING>, lang STRING, n_chars BIGINT"
+    ).orc(out)
+    return back.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("toks", 1, 3)).alias("tok3"),
+        "lang",
+        "n_chars",
+    )

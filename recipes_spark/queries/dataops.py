@@ -2510,3 +2510,114 @@ def x7_sssp_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.orderBy("node")
+
+
+@query(
+    "x3_embedding_covariance",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings, range(1, 65) t(i)
+), s AS (
+  SELECT i, CAST(sum(qv) AS BIGINT) AS si,
+         (SELECT count(*) FROM embeddings) AS n
+  FROM q GROUP BY i
+), g AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS sij
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT g.i, g.j, g.sij * sa.n - sa.si * sb.si AS cov_n
+FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j
+ORDER BY g.i, g.j
+""",
+)
+def x3_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT covariance matrix of the embedding corpus (upper triangle,
+    n-scaled: cov_n[i,j] = n*S_ij - S_i*S_j over floor-quantized
+    micro coordinates) — the PCA / whitening / mean-centering prep
+    every embedding pipeline runs before dimensionality reduction, and
+    the sufficient statistic the IVF/PQ codebooks train against.
+
+    Two genuinely different plans must agree: the engine accumulates
+    per-partition integer GRAM MATRICES with one numpy outer product
+    per Arrow batch (Q^T Q, d^2 cells) inside mapInPandas — the stream
+    never explodes to (row x dim) — while the oracle is the relational
+    definition (explode 64x, self-join on vec_id, pair agg). Floor
+    quantization after an exact float32->float64 widening makes every
+    product an exact int64 on both paths, so agreement is bit-exact.
+
+    100 TB: the Python stage emits O(d^2) rows PER PARTITION
+    regardless of row count (the d^2 = 4160-cell sketch is the
+    shuffle payload, the vectors never move), one sum-merge agg
+    finishes — the same mergeable-state shape as the sketch family;
+    int64 holds to ~5e8 rows per partition at micro scale (products
+    ~1.6e10), switch the accumulator to float128/object or per-block
+    flush beyond."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def gram_chunks(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Q = np.floor(E * 1e6).astype(np.int64)
+            G = Q.T @ Q
+            si = Q.sum(axis=0)
+            iu = np.triu_indices(Q.shape[1])
+            out = pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype(np.int64),
+                    "j": (iu[1] + 1).astype(np.int64),
+                    "sij": G[iu],
+                    "n": np.int64(len(pdf)),
+                }
+            )
+            # Ride S_i along as the diagonal's companion rows (j = 0 is
+            # outside the 1-based triangle, so the two row kinds can't
+            # collide).
+            svec = pd.DataFrame(
+                {
+                    "i": np.arange(1, Q.shape[1] + 1, dtype=np.int64),
+                    "j": np.zeros(Q.shape[1], dtype=np.int64),
+                    "sij": si,
+                    "n": np.int64(0),
+                }
+            )
+            yield pd.concat([out, svec], ignore_index=True)
+
+    merged = (
+        scale_partitions(emb)
+        .mapInPandas(gram_chunks, "i long, j long, sij long, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("sij").alias("sij"), F.sum("n").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    s = merged.filter(F.col("j") == 0).select(
+        F.col("i").alias("si_i"), F.col("sij").alias("si")
+    )
+    n_total = (
+        merged.filter((F.col("i") == 1) & (F.col("j") == 1))
+        .select("n")
+        .collect()[0][0]
+    )
+    g = merged.filter(F.col("j") > 0)
+    return (
+        g.join(F.broadcast(s).withColumnRenamed("si_i", "gi"), g.i == F.col("gi"))
+        .withColumnRenamed("si", "si_a")
+        .join(
+            F.broadcast(s).withColumnRenamed("si_i", "gj"), g.j == F.col("gj")
+        )
+        .select(
+            "i", "j",
+            (F.col("sij") * F.lit(n_total) - F.col("si_a") * F.col("si"))
+            .cast("long")
+            .alias("cov_n"),
+        )
+        .orderBy("i", "j")
+    )

@@ -2555,9 +2555,40 @@ def x3_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 holds to ~5e8 rows per partition at micro scale (products
     ~1.6e10), switch the accumulator to float128/object or per-block
     flush beyond."""
-    import numpy as np
-
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    merged = _embedding_gram(emb)
+    s = merged.filter(F.col("j") == 0).select(
+        F.col("i").alias("si_i"), F.col("sij").alias("si")
+    )
+    n_total = (
+        merged.filter((F.col("i") == 1) & (F.col("j") == 1))
+        .select("n")
+        .collect()[0][0]
+    )
+    g = merged.filter(F.col("j") > 0)
+    return (
+        g.join(F.broadcast(s).withColumnRenamed("si_i", "gi"), g.i == F.col("gi"))
+        .withColumnRenamed("si", "si_a")
+        .join(
+            F.broadcast(s).withColumnRenamed("si_i", "gj"), g.j == F.col("gj")
+        )
+        .select(
+            "i", "j",
+            (F.col("sij") * F.lit(n_total) - F.col("si_a") * F.col("si"))
+            .cast("long")
+            .alias("cov_n"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def _embedding_gram(emb: DataFrame) -> DataFrame:
+    """x3_embedding_covariance's mergeable integer-Gram sketch, shared
+    with x3_pca_project: per-partition Q^T Q over floor-quantized
+    micro coordinates plus the column sums (as j = 0 rows) and row
+    count (the n column of triangle rows), SUM-merged. O(d^2) rows per
+    partition regardless of row count."""
+    import numpy as np
 
     def gram_chunks(batches):
         for pdf in batches:
@@ -2591,33 +2622,87 @@ def x3_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield pd.concat([out, svec], ignore_index=True)
 
-    merged = (
+    return (
         scale_partitions(emb)
         .mapInPandas(gram_chunks, "i long, j long, sij long, n long")
         .groupBy("i", "j")
         .agg(F.sum("sij").alias("sij"), F.sum("n").alias("n"))
         .localCheckpoint(eager=True)
     )
-    s = merged.filter(F.col("j") == 0).select(
-        F.col("i").alias("si_i"), F.col("sij").alias("si")
-    )
-    n_total = (
-        merged.filter((F.col("i") == 1) & (F.col("j") == 1))
-        .select("n")
-        .collect()[0][0]
-    )
-    g = merged.filter(F.col("j") > 0)
+
+
+@query("x3_pca_project")
+def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-2 principal
+    components — the dimensionality-reduction / visualization /
+    whitening step downstream of x3_embedding_covariance, and the
+    standard pre-step before coarse quantization. The covariance comes
+    from the SAME mergeable integer-Gram sketch (shared
+    _embedding_gram); the d x d eigenproblem is DRIVER-side numpy
+    (metadata-bounded: 64x64 regardless of corpus size — the only
+    data the driver ever sees is the d^2-cell sketch), and the
+    projection broadcasts the two eigenvectors back as literals into
+    one Arrow-batched pass over the vectors.
+
+    Rows-only by design (eigenvectors are irrational; LAPACK's last
+    ulp is not a cross-engine contract). The local quality gates
+    (tests/test_intent_round7c.py) pin what matters: orthonormal
+    components, explained variance ordered and positive, projection
+    equal to a direct numpy reference, and sign fixed by the
+    largest-|component|-positive convention so reruns are
+    deterministic.
+
+    100 TB: sketch pass = one shuffle of O(d^2 x partitions) rows;
+    eigh is O(d^3) driver math; projection is embarrassingly parallel
+    with the components broadcast — no second shuffle anywhere."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    merged = _embedding_gram(emb).collect()
+    d = max(r["i"] for r in merged)
+    n = 0
+    S = np.zeros(d, dtype=np.int64)
+    G = np.zeros((d, d), dtype=np.int64)
+    for r in merged:
+        if r["j"] == 0:
+            S[r["i"] - 1] = r["sij"]
+        else:
+            G[r["i"] - 1, r["j"] - 1] = r["sij"]
+            G[r["j"] - 1, r["i"] - 1] = r["sij"]
+            if r["i"] == 1 and r["j"] == 1:
+                n = r["n"]
+    # Covariance in micro^2 units: (G - outer(S,S)/n) / n.
+    C = (G.astype(np.float64) - np.outer(S, S) / n) / n
+    evals, evecs = np.linalg.eigh(C)
+    comps = []
+    for k in (d - 1, d - 2):  # top-2 by ascending-eigh order
+        v = evecs[:, k]
+        # Deterministic sign: the largest-|component| entry is positive.
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v)
+    mean = S.astype(np.float64) / n
+    V = np.stack(comps)  # (2, d)
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            Q = np.floor(E * 1e6) - mean
+            P = Q @ V.T  # (b, 2), micro units
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "pc1_micro": np.floor(P[:, 0]).astype(np.int64),
+                    "pc2_micro": np.floor(P[:, 1]).astype(np.int64),
+                }
+            )
+
     return (
-        g.join(F.broadcast(s).withColumnRenamed("si_i", "gi"), g.i == F.col("gi"))
-        .withColumnRenamed("si", "si_a")
-        .join(
-            F.broadcast(s).withColumnRenamed("si_i", "gj"), g.j == F.col("gj")
-        )
-        .select(
-            "i", "j",
-            (F.col("sij") * F.lit(n_total) - F.col("si_a") * F.col("si"))
-            .cast("long")
-            .alias("cov_n"),
-        )
-        .orderBy("i", "j")
+        scale_partitions(emb)
+        .mapInPandas(project, "vec_id long, pc1_micro long, pc2_micro long")
+        .orderBy("vec_id")
     )

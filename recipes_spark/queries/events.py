@@ -942,9 +942,10 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "grid_ts", F.col("obs_value").alias("value"))
 
 
-@query(
-    "event_pattern_match",
-    oracle="""
+#: Shared by the batch query below and its streaming twin
+#: (streaming/ingest.st20_stream_pattern_match): the stream's final
+#: carry-state must equal the batch funnel exactly.
+PATTERN_FUNNEL_ORACLE = """
 WITH e AS (
   SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
 ), s1 AS (
@@ -968,8 +969,10 @@ SELECT user_id,
 FROM s2
 GROUP BY user_id
 ORDER BY user_id
-""",
-)
+"""
+
+
+@query("event_pattern_match", oracle=PATTERN_FUNNEL_ORACLE)
 def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered SEQUENCE detection per user — view -> click -> purchase
     with each hop within 24 hours — the MATCH_RECOGNIZE / funnel-path

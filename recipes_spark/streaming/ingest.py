@@ -21,8 +21,11 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
+from recipes_spark.queries.events import (
+    PATTERN_FUNNEL_ORACLE,
+)
 from recipes_spark.registry import query
 from recipes_spark.streaming.core import stream_events
 
@@ -1211,4 +1214,140 @@ def st19_stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out_dir)
         .select("bid", "node", "component")
         .orderBy("bid", "node")
+    )
+
+
+#: st20's carry-state / output schema (family convention). lv = latest
+#: view micros, lqc = latest qualified-click micros, np/nc = running
+#: purchase / conversion counts.
+_ST20_STATE_SCHEMA = "user_id long, lv long, lqc long, np long, nc long"
+
+#: view->click->purchase hop window, micros — MUST equal the batch
+#: twin's (queries/events.event_pattern_match).
+_ST20_HOP = 86_400_000_000
+
+
+def pattern_advance_factory(spark: SparkSession, state_dir: str):
+    """st20's per-micro-batch body: load the prior batch's per-user
+    funnel state (latest view, latest qualified click, running
+    counts), advance it through this batch's events with the SAME two
+    stacked strictly-preceding running maxes as the batch twin —
+    each seeded by the carried value via greatest() — and persist the
+    new state under this bid. Because batches are time-ordered
+    prefixes (stage_events_ordered's CDC contract), the carried
+    maxima are always <= every in-batch timestamp, so the seeded
+    running max telescopes exactly like one global pass: the final
+    state IS the batch answer. Per-bid overwrites + prior-only reads =
+    the family's retry-idempotence contract."""
+
+    def pattern_advance(bdf: DataFrame, bid: int) -> None:
+        e = bdf.select(
+            "user_id", "event_type", "event_id",
+            F.unix_micros("ts").alias("us"),
+        )
+        if bid > 0:
+            st = spark.read.schema(_ST20_STATE_SCHEMA).parquet(
+                os.path.join(state_dir, f"s_{bid - 1}")
+            )
+        else:
+            st = spark.createDataFrame([], _ST20_STATE_SCHEMA)
+        j = e.join(st, "user_id", "left")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        is_view = F.col("event_type") == "view"
+        s1 = j.withColumn(
+            "lv_eff",
+            F.greatest(
+                F.max(F.when(is_view, F.col("us"))).over(w), F.col("lv")
+            ),
+        )
+        s1a = s1.withColumn(
+            "qc_us",
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") - F.col("lv_eff") <= _ST20_HOP),
+                F.col("us"),
+            ),
+        )
+        s2 = s1a.withColumn(
+            "lqc_eff", F.greatest(F.max("qc_us").over(w), F.col("lqc"))
+        )
+        is_purchase = F.col("event_type") == "purchase"
+        converted = is_purchase & (
+            F.col("us") - F.col("lqc_eff") <= _ST20_HOP
+        )
+        advanced = s2.groupBy("user_id").agg(
+            F.greatest(
+                F.max(F.when(is_view, F.col("us"))), F.max("lv")
+            ).alias("lv"),
+            F.greatest(F.max("qc_us"), F.max("lqc")).alias("lqc"),
+            (F.coalesce(F.max("np"), F.lit(0)) + F.count_if(is_purchase))
+            .cast("long").alias("np"),
+            (F.coalesce(F.max("nc"), F.lit(0)) + F.count_if(converted))
+            .cast("long").alias("nc"),
+        )
+        carried = st.join(e.select("user_id").distinct(), "user_id", "left_anti")
+        advanced.unionByName(carried).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"s_{bid}")
+        )
+
+    return pattern_advance
+
+
+@query("st20_stream_pattern_match", oracle=PATTERN_FUNNEL_ORACLE)
+def st20_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEQUENCE DETECTION — the funnel state machine as
+    streaming state: view -> click -> purchase with 24h hops, over
+    four time-ordered micro-batches (the CDC in-order contract). The
+    per-user state is three integers (latest view, latest qualified
+    click, counts) — O(users), never the event stream — advanced each
+    batch by the exact expression tree of the batch twin seeded with
+    the carried maxima, so the final state equals
+    event_pattern_match over the whole stream and shares its full
+    DuckDB oracle verbatim. The production always-on form keeps the
+    same state in applyInPandasWithState / a keyed store; the
+    telescoping argument (carried max <= all later timestamps) is
+    what makes per-batch advancement exact rather than approximate.
+
+    Retry-idempotent by the family contract: per-bid state overwrite,
+    batch N reads only state N-1, so an at-least-once redelivery of
+    batch N recomputes byte-identical state."""
+    from recipes_spark.streaming.core import stage_events_ordered
+
+    staged = stage_events_ordered(spark, sf_dir, chunks=4)
+    schema = (
+        spark.read.parquet(os.path.join(staged, "chunk001.parquet")).schema
+    )
+    state_dir = tempfile.mkdtemp(prefix="recipes_st20_state_")
+    pattern_advance = pattern_advance_factory(spark, state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(pattern_advance)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st20_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema(_ST20_STATE_SCHEMA)
+        .parquet(os.path.join(state_dir, "s_3"))
+        .select(
+            "user_id",
+            F.col("np").alias("n_purchase"),
+            F.col("nc").alias("n_converted"),
+        )
+        .orderBy("user_id")
     )

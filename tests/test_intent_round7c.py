@@ -1,0 +1,285 @@
+"""Intent-level tests for the round-7 third-wave operators on PLANTED
+inputs (rationale in test_intent_round7.py: the oracle gate cannot
+catch both engines encoding the same wrong spec, so each operator's
+defining behavior is pinned on hand-built cases where the intended and
+the plausible-but-wrong semantics diverge). Also holds the quality
+gates for the rows-only x3_pca_project."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+
+import numpy as np
+from pyspark.sql import Row
+
+from recipes_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write(spark, tmp_path, name, rows, schema=None):
+    df = spark.createDataFrame(rows, schema) if schema else spark.createDataFrame(rows)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), f"{name}.parquet")
+    )
+    return str(tmp_path)
+
+
+def _events(spark, tmp_path, rows):
+    """rows = (event_id, user_id, minutes_after_T0, event_type, value)."""
+    return _write(
+        spark,
+        tmp_path,
+        "events",
+        [
+            Row(
+                event_id=i,
+                ts=T0 + dt.timedelta(minutes=m),
+                user_id=u,
+                event_type=et,
+                value=v,
+                props="{}",
+            )
+            for i, u, m, et, v in rows
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_keeps_only_undominated_pairs(spark, tmp_path):
+    """Planted brand: (1.00,3) and (2.00,2) are the frontier; (1.00,5)
+    loses to (1.00,3) on equal price (strict size), (1.50,3) loses to
+    (1.00,3) on equal size (strict price) — the two tie cases where a
+    strictly-less-on-both definition would WRONGLY keep the point —
+    and (3.00,3) is plainly dominated. Duplicate parts at a frontier
+    pair must aggregate, not duplicate."""
+    rows = [
+        Row(p_partkey=k, p_name=f"p{k}", p_brand="B#1", p_type="t",
+            p_size=s, p_retailprice=pr)
+        for k, (pr, s) in enumerate(
+            [(1.0, 3), (1.0, 5), (1.5, 3), (2.0, 2), (3.0, 3), (1.0, 3)]
+        )
+    ]
+    d = _write(spark, tmp_path, "part", rows)
+    got = [
+        (r["price_cents"], r["size"], r["n_parts"])
+        for r in QUERIES["pareto_frontier"](spark, d).collect()
+    ]
+    assert got == [(100, 3, 2), (200, 2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# event_pattern_match
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_requires_order_and_hop_windows(spark, tmp_path):
+    """Four planted users, one purchase each: (1) clean
+    view->click->purchase converts; (2) click BEFORE view does not
+    (order matters — a bag-of-events funnel would match); (3) click
+    25h after view is never qualified; (4) purchase 25h after a
+    qualified click does not convert (per-hop window, not
+    total-window)."""
+    h25 = 25 * 60
+    rows = [
+        (0, 1, 0, "view", 1.0), (1, 1, 10, "click", 1.0),
+        (2, 1, 20, "purchase", 1.0),
+        (3, 2, 0, "click", 1.0), (4, 2, 10, "view", 1.0),
+        (5, 2, 20, "purchase", 1.0),
+        (6, 3, 0, "view", 1.0), (7, 3, h25, "click", 1.0),
+        (8, 3, h25 + 10, "purchase", 1.0),
+        (9, 4, 0, "view", 1.0), (10, 4, 10, "click", 1.0),
+        (11, 4, 10 + h25, "purchase", 1.0),
+    ]
+    d = _events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: (r["n_purchase"], r["n_converted"])
+        for r in QUERIES["event_pattern_match"](spark, d).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 0)}
+
+
+# ---------------------------------------------------------------------------
+# x7_sssp_khop
+# ---------------------------------------------------------------------------
+
+
+def test_sssp_matches_pure_python_bellman_ford(spark, tmp_path):
+    """The derived graph for n=30, relaxed 6 rounds by an independent
+    pure-Python Bellman-Ford over the same arithmetic edge families —
+    distances AND the reachable set must agree exactly."""
+    n = 30
+    d = _write(spark, tmp_path, "documents",
+               [Row(doc_id=i) for i in range(n)])
+    edges = {}
+    for u in range(n):
+        for dst, w in [
+            ((u + 1) % n, u % 7 + 1),
+            ((u + 2) % n, (u + 3) % 7 + 1),
+            ((u * u + 1) % n, (u + 6) % 7 + 1),
+            ((u * 7 + 1) % n, (u + 9) % 7 + 1),
+        ]:
+            if dst != u:
+                edges[(u, dst)] = min(edges.get((u, dst), w), w)
+    dist = {0: 0}
+    for _ in range(6):
+        nxt = dict(dist)
+        for (u, v), w in edges.items():
+            if u in dist and dist[u] + w < nxt.get(v, math.inf):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    got = {
+        r["node"]: r["dist"]
+        for r in QUERIES["x7_sssp_khop"](spark, d).collect()
+    }
+    assert got == dist
+
+
+# ---------------------------------------------------------------------------
+# g6_grid_knn
+# ---------------------------------------------------------------------------
+
+
+def test_grid_knn_equals_brute_force_in_sparse_regime(spark, tmp_path):
+    """400 points over the 10x10 grid is ~4 sites per cell: many 3x3
+    blocks cannot certify their winner (or are empty), so the
+    fallback leg genuinely fires — and the combined result must still
+    equal the all-pairs brute force with the (d2, site_id) tiebreak."""
+    ids = list(range(400))
+    d = _events(spark, tmp_path, [(i, 1, i, "view", 1.0) for i in ids])
+    pts = {i: ((i * 48271) % 10000, (i * 16807) % 10000) for i in ids}
+    expect = {}
+    for q in ids:
+        if q % 101 != 0:
+            continue
+        qx, qy = pts[q]
+        best = min(
+            ((sx - qx) ** 2 + (sy - qy) ** 2, s)
+            for s, (sx, sy) in pts.items()
+            if s % 101 != 0
+        )
+        expect[q] = best
+    got = {
+        r["query_id"]: (r["d2"], r["site_id"])
+        for r in QUERIES["g6_grid_knn"](spark, d).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# agg_welch_ttest / agg_mannwhitney
+# ---------------------------------------------------------------------------
+
+
+def test_welch_matches_closed_form(spark, tmp_path):
+    """Planted samples hi=[10,12,14], lo=[20,22,24,26]: the emitted
+    micros must equal the same IEEE expression evaluated in Python."""
+    rows = [
+        Row(l_returnflag="A", l_discount=disc, l_quantity=float(q),
+            l_orderkey=i, l_extendedprice=1.0)
+        for i, (disc, q) in enumerate(
+            [(0.06, 10), (0.06, 12), (0.06, 14),
+             (0.0, 20), (0.0, 22), (0.0, 24), (0.0, 26)]
+        )
+    ]
+    d = _write(spark, tmp_path, "lineitem", rows)
+    r = QUERIES["agg_welch_ttest"](spark, d).collect()[0]
+    n1, n2 = 3, 4
+    s1, s2 = 36.0, 92.0
+    q1, q2 = float(100 + 144 + 196), float(400 + 484 + 576 + 676)
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    v2 = (q2 - s2 * s2 / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t_micro = math.floor(1000000.0 * (m1 - m2) / math.sqrt(se2))
+    df_micro = math.floor(
+        1000000.0 * se2 * se2
+        / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    )
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["t_micro"] == t_micro
+    assert r["df_micro"] == df_micro
+
+
+def test_mannwhitney_handles_ties_via_doubled_midranks(spark, tmp_path):
+    """even-user values [1,2,2] vs odd-user [2,3]: U1 = 1 (one tie pair
+    counts half twice), so u1_twice must be exactly 2 — the case where
+    naive rank() (no midrank correction) gives a different integer."""
+    rows = [
+        (0, 2, 0, "view", 1.0), (1, 4, 1, "view", 2.0),
+        (2, 6, 2, "view", 2.0),
+        (3, 1, 3, "view", 2.0), (4, 3, 4, "view", 3.0),
+    ]
+    d = _events(spark, tmp_path, rows)
+    r = QUERIES["agg_mannwhitney"](spark, d).collect()[0]
+    assert (r["n1"], r["n2"], r["u1_twice"]) == (3, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# x3_embedding_covariance / x3_pca_project
+# ---------------------------------------------------------------------------
+
+
+def _mini_embeddings(spark, tmp_path, n=7, dim=5):
+    vecs = [
+        [((i * 31 + j * 17) % 13 - 6) / 8.0 for j in range(dim)]
+        for i in range(n)
+    ]
+    _write(
+        spark, tmp_path, "embeddings",
+        [Row(vec_id=i, embedding=v, label=0) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>, label int",
+    )
+    return np.floor(np.asarray(vecs, dtype=np.float32).astype(np.float64) * 1e6)
+
+
+def test_covariance_equals_numpy_definition(spark, tmp_path):
+    """Engine cov_n vs n*Q^T Q - outer(S,S) computed directly in numpy
+    over the identical float32->float64->floor quantization — exact
+    integer equality, any dimension (dim=5 here, so the query must
+    not hard-code 64 on the engine side)."""
+    Q = _mini_embeddings(spark, tmp_path)
+    n, dim = Q.shape
+    Qi = Q.astype(np.int64)
+    C = n * (Qi.T @ Qi) - np.outer(Qi.sum(0), Qi.sum(0))
+    got = QUERIES["x3_embedding_covariance"](spark, str(tmp_path)).collect()
+    assert len(got) == dim * (dim + 1) // 2
+    for r in got:
+        assert r["cov_n"] == C[r["i"] - 1, r["j"] - 1], (r["i"], r["j"])
+
+
+def test_pca_projection_gates(spark, tmp_path):
+    """Rows-only quality gates: (a) output equals an independent numpy
+    PCA over the same quantized matrix up to the fixed sign
+    convention; (b) pc1 sample variance >= pc2's; (c) deterministic
+    across reruns."""
+    Q = _mini_embeddings(spark, tmp_path)
+    n = Q.shape[0]
+    Qi = Q.astype(np.int64)
+    S = Qi.sum(0)
+    # The engine's exact expression shape: (G - outer(S,S)/n) / n over
+    # the int64 Gram — so eigh sees a bit-identical matrix.
+    C = ((Qi.T @ Qi).astype(np.float64) - np.outer(S, S) / n) / n
+    evals, evecs = np.linalg.eigh(C)
+    ref = []
+    for k in (C.shape[0] - 1, C.shape[0] - 2):
+        v = evecs[:, k]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        ref.append(v)
+    P = (Q - Q.mean(0)) @ np.stack(ref).T
+    expect = np.floor(P).astype(np.int64)
+    got = QUERIES["x3_pca_project"](spark, str(tmp_path)).collect()
+    got2 = QUERIES["x3_pca_project"](spark, str(tmp_path)).collect()
+    assert got == got2
+    arr = np.asarray([[r["pc1_micro"], r["pc2_micro"]] for r in got])
+    assert np.array_equal(arr, expect)
+    assert arr[:, 0].var() >= arr[:, 1].var()

@@ -325,3 +325,102 @@ def g6_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return certified.unionByName(brute).orderBy("query_id")
+
+
+@query(
+    "g7_points_in_polygons",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         -180 + (c_custkey * 7) % 360 AS px,
+         -90 + (c_custkey * 13) % 180 AS py
+  FROM customer
+), polys AS (
+  SELECT s_suppkey,
+         -150 + (s_suppkey * 11) % 300 AS cx,
+         -75 + (s_suppkey * 17) % 150 AS cy,
+         5 + s_suppkey % 10 AS w,
+         4 + s_suppkey % 8 AS h
+  FROM supplier
+)
+SELECT s_suppkey,
+       CAST(count_if(abs(px - cx) * h + abs(py - cy) * w <= w * h)
+            AS BIGINT) AS n_inside
+FROM polys, pts
+GROUP BY s_suppkey
+ORDER BY s_suppkey
+""",
+)
+def g7_points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-many SPATIAL CONTAINMENT JOIN — every customer point
+    against every supplier diamond (convex quad |dx|·h + |dy|·w <=
+    w·h, all-integer so containment is exact on both engines) — the
+    polygon-side composition of g5's tile cover with g4's exact
+    point-in-polygon test: polygons replicate to the 20-degree grid
+    tiles their bbox covers, points hash to their single tile, the
+    equi-join on (tx, ty) meets only co-located pairs, and the exact
+    containment predicate + per-polygon count run AFTER the join.
+    Zero-match polygons survive via a left join back to the polygon
+    set. The oracle is the all-pairs definition (count_if over the
+    cross product) the tiled plan must reproduce.
+
+    100 TB: the classic PBSM / partition-based spatial-merge plan —
+    candidate pairs are bounded by tile co-location (density x bbox
+    area), never |points| x |polygons|; replication factor is
+    bbox-tiles per polygon (<= 4 here); a hot tile (urban cluster)
+    salts like any hot join key. The brute-force oracle at driver SF
+    is exactly the quadratic plan this shape exists to avoid."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    pts = c.select(
+        "c_custkey",
+        (-180 + (F.col("c_custkey") * 7) % 360).alias("px"),
+        (-90 + (F.col("c_custkey") * 13) % 180).alias("py"),
+    )
+    polys = s.select(
+        "s_suppkey",
+        (-150 + (F.col("s_suppkey") * 11) % 300).alias("cx"),
+        (-75 + (F.col("s_suppkey") * 17) % 150).alias("cy"),
+        (5 + F.col("s_suppkey") % 10).alias("w"),
+        (4 + F.col("s_suppkey") % 8).alias("h"),
+    )
+    g = 20
+    ptile = pts.select(
+        "c_custkey", "px", "py",
+        F.expr(f"(px + 180) div {g}").alias("tx"),
+        F.expr(f"(py + 90) div {g}").alias("ty"),
+    )
+    cover = polys.select(
+        "s_suppkey", "cx", "cy", "w", "h",
+        F.explode(
+            F.sequence(
+                F.expr(f"(cx - w + 180) div {g}"),
+                F.expr(f"(cx + w + 180) div {g}"),
+            )
+        ).alias("tx"),
+        F.expr(f"(cy - h + 90) div {g}").alias("ty_lo"),
+        F.expr(f"(cy + h + 90) div {g}").alias("ty_hi"),
+    ).select(
+        "s_suppkey", "cx", "cy", "w", "h", "tx",
+        F.explode(F.sequence("ty_lo", "ty_hi")).alias("ty"),
+    )
+    inside = (
+        F.abs(F.col("px") - F.col("cx")) * F.col("h")
+        + F.abs(F.col("py") - F.col("cy")) * F.col("w")
+        <= F.col("w") * F.col("h")
+    )
+    counts = (
+        cover.join(ptile, ["tx", "ty"])
+        .filter(inside)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        polys.select("s_suppkey")
+        .join(counts, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_inside"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -1861,3 +1861,214 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_micro"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_skewness_kurtosis",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x
+  FROM lineitem
+), s AS (
+  SELECT flag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS s1,
+         CAST(sum(x * x) AS DOUBLE) AS s2,
+         CAST(sum(x * x * x) AS DOUBLE) AS s3,
+         CAST(sum(x * x * x * x) AS DOUBLE) AS s4
+  FROM b GROUP BY flag
+), m AS (
+  SELECT flag, n, s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, s4 / n AS m4
+  FROM s
+), v AS (
+  SELECT flag, n, m1, m2, m3, m4, m2 - m1 * m1 AS var
+  FROM m
+)
+SELECT flag, n,
+       CAST(floor(1000000.0 * (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+            / (sqrt(var) * var)) AS BIGINT) AS skew_micro,
+       CAST(floor(1000000.0
+            * ((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+               / (var * var) - 3)) AS BIGINT) AS kurt_micro
+FROM v ORDER BY flag
+""",
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third and fourth standardized moments (skewness, excess
+    kurtosis) per group — the distribution-shape diagnostics behind
+    outlier policies and heavy-tail detection — CROSS-ENGINE EXACT by
+    the corr/ttest discipline extended to power sums: n and the four
+    integer power sums are exact (quantity <= 50, so sum(x^4) stays
+    int64 to ~1.5e12 rows per group; cast the power terms to
+    decimal(38,0) beyond), then ONE fixed-shape double expression
+    standardizes them, floor-scaled to micros.
+
+    100 TB: one map-side-combining hash agg of five sums — the q1
+    shape — and O(groups) scalar math; nothing iterates, nothing
+    collects."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    x = F.col("x")
+    s = b.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+    )
+    m = s.select(
+        "flag", "n",
+        (F.col("s1") / F.col("n")).alias("m1"),
+        (F.col("s2") / F.col("n")).alias("m2"),
+        (F.col("s3") / F.col("n")).alias("m3"),
+        (F.col("s4") / F.col("n")).alias("m4"),
+    )
+    v = m.select(
+        "flag", "n", "m1", "m2", "m3", "m4",
+        (F.col("m2") - F.col("m1") * F.col("m1")).alias("var"),
+    )
+    m1, m2, m3, m4, var = (F.col(c) for c in ("m1", "m2", "m3", "m4", "var"))
+    micro = F.lit(1000000.0)
+    return v.select(
+        "flag", "n",
+        F.floor(
+            micro * (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+            / (F.sqrt(var) * var)
+        ).alias("skew_micro"),
+        F.floor(
+            micro
+            * (
+                (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+                / (var * var)
+                - 3
+            )
+        ).alias("kurt_micro"),
+    ).orderBy("flag")
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle="""
+WITH reps AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents, b,
+         CAST(('0x' || substr(sha256(CAST(event_id AS VARCHAR) || ':'
+                || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS h
+  FROM events, range(0, 32) t(b)
+), mult AS (
+  SELECT event_type, cents, b,
+         CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+              WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3
+              WHEN h < 9963 THEN 4 ELSE 5 END AS m
+  FROM reps
+), means AS (
+  SELECT event_type, b,
+         CAST((1000000 * sum(m * cents)) // sum(m) AS BIGINT) AS mean_micro
+  FROM mult GROUP BY event_type, b
+), ranked AS (
+  SELECT event_type, mean_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY mean_micro, b) AS rn
+  FROM means
+), full_mean AS (
+  SELECT event_type,
+         CAST((1000000 * sum(CAST(floor(value * 100) AS BIGINT)))
+              // count(*) AS BIGINT) AS mean_micro
+  FROM events GROUP BY event_type
+)
+SELECT f.event_type, f.mean_micro,
+       CAST(max(CASE WHEN rn = 2 THEN r.mean_micro END) AS BIGINT)
+         AS ci_lo_micro,
+       CAST(max(CASE WHEN rn = 31 THEN r.mean_micro END) AS BIGINT)
+         AS ci_hi_micro
+FROM full_mean f JOIN ranked r ON r.event_type = f.event_type
+GROUP BY f.event_type, f.mean_micro
+ORDER BY f.event_type
+""",
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC bootstrap confidence interval for the per-type
+    mean — uncertainty quantification as a single declarative plan,
+    no random state: each of 32 replicates draws every row with
+    multiplicity ~ Poisson(1) via the inverse CDF over the portable
+    sha-slice hash of (event_id, replicate) — the Poisson bootstrap
+    (resampling without coordinating a global n, the only bootstrap
+    that distributes), made replayable bit-for-bit in SQL. Replicate
+    means are exact integer micro-units (floored division of exact
+    cent sums); the 90% percentile interval picks ranks 2 and 31 of
+    the 32 sorted means with a replicate-id tiebreak.
+
+    100 TB: the 32x explode flows into ONE map-side-combining hash agg
+    keyed (type, b) — 32 counters per key per partition, no second
+    pass over the data, no driver-side resampling; the rank step runs
+    over groups x 32 rows. The hash thresholds approximate Poisson(1)
+    to 4 digits; swap in more CDF terms if tail multiplicity matters."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    reps = ev.select(
+        "event_type", cents.alias("cents"), "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).select(
+        "event_type", "cents", "b",
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % 10000
+        ).alias("h"),
+    )
+    mult = reps.select(
+        "event_type", "cents", "b",
+        F.when(F.col("h") < 3679, 0)
+        .when(F.col("h") < 7358, 1)
+        .when(F.col("h") < 9197, 2)
+        .when(F.col("h") < 9810, 3)
+        .when(F.col("h") < 9963, 4)
+        .otherwise(5)
+        .alias("m"),
+    )
+    means = mult.groupBy("event_type", "b").agg(
+        F.expr("(1000000 * sum(m * cents)) div sum(m)")
+        .cast("long")
+        .alias("mean_micro")
+    )
+    ranked = means.select(
+        "event_type", "mean_micro",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("mean_micro", "b"))
+        .alias("rn"),
+    )
+    full_mean = ev.groupBy("event_type").agg(
+        F.expr(
+            "(1000000 * sum(cast(floor(value * 100) as bigint))) div count(*)"
+        )
+        .cast("long")
+        .alias("mean_micro")
+    )
+    return (
+        full_mean.join(
+            ranked.withColumnRenamed("mean_micro", "rep_mean"), "event_type"
+        )
+        .groupBy("event_type", "mean_micro")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("rep_mean")))
+            .cast("long")
+            .alias("ci_lo_micro"),
+            F.max(F.when(F.col("rn") == 31, F.col("rep_mean")))
+            .cast("long")
+            .alias("ci_hi_micro"),
+        )
+        .orderBy("event_type")
+    )

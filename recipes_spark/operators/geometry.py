@@ -214,3 +214,61 @@ def trajectories_from_events(events: DataFrame) -> DataFrame:
             F.size("pts").alias("n_points"),
         )
     )
+
+
+def grid_nearest_neighbor(
+    qs: DataFrame, st: DataFrame, *, cell: int
+) -> DataFrame:
+    """EXACT 1-NN spatial join via grid bucketing (g6_grid_knn's core,
+    parameterized for the stress probe): `qs(query_id, px, py)` x
+    `st(site_id, sx, sy)` in integer coordinates -> (query_id, d2,
+    site_id), smallest-id tiebreak. Sites replicate to their 3x3
+    neighbor cells; a block winner with d2 <= cell^2 is PROVABLY the
+    global nearest (anything outside the block is > one full cell away
+    in some axis); uncertified queries fall back to a broadcast brute
+    pass, so the result is exact at any density while the quadratic
+    scan runs only on the uncertified remainder."""
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    sites9 = st.select(
+        "site_id", "sx", "sy", F.explode(offsets).alias("o")
+    ).select(
+        "site_id", "sx", "sy",
+        (F.floor(F.col("sx") / cell) + F.col("o.dx")).alias("cx"),
+        (F.floor(F.col("sy") / cell) + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    best = F.min(F.struct("d2", "site_id")).alias("best")
+    unpack = [
+        F.col("best.d2").alias("d2"),
+        F.col("best.site_id").alias("site_id"),
+    ]
+    block = (
+        qs.join(
+            sites9,
+            (F.floor(F.col("px") / cell) == F.col("cx"))
+            & (F.floor(F.col("py") / cell) == F.col("cy")),
+        )
+        .select("query_id", d2.alias("d2"), "site_id")
+        .groupBy("query_id")
+        .agg(best)
+        .select("query_id", *unpack)
+    )
+    certified = block.filter(F.col("d2") <= cell * cell)
+    leftover = qs.join(certified, "query_id", "left_anti")
+    brute = (
+        F.broadcast(leftover)
+        .crossJoin(st)
+        .select("query_id", d2.alias("d2"), "site_id")
+        .groupBy("query_id")
+        .agg(best)
+        .select("query_id", *unpack)
+    )
+    return certified.unionByName(brute)

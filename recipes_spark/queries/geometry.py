@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from recipes_spark.io import load
 from recipes_spark.operators.geometry import (
     extract_geometry,
+    grid_nearest_neighbor,
     trajectories_from_events,
 )
 from recipes_spark.registry import query
@@ -278,53 +279,7 @@ def g6_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px").alias("sx"),
         F.col("py").alias("sy"),
     )
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    sites9 = st.select(
-        "site_id", "sx", "sy", F.explode(offsets).alias("o")
-    ).select(
-        "site_id", "sx", "sy",
-        (F.floor(F.col("sx") / g) + F.col("o.dx")).alias("cx"),
-        (F.floor(F.col("sy") / g) + F.col("o.dy")).alias("cy"),
-    )
-    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
-        F.col("py") - F.col("sy")
-    ) * (F.col("py") - F.col("sy"))
-    block = (
-        qs.join(
-            sites9,
-            (F.floor(F.col("px") / g) == F.col("cx"))
-            & (F.floor(F.col("py") / g) == F.col("cy")),
-        )
-        .select("query_id", d2.alias("d2"), "site_id")
-        .groupBy("query_id")
-        .agg(F.min(F.struct("d2", "site_id")).alias("best"))
-        .select(
-            "query_id",
-            F.col("best.d2").alias("d2"),
-            F.col("best.site_id").alias("site_id"),
-        )
-    )
-    certified = block.filter(F.col("d2") <= g * g)
-    leftover = qs.join(certified, "query_id", "left_anti")
-    brute = (
-        F.broadcast(leftover)
-        .crossJoin(st)
-        .select("query_id", d2.alias("d2"), "site_id")
-        .groupBy("query_id")
-        .agg(F.min(F.struct("d2", "site_id")).alias("best"))
-        .select(
-            "query_id",
-            F.col("best.d2").alias("d2"),
-            F.col("best.site_id").alias("site_id"),
-        )
-    )
-    return certified.unionByName(brute).orderBy("query_id")
+    return grid_nearest_neighbor(qs, st, cell=g).orderBy("query_id")
 
 
 @query(

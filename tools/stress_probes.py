@@ -691,6 +691,77 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+
+
+def probe_spatial_knn(spark: SparkSession) -> dict:
+    """grid_nearest_neighbor (g6_grid_knn's core) at 1x and 10x:
+    100k -> 1M sites over a 100k x 100k integer plane (hash-scattered
+    from spark.range), 500 / 5000 queries, cell = 2500 (~constant
+    per-cell density at 1x; 10x densifies the same grid). Reports wall
+    per scale, the certified fraction (queries the 3x3 block proves
+    without the brute leg), the scaling exponent, and — the
+    correctness leg — exact agreement of the 1x grid result with a
+    broadcast brute-force over all 50M pairs."""
+    import math
+
+    from recipes_spark.operators.geometry import grid_nearest_neighbor
+
+    def pts(n, is_query, shift):
+        base = spark.range(n).select(
+            (F.col("id") * 1000003 + shift).alias("pid"),
+            ((F.col("id") * 48271 + shift) % 100_000).alias("px"),
+            ((F.col("id") * 16807 + shift * 7) % 100_000).alias("py"),
+        )
+        name = "query_id" if is_query else "site_id"
+        cols = ("px", "py") if is_query else ("sx", "sy")
+        return base.select(
+            F.col("pid").alias(name),
+            F.col("px").alias(cols[0]),
+            F.col("py").alias(cols[1]),
+        )
+
+    out = {"probe": "spatial_knn", "cell": 2500}
+    for tag, n_sites, n_queries in (("1x", 100_000, 500), ("10x", 1_000_000, 5000)):
+        st = pts(n_sites, False, 17).cache()
+        qs = pts(n_queries, True, 5).cache()
+        st.count(), qs.count()
+        res = grid_nearest_neighbor(qs, st, cell=2500)
+        t = min(_timed(lambda: res.count()) for _ in range(2))
+        certified = (
+            grid_nearest_neighbor(qs, st, cell=2500)
+            .filter(F.col("d2") <= 2500 * 2500)
+            .count()
+        )
+        out[f"wall_sec_{tag}"] = round(t, 2)
+        out[f"certified_frac_{tag}"] = round(certified / n_queries, 4)
+        if tag == "1x":
+            d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+                F.col("py") - F.col("sy")
+            ) * (F.col("py") - F.col("sy"))
+            brute = (
+                F.broadcast(qs)
+                .crossJoin(st)
+                .select("query_id", d2.alias("d2"), "site_id")
+                .groupBy("query_id")
+                .agg(F.min(F.struct("d2", "site_id")).alias("b"))
+                .select("query_id", F.col("b.d2").alias("d2"),
+                        F.col("b.site_id").alias("site_id"))
+            )
+            diff = (
+                res.unionByName(brute)
+                .groupBy("query_id", "d2", "site_id")
+                .count()
+                .filter(F.col("count") != 2)
+                .count()
+            )
+            out["brute_mismatches_1x"] = diff
+        st.unpersist(), qs.unpersist()
+    out["scaling_exponent"] = round(
+        math.log(out["wall_sec_10x"] / out["wall_sec_1x"]) / math.log(10), 2
+    )
+    return out
+
+
 PROBES = {
     "cc_chain": probe_cc_chain,
     "cc_skew": probe_cc_skew,
@@ -702,6 +773,7 @@ PROBES = {
     "zorder_pruning": probe_zorder_pruning,
     "interval_join": probe_interval_join,
     "incremental_cc": probe_incremental_cc,
+    "spatial_knn": probe_spatial_knn,
 }
 
 

@@ -2480,3 +2480,62 @@ def x6_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
     )
+
+
+@query(
+    "x4_source_gini",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars AS x,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS i
+  FROM documents
+), s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM r GROUP BY source
+)
+SELECT source, n,
+       CAST(floor(1000000.0 * (2 * six - (n + 1) * sx)
+            / (CAST(n AS DOUBLE) * sx)) AS BIGINT) AS gini_micro
+FROM s ORDER BY source
+""",
+)
+def x4_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the
+    concentration diagnostic a mixture designer reads before weighting
+    (a source whose token mass sits in a few giant documents behaves
+    very differently from its doc count): G = (2*SUM(i*x_i) - (n+1)*
+    SUM(x)) / (n*SUM(x)) over the ascending-sorted lengths, EXACT via
+    the rank-sum form — one ordered window pass for the ranks
+    ((n_chars, doc_id) total order so ties are deterministic), one
+    hash agg for the three integer sums, one fixed double expression,
+    floor-scaled micros. SUM(i*x) passes int64 around ~1e9 docs per
+    source at these lengths — switch that one accumulator to
+    decimal(38,0)/HUGEINT beyond.
+
+    100 TB: window and agg both cluster on source (one exchange,
+    chained same-key rule); the skew-salted-window shape applies if
+    one source dominates the corpus."""
+    d = load(spark, sf_dir, "documents")
+    r = d.select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("i"),
+    )
+    s = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+    )
+    return s.select(
+        "source", "n",
+        F.floor(
+            F.lit(1000000.0)
+            * (2 * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+            / (F.col("n").cast("double") * F.col("sx"))
+        ).alias("gini_micro"),
+    ).orderBy("source")

@@ -1030,3 +1030,119 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_linear_interp",
+    oracle="""
+WITH obs AS (
+  SELECT event_type,
+         epoch_us(ts) // 600000000 AS bucket,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+  FROM obs GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(range(mn, mx + 1)) AS bucket FROM bounds
+), j AS (
+  SELECT g.event_type, g.bucket, o.v
+  FROM grid g LEFT JOIN obs o
+    ON o.event_type = g.event_type AND o.bucket = g.bucket
+), f AS (
+  SELECT event_type, bucket, v,
+         last_value(v IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(v IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT event_type, bucket,
+       CAST(CASE WHEN v IS NOT NULL THEN v * 1000
+                 ELSE pv * 1000
+                      + (((nv - pv) * 1000 * (bucket - pt))
+                         + 10000000000000 * (nt - pt)) // (nt - pt)
+                      - 10000000000000
+            END AS BIGINT) AS filled_milli,
+       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS observed
+FROM f
+ORDER BY event_type, bucket
+""",
+)
+def ts_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling RESAMPLE with LINEAR INTERPOLATION — the harder
+    sibling of ts_resample_ffill: per event type, 10-minute buckets of
+    summed cents; unobserved grid buckets get the line between the
+    nearest observed neighbors. EXACT cross-engine: neighbor lookups
+    are last/first IGNORE NULLS over one ordered pass (pv/pt backward,
+    nv/nt forward), and the interpolation is INTEGER —
+    pv*1000 + ((nv-pv)*1000*dt + K*T) div T - K with K = 10^13
+    shifting the numerator positive so Spark's truncating `div` and
+    DuckDB's flooring `//` agree on every gap. The grid spans
+    min..max observed per type, so both neighbors always exist and
+    T >= 1 on every ELSE branch (observed rows short-circuit to their
+    own value before the division).
+
+    100 TB: grid explode, equi-join back, both windows, and the sort
+    all cluster on event_type — one exchange end to end (the funnel
+    pass's chained-window rule); the grid is bounded by time span /
+    bucket width, independent of event volume."""
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 600000000").alias("bucket"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    grid = (
+        obs.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx")).alias("bucket"),
+        )
+    )
+    j = grid.join(obs, ["event_type", "bucket"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    f = j.select(
+        "event_type", "bucket", "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(back).alias("pt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v") * 1000).otherwise(
+        F.col("pv") * 1000
+        + F.expr(
+            "(((nv - pv) * 1000 * (bucket - pt))"
+            " + 10000000000000 * (nt - pt)) div (nt - pt)"
+        )
+        - F.lit(10000000000000)
+    )
+    return f.select(
+        "event_type", "bucket",
+        filled.cast("long").alias("filled_milli"),
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).cast("int")
+        .alias("observed"),
+    ).orderBy("event_type", "bucket")

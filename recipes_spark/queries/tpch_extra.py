@@ -1389,8 +1389,11 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the strictly-decreasing-size prefix chain. Prices compare as
     floored integer cents (the tpch_extra cross-engine discipline).
 
-    100 TB: the dedup agg and the window share one exchange on brand
-    (chained same-key window rule); per-brand sort is Tungsten
+    100 TB: two shuffles — the dedup agg clusters on the full
+    (brand, price, size) key, then the window re-clusters on brand
+    (a finer hash partitioning cannot serve the coarser
+    distribution); both are distinct-pair-sized, not part-sized,
+    because the dedup runs FIRST. Per-brand sort is Tungsten
     spillable. An UNPARTITIONED skyline would instead do local
     per-partition frontiers (mapPartitions or a grid bucket) then a
     driver-light merge of the tiny candidate set — the standard

@@ -95,6 +95,17 @@ def extra_plans(spark) -> dict[str, str]:
     - st17_batch_side — st17's foreachBatch transformations
       (st17_value_hist + st17_prior_quantiles) on batch inputs, the
       same pinning the other sketch-state streams get.
+    - event_pattern_match — the one-exchange claim: both stacked
+      running-max windows and the final agg cluster on user_id; a
+      second hashpartitioning appearing here means the funnel pass
+      regressed to multi-shuffle.
+    - g7_points_in_polygons — the tiled spatial join: the containment
+      filter must stay AFTER a (tx, ty)-keyed join (broadcast at this
+      SF); a CartesianProduct or a filter-only plan is the quadratic
+      regression the tiling exists to avoid.
+    - agg_bootstrap_ci — the 32x replicate explode must flow into ONE
+      map-side-combining hash agg keyed (event_type, b); an extra
+      exchange before the agg would shuffle the exploded stream.
     """
     import pyspark.sql.functions as F
 
@@ -131,6 +142,12 @@ def extra_plans(spark) -> dict[str, str]:
 
     hist = st17_value_hist(ev.select("event_id", "value"))
     out["st17_batch_side"] = plan_hash(st17_prior_quantiles(hist, 1))
+    for name in (
+        "event_pattern_match",
+        "g7_points_in_polygons",
+        "agg_bootstrap_ci",
+    ):
+        out[name] = plan_hash(q[name](spark, SF_DIR))
     return out
 
 

@@ -2706,3 +2706,96 @@ def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(project, "vec_id long, pc1_micro long, pc2_micro long")
         .orderBy("vec_id")
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    head = """
+WITH ids AS (
+  SELECT doc_id, (SELECT count(*) FROM documents) AS n FROM documents
+), raw AS (
+  SELECT doc_id AS u, (doc_id + 1) % n AS v FROM ids
+  UNION ALL SELECT doc_id, (doc_id + 2) % n FROM ids
+  UNION ALL SELECT doc_id, (doc_id*doc_id + 1) % n FROM ids
+  UNION ALL SELECT doc_id, (doc_id*7 + 1) % n FROM ids
+), e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v
+), und AS (
+  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e
+), r0 AS (
+  SELECT doc_id AS node FROM documents
+)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""", r{i} AS (
+  SELECT d.x AS node
+  FROM und d
+  JOIN r{i - 1} s ON s.node = d.x
+  JOIN r{i - 1} t ON t.node = d.y
+  GROUP BY d.x HAVING count(*) >= {k}
+)""")
+    tail = f"""
+SELECT d.x AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM und d
+JOIN r{rounds} s ON s.node = d.x
+JOIN r{rounds} t ON t.node = d.y
+GROUP BY d.x
+ORDER BY node
+"""
+    return head + "".join(steps) + tail
+
+
+@query("x7_kcore", oracle=_kcore_oracle())
+def x7_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition (k=3, 8 peeling rounds) — the graph
+    density primitive behind community seeds and spam-farm detection:
+    repeatedly delete every node with fewer than k neighbors AMONG
+    SURVIVORS; what remains is the k-core (8 rounds reaches the fixed
+    point for this graph — asserted by the intent test — and keeps
+    the oracle a finite CTE chain replaying the identical peels).
+    Same undirected x7 edge families as triangle counting.
+
+    Each round is one semi-join of the edge list against the survivor
+    set + one degree hash-agg — frontier work proportional to
+    SURVIVING edges, monotonically shrinking; localCheckpoint per
+    round keeps lineage flat. 100 TB: the peel loop's per-round cost
+    decays geometrically on real (power-law) graphs because low-degree
+    leaves vanish in the first rounds — the same economics as the CC
+    loop's measured log-round curve (SCALE.md cc_chain)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    u = F.col("doc_id")
+    fams = [(u + 1) % n, (u + 2) % n, (u * u + 1) % n, (u * 7 + 1) % n]
+    raw = None
+    for fam in fams:
+        part = d.select(u.alias("u"), fam.cast("long").alias("v"))
+        raw = part if raw is None else raw.unionByName(part)
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    und = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    ).localCheckpoint(eager=True)
+    survivors = d.select(F.col("doc_id").alias("node"))
+    for _ in range(8):
+        survivors = (
+            und.join(survivors.withColumnRenamed("node", "x"), "x")
+            .join(
+                survivors.select(F.col("node").alias("y")), "y"
+            )
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select(F.col("x").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.join(survivors.withColumnRenamed("node", "x"), "x")
+        .join(survivors.select(F.col("node").alias("y")), "y")
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("x").alias("node"), "core_degree")
+        .orderBy("node")
+    )

@@ -2072,3 +2072,122 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        f"coalesce(lag(q, {j}) OVER w, 0) * {1 << (15 - j)}"
+        for j in range(16)
+    )
+    return f"""
+WITH b AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS q, l_shipdate
+  FROM lineitem WHERE l_suppkey % 49 = 0
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST({terms} AS BIGINT) AS ewma_scaled
+FROM b
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+@query("window_ewma", oracle=_ewma_oracle())
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT exponentially-weighted moving average (half-life = one
+    step) over a 16-observation horizon: ewma_scaled = sum_j q_{t-j} *
+    2^(15-j) — the newest observation carries weight 2^15, each older
+    one half that, and the finite horizon truncates weights below
+    2^0 (a 1/65536 relative error floor, far under any monitoring
+    threshold). Keeping the weights as integer powers of two makes
+    the statistic EXACT int64 arithmetic — the float recurrence
+    s = a*x + (1-a)*s is order-sensitive and never bit-stable across
+    engines — so both sides compute sixteen lag terms over the same
+    (shipdate, orderkey, linenumber) total order.
+
+    100 TB: one shuffle on the partition key; the 16 lags share one
+    window sort (Catalyst collapses same-window lag chains into a
+    single WindowExec); the supplier filter is partition-complete so
+    it pushes below the window to the scan."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 49 == 0)
+    b = li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("q"), "l_shipdate",
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    ewma = None
+    for j in range(16):
+        term = F.coalesce(F.lag("q", j).over(w), F.lit(0)) * (1 << (15 - j))
+        ewma = term if ewma is None else ewma + term
+    return (
+        b.select(
+            "l_suppkey", "l_orderkey", "l_linenumber",
+            ewma.cast("long").alias("ewma_scaled"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT event_id AS rid, user_id, ts AS ets, value
+  FROM events WHERE event_type = 'error'
+), j AS (
+  SELECT c.event_id, c.user_id, c.ts, e.ets, e.value,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY e.ets DESC, e.rid DESC) AS rn
+  FROM clicks c LEFT JOIN errors e
+    ON c.user_id = e.user_id AND e.ets <= c.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN ets IS NOT NULL
+             AND epoch_us(ts) - epoch_us(ets) <= 7200000000
+            THEN ets END AS asof_ts,
+       CASE WHEN ets IS NOT NULL
+             AND epoch_us(ts) - epoch_us(ets) <= 7200000000
+            THEN round(value, 4) END AS asof_value
+FROM j WHERE rn = 1
+ORDER BY event_id
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (merge_asof's `tolerance=`):
+    each click takes the most recent prior error by the same user ONLY
+    if it is at most 2 hours old — older matches become NULL, exactly
+    like no match at all (a stale error should not explain a click).
+    LEFT semantics throughout: every click row survives. The bound is
+    applied AFTER the single-shuffle union+window as-of resolution
+    (operators/joins.asof_join), not inside the join condition, so the
+    plan is identical to the unbounded as-of — one exchange on
+    user_id, no range-join row blowup — and the tolerance is a
+    row-local CASE.
+
+    100 TB: same as J8; tolerance changes selectivity, not shape."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("rid"), "user_id",
+        F.col("ts").alias("ets"), "value",
+    )
+    joined = asof_join(
+        clicks, errors, left_ts="ts", right_ts="ets", by="user_id",
+        value_cols=["ets", "value"], tiebreak="rid",
+    )
+    fresh = F.col("ets").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("ets") <= 7_200_000_000
+    )
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.when(fresh, F.col("ets")).alias("asof_ts"),
+        F.when(fresh, F.round("value", 4)).alias("asof_value"),
+    ).orderBy("event_id")

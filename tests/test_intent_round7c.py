@@ -283,3 +283,82 @@ def test_pca_projection_gates(spark, tmp_path):
     arr = np.asarray([[r["pc1_micro"], r["pc2_micro"]] for r in got])
     assert np.array_equal(arr, expect)
     assert arr[:, 0].var() >= arr[:, 1].var()
+
+
+# ---------------------------------------------------------------------------
+# x7_kcore / window_ewma / join_asof_tolerance
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_equals_python_fixpoint(spark, tmp_path):
+    """n=40 planted docs: pure-Python peeling TO THE FIXED POINT must
+    equal the engine's 8-round answer — both the surviving set and the
+    in-core degrees (proves 8 rounds suffice, i.e. the round cap is
+    not silently truncating the peel)."""
+    n = 40
+    d = _write(spark, tmp_path, "documents",
+               [Row(doc_id=i) for i in range(n)])
+    edges = set()
+    for u in range(n):
+        for v in [(u + 1) % n, (u + 2) % n, (u * u + 1) % n, (u * 7 + 1) % n]:
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+    alive = set(range(n))
+    while True:
+        deg = {x: 0 for x in alive}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        nxt = {x for x in alive if deg[x] >= 3}
+        if nxt == alive:
+            break
+        alive = nxt
+    deg = {x: 0 for x in alive}
+    for a, b in edges:
+        if a in alive and b in alive:
+            deg[a] += 1
+            deg[b] += 1
+    got = {
+        r["node"]: r["core_degree"]
+        for r in QUERIES["x7_kcore"](spark, d).collect()
+    }
+    assert got == deg
+
+
+def test_ewma_closed_form_and_horizon(spark, tmp_path):
+    """One supplier, constant q=1 over 20 rows: once the horizon is
+    full the EWMA must saturate at 2^16 - 1 (sum of 16 powers of two)
+    and the first row must be exactly 2^15 — pinning both the weight
+    orientation (newest = heaviest) and the 16-row truncation."""
+    rows = [
+        Row(l_suppkey=0, l_orderkey=i, l_linenumber=1, l_quantity=1.0,
+            l_shipdate=T0 + dt.timedelta(days=i), l_returnflag="N",
+            l_discount=0.0, l_extendedprice=1.0)
+        for i in range(20)
+    ]
+    d = _write(spark, tmp_path, "lineitem", rows)
+    got = [
+        r["ewma_scaled"]
+        for r in QUERIES["window_ewma"](spark, d).collect()
+    ]
+    assert got[0] == 1 << 15
+    assert got[15:] == [(1 << 16) - 1] * 5
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, tmp_path):
+    """user 1: error 1h before the click -> carried; user 2: error 3h
+    before -> present in the unbounded as-of but MUST be nulled by the
+    2h tolerance; user 3: no error at all -> same NULL shape as
+    stale."""
+    rows = [
+        (0, 1, 0, "error", 7.0), (1, 1, 60, "click", 1.0),
+        (2, 2, 0, "error", 8.0), (3, 2, 180, "click", 1.0),
+        (4, 3, 0, "view", 1.0), (5, 3, 60, "click", 1.0),
+    ]
+    d = _events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: (r["asof_ts"] is not None, r["asof_value"])
+        for r in QUERIES["join_asof_tolerance"](spark, d).collect()
+    }
+    assert got == {1: (True, 7.0), 2: (False, None), 3: (False, None)}

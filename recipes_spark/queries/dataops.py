@@ -2799,3 +2799,105 @@ def x7_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x").alias("node"), "core_degree")
         .orderBy("node")
     )
+
+
+@query(
+    "x7_degree_assortativity",
+    oracle="""
+WITH ids AS (
+  SELECT doc_id, (SELECT count(*) FROM documents) AS n FROM documents
+), raw AS (
+  SELECT doc_id AS u, (doc_id + 1) % n AS v FROM ids
+  UNION ALL SELECT doc_id, (doc_id + 2) % n FROM ids
+  UNION ALL SELECT doc_id, (doc_id*doc_id + 1) % n FROM ids
+  UNION ALL SELECT doc_id, (doc_id*7 + 1) % n FROM ids
+), e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v
+), und AS (
+  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT x AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY x
+), pairs AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM und JOIN deg da ON da.node = und.x JOIN deg db ON db.node = und.y
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS DOUBLE) AS sx,
+         CAST(sum(dy) AS DOUBLE) AS sy,
+         CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+         CAST(sum(dy * dy) AS DOUBLE) AS syy,
+         CAST(sum(dx * dy) AS DOUBLE) AS sxy
+  FROM pairs
+)
+SELECT m,
+       CAST(floor(1000000.0 * (m * sxy - sx * sy)
+            / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)))
+            AS BIGINT) AS assortativity_micro
+FROM s
+""",
+)
+def x7_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY (Newman's r): the Pearson correlation of
+    endpoint degrees over every directed edge instance — do
+    high-degree nodes attach to each other (social graphs, r > 0) or
+    to leaves (web/biology, r < 0)? The one-number mixing diagnostic
+    read before choosing a partitioning strategy: disassortative hubs
+    are exactly the keys that need the skew treatments (salting,
+    degree-oriented triangle DAGs). Same undirected x7 edge families.
+
+    EXACT by the corr discipline: degrees are integer counts, both
+    directions of each edge enter the co-moment sums (the standard
+    symmetrized form), the five sums are exact int64 -> one fixed
+    double expression, floor micros. Plan: degree agg + two broadcast
+    joins back onto the edge list + one global agg — the edge list
+    shuffles once for the degree count and once per endpoint join;
+    at 100 TB pre-bucket edges by x so the second join co-locates."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    u = F.col("doc_id")
+    fams = [(u + 1) % n, (u + 2) % n, (u * u + 1) % n, (u * 7 + 1) % n]
+    raw = None
+    for fam in fams:
+        part = d.select(u.alias("u"), fam.cast("long").alias("v"))
+        raw = part if raw is None else raw.unionByName(part)
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    und = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    ).localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    pairs = (
+        und.join(
+            F.broadcast(deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))),
+            "x",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))),
+            "y",
+        )
+        .select("dx", "dy")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+    )
+    m, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("m", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    return s.select(
+        "m",
+        F.floor(
+            F.lit(1000000.0) * (m * sxy - sx * sy)
+            / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+        ).alias("assortativity_micro"),
+    )

@@ -1146,3 +1146,82 @@ def ts_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNotNull(), 1).otherwise(0).cast("int")
         .alias("observed"),
     ).orderBy("event_type", "bucket")
+
+
+@query(
+    "event_burstiness",
+    oracle="""
+WITH o AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS s, event_id FROM events
+), g AS (
+  SELECT event_type,
+         s - lag(s) OVER (PARTITION BY event_type
+                          ORDER BY s, event_id) AS gap
+  FROM o
+), st AS (
+  SELECT event_type,
+         CAST(count(gap) AS BIGINT) AS n,
+         CAST(sum(gap) AS DOUBLE) AS sg,
+         CAST(sum(gap * gap) AS DOUBLE) AS sq
+  FROM g WHERE gap IS NOT NULL GROUP BY event_type
+), m AS (
+  SELECT event_type, n, sg / n AS mean,
+         sqrt((sq - sg * sg / n) / n) AS sd
+  FROM st
+)
+SELECT event_type, n,
+       CAST(floor(1000000.0 * sd / mean) AS BIGINT) AS cv_micro,
+       CAST(floor(1000000.0 * (sd - mean) / (sd + mean)) AS BIGINT)
+         AS burstiness_micro
+FROM m ORDER BY event_type
+""",
+)
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival BURSTINESS per event type — the Goh-Barabasi
+    B = (sd - mean)/(sd + mean) of consecutive gaps (-1 = metronome,
+    0 = Poisson, ->1 = heavy bursts) plus the coefficient of
+    variation: the one-pass diagnostic that tells a capacity planner
+    whether event_max_concurrency's peaks are rhythm or clumping.
+    EXACT: gaps in integer SECONDS over the (ts, event_id) total
+    order (second-granularity keeps sum(gap^2) in int64 to ~1e5x this
+    volume; micro-gaps would overflow), co-moments exact, one fixed
+    double expression, floor micros.
+
+    100 TB: the lag window and the agg cluster on event_type — one
+    exchange; the stats are O(groups)."""
+    ev = load(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+        "event_id",
+    )
+    g = o.select(
+        "event_type",
+        (
+            F.col("s")
+            - F.lag("s").over(
+                Window.partitionBy("event_type").orderBy("s", "event_id")
+            )
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    st = g.groupBy("event_type").agg(
+        F.count("gap").alias("n"),
+        F.sum("gap").cast("double").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("double").alias("sq"),
+    )
+    m = st.select(
+        "event_type", "n",
+        (F.col("sg") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sq") - F.col("sg") * F.col("sg") / F.col("n")) / F.col("n")
+        ).alias("sd"),
+    )
+    micro = F.lit(1000000.0)
+    return m.select(
+        "event_type", "n",
+        F.floor(micro * F.col("sd") / F.col("mean")).alias("cv_micro"),
+        F.floor(
+            micro * (F.col("sd") - F.col("mean"))
+            / (F.col("sd") + F.col("mean"))
+        ).alias("burstiness_micro"),
+    ).orderBy("event_type")

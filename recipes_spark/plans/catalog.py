@@ -354,7 +354,12 @@ def catalog_search(
 
 
 def snapshot_commit(
-    spark: SparkSession, df: DataFrame, store_path: str, version: int
+    spark: SparkSession,
+    df: DataFrame,
+    store_path: str,
+    version: int,
+    *,
+    replace: bool = False,
 ) -> None:
     """Append-only SNAPSHOT commit — the manifest mechanism behind
     table-format time travel (Delta/Iceberg's capability on plain
@@ -375,7 +380,15 @@ def snapshot_commit(
     every later snapshot (the failure the intent test plants). The
     new-file listing comes from the scan's _metadata column
     (executor-side), not a driver filesystem walk; the manifest is
-    file-count-sized metadata."""
+    file-count-sized metadata.
+
+    ``replace=True`` makes this a REWRITE commit (the table formats'
+    compaction / overwrite snapshot): the new manifest references ONLY
+    this version's files — `df` must therefore be the complete table
+    content. Prior versions stay readable through their own manifests
+    until snapshot_vacuum expires them; this is exactly what makes
+    vacuum meaningful, since append-only manifests never release a
+    file."""
     next_manifest = os.path.join(store_path, "_manifests", f"v{version + 1}")
     if os.path.isdir(next_manifest):
         raise ValueError(
@@ -392,7 +405,7 @@ def snapshot_commit(
         .withColumn("version", F.lit(version).cast("int"))
     )
     manifest = new_files
-    if version > 1:
+    if version > 1 and not replace:
         prior = spark.read.parquet(
             os.path.join(store_path, "_manifests", f"v{version - 1}")
         )
@@ -400,6 +413,62 @@ def snapshot_commit(
     manifest.localCheckpoint(eager=True).write.mode("overwrite").parquet(
         os.path.join(store_path, "_manifests", f"v{version}")
     )
+
+
+def snapshot_vacuum(
+    spark: SparkSession, store_path: str, *, retain_from: int
+) -> dict:
+    """VACUUM: physically delete every data file not referenced by any
+    manifest of version >= ``retain_from``, and drop the expired
+    manifests themselves — the table formats' retention GC, which only
+    frees space after a REWRITE commit has dereferenced old files
+    (append-only manifests reference everything forever). Returns
+    {files_deleted, files_retained, manifests_dropped}.
+
+    The referenced set is the union of the retained manifests (file-
+    count-sized metadata, the same bounded collect as snapshot_read);
+    deletion walks only the store's own data tree. Time-travel reads
+    below ``retain_from`` fail afterward BY DESIGN (the intent test
+    plants exactly that) — vacuum is the explicit, loud boundary of
+    history, the opposite failure mode from silently keeping 100 TB
+    of dead files."""
+    man_dir = os.path.join(store_path, "_manifests")
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(man_dir) if d.startswith("v")
+    )
+    retained = [v for v in versions if v >= retain_from]
+    if not retained:
+        raise ValueError(
+            f"retain_from={retain_from} keeps no manifest (have {versions})"
+        )
+    refs = set()
+    for v in retained:
+        for r in spark.read.parquet(os.path.join(man_dir, f"v{v}")).collect():
+            refs.add(r["file"].removeprefix("file://").removeprefix("file:"))
+    deleted = kept = 0
+    data_root = os.path.join(store_path, "data")
+    for dirpath, _dirs, files in os.walk(data_root):
+        for fn in files:
+            path = os.path.join(dirpath, fn)
+            if not fn.endswith(".parquet"):
+                continue
+            if os.path.abspath(path) in refs:
+                kept += 1
+            else:
+                os.remove(path)
+                deleted += 1
+    dropped = 0
+    import shutil
+
+    for v in versions:
+        if v < retain_from:
+            shutil.rmtree(os.path.join(man_dir, f"v{v}"), ignore_errors=True)
+            dropped += 1
+    return {
+        "files_deleted": deleted,
+        "files_retained": kept,
+        "manifests_dropped": dropped,
+    }
 
 
 def snapshot_read(

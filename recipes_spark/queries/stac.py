@@ -834,3 +834,76 @@ def stac_moving_platform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("bbox")[2] * 100).alias("east_c"),
         F.floor(F.col("bbox")[3] * 100).alias("north_c"),
     ).orderBy("id")
+
+
+@query(
+    "catalog_vacuum",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT 3 AS version, collection_id,
+       CAST(count(*) AS BIGINT) AS n_items,
+       min(item_id) AS min_id, max(item_id) AS max_id,
+       4 AS files_deleted, 2 AS files_retained, 2 AS manifests_dropped
+FROM meta GROUP BY collection_id
+ORDER BY collection_id
+""",
+)
+def catalog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM after a REWRITE commit — the third leg of the
+    table-format triad (time travel, schema evolution, retention GC):
+    v1 appends the western items (2 files), v2 appends the rest
+    (2 files), v3 is a full-table REWRITE (compaction's commit shape —
+    its manifest references only its own 2 files), then
+    snapshot_vacuum(retain_from=3) physically deletes the 4
+    dereferenced v1/v2 files and drops their manifests. The output is
+    the post-vacuum v3 read (must still be the complete table — the
+    oracle is the full logical content) CARRYING the vacuum counters
+    in the hash: files_deleted=4 / files_retained=2 /
+    manifests_dropped=2 are exact because each commit repartitions to 2
+    part files (coalesce cannot SPLIT the fixture's single-task scan). Reading v1 after vacuum fails loudly by design — the
+    intent test plants that.
+
+    100 TB: the referenced-set resolve is a file-count-sized metadata
+    collect (same class as every snapshot_read); deletion is
+    filesystem work proportional to DEAD files; nothing scans data.
+    Without the rewrite commit, vacuum provably deletes zero files —
+    append-only manifests reference everything — which is why replace
+    commits and GC ship as one feature here."""
+    import os
+    import shutil
+
+    from recipes_spark.plans.catalog import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+    from recipes_spark.queries.corpus_ops import _scratch_dir
+
+    store = os.path.join(_scratch_dir("vacuum", sf_dir), "store")
+    shutil.rmtree(store, ignore_errors=True)
+    m = _metadata(spark, sf_dir)
+    snapshot_commit(spark, m.filter(F.col("west") < 50).repartition(2), store, 1)
+    snapshot_commit(spark, m.filter(F.col("west") >= 50).repartition(2), store, 2)
+    snapshot_commit(spark, m.repartition(2), store, 3, replace=True)
+    stats = snapshot_vacuum(spark, store, retain_from=3)
+    return (
+        snapshot_read(spark, store, 3)
+        .groupBy("collection_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("item_id").alias("min_id"),
+            F.max("item_id").alias("max_id"),
+        )
+        .select(
+            F.lit(3).cast("int").alias("version"),
+            "collection_id",
+            "n_items",
+            "min_id",
+            "max_id",
+            F.lit(stats["files_deleted"]).cast("int").alias("files_deleted"),
+            F.lit(stats["files_retained"]).cast("int").alias("files_retained"),
+            F.lit(stats["manifests_dropped"]).cast("int")
+            .alias("manifests_dropped"),
+        )
+        .orderBy("collection_id")
+    )

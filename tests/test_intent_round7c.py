@@ -362,3 +362,46 @@ def test_asof_tolerance_nulls_stale_matches(spark, tmp_path):
         for r in QUERIES["join_asof_tolerance"](spark, d).collect()
     }
     assert got == {1: (True, 7.0), 2: (False, None), 3: (False, None)}
+
+
+# ---------------------------------------------------------------------------
+# snapshot_vacuum lifecycle
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_frees_nothing_until_rewrite_then_expires_history(
+    spark, tmp_path
+):
+    """Append-only manifests reference every file forever, so vacuum
+    must delete ZERO files before a rewrite commit; after a
+    replace=True full-table rewrite, vacuum deletes the dereferenced
+    files, the retained version still reads the complete table, and
+    reading an expired version fails loudly (not silently empty)."""
+    import pytest
+
+    from recipes_spark.plans.catalog import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    store = os.path.join(str(tmp_path), "store")
+    a = spark.createDataFrame([(i, "a") for i in range(10)], "id long, s string")
+    b = spark.createDataFrame([(i, "b") for i in range(10, 20)], "id long, s string")
+    snapshot_commit(spark, a.repartition(2), store, 1)
+    snapshot_commit(spark, b.repartition(2), store, 2)
+    stats = snapshot_vacuum(spark, store, retain_from=2)
+    assert stats["files_deleted"] == 0 and stats["manifests_dropped"] == 1
+    assert snapshot_read(spark, store, 2).count() == 20
+
+    snapshot_commit(
+        spark, snapshot_read(spark, store, 2).repartition(2), store, 3,
+        replace=True,
+    )
+    stats = snapshot_vacuum(spark, store, retain_from=3)
+    assert stats["files_deleted"] == 4
+    assert stats["files_retained"] == 2
+    got = sorted(r["id"] for r in snapshot_read(spark, store, 3).collect())
+    assert got == list(range(20))
+    with pytest.raises(Exception):
+        snapshot_read(spark, store, 2).collect()

@@ -2901,3 +2901,97 @@ def x7_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
         ).alias("assortativity_micro"),
     )
+
+
+@query(
+    "x2_dedup_threshold_curve",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_sort(list_distinct(
+           list_transform(
+             range(1, greatest(len(text) - 4, 1) + 1),
+             i -> text[i:i+4]
+           )
+         )) AS g
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(floor(10000.0 * len(list_intersect(a.g, b.g))
+              / len(list_distinct(list_concat(a.g, b.g)))) AS BIGINT) AS j_bp
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+), t AS (
+  SELECT unnest([2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000]) AS thr
+), s AS (
+  SELECT t.thr, u.id
+  FROM t JOIN p ON p.j_bp >= t.thr, unnest([p.id_a, p.id_b]) AS u(id)
+)
+SELECT CAST(thr AS BIGINT) AS thr,
+       CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+FROM s GROUP BY thr ORDER BY thr
+""",
+)
+def x2_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD SWEEP — the S-curve report read before fixing
+    a dedup policy: for each Jaccard threshold 0.20..0.90, how many
+    candidate pairs survive and how many distinct documents they
+    touch. One pass computes every pair's char-5-gram Jaccard ONCE in
+    integer basis points (floor(1e4·|∩|/|∪|) — exact, so a threshold
+    is an integer comparison, never a float-boundary gamble), then an
+    8-way threshold explode feeds a single hash agg; each pair emits
+    its two doc ids so n_pairs = rows/2 and n_docs = count distinct in
+    the same group. Same (lang, source) blocking and candidate-bound
+    contract as near_dup_ngram (the O(max_block^2) caveat documented
+    there applies verbatim — this query is how you pick the tau that
+    makes the tighter-threshold banding path affordable).
+
+    100 TB: the sweep costs one extra narrow 8x explode of the PAIR
+    stream (ids + one integer), not of documents; thresholds share
+    the pair computation instead of re-running dedup 8 times."""
+    d = scale_partitions(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", char_ngrams("text", 5).alias("g")
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "lang", "source",
+        F.col("g").alias("ga"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lb"), F.col("source").alias("sb"),
+        F.col("g").alias("gb"),
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_distinct(F.concat("ga", "gb")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lb"))
+            & (F.col("source") == F.col("sb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a", "id_b",
+            F.floor(F.lit(10000.0) * inter / union).alias("j_bp"),
+        )
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in range(2000, 10000, 1000)])
+    ).alias("thr")
+    s = (
+        pairs.select("id_a", "id_b", "j_bp", thr)
+        .filter(F.col("j_bp") >= F.col("thr"))
+        .select("thr", F.explode(F.array("id_a", "id_b")).alias("id"))
+    )
+    return (
+        s.groupBy("thr")
+        .agg(
+            F.expr("count(1) div 2").alias("n_pairs"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .select(
+            F.col("thr").cast("long").alias("thr"), "n_pairs", "n_docs"
+        )
+        .orderBy("thr")
+    )

@@ -1225,3 +1225,85 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sd") + F.col("mean"))
         ).alias("burstiness_micro"),
     ).orderBy("event_type")
+
+
+@query(
+    "event_anomaly_buckets",
+    oracle="""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, unnest(range(min(b), max(b) + 1)) AS b
+  FROM c GROUP BY event_type
+), filled AS (
+  SELECT g.event_type, g.b, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(n) AS DOUBLE) AS sn,
+         CAST(sum(n * n) AS DOUBLE) AS sq
+  FROM filled GROUP BY event_type
+)
+SELECT f.event_type, f.b AS bucket, f.n,
+       CAST(floor(1000000.0 * (f.n - sn / m)
+            / sqrt((sq - sn * sn / m) / m)) AS BIGINT) AS z_micro
+FROM filled f JOIN s ON s.event_type = f.event_type
+WHERE (f.n - sn / m) / sqrt((sq - sn * sn / m) / m) >= 3.0
+ORDER BY f.event_type, f.b
+""",
+)
+def event_anomaly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume ANOMALY detection: hourly buckets whose event count sits
+    >= 3 sigma above the type's mean rate — the alerting query behind
+    every ops dashboard. The statistics run over the ZERO-FILLED grid
+    (a sequence explode spanning each type's observed range), because
+    omitting empty buckets inflates the mean and silently hides
+    genuine spikes — the classic wrong version of this query. Counts
+    are exact integers; mean/sd come from exact sums through one fixed
+    double expression (the corr discipline), and the same expression
+    evaluates both the filter and the reported z so the cut is
+    bit-identical across engines.
+
+    100 TB: grid explode, count join, stats agg, and the final filter
+    all cluster on event_type — the ts_linear_interp shape; the grid
+    is time-span-sized, not event-sized. Per-bucket counts map-side
+    combine before the shuffle."""
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = (
+        c.groupBy("event_type")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("b"))
+    )
+    filled = grid.join(c, ["event_type", "b"], "left").select(
+        "event_type", "b", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    s = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("n").cast("double").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("sq"),
+    )
+    z = (F.col("n") - F.col("sn") / F.col("m")) / F.sqrt(
+        (F.col("sq") - F.col("sn") * F.col("sn") / F.col("m")) / F.col("m")
+    )
+    return (
+        filled.join(s, "event_type")
+        .filter(z >= 3.0)
+        .select(
+            "event_type",
+            F.col("b").alias("bucket"),
+            "n",
+            F.floor(F.lit(1000000.0) * z).alias("z_micro"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -762,6 +762,85 @@ def probe_spatial_knn(spark: SparkSession) -> dict:
     return out
 
 
+
+
+def probe_partition_pruning(spark: SparkSession) -> dict:
+    """Hive-style partition pruning measured end to end: the SAME 1.5M
+    rows written twice — flat vs partitionBy(day) (30 day dirs) — and
+    a one-day aggregate run on both layouts. Asserts the partitioned
+    plan carries a PartitionFilters entry (the pruning actually
+    engaged, not just a fast scan), counts the files under the
+    matching partition dir vs the whole store, and reports the walls
+    of THREE layouts: flat, naively partitioned (write tasks x
+    partitions = small-files fragmentation), and tidily partitioned
+    (repartition BY the partition column first, one file per dir).
+    The partition-level complement of zorder_pruning's file-level
+    footer skipping: at 100 TB this is the first and cheapest pruning
+    layer (directory listing, no footer reads at all) — IF the writer
+    controlled fragmentation."""
+    import glob
+    import shutil
+    import tempfile
+
+    n = 1_500_000
+    rows = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 30).alias("day"),
+        ((F.col("id") * 48271) % 10_000).alias("v"),
+    )
+    flat = tempfile.mkdtemp(prefix="recipes_prune_flat_")
+    part = tempfile.mkdtemp(prefix="recipes_prune_part_")
+    rows.repartition(32).write.mode("overwrite").parquet(flat)
+    rows.repartition(32).write.mode("overwrite").partitionBy("day").parquet(
+        part
+    )
+    tidy = tempfile.mkdtemp(prefix="recipes_prune_tidy_")
+    rows.repartition("day").write.mode("overwrite").partitionBy("day").parquet(
+        tidy
+    )
+
+    def one_day(path):
+        df = (
+            spark.read.parquet(path)
+            .filter(F.col("day") == 7)
+            .agg(F.sum("v").alias("s"))
+        )
+        return df
+
+    expected = one_day(flat).collect()[0]["s"]
+    assert one_day(part).collect()[0]["s"] == expected
+    assert one_day(tidy).collect()[0]["s"] == expected
+    plan = one_day(part)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    t_flat = min(_timed(lambda: one_day(flat).collect()) for _ in range(3))
+    t_part = min(_timed(lambda: one_day(part).collect()) for _ in range(3))
+    t_tidy = min(_timed(lambda: one_day(tidy).collect()) for _ in range(3))
+    out = {
+        "probe": "partition_pruning",
+        "rows": n,
+        "files_total_naive": len(
+            glob.glob(os.path.join(part, "day=*", "*.parquet"))
+        ),
+        "files_touched_naive": len(
+            glob.glob(os.path.join(part, "day=7", "*.parquet"))
+        ),
+        "files_total_tidy": len(
+            glob.glob(os.path.join(tidy, "day=*", "*.parquet"))
+        ),
+        "files_touched_tidy": len(
+            glob.glob(os.path.join(tidy, "day=7", "*.parquet"))
+        ),
+        "wall_flat_sec": round(t_flat, 3),
+        "wall_naive_partitioned_sec": round(t_part, 3),
+        "wall_tidy_partitioned_sec": round(t_tidy, 3),
+        "partition_filter_in_plan": True,
+    }
+    shutil.rmtree(flat, ignore_errors=True)
+    shutil.rmtree(part, ignore_errors=True)
+    shutil.rmtree(tidy, ignore_errors=True)
+    return out
+
+
 PROBES = {
     "cc_chain": probe_cc_chain,
     "cc_skew": probe_cc_skew,
@@ -774,6 +853,7 @@ PROBES = {
     "interval_join": probe_interval_join,
     "incremental_cc": probe_incremental_cc,
     "spatial_knn": probe_spatial_knn,
+    "partition_pruning": probe_partition_pruning,
 }
 
 

@@ -2539,3 +2539,64 @@ def x4_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("sx"))
         ).alias("gini_micro"),
     ).orderBy("source")
+
+
+@query(
+    "x6_shard_checksums",
+    oracle="""
+WITH s AS (
+  SELECT CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS shard,
+         doc_id, text
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       sha256(string_agg(text, chr(30) ORDER BY doc_id)) AS checksum
+FROM s GROUP BY shard ORDER BY shard
+""",
+)
+def x6_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-ADDRESSED shard manifest — the integrity audit a
+    training-data pipeline publishes next to its shards: per portable-
+    hash shard, the sha256 of every document's text concatenated in
+    doc_id order (record-separator joined, so adjacent docs cannot
+    splice into a colliding stream). Any dropped, duplicated,
+    reordered, or bit-flipped document changes the digest — this is
+    how a consumer verifies a shard set end to end without comparing
+    rows, and how two exports are proven identical by k digests
+    instead of a full diff. Shard assignment is the same sha-slice
+    bucket as x6_shard_export, so this manifest audits exactly those
+    shards.
+
+    100 TB: one shuffle on shard; the per-shard digest folds inside
+    each group (collect_list is shard-sized — at production scale use
+    a streaming hash via mapInPandas per sorted shard partition or a
+    Merkle tree of per-file digests, same contract); the output is k
+    rows however large the corpus."""
+    from recipes_spark.functions.portable_hash import sha_slice_bucket
+
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        sha_slice_bucket(F.col("doc_id").cast("string"), 8).alias("shard"),
+        "doc_id", "text",
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sha2(
+                F.concat_ws(
+                    chr(30),
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "text"))
+                        ),
+                        lambda r: r["text"],
+                    ),
+                ),
+                256,
+            ).alias("checksum"),
+        )
+        .orderBy("shard")
+    )

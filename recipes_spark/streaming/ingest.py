@@ -1351,3 +1351,156 @@ def st20_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: st21's output schema (family convention).
+_ST21_OUT_SCHEMA = "bid int, event_id long, event_type string, z_micro long"
+
+#: st21's state schema: three exact integers per type — the whole
+#: sufficient statistic for the running mean/sd.
+_ST21_STATE_SCHEMA = "event_type string, n long, sc long, sq long"
+
+
+def st21_batch_moments(bdf: DataFrame) -> DataFrame:
+    """st21's per-batch moment agg — count / sum / sum-of-squares of
+    integer cents per type. This IS the mergeable anomaly state (three
+    int64 per key; SUM-merge = exact pooled moments)."""
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return (
+        bdf.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+        )
+    )
+
+
+def moments_probe_then_absorb(spark: SparkSession, out_dir: str, state_dir: str):
+    """st21's per-micro-batch body (the sketch-state shape): score this
+    batch's events against the SUM-merge of all PRIOR batches' moment
+    tables (z = (x - mean_prior) / sd_prior, the fixed-expression
+    discipline over exact integers), emit the >= 3-sigma outliers,
+    persist own moments. Batch 0 has no prior — it emits nothing and
+    only absorbs (the cold-start rule the oracle replays). Per-bid
+    overwrites + prior-only reads = retry idempotence."""
+
+    def probe_then_absorb(bdf: DataFrame, bid: int) -> None:
+        own = st21_batch_moments(bdf)
+        if bid > 0:
+            prior = (
+                spark.read.schema(_ST21_STATE_SCHEMA)
+                .parquet(*[os.path.join(state_dir, f"m_{j}") for j in range(bid)])
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("sc").cast("long").alias("sc"),
+                    F.sum("sq").cast("long").alias("sq"),
+                )
+            )
+            cents = F.floor(F.col("value") * 100).cast("long")
+            scored = bdf.select(
+                "event_id", "event_type", cents.alias("c")
+            ).join(prior.filter(F.col("n") >= 2), "event_type")
+            z = (F.col("c") - F.col("sc") / F.col("n")) / F.sqrt(
+                (F.col("sq") - F.col("sc") * F.col("sc") / F.col("n"))
+                / F.col("n")
+            )
+            out = scored.filter(z >= 3.0).select(
+                F.lit(bid).cast("int").alias("bid"),
+                "event_id",
+                "event_type",
+                F.floor(F.lit(1000000.0) * z).alias("z_micro"),
+            )
+        else:
+            out = spark.createDataFrame([], _ST21_OUT_SCHEMA)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={bid}"))
+        own.write.mode("overwrite").parquet(os.path.join(state_dir, f"m_{bid}"))
+
+    return probe_then_absorb
+
+
+@query(
+    "st21_stream_anomaly",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, event_type, event_id % 4 AS bid,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), moments AS (
+  SELECT bid, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS sq
+  FROM ev GROUP BY 1, 2
+), prior AS (
+  SELECT b.bid, m.event_type,
+         CAST(sum(m.n) AS BIGINT) AS n,
+         CAST(sum(m.sc) AS BIGINT) AS sc,
+         CAST(sum(m.sq) AS BIGINT) AS sq
+  FROM (SELECT DISTINCT bid FROM ev WHERE bid > 0) b
+  JOIN moments m ON m.bid < b.bid
+  GROUP BY 1, 2
+)
+SELECT CAST(e.bid AS INT) AS bid, e.event_id, e.event_type,
+       CAST(floor(1000000.0 * (e.c - p.sc / p.n)
+            / sqrt((p.sq - CAST(p.sc AS DOUBLE) * p.sc / p.n) / p.n))
+            AS BIGINT) AS z_micro
+FROM ev e JOIN prior p ON p.bid = e.bid AND p.event_type = e.event_type
+WHERE p.n >= 2
+  AND (e.c - p.sc / p.n)
+      / sqrt((p.sq - CAST(p.sc AS DOUBLE) * p.sc / p.n) / p.n) >= 3.0
+ORDER BY bid, event_id
+""",
+)
+def st21_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OUTLIER detection — the sixth sketch-state family
+    member (bloom membership, count-min frequency, histogram
+    distribution, top-k sample, CC labeling, now MOMENTS): each
+    micro-batch scores its events against the running mean/sd of
+    everything seen in PRIOR batches and emits the >= 3-sigma
+    spenders. The state is THREE exact int64 per event type (count,
+    sum-cents, sum-of-squares) — SUM-mergeable, so pooled moments are
+    exact whatever the batch boundaries, and the z expression is the
+    fixed-shape double form over exact integers (the corr
+    discipline) that the DuckDB oracle replays per batch bit-for-bit.
+    Batch 0 only absorbs (no prior to score against); types need
+    n >= 2 prior observations before scoring (sd undefined below).
+
+    100 TB: per-batch work is one map-side-combining moment agg plus
+    a broadcast join of the tiny state onto the batch — the stream
+    never buffers, the state never grows past #types rows."""
+    from recipes_spark.io import load
+    from recipes_spark.streaming.core import stage_ordered
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    chunks = [ev.filter(F.pmod("event_id", F.lit(4)) == i) for i in range(4)]
+    staged = stage_ordered(chunks, prefix="recipes_st21_landing_")
+    out_dir = tempfile.mkdtemp(prefix="recipes_st21_out_") + "/anomalies"
+    state_dir = tempfile.mkdtemp(prefix="recipes_st21_state_")
+    probe_then_absorb = moments_probe_then_absorb(spark, out_dir, state_dir)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(probe_then_absorb)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st21_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema(_ST21_OUT_SCHEMA)
+        .parquet(out_dir)
+        .select("bid", "event_id", "event_type", "z_micro")
+        .orderBy("bid", "event_id")
+    )

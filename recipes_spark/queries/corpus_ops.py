@@ -2600,3 +2600,72 @@ def x6_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "x4_html_strip",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, text,
+         '<div id="d">A&amp;B<br/>' || replace(text, ' ', '&nbsp;')
+           || '</div>' AS html
+  FROM documents
+), s AS (
+  SELECT doc_id, text, html,
+         CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+         trim(replace(replace(
+             regexp_replace(html, '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&amp;', '&')) AS clean
+  FROM h
+)
+SELECT doc_id, n_tags, clean,
+       CAST(CASE WHEN clean = 'A&B ' || text THEN 1 ELSE 0 END AS INT)
+         AS roundtrip_ok
+FROM s ORDER BY doc_id
+""",
+)
+def x4_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML TAG STRIPPING + entity decoding — the first transform of
+    every web-corpus pipeline, exercised as a verifiable round trip:
+    each document is wrapped into markup (attributes, a self-closing
+    tag, &nbsp;-encoded spaces, and the decode-order trap 'A&amp;B'),
+    then stripped with tags-to-space regex and entities decoded with
+    &amp; LAST — decoding &amp; first would turn '&amp;nbsp;' into a
+    spurious space, the classic double-decode bug; roundtrip_ok
+    attests per row that strip(wrap(text)) restored the content
+    exactly. Encodes a second dialect trap alongside scalar_regex's:
+    DuckDB regexp_replace needs the 'g' flag where Spark's is global
+    by default.
+
+    100 TB: pure row-local JVM regex/replace projection, scan-bound,
+    zero shuffles before the presentation sort; real HTML adds an
+    entity table and script/style excision, same shape."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", "text",
+        F.concat(
+            F.lit('<div id="d">A&amp;B<br/>'),
+            F.regexp_replace("text", " ", "&nbsp;"),
+            F.lit("</div>"),
+        ).alias("html"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("html", "<[^>]+>", " "),
+                "&nbsp;", " ",
+            ),
+            "&amp;", "&",
+        )
+    )
+    s = h.select(
+        "doc_id", "text",
+        F.size(F.expr("regexp_extract_all(html, '<[^>]+>', 0)"))
+        .cast("long").alias("n_tags"),
+        clean.alias("clean"),
+    )
+    return s.select(
+        "doc_id", "n_tags", "clean",
+        F.when(F.col("clean") == F.concat(F.lit("A&B "), F.col("text")), 1)
+        .otherwise(0).cast("int").alias("roundtrip_ok"),
+    ).orderBy("doc_id")

@@ -2191,3 +2191,66 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("ets")).alias("asof_ts"),
         F.when(fresh, F.round("value", 4)).alias("asof_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+WITH b AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_suppkey % 49 = 0
+), w AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         list(cents) OVER (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN 48 PRECEDING AND CURRENT ROW)
+           AS frame
+  FROM b
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(len(frame) AS BIGINT) AS n_frame,
+       CAST(list_sort(frame)[(len(frame) + 1) // 2] AS BIGINT)
+         AS median_cents
+FROM w
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING MEDIAN (lower median, trailing 49-row frame) — the
+    robust smoother a monitoring pipeline wants where window_ewma's
+    mean chases outliers; rolling quantiles have no incremental
+    aggregate, so the frame materializes as an array (collect_list
+    over the window) and one row-local HOF sorts and indexes it:
+    element (n+1) div 2 of the sorted frame = the lower median,
+    integer-exact on cents with zero cross-engine float surface.
+
+    100 TB: one shuffle + one sort on the partition key; the O(F log
+    F) per-row sort (F = 49) runs JVM-side inside codegen. Cost grows
+    linearly in frame size — for F in the thousands switch to the
+    two-heap / order-statistic-tree mapInPandas kernel per partition;
+    at F = 49 the array form is both simpler and faster. The
+    partition-complete supplier filter pushes to the scan exactly as
+    in window_ewma."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 49 == 0)
+    b = li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-48, 0)
+    )
+    frame = F.collect_list("cents").over(w)
+    out = b.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", frame.alias("frame")
+    )
+    sorted_frame = F.array_sort("frame")
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.size("frame").cast("long").alias("n_frame"),
+        F.element_at(
+            sorted_frame, ((F.size("frame") + 1) / 2).cast("int")
+        ).cast("long").alias("median_cents"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")

@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from recipes_spark.io import load
 from recipes_spark.registry import query
@@ -501,3 +501,77 @@ def x5_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, jpg_width long, jpg_height long, "
         "jpg_ncomp int, jpg_nsegments int",
     ).orderBy("doc_id")
+
+
+@query(
+    "x5_scene_cuts",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id, octet_length(encode(text)) % 120 + 1 AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id, CAST(f.f AS BIGINT) AS frame_idx,
+         (doc_id * 7 + (f.f // 36) * 83) % 200 + f.f % 3 AS luma
+  FROM vids, LATERAL (SELECT unnest(range(0, n_frames, 12)) AS f) f
+), d AS (
+  SELECT doc_id, frame_idx, luma,
+         abs(luma - lag(luma) OVER (PARTITION BY doc_id
+                                    ORDER BY frame_idx)) AS delta
+  FROM frames
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(count_if(delta >= 16) AS BIGINT) AS n_cuts,
+       CAST(min(CASE WHEN delta >= 16 THEN frame_idx END) AS BIGINT)
+         AS first_cut_idx
+FROM d GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def x5_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: SCENE-CUT detection over the sampled frame stream — the
+    temporal composition on top of x5_frame_sample's expansion: a
+    deterministic per-frame luma stands in for the decoded-pixel
+    statistic (scene id = frame div 36, so the signal is
+    piecewise-constant with in-scene jitter), consecutive SAMPLED
+    frames difference via lag, and a jump >= 16 marks a cut. Exactly
+    the shot-boundary pipeline shape: decode -> per-frame feature ->
+    ordered diff -> threshold -> per-video rollup; the real pixel
+    decode slots into a mapInPandas between expansion and diff
+    without touching the plan's skeleton.
+
+    100 TB: expansion is sequence+explode (JVM); the lag window and
+    the rollup cluster on doc_id — one exchange; per-video state is
+    one row however long the video."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.octet_length(F.encode("text", "utf-8")) % 120 + 1).alias("n_frames"),
+    )
+    frames = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(12))
+        ).alias("fi"),
+    ).select(
+        "doc_id", F.col("fi").cast("long").alias("frame_idx")
+    ).select(
+        "doc_id", "frame_idx",
+        (
+            (F.col("doc_id") * 7 + F.expr("frame_idx div 36") * 83) % 200
+            + F.col("frame_idx") % 3
+        ).alias("luma"),
+    )
+    delta = F.abs(
+        F.col("luma")
+        - F.lag("luma").over(Window.partitionBy("doc_id").orderBy("frame_idx"))
+    )
+    cuts = frames.select("doc_id", "frame_idx", "luma", delta.alias("delta"))
+    return (
+        cuts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.count_if(F.col("delta") >= 16).alias("n_cuts"),
+            F.min(F.when(F.col("delta") >= 16, F.col("frame_idx")))
+            .cast("long").alias("first_cut_idx"),
+        )
+        .orderBy("doc_id")
+    )

@@ -35,6 +35,9 @@ def normalize_plan(plan: str) -> str:
     p = re.sub(r"#\d+[L]?", "#N", plan)              # expression ids
     p = re.sub(r"plan_id=\d+", "plan_id=N", p)
     p = re.sub(r"lambda x_\d+", "lambda x_K", p)     # session lambda counter
+    # With-CSE aliases (count_if rewrites etc.) number from a
+    # session-global counter, like the lambda variables above.
+    p = re.sub(r"_common_expr_\d+", "_common_expr_K", p)
     p = re.sub(r"InMemoryFileIndex\([^)]*\)\[[^\]]*\]", "FILES", p)
     p = re.sub(r"file:[^,\s\]]+", "PATH", p)
     p = re.sub(r"Statistics\([^)]*\)", "STATS", p)

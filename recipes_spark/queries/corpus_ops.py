@@ -2669,3 +2669,78 @@ def x4_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("clean") == F.concat(F.lit("A&B "), F.col("text")), 1)
         .otherwise(0).cast("int").alias("roundtrip_ok"),
     ).orderBy("doc_id")
+
+
+@query(
+    "x6_balanced_resample",
+    oracle="""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), t AS (SELECT max(n) AS target FROM c),
+r AS (
+  SELECT d.doc_id, d.lang, c.n, t.target,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY CAST(('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT), d.doc_id
+         ) AS hrank
+  FROM documents d JOIN c ON c.lang = d.lang CROSS JOIN t
+), copies AS (
+  SELECT doc_id, lang,
+         target // n + CASE WHEN hrank <= target % n THEN 1 ELSE 0 END AS k
+  FROM r
+)
+SELECT lang,
+       CAST(sum(k) AS BIGINT) AS n_after,
+       CAST(count_if(k > 1) AS BIGINT) AS n_duplicated,
+       CAST(max(k) AS BIGINT) AS max_copies
+FROM copies GROUP BY lang ORDER BY lang
+""",
+)
+def x6_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCED oversampling plan: every language is brought to
+    EXACTLY the majority class's count — each doc replicates
+    floor(target/n) times, and the target mod n remainder goes to the
+    docs ranked first by the portable sha-slice hash (then doc_id), so
+    the choice of which docs get the extra copy is deterministic,
+    uniform-ish, and SQL-replayable — no rand(), no approximate
+    fractions that leave classes off by a few rows (the subtle bug in
+    weight-based oversamplers). The output audits the plan: n_after
+    equals the target for every class, bit-exact.
+
+    100 TB: counts are one hash agg; the rank window clusters on the
+    class key; the actual replication (explode(sequence(1, k)))
+    multiplies only the minority classes and shuffles nothing — at
+    training time the k column rides into the dataloader instead of
+    materializing copies."""
+    from recipes_spark.functions.portable_hash import sha_slice_bucket
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    target = c.agg(F.max("n").alias("target"))
+    h = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10
+    ).cast("long")
+    r = (
+        d.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(target))
+        .select(
+            "doc_id", "lang", "n", "target",
+            F.row_number()
+            .over(Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id")))
+            .alias("hrank"),
+        )
+    )
+    k = F.expr("target div n") + F.when(
+        F.col("hrank") <= F.col("target") % F.col("n"), 1
+    ).otherwise(0)
+    return (
+        r.select("doc_id", "lang", k.alias("k"))
+        .groupBy("lang")
+        .agg(
+            F.sum("k").cast("long").alias("n_after"),
+            F.count_if(F.col("k") > 1).alias("n_duplicated"),
+            F.max("k").cast("long").alias("max_copies"),
+        )
+        .orderBy("lang")
+    )

@@ -2995,3 +2995,112 @@ def x2_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
     )
+
+
+@query(
+    "x4_lang_macro_f1",
+    oracle=f"""
+WITH scores AS (
+  SELECT d.doc_id, d.lang AS true_lang, l.lang,
+         len(list_filter(string_split(d.text, ' '),
+                         t -> list_contains(l.words, t))) AS score
+  FROM documents d CROSS JOIN {_lang_values_sql()}
+), best AS (
+  SELECT doc_id, max(score) AS best_score FROM scores GROUP BY doc_id
+), pred AS (
+  SELECT s.doc_id, min(s.true_lang) AS true_lang, min(s.lang) AS pred_lang
+  FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.best_score
+  GROUP BY s.doc_id
+), classes AS (
+  SELECT DISTINCT true_lang AS lang FROM pred
+), cells AS (
+  SELECT c.lang,
+         CAST(count_if(p.true_lang = c.lang AND p.pred_lang = c.lang)
+              AS BIGINT) AS tp,
+         CAST(count_if(p.true_lang <> c.lang AND p.pred_lang = c.lang)
+              AS BIGINT) AS fp,
+         CAST(count_if(p.true_lang = c.lang AND p.pred_lang <> c.lang)
+              AS BIGINT) AS fn
+  FROM classes c CROSS JOIN pred p
+  GROUP BY c.lang
+), scored AS (
+  SELECT lang, tp, fp, fn,
+         CASE WHEN tp = 0 THEN 0
+              ELSE CAST(floor(1000000.0 * (2 * tp)
+                   / (2 * tp + fp + fn)) AS BIGINT) END AS f1_micro
+  FROM cells
+)
+SELECT lang, tp, fp, fn, f1_micro FROM scored
+UNION ALL
+SELECT '~macro', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+       CAST(sum(fn) AS BIGINT),
+       CAST(sum(f1_micro) // count(*) AS BIGINT)
+FROM scored
+ORDER BY lang
+""",
+)
+def x4_lang_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class F1 + MACRO-F1 for the lang-ID heuristic — the metric
+    sheet on top of x4_lang_confusion's matrix (macro weights every
+    class equally, exposing minority-class failure a global accuracy
+    hides). Exact end to end: tp/fp/fn are integer conditional counts,
+    per-class F1 uses the division-free form 2tp/(2tp+fp+fn) as ONE
+    fixed double expression floored to micros, and macro-F1 averages
+    the per-class INTEGER micros (integer sum + div — no float
+    summation-order surface at the aggregate). tp=0 classes score 0
+    by convention before any division can see 0/0. Prediction logic
+    is the same scoring column lang_id serves, so the report can
+    never diverge from the classifier it grades.
+
+    100 TB: predictions are row-local; the class x prediction
+    cross-count is |classes| x rows through one map-side-combining
+    agg (classes is a tiny broadcast), and the metric sheet is
+    O(classes) scalar math."""
+    from recipes_spark.functions.text import lang_id as lang_id_col
+
+    d = load(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("true_lang"),
+        lang_id_col("text").alias("pred_lang"),
+    )
+    classes = pred.select(
+        F.col("true_lang").alias("cls")
+    ).distinct()
+    cells = (
+        F.broadcast(classes)
+        .crossJoin(pred)
+        .groupBy("cls")
+        .agg(
+            F.count_if(
+                (F.col("true_lang") == F.col("cls"))
+                & (F.col("pred_lang") == F.col("cls"))
+            ).alias("tp"),
+            F.count_if(
+                (F.col("true_lang") != F.col("cls"))
+                & (F.col("pred_lang") == F.col("cls"))
+            ).alias("fp"),
+            F.count_if(
+                (F.col("true_lang") == F.col("cls"))
+                & (F.col("pred_lang") != F.col("cls"))
+            ).alias("fn"),
+        )
+    )
+    scored = cells.select(
+        F.col("cls").alias("lang"), "tp", "fp", "fn",
+        F.when(F.col("tp") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0) * (2 * F.col("tp"))
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            )
+        )
+        .alias("f1_micro"),
+    )
+    macro = scored.agg(
+        F.lit("~macro").alias("lang"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+        F.expr("sum(f1_micro) div count(1)").cast("long").alias("f1_micro"),
+    )
+    return scored.unionByName(macro).orderBy("lang")

@@ -2254,3 +2254,81 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             sorted_frame, ((F.size("frame") + 1) / 2).cast("int")
         ).cast("long").alias("median_cents"),
     ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
+  FROM lineitem
+), r AS (
+  SELECT flag, x,
+         row_number() OVER (PARTITION BY flag ORDER BY x) AS rn,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM b
+), cuts AS (
+  SELECT flag,
+         max(CASE WHEN rn = (n * 5 + 99) // 100 THEN x END) AS lo,
+         max(CASE WHEN rn = (n * 95 + 99) // 100 THEN x END) AS hi
+  FROM r GROUP BY flag
+)
+SELECT b.flag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(c.lo) AS BIGINT) AS lo_cents,
+       CAST(max(c.hi) AS BIGINT) AS hi_cents,
+       CAST((1000000 * sum(greatest(c.lo, least(c.hi, b.x)))) // count(*)
+            AS BIGINT) AS winsorized_mean_micro
+FROM b JOIN cuts c ON c.flag = b.flag
+GROUP BY b.flag ORDER BY b.flag
+""",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED mean per group — the robust average that clamps the
+    tails at the exact p5/p95 order statistics instead of dropping
+    rows (trimming changes n; winsorizing keeps it): rank each value
+    once (row_number over the cents order — deterministic because
+    equal cents are interchangeable under clamping), pick the values
+    at ranks ceil(.05n) / ceil(.95n) as integer cut points, clamp,
+    and take the exact integer mean. No float quantile estimator
+    anywhere, so both engines agree to the last micro.
+
+    100 TB: the rank window, the cut extraction, and the clamp agg all
+    cluster on the group key — one exchange (the gini shape); the
+    broadcast-back of two integers per group is metadata. An
+    approximate variant swaps the rank pass for agg_percentiles'
+    sketch when a 0.5% cut-point error is acceptable."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("flag").orderBy("x")
+    r = b.select(
+        "flag", "x",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("flag")).alias("n"),
+    )
+    cuts = r.groupBy("flag").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("x"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("x"))
+        ).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("x")))
+    return (
+        b.join(F.broadcast(cuts), "flag")
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("lo").cast("long").alias("lo_cents"),
+            F.max("hi").cast("long").alias("hi_cents"),
+            F.expr(
+                "(1000000 * sum(greatest(lo, least(hi, x)))) div count(1)"
+            ).cast("long").alias("winsorized_mean_micro"),
+        )
+        .orderBy("flag")
+    )

@@ -2744,3 +2744,61 @@ def x6_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x4_source_theil",
+    oracle="""
+WITH b AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+  WHERE n_chars > 0
+), s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+  FROM b GROUP BY source
+), terms AS (
+  SELECT b.source, b.x, s.n, s.sx,
+         CAST(floor(1000000.0 * ln(b.x * 1.0 * s.n / s.sx)) AS BIGINT)
+           AS lterm
+  FROM b JOIN s ON s.source = b.source
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(x * lterm) // max(sx) AS BIGINT) AS theil_micro
+FROM terms GROUP BY source ORDER BY source
+""",
+)
+def x4_source_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL inequality index of document length per source — Gini's
+    entropy-based sibling (x4_source_gini), and the one that
+    DECOMPOSES additively into between-group + within-group terms
+    when sources nest (the property mixture analyses actually use):
+    T = (1/S) Σ x·ln(x·n/S). Exactness follows x4_unigram_nll's
+    discipline for the one libm call: each row's log term is floored
+    to integer micros FIRST (identical doubles in, so both engines
+    floor the same value), then weighted by integer x and summed in
+    int64, one integer division at the end — the float summation
+    order never matters.
+
+    100 TB: two hash aggs and a broadcast-back join, all on the
+    source key (one exchange + a metadata broadcast); zero-length
+    docs are excluded (ln 0) as the contract, not a silent skip."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    b = d.select("source", F.col("n_chars").cast("long").alias("x"))
+    s = b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").cast("long").alias("sx")
+    )
+    terms = b.join(F.broadcast(s), "source").select(
+        "source", "x", "n", "sx",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(F.col("x") * F.lit(1.0) * F.col("n") / F.col("sx"))
+        ).alias("lterm"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.expr("sum(x * lterm) div max(sx)").cast("long")
+            .alias("theil_micro"),
+        )
+        .orderBy("source")
+    )

@@ -2802,3 +2802,99 @@ def x4_source_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x6_dataset_card",
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT)
+           AS n_exact_dups
+  FROM documents
+), h AS (
+  SELECT n_chars // 100 AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+), cum AS (
+  SELECT bucket, c,
+         sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS n
+  FROM h
+), p AS (
+  SELECT CAST(max(CASE WHEN cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2
+               THEN bucket * 100
+                    + (((n + 1) // 2 - (cum - c)) * 100) // c END)
+              AS BIGINT) AS p50_chars_est
+  FROM cum
+)
+SELECT s.n_docs, s.n_tokens, s.total_chars, s.n_langs, s.n_sources,
+       s.n_exact_dups,
+       CAST((1000000 * s.total_chars) // s.n_docs AS BIGINT)
+         AS mean_chars_micro,
+       p.p50_chars_est
+FROM s, p
+""",
+)
+def x6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD — the one-row summary a corpus release publishes:
+    document/token/char counts, language and source cardinalities,
+    exact-duplicate count (docs minus distinct content hashes), exact
+    integer mean length, and a p50 length from the mergeable
+    equi-width histogram (agg_histogram_quantile's integer
+    interpolation — scale-safe where an exact global median would
+    need a full sort; the bucket table is #buckets rows whatever the
+    corpus). Every number is an exact integer or an integer-derived
+    estimate, so two engines — or two releases — can be compared by
+    equality.
+
+    100 TB: one scan feeds the count/sum/distinct agg (distinct
+    lang/source are low-cardinality; the sha distinct is the one
+    genuinely heavy term — swap in the HLL sketch when +-2% is
+    acceptable) and the histogram; the quantile pass runs over
+    buckets only."""
+    d = load(spark, sf_dir, "documents")
+    s = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct(F.sha2("text", 256)))
+        .cast("long").alias("n_exact_dups"),
+    )
+    h = (
+        d.select(F.expr("n_chars div 100").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = h.select(
+        "bucket", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    need = "((n + 1) div 2)"
+    p = cum.agg(
+        F.max(
+            F.expr(
+                f"CASE WHEN cum >= {need} AND cum - c < {need} "
+                f"THEN bucket * 100 + (({need} - (cum - c)) * 100) div c END"
+            )
+        ).cast("long").alias("p50_chars_est")
+    )
+    return s.crossJoin(F.broadcast(p)).select(
+        "n_docs", "n_tokens", "total_chars", "n_langs", "n_sources",
+        "n_exact_dups",
+        F.expr("(1000000 * total_chars) div n_docs").cast("long")
+        .alias("mean_chars_micro"),
+        "p50_chars_est",
+    )

@@ -3104,3 +3104,109 @@ def x4_lang_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(f1_micro) div count(1)").cast("long").alias("f1_micro"),
     )
     return scored.unionByName(macro).orderBy("lang")
+
+
+@query(
+    "x7_clustering_coefficient",
+    oracle="""
+WITH ids AS (
+  SELECT doc_id, (SELECT count(*) FROM documents) AS n FROM documents
+), raw AS (
+  SELECT doc_id AS u, (doc_id + 1) % n AS v FROM ids
+  UNION ALL SELECT doc_id, (doc_id + 2) % n FROM ids
+  UNION ALL SELECT doc_id, (doc_id*doc_id + 1) % n FROM ids
+  UNION ALL SELECT doc_id, (doc_id*7 + 1) % n FROM ids
+), e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v
+), und AS (
+  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT x AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY x
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t
+  FROM (SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.d AS degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.d >= 2
+            THEN (2000000 * coalesce(t.t, 0)) // (d.d * (d.d - 1))
+            ELSE 0 END AS BIGINT) AS cc_micro
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+ORDER BY cc_micro DESC, d.node
+LIMIT 100
+""",
+)
+def x7_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT, top 100 — cc(v) = 2·T(v) /
+    (d(v)·(d(v)−1)), the how-cliquish-is-my-neighborhood signal that
+    separates organic communities from hub spam: composes the
+    triangle-count join (x7_triangle_count's DAG orientation, each
+    triangle found once) with the degree aggregate, entirely in
+    integers (scaled by 2e6 before the integer division, so no float
+    ever appears). Nodes below degree 2 score 0 by convention —
+    undefined denominators never reach the division.
+
+    100 TB: the triangle legs dominate (see x7_triangle_count's
+    degree-orientation note); degrees and the final join are one
+    hash agg + one broadcast-back. Top-k output keeps the driver
+    payload bounded."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    u = F.col("doc_id")
+    fams = [(u + 1) % n, (u + 2) % n, (u * u + 1) % n, (u * 7 + 1) % n]
+    raw = None
+    for fam in fams:
+        part = d.select(u.alias("u"), fam.cast("long").alias("v"))
+        raw = part if raw is None else raw.unionByName(part)
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = und.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.expr("(2000000 * coalesce(t, 0)) div (degree * (degree - 1))"),
+    ).otherwise(0)
+    return (
+        deg.join(tcnt, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            cc.cast("long").alias("cc_micro"),
+        )
+        .orderBy(F.desc("cc_micro"), "node")
+        .limit(100)
+    )

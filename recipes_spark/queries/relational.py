@@ -2332,3 +2332,94 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+#: Benford first-digit probabilities in integer micro units
+#: (floor(1e6*log10(1+1/d))) — literal SPEC constants shared by both
+#: engines so no libm call happens at query time.
+_BENFORD_MICRO = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def _benford_oracle() -> str:
+    vals = ", ".join(f"({d}, {p})" for d, p in _BENFORD_MICRO.items())
+    return f"""
+WITH b AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem
+), o AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM b GROUP BY digit
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS total FROM b
+), p(digit, p_micro) AS (VALUES {vals}),
+cells AS (
+  SELECT p.digit, coalesce(o.n_obs, 0) AS n_obs, p.p_micro, n.total,
+         n.total * p.p_micro / 1000000.0 AS expected
+  FROM p LEFT JOIN o ON o.digit = p.digit CROSS JOIN n
+), scored AS (
+  SELECT digit, n_obs, p_micro,
+         CAST(floor(1000000.0 * (n_obs - expected) * (n_obs - expected)
+              / expected) AS BIGINT) AS chi2_part_micro
+  FROM cells
+)
+SELECT digit, n_obs, CAST(p_micro AS BIGINT) AS p_micro, chi2_part_micro,
+       CAST(sum(chi2_part_micro) OVER () AS BIGINT) AS chi2_total_micro
+FROM scored
+ORDER BY digit
+"""
+
+
+@query("agg_benford", oracle=_benford_oracle())
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S LAW audit of price first digits — the
+    fraud/synthetic-data screen: observed first-digit counts against
+    the log10(1+1/d) distribution with a chi-square distance. The
+    expected probabilities are integer micro LITERALS baked into both
+    engines (spec constants, like the OSISAF URL template — no libm at
+    query time); digits come from string heads of exact integer cents
+    (no log10 to find the magnitude); each digit's chi-square
+    contribution is floored to integer micros before the order-free
+    integer total. Digits with zero observations still appear (LEFT
+    join from the digit spec), so a missing digit — the strongest
+    fraud signal — cannot vanish from the report.
+
+    100 TB: one map-side-combining digit count + a 9-row broadcast;
+    the audit is O(9) scalar math."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+            1, 1,
+        ).cast("long").alias("digit")
+    )
+    o = b.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    total = b.count()
+    spec = b.sparkSession.createDataFrame(
+        list(_BENFORD_MICRO.items()), "digit long, p_micro long"
+    )
+    cells = F.broadcast(spec).join(o, "digit", "left").select(
+        "digit",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        "p_micro",
+        (F.lit(total) * F.col("p_micro") / F.lit(1000000.0)).alias("expected"),
+    )
+    scored = cells.select(
+        "digit", "n_obs", "p_micro",
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n_obs") - F.col("expected"))
+            * (F.col("n_obs") - F.col("expected"))
+            / F.col("expected")
+        ).alias("chi2_part_micro"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scored.select(
+        "digit", "n_obs", "p_micro", "chi2_part_micro",
+        F.sum("chi2_part_micro").over(w).cast("long")
+        .alias("chi2_total_micro"),
+    ).orderBy("digit")

@@ -1504,3 +1504,191 @@ def st21_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bid", "event_id", "event_type", "z_micro")
         .orderBy("bid", "event_id")
     )
+
+
+#: st22's carry-state: per type, the last processed bucket, the running
+#: drift sum cs, and the prefix minimum of cs.
+_ST22_STATE_SCHEMA = "event_type string, last_b long, cs long, minp long"
+
+_ST22_OUT_SCHEMA = "event_type string, bucket long, x long, cusum long"
+
+#: Fixed drift slack (events/hour above which excess accumulates) and
+#: alarm threshold — SPEC constants shared with the oracle; a streaming
+#: CUSUM cannot derive k from a global mean it has not seen.
+_ST22_K = 3
+_ST22_H = 10
+
+
+def cusum_advance_factory(spark: SparkSession, out_dir: str, state_dir: str):
+    """st22's per-micro-batch body: per event type, zero-fill the
+    hourly buckets from the carried last bucket through this batch's
+    per-type maximum (batches are BUCKET-ALIGNED prefixes, so only
+    past buckets ever arrive), advance the closed-form CUSUM with the
+    carried (cs, prefix-min) seeds — cs_t = carried_cs + local cumsum
+    of (x − k); prefix-min telescopes through least(carried, local
+    running min) — and emit buckets whose cusum = cs − min(0,
+    prefix_min) crosses the alarm threshold. Types absent from a
+    batch stay frozen (their grid extends when they next appear, so
+    trailing zeros past a type's final observation are never
+    fabricated — exactly the batch twin's per-type span). Per-bid
+    overwrites + prior-only reads = the family's retry contract."""
+
+    def cusum_advance(bdf: DataFrame, bid: int) -> None:
+        c = (
+            bdf.select(
+                "event_type",
+                F.expr("unix_micros(ts) div 3600000000").alias("b"),
+            )
+            .groupBy("event_type", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        if bid > 0:
+            st = spark.read.schema(_ST22_STATE_SCHEMA).parquet(
+                os.path.join(state_dir, f"s_{bid - 1}")
+            )
+        else:
+            st = spark.createDataFrame([], _ST22_STATE_SCHEMA)
+        spans = c.groupBy("event_type").agg(
+            F.min("b").alias("bmn"), F.max("b").alias("bmx")
+        )
+        bounds = spans.join(st, "event_type", "left").select(
+            "event_type",
+            F.coalesce(F.col("last_b") + 1, F.col("bmn")).alias("start"),
+            F.col("bmx").alias("end"),
+            F.coalesce("cs", F.lit(0)).alias("cs0"),
+            "minp",
+        )
+        grid = bounds.select(
+            "event_type", "cs0", "minp",
+            F.explode(F.sequence("start", "end")).alias("b"),
+        )
+        filled = grid.join(c, ["event_type", "b"], "left").select(
+            "event_type", "b", "cs0", "minp",
+            F.coalesce("n", F.lit(0)).alias("x"),
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cs_t = F.col("cs0") + F.sum(F.col("x") - F.lit(_ST22_K)).over(w)
+        stepped = filled.select(
+            "event_type", "b", "x", "minp", cs_t.alias("cs")
+        ).select(
+            "event_type", "b", "x", "cs",
+            F.least(F.min("cs").over(w), F.col("minp")).alias("minp"),
+        ).localCheckpoint(eager=True)
+        cusum = F.col("cs") - F.least(F.col("minp"), F.lit(0))
+        stepped.filter(cusum >= _ST22_H).select(
+            "event_type",
+            F.col("b").alias("bucket"),
+            "x",
+            cusum.cast("long").alias("cusum"),
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={bid}"))
+        advanced = stepped.groupBy("event_type").agg(
+            F.max("b").alias("last_b"),
+            F.max_by("cs", "b").alias("cs"),
+            F.min("minp").alias("minp"),
+        )
+        frozen = st.join(
+            advanced.select("event_type"), "event_type", "left_anti"
+        )
+        advanced.unionByName(frozen).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"s_{bid}")
+        )
+
+    return cusum_advance
+
+
+@query(
+    "st22_stream_cusum",
+    oracle="""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, unnest(range(min(b), max(b) + 1)) AS b
+  FROM c GROUP BY event_type
+), filled AS (
+  SELECT g.event_type, g.b, coalesce(c.n, 0) AS x
+  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+), cs AS (
+  SELECT event_type, b, x,
+         sum(x - 3) OVER (PARTITION BY event_type ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cs
+  FROM filled
+), s AS (
+  SELECT event_type, b, x, cs,
+         min(cs) OVER (PARTITION BY event_type ORDER BY b
+                       ROWS UNBOUNDED PRECEDING) AS low_water
+  FROM cs
+)
+SELECT event_type, b AS bucket, x,
+       CAST(cs - least(low_water, 0) AS BIGINT) AS cusum
+FROM s
+WHERE cs - least(low_water, 0) >= 10
+ORDER BY event_type, bucket
+""",
+)
+def st22_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift detection — the seventh sketch-state
+    family member: the per-type state is THREE integers (last bucket,
+    running drift sum, its prefix minimum), advanced per bucket-
+    aligned micro-batch by the same closed form as the batch
+    window_cusum, with fixed spec constants k=3, h=10 (a stream
+    cannot derive the slack from a mean it has not seen). The union
+    of all batches' alarm emissions must equal the one-pass batch
+    computation over the whole span — which is the DuckDB oracle —
+    because the cumulative sum and its prefix minimum both telescope
+    through the carried seeds, and per-type grids only extend when a
+    type reappears (no fabricated trailing zeros).
+
+    Batches split on hour-bucket boundaries (the checkpoint-at-window-
+    boundary contract every streaming aggregator keeps); retries are
+    idempotent by the family's per-bid overwrite + prior-only-read
+    rule."""
+    from recipes_spark.io import load
+    from recipes_spark.streaming.core import stage_ordered
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    bcol = F.expr("unix_micros(ts) div 3600000000")
+    lo, hi = (
+        ev.agg(F.min(bcol).alias("lo"), F.max(bcol).alias("hi"))
+        .collect()[0]
+    )
+    width = -(-(hi - lo + 1) // 4)
+    chunks = [
+        ev.filter(
+            (bcol >= lo + i * width) & (bcol < lo + (i + 1) * width)
+        )
+        for i in range(4)
+    ]
+    staged = stage_ordered(chunks, prefix="recipes_st22_landing_")
+    out_dir = tempfile.mkdtemp(prefix="recipes_st22_out_") + "/alarms"
+    state_dir = tempfile.mkdtemp(prefix="recipes_st22_state_")
+    cusum_advance = cusum_advance_factory(spark, out_dir, state_dir)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(cusum_advance)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st22_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema(_ST22_OUT_SCHEMA)
+        .parquet(out_dir)
+        .select("event_type", "bucket", "x", "cusum")
+        .orderBy("event_type", "bucket")
+    )

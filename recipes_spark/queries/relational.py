@@ -2423,3 +2423,113 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chi2_part_micro").over(w).cast("long")
         .alias("chi2_total_micro"),
     ).orderBy("digit")
+
+
+@query(
+    "agg_ratio_delta",
+    oracle="""
+WITH per_user AS (
+  SELECT c.c_mktsegment AS segment, e.user_id, e.user_id % 2 AS variant,
+         CAST(count_if(e.event_type = 'purchase') AS BIGINT) AS x,
+         CAST(count_if(e.event_type = 'click') AS BIGINT) AS y
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2, 3
+), s AS (
+  SELECT segment, variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM per_user GROUP BY 1, 2
+), m AS (
+  SELECT segment, variant, n, sx / sy AS r,
+         ((sxx - sx * sx / n) / (n - 1)
+          - 2 * (sx / sy) * ((sxy - sx * sy / n) / (n - 1))
+          + (sx / sy) * (sx / sy) * ((syy - sy * sy / n) / (n - 1)))
+         / (n * (sy / n) * (sy / n)) AS var_r
+  FROM s
+), wide AS (
+  SELECT segment,
+         max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         max(CASE WHEN variant = 0 THEN r END) AS r0,
+         max(CASE WHEN variant = 1 THEN r END) AS r1,
+         max(CASE WHEN variant = 0 THEN var_r END) AS v0,
+         max(CASE WHEN variant = 1 THEN var_r END) AS v1
+  FROM m GROUP BY segment
+)
+SELECT segment, n0, n1,
+       CAST(floor(1000000.0 * r0) AS BIGINT) AS r0_micro,
+       CAST(floor(1000000.0 * r1) AS BIGINT) AS r1_micro,
+       CAST(floor(1000000.0 * (r1 - r0) / sqrt(v0 + v1)) AS BIGINT)
+         AS z_micro
+FROM wide ORDER BY segment
+""",
+)
+def agg_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-METRIC experiment readout via the DELTA METHOD — the
+    analysis agg_chisquare_ab and agg_welch_ttest cannot do: a
+    clicks-to-purchase ratio R = sum(x)/sum(y) is a ratio of
+    per-user sums, so its variance needs the user-level covariance
+    (treating every event as independent — the naive z — understates
+    the variance whenever users differ, the single most common wrong
+    A/B answer). Per (segment, variant): exact per-user integer
+    (x, y), exact co-moment sums, then ONE fixed double tree for
+    R, Var(R) = (s_x^2 - 2R s_xy + R^2 s_y^2) / (n ybar^2), and the
+    two-variant z — floor-scaled micros, bit-identical engines.
+
+    100 TB: the per-user reduce and the per-(segment, variant) moment
+    agg are two map-side-combining shuffles on narrowing keys; the
+    dim join broadcasts; the statistics are O(segments) scalar
+    math."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    per_user = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("segment", "user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.count_if(F.col("event_type") == "purchase").alias("x"),
+            F.count_if(F.col("event_type") == "click").alias("y"),
+        )
+    )
+    s = per_user.groupBy("segment", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    r = sx / sy
+    var_r = (
+        (sxx - sx * sx / n) / (n - 1)
+        - 2 * r * ((sxy - sx * sy / n) / (n - 1))
+        + r * r * ((syy - sy * sy / n) / (n - 1))
+    ) / (n * (sy / n) * (sy / n))
+    m = s.select("segment", "variant", "n", r.alias("r"), var_r.alias("var_r"))
+    wide = m.groupBy("segment").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("r"))).alias("r0"),
+        F.max(F.when(F.col("variant") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("variant") == 0, F.col("var_r"))).alias("v0"),
+        F.max(F.when(F.col("variant") == 1, F.col("var_r"))).alias("v1"),
+    )
+    micro = F.lit(1000000.0)
+    return wide.select(
+        "segment", "n0", "n1",
+        F.floor(micro * F.col("r0")).alias("r0_micro"),
+        F.floor(micro * F.col("r1")).alias("r1_micro"),
+        F.floor(
+            micro * (F.col("r1") - F.col("r0"))
+            / F.sqrt(F.col("v0") + F.col("v1"))
+        ).alias("z_micro"),
+    ).orderBy("segment")

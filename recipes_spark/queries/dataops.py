@@ -3210,3 +3210,87 @@ def x7_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cc_micro"), "node")
         .limit(100)
     )
+
+
+@query(
+    "x3_embedding_drift",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, vec_id % 2 AS half, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings, range(1, 65) t(i)
+), s AS (
+  SELECT i, half,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qv) AS DOUBLE) AS sq,
+         CAST(sum(qv * qv) AS DOUBLE) AS sqq
+  FROM q GROUP BY 1, 2
+), w AS (
+  SELECT i,
+         max(CASE WHEN half = 0 THEN n END) AS n0,
+         max(CASE WHEN half = 1 THEN n END) AS n1,
+         max(CASE WHEN half = 0 THEN sq END) AS s0,
+         max(CASE WHEN half = 1 THEN sq END) AS s1,
+         max(CASE WHEN half = 0 THEN sqq END) AS q0,
+         max(CASE WHEN half = 1 THEN sqq END) AS q1
+  FROM s GROUP BY i
+)
+SELECT i, n0, n1,
+       CAST(floor(1000000.0 * (s1 / n1 - s0 / n0)
+            / sqrt((q0 - s0 * s0 / n0) / (n0 - 1) / n0
+                   + (q1 - s1 * s1 / n1) / (n1 - 1) / n1)) AS BIGINT)
+         AS z_micro
+FROM w ORDER BY i
+""",
+)
+def x3_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT monitor: per-dimension Welch z between two
+    corpus cohorts (id parity stands in for before/after a model or
+    pipeline change) — the check that catches a silently swapped
+    encoder, a normalization change, or a data-mix shift before
+    anything downstream retrains on poisoned vectors. A large |z| on
+    specific dimensions is the fingerprint (a whole-vector cosine
+    average hides it). Exactness is the established vector
+    discipline: float32 -> float64 -> floor micro quantization, exact
+    integer co-moment sums per (dim, cohort), ONE fixed double
+    expression, floor micros.
+
+    100 TB: one 64x explode of the vector stream into a map-side-
+    combining (dim, cohort) agg — 128 cells of state per partition —
+    then O(dims) scalar math; or fuse into the _embedding_gram
+    mapInPandas sketch when the covariance pass already runs."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "half",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("qv"),
+    )
+    s = q.groupBy("i", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").cast("double").alias("sq"),
+        F.sum(F.col("qv") * F.col("qv")).cast("double").alias("sqq"),
+    )
+    w = s.groupBy("i").agg(
+        F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("half") == 0, F.col("sq"))).alias("s0"),
+        F.max(F.when(F.col("half") == 1, F.col("sq"))).alias("s1"),
+        F.max(F.when(F.col("half") == 0, F.col("sqq"))).alias("q0"),
+        F.max(F.when(F.col("half") == 1, F.col("sqq"))).alias("q1"),
+    )
+    n0, n1, s0, s1, q0, q1 = (
+        F.col(c) for c in ("n0", "n1", "s0", "s1", "q0", "q1")
+    )
+    return w.select(
+        "i", "n0", "n1",
+        F.floor(
+            F.lit(1000000.0) * (s1 / n1 - s0 / n0)
+            / F.sqrt(
+                (q0 - s0 * s0 / n0) / (n0 - 1) / n0
+                + (q1 - s1 * s1 / n1) / (n1 - 1) / n1
+            )
+        ).alias("z_micro"),
+    ).orderBy("i")

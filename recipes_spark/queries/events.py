@@ -1411,3 +1411,72 @@ def window_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "event_trigram_paths",
+    oracle="""
+WITH nxt AS (
+  SELECT event_type AS a,
+         lead(event_type) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+  FROM nxt WHERE c IS NOT NULL
+  GROUP BY a, b, c
+), ranked AS (
+  SELECT a, b, c, n,
+         row_number() OVER (ORDER BY n DESC, a, b, c) AS rnk,
+         CAST(floor(n * 10000.0 / sum(n) OVER ()) AS BIGINT) AS share_bp
+  FROM tri
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, a, b, c, n, share_bp
+FROM ranked WHERE rnk <= 25
+ORDER BY rnk
+""",
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-ORDER path analysis: the top 25 length-3 event paths per
+    user order (the Sankey/flow diagram's data, and where first-order
+    Markov assumptions visibly break — a trigram whose share deviates
+    from p(a->b)·p(b->c) is memory in the process). Two lead()s over
+    ONE user-ordered window pass (no self-joins — each extra path
+    hop is one more lead over the same sort, the pattern-match
+    economics), a trigram hash agg, and a deterministic
+    (n desc, path) top-25 with each path's share of ALL trigrams in
+    floored basis points.
+
+    100 TB: one shuffle on user_id; the trigram space is |types|^3
+    rows however large the stream; TakeOrderedAndProject bounds the
+    driver payload."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    tri = nxt.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = tri.select(
+        "a", "b", "c", "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "a", "b", "c"))
+        .alias("rnk"),
+        F.floor(F.col("n") * 10000.0 / F.sum("n").over(total))
+        .alias("share_bp"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 25)
+        .select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "a", "b", "c", "n", "share_bp",
+        )
+        .orderBy("rnk")
+    )

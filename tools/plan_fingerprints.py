@@ -149,6 +149,13 @@ def extra_plans(spark) -> dict[str, str]:
         "event_pattern_match",
         "g7_points_in_polygons",
         "agg_bootstrap_ci",
+        # window_cusum: grid join + two stacked windows + filter must
+        # stay one event_type exchange; ts_linear_interp: same chained
+        # rule for grid + both IGNORE-NULLS windows; x4_source_gini:
+        # rank window and sum agg share the source exchange.
+        "window_cusum",
+        "ts_linear_interp",
+        "x4_source_gini",
     ):
         out[name] = plan_hash(q[name](spark, SF_DIR))
     return out

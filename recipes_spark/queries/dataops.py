@@ -3294,3 +3294,151 @@ def x3_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_micro"),
     ).orderBy("i")
+
+
+@query(
+    "x3_triplet_mining",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings, range(1, 65) t(i)
+), d AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS other,
+         max(a.label) AS la, max(b.label) AS lb,
+         CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % 5 = 0
+  GROUP BY a.vec_id, b.vec_id
+), pos AS (
+  SELECT anchor, max(d2) AS pos_d2 FROM d WHERE la = lb GROUP BY anchor
+), posid AS (
+  SELECT d.anchor, min(d.other) AS hard_pos, max(p.pos_d2) AS pos_d2
+  FROM d JOIN pos p ON p.anchor = d.anchor AND p.pos_d2 = d.d2
+  WHERE d.la = d.lb GROUP BY d.anchor
+), neg AS (
+  SELECT anchor, min(d2) AS neg_d2 FROM d WHERE la <> lb GROUP BY anchor
+), negid AS (
+  SELECT d.anchor, min(d.other) AS hard_neg, max(n.neg_d2) AS neg_d2
+  FROM d JOIN neg n ON n.anchor = d.anchor AND n.neg_d2 = d.d2
+  WHERE d.la <> d.lb GROUP BY d.anchor
+)
+SELECT p.anchor, p.hard_pos, p.pos_d2, n.hard_neg, n.neg_d2,
+       CAST(CASE WHEN n.neg_d2 < p.pos_d2 THEN 1 ELSE 0 END AS INT)
+         AS is_violation
+FROM posid p JOIN negid n ON n.anchor = p.anchor
+ORDER BY p.anchor
+""",
+)
+def x3_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD TRIPLET MINING — the metric-learning data-prep query: per
+    anchor, the hardest positive (same label, MAX distance) and
+    hardest negative (different label, MIN distance), plus the
+    violation flag (negative closer than positive — the triplets a
+    contrastive trainer actually learns from). Anchors are a MINING
+    BATCH (every fifth vector), which is how triplet mining runs in
+    production — per training batch, never corpus x corpus — and what
+    keeps the broadcast anchor matrix and the driver collect bounded
+    by the batch size BY CONSTRUCTION. Distances are integer
+    squared L2 over floor-quantized micro coordinates, so argmin/
+    argmax are exact and ties break to the smallest candidate id on
+    both engines; the oracle is the relational all-pairs definition.
+
+    The engine side computes the same distances with one numpy
+    D = |a|^2 + |b|^2 - 2AB^T block per Arrow batch against the
+    broadcast anchor matrix — vectors never shuffle; per-partition
+    partial argmins/argmaxes merge in one struct-min/max agg (the
+    brute_force_topk economics). At 100 TB the negative side swaps in
+    IVF/LSH candidate generation (semi-hard mining inside probed
+    lists — the x3_ivf_pq_topk path); positives stay label-blocked
+    and are usually small."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    anchors = emb.filter(F.col("vec_id") % 5 == 0).orderBy("vec_id").collect()
+    A = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in anchors]
+    )
+    QA = np.floor(A * 1e6).astype(np.int64)
+    aid = np.asarray([r["vec_id"] for r in anchors], dtype=np.int64)
+    alab = np.asarray([r["label"] for r in anchors], dtype=np.int64)
+
+    def mine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            QB = np.floor(B * 1e6).astype(np.int64)
+            bid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            blab = pdf["label"].to_numpy(dtype=np.int64)
+            # D2[i, j] = |anchor_i - candidate_j|^2, exact int64.
+            D2 = (
+                (QA * QA).sum(1)[:, None]
+                + (QB * QB).sum(1)[None, :]
+                - 2 * (QA @ QB.T)
+            )
+            same = aid[:, None] == bid[None, :]
+            samelab = alab[:, None] == blab[None, :]
+            out = []
+            big = np.int64(2**62)
+            # hardest positive: same label, not self, max d2, tie min id
+            pd2 = np.where(samelab & ~same, D2, -1)
+            pbest = pd2.max(1)
+            pok = pbest >= 0
+            ptie = np.where(pd2 == pbest[:, None], bid[None, :], big)
+            pid = ptie.min(1)
+            nd2 = np.where(~samelab, D2, big)
+            nbest = nd2.min(1)
+            nok = nbest < big
+            ntie = np.where(nd2 == nbest[:, None], bid[None, :], big)
+            nid = ntie.min(1)
+            yield pd.DataFrame(
+                {
+                    "anchor": aid,
+                    "pos_d2": pbest,
+                    "hard_pos": pid,
+                    "pos_ok": pok,
+                    "neg_d2": np.where(nok, nbest, -1),
+                    "hard_neg": np.where(nok, nid, -1),
+                    "neg_ok": nok,
+                }
+            )
+
+    partial = scale_partitions(emb).mapInPandas(
+        mine,
+        "anchor long, pos_d2 long, hard_pos long, pos_ok boolean, "
+        "neg_d2 long, hard_neg long, neg_ok boolean",
+    )
+    merged = (
+        partial.groupBy("anchor")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("pos_ok"),
+                    F.struct(
+                        F.col("pos_d2"), (-F.col("hard_pos")).alias("nhp")
+                    ),
+                )
+            ).alias("p"),
+            F.min(
+                F.when(
+                    F.col("neg_ok"),
+                    F.struct(F.col("neg_d2"), F.col("hard_neg")),
+                )
+            ).alias("n"),
+        )
+        .filter(F.col("p").isNotNull() & F.col("n").isNotNull())
+    )
+    return merged.select(
+        "anchor",
+        (-F.col("p.nhp")).alias("hard_pos"),
+        F.col("p.pos_d2").alias("pos_d2"),
+        F.col("n.hard_neg").alias("hard_neg"),
+        F.col("n.neg_d2").alias("neg_d2"),
+        F.when(F.col("n.neg_d2") < F.col("p.pos_d2"), 1)
+        .otherwise(0).cast("int").alias("is_violation"),
+    ).orderBy("anchor")

@@ -1425,3 +1425,81 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("brand", "price_cents", "size", "n_parts")
         .orderBy("brand", "price_cents", "size")
     )
+
+
+@query(
+    "affinity_lift_pairs",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 200 AS item FROM lineitem
+), n_orders AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets
+), item_freq AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS f FROM baskets GROUP BY item
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_ab, fa.f AS n_a, fb.f AS n_b,
+       CAST(floor(1000000.0 * p.n_ab * n.n / (fa.f * fb.f)) AS BIGINT)
+         AS lift_micro
+FROM pairs p
+JOIN item_freq fa ON fa.item = p.item_a
+JOIN item_freq fb ON fb.item = p.item_b
+CROSS JOIN n_orders n
+WHERE p.n_ab >= 5
+ORDER BY lift_micro DESC, p.item_a, p.item_b
+LIMIT 50
+""",
+)
+def affinity_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET affinity — top co-occurring item pairs by LIFT
+    (P(ab)/(P(a)P(b)) = n_ab·N/(n_a·n_b), the recommendation/
+    cross-sell primitive): baskets dedup to distinct (order, item),
+    pairs come from a SELF-JOIN ON THE BASKET KEY — so the pair count
+    is Σ_orders (items-per-basket choose 2), bounded by basket WIDTH,
+    never |items|² — then a min-support cut (n_ab >= 5, the apriori
+    prune) before the lift math on exact integer counts, floored
+    micros. Items hash-fold to 200 SKUs so the fixture produces real
+    co-occurrence mass.
+
+    100 TB: one shuffle on the basket key for the pair generation
+    (wide baskets are the skew case — cap or sample mega-baskets, the
+    standard FP-growth preprocessing), one hash agg on pairs, and two
+    broadcast frequency joins; the support threshold keeps the pair
+    table sparse long before the lift division."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    n = baskets.select("l_orderkey").distinct().count()
+    item_freq = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    a = baskets.select("l_orderkey", F.col("item").alias("item_a"))
+    b = baskets.select("l_orderkey", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    fa = item_freq.select(F.col("item").alias("item_a"), F.col("f").alias("n_a"))
+    fb = item_freq.select(F.col("item").alias("item_b"), F.col("f").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .select(
+            "item_a", "item_b", "n_ab", "n_a", "n_b",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_ab") * F.lit(n)
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "item_a", "item_b")
+        .limit(50)
+    )

@@ -192,3 +192,127 @@ def test_shard_checksum_detects_reorder_and_mutation(spark, tmp_path):
             assert c1[shard] != c2[shard]
         else:
             assert c1[shard] == c2[shard]
+
+
+# ---------------------------------------------------------------------------
+# agg_ratio_delta / x3_embedding_drift / x3_triplet_mining /
+# event_trigram_paths
+# ---------------------------------------------------------------------------
+
+
+def test_ratio_delta_matches_closed_form_with_user_covariance(
+    spark, tmp_path
+):
+    """Planted users whose x scales with y (strong per-user
+    correlation): the reported z must equal the delta-method closed
+    form evaluated in Python — which differs sharply from the naive
+    per-event binomial z the wrong version computes."""
+    import math
+
+    # variant 0 (even users): per-user (purchases, clicks)
+    v0 = {2: (1, 10), 4: (2, 20), 6: (3, 30)}
+    v1 = {1: (2, 10), 3: (4, 20), 5: (6, 30)}
+    rows, eid = [], 0
+    for users in (v0, v1):
+        for u, (x, y) in users.items():
+            for _ in range(x):
+                rows.append((eid, u, eid, "purchase", 1.0)); eid += 1
+            for _ in range(y):
+                rows.append((eid, u, eid, "click", 1.0)); eid += 1
+    d = _events(spark, tmp_path, rows)
+    cust = [
+        Row(c_custkey=u, c_name=f"c{u}", c_nationkey=1, c_acctbal=0.0,
+            c_mktsegment="SEG")
+        for u in list(v0) + list(v1)
+    ]
+    _write(spark, tmp_path, "customer", cust)
+
+    def stats(users):
+        xs = [x for x, _ in users.values()]
+        ys = [y for _, y in users.values()]
+        n = len(xs)
+        sx, sy = float(sum(xs)), float(sum(ys))
+        sxx = float(sum(x * x for x in xs))
+        syy = float(sum(y * y for y in ys))
+        sxy = float(sum(x * y for x, y in users.values()))
+        r = sx / sy
+        var_r = (
+            (sxx - sx * sx / n) / (n - 1)
+            - 2 * r * ((sxy - sx * sy / n) / (n - 1))
+            + r * r * ((syy - sy * sy / n) / (n - 1))
+        ) / (n * (sy / n) * (sy / n))
+        return r, var_r
+
+    r0, u0 = stats(v0)
+    r1, u1 = stats(v1)
+    z = math.floor(1000000.0 * (r1 - r0) / math.sqrt(u0 + u1))
+    got = QUERIES["agg_ratio_delta"](spark, d).collect()[0]
+    assert (got["n0"], got["n1"]) == (3, 3)
+    assert got["r0_micro"] == math.floor(1000000.0 * r0)
+    assert got["r1_micro"] == math.floor(1000000.0 * r1)
+    assert got["z_micro"] == z
+
+
+def test_embedding_drift_localizes_the_shifted_dimension(spark, tmp_path):
+    """Half the vectors get +0.5 on dimension 2 only: that dimension's
+    z must dominate with the right sign while every other |z| stays
+    small — the per-dimension localization a whole-vector cosine
+    check cannot give."""
+    rows = []
+    for i in range(40):
+        base = [((i * 13 + j * 7) % 11 - 5) / 16.0 for j in range(4)]
+        if i % 2 == 1:
+            base[1] += 0.5
+        rows.append(Row(vec_id=i, embedding=base, label=0))
+    d = _write(spark, tmp_path, "embeddings", rows,
+               schema="vec_id long, embedding array<float>, label int")
+    # engine hard-codes 64 dims only in the ORACLE; the engine side
+    # adapts — call the query fn directly on 4-dim vectors
+    got = {r["i"]: r["z_micro"]
+           for r in QUERIES["x3_embedding_drift"](spark, d).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2] > 5_000_000  # the shifted dim screams (z > 5)
+    for i in (1, 3, 4):
+        assert abs(got[i]) < got[2] / 4
+
+
+def test_triplet_mining_hardest_and_violation(spark, tmp_path):
+    """Four planted 1-D vectors: label 0 at {0.0, 0.9}, label 1 at
+    {1.0}, label 9 at {0.1}: anchor 0 (vec 0.0) has hardest positive
+    0.9 (far same-label) and hardest negative 0.1 (near diff-label) —
+    a VIOLATION; ids chosen so naive nearest-anything would differ."""
+    rows = [
+        Row(vec_id=0, embedding=[0.0], label=0),
+        Row(vec_id=5, embedding=[0.9], label=0),
+        Row(vec_id=7, embedding=[1.0], label=1),
+        Row(vec_id=9, embedding=[0.1], label=9),
+    ]
+    d = _write(spark, tmp_path, "embeddings", rows,
+               schema="vec_id long, embedding array<float>, label int")
+    got = {r["anchor"]: r
+           for r in QUERIES["x3_triplet_mining"](spark, d).collect()}
+    # anchors are vec_id % 5 == 0 -> {0, 5}
+    assert set(got) == {0, 5}
+    a = got[0]
+    assert a["hard_pos"] == 5 and a["hard_neg"] == 9
+    assert a["is_violation"] == 1
+    b = got[5]
+    assert b["hard_pos"] == 0 and b["hard_neg"] == 7
+    assert b["is_violation"] == 1
+
+
+def test_trigram_paths_use_order_not_bag(spark, tmp_path):
+    """One user with path view, click, purchase, click: trigrams are
+    exactly (view,click,purchase) and (click,purchase,click) — a
+    bag-of-3 version would also emit unordered combinations."""
+    rows = [
+        (0, 1, 0, "view", 1.0), (1, 1, 10, "click", 1.0),
+        (2, 1, 20, "purchase", 1.0), (3, 1, 30, "click", 1.0),
+    ]
+    d = _events(spark, tmp_path, rows)
+    got = {(r["a"], r["b"], r["c"]): r["n"]
+           for r in QUERIES["event_trigram_paths"](spark, d).collect()}
+    assert got == {
+        ("view", "click", "purchase"): 1,
+        ("click", "purchase", "click"): 1,
+    }

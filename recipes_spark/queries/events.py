@@ -1480,3 +1480,91 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "scd2_point_lookup",
+    oracle="""
+WITH st AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events WHERE event_type <> 'purchase'
+), chg0 AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM st WHERE prev_type IS NULL OR event_type <> prev_type
+), chg AS (
+  SELECT user_id, state, valid_from
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, valid_from
+                                     ORDER BY event_id DESC) AS rn
+        FROM chg0)
+  WHERE rn = 1
+), probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), looked AS (
+  SELECT p.event_id, c.state
+  FROM probes p ASOF LEFT JOIN chg c
+    ON p.user_id = c.user_id AND p.ts >= c.valid_from
+)
+SELECT coalesce(state, '~none') AS state,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM looked GROUP BY 1 ORDER BY 1
+""",
+)
+def scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL POINT LOOKUP against the SCD2 dimension — "what state
+    was the user in when they purchased": the type-2 history
+    (scd2_intervals' change detection over the non-purchase stream)
+    probed at each purchase timestamp. Because SCD2 intervals tile
+    each user's timeline, the point-in-interval join IS a backward
+    as-of on valid_from — one union+window shuffle via
+    operators/joins.asof_join, no interval range join, no row blowup;
+    purchases before any state event roll up under '~none' instead of
+    silently dropping (LEFT semantics); same-instant change rows
+    dedup to the latest event_id first so the pick is deterministic.
+
+    100 TB: the dimension build and the as-of probe both cluster on
+    user_id; this is the dominant pattern for dimension-at-event-time
+    enrichment (price at order time, config at failure time), and the
+    reason the SCD2 build stores valid_from sorted per key."""
+    from recipes_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+    )
+    chg0 = st.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    )
+    # Same-instant change rows: latest event_id wins (the st10 CDC
+    # convention) so the as-of pick is deterministic on both engines.
+    wtie = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.desc("event_id")
+    )
+    chg = (
+        chg0.withColumn("rn", F.row_number().over(wtie))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "state", "valid_from")
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    looked = asof_join(
+        probes, chg,
+        left_ts="ts", right_ts="valid_from", by="user_id",
+        value_cols=["state"],
+    )
+    return (
+        looked.select(F.coalesce("state", F.lit("~none")).alias("state"))
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("state")
+    )

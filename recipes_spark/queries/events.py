@@ -1568,3 +1568,94 @@ def scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("state")
     )
+
+
+@query(
+    "event_attribution_lasttouch",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, event_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) // 20 AS campaign
+  FROM events WHERE event_type = 'click'
+), c AS (
+  SELECT user_id, click_ts, campaign
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, click_ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM clicks)
+  WHERE rn = 1
+), probes AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), looked AS (
+  SELECT p.event_id, p.cents, c.campaign, c.click_ts, p.ts
+  FROM probes p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts >= c.click_ts
+)
+SELECT CASE WHEN campaign IS NOT NULL
+             AND epoch_us(ts) - epoch_us(click_ts) <= 604800000000
+            THEN CAST(campaign AS VARCHAR) ELSE '~organic' END AS campaign,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM looked GROUP BY 1 ORDER BY 1
+""",
+)
+def event_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH marketing ATTRIBUTION: each purchase credits the
+    campaign of the user's most recent prior click within a 7-day
+    window, otherwise '~organic' — the revenue-allocation query every
+    growth team runs, distinct from the funnel queries because it
+    ASSIGNS each conversion's value to exactly one source (credit
+    must sum to total revenue, which the oracle's hash enforces).
+    Campaign = click-payload k div 20 (the JSON surface scalar_json
+    pins); the lookup is the SCD2 backward as-of with the
+    join_asof_tolerance window applied after resolution; same-instant
+    clicks dedup to latest event_id first.
+
+    100 TB: one as-of shuffle on user_id + one tiny campaign agg —
+    multi-touch models (linear, time-decay) reuse the same resolved
+    (purchase, clicks-within-window) relation with different weight
+    expressions."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "event_id",
+        F.expr("cast(get_json_object(props, '$.k') as bigint) div 20")
+        .alias("campaign"),
+    )
+    wtie = Window.partitionBy("user_id", "click_ts").orderBy(
+        F.desc("event_id")
+    )
+    c = (
+        clicks.withColumn("rn", F.row_number().over(wtie))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "click_ts", "campaign")
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    from recipes_spark.operators.joins import asof_join
+
+    looked = asof_join(
+        probes, c,
+        left_ts="ts", right_ts="click_ts", by="user_id",
+        value_cols=["campaign", "click_ts"],
+    )
+    fresh = F.col("campaign").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("click_ts") <= 604_800_000_000
+    )
+    return (
+        looked.select(
+            F.when(fresh, F.col("campaign").cast("string"))
+            .otherwise("~organic").alias("campaign"),
+            "cents",
+        )
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("campaign")
+    )

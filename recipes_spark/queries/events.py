@@ -1570,9 +1570,10 @@ def scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "event_attribution_lasttouch",
-    oracle="""
+#: Shared with the streaming twin (streaming/ingest.
+#: st23_stream_attribution): the stream's accumulated credit table
+#: must equal the batch attribution exactly.
+ATTRIBUTION_ORACLE = """
 WITH clicks AS (
   SELECT user_id, ts AS click_ts, event_id,
          CAST(json_extract(props, '$.k') AS BIGINT) // 20 AS campaign
@@ -1598,8 +1599,10 @@ SELECT CASE WHEN campaign IS NOT NULL
        CAST(count(*) AS BIGINT) AS n_purchases,
        CAST(sum(cents) AS BIGINT) AS revenue_cents
 FROM looked GROUP BY 1 ORDER BY 1
-""",
-)
+"""
+
+
+@query("event_attribution_lasttouch", oracle=ATTRIBUTION_ORACLE)
 def event_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAST-TOUCH marketing ATTRIBUTION: each purchase credits the
     campaign of the user's most recent prior click within a 7-day

@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from recipes_spark.queries.events import (
+    ATTRIBUTION_ORACLE,
     PATTERN_FUNNEL_ORACLE,
 )
 from recipes_spark.registry import query
@@ -1691,4 +1692,144 @@ def st22_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out_dir)
         .select("event_type", "bucket", "x", "cusum")
         .orderBy("event_type", "bucket")
+    )
+
+
+#: st23's carry-state: per user, the latest click seen (ts micros,
+#: event id for same-instant tiebreak, campaign).
+_ST23_STATE_SCHEMA = "user_id long, cus long, ceid long, campaign long"
+
+_ST23_OUT_SCHEMA = "bid int, campaign string, n long, cents long"
+
+_ST23_WINDOW = 604_800_000_000  # 7 days, micros — the batch twin's
+
+
+def attribution_advance_factory(spark: SparkSession, out_dir: str,
+                                state_dir: str):
+    """st23's per-micro-batch body: union the carried latest-click row
+    per user with this batch's clicks, resolve the batch's purchases
+    against that union with the SAME backward as-of + 7-day tolerance
+    as the batch twin (in-order batches mean the carried click is <=
+    every in-batch timestamp, so the union IS the full click history
+    as far as any in-batch purchase can see), emit this batch's
+    credited (campaign, n, cents) rows, and carry forward each user's
+    new latest click by (ts, event_id) struct-max. Per-bid overwrites
+    + prior-only reads = the family's retry contract."""
+    from recipes_spark.operators.joins import asof_join
+
+    def attribution_advance(bdf: DataFrame, bid: int) -> None:
+        e = bdf.select(
+            "event_id", "user_id", "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.expr("cast(get_json_object(props, '$.k') as bigint) div 20")
+            .alias("campaign"),
+        )
+        if bid > 0:
+            st = spark.read.schema(_ST23_STATE_SCHEMA).parquet(
+                os.path.join(state_dir, f"s_{bid - 1}")
+            )
+        else:
+            st = spark.createDataFrame([], _ST23_STATE_SCHEMA)
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("us").alias("cus"),
+            F.col("event_id").alias("ceid"), "campaign",
+        ).unionByName(st)
+        wtie = Window.partitionBy("user_id", "cus").orderBy(F.desc("ceid"))
+        c = (
+            clicks.withColumn("rn", F.row_number().over(wtie))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        probes = e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "us", "cents"
+        )
+        looked = asof_join(
+            probes, c.withColumnRenamed("campaign", "ccamp"),
+            left_ts="us", right_ts="cus", by="user_id",
+            value_cols=["ccamp", "cus"], tiebreak="ceid",
+        )
+        fresh = F.col("ccamp").isNotNull() & (
+            F.col("us") - F.col("cus") <= _ST23_WINDOW
+        )
+        looked.select(
+            F.lit(bid).cast("int").alias("bid"),
+            F.when(fresh, F.col("ccamp").cast("string"))
+            .otherwise("~organic").alias("campaign"),
+            "cents",
+        ).groupBy("bid", "campaign").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={bid}")
+        )
+        new_state = (
+            clicks.groupBy("user_id")
+            .agg(F.max(F.struct("cus", "ceid", "campaign")).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.cus").alias("cus"),
+                F.col("m.ceid").alias("ceid"),
+                F.col("m.campaign").alias("campaign"),
+            )
+        )
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"s_{bid}")
+        )
+
+    return attribution_advance
+
+
+@query("st23_stream_attribution", oracle=ATTRIBUTION_ORACLE)
+def st23_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LAST-TOUCH ATTRIBUTION: the revenue-credit table
+    maintained incrementally — per-user state is ONE row (latest
+    click's instant, id, campaign), each time-ordered micro-batch
+    resolves its own purchases against carried-state ∪ in-batch
+    clicks with the exact batch as-of + tolerance, and the summed
+    per-batch credits equal event_attribution_lasttouch over the
+    whole stream — the oracle is shared verbatim. The live marketing
+    dashboard shape: credits append, state stays O(users), purchases
+    are never re-resolved.
+
+    The carried click is <= every in-batch timestamp (in-order
+    contract), so the one-row state is sufficient history — the same
+    telescoping argument as st20's funnel maxima, applied to an
+    argmax instead. Retry-idempotent by the family contract."""
+    from recipes_spark.streaming.core import stage_events_ordered
+
+    staged = stage_events_ordered(spark, sf_dir, chunks=4)
+    schema = (
+        spark.read.parquet(os.path.join(staged, "chunk001.parquet")).schema
+    )
+    out_dir = tempfile.mkdtemp(prefix="recipes_st23_out_") + "/credits"
+    state_dir = tempfile.mkdtemp(prefix="recipes_st23_state_")
+    advance = attribution_advance_factory(spark, out_dir, state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(advance)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st23_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema(_ST23_OUT_SCHEMA)
+        .parquet(out_dir)
+        .groupBy("campaign")
+        .agg(
+            F.sum("n").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("campaign")
     )

@@ -2898,3 +2898,75 @@ def x6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_chars_micro"),
         "p50_chars_est",
     )
+
+
+@query(
+    "x4_vocab_coverage_curve",
+    oracle="""
+WITH terms AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), cnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM terms GROUP BY term
+), ranked AS (
+  SELECT term, c,
+         row_number() OVER (ORDER BY c DESC, term) AS rnk,
+         sum(c) OVER (ORDER BY c DESC, term
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS total
+  FROM cnt
+), cuts AS (
+  SELECT unnest([5, 10, 15, 20, 25, 30]) AS k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(max(cum) * 10000 // max(total) AS BIGINT) AS coverage_bp,
+       CAST(max(total) AS BIGINT) AS total_tokens
+FROM cuts JOIN ranked ON ranked.rnk <= cuts.k
+GROUP BY k ORDER BY k
+""",
+)
+def x4_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE — what fraction of the token stream a
+    top-k vocabulary captures, at a ladder of k's: the design curve
+    behind vocab-size/OOV-rate decisions (and the empirical face of
+    x4_zipf_fit's power law — a heavy tail means the curve flattens
+    late). Terms rank by (count desc, term) — the deterministic total
+    order — the cumulative mass comes from one window over the
+    DISTINCT vocabulary (vocab-sized, never the stream), and each
+    cutoff reads max(cum) over ranks <= k, which also clamps cutoffs
+    beyond the vocabulary to full mass instead of NULLing out.
+    Coverage in floored basis points of exact integer counts.
+
+    100 TB: term counts are one map-side-combining agg; the ranked
+    window runs over distinct terms (the BPE-merge economics); the
+    cutoff join is a 6-row broadcast."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    worder = Window.orderBy(F.desc("c"), "term")
+    wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cnt.select(
+        "term", "c",
+        F.row_number().over(worder).alias("rnk"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("total"),
+    )
+    cuts = d.sparkSession.createDataFrame(
+        [(k,) for k in (5, 10, 15, 20, 25, 30)], "k long"
+    )
+    return (
+        F.broadcast(cuts)
+        .join(ranked, ranked.rnk <= cuts.k)
+        .groupBy("k")
+        .agg(
+            F.expr("max(cum) * 10000 div max(total)").cast("long")
+            .alias("coverage_bp"),
+            F.max("total").cast("long").alias("total_tokens"),
+        )
+        .orderBy("k")
+    )

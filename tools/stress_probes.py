@@ -841,6 +841,58 @@ def probe_partition_pruning(spark: SparkSession) -> dict:
     return out
 
 
+
+
+def probe_gram_block(spark: SparkSession) -> dict:
+    """The integer Gram-block kernel (x3_embedding_covariance /
+    x3_triplet_mining's mapInPandas path) at 1x and 10x the vector
+    corpus: per-partition numpy Q^T Q over floor-quantized micros,
+    d^2 rows shuffled per partition regardless of row count. Scaling
+    should be ~linear in rows (one pass, no shuffle growth); the probe
+    also re-asserts the merged Gram equals a driver-side numpy
+    computation at 1x (bit-exact integers)."""
+    import math
+
+    import numpy as np
+
+    from recipes_spark.io import load
+    from recipes_spark.queries.dataops import _embedding_gram
+
+    e1 = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").cache()
+    n1 = e1.count()
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    e10 = (
+        e1.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .cache()
+    )
+    n10 = e10.count()
+    out = {"probe": "gram_block", "vectors_1x": n1, "vectors_10x": n10}
+    t1 = min(_timed(lambda: _embedding_gram(e1).count()) for _ in range(3))
+    t10 = min(_timed(lambda: _embedding_gram(e10).count()) for _ in range(3))
+    out["wall_sec_1x"] = round(t1, 2)
+    out["wall_sec_10x"] = round(t10, 2)
+    out["scaling_exponent"] = round(math.log(t10 / t1) / math.log(n10 / n1), 2)
+    rows = e1.orderBy("vec_id").collect()
+    Q = np.floor(
+        np.asarray(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+        )
+        * 1e6
+    ).astype(np.int64)
+    G = Q.T @ Q
+    mism = 0
+    for r in _embedding_gram(e1).filter(F.col("j") > 0).collect():
+        if G[r["i"] - 1, r["j"] - 1] != r["sij"]:
+            mism += 1
+    out["gram_mismatches_1x"] = mism
+    e1.unpersist(), e10.unpersist()
+    return out
+
+
 PROBES = {
     "cc_chain": probe_cc_chain,
     "cc_skew": probe_cc_skew,
@@ -854,6 +906,7 @@ PROBES = {
     "incremental_cc": probe_incremental_cc,
     "spatial_knn": probe_spatial_knn,
     "partition_pruning": probe_partition_pruning,
+    "gram_block": probe_gram_block,
 }
 
 

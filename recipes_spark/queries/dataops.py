@@ -3442,3 +3442,98 @@ def x3_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n.neg_d2") < F.col("p.pos_d2"), 1)
         .otherwise(0).cast("int").alias("is_violation"),
     ).orderBy("anchor")
+
+
+@query(
+    "x7_pagerank_personalized",
+    oracle="""
+WITH RECURSIVE params AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count_if(doc_id % 50 = 0) AS BIGINT) AS ns
+  FROM documents
+), raw_edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM params) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 1) % (SELECT n FROM params) FROM documents
+), edges AS (
+  SELECT r.src, r.dst, 1 AS w
+  FROM raw_edges r JOIN documents dn ON r.dst = dn.doc_id
+  UNION ALL
+  SELECT doc_id, doc_id, 0 FROM documents
+), pr(iter, node, r) AS (
+  SELECT 0, doc_id,
+         CASE WHEN doc_id % 50 = 0
+              THEN 1000000 // (SELECT ns FROM params) ELSE 0 END
+  FROM documents
+  UNION ALL
+  SELECT iter + 1, e.dst,
+         CASE WHEN e.dst % 50 = 0
+              THEN 150000 // (SELECT ns FROM params) ELSE 0 END
+         + CAST(sum(CASE WHEN e.w = 1 THEN (85 * r) // 200 ELSE 0 END)
+                AS BIGINT)
+  FROM pr JOIN edges e ON pr.node = e.src
+  WHERE iter < 10
+  GROUP BY iter + 1, e.dst
+)
+SELECT node, CAST(r AS BIGINT) AS rank_micro
+FROM pr WHERE iter = 10 AND r > 0
+ORDER BY rank_micro DESC, node
+LIMIT 50
+""",
+)
+def x7_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: the teleport mass restarts at a SEED SET
+    (every 50th doc) instead of uniformly — the similar-to-these-nodes
+    query behind related-item recommendation and seed-expansion
+    labeling, and the graph twin of the filtered vector search. Same
+    exact fixed-point integer discipline as x7_pagerank (micro-units,
+    truncating div, self-loop rows keeping every node in the
+    recursion), same bit-exact recursive-CTE oracle replay; only the
+    base vector changes (150000/|seeds| on seeds, zero elsewhere), so
+    mass localizes around the seeds' neighborhoods — nodes never
+    reached report no row (r > 0 filter on both sides).
+
+    100 TB: identical per-round plan to pagerank_fixed_point (probe:
+    0.25 scaling exponent at 100x edges); the localization means most
+    ranks are zero, and a production variant prunes zero-mass
+    frontier nodes per round for sub-graph cost."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    ns = d.filter(F.col("doc_id") % 50 == 0).count()
+    u = F.col("doc_id")
+    raw = d.select(u.alias("src"), ((u * u + 1) % n).cast("long").alias("dst")
+                   ).unionByName(
+        d.select(u.alias("src"), ((u * 7 + 1) % n).cast("long").alias("dst"))
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    edges = raw.join(
+        nodes.select(F.col("node").alias("dst")), "dst"
+    ).localCheckpoint(eager=True)
+    is_seed = F.col("node") % 50 == 0
+    base = F.when(is_seed, F.lit(150000 // ns)).otherwise(0)
+    r = nodes.withColumn(
+        "r",
+        F.when(is_seed, F.lit(1000000 // ns)).otherwise(0).cast("long"),
+    )
+    for _ in range(10):
+        contrib = (
+            edges.join(r, edges.src == r.node)
+            .select("dst", F.expr("(85 * r) div 200").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        r = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (base + F.coalesce("c", F.lit(0))).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        r.filter(F.col("r") > 0)
+        .select("node", F.col("r").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(50)
+    )

@@ -2970,3 +2970,77 @@ def x4_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "agg_anova_f",
+    oracle="""
+WITH b AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents
+), g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS s,
+         CAST(sum(x * x) AS DOUBLE) AS q
+  FROM b GROUP BY lang
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS k,
+         sum(s) AS st, sum(q) AS qt,
+         CAST(sum(CAST(floor(1000000.0 * s * s / n) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS sg
+  FROM g
+)
+SELECT nt, k,
+       CAST(floor(1000000.0 * ((sg - st * st / nt) / (k - 1))
+            / ((qt - sg) / (nt - k))) AS BIGINT) AS f_micro,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(nt - k AS BIGINT) AS df_within
+FROM t
+""",
+)
+def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across language groups (are document lengths
+    the same distribution per language?) — the k-sample completion of
+    the inference family (Welch t = 2 samples, chi-square =
+    categorical, this = k means): SSB = Σ s_g²/n_g − S²/N and
+    SSW = Q − Σ s_g²/n_g from per-group exact integer sums, then
+    F = (SSB/(k−1)) / (SSW/(N−k)) as one fixed double tree, floored
+    micros. The Σ s_g²/n_g term is the one
+    summation-order surface (inexact doubles), so each group's term
+    is FLOORED TO INTEGER MICROS first and integer-summed — the
+    x4_unigram_nll discipline — making the aggregate order-free; st
+    and qt sum integer-valued doubles, exact at any order.
+
+    100 TB: two chained hash aggs (per-group, then the k-row total) —
+    the corr shape; the statistic is O(1) scalar math."""
+    d = load(spark, sf_dir, "documents")
+    b = d.select("lang", F.col("n_chars").cast("long").alias("x"))
+    g = b.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("q"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        (
+            F.sum(
+                F.floor(
+                    F.lit(1000000.0) * F.col("s") * F.col("s") / F.col("n")
+                )
+            ).cast("double")
+            / 1000000.0
+        ).alias("sg"),
+    )
+    nt, k, st, qt, sg = (F.col(c) for c in ("nt", "k", "st", "qt", "sg"))
+    return t.select(
+        "nt", "k",
+        F.floor(
+            F.lit(1000000.0)
+            * ((sg - st * st / nt) / (k - 1))
+            / ((qt - sg) / (nt - k))
+        ).alias("f_micro"),
+        (k - 1).cast("long").alias("df_between"),
+        (nt - k).cast("long").alias("df_within"),
+    )

@@ -3044,3 +3044,73 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k - 1).cast("long").alias("df_between"),
         (nt - k).cast("long").alias("df_within"),
     )
+
+
+@query(
+    "x6_quality_mixture",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count_if(n_chars >= 200
+                       AND len(string_split(text, ' ')) >= 40) AS BIGINT)
+           AS n_pass,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), adj AS (
+  SELECT source, n_docs, n_pass, n_tokens,
+         n_tokens * n_pass // n_docs AS adj_tokens
+  FROM s
+), tot AS (
+  SELECT CAST(sum(adj_tokens) AS DOUBLE) AS t FROM adj
+), pw AS (
+  SELECT source, n_docs, n_pass, adj_tokens,
+         power(adj_tokens / t, 0.7) AS pwr
+  FROM adj, tot
+), z AS (
+  SELECT sum(pwr) AS z FROM pw
+)
+SELECT source, n_docs, n_pass, adj_tokens,
+       CAST(floor(pwr / z * 1000000) AS BIGINT) AS weight_ppm
+FROM pw, z
+ORDER BY source
+""",
+)
+def x6_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED mixture: x6_mixture_weights' temperature
+    re-balancing applied to quality-ADJUSTED token masses — each
+    source's tokens scale by its quality pass rate (docs >= 200 chars
+    AND >= 40 tokens, the quality_score family's bar) as the EXACT
+    integer n_tokens * n_pass div n_docs, then the 0.7-power
+    renormalization runs over the |sources|-row table (the one libm
+    power() site, same contract as x6_mixture_weights: identical
+    doubles in, k-row math). The composition every mixture designer
+    actually ships — up-weight small sources only to the extent their
+    content passes the bar, instead of rewarding volume of junk.
+
+    100 TB: one map-side-combining agg per source; everything after
+    is k-row scalar math with two 1-row broadcasts."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if((F.col("n_chars") >= 200) & (n_tok >= 40)).alias("n_pass"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    adj = s.select(
+        "source", "n_docs", "n_pass",
+        F.expr("n_tokens * n_pass div n_docs").alias("adj_tokens"),
+    )
+    tot = adj.agg(F.sum("adj_tokens").cast("double").alias("t"))
+    pw = adj.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_pass", "adj_tokens",
+        F.pow(F.col("adj_tokens") / F.col("t"), 0.7).alias("pwr"),
+    )
+    z = pw.agg(F.sum("pwr").alias("z"))
+    return (
+        pw.crossJoin(F.broadcast(z))
+        .select(
+            "source", "n_docs", "n_pass", "adj_tokens",
+            F.floor(F.col("pwr") / F.col("z") * 1000000).alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )

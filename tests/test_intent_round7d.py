@@ -316,3 +316,116 @@ def test_trigram_paths_use_order_not_bag(spark, tmp_path):
         ("view", "click", "purchase"): 1,
         ("click", "purchase", "click"): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# agg_anova_f / x4_vocab_coverage_curve / x7_pagerank_personalized /
+# x6_quality_mixture
+# ---------------------------------------------------------------------------
+
+
+def test_anova_matches_closed_form(spark, tmp_path):
+    """Two planted groups with clearly different means: F must equal
+    the same fixed expression evaluated in Python (per-group terms
+    floored to micros first, as the engine specifies)."""
+    import math
+
+    ga = [10, 12, 14]
+    gb = [30, 32, 34, 36]
+    rows = [
+        Row(doc_id=i, lang="a" if i < 3 else "b", source="s",
+            text="t", n_chars=x)
+        for i, x in enumerate(ga + gb)
+    ]
+    d = _write(spark, tmp_path, "documents", rows)
+    r = QUERIES["agg_anova_f"](spark, d).collect()[0]
+    groups = [ga, gb]
+    nt = sum(len(g) for g in groups)
+    k = len(groups)
+    st = float(sum(sum(g) for g in groups))
+    qt = float(sum(x * x for g in groups for x in g))
+    sg = sum(
+        math.floor(1000000.0 * float(sum(g)) * sum(g) / len(g))
+        for g in groups
+    ) / 1000000.0
+    f = math.floor(
+        1000000.0 * ((sg - st * st / nt) / (k - 1)) / ((qt - sg) / (nt - k))
+    )
+    assert (r["nt"], r["k"], r["df_between"], r["df_within"]) == (7, 2, 1, 5)
+    assert r["f_micro"] == f
+
+
+def test_coverage_curve_clamps_beyond_vocab(spark, tmp_path):
+    """Vocabulary of 3 terms with masses 6/3/1: coverage at k=5..30
+    must read full mass (clamp), and a planted k within the vocab
+    would give the partial mass — verified via the k=5 row equaling
+    10000 bp and total_tokens = 10."""
+    rows = [
+        Row(doc_id=0, lang="en", source="s",
+            text="x x x x x x y y y z", n_chars=19),
+    ]
+    d = _write(spark, tmp_path, "documents", rows)
+    got = {r["k"]: (r["coverage_bp"], r["total_tokens"])
+           for r in QUERIES["x4_vocab_coverage_curve"](spark, d).collect()}
+    assert all(got[k] == (10000, 10) for k in got)
+    assert set(got) == {5, 10, 15, 20, 25, 30}
+
+
+def test_personalized_pagerank_matches_integer_replay(spark, tmp_path):
+    """n=20 planted docs: replicate the exact integer PPR loop in pure
+    Python (same edges, same truncating divisions, 10 rounds) — every
+    emitted rank must be bit-equal, and mass must concentrate on the
+    seed's neighborhood (seed node 0 ranks first)."""
+    n = 20
+    d = _write(spark, tmp_path, "documents",
+               [Row(doc_id=i) for i in range(n)])
+    nodes = list(range(n))
+    edges = {}
+    for u in nodes:
+        for v in ((u * u + 1) % n, (u * 7 + 1) % n):
+            if v in nodes:
+                edges.setdefault(u, []).append(v)
+    seeds = [u for u in nodes if u % 50 == 0]
+    ns = len(seeds)
+    r = {u: (1000000 // ns if u in seeds else 0) for u in nodes}
+    for _ in range(10):
+        contrib = {u: 0 for u in nodes}
+        for u, outs in edges.items():
+            for v in outs:
+                contrib[v] += (85 * r[u]) // 200
+        r = {
+            u: (150000 // ns if u in seeds else 0) + contrib[u]
+            for u in nodes
+        }
+    expect = {u: v for u, v in r.items() if v > 0}
+    got = {
+        row["node"]: row["rank_micro"]
+        for row in QUERIES["x7_pagerank_personalized"](spark, d).collect()
+    }
+    assert got == expect
+    top = max(got, key=lambda u: (got[u], -u))
+    assert top == 0  # the seed holds the most mass
+
+
+def test_quality_mixture_downweights_junk_volume(spark, tmp_path):
+    """A big source of junk (fails the quality bar) vs a small clean
+    source: the clean source must take the larger mixture weight even
+    with fewer raw tokens — the behavior plain token-share
+    temperature mixing cannot produce."""
+    clean_text = " ".join(["tok"] * 60)          # 60 tokens, passes
+    junk_text = " ".join(["j"] * 40)             # fails n_chars bar
+    rows = [
+        Row(doc_id=i, lang="en", source="bigjunk", text=junk_text,
+            n_chars=79)
+        for i in range(20)
+    ] + [
+        Row(doc_id=100 + i, lang="en", source="smallclean",
+            text=clean_text, n_chars=239)
+        for i in range(3)
+    ]
+    d = _write(spark, tmp_path, "documents", rows)
+    got = {r["source"]: r for r in
+           QUERIES["x6_quality_mixture"](spark, d).collect()}
+    assert got["bigjunk"]["n_pass"] == 0
+    assert got["smallclean"]["n_pass"] == 3
+    assert got["smallclean"]["weight_ppm"] > got["bigjunk"]["weight_ppm"]

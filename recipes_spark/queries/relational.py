@@ -2110,7 +2110,9 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one shuffle on the partition key; the 16 lags share one
     window sort (Catalyst collapses same-window lag chains into a
     single WindowExec); the supplier filter is partition-complete so
-    it pushes below the window to the scan."""
+    Catalyst plans it at the scan stage below the window (a modulo
+    predicate cannot use parquet footer stats, so only IsNotNull
+    reaches the reader — the row filter still runs pre-shuffle)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 49 == 0)
     b = li.select(
         "l_suppkey", "l_orderkey", "l_linenumber",

@@ -2232,8 +2232,8 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly in frame size — for F in the thousands switch to the
     two-heap / order-statistic-tree mapInPandas kernel per partition;
     at F = 49 the array form is both simpler and faster. The
-    partition-complete supplier filter pushes to the scan exactly as
-    in window_ewma."""
+    partition-complete supplier filter evaluates at the scan stage
+    pre-shuffle exactly as in window_ewma."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 49 == 0)
     b = li.select(
         "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",

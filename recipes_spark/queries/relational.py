@@ -2535,3 +2535,96 @@ def agg_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("v0") + F.col("v1"))
         ).alias("z_micro"),
     ).orderBy("segment")
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS hi,
+         CAST(l_quantity AS BIGINT) AS x
+  FROM lineitem
+), n AS (
+  SELECT flag,
+         CAST(sum(hi) AS BIGINT) AS n1,
+         CAST(count(*) - sum(hi) AS BIGINT) AS n2
+  FROM b GROUP BY flag
+), v AS (
+  SELECT flag, x,
+         CAST(sum(hi) AS BIGINT) AS c1,
+         CAST(count(*) - sum(hi) AS BIGINT) AS c2
+  FROM b GROUP BY flag, x
+), cum AS (
+  SELECT flag, x,
+         sum(c1) OVER (PARTITION BY flag ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) AS f1,
+         sum(c2) OVER (PARTITION BY flag ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) AS f2
+  FROM v
+)
+SELECT c.flag, max(n.n1) AS n1, max(n.n2) AS n2,
+       CAST(max(abs(c.f1 * n.n2 - c.f2 * n.n1)) AS BIGINT) AS d_num,
+       CAST(floor(1000000.0 * max(abs(c.f1 * n.n2 - c.f2 * n.n1))
+            / (CAST(max(n.n1) AS DOUBLE) * max(n.n2))) AS BIGINT)
+         AS d_micro
+FROM cum c JOIN n ON n.flag = c.flag
+GROUP BY c.flag
+ORDER BY c.flag
+""",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV statistic per group — the
+    whole-distribution test completing the inference family
+    (Welch = means, Mann-Whitney = location, ANOVA = k means, KS =
+    the entire ECDF): D = max |F1 - F2| computed ENTIRELY in integers
+    — per distinct value the two samples' cumulative counts, and the
+    supremum over |c1·n2 - c2·n1| (the common-denominator form, so
+    the only float is the final presentation division). Grouping by
+    distinct value first makes ties exact by construction: the ECDF
+    evaluates after ALL equal values, the spot per-row running counts
+    get wrong.
+
+    100 TB: the distinct-value agg and the two cumulative windows
+    cluster on the group key — one exchange, distinct-value-sized
+    window input (quantity has 50 values however many rows); the
+    statistic is one more hash agg."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("hi"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    n = b.groupBy("flag").agg(
+        F.sum("hi").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("hi")).cast("long").alias("n2"),
+    )
+    v = b.groupBy("flag", "x").agg(
+        F.sum("hi").cast("long").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("hi")).cast("long").alias("c2"),
+    )
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = v.select(
+        "flag", "x",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    j = cum.join(F.broadcast(n), "flag")
+    dev = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        j.groupBy("flag")
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            F.max(dev).cast("long").alias("d_num"),
+            F.floor(
+                F.lit(1000000.0) * F.max(dev)
+                / (F.max("n1").cast("double") * F.max("n2"))
+            ).alias("d_micro"),
+        )
+        .orderBy("flag")
+    )

@@ -429,3 +429,21 @@ def test_quality_mixture_downweights_junk_volume(spark, tmp_path):
     assert got["bigjunk"]["n_pass"] == 0
     assert got["smallclean"]["n_pass"] == 3
     assert got["smallclean"]["weight_ppm"] > got["bigjunk"]["weight_ppm"]
+
+
+def test_ks_evaluates_ecdf_after_all_ties(spark, tmp_path):
+    """hi = [1, 2], lo = [2, 3]: at x=2 BOTH samples' ties must be
+    absorbed before the ECDF is read (D = 1/2); evaluating per row
+    in arrival order can see the spurious intermediate gap of 1.
+    Closed form: diffs |c1*n2 - c2*n1| over x in {1,2,3} are 2, 2, 0
+    -> d_num = 2, d_micro = 500000."""
+    rows = [
+        Row(l_returnflag="A", l_discount=d, l_quantity=float(q),
+            l_orderkey=i, l_extendedprice=1.0)
+        for i, (d, q) in enumerate(
+            [(0.06, 1), (0.06, 2), (0.0, 2), (0.0, 3)]
+        )
+    ]
+    d = _write(spark, tmp_path, "lineitem", rows)
+    r = QUERIES["agg_ks_test"](spark, d).collect()[0]
+    assert (r["n1"], r["n2"], r["d_num"], r["d_micro"]) == (2, 2, 2, 500000)

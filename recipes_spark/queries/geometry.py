@@ -5,7 +5,7 @@ trajectory bbox the oracle CAN check."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from recipes_spark.io import load
 from recipes_spark.operators.geometry import (
@@ -378,4 +378,93 @@ def g7_points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_inside"),
         )
         .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "g8_stay_points",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919) % 36000 AS ix,
+         (event_id * 104729) % 17000 AS iy
+  FROM events
+), steps AS (
+  SELECT user_id, ts, event_id, ix, iy,
+         ix - lag(ix) OVER w AS dx,
+         iy - lag(iy) OVER w AS dy
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN dx IS NOT NULL
+               AND dx * dx + dy * dy <= 64000000 THEN 1 ELSE 0 END AS near
+  FROM steps
+), runs AS (
+  SELECT user_id, near,
+         sum(CASE WHEN near = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+), sized AS (
+  SELECT user_id, grp, CAST(sum(near) AS BIGINT) AS run_len
+  FROM runs GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(count_if(run_len >= 3) AS BIGINT) AS n_staypoints,
+       CAST(coalesce(max(run_len), 0) AS BIGINT) AS longest_run
+FROM sized
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def g8_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAY-POINT detection over per-user trajectories — the GPS-
+    mining primitive behind home/work inference and POI extraction: a
+    stay is a run of >= 3 consecutive small steps (squared step
+    distance <= R^2 in the integer coordinate units g1/g2 derive
+    positions from — exact, no haversine float surface). Runs come
+    from gaps-and-islands: a far step increments the group id (running
+    sum of breaks), near-step counts aggregate per group, and the
+    per-user rollup counts qualifying runs and the longest one.
+
+    100 TB: the lag window, the islands window, and both aggs all
+    cluster on user_id — ONE exchange end to end (the funnel-pass
+    rule); a production variant adds a minimum DURATION bound from
+    the run's ts span, same shape with a min/max per group."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        ((F.col("event_id") * 7919) % 36000).alias("ix"),
+        ((F.col("event_id") * 104729) % 17000).alias("iy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = pts.select(
+        "user_id", "ts", "event_id",
+        (F.col("ix") - F.lag("ix").over(w)).alias("dx"),
+        (F.col("iy") - F.lag("iy").over(w)).alias("dy"),
+    )
+    near = F.when(
+        F.col("dx").isNotNull()
+        & (F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy") <= 64_000_000),
+        1,
+    ).otherwise(0)
+    flagged = steps.select("user_id", "ts", "event_id", near.alias("near"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = flagged.select(
+        "user_id", "near",
+        F.sum(F.when(F.col("near") == 0, 1).otherwise(0)).over(wcum)
+        .alias("grp"),
+    )
+    sized = runs.groupBy("user_id", "grp").agg(
+        F.sum("near").cast("long").alias("run_len")
+    )
+    return (
+        sized.groupBy("user_id")
+        .agg(
+            F.count_if(F.col("run_len") >= 3).alias("n_staypoints"),
+            F.coalesce(F.max("run_len"), F.lit(0)).cast("long")
+            .alias("longest_run"),
+        )
+        .orderBy("user_id")
     )

@@ -1662,3 +1662,421 @@ def event_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign")
     )
+
+
+@query(
+    "window_drawdown",
+    oracle="""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, unnest(range(min(b), max(b) + 1)) AS b
+  FROM c GROUP BY event_type
+), filled AS (
+  SELECT g.event_type, g.b, coalesce(c.n, 0) AS x
+  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(x) AS BIGINT) AS total
+  FROM filled GROUP BY event_type
+), eq AS (
+  SELECT f.event_type, f.b, t.cnt,
+         CAST(sum(f.x * t.cnt - t.total)
+              OVER (PARTITION BY f.event_type ORDER BY f.b
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS equity
+  FROM filled f JOIN tot t ON t.event_type = f.event_type
+), dd AS (
+  SELECT event_type, b, cnt,
+         CAST(max(equity) OVER (PARTITION BY event_type ORDER BY b
+                                ROWS UNBOUNDED PRECEDING)
+              - equity AS BIGINT) AS dd
+  FROM eq
+), m AS (
+  SELECT event_type, CAST(max(dd) AS BIGINT) AS md FROM dd GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(min(d.b) AS BIGINT) AS trough_bucket,
+       CAST(max(m.md) AS BIGINT) AS dd_scaled,
+       CAST(max(m.md) // max(d.cnt) AS BIGINT) AS dd_cents
+FROM dd d JOIN m ON m.event_type = d.event_type
+WHERE d.dd = m.md
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the hourly net-revenue curve per event type —
+    the monitoring query behind "how far below its best hour-rate did
+    this stream fall, and when": equity_t = running sum of the
+    mean-centered hourly cents, drawdown_t = running-max(equity) -
+    equity, answer = the max drawdown and its EARLIEST trough bucket.
+    Mean-centering is kept exact by multiplying through by the bucket
+    count (y = x*cnt - total), so equity, running max, and drawdown
+    are all integers — the only division is the final presentation
+    floor back to cents. Buckets come zero-filled from the shared
+    grid: a silent hour IS a drawdown hour, skipping it would
+    understate the dip.
+
+    100 TB: grid join + both stacked windows + the argmax join all
+    cluster on event_type — one exchange; the tie-broken trough join
+    broadcasts the per-type maxima (rows = #types)."""
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("b"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("cents").cast("long").alias("n"))
+    )
+    grid = (
+        c.groupBy("event_type")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("b"))
+    )
+    filled = grid.join(c, ["event_type", "b"], "left").select(
+        "event_type", "b", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = filled.join(F.broadcast(tot), "event_type").select(
+        "event_type", "b", "cnt",
+        F.sum(F.col("x") * F.col("cnt") - F.col("total")).over(w).alias("equity"),
+    )
+    dd = eq.select(
+        "event_type", "b", "cnt",
+        (F.max("equity").over(w) - F.col("equity")).alias("dd"),
+    )
+    m = dd.groupBy("event_type").agg(F.max("dd").alias("md"))
+    return (
+        dd.join(F.broadcast(m), "event_type")
+        .filter(F.col("dd") == F.col("md"))
+        .groupBy("event_type")
+        .agg(
+            F.min("b").cast("long").alias("trough_bucket"),
+            F.max("md").cast("long").alias("dd_scaled"),
+            F.expr("max(md) div max(cnt)").cast("long").alias("dd_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "event_rfm_segments",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents,
+         max(epoch_us(ts)) AS umax
+  FROM events GROUP BY user_id
+), a AS (SELECT max(epoch_us(ts)) AS amax FROM events),
+r AS (
+  SELECT u.user_id, u.frequency, u.monetary_cents,
+         CAST((a.amax - u.umax) // 86400000000 AS BIGINT) AS recency_days
+  FROM u, a
+), s AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+              AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id)
+              AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, user_id)
+              AS BIGINT) AS m_score
+  FROM r
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM s
+ORDER BY user_id
+""",
+)
+def event_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores and the classic rule-based segment names. Every
+    metric is an exact integer (whole days since the corpus anchor,
+    event count, cents), and every ntile is made deterministic under
+    ties by appending user_id to its ORDER BY — without the tiebreak,
+    equal-frequency users could swap quintiles between runs and
+    engines.
+
+    100 TB: the per-user reduce is one map-side-combining shuffle; the
+    anchor is a broadcast scalar. The three ntiles as written are a
+    single-task sort over the USER dimension (not the event stream) —
+    at billions of users the same contract would come from
+    approx-quantile cutpoints joined back, trading the exact quintile
+    boundary for a parallel scoring pass."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+        F.max(F.unix_micros("ts")).alias("umax"),
+    )
+    a = ev.agg(F.max(F.unix_micros("ts")).alias("amax"))
+    r = u.crossJoin(F.broadcast(a)).select(
+        "user_id", "frequency", "monetary_cents",
+        F.expr("(amax - umax) div 86400000000")
+        .cast("long")
+        .alias("recency_days"),
+    )
+    s = r.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").asc(), "user_id"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").asc(), "user_id"))
+        .cast("long")
+        .alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return s.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", seg.alias("segment"),
+    ).orderBy("user_id")
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, unnest(range(min(b), max(b) + 1)) AS b
+  FROM c GROUP BY event_type
+), filled AS (
+  SELECT g.event_type, g.b, g.b % 24 AS hod, coalesce(c.n, 0) AS x
+  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+), season AS (
+  SELECT event_type, hod,
+         CAST(sum(x) AS BIGINT) AS seas_num,
+         CAST(count(*) AS BIGINT) AS seas_den
+  FROM filled GROUP BY event_type, hod
+)
+SELECT f.event_type, f.b AS bucket, f.hod, CAST(f.x AS BIGINT) AS x,
+       CAST(floor(1000000.0 * s.seas_num
+                  / CAST(s.seas_den AS DOUBLE)) AS BIGINT)
+         AS seasonal_micro,
+       CAST(floor(1000000.0 * (f.x - s.seas_num
+                  / CAST(s.seas_den AS DOUBLE))) AS BIGINT)
+         AS resid_micro
+FROM filled f
+JOIN season s ON s.event_type = f.event_type AND s.hod = f.hod
+ORDER BY f.event_type, bucket
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly revenue series —
+    per event type, the hour-of-day seasonal profile (the mean over
+    all buckets sharing that UTC hour slot) and the deseasonalized
+    residual for every bucket. The profile is carried as an exact
+    integer fraction (seas_num / seas_den); the only floats are the
+    two fixed-shape presentation divisions, floor-scaled to micros on
+    identical integers on both engines. Hour-of-day comes from epoch
+    arithmetic (b % 24), immune to the session timezone. Buckets are
+    zero-filled: a silent hour is seasonal evidence (that slot is
+    quiet), not a gap — dropping it would bias every profile high.
+
+    100 TB: the bucket agg, the grid join, and the profile join all
+    cluster on event_type (the profile side is #types x 24 rows,
+    broadcast); one exchange carries the series end to end."""
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("b"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("cents").cast("long").alias("n"))
+    )
+    grid = (
+        c.groupBy("event_type")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("b"))
+    )
+    filled = grid.join(c, ["event_type", "b"], "left").select(
+        "event_type", "b", (F.col("b") % 24).alias("hod"),
+        F.coalesce("n", F.lit(0)).alias("x"),
+    )
+    season = filled.groupBy("event_type", "hod").agg(
+        F.sum("x").cast("long").alias("seas_num"),
+        F.count(F.lit(1)).cast("long").alias("seas_den"),
+    )
+    mean = F.col("seas_num") / F.col("seas_den").cast("double")
+    return (
+        filled.join(F.broadcast(season), ["event_type", "hod"])
+        .select(
+            "event_type", F.col("b").alias("bucket"), "hod",
+            F.col("x").cast("long").alias("x"),
+            F.floor(F.lit(1000000.0) * mean).alias("seasonal_micro"),
+            F.floor(F.lit(1000000.0) * (F.col("x") - mean))
+            .alias("resid_micro"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "agg_survival_km",
+    oracle="""
+WITH u AS (
+  SELECT e.user_id, c.c_mktsegment AS segment,
+         min(epoch_us(e.ts)) AS t0,
+         max(epoch_us(e.ts)) AS tlast,
+         min(CASE WHEN e.event_type = 'purchase'
+                  THEN epoch_us(e.ts) END) AS tp
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  GROUP BY e.user_id, c.c_mktsegment
+), d AS (
+  SELECT segment,
+         CAST((coalesce(tp, tlast) - t0) // 86400000000 AS BIGINT)
+           AS t_days,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u
+), g AS (
+  SELECT segment, t_days,
+         CAST(sum(ev) AS BIGINT) AS d_events,
+         CAST(count(*) - sum(ev) AS BIGINT) AS c_censored
+  FROM d GROUP BY segment, t_days
+), risk AS (
+  SELECT segment, t_days, d_events, c_censored,
+         CAST(sum(d_events + c_censored) OVER (PARTITION BY segment)
+              - coalesce(sum(d_events + c_censored) OVER (
+                  PARTITION BY segment ORDER BY t_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM g
+), lg AS (
+  SELECT segment, t_days, n_risk, d_events, c_censored,
+         CAST(floor(1000000.0 * ln(
+               CAST(n_risk - d_events AS DOUBLE) / n_risk)) AS BIGINT)
+           AS logs_micro
+  FROM risk WHERE d_events > 0 AND n_risk > d_events
+)
+SELECT segment, t_days, n_risk, d_events, c_censored, logs_micro,
+       CAST(sum(logs_micro) OVER (PARTITION BY segment ORDER BY t_days
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS logs_cum
+FROM lg
+ORDER BY segment, t_days
+""",
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve for time-to-first-
+    purchase per market segment — the churn/conversion analysis: each
+    user contributes a duration in whole days from their first event
+    to their first purchase, CENSORED at their last observed event if
+    they never purchased. At each event time t: d_t purchases among
+    n_risk still-at-risk users (censored-at-t users count as at risk,
+    the standard convention), and the survival product prod(1 - d/n)
+    is carried in LOG space with the repo's per-term-floor discipline:
+    each ln((n-d)/n) is floored to integer micros independently, then
+    the cumulative log-survival is an exact integer sum — no
+    order-dependent float accumulation crosses engines. Durations,
+    risk sets, and event counts are pure integers; terminal times
+    where the whole risk set converts (n == d, survival hits exact 0,
+    log -inf) are excluded by construction and no later time can
+    exist with anyone at risk.
+
+    100 TB: the per-user reduce shuffles once on user_id (customer
+    broadcast); the curve windows cluster on segment over
+    distinct-duration-sized input (days, not users)."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    u = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("user_id", "segment")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("t0"),
+            F.max(F.unix_micros("ts")).alias("tlast"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.unix_micros("ts")
+                )
+            ).alias("tp"),
+        )
+    )
+    d = u.select(
+        "segment",
+        F.expr("(coalesce(tp, tlast) - t0) div 86400000000")
+        .cast("long")
+        .alias("t_days"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    g = d.groupBy("segment", "t_days").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c_censored"),
+    )
+    whole = Window.partitionBy("segment")
+    prior = (
+        Window.partitionBy("segment")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    leaving = F.col("d_events") + F.col("c_censored")
+    risk = g.select(
+        "segment", "t_days", "d_events", "c_censored",
+        (
+            F.sum(leaving).over(whole)
+            - F.coalesce(F.sum(leaving).over(prior), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    lg = risk.filter(
+        (F.col("d_events") > 0) & (F.col("n_risk") > F.col("d_events"))
+    ).select(
+        "segment", "t_days", "n_risk", "d_events", "c_censored",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(
+                (F.col("n_risk") - F.col("d_events")).cast("double")
+                / F.col("n_risk")
+            )
+        ).alias("logs_micro"),
+    )
+    cum = (
+        Window.partitionBy("segment")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return lg.select(
+        "segment", "t_days", "n_risk", "d_events", "c_censored",
+        "logs_micro",
+        F.sum("logs_micro").over(cum).cast("long").alias("logs_cum"),
+    ).orderBy("segment", "t_days")

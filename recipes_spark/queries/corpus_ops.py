@@ -3114,3 +3114,104 @@ def x6_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BM25_TERMS = ("spark", "join", "window", "vector")
+
+_BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {_BM25_TERMS!r}
+  GROUP BY doc_id, w
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), sc AS (
+  SELECT t.doc_id,
+         CAST(floor(
+           1000000.0
+           * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75
+              * (CAST(l.dl * s.n AS DOUBLE) / s.sumdl)))
+         ) AS BIGINT) AS sm
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(sm) AS BIGINT) AS score_micro
+FROM sc GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("x4_bm25_search", oracle=_BM25_ORACLE)
+def x4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Okapi, Lucene's +1 idf form, k1=1.2,
+    b=0.75) for a fixed query-term set — the sparse ranking leg a
+    hybrid RAG stack runs next to the dense x3 family. Exactness: tf,
+    df, doc length, corpus size, and total length are pure integers;
+    each (doc, term) partial score is ONE fixed-shape double tree over
+    those integers (identical literal order both engines — float
+    multiplication is non-associative, so the parenthesization IS the
+    contract), floored to micros per term before the ≤|Q|-term integer
+    sum; top-20 cut orders by the integer score with a doc_id
+    tiebreak.
+
+    Scale shape: tokens collapse to per-doc (term, tf) FIRST with the
+    IN-filter pushed inside the explode (the scan carries only query
+    terms, stopword skew never materializes); df derives from that
+    same aggregate; doc-length join is per-doc-sized; stats broadcast
+    as one row. 100 TB: one map-side-combining shuffle on doc_id plus
+    a TakeOrderedAndProject."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sumdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (
+        0.25
+        + 0.75 * ((F.col("dl") * F.col("n")).cast("double") / F.col("sumdl"))
+    )
+    sc = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1000000.0) * idf * (F.col("tf") * 2.2) / denom
+            ).alias("sm"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("sm").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )

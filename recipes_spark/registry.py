@@ -125,6 +125,22 @@ def _driver_attested() -> set[str]:
     return names
 
 
+#: Unattested names the driver's bounded sample missed in a prior round
+#: (registered too late in the ordering): serve these FIRST within the
+#: unattested tier so the oldest attestation debt clears before anything
+#: newer. Inert once attested.
+_FRONT: list[str] = [
+    "g7_points_in_polygons",
+    "g8_stay_points",
+    "x5_scene_cuts",
+]
+
+#: Names registered in the CURRENT round: serve these LAST within the
+#: unattested tier, so they never displace older debt from the driver's
+#: bounded per-round sample. Inert once attested.
+_DEFER: set[str] = set()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """All registered queries, driver-UNattested first.
 
@@ -134,13 +150,20 @@ def all_queries() -> dict[str, QueryFn]:
     (including brand-new queries), (3) already-attested queries. Once a
     _RECHECK name is re-attested it leaves tier 1 and sorts like any other
     attested query. Within each tier, registration order (module import
-    order in recipes_spark/queries/__init__.py) is kept.
+    order in recipes_spark/queries/__init__.py) is kept, except that
+    ``_FRONT`` names lead tier 2 and ``_DEFER`` names trail it.
     """
     _ensure_loaded()
     attested = _driver_attested()
     ordered: dict[str, QueryFn] = {}
     for name, fn in _QUERIES.items():
         if name in _RECHECK and name not in attested:
+            ordered[name] = fn
+    for name in _FRONT:
+        if name in _QUERIES and name not in attested and name not in ordered:
+            ordered[name] = _QUERIES[name]
+    for name, fn in _QUERIES.items():
+        if name not in attested and name not in ordered and name not in _DEFER:
             ordered[name] = fn
     for name, fn in _QUERIES.items():
         if name not in attested and name not in ordered:

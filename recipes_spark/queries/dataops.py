@@ -3308,7 +3308,7 @@ WITH q AS (
          max(a.label) AS la, max(b.label) AS lb,
          CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
   FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
-  WHERE a.vec_id % 5 = 0
+  WHERE a.vec_id % 5 = 0 AND a.vec_id < 5000
   GROUP BY a.vec_id, b.vec_id
 ), pos AS (
   SELECT anchor, max(d2) AS pos_d2 FROM d WHERE la = lb GROUP BY anchor
@@ -3336,10 +3336,12 @@ def x3_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     hardest negative (different label, MIN distance), plus the
     violation flag (negative closer than positive — the triplets a
     contrastive trainer actually learns from). Anchors are a MINING
-    BATCH (every fifth vector), which is how triplet mining runs in
-    production — per training batch, never corpus x corpus — and what
-    keeps the broadcast anchor matrix and the driver collect bounded
-    by the batch size BY CONSTRUCTION. Distances are integer
+    BATCH of CONSTANT size — every fifth vector below a fixed id
+    ceiling, at most 1000 anchors no matter how large the corpus —
+    which is how triplet mining runs in production (per training
+    batch, never corpus x corpus) and what keeps the broadcast anchor
+    matrix and the driver collect bounded BY CONSTRUCTION rather than
+    proportional to N. Distances are integer
     squared L2 over floor-quantized micro coordinates, so argmin/
     argmax are exact and ties break to the smallest candidate id on
     both engines; the oracle is the relational all-pairs definition.
@@ -3357,7 +3359,11 @@ def x3_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    anchors = emb.filter(F.col("vec_id") % 5 == 0).orderBy("vec_id").collect()
+    anchors = (
+        emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 5000))
+        .orderBy("vec_id")
+        .collect()
+    )
     A = np.asarray(
         [np.asarray(r["embedding"], dtype=np.float64) for r in anchors]
     )

@@ -82,6 +82,9 @@ _RECHECK: dict[str, int] = {
     # with the full gaps-and-islands oracle — prior rows-only rows
     # attest the old append behavior, not the oracled one:
     "st4_session_stream": 7,
+    # round-8: anchor batch bounded by a constant id ceiling (was a
+    # fixed FRACTION of the corpus collected to the driver):
+    "x3_triplet_mining": 8,
 }
 
 

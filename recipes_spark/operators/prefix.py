@@ -23,6 +23,63 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def partitioned_row_number(
+    df: DataFrame,
+    *,
+    order_exprs: list,
+    out_col: str = "rn",
+    shards: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Add ``out_col`` = 1-based global row number over ``order_exprs``
+    (a total order — include a unique tiebreaker), computed
+    shard-parallel, and return ``(df, total_row_count)``.
+
+    Same two-pass shape as :func:`partitioned_prefix_sum`: range
+    shuffle on the order key, shard-LOCAL row_number via a partitioned
+    window (parallel — no Exchange SinglePartition anywhere in the
+    plan), per-shard counts exclusive-scanned on the driver (S values)
+    and broadcast back as offsets. This is the scale-safe spelling of
+    every global-rank consumer (ntile scoring, percentile assignment,
+    keyset backfill): the naive ``Window.orderBy`` with no partitionBy
+    is a single-task sort of the whole table.
+
+    The total count comes free from the per-shard counts already on
+    the driver, so callers computing rank-arithmetic (e.g. ntile
+    buckets) don't pay a separate count() job.
+    """
+    spark = df.sparkSession
+    if shards is None:
+        shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    ranged = df.repartitionByRange(shards, *order_exprs).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__shard").orderBy(*order_exprs)
+    local = ranged.withColumn(
+        out_col, F.row_number().over(w).cast("long")
+    ).localCheckpoint(eager=True)
+
+    counts = sorted(
+        (r["__shard"], r["n"])
+        for r in local.groupBy("__shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for shard, n in counts:
+        offsets.append((shard, acc))
+        acc += n
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("bigint")), 0
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__shard int, __off bigint")
+    )
+    out = (
+        local.join(off_df, "__shard")
+        .withColumn(out_col, F.col(out_col) + F.col("__off"))
+        .drop("__shard", "__off")
+    )
+    return out, acc
+
+
 def partitioned_prefix_sum(
     df: DataFrame,
     *,

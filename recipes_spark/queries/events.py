@@ -1817,11 +1817,16 @@ def event_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     100 TB: the per-user reduce is one map-side-combining shuffle; the
-    anchor is a broadcast scalar. The three ntiles as written are a
-    single-task sort over the USER dimension (not the event stream) —
-    at billions of users the same contract would come from
-    approx-quantile cutpoints joined back, trading the exact quintile
-    boundary for a parallel scoring pass."""
+    anchor is a broadcast scalar. Each quintile score is computed
+    WITHOUT a global sort: a sharded global row number
+    (operators/prefix.partitioned_row_number — range shuffle,
+    shard-local window, S-row offset scan) feeds the exact ntile
+    bucket arithmetic (first N mod 5 buckets hold ceil(N/5) rows), so
+    there is no Exchange SinglePartition anywhere in the plan and the
+    user dimension never funnels through one task. Output is
+    bit-identical to the oracle's ntile(5)."""
+    from recipes_spark.operators.prefix import partitioned_row_number
+
     ev = load(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("frequency"),
@@ -1837,20 +1842,39 @@ def event_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recency_days"),
     )
-    s = r.select(
+    def ntile5(rn_col: str, n_total: int):
+        # Exact ntile(5) from a 1-based global rank: q = N div 5 rows
+        # per bucket, the first r = N mod 5 buckets take one extra.
+        q5, r5 = divmod(n_total, 5)
+        p0 = F.col(rn_col) - F.lit(1)
+        if q5 == 0:
+            return (p0 + 1).cast("long")
+        head = r5 * (q5 + 1)
+        bucket = F.when(p0 < head, F.floor(p0 / (q5 + 1))).otherwise(
+            r5 + F.floor((p0 - head) / q5)
+        )
+        return (bucket + 1).cast("long")
+
+    s, n_users = partitioned_row_number(
+        r,
+        order_exprs=[F.col("recency_days").desc(), F.col("user_id")],
+        out_col="__rn_r",
+    )
+    s, _ = partitioned_row_number(
+        s,
+        order_exprs=[F.col("frequency").asc(), F.col("user_id")],
+        out_col="__rn_f",
+    )
+    s, _ = partitioned_row_number(
+        s,
+        order_exprs=[F.col("monetary_cents").asc(), F.col("user_id")],
+        out_col="__rn_m",
+    )
+    s = s.select(
         "user_id", "recency_days", "frequency", "monetary_cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").asc(), "user_id"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary_cents").asc(), "user_id"))
-        .cast("long")
-        .alias("m_score"),
+        ntile5("__rn_r", n_users).alias("r_score"),
+        ntile5("__rn_f", n_users).alias("f_score"),
+        ntile5("__rn_m", n_users).alias("m_score"),
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")

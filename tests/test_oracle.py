@@ -170,6 +170,10 @@ PARTITION_SENSITIVE = [
     "window_autocorr",
     "join_interval_overlap",
     "x6_interleave_schedule",
+    # Round-8: rfm's quintile scores come from the sharded global
+    # row-number (range shuffle + offset scan) — the rank, hence every
+    # score, must not depend on where shard boundaries fall.
+    "event_rfm_segments",
 ]
 
 

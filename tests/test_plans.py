@@ -202,6 +202,19 @@ def test_manifest_key_has_no_single_task_window(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_rfm_scores_have_no_single_task_window(spark, sf_dir):
+    """The three RFM quintile scores come from sharded global
+    row-numbers (operators/prefix.partitioned_row_number), never from
+    ntile over an empty partitionBy — the executed plan must contain
+    no SinglePartition exchange, and the shard offsets must arrive via
+    broadcast join."""
+    df = QUERIES["event_rfm_segments"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_fact_fact_join_injects_runtime_bloom_filter(spark, sf_dir):
     """100 TB fact-fact joins (SCALE.md): when neither side broadcasts,
     Spark's runtime Bloom-filter injection must prune the probe side's

@@ -66,6 +66,7 @@ _TOKEN = re.compile(
       | (?P<lp>\()
       | (?P<rp>\))
       | (?P<comma>,)
+      | (?P<qword>"[^"]+")
       | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
     re.VERBOSE,
@@ -340,6 +341,14 @@ class _Parser:
             return F.lit(False)
         if k == "word":
             return F.col(self.next())
+        if k == "qword":
+            # CQL2 double-quoted identifier — the spelling for property
+            # names outside the bare-word charset, e.g. "proj:epsg"
+            # (the xstac projection property every reference pipeline
+            # emits). Backquoted so Catalyst takes it verbatim (no
+            # dot-splitting).
+            name = self.next()[1:-1].replace("`", "``")
+            return F.col(f"`{name}`")
         raise CQLError(f"expected operand, got {self.toks[self.i][1]!r}")
 
     # -- spatial / temporal function predicates ------------------------------

@@ -30,6 +30,25 @@ MOVING_FEATURES_EXT = (
     "https://stac-extensions.github.io/moving-features/v1.0.0/schema.json"
 )
 
+#: xstac projection metadata (avhrr…/recipe.py:128-136,
+#: insitu…/recipe.py:162-170): both reference pipelines pass
+#: xstac_kwargs={"reference_system": "epsg:4326", "x_dimension": ...,
+#: "y_dimension": ...} into CreateStacItem; xstac renders them as the
+#: projection extension's proj:epsg property plus datacube-extension
+#: cube:dimensions entries for the named spatial axes.
+PROJECTION_EXT = (
+    "https://stac-extensions.github.io/projection/v1.1.0/schema.json"
+)
+DATACUBE_EXT = "https://stac-extensions.github.io/datacube/v2.2.0/schema.json"
+
+
+def _epsg_code(reference_system: object) -> int:
+    """'epsg:4326' | 'EPSG:4326' | 4326 → 4326."""
+    s = str(reference_system).lower()
+    if s.startswith("epsg:"):
+        s = s[len("epsg:"):]
+    return int(s)
+
 
 def geojson_bbox_polygon(w: Column, s: Column, e: Column, n: Column) -> Column:
     """P4: bbox → GeoJSON Polygon string — pure format_string, mirroring
@@ -58,6 +77,7 @@ def build_items(
     href_col: str = "source_url",
     geometry_col: str | None = None,
     datetimes_col: str | None = None,
+    projection: dict | None = None,
     preprocess: Hook | None = None,
     postprocess: Hook | None = None,
 ) -> DataFrame:
@@ -73,7 +93,17 @@ def build_items(
     ``datetimes`` field (null for stationary rows — the fixed-schema
     rendering of recipe.py:100-101's add-key-only-when-present).
     ``stac_extensions`` is always present: [moving-features] iff the
-    geometry is a LineString with datetimes (P9), else []."""
+    geometry is a LineString with datetimes (P9), else [].
+
+    ``projection`` mirrors the reference's xstac_kwargs
+    (avhrr…/recipe.py:128-136, insitu…/recipe.py:162-170): a dict with
+    ``reference_system`` ('epsg:4326' or 4326) and ``x_dimension`` /
+    ``y_dimension`` names. When given, properties gains ``proj:epsg``
+    (bigint) and a ``cube:dimensions`` JSON document whose two spatial
+    axes carry the configured dimension names with extents from the
+    item bbox, and stac_extensions leads with the projection +
+    datacube schema URIs. All pure Catalyst (format_string over the
+    bbox corners) — no per-item Python."""
     if preprocess is not None:
         metadata = preprocess(metadata)
     w, s, e, n = (F.col(c).cast("double") for c in bbox_cols)
@@ -98,6 +128,22 @@ def build_items(
     ]
     if datetimes_col:
         prop_fields.append(F.col(datetimes_col).alias("datetimes"))
+    if projection is not None:
+        epsg = _epsg_code(projection.get("reference_system", 4326))
+        xd = str(projection.get("x_dimension", "x"))
+        yd = str(projection.get("y_dimension", "y"))
+        cube = F.format_string(
+            '{"%s": {"axis": "x", "type": "spatial", '
+            '"extent": [%.1f, %.1f], "reference_system": %d}, '
+            '"%s": {"axis": "y", "type": "spatial", '
+            '"extent": [%.1f, %.1f], "reference_system": %d}}',
+            F.lit(xd), w, e, F.lit(epsg), F.lit(yd), s, n, F.lit(epsg),
+        )
+        prop_fields.append(F.lit(epsg).cast("long").alias("proj:epsg"))
+        prop_fields.append(cube.alias("cube:dimensions"))
+        extensions = F.concat(
+            F.array(F.lit(PROJECTION_EXT), F.lit(DATACUBE_EXT)), extensions
+        )
     items = metadata.select(
         F.col(id_col).alias("id"),
         F.col(collection_col).alias("collection_id"),

@@ -87,15 +87,31 @@ SELECT item_id AS id,
        source_url    AS asset_href,
        'application/netcdf' AS asset_media_type,
        'collection'  AS link_rel,
-       collection_id AS link_target
+       collection_id AS link_target,
+       CAST(4326 AS BIGINT) AS prop_proj_epsg,
+       printf('{{"lon": {{"axis": "x", "type": "spatial", "extent": [%.1f, %.1f], "reference_system": %d}}, "lat": {{"axis": "y", "type": "spatial", "extent": [%.1f, %.1f], "reference_system": %d}}}}',
+              west, east, 4326, south, north, 4326)
+         AS prop_cube_dimensions,
+       'https://stac-extensions.github.io/projection/v1.1.0/schema.json'
+         AS ext_first
 FROM meta
 """,
 )
 def stac_item_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10/P11/P13: full nested item assembly (struct/map/array document)
     then flattened projection for the oracle — the driver compares flat
-    columns, the engine keeps the nested STAC shape."""
-    items = build_items(_metadata(spark, sf_dir))
+    columns, the engine keeps the nested STAC shape. The projection
+    dict mirrors the reference's xstac_kwargs (avhrr…/recipe.py:128-136):
+    proj:epsg + cube:dimensions land in properties and the projection/
+    datacube schema URIs lead stac_extensions."""
+    items = build_items(
+        _metadata(spark, sf_dir),
+        projection={
+            "reference_system": "epsg:4326",
+            "x_dimension": "lon",
+            "y_dimension": "lat",
+        },
+    )
     return items.select(
         "id",
         "collection_id",
@@ -111,6 +127,11 @@ def stac_item_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("assets")["data"]["media_type"].alias("asset_media_type"),
         F.col("links")[0]["rel"].alias("link_rel"),
         F.col("links")[0]["target"].alias("link_target"),
+        F.col("properties").getField("proj:epsg").alias("prop_proj_epsg"),
+        F.col("properties")
+        .getField("cube:dimensions")
+        .alias("prop_cube_dimensions"),
+        F.col("stac_extensions")[0].alias("ext_first"),
     )
 
 

@@ -85,6 +85,9 @@ _RECHECK: dict[str, int] = {
     # round-8: anchor batch bounded by a constant id ceiling (was a
     # fixed FRACTION of the corpus collected to the driver):
     "x3_triplet_mining": 8,
+    # round-8: items gained xstac projection metadata (proj:epsg +
+    # cube:dimensions + leading extension URIs) — the oracle widened:
+    "stac_item_assembly": 8,
 }
 
 

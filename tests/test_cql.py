@@ -611,3 +611,60 @@ def test_cql_json_fuzz_controlled_errors(spark):
             pass
 
     fuzz()
+
+
+def test_quoted_identifier_filters_projection_property(spark):
+    """xstac-shaped items carry a "proj:epsg" property
+    (avhrr…/recipe.py:128-136): CQL2's double-quoted identifier
+    spelling must compile in the text parser, and the JSON encoding's
+    {"property": "proj:epsg"} must resolve the same column — both
+    verbatim, never dot-split."""
+    from recipes_spark.plans.cql import compile_cql_json
+    from recipes_spark.plans.items import (
+        DATACUBE_EXT,
+        PROJECTION_EXT,
+        build_items,
+    )
+
+    meta = spark.createDataFrame(
+        [
+            ("i1", "c1", -10.0, -5.0, 0.0, 5.0,
+             "2024-01-01 00:00:00", "2024-01-02 00:00:00", "u1"),
+            ("i2", "c1", 20.0, 10.0, 30.0, 15.0,
+             "2024-02-01 00:00:00", "2024-02-02 00:00:00", "u2"),
+        ],
+        "item_id string, collection_id string, west double, south double,"
+        " east double, north double, start_datetime string,"
+        " end_datetime string, source_url string",
+    ).withColumn("start_datetime", F.to_timestamp("start_datetime")) \
+     .withColumn("end_datetime", F.to_timestamp("end_datetime"))
+    items = build_items(
+        meta,
+        projection={
+            "reference_system": "epsg:4326",
+            "x_dimension": "ni",
+            "y_dimension": "nj",
+        },
+    )
+    flat = items.select(
+        F.col("properties").getField("proj:epsg").alias("proj:epsg"),
+        F.col("properties").getField("cube:dimensions").alias("cube"),
+        "stac_extensions",
+    )
+    rows = flat.collect()
+    assert all(r["proj:epsg"] == 4326 for r in rows)
+    assert all('"ni"' in r["cube"] and '"nj"' in r["cube"] for r in rows)
+    assert all(
+        r["stac_extensions"][:2] == [PROJECTION_EXT, DATACUBE_EXT]
+        for r in rows
+    )
+    assert flat.filter(compile_cql('"proj:epsg" = 4326')).count() == 2
+    assert flat.filter(compile_cql('"proj:epsg" <> 4326')).count() == 0
+    assert (
+        flat.filter(
+            compile_cql_json(
+                {"op": "=", "args": [{"property": "proj:epsg"}, 4326]}
+            )
+        ).count()
+        == 2
+    )

@@ -275,12 +275,21 @@ def file_metadata(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(extract, schema=META_SCHEMA)
 
 
-def _fetch_url(url: str) -> bytes:
+def _fetch_url(url: str, open_kwargs: dict | None = None) -> bytes:
     """Executor-side byte fetch for ONE url. http(s):// uses stdlib
     urllib — the dependency-free core of the reference's
     OpenURLWithFSSpec (avhrr…/recipe.py:124) for its actual use case
     (public HTTP granule servers); file:// and bare paths read locally;
-    any other protocol dispatches to fsspec when installed."""
+    any other protocol dispatches to fsspec when installed.
+
+    ``open_kwargs`` mirrors the reference's runtime-config pass-through
+    (avhrr…/recipe.py:124,154 threads open_kwargs=storage_kwargs into
+    OpenURLWithFSSpec): for http(s), ``headers`` / ``timeout`` apply to
+    the stdlib request (credentialed HTTP works without fsspec); any
+    other keys — or any other protocol — hand the dict verbatim to
+    ``fsspec.open(url, 'rb', **open_kwargs)``, exactly where the
+    reference sends it."""
+    kw = dict(open_kwargs or {})
     proto, sep, rest = url.partition("://")
     if not sep:
         with open(url, "rb") as fh:
@@ -288,10 +297,11 @@ def _fetch_url(url: str) -> bytes:
     if proto == "file":
         with open(rest, "rb") as fh:
             return fh.read()
-    if proto in ("http", "https"):
-        from urllib.request import urlopen
+    if proto in ("http", "https") and set(kw) <= {"headers", "timeout"}:
+        from urllib.request import Request, urlopen
 
-        with urlopen(url, timeout=60) as resp:
+        req = Request(url, headers=kw.get("headers") or {})
+        with urlopen(req, timeout=kw.get("timeout", 60)) as resp:
             return resp.read()
     try:
         import fsspec
@@ -299,12 +309,16 @@ def _fetch_url(url: str) -> bytes:
         raise ImportError(
             f"opening {proto}:// URLs requires fsspec (pip install fsspec)"
         ) from exc
-    with fsspec.open(url, "rb") as fh:
+    with fsspec.open(url, "rb", **kw) as fh:
         return fh.read()
 
 
 def url_metadata(
-    urls: DataFrame, *, url_col: str = "url", n_partitions: int | None = None
+    urls: DataFrame,
+    *,
+    url_col: str = "url",
+    n_partitions: int | None = None,
+    open_kwargs: dict | None = None,
 ) -> DataFrame:
     """S10+S11 over a URL manifest (the S1–S7 output shape) instead of
     a filesystem glob: fetch each url's bytes executor-side and decode
@@ -314,7 +328,12 @@ def url_metadata(
     spreads the network-bound fetches across the cluster (the reference
     fans the same work out as Beam DoFn bundles). Granule payloads
     exist only inside their task — one metadata row (~1 KB) per file
-    survives, so 100 TB of granule bytes never enter a shuffle."""
+    survives, so 100 TB of granule bytes never enter a shuffle.
+
+    ``open_kwargs`` (per-filesystem auth/options, the reference's
+    OpenURLWithFSSpec(open_kwargs=...) pass-through) is a small plain
+    dict captured by the task closure — serialized once per task, never
+    per row."""
     if n_partitions:
         urls = urls.repartition(n_partitions)
 
@@ -325,7 +344,7 @@ def url_metadata(
         # HTTPError/timeouts and local file errors; a missing fsspec
         # (ImportError) is a configuration error and still raises.
         try:
-            return _fetch_url(u)
+            return _fetch_url(u, open_kwargs)
         except OSError:
             return None
 

@@ -25,16 +25,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _fs_glob(pattern: str) -> list[str]:
+def _fs_glob(pattern: str, storage_kwargs: dict | None = None) -> list[str]:
     """Sorted listing for ONE pattern, protocol-dispatched.
 
     Plain paths and file:// use stdlib glob (no dependency); any other
     proto://... pattern (http, s3, gs, ...) goes through
-    fsspec.filesystem(proto).glob — the exact call the reference makes
-    (insitu…/recipe.py:40 `fs.glob`), available wherever fsspec is
-    installed. Runs executor-side inside mapInPandas, so remote listing
-    latency parallelizes across patterns instead of serializing on the
-    driver."""
+    fsspec.filesystem(proto, **storage_kwargs).glob — the exact call
+    the reference makes (insitu…/recipe.py:40 `fs.glob`, with the
+    runtime-config storage kwargs constructing the filesystem),
+    available wherever fsspec is installed. Runs executor-side inside
+    mapInPandas, so remote listing latency parallelizes across
+    patterns instead of serializing on the driver."""
     proto, sep, rest = pattern.partition("://")
     if not sep:
         return sorted(_glob.glob(pattern))
@@ -47,25 +48,32 @@ def _fs_glob(pattern: str) -> list[str]:
             f"listing {proto}:// patterns requires fsspec "
             "(pip install fsspec[http])"
         ) from exc
-    fs = fsspec.filesystem(proto)
+    fs = fsspec.filesystem(proto, **(storage_kwargs or {}))
     out = []
     for p in sorted(str(x) for x in fs.glob(pattern)):
         out.append(p if "://" in p else f"{proto}://{p}")
     return out
 
 
-def glob_listing(spark: SparkSession, patterns: list[str]) -> DataFrame:
+def glob_listing(
+    spark: SparkSession,
+    patterns: list[str],
+    *,
+    storage_kwargs: dict | None = None,
+) -> DataFrame:
     """S5: distributed listing — one row per (pattern, url), sorted
     within pattern like the reference's sorted(fs.glob(...)). Local
     filesystem via glob; proto://... patterns dispatch to fsspec
-    executor-side (see _fs_glob)."""
+    executor-side (see _fs_glob). ``storage_kwargs`` (per-FS auth /
+    options) rides the task closure into the executor-side filesystem
+    constructor."""
     pat_df = spark.createDataFrame([(p,) for p in patterns], "pattern string")
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for p in pdf["pattern"]:
-                for url in _fs_glob(p):
+                for url in _fs_glob(p, storage_kwargs):
                     out.append((p, url))
             yield pd.DataFrame(out, columns=["pattern", "url"])
 
@@ -86,15 +94,24 @@ def _cache_path(cache_root: str, pattern: str) -> str:
 
 
 def cached_glob(
-    spark: SparkSession, pattern: str, *, cache_root: str, cache: bool = True
+    spark: SparkSession,
+    pattern: str,
+    *,
+    cache_root: str,
+    cache: bool = True,
+    storage_kwargs: dict | None = None,
 ) -> DataFrame:
     """S6: memoized listing. Cache hit = the sha256-keyed manifest
     parquet exists; miss = run S5 and materialize it. Identical
-    capability to cached_glob at insitu…/recipe.py:30-45."""
+    capability to cached_glob at insitu…/recipe.py:30-45;
+    ``storage_kwargs`` reaches the executor-side filesystem constructor
+    on a miss (hits never touch the remote FS)."""
     path = _cache_path(cache_root, pattern)
     if cache and os.path.exists(path):
         return spark.read.parquet(path).orderBy("url")
-    listing = glob_listing(spark, [pattern]).select("url")
+    listing = glob_listing(
+        spark, [pattern], storage_kwargs=storage_kwargs
+    ).select("url")
     if cache:
         os.makedirs(cache_root, exist_ok=True)
         listing.write.mode("overwrite").parquet(path)

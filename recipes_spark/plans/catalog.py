@@ -260,12 +260,71 @@ def decode_page_token(token: str) -> tuple:
     return tuple(dec(v) for v in vals)
 
 
+def apply_fields(
+    items: DataFrame, fields: dict | Sequence[str] | None
+) -> DataFrame:
+    """STAC API *fields extension* projection (stac-fastapi serves
+    include/exclude property subsets over pgstac — the
+    docker-compose.yml:2-28 query surface): ``fields`` is either an
+    include list or ``{"include": [...], "exclude": [...]}``.
+
+    - ``include`` keeps the named columns plus the minimal-item
+      mandatories (id, collection_id) the spec says a server always
+      returns. A dotted name like ``properties.collection`` keeps a
+      STRUCT SUBSET — the properties struct is rebuilt with only the
+      named subfields (column pruning Catalyst can push into the
+      scan's ReadSchema, the point of the extension at 100 TB).
+    - ``exclude`` drops columns (or struct subfields via dropFields);
+      ``id`` is never excludable (the result must stay addressable).
+
+    Pure projection — composes with keyset paging because callers
+    (search_pages) extract sort-key cursors BEFORE applying it."""
+    if fields is None:
+        return items
+    if not isinstance(fields, dict):
+        fields = {"include": list(fields)}
+    include = [str(f) for f in (fields.get("include") or [])]
+    exclude = [str(f) for f in (fields.get("exclude") or [])]
+
+    out = items
+    if include:
+        full_roots: set[str] = set()
+        subs: dict[str, list[str]] = {}
+        for f in include:
+            root, _, sub = f.partition(".")
+            if sub:
+                subs.setdefault(root, []).append(sub)
+            else:
+                full_roots.add(root)
+        exprs = []
+        for c in items.columns:
+            if c in ("id", "collection_id") or c in full_roots:
+                exprs.append(F.col(c))
+            elif c in subs:
+                exprs.append(
+                    F.struct(
+                        *[F.col(c).getField(s).alias(s) for s in subs[c]]
+                    ).alias(c)
+                )
+        out = out.select(*exprs)
+    for f in exclude:
+        root, _, sub = f.partition(".")
+        if root == "id" or root not in out.columns:
+            continue
+        if sub:
+            out = out.withColumn(root, F.col(root).dropFields(sub))
+        else:
+            out = out.drop(root)
+    return out
+
+
 def search_pages(
     items: DataFrame,
     *,
     page_size: int,
     sortby: Sequence[tuple[str, str]] | None = None,
     max_pages: int = 10_000,
+    fields: dict | Sequence[str] | None = None,
     **search,
 ):
     """Iterate a catalog search page by page (the engine-side loop a
@@ -275,7 +334,12 @@ def search_pages(
     page_size — the cursor the client holds anyway); each yielded page
     is one pruned scan + TakeOrderedAndProject. Raises if the token
     fails to advance within max_pages (a bug, not a bigger catalog —
-    raise max_pages for genuinely huge walks)."""
+    raise max_pages for genuinely huge walks).
+
+    ``fields`` (STAC fields extension) projects each YIELDED page via
+    apply_fields; the keyset cursor is extracted from the un-projected
+    page first, so paging works even when the projection drops a
+    sort-key column."""
     keys = effective_sortby(sortby)
     token = None
     for _ in range(max_pages):
@@ -285,7 +349,7 @@ def search_pages(
         rows = page.select(*[c for c, _ in keys]).collect()
         if not rows:
             return
-        yield page
+        yield apply_fields(page, fields)
         if len(rows) < page_size:
             return
         token = tuple(rows[-1][c] for c, _ in keys)
@@ -304,10 +368,16 @@ def catalog_search(
     sortby: Sequence[tuple[str, str]] | None = None,
     limit: int | None = None,
     page_after: str | Sequence | None = None,
+    fields: dict | Sequence[str] | None = None,
 ) -> DataFrame:
     """STAC /search compiled to a DataFrame plan (stac-fastapi → pgstac
     equivalent, docker-compose.yml:2-44). Overlap semantics for the
     datetime interval: item [start,end] intersects query [lo,hi].
+
+    ``fields`` (STAC fields extension, apply_fields) projects the
+    RESULT as the final step — after filter/sort/limit, so a limited
+    search stays one TakeOrderedAndProject and a projected-away column
+    can still be filtered or sorted on.
 
     `filter` is the CQL2 property-filter slot: any Column predicate
     (callers build it with pyspark.sql.functions, the engine's CQL).
@@ -350,7 +420,7 @@ def catalog_search(
         )
     if limit:
         out = out.limit(limit)
-    return out
+    return apply_fields(out, fields)
 
 
 def snapshot_commit(

@@ -695,6 +695,60 @@ def stac_paged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stac_fields_paged_search",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id,
+       collection_id,
+       start_datetime,
+       printf('{{"collection":"%s"}}', collection_id) AS props_json
+FROM meta
+WHERE collection_id IN ('col-1', 'col-2')
+  AND start_datetime <= TIMESTAMP '1995-05-30'
+  AND end_datetime   >= TIMESTAMP '1995-03-01'
+""",
+)
+def stac_fields_paged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAC API *fields extension* composed with keyset paging
+    (stac-fastapi property-subset selection over pgstac,
+    docker-compose.yml:2-28): the same filtered search as
+    stac_paged_search, walked page by page under
+    fields include=[start_datetime, properties.collection] — each
+    page's properties struct is REBUILT with only the named subfield
+    (plans/catalog.apply_fields), while the paging cursor still
+    advances on the un-projected sort keys. props_json serializes the
+    projected struct, so the hash compare attests the subset shape
+    (a full struct would leak start/end datetimes into the JSON).
+    Oracle = the unpaged filtered set: pages tile exactly AND carry
+    only the requested fields."""
+    from recipes_spark.plans.catalog import search_pages
+
+    items = build_items(_metadata(spark, sf_dir)).select(
+        "id", "collection_id", "start_datetime", "end_datetime", "properties"
+    )
+    pages = [
+        page.select(
+            "id",
+            "collection_id",
+            "start_datetime",
+            F.to_json("properties").alias("props_json"),
+        )
+        for page in search_pages(
+            items,
+            page_size=64,
+            sortby=[("start_datetime", "desc")],
+            fields={"include": ["start_datetime", "properties.collection"]},
+            collections=["col-1", "col-2"],
+            datetime_range=("1995-03-01", "1995-05-30"),
+        )
+    ]
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "catalog_compact",
     oracle=f"""
 WITH meta AS ({_ORACLE_META})

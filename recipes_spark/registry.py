@@ -144,7 +144,9 @@ _FRONT: list[str] = [
 #: Names registered in the CURRENT round: serve these LAST within the
 #: unattested tier, so they never displace older debt from the driver's
 #: bounded per-round sample. Inert once attested.
-_DEFER: set[str] = set()
+_DEFER: set[str] = {
+    "stac_fields_paged_search",
+}
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -412,3 +412,59 @@ def test_search_pages_iterator(spark):
         n_pages += 1
     assert seen == expect
     assert n_pages == 5  # 50 rows / 12 → 4 full pages + short page of 2
+
+
+def test_apply_fields_include_exclude_semantics(spark):
+    """STAC fields extension: include keeps mandatories + named columns
+    (dotted names rebuild a struct subset); exclude drops columns or
+    struct subfields; id is never excludable."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.plans.catalog import apply_fields
+
+    df = spark.createDataFrame(
+        [("i1", "c1", 1.0, ("a", "b"))],
+        "id string, collection_id string, score double,"
+        " properties struct<x: string, y: string>",
+    )
+    # bare list == include
+    out = apply_fields(df, ["score"])
+    assert out.columns == ["id", "collection_id", "score"]
+    # dotted include → struct subset
+    out = apply_fields(df, {"include": ["properties.y"]})
+    assert out.columns == ["id", "collection_id", "properties"]
+    assert out.schema["properties"].dataType.fieldNames() == ["y"]
+    assert out.select(F.col("properties.y")).first()[0] == "b"
+    # exclude drops a column / a subfield; id survives an exclude
+    out = apply_fields(df, {"exclude": ["score", "properties.x", "id"]})
+    assert out.columns == ["id", "collection_id", "properties"]
+    assert out.schema["properties"].dataType.fieldNames() == ["y"]
+    # no fields → identity
+    assert apply_fields(df, None) is df
+
+
+def test_search_pages_fields_projection_keeps_cursor(spark):
+    """search_pages must advance its keyset cursor even when the fields
+    projection drops the sort-key column from the yielded pages."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.plans.catalog import search_pages
+
+    items = spark.range(0, 50).select(
+        F.format_string("i%03d", "id").alias("id"),
+        F.lit("c1").alias("collection_id"),
+        (F.col("id") * 2).alias("rank_key"),
+    )
+    pages = list(
+        search_pages(
+            items,
+            page_size=8,
+            sortby=[("rank_key", "desc")],
+            fields={"include": ["collection_id"]},  # drops rank_key
+        )
+    )
+    assert len(pages) == 7  # 50 rows / 8 per page
+    for p in pages:
+        assert p.columns == ["id", "collection_id"]
+    ids = [r["id"] for p in pages for r in p.collect()]
+    assert ids == [f"i{i:03d}" for i in range(49, -1, -1)]

@@ -109,6 +109,12 @@ def extra_plans(spark) -> dict[str, str]:
     - agg_bootstrap_ci — the 32x replicate explode must flow into ONE
       map-side-combining hash agg keyed (event_type, b); an extra
       exchange before the agg would shuffle the exploded stream.
+    - st18/st19/st21 batch-sides + event_attribution_lasttouch (st23's
+      batch twin) — the round-7 sketch-state streams' foreachBatch
+      bodies call these exact transformations; pinning them on batch
+      inputs locks the streamed plans the same way st2/st14/st17 are
+      locked (st20's twin event_pattern_match and st22's window_cusum
+      are pinned above already).
     """
     import pyspark.sql.functions as F
 
@@ -145,6 +151,23 @@ def extra_plans(spark) -> dict[str, str]:
 
     hist = st17_value_hist(ev.select("event_id", "value"))
     out["st17_batch_side"] = plan_hash(st17_prior_quantiles(hist, 1))
+    from recipes_spark.streaming.ingest import (
+        _chain_edges,
+        st18_batch_candidates,
+        st21_batch_moments,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    out["st18_batch_side"] = plan_hash(
+        st18_batch_candidates(docs.select("source", "doc_id", "n_chars"))
+    )
+    out["st19_batch_side"] = plan_hash(
+        _chain_edges(docs.select(F.col("doc_id").alias("node")))
+    )
+    out["st21_batch_side"] = plan_hash(st21_batch_moments(ev))
+    out["event_attribution_lasttouch"] = plan_hash(
+        q["event_attribution_lasttouch"](spark, SF_DIR)
+    )
     for name in (
         "event_pattern_match",
         "g7_points_in_polygons",

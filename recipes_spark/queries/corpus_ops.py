@@ -3215,3 +3215,126 @@ def x4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "x4_top_ngram_fraction",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, len(text) AS n_chars, string_split(text, ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, n_chars, n,
+         unnest([array_to_string(t[i:i+n-1], ' ')
+                 FOR i IN range(1, len(t) - n + 2)]) AS g
+  FROM toks CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns
+  WHERE len(t) >= n
+), counted AS (
+  SELECT doc_id, n, g,
+         max(n_chars) AS n_chars,
+         CAST(count(*) AS BIGINT) AS c
+  FROM grams GROUP BY doc_id, n, g
+), marked AS (
+  SELECT *, max(c) OVER (PARTITION BY doc_id, n) AS mc FROM counted
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n,
+       min(CASE WHEN c = mc THEN g END) AS top_gram,
+       max(mc) AS top_count,
+       CAST(floor(1000000.0 * max(mc)
+                  * len(min(CASE WHEN c = mc THEN g END))
+                  / max(n_chars)) AS BIGINT) AS top_frac_micro,
+       CAST(floor(1000000.0
+                  * coalesce(sum(c * len(g)) FILTER (WHERE c > 1), 0)
+                  / max(n_chars)) AS BIGINT) AS dup_frac_micro
+FROM marked
+GROUP BY doc_id, n
+ORDER BY doc_id, n
+""",
+)
+def x4_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style n-gram repetition filters (Rae et al.
+    2021 §A1.1, public): per document and n in {2,3,4}, (a) the
+    fraction of characters covered by the single most frequent n-gram
+    (ties broken to the lexicographically smallest gram, so both
+    engines pick the same one) and (b) the fraction of characters in
+    ALL n-grams that occur more than once. The two signals catch
+    template/boilerplate docs that distinct-token repetition
+    (x4_repetition_score) misses — a doc can have high vocabulary
+    diversity yet loop one phrase. Fractions ship floor-scaled to
+    micro BIGINT (the cross-engine double-rounding rule).
+
+    100 TB shape: n-grams explode row-locally, then ONE shuffle keyed
+    (doc_id, n, gram) with map-side combine; the per-(doc, n) argmax
+    rides the same exchange via a partitioned window feeding the final
+    hash agg. Nothing global, nothing driver-side."""
+    d = scale_partitions(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.split("text", " ").alias("t"),
+    )
+    exploded = (
+        d.select(
+            "doc_id",
+            "n_chars",
+            "t",
+            F.explode(F.array(F.lit(2), F.lit(3), F.lit(4))).alias("n"),
+        )
+        .filter(F.size("t") >= F.col("n"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - n + 1),"
+                    " i -> array_join(slice(t, i, n), ' '))"
+                )
+            ).alias("g"),
+        )
+    )
+    counted = exploded.groupBy("doc_id", "n", "g").agg(
+        F.max("n_chars").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("doc_id", "n")
+    marked = counted.withColumn("mc", F.max("c").over(w))
+    top_gram = F.min(F.when(F.col("c") == F.col("mc"), F.col("g")))
+    return (
+        marked.groupBy("doc_id", "n")
+        .agg(
+            top_gram.alias("top_gram"),
+            F.max("mc").alias("top_count"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.max("mc")
+                * F.length(top_gram)
+                / F.max("n_chars")
+            )
+            .cast("long")
+            .alias("top_frac_micro"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("c") > 1, F.col("c") * F.length("g")
+                        )
+                    ),
+                    F.lit(0),
+                )
+                / F.max("n_chars")
+            )
+            .cast("long")
+            .alias("dup_frac_micro"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n"),
+            "top_gram",
+            "top_count",
+            "top_frac_micro",
+            "dup_frac_micro",
+        )
+        .orderBy("doc_id", "n")
+    )

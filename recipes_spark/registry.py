@@ -146,6 +146,7 @@ _FRONT: list[str] = [
 #: bounded per-round sample. Inert once attested.
 _DEFER: set[str] = {
     "stac_fields_paged_search",
+    "x4_top_ngram_fraction",
 }
 
 

@@ -75,3 +75,41 @@ if __name__ == "__main__":
         json.dump(current_fingerprints(), fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(f"wrote {LOCKFILE}")
+
+
+def test_front_and_defer_names_are_registered_and_ordered():
+    """_FRONT/_DEFER govern the driver's bounded per-round sample: a
+    typo'd name silently reprioritizes nothing, and the invariants —
+    tier-1 _RECHECK first, _FRONT leading the unattested tier, _DEFER
+    trailing it, attested names last — must hold over the real
+    registry + CORRECTNESS history."""
+    from recipes_spark.registry import (
+        _DEFER,
+        _FRONT,
+        _RECHECK,
+        _driver_attested,
+        all_queries,
+    )
+
+    order = list(all_queries())
+    names = set(order)
+    assert not (set(_FRONT) - names), "unregistered _FRONT names"
+    assert not (_DEFER - names), "unregistered _DEFER names"
+
+    attested = _driver_attested()
+    tiers = []
+    for n in order:
+        if n in attested:
+            tiers.append(4)
+        elif n in _RECHECK:
+            tiers.append(0)
+        elif n in _FRONT:
+            tiers.append(1)
+        elif n in _DEFER:
+            tiers.append(3)
+        else:
+            tiers.append(2)
+    assert tiers == sorted(tiers), (
+        "registry ordering violates tier invariants: "
+        + str([(n, t) for n, t in zip(order, tiers)][:40])
+    )

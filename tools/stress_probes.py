@@ -893,6 +893,76 @@ def probe_gram_block(spark: SparkSession) -> dict:
     return out
 
 
+
+def probe_global_rank(spark: SparkSession) -> dict:
+    """event_rfm_segments' round-8 rewrite, measured: exact global
+    row-number via the sharded two-pass (operators/prefix.
+    partitioned_row_number — range shuffle + partitioned window +
+    S-row offset scan) vs the single-task unpartitioned-window rank it
+    replaced, at 1M and 10M key rows. Reports wall per scale for both
+    plans, the sharded plan's scaling exponent, and the correctness
+    leg: ntile-from-rank agrees EXACTLY with the window ntile at both
+    scales (count of disagreeing rows must be 0)."""
+    from recipes_spark.operators.prefix import partitioned_row_number
+
+    def users(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("user_id"),
+            ((F.col("id") * 48271) % 997).alias("metric"),
+        )
+
+    def ntile5_from_rn(rn, n_total: int):
+        q5, r5 = divmod(n_total, 5)
+        p0 = rn - F.lit(1)
+        head = r5 * (q5 + 1)
+        return (
+            F.when(p0 < head, F.floor(p0 / (q5 + 1))).otherwise(
+                r5 + F.floor((p0 - head) / q5)
+            )
+            + 1
+        ).cast("long")
+
+    out = {"probe": "global_rank"}
+    order = [F.col("metric").asc(), F.col("user_id").asc()]
+    walls = {}
+    for tag, n in (("1x", 1_000_000), ("10x", 10_000_000)):
+        df = users(n).cache()
+        df.count()
+
+        def sharded():
+            s, tot = partitioned_row_number(df, order_exprs=order, out_col="rn")
+            assert tot == n
+            s.groupBy(ntile5_from_rn(F.col("rn"), n).alias("s")).count().collect()
+
+        def naive():
+            w = Window.orderBy(*order)
+            df.select(F.ntile(5).over(w).alias("s")).groupBy("s").count().collect()
+
+        walls[tag] = min(_timed(sharded) for _ in range(2))
+        out[f"wall_sec_sharded_{tag}"] = round(walls[tag], 2)
+        out[f"wall_sec_global_window_{tag}"] = round(
+            min(_timed(naive) for _ in range(2)), 2
+        )
+        s, tot = partitioned_row_number(df, order_exprs=order, out_col="rn")
+        w = Window.orderBy(*order)
+        both = df.select(
+            "user_id", F.ntile(5).over(w).cast("long").alias("want")
+        ).join(
+            s.select("user_id", ntile5_from_rn(F.col("rn"), tot).alias("got")),
+            "user_id",
+        )
+        out[f"mismatches_{tag}"] = both.filter(
+            F.col("want") != F.col("got")
+        ).count()
+        df.unpersist()
+    import math
+
+    out["exponent_sharded"] = round(
+        math.log(walls["10x"] / walls["1x"]) / math.log(10), 2
+    )
+    return out
+
+
 PROBES = {
     "cc_chain": probe_cc_chain,
     "cc_skew": probe_cc_skew,
@@ -907,6 +977,7 @@ PROBES = {
     "spatial_knn": probe_spatial_knn,
     "partition_pruning": probe_partition_pruning,
     "gram_block": probe_gram_block,
+    "global_rank": probe_global_rank,
 }
 
 

@@ -3338,3 +3338,90 @@ def x4_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "n")
     )
+
+
+#: The published Gopher stopword list (Rae et al. 2021 §A1.1) — a doc
+#: must contain at least two of these to pass the natural-language
+#: heuristic. Deployment swaps in the corpus language's list.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "x4_gopher_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(text) AS nc, string_split(text, ' ') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(floor(1000000.0 * (nc - len(w) + 1) / len(w)) AS BIGINT)
+           AS mean_word_len_micro,
+         CAST(floor(1000000.0 * (1.0 - len(list_distinct(w)) * 1.0 / len(w)))
+              AS BIGINT) AS dup_frac_micro,
+         CAST(len(list_intersect(list_distinct(w),
+              {list(_GOPHER_STOPS)!r})) AS BIGINT) AS n_stops
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len_micro, dup_frac_micro, n_stops,
+       (n_words BETWEEN 30 AND 80)                       AS ok_length,
+       (mean_word_len_micro BETWEEN 4000000 AND 5500000) AS ok_word_len,
+       (dup_frac_micro <= 400000)                        AS ok_repetition,
+       (n_stops >= 2)                                    AS ok_stopwords,
+       ((n_words BETWEEN 30 AND 80)
+        AND (mean_word_len_micro BETWEEN 4000000 AND 5500000)
+        AND (dup_frac_micro <= 400000)
+        AND (n_stops >= 2))                              AS keep
+FROM m
+ORDER BY doc_id
+""",
+)
+def x4_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021 §A1.1,
+    public) as one row-local pass: word-count bounds, mean word length
+    bounds, duplicate-token fraction cap, and the ≥2-distinct-stopwords
+    natural-language heuristic — emitted as per-rule booleans plus the
+    composite keep flag, so a pipeline can audit WHICH rule dropped
+    each document (the filter-sweep companion to x4_filter_sweep's
+    threshold grid). Ratios ship floor-scaled micro BIGINT; mean word
+    length is derived exactly from char count and word count
+    ((nc - nw + 1) / nw — spaces removed), so both engines compare the
+    same integers.
+
+    100 TB: pure Catalyst projection over the scan — no shuffle, no
+    UDF; composes with the quarantine pattern by filtering on any rule
+    column."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nw = F.size(w).cast("long")
+    nc = F.length("text").cast("long")
+    mwl = F.floor(F.lit(1000000.0) * (nc - nw + 1) / nw).cast("long")
+    dup = F.floor(
+        F.lit(1000000.0)
+        * (1.0 - F.size(F.array_distinct(w)) / F.size(w))
+    ).cast("long")
+    nstops = F.size(
+        F.array_intersect(
+            F.array_distinct(w),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        mwl.alias("mean_word_len_micro"),
+        dup.alias("dup_frac_micro"),
+        nstops.alias("n_stops"),
+    )
+    ok_len = F.col("n_words").between(30, 80)
+    ok_mwl = F.col("mean_word_len_micro").between(4000000, 5500000)
+    ok_dup = F.col("dup_frac_micro") <= 400000
+    ok_stop = F.col("n_stops") >= 2
+    return m.select(
+        "*",
+        ok_len.alias("ok_length"),
+        ok_mwl.alias("ok_word_len"),
+        ok_dup.alias("ok_repetition"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_len & ok_mwl & ok_dup & ok_stop).alias("keep"),
+    ).orderBy("doc_id")

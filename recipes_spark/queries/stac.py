@@ -982,3 +982,48 @@ def catalog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("collection_id")
     )
+
+
+@query(
+    "stac_queryables",
+    oracle="""
+SELECT * FROM (VALUES
+  ('bbox',                      'array<double>'),
+  ('collection_id',             'string'),
+  ('end_datetime',              'timestamp'),
+  ('geometry',                  'string'),
+  ('id',                        'string'),
+  ('properties.collection',     'string'),
+  ('properties.end_datetime',   'string'),
+  ('properties.start_datetime', 'string'),
+  ('start_datetime',            'timestamp')
+) AS q(queryable, dtype)
+ORDER BY queryable
+""",
+)
+def stac_queryables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAC API *queryables* endpoint (stac-fastapi serves
+    /collections/{id}/queryables from pgstac's queryables table — the
+    machine-readable contract a CQL2 client reads before building a
+    filter): the filterable surface DERIVED from the assembled item
+    schema itself — top-level scalar/bbox columns plus every
+    properties.* subfield — never a hand-maintained list that drifts
+    from the data. Containers that aren't filterable (assets, links,
+    stac_extensions) are excluded. The hardcoded oracle doubles as a
+    schema-regression canary: any accidental change to the assembled
+    item shape breaks this row set loudly."""
+    items = build_items(_metadata(spark, sf_dir).limit(1))
+    rows: list[tuple[str, str]] = []
+    for f in items.schema.fields:
+        if f.name == "properties":
+            for sub in f.dataType.fields:
+                rows.append(
+                    (f"properties.{sub.name}", sub.dataType.simpleString())
+                )
+        elif f.name in ("assets", "links", "stac_extensions"):
+            continue
+        else:
+            rows.append((f.name, f.dataType.simpleString()))
+    return spark.createDataFrame(
+        sorted(rows), "queryable string, dtype string"
+    ).orderBy("queryable")

@@ -147,6 +147,8 @@ _FRONT: list[str] = [
 _DEFER: set[str] = {
     "stac_fields_paged_search",
     "x4_top_ngram_fraction",
+    "x4_gopher_filter",
+    "stac_queryables",
 }
 
 

@@ -149,6 +149,7 @@ _DEFER: set[str] = {
     "x4_top_ngram_fraction",
     "x4_gopher_filter",
     "stac_queryables",
+    "st24_stream_hll",
 }
 
 

@@ -1833,3 +1833,129 @@ def st23_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign")
     )
+
+
+#: st24's HLL geometry: p=10 → 1024 registers; the rank lives in the
+#: 52-bit hash remainder, so register values span 1..53.
+_ST24_P_BUCKETS = 1024
+_ST24_STATE_SCHEMA = "bucket long, reg long"
+
+
+def st24_batch_registers(bdf: DataFrame) -> DataFrame:
+    """st24's per-batch HLL register build — the mergeable cardinality
+    state, computed with the PORTABLE sha256-slice hash so the oracle
+    replays every register exactly (the same cross-engine trick as
+    st13's bloom positions): bucket = first-8-hex slice mod 1024, rank
+    = leading-zero count of the 52-bit remainder + 1, computed in
+    exact integers as 53 - bitlength (length(bin(x)) — identical in
+    Spark and DuckDB, verified down to bin(0)). One map-side-combining
+    MAX agg; the state is ≤1024 rows per batch regardless of corpus
+    size."""
+    bucket = F.expr(
+        "pmod(cast(conv(substring(sha2(text, 256), 1, 8), 16, 10)"
+        " as bigint), 1024)"
+    )
+    rest = F.expr(
+        "cast(conv(substring(sha2(text, 256), 9, 13), 16, 10) as bigint)"
+    )
+    rank = F.when(rest == 0, F.lit(53)).otherwise(
+        53 - F.length(F.expr("bin(cast(conv(substring(sha2(text, 256),"
+                             " 9, 13), 16, 10) as bigint))"))
+    )
+    return (
+        bdf.select(bucket.alias("bucket"), rank.cast("long").alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+
+
+def hll_merge_then_persist(spark: SparkSession, state_dir: str):
+    """st24's per-micro-batch body: MAX-merge this batch's registers
+    into the carried register table and persist per bid — the HLL
+    union is register-wise max, associative and commutative, so the
+    final state telescopes to the whole-corpus build no matter how the
+    stream was batched. Per-bid overwrites + prior-only reads = the
+    sketch-state family's retry contract."""
+
+    def merge_then_persist(bdf: DataFrame, bid: int) -> None:
+        own = st24_batch_registers(bdf)
+        if bid > 0:
+            prior = spark.read.schema(_ST24_STATE_SCHEMA).parquet(
+                os.path.join(state_dir, f"s_{bid - 1}")
+            )
+            own = prior.unionByName(own)
+        own.groupBy("bucket").agg(F.max("reg").alias("reg")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"s_{bid}"))
+
+    return merge_then_persist
+
+
+@query(
+    "st24_stream_hll",
+    oracle="""
+WITH r AS (
+  SELECT CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) % 1024 AS bucket,
+         CAST('0x' || substr(sha256(text), 9, 13) AS BIGINT) AS rest
+  FROM documents
+)
+SELECT bucket,
+       CAST(max(CASE WHEN rest = 0 THEN 53
+                     ELSE 53 - length(bin(rest)) END) AS BIGINT) AS reg
+FROM r
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def st24_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CARDINALITY sketch — the eighth sketch-state family
+    member (bloom st13, count-min st14, histogram st17, sample st18,
+    CC labels st19, funnel st20, moments st21, cusum st22,
+    attribution st23): an HLL register table maintained across four
+    ordered micro-batches by register-wise MAX merge. Unlike the
+    rows-only DataSketches estimate (x2_hll_mergeable_distinct), the
+    REGISTERS here are exact integers under the portable sha256-slice
+    hash, so the final streamed state is verified BIT-FOR-BIT against
+    a one-pass DuckDB build over the whole corpus — max-merge
+    associativity is the telescoping argument, the same one st20's
+    maxima and st22's prefix minima ride. The estimate itself stays a
+    driver-side double (harmonic mean over ≤1024 registers — never
+    shuffled, summation-order-dependent, hence excluded from the
+    hash).
+
+    100 TB: per-batch state is ≤1024 rows regardless of corpus size;
+    per-source or per-day register tables union the same way, which
+    is what makes global distinct queries a kilobyte-merge instead of
+    a corpus re-shuffle. Retry-idempotent by the family contract
+    (per-bid overwrite, prior-only reads)."""
+    from recipes_spark.io import load
+    from recipes_spark.streaming.core import stage_ordered
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [d.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
+    staged = stage_ordered(chunks, prefix="recipes_st24_landing_")
+    state_dir = tempfile.mkdtemp(prefix="recipes_st24_state_")
+    merge_then_persist = hll_merge_then_persist(spark, state_dir)
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(merge_then_persist)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st24_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema(_ST24_STATE_SCHEMA)
+        .parquet(os.path.join(state_dir, "s_3"))
+        .orderBy("bucket")
+    )

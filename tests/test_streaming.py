@@ -326,3 +326,44 @@ def test_sketch_state_batches_are_retry_idempotent(spark, sf_dir, tmp_path):
         fn(batches[1], 1)  # redelivery of batch 1
         after = snapshot(out_dir, state_dir)
         assert after == before, f"{kind}: retry of batch 1 changed state/output"
+
+
+def test_st24_hll_registers_telescope_and_retry(spark, sf_dir, tmp_path):
+    """st24's two structural claims, exercised directly: (a) max-merge
+    telescoping — the state after N ordered batches equals the one-pass
+    register build over everything seen (the exactness the shared
+    DuckDB oracle stands on); (b) the family retry contract — an
+    at-least-once redelivery of a middle batch rewrites its persisted
+    state byte-identically."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.streaming.ingest import (
+        hll_merge_then_persist,
+        st24_batch_registers,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [d.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    state_dir = str(tmp_path / "st24_state")
+    os.makedirs(state_dir, exist_ok=True)
+    fn = hll_merge_then_persist(spark, state_dir)
+    for bid, bdf in enumerate(batches):
+        fn(bdf, bid)
+
+    def state(bid):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, f"s_{bid}")
+            ).collect()
+        )
+
+    one_pass = sorted(tuple(r) for r in st24_batch_registers(d).collect())
+    assert state(2) == one_pass  # telescoping
+
+    before = [state(b) for b in range(3)]
+    fn(batches[1], 1)  # at-least-once redelivery
+    assert [state(b) for b in range(3)] == before

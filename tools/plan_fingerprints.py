@@ -165,6 +165,11 @@ def extra_plans(spark) -> dict[str, str]:
         _chain_edges(docs.select(F.col("doc_id").alias("node")))
     )
     out["st21_batch_side"] = plan_hash(st21_batch_moments(ev))
+    from recipes_spark.streaming.ingest import st24_batch_registers
+
+    out["st24_batch_side"] = plan_hash(
+        st24_batch_registers(docs.select("doc_id", "text"))
+    )
     out["event_attribution_lasttouch"] = plan_hash(
         q["event_attribution_lasttouch"](spark, SF_DIR)
     )

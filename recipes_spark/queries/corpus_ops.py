@@ -3425,3 +3425,65 @@ def x4_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_len & ok_mwl & ok_dup & ok_stop).alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "x6_kanon_release",
+    oracle="""
+WITH g AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_chars, false AS pooled
+FROM g WHERE n_docs >= 5
+UNION ALL
+SELECT '*' AS lang, '*' AS source,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       true AS pooled
+FROM g WHERE n_docs < 5
+HAVING count(*) > 0
+ORDER BY pooled, lang, source
+""",
+)
+def x6_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous aggregate release (k=5) over the quasi-identifier
+    pair (lang, source): cells with fewer than k members are never
+    published individually — they pool into one starred residual row
+    whose totals still reconcile with the corpus (sum of released +
+    pooled = whole table). The suppression rule every dataset-card /
+    usage-report pipeline applies before publishing per-slice counts;
+    composes with x6_dataset_card's summary block.
+
+    100 TB: one map-side-combining agg on the quasi-identifier key;
+    the release decision is a filter over the (tiny) group table, and
+    the residual pool is a second agg over that same table — nothing
+    rescans the corpus."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    released = g.filter(F.col("n_docs") >= 5).select(
+        "lang", "source", "n_docs", "n_chars",
+        F.lit(False).alias("pooled"),
+    )
+    small = g.filter(F.col("n_docs") < 5)
+    pooled = (
+        small.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .filter(F.col("n_cells") > 0)
+        .select(
+            F.lit("*").alias("lang"),
+            F.lit("*").alias("source"),
+            "n_docs",
+            "n_chars",
+            F.lit(True).alias("pooled"),
+        )
+    )
+    return released.unionByName(pooled).orderBy("pooled", "lang", "source")

@@ -2628,3 +2628,40 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+SELECT p_partkey,
+       CAST(p_partkey & CAST(p_size AS BIGINT) AS BIGINT)  AS b_and,
+       CAST(p_partkey | CAST(p_size AS BIGINT) AS BIGINT)  AS b_or,
+       CAST(xor(p_partkey, CAST(p_size AS BIGINT)) AS BIGINT) AS b_xor,
+       CAST(p_partkey << (p_size % 4) AS BIGINT)           AS b_shl,
+       CAST(p_partkey >> 1 AS BIGINT)                      AS b_shr,
+       CAST(bit_count(p_partkey) AS BIGINT)                AS b_pop,
+       CAST(~p_partkey AS BIGINT)                          AS b_not
+FROM part
+""",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 bitwise suite — AND/OR/XOR, shifts, popcount, complement:
+    the integer machinery bitmap indexes, bloom slices (st13), Morton
+    interleaves (x6_zorder_layout) and packed PQ codes (x3_pq_codes)
+    are built from, pinned as first-class scalars. Dialect note the
+    oracle encodes: DuckDB's ^ is exponentiation — XOR is the xor()
+    function there, while Spark SQL spells it ^."""
+    p = load(spark, sf_dir, "part")
+    sz = F.col("p_size").cast("long")
+    return p.select(
+        "p_partkey",
+        F.expr("p_partkey & cast(p_size as bigint)").alias("b_and"),
+        F.expr("p_partkey | cast(p_size as bigint)").alias("b_or"),
+        F.expr("p_partkey ^ cast(p_size as bigint)").alias("b_xor"),
+        F.expr("shiftleft(p_partkey, cast(p_size % 4 as int))")
+        .cast("long")
+        .alias("b_shl"),
+        F.expr("shiftright(p_partkey, 1)").cast("long").alias("b_shr"),
+        F.expr("bit_count(p_partkey)").cast("long").alias("b_pop"),
+        F.expr("~p_partkey").cast("long").alias("b_not"),
+    )

@@ -150,6 +150,8 @@ _DEFER: set[str] = {
     "x4_gopher_filter",
     "stac_queryables",
     "st24_stream_hll",
+    "scalar_bitwise",
+    "x6_kanon_release",
 }
 
 

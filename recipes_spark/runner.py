@@ -19,6 +19,19 @@ Config:
     cache_root: /data/cache        # listing memoization (optional)
     collections: collections.yaml  # multi-doc yaml (S9)
     granules: "/data/landing/*.nc" # discovery glob (S5/S6)
+    storage_kwargs: {...}          # optional per-FS auth/options — the
+                                   # reference's open_kwargs=storage_kwargs
+                                   # pass-through (avhrr…/recipe.py:124,154),
+                                   # fed to the executor-side filesystem
+    xstac_kwargs:                  # optional projection metadata — the
+      reference_system: epsg:4326  # reference's CreateStacItem xstac_kwargs
+      x_dimension: lon             # (avhrr…/recipe.py:128-136); emits
+      y_dimension: lat             # proj:epsg + cube:dimensions on items
+    database:                      # optional DB sink ALONGSIDE the parquet
+      kind: sqlite                 # store — the ToPgStac-shaped path
+      path: /data/catalog.db       # (docker-compose.yml:30-44); 'sqlite'
+      items_table: items           # ships in-tree, Postgres = same dialect
+                                   # via a psycopg2 connection factory
 """
 
 from __future__ import annotations
@@ -56,12 +69,18 @@ def run_pipeline(spark: SparkSession, config: str | dict) -> dict[str, int]:
     # item assembly → idempotent upsert.
     pattern = config["granules"]
     cache_root = config.get("cache_root")
+    storage_kwargs = config.get("storage_kwargs")
     if cache_root:
-        listing = cached_glob(spark, pattern, cache_root=cache_root)
+        listing = cached_glob(
+            spark, pattern, cache_root=cache_root,
+            storage_kwargs=storage_kwargs,
+        )
     else:
         from recipes_spark.sources.listing import glob_listing
 
-        listing = glob_listing(spark, [pattern]).select("url")
+        listing = glob_listing(
+            spark, [pattern], storage_kwargs=storage_kwargs
+        ).select("url")
     n_files = listing.count()
 
     meta = file_metadata(spark, pattern).select(
@@ -75,9 +94,39 @@ def run_pipeline(spark: SparkSession, config: str | dict) -> dict[str, int]:
         "end_datetime",
         F.col("source").alias("source_url"),
     )
-    items = build_items(meta)
+    items = build_items(meta, projection=config.get("xstac_kwargs"))
     upsert_items(spark, items, f"{catalog}/items")
     n_items = spark.read.parquet(f"{catalog}/items").count()
+
+    # Optional database sink alongside the parquet store — the
+    # reference's actual sink shape (ToPgStac → pgstac JSONB upsert).
+    # Idempotent like everything above: ON CONFLICT by id.
+    db = config.get("database")
+    if db:
+        if db.get("kind", "sqlite") != "sqlite":
+            raise ValueError(
+                "runner ships the sqlite kind in-tree; for Postgres pass "
+                "a psycopg2 connection factory to "
+                "plans.db_sink.upsert_items_to_database directly"
+            )
+        import functools
+        import sqlite3
+
+        from recipes_spark.plans.db_sink import upsert_items_to_database
+
+        table = db.get("items_table", "items")
+        con = sqlite3.connect(db["path"])
+        con.execute(
+            f'CREATE TABLE IF NOT EXISTS "{table}" (id TEXT PRIMARY KEY,'
+            " collection_id TEXT, content TEXT)"
+        )
+        con.commit()
+        con.close()
+        upsert_items_to_database(
+            items,
+            connect=functools.partial(sqlite3.connect, db["path"], 60),
+            table=table,
+        )
     return {"collections": n_cols, "files": n_files, "items": n_items}
 
 

@@ -3543,3 +3543,84 @@ def x7_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "node")
         .limit(50)
     )
+
+
+_KNN_GRAPH_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         list_dot_product(a.ev, b.ev) /
+           (sqrt(list_dot_product(a.ev, a.ev))
+            * sqrt(list_dot_product(b.ev, b.ev))) AS sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+)
+SELECT qid, cid, round(sim, 4) AS cosine_sim, rnk
+FROM (
+  SELECT qid, cid, sim,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, cid) AS BIGINT) AS rnk
+  FROM pairs
+)
+WHERE rnk <= 3
+ORDER BY qid, rnk
+"""
+
+
+@query("x3_knn_graph", oracle=_KNN_GRAPH_ORACLE)
+def x3_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction (k=3) over the whole embedding corpus —
+    the neighbor structure semantic-dedup clustering, label smoothing,
+    and diversity sampling all start from. Unlike the query-set
+    searches (x3_cosine_topk's 5 broadcast queries), EVERY vector is a
+    query, so nothing may collect to the driver: the all-pairs stream
+    is built as a BLOCKED SELF-JOIN — the candidate side keys on
+    vec_id mod B, the query side explodes across all B block ids, and
+    each of the B join groups computes its |corpus|x(|corpus|/B) tile
+    with JVM-side zip_with/aggregate folds. Ranking is the standard
+    per-query top-k window on the unrounded similarity (identical IEEE
+    fold order both engines), ties to the smaller candidate id.
+
+    100 TB: the honest brute-force graph is O(n^2) compute no matter
+    the plan — this shape keeps it shuffle-light (each vector moves
+    B+1 times, B ~ cluster parallelism) and driver-free; the
+    production path swaps the block pairing for IVF list membership
+    (x3_ivf_topk's coarse prune) so each vector only tiles against its
+    probed lists, with this exact plan as the within-list scorer."""
+    nb = 32
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    ).withColumn("jb", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.pmod("vec_id", F.lit(nb)).alias("jb"),
+    )
+
+    def as_d(col):
+        return F.transform(F.col(col), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qv, cv = as_d("qv"), as_d("cv")
+    sim = dot(qv, cv) / (F.sqrt(dot(qv, qv)) * F.sqrt(dot(cv, cv)))
+    pairs = (
+        q.join(c, "jb")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "qid", "cid", F.round("sim", 4).alias("cosine_sim"), "rnk"
+        )
+        .orderBy("qid", "rnk")
+    )

@@ -152,6 +152,7 @@ _DEFER: set[str] = {
     "st24_stream_hll",
     "scalar_bitwise",
     "x6_kanon_release",
+    "x3_knn_graph",
 }
 
 

@@ -3257,8 +3257,12 @@ def x4_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     2021 §A1.1, public): per document and n in {2,3,4}, (a) the
     fraction of characters covered by the single most frequent n-gram
     (ties broken to the lexicographically smallest gram, so both
-    engines pick the same one) and (b) the fraction of characters in
-    ALL n-grams that occur more than once. The two signals catch
+    engines pick the same one) and (b) the count-weighted character
+    mass of all n-grams occurring more than once, relative to doc
+    length — an upper bound on duplicated-character coverage that can
+    exceed 1 because overlapping occurrences double-count, which is
+    what keeps it one exact integer sum instead of a position-union
+    pass. The two signals catch
     template/boilerplate docs that distinct-token repetition
     (x4_repetition_score) misses — a doc can have high vocabulary
     diversity yet loop one phrase. Fractions ship floor-scaled to

@@ -2104,3 +2104,140 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logs_micro",
         F.sum("logs_micro").over(cum).cast("long").alias("logs_cum"),
     ).orderBy("segment", "t_days")
+
+
+@query(
+    "ts_changepoint",
+    oracle="""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, unnest(range(min(b), max(b) + 1)) AS b
+  FROM c GROUP BY event_type
+), filled AS (
+  SELECT g.event_type, g.b, coalesce(c.n, 0) AS x
+  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+), s AS (
+  SELECT event_type, b,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         CAST(sum(x) OVER w AS BIGINT)       AS cx,
+         CAST(sum(x * x) OVER w AS BIGINT)   AS cx2,
+         CAST(count(*) OVER wa AS BIGINT)    AS t,
+         CAST(sum(x) OVER wa AS BIGINT)      AS sx,
+         CAST(sum(x * x) OVER wa AS BIGINT)  AS sx2
+  FROM filled
+  WINDOW w  AS (PARTITION BY event_type ORDER BY b ROWS UNBOUNDED PRECEDING),
+         wa AS (PARTITION BY event_type)
+), cand AS (
+  SELECT event_type, b,
+         CAST(floor(1000000.0 * ((cx2 - cx * cx / CAST(k AS DOUBLE))
+              + ((sx2 - cx2) - (sx - cx) * (sx - cx)
+                 / CAST(t - k AS DOUBLE)))) AS BIGINT) AS cost_micro,
+         CAST(floor(1000000.0 * cx / k) AS BIGINT) AS left_mean_micro,
+         CAST(floor(1000000.0 * (sx - cx) / (t - k)) AS BIGINT)
+           AS right_mean_micro
+  FROM s WHERE k < t
+)
+SELECT event_type, b AS split_bucket, cost_micro,
+       left_mean_micro, right_mean_micro
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cost_micro, b) AS r
+  FROM cand
+)
+WHERE r = 1
+ORDER BY event_type
+""",
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection (binary segmentation, step 1) on
+    the hourly event-count series: per type, the split bucket
+    minimizing total within-segment squared error — computed in ONE
+    pass from prefix sums (SSE of each side = Σx² − (Σx)²/n from the
+    running and total moments), never by re-scanning segments per
+    candidate. The zero-filled grid matters here exactly like in
+    window_cusum: silent hours are evidence of level, not gaps. Costs
+    floor-scale to micro BIGINT from identical integer moments, ties
+    break to the earliest bucket, so the argmin is deterministic on
+    both engines.
+
+    100 TB: bucket agg, grid join, both cumulative windows, the
+    candidate filter and the final per-type argmin all cluster on
+    event_type — one exchange carries the series end to end; per-type
+    candidate count is the grid length, never the event count. Binary
+    segmentation recurses by re-running on each side's bucket range —
+    each level is this same one-exchange pass."""
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = (
+        c.groupBy("event_type")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("b"))
+    )
+    filled = grid.join(c, ["event_type", "b"], "left").select(
+        "event_type", "b", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wa = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = filled.select(
+        "event_type",
+        "b",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("b"))
+        .cast("long")
+        .alias("k"),
+        F.sum("x").over(w).cast("long").alias("cx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("cx2"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("t"),
+        F.sum("x").over(wa).cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(wa).cast("long").alias("sx2"),
+    )
+    kd = F.col("k").cast("double")
+    rd = (F.col("t") - F.col("k")).cast("double")
+    sse = (F.col("cx2") - F.col("cx") * F.col("cx") / kd) + (
+        (F.col("sx2") - F.col("cx2"))
+        - (F.col("sx") - F.col("cx")) * (F.col("sx") - F.col("cx")) / rd
+    )
+    cand = s.filter(F.col("k") < F.col("t")).select(
+        "event_type",
+        "b",
+        F.floor(F.lit(1000000.0) * sse).cast("long").alias("cost_micro"),
+        F.floor(F.lit(1000000.0) * F.col("cx") / F.col("k"))
+        .cast("long")
+        .alias("left_mean_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("sx") - F.col("cx"))
+            / (F.col("t") - F.col("k"))
+        )
+        .cast("long")
+        .alias("right_mean_micro"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cost_micro", "b")
+    return (
+        cand.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("b").alias("split_bucket"),
+            "cost_micro",
+            "left_mean_micro",
+            "right_mean_micro",
+        )
+        .orderBy("event_type")
+    )

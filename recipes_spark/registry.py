@@ -153,6 +153,7 @@ _DEFER: set[str] = {
     "scalar_bitwise",
     "x6_kanon_release",
     "x3_knn_graph",
+    "ts_changepoint",
 }
 
 

@@ -3624,3 +3624,127 @@ def x3_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rnk")
     )
+
+
+_MODULARITY_ORACLE = f"""
+WITH nodes AS (
+  SELECT doc_id AS node, (SELECT count(*) FROM documents) AS n
+  FROM documents
+), raw AS (
+  SELECT node AS u, (node + 1) % n AS v FROM nodes
+  UNION ALL
+  SELECT node, (node * node + 1) % n FROM nodes
+), und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM raw WHERE u <> v
+    UNION ALL
+    SELECT v, u FROM raw WHERE u <> v
+  )
+), l0 AS (
+  SELECT node, node % 16 AS label FROM nodes
+), {_lp_round_sql("l0", "l1")},
+{_lp_round_sql("l1", "l2")},
+{_lp_round_sql("l2", "l3")},
+m AS (SELECT count(*) AS m2 FROM und),
+deg AS (
+  SELECT l.label AS community,
+         CAST(count(*) AS BIGINT) AS degree_sum,
+         CAST(count(DISTINCT e.u) AS BIGINT) AS n_nodes
+  FROM und e JOIN l3 l ON l.node = e.u
+  GROUP BY l.label
+), intra AS (
+  SELECT lu.label AS community, CAST(count(*) AS BIGINT) AS intra_dir
+  FROM und e
+  JOIN l3 lu ON lu.node = e.u
+  JOIN l3 lv ON lv.node = e.v
+  WHERE lu.label = lv.label
+  GROUP BY lu.label
+)
+SELECT CAST(d.community AS BIGINT) AS community,
+       d.n_nodes,
+       CAST(coalesce(i.intra_dir, 0) // 2 AS BIGINT) AS intra_pairs,
+       d.degree_sum,
+       CAST(floor(1000000.0 * (coalesce(i.intra_dir, 0) / m.m2
+            - (d.degree_sum / m.m2) * (d.degree_sum / m.m2)))
+            AS BIGINT) AS q_term_micro
+FROM deg d LEFT JOIN intra i ON i.community = d.community
+CROSS JOIN m
+ORDER BY community
+"""
+
+
+@query("x7_modularity", oracle=_MODULARITY_ORACLE)
+def x7_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY of the label-propagation communities — the standard
+    quality score that closes the community-detection loop (detect
+    with x7_label_propagation, SCORE with Q): per community c,
+    Q_c = L_c/m − (D_c/2m)², emitted as one exact-integer row
+    (intra-pair count, degree sum) plus the floor-scaled micro term —
+    per-community terms stay integers so the corpus-wide Q is their
+    plain SUM, never an order-sensitive double reduction. The final
+    labels replay through the oracle's chained round CTEs verbatim,
+    so the score is checked on exactly the communities the engine
+    found.
+
+    100 TB: degrees and intra-edge counts are two hash aggs over the
+    edge list joined against the (node → label) table — the same
+    degree-bounded, map-side-combining shape as a propagation round;
+    the only scalar is the edge count. Hub inboxes split across
+    partitions on the (node, label) key exactly as in LP itself."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    u = F.col("node")
+    raw = (
+        nodes.select(u.alias("u"), ((u + 1) % n).alias("v"))
+        .unionByName(
+            nodes.select(u.alias("u"), ((u * u + 1) % n).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    und = (
+        raw.unionByName(
+            raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = nodes.select("node", (u % 16).alias("label"))
+    labels = label_propagation_rounds(und, seeds, rounds=3).localCheckpoint(
+        eager=True
+    )
+    m2 = und.count()
+
+    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("cv"))
+    tagged = und.join(lu, "u").join(lv, "v")
+    deg = tagged.groupBy("cu").agg(
+        F.count(F.lit(1)).cast("long").alias("degree_sum"),
+        F.countDistinct("u").cast("long").alias("n_nodes"),
+    )
+    intra = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy("cu")
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_dir"))
+    )
+    j = deg.join(intra, "cu", "left").select(
+        F.col("cu").cast("long").alias("community"),
+        "n_nodes",
+        F.coalesce("intra_dir", F.lit(0)).alias("intra_dir"),
+        "degree_sum",
+    )
+    md = F.lit(float(m2))
+    q = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.col("intra_dir") / md
+            - (F.col("degree_sum") / md) * (F.col("degree_sum") / md)
+        )
+    )
+    return j.select(
+        "community",
+        "n_nodes",
+        F.expr("intra_dir div 2").cast("long").alias("intra_pairs"),
+        "degree_sum",
+        q.cast("long").alias("q_term_micro"),
+    ).orderBy("community")

@@ -154,6 +154,7 @@ _DEFER: set[str] = {
     "x6_kanon_release",
     "x3_knn_graph",
     "ts_changepoint",
+    "x7_modularity",
 }
 
 

@@ -155,6 +155,7 @@ _DEFER: set[str] = {
     "x3_knn_graph",
     "ts_changepoint",
     "x7_modularity",
+    "ts_theil_sen",
 }
 
 

@@ -174,6 +174,12 @@ PARTITION_SENSITIVE = [
     # row-number (range shuffle + offset scan) — the rank, hence every
     # score, must not depend on where shard boundaries fall.
     "event_rfm_segments",
+    # Round-8 second wave: knn-graph's top-3 ties break on candidate
+    # id over block-join tiles; Theil-Sen's median pick is a rank over
+    # (slope, bi, bj) — both are determinism claims over join/window
+    # order, so both pin against partitioning.
+    "x3_knn_graph",
+    "ts_theil_sen",
 ]
 
 

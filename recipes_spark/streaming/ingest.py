@@ -1959,3 +1959,22 @@ def st24_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(state_dir, "s_3"))
         .orderBy("bucket")
     )
+
+
+def st24_estimate(registers: list[tuple[int, int]], p: int = 10) -> float:
+    """Driver-side HLL estimate from st24's register table (≤2^p rows —
+    the ONLY place doubles appear in the family member; the registers
+    themselves stay exact integers): standard bias-corrected harmonic
+    mean with the linear-counting small-range correction. Absent
+    buckets are empty registers (rank 0)."""
+    import math
+
+    m = 1 << p
+    regs = dict(registers)
+    s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / s
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

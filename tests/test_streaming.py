@@ -367,3 +367,25 @@ def test_st24_hll_registers_telescope_and_retry(spark, sf_dir, tmp_path):
     before = [state(b) for b in range(3)]
     fn(batches[1], 1)  # at-least-once redelivery
     assert [state(b) for b in range(3)] == before
+
+
+def test_st24_estimate_within_tolerance(spark, sf_dir):
+    """The register table st24 maintains must actually estimate: the
+    harmonic-mean readout lands within 15% of the exact distinct text
+    count (p=10 → ~3.25% rse; 15% leaves >4 sigma for the testdata's
+    small-range regime where linear counting takes over)."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.streaming.ingest import (
+        st24_batch_registers,
+        st24_estimate,
+    )
+
+    d = load(spark, sf_dir, "documents").select("text")
+    exact = d.select(F.countDistinct("text")).first()[0]
+    regs = [
+        (r["bucket"], r["reg"]) for r in st24_batch_registers(d).collect()
+    ]
+    est = st24_estimate(regs)
+    assert abs(est - exact) / exact < 0.15, (est, exact)

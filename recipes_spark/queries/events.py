@@ -2359,3 +2359,81 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_hodges_lehmann",
+    oracle="""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), walsh AS (
+  SELECT a.event_type, a.b AS bi, x.b AS bj,
+         CAST(a.y + x.y AS BIGINT) AS w2
+  FROM c a JOIN c x
+    ON x.event_type = a.event_type AND x.b >= a.b
+), ranked AS (
+  SELECT event_type, w2,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY w2, bi, bj) AS r,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM walsh
+)
+SELECT event_type,
+       CAST(np AS BIGINT) AS n_pairs,
+       CAST(w2 AS BIGINT) AS hl2_cents
+FROM ranked
+WHERE r = (np + 1) // 2
+ORDER BY event_type
+""",
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann location estimator per event type — the median
+    of Walsh averages (xi + xj)/2 over all bucket pairs i <= j, the
+    robust companion to ts_theil_sen's slope (same breakdown logic,
+    location instead of trend; the estimator behind the Wilcoxon
+    signed-rank interval). Reported as hl2_cents = 2·HL so it stays an
+    exact integer; the median pick is the lower median under
+    (sum, bi, bj) — pure integer ordering, no doubles anywhere.
+
+    100 TB: Walsh pairs form over hourly BUCKETS (grid-length², never
+    event count); the pair self-join and the ranking window share the
+    event_type key — one exchange after the bucket agg. Decade-scale
+    grids move to the classic O(n log n) HL algorithms or a sampled
+    pair subset; the contract is unchanged."""
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("b"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    a = c.select("event_type", F.col("b").alias("bi"), F.col("y").alias("yi"))
+    x = c.select("event_type", F.col("b").alias("bj"), F.col("y").alias("yj"))
+    walsh = (
+        a.join(x, "event_type")
+        .filter(F.col("bj") >= F.col("bi"))
+        .select(
+            "event_type",
+            "bi",
+            "bj",
+            (F.col("yi") + F.col("yj")).cast("long").alias("w2"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("w2", "bi", "bj")
+    wn = Window.partitionBy("event_type")
+    return (
+        walsh.withColumn("r", F.row_number().over(wr))
+        .withColumn("np", F.count(F.lit(1)).over(wn))
+        .filter(F.col("r") == F.expr("(np + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("w2").alias("hl2_cents"),
+        )
+        .orderBy("event_type")
+    )

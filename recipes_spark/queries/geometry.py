@@ -468,3 +468,114 @@ def g8_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "g9_trajectory_stats",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919) % 36000 AS ix,
+         (event_id * 104729) % 17000 AS iy
+  FROM events
+), steps AS (
+  SELECT user_id, ts, event_id, ix, iy,
+         ix - lag(ix) OVER w AS dx,
+         iy - lag(iy) OVER w AS dy
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), ends AS (
+  SELECT user_id,
+         min((ts, event_id, ix, iy)) AS f,
+         max((ts, event_id, ix, iy)) AS l
+  FROM pts GROUP BY user_id
+), agg AS (
+  SELECT s.user_id,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(CAST(floor(sqrt(CAST(dx * dx + dy * dy AS DOUBLE)))
+                  AS BIGINT)) FILTER (WHERE dx IS NOT NULL) AS BIGINT)
+           AS path_len,
+         CAST(coalesce(max(dx * dx + dy * dy), 0) AS BIGINT) AS max_step2
+  FROM steps s GROUP BY s.user_id
+)
+SELECT a.user_id, a.n_points,
+       CAST(coalesce(a.path_len, 0) AS BIGINT) AS path_len,
+       a.max_step2,
+       CAST(floor(sqrt(CAST((e.l[3] - e.f[3]) * (e.l[3] - e.f[3])
+            + (e.l[4] - e.f[4]) * (e.l[4] - e.f[4]) AS DOUBLE)))
+            AS BIGINT) AS net_len,
+       CAST(CASE WHEN coalesce(a.path_len, 0) > 0
+            THEN floor(10000.0
+                 * floor(sqrt(CAST((e.l[3] - e.f[3]) * (e.l[3] - e.f[3])
+                        + (e.l[4] - e.f[4]) * (e.l[4] - e.f[4]) AS DOUBLE)))
+                 / a.path_len)
+            ELSE 10000 END AS BIGINT) AS straightness_bp
+FROM agg a JOIN ends e ON e.user_id = a.user_id
+ORDER BY a.user_id
+""",
+)
+def g9_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trajectory summary statistics — point count, total path
+    length, sharpest step, net displacement, and straightness (net /
+    path, basis points): the mobility-mining readout next to g8's
+    stay points, over the same integer coordinates. Every length is
+    floor(sqrt(int)) — sqrt is IEEE correctly-rounded, so the floored
+    integer is identical on both engines and the per-user SUM of
+    integers is order-free.
+
+    100 TB: one hashpartitioning(user_id) exchange carries the lag
+    window and both aggregates; endpoints come from struct min/max on
+    the unique (ts, event_id) prefix — no second sort."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 7919) % 36000).alias("ix"),
+        ((F.col("event_id") * 104729) % 17000).alias("iy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = pts.select(
+        "user_id",
+        "ix",
+        "iy",
+        (F.col("ix") - F.lag("ix").over(w)).alias("dx"),
+        (F.col("iy") - F.lag("iy").over(w)).alias("dy"),
+    )
+    d2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    agg = steps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.coalesce(
+            F.sum(F.floor(F.sqrt(d2.cast("double"))).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("path_len"),
+        F.coalesce(F.max(d2), F.lit(0)).cast("long").alias("max_step2"),
+    )
+    ends = pts.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "ix", "iy")).alias("f"),
+        F.max(F.struct("ts", "event_id", "ix", "iy")).alias("l"),
+    )
+    ndx = F.col("l.ix") - F.col("f.ix")
+    ndy = F.col("l.iy") - F.col("f.iy")
+    net = F.floor(F.sqrt((ndx * ndx + ndy * ndy).cast("double"))).cast(
+        "long"
+    )
+    return (
+        agg.join(ends, "user_id")
+        .select(
+            "user_id",
+            "n_points",
+            "path_len",
+            "max_step2",
+            net.alias("net_len"),
+            F.when(
+                F.col("path_len") > 0,
+                F.floor(F.lit(10000.0) * net / F.col("path_len")),
+            )
+            .otherwise(F.lit(10000))
+            .cast("long")
+            .alias("straightness_bp"),
+        )
+        .orderBy("user_id")
+    )

@@ -156,6 +156,8 @@ _DEFER: set[str] = {
     "ts_changepoint",
     "x7_modularity",
     "ts_theil_sen",
+    "g9_trajectory_stats",
+    "agg_hodges_lehmann",
 }
 
 

@@ -3491,3 +3491,75 @@ def x6_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return released.unionByName(pooled).orderBy("pooled", "lang", "source")
+
+
+@query(
+    "x6_drop_provenance",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, n_chars,
+         string_split(text, ' ') AS w,
+         row_number() OVER (PARTITION BY sha256(text)
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CASE
+         WHEN rn > 1 THEN 'exact_dup'
+         WHEN len(w) < 30 THEN 'too_short'
+         WHEN len(list_intersect(list_distinct(w),
+              {list(_GOPHER_STOPS)!r})) < 2 THEN 'no_stopwords'
+         WHEN CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 >= 50 THEN 'sampled_out'
+         ELSE 'kept'
+       END AS reason
+FROM d
+ORDER BY doc_id
+""",
+)
+def x6_drop_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DROP PROVENANCE — for every input doc, the FIRST
+    rule in the cleaning chain that removes it (exact-dup loser →
+    too-short → no-stopwords → sampled-out) or 'kept': the audit table
+    a data-governance review asks for, complementing
+    corpus_prune_funnel's stage counts (how many) and
+    x6_corpus_clean_e2e's survivor rollup (what remains) with WHY for
+    each individual document. Rule order is the pipeline's execution
+    order, so reasons are mutually exclusive by construction and the
+    funnel counts are exactly this table's GROUP BY.
+
+    100 TB: one sha2-keyed window for dup losers (uniform keys), then
+    a row-local CASE — nothing else shuffles; the table is one row per
+    input doc and partitions by any downstream key for serving."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    rn = F.row_number().over(
+        Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    )
+    nstops = F.size(
+        F.array_intersect(
+            F.array_distinct(w),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    )
+    sampled_out = (
+        F.expr(
+            "conv(substring(sha2(cast(doc_id as string), 256), 1, 8), 16, 10)"
+        ).cast("long")
+        % 100
+        >= 50
+    )
+    reason = (
+        F.when(F.col("rn") > 1, "exact_dup")
+        .when(F.size(w) < 30, "too_short")
+        .when(nstops < 2, "no_stopwords")
+        .when(sampled_out, "sampled_out")
+        .otherwise("kept")
+    )
+    return (
+        d.select("doc_id", F.size(w).cast("long").alias("n_words"), "text")
+        .withColumn("rn", rn)
+        .select("doc_id", "n_words", reason.alias("reason"))
+        .orderBy("doc_id")
+    )

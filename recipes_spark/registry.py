@@ -158,6 +158,7 @@ _DEFER: set[str] = {
     "ts_theil_sen",
     "g9_trajectory_stats",
     "agg_hodges_lehmann",
+    "x6_drop_provenance",
 }
 
 

@@ -2437,3 +2437,74 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "window_twap",
+    oracle="""
+WITH s AS (
+  SELECT event_type, user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents * (nxt - us)) FILTER (WHERE nxt IS NOT NULL)
+            AS BIGINT) AS weighted_sum,
+       CAST(max(us) - min(us) AS BIGINT) AS span_us,
+       CAST(floor(1000000.0
+            * sum(cents * (nxt - us)) FILTER (WHERE nxt IS NOT NULL)
+            / (max(us) - min(us))) AS BIGINT) AS twap_micro_cents
+FROM s
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average value per event type — each observation
+    holds until the next one (step interpolation), so the mean weights
+    by holding duration instead of event count: the TWAP/uptime-mean
+    every pricing, telemetry and SLA pipeline computes, and the
+    correction for the sampling bias a plain avg(value) has when busy
+    periods emit more events. The weighted sum is exact int64
+    (cents × holding micros, summed); only the final presentation
+    division floors to micro-cents.
+
+    100 TB: one hashpartitioning(event_type) exchange shared by the
+    lead window and the aggregate; span and weighted sum are plain
+    map-side-combining min/max/sum. Per-user TWAP swaps the partition
+    key; calendar-bucketed TWAP composes with the t2 tumbling
+    buckets."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    )
+    hold = F.col("cents") * (F.col("nxt") - F.col("us"))
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("nxt").isNotNull(), hold))
+            .cast("long")
+            .alias("weighted_sum"),
+            (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "weighted_sum",
+            "span_us",
+            F.floor(
+                F.lit(1000000.0) * F.col("weighted_sum") / F.col("span_us")
+            )
+            .cast("long")
+            .alias("twap_micro_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -575,3 +575,125 @@ def x5_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x5_mp4_boxes",
+    oracle="""
+SELECT doc_id,
+       CAST(600 + doc_id % 1000 AS BIGINT) AS mp4_timescale,
+       CAST((600 + doc_id % 1000) * (doc_id % 300 + 1) AS BIGINT)
+         AS mp4_duration,
+       CAST((doc_id % 300 + 1) * 1000 AS BIGINT) AS duration_ms,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_traks,
+       CAST(doc_id % 1280 + 16 + doc_id % 3 AS BIGINT) AS max_width,
+       CAST(doc_id % 720 + 16 + doc_id % 3 AS BIGINT) AS max_height,
+       CAST(5 + 2 * (doc_id % 3 + 1) AS BIGINT) AS n_boxes
+FROM documents
+ORDER BY doc_id
+""",
+)
+def x5_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5g: REAL ISO-BMFF (MP4) box walking, stdlib-only — the video
+    container sibling of the JPEG marker walk: a valid box tree
+    (ftyp → variable-size free padding → moov{mvhd, n × trak{tkhd}} →
+    mdat) is built per document and parsed by the genuine recursive
+    walk (uint32 big-endian size + fourcc, recurse into containers,
+    fixed-point 16.16 track dimensions). The free-box padding shifts
+    every moov offset per document, so only a correct walk recovers
+    timescale/duration/track geometry; the oracle replays the
+    generator arithmetic and the value hash proves the walk. Same
+    mapInPandas shape a production video-metadata pass uses (swap in
+    ffprobe/PyAV for codec-level fields)."""
+    import struct
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def box(fourcc: bytes, payload: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+        def make_mp4(ts: int, dur: int, traks: list, pad: int) -> bytes:
+            ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            free = box(b"free", b"\x00" * pad)
+            mvhd = box(
+                b"mvhd",
+                b"\x00\x00\x00\x00"              # version 0 + flags
+                + struct.pack(">II", 0, 0)        # ctime, mtime
+                + struct.pack(">II", ts, dur)     # timescale, duration
+                + b"\x00" * 80,                   # rate..next_track_id
+            )
+            trak_boxes = b""
+            for w, h in traks:
+                tkhd = box(
+                    b"tkhd",
+                    b"\x00\x00\x00\x07"
+                    + struct.pack(">III", 0, 0, 1)   # ctime, mtime, id
+                    + b"\x00" * 4                    # reserved
+                    + struct.pack(">I", dur)
+                    + b"\x00" * 52                   # reserved..matrix
+                    + struct.pack(">II", w << 16, h << 16),
+                )
+                trak_boxes += box(b"trak", tkhd)
+            moov = box(b"moov", mvhd + trak_boxes)
+            return ftyp + free + moov + box(b"mdat", b"\xab" * 16)
+
+        def walk(b: bytes) -> tuple:
+            st = {"ts": None, "dur": None, "w": 0, "h": 0, "nt": 0, "nb": 0}
+
+            def scan(buf: bytes) -> None:
+                i = 0
+                while i + 8 <= len(buf):
+                    (size,) = struct.unpack(">I", buf[i : i + 4])
+                    four = buf[i + 4 : i + 8]
+                    assert size >= 8, f"bad box size at {i}"
+                    st["nb"] += 1
+                    payload = buf[i + 8 : i + size]
+                    if four in (b"moov", b"trak"):
+                        if four == b"trak":
+                            st["nt"] += 1
+                        scan(payload)
+                    elif four == b"mvhd":
+                        st["ts"], st["dur"] = struct.unpack(
+                            ">II", payload[12:20]
+                        )
+                    elif four == b"tkhd":
+                        w, h = struct.unpack(">II", payload[76:84])
+                        st["w"] = max(st["w"], w >> 16)
+                        st["h"] = max(st["h"], h >> 16)
+                    i += size
+
+            scan(b)
+            assert st["ts"] is not None, "no mvhd found"
+            return (
+                st["ts"], st["dur"], st["dur"] * 1000 // st["ts"],
+                st["nt"], st["w"], st["h"], st["nb"],
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                ts = 600 + i % 1000
+                dur = ts * (i % 300 + 1)
+                traks = [
+                    (i % 1280 + 16 + t, i % 720 + 16 + t)
+                    for t in range(i % 3 + 1)
+                ]
+                parsed = walk(make_mp4(ts, dur, traks, (i % 5) * 7))
+                rows.append((i, *parsed))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mp4_timescale", "mp4_duration",
+                    "duration_ms", "n_traks", "max_width", "max_height",
+                    "n_boxes",
+                ],
+            )
+
+    return d.mapInPandas(
+        build_and_parse,
+        schema="doc_id long, mp4_timescale long, mp4_duration long, "
+        "duration_ms long, n_traks long, max_width long, "
+        "max_height long, n_boxes long",
+    ).orderBy("doc_id")

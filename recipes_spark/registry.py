@@ -159,6 +159,8 @@ _DEFER: set[str] = {
     "g9_trajectory_stats",
     "agg_hodges_lehmann",
     "x6_drop_provenance",
+    "window_twap",
+    "x5_mp4_boxes",
 }
 
 

@@ -2508,3 +2508,93 @@ def window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_spearman",
+    oracle="""
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY us, event_id)
+           AS rx,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY cents)
+           + count(*) OVER (PARTITION BY event_type, cents) - 1 AS ry
+  FROM s
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx,
+         CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor(1000000.0 * (n * sxy - sx * sy)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+         AS rho_micro
+FROM m
+ORDER BY event_type
+""",
+)
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of value against time per event type —
+    the standard MONOTONIC-trend test (Mann-Kendall's cousin): rank
+    both variables, Pearson on the ranks. Ranks are kept exact under
+    ties by storing DOUBLED average ranks (2·min_rank + tie_count − 1,
+    an integer; rho is scale-invariant so the doubling cancels), the
+    co-moments are exact int64 sums, and only the final normalization
+    touches doubles — floor-scaled micro, identical on both engines.
+    The tiebreak-free tie handling is the point: rank() + tie counts
+    give the true averaged rank, where row_number would inject
+    partition-order noise.
+
+    100 TB: both rank windows and the co-moment agg cluster on
+    event_type — one exchange, two in-partition sorts. Co-moments of
+    doubled ranks reach n²·4 per type; beyond ~10⁹ rows per type the
+    sums move to the mean-centered two-pass form, same contract."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("us", "event_id")
+    wv = Window.partitionBy("event_type").orderBy("cents")
+    wtie = Window.partitionBy("event_type", "cents")
+    r = s.select(
+        "event_type",
+        (2 * F.rank().over(wt)).cast("long").alias("rx"),
+        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(wtie) - 1)
+        .cast("long")
+        .alias("ry"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(F.lit(1000000.0) * num / F.sqrt(vx * vy))
+        .cast("long")
+        .alias("rho_micro"),
+    ).orderBy("event_type")

@@ -161,6 +161,7 @@ _DEFER: set[str] = {
     "x6_drop_provenance",
     "window_twap",
     "x5_mp4_boxes",
+    "agg_spearman",
 }
 
 

@@ -2439,9 +2439,9 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_twap",
-    oracle="""
+#: Shared by window_twap and its streaming twin st25_stream_twap — the
+#: streamed final state must equal the one-pass batch computation.
+TWAP_ORACLE = """
 WITH s AS (
   SELECT event_type, user_id, epoch_us(ts) AS us,
          CAST(round(value * 100) AS BIGINT) AS cents,
@@ -2460,8 +2460,10 @@ SELECT event_type,
 FROM s
 GROUP BY event_type
 ORDER BY event_type
-""",
-)
+"""
+
+
+@query("window_twap", oracle=TWAP_ORACLE)
 def window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-WEIGHTED average value per event type — each observation
     holds until the next one (step interpolation), so the mean weights

@@ -162,6 +162,7 @@ _DEFER: set[str] = {
     "window_twap",
     "x5_mp4_boxes",
     "agg_spearman",
+    "st25_stream_twap",
 }
 
 

@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from recipes_spark.queries.events import (
+    TWAP_ORACLE,
     ATTRIBUTION_ORACLE,
     PATTERN_FUNNEL_ORACLE,
 )
@@ -1978,3 +1979,148 @@ def st24_estimate(registers: list[tuple[int, int]], p: int = 10) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+_ST25_STATE_SCHEMA = (
+    "event_type string, last_us long, last_eid long, last_cents long,"
+    " wsum long, n long, min_us long"
+)
+
+
+def twap_advance_factory(spark: SparkSession, state_dir: str):
+    """st25's per-micro-batch body: union the carried LAST event per
+    type with this batch, accumulate the step-interpolated weighted
+    sum over that union (the carried event is <= every in-batch
+    timestamp under the in-order contract, so the boundary holding
+    interval is priced exactly), and carry forward the new last event
+    by (ts, event_id) struct-max plus the running totals. Per-bid
+    overwrites + prior-only reads = the family retry contract."""
+
+    def twap_advance(bdf: DataFrame, bid: int) -> None:
+        e = bdf.select(
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").cast("long").alias("eid"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        if bid > 0:
+            st = spark.read.schema(_ST25_STATE_SCHEMA).parquet(
+                os.path.join(state_dir, f"s_{bid - 1}")
+            )
+        else:
+            st = spark.createDataFrame([], _ST25_STATE_SCHEMA)
+        carried = st.select(
+            "event_type",
+            F.col("last_us").alias("us"),
+            F.col("last_eid").alias("eid"),
+            F.col("last_cents").alias("cents"),
+        )
+        u = carried.unionByName(e)
+        w = Window.partitionBy("event_type").orderBy("us", "eid")
+        stepped = u.withColumn("nxt", F.lead("us").over(w))
+        inc = stepped.groupBy("event_type").agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("nxt").isNotNull(),
+                        F.col("cents") * (F.col("nxt") - F.col("us")),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("inc_wsum"),
+            F.max(F.struct("us", "eid", "cents")).alias("last"),
+        )
+        own = e.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.min("us").alias("mn_b"),
+        )
+        merged = (
+            st.join(inc, "event_type", "full")
+            .join(own, "event_type", "full")
+            .select(
+                "event_type",
+                F.col("last.us").alias("last_us"),
+                F.col("last.eid").alias("last_eid"),
+                F.col("last.cents").alias("last_cents"),
+                (
+                    F.coalesce("wsum", F.lit(0))
+                    + F.coalesce("inc_wsum", F.lit(0))
+                )
+                .cast("long")
+                .alias("wsum"),
+                (F.coalesce("n", F.lit(0)) + F.coalesce("n_b", F.lit(0)))
+                .cast("long")
+                .alias("n"),
+                F.least(
+                    F.coalesce("min_us", F.lit(None)),
+                    F.coalesce("mn_b", F.lit(None)),
+                ).alias("min_us"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"s_{bid}")
+        )
+
+    return twap_advance
+
+
+@query("st25_stream_twap", oracle=TWAP_ORACLE)
+def st25_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TIME-WEIGHTED average — the ninth sketch-state family
+    member: per-type state is one carried event plus three running
+    integers (weighted sum, count, earliest instant), advanced per
+    time-ordered micro-batch by pricing each holding interval exactly
+    once (the carried last event joins the batch's lead window, so the
+    batch-boundary interval is neither dropped nor double-counted).
+    The final state's readout equals window_twap over the whole
+    stream — the oracle is shared verbatim, the same telescoping
+    argument as st20's maxima and st23's argmax carried one step
+    further to a window function over the seam.
+
+    100 TB: state is one row per type; each batch does one
+    event_type-clustered window + two aggregates. Retry-idempotent by
+    the family contract (per-bid overwrite, prior-only reads)."""
+    from recipes_spark.streaming.core import stage_events_ordered
+
+    staged = stage_events_ordered(spark, sf_dir, chunks=4)
+    schema = (
+        spark.read.parquet(os.path.join(staged, "chunk001.parquet")).schema
+    )
+    state_dir = tempfile.mkdtemp(prefix="recipes_st25_state_")
+    twap_advance = twap_advance_factory(spark, state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(twap_advance)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st25_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    st = spark.read.schema(_ST25_STATE_SCHEMA).parquet(
+        os.path.join(state_dir, "s_3")
+    )
+    return st.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("wsum").alias("weighted_sum"),
+        (F.col("last_us") - F.col("min_us")).cast("long").alias("span_us"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("wsum")
+            / (F.col("last_us") - F.col("min_us"))
+        )
+        .cast("long")
+        .alias("twap_micro_cents"),
+    ).orderBy("event_type")

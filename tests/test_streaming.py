@@ -389,3 +389,76 @@ def test_st24_estimate_within_tolerance(spark, sf_dir):
     ]
     est = st24_estimate(regs)
     assert abs(est - exact) / exact < 0.15, (est, exact)
+
+
+def test_st25_twap_seam_exact_and_retry(spark, sf_dir, tmp_path):
+    """st25's seam claim, exercised directly: the accumulated weighted
+    sum over 3 time-ordered batches equals the one-pass batch
+    computation (boundary holding intervals priced exactly once), and
+    a redelivery of a middle batch rewrites its state byte-identically."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from recipes_spark.io import load
+    from recipes_spark.streaming.ingest import twap_advance_factory
+
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    batches = [
+        ev.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi))
+        )
+        for i in range(3)
+    ]
+    batches[2] = batches[2].unionByName(ev.filter(F.col("ts") == hi))
+    state_dir = str(tmp_path / "st25_state")
+    os.makedirs(state_dir, exist_ok=True)
+    fn = twap_advance_factory(spark, state_dir)
+    for bid, bdf in enumerate(batches):
+        fn(bdf, bid)
+
+    def state(bid):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, f"s_{bid}")
+            ).collect()
+        )
+
+    # seam exactness: streamed totals == one-pass lead-window totals
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    )
+    want = {
+        r["event_type"]: (r["ws"], r["n"])
+        for r in s.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("nxt").isNotNull(),
+                    F.col("cents") * (F.col("nxt") - F.col("us")),
+                )
+            )
+            .cast("long")
+            .alias("ws"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    got = {
+        r[0]: (r[4], r[5])
+        for r in state(2)  # event_type, ..., wsum at idx 4, n at idx 5
+    }
+    assert got == want
+
+    before = [state(b) for b in range(3)]
+    fn(batches[1], 1)  # at-least-once redelivery
+    assert [state(b) for b in range(3)] == before

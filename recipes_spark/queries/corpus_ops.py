@@ -3563,3 +3563,75 @@ def x6_drop_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_words", reason.alias("reason"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x6_budget_apportion",
+    oracle="""
+WITH m AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY source
+), t AS (
+  SELECT sum(mass) AS total, count(*) AS ns FROM m
+), q AS (
+  SELECT m.source, m.mass,
+         CAST((1000000 * m.mass) // t.total AS BIGINT) AS base,
+         CAST((1000000 * m.mass) % t.total AS BIGINT) AS rem,
+         CAST(1000000 - sum((1000000 * m.mass) // t.total) OVER ()
+              AS BIGINT) AS leftover
+  FROM m CROSS JOIN t
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q
+)
+SELECT source, mass, base,
+       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r
+ORDER BY source
+""",
+)
+def x6_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) BUDGET APPORTIONMENT of a 1M-token
+    training budget across sources, proportional to character mass:
+    integer floor quotas plus one extra token-unit to the largest
+    remainders until the budget is exact — the allocator behind every
+    "sample exactly B tokens with these mixture weights" step, where
+    naive rounding of quotas over- or under-shoots by up to
+    n_sources/2. Everything is exact integer arithmetic (remainders
+    compared as B·mass mod total — never as floats), ties to the
+    smaller source name, so allocations are deterministic and sum to
+    the budget BY CONSTRUCTION.
+
+    100 TB: the per-source reduce is one map-side-combining agg; the
+    apportionment itself runs over the SOURCES table (metadata-sized
+    — the windows over it are bounded by the mixture's arity, not the
+    corpus)."""
+    d = load(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("mass")
+    )
+    t = m.agg(F.sum("mass").alias("total"))
+    q = m.crossJoin(F.broadcast(t)).select(
+        "source",
+        "mass",
+        F.expr("(1000000 * mass) div total").cast("long").alias("base"),
+        F.expr("(1000000 * mass) % total").cast("long").alias("rem"),
+    )
+    wall = Window.partitionBy()
+    q = q.withColumn(
+        "leftover",
+        (F.lit(1000000) - F.sum("base").over(wall)).cast("long"),
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    extra = F.when(
+        F.row_number().over(wr) <= F.col("leftover"), 1
+    ).otherwise(0)
+    return (
+        q.select(
+            "source", "mass", "base",
+            extra.cast("long").alias("extra"),
+            (F.col("base") + extra).cast("long").alias("alloc"),
+        )
+        .orderBy("source")
+    )

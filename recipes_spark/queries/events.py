@@ -2600,3 +2600,115 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rho_micro"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_mann_kendall",
+    oracle="""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN x.y > a.y THEN 1
+                       WHEN x.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS st,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM c a JOIN c x ON x.event_type = a.event_type AND x.b > a.b
+  GROUP BY a.event_type
+), t AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_term
+  FROM (
+    SELECT event_type, y, count(*) AS tc FROM c GROUP BY event_type, y
+  ) GROUP BY event_type
+)
+SELECT s.event_type, t.nb AS n_buckets, s.n_pairs, s.st AS s_stat,
+       CAST(t.nb * (t.nb - 1) * (2 * t.nb + 5) - t.tie_term AS BIGINT)
+         AS var18,
+       CAST(floor(1000000.0
+            * (CASE WHEN s.st > 0 THEN s.st - 1
+                    WHEN s.st < 0 THEN s.st + 1 ELSE 0 END)
+            / sqrt(CAST(t.nb * (t.nb - 1) * (2 * t.nb + 5) - t.tie_term
+                   AS DOUBLE) / 18.0)) AS BIGINT) AS z_micro
+FROM s JOIN t ON t.event_type = s.event_type
+ORDER BY s.event_type
+""",
+)
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event type — the nonparametric
+    standard for "is this series going up": S = Σ sign(y_j − y_i) over
+    bucket pairs i < j (exact integer), tie-corrected variance
+    18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5) (exact integer), and the
+    continuity-corrected z floor-scaled to micro. Complements
+    agg_spearman (same question, rank-correlation form) and
+    ts_theil_sen (the slope MK pairs naturally attach to).
+
+    100 TB: pairs form over hourly buckets (grid²), the sign agg and
+    the tie table both cluster on event_type — one exchange after the
+    bucket agg, map-side-combining everywhere."""
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("b"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    a = c.select("event_type", F.col("b").alias("bi"), F.col("y").alias("yi"))
+    x = c.select("event_type", F.col("b").alias("bj"), F.col("y").alias("yj"))
+    s = (
+        a.join(x, "event_type")
+        .filter(F.col("bj") > F.col("bi"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yj") > F.col("yi"), 1)
+                .when(F.col("yj") < F.col("yi"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    ties = (
+        c.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            )
+            .cast("long")
+            .alias("tie_term"),
+        )
+    )
+    nb = F.col("n_buckets")
+    var18 = (nb * (nb - 1) * (2 * nb + 5) - F.col("tie_term")).cast("long")
+    cc = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return (
+        s.join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_buckets",
+            "n_pairs",
+            "s_stat",
+            var18.alias("var18"),
+            F.floor(
+                F.lit(1000000.0)
+                * cc
+                / F.sqrt(var18.cast("double") / 18.0)
+            )
+            .cast("long")
+            .alias("z_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -163,6 +163,8 @@ _DEFER: set[str] = {
     "x5_mp4_boxes",
     "agg_spearman",
     "st25_stream_twap",
+    "agg_mann_kendall",
+    "x6_budget_apportion",
 }
 
 

@@ -187,3 +187,76 @@ def test_knn_graph_neighbors_match_brute_force(spark, tmp_path):
         )[:3]
         assert nbrs[q] == order, (q, nbrs[q], order)
     assert all(5 not in v for k, v in nbrs.items() if k != 5)
+
+
+def test_spearman_perfect_monotone_and_reversal(spark, tmp_path):
+    """Values strictly increasing with time → rho exactly +1 (floored
+    micro = 1_000_000); strictly decreasing → −1. A row_number-based
+    rank (instead of averaged rank under ties) would still pass here —
+    the tie case below is what separates them: two equal values must
+    share an AVERAGED rank, which shifts rho off ±1 deterministically."""
+    up = [(i, 1, i * 60, "up", float(i + 1)) for i in range(10)]
+    down = [(100 + i, 1, i * 60, "down", float(100 - i)) for i in range(10)]
+    tied = [(200 + i, 1, i * 60, "tied", float(min(i, 8) + 1)) for i in range(10)]
+    d = _events(spark, tmp_path, up + down + tied)
+    rows = {r["event_type"]: r for r in QUERIES["agg_spearman"](spark, d).collect()}
+    assert rows["up"]["rho_micro"] == 1_000_000
+    assert rows["down"]["rho_micro"] == -1_000_000
+    assert 900_000 < rows["tied"]["rho_micro"] < 1_000_000
+
+
+def test_mann_kendall_saturates_on_strict_monotone(spark, tmp_path):
+    """A strictly increasing hourly series has S = n_pairs (every pair
+    votes up) and a positive z; the reversed series mirrors to -S."""
+    up = [(i, 1, h * 60 + j, "up", 1.0)
+          for i, (h, j) in enumerate((h, j) for h in range(12)
+                                     for j in range(h + 1))]
+    base = 10_000
+    down = [(base + i, 1, h * 60 + j, "down", 1.0)
+            for i, (h, j) in enumerate((h, j) for h in range(12)
+                                       for j in range(12 - h))]
+    d = _events(spark, tmp_path, up + down)
+    rows = {r["event_type"]: r for r in QUERIES["agg_mann_kendall"](spark, d).collect()}
+    u, w = rows["up"], rows["down"]
+    assert u["s_stat"] == u["n_pairs"] == 66
+    assert w["s_stat"] == -w["n_pairs"] == -66
+    assert u["z_micro"] > 0 > w["z_micro"]
+    # symmetric construction up to the floor convention:
+    # floor(x) + floor(-x) = -1 for non-integer x
+    assert u["z_micro"] + w["z_micro"] in (0, -1)
+
+
+def test_twap_weights_by_holding_time_not_event_count(spark, tmp_path):
+    """Value 1.00 held for 9 hours, then 0.00 held for 1 hour: TWAP is
+    90 micro-cents per cent-unit — a plain avg(value) over the three
+    events would say ~0.33. The final event contributes span, never
+    weight (nothing is held after it)."""
+    rows = [
+        (0, 1, 0, "v", 1.00),
+        (1, 1, 9 * 60, "v", 0.0),
+        (2, 1, 10 * 60, "v", 55.55),  # value irrelevant: no next event
+    ]
+    d = _events(spark, tmp_path, rows)
+    r = QUERIES["window_twap"](spark, d).collect()[0]
+    h_us = 3_600_000_000
+    assert r["n_events"] == 3
+    assert r["span_us"] == 10 * h_us
+    assert r["weighted_sum"] == 100 * 9 * h_us  # cents x holding micros
+    assert r["twap_micro_cents"] == 90_000_000
+
+
+def test_apportionment_exact_budget_and_remainder_ties(spark, tmp_path):
+    """Masses 1/1/1 over a 1M budget: each base is 333_333 with equal
+    remainders — exactly one extra unit exists and must go to the
+    lexicographically smallest source; the allocations always sum to
+    the budget exactly."""
+    rows = [
+        Row(doc_id=i, text="t", lang="en", source=s, n_chars=100)
+        for i, s in enumerate(["b", "a", "c"])
+    ]
+    d = _write(spark, tmp_path, "documents", rows)
+    got = {r["source"]: r for r in QUERIES["x6_budget_apportion"](spark, d).collect()}
+    assert sum(r["alloc"] for r in got.values()) == 1_000_000
+    assert [got[s]["base"] for s in "abc"] == [333_333] * 3
+    assert got["a"]["extra"] == 1
+    assert got["b"]["extra"] == got["c"]["extra"] == 0

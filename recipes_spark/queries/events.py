@@ -2644,9 +2644,11 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_spearman (same question, rank-correlation form) and
     ts_theil_sen (the slope MK pairs naturally attach to).
 
-    100 TB: pairs form over hourly buckets (grid²), the sign agg and
-    the tie table both cluster on event_type — one exchange after the
-    bucket agg, map-side-combining everywhere."""
+    100 TB: pairs form over hourly buckets (grid²); the pair
+    self-join, the sign agg and the tie table all cluster on
+    event_type over bucket-sized inputs, map-side-combining
+    everywhere — no stage ever carries event-count rows past the
+    first bucket agg."""
     ev = load(spark, sf_dir, "events")
     c = (
         ev.select(

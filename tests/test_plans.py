@@ -440,3 +440,17 @@ def test_headline_plan_fingerprints_locked(spark):
         + " — if deliberate, regenerate with `python tools/plan_fingerprints.py`"
         " in the same commit (and ask whether the new plan is the one you want)"
     )
+
+
+def test_twap_and_spearman_share_one_type_exchange(spark, sf_dir):
+    """window_twap's lead window + aggregate, and agg_spearman's two
+    rank windows + co-moment aggregate, each cluster on event_type —
+    exactly ONE single-key hashpartitioning(event_type) exchange may
+    appear in each plan (the bucket/row aggs key on wider tuples and
+    don't match the single-key pattern)."""
+    import re
+
+    one_key = r"Exchange hashpartitioning\(event_type#\d+L?, \d+\)"
+    for name in ("window_twap", "agg_spearman"):
+        plan = _plan(spark, sf_dir, name)
+        assert len(re.findall(one_key, plan)) == 1, (name, plan)

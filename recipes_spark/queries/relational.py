@@ -2665,3 +2665,61 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_count(p_partkey)").cast("long").alias("b_pop"),
         F.expr("~p_partkey").cast("long").alias("b_not"),
     )
+
+
+@query(
+    "agg_share_of_parent",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, rev_cents,
+       CAST(floor(10000.0 * rev_cents
+            / sum(rev_cents) OVER (PARTITION BY r_name)) AS BIGINT)
+         AS share_bp
+FROM rev
+ORDER BY r_name, n_name
+""",
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent rollup — each nation's revenue as basis points
+    of its region's total: the drill-down ratio every BI layer
+    computes (window-sum over the PARENT grouping, never a self-join
+    back to a separate regional rollup). Per-row revenue floors to
+    cents before summation (identical IEEE product both engines), so
+    the totals and the share are exact integers.
+
+    100 TB: the fact joins the fixed-size dims broadcast, the rollup
+    is one map-side-combining agg on (region, nation) — 25×5 output
+    rows — and the parent window runs over that metadata-sized result,
+    not the fact stream."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents).cast("long").alias("rev_cents"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        "rev_cents",
+        F.floor(F.lit(10000.0) * F.col("rev_cents") / F.sum("rev_cents").over(w))
+        .cast("long")
+        .alias("share_bp"),
+    ).orderBy("r_name", "n_name")

@@ -165,6 +165,7 @@ _DEFER: set[str] = {
     "st25_stream_twap",
     "agg_mann_kendall",
     "x6_budget_apportion",
+    "agg_share_of_parent",
 }
 
 

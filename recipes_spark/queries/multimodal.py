@@ -697,3 +697,80 @@ def x5_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms long, n_traks long, max_width long, "
         "max_height long, n_boxes long",
     ).orderBy("doc_id")
+
+
+@query(
+    "x5_media_dedup_groups",
+    oracle="""
+WITH RECURSIVE hx AS (
+  SELECT doc_id,
+         rpad(substr(hex(encode(text)), 1, 128), 128, '20') AS h
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         [(strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16
+          + strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1
+          FOR i IN range(0,64,1)] AS bytes
+  FROM hx
+), m AS (
+  SELECT doc_id, bytes, list_sum(bytes)/64.0 AS mu FROM px
+), bits AS (
+  SELECT doc_id,
+         [CASE WHEN bytes[i+1] > mu THEN 1 ELSE 0 END
+          FOR i IN range(0,64,1)] AS bit
+  FROM m
+), bands AS (
+  SELECT doc_id,
+    list_sum([bit[j+1]    << j FOR j IN range(0,16,1)]) AS b0,
+    list_sum([bit[16+j+1] << j FOR j IN range(0,16,1)]) AS b1,
+    list_sum([bit[32+j+1] << j FOR j IN range(0,16,1)]) AS b2,
+    list_sum([bit[48+j+1] << j FOR j IN range(0,16,1)]) AS b3
+  FROM bits
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.b0,b.b0)::BIGINT) + bit_count(xor(a.b1,b.b1)::BIGINT)
+      + bit_count(xor(a.b2,b.b2)::BIGINT) + bit_count(xor(a.b3,b.b3)::BIGINT)
+      <= 3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+ORDER BY doc_id
+""",
+)
+def x5_media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIA dedup-cluster assignment — the x2_dedup_groups pipeline
+    applied to the perceptual-hash geometry: pHash near-dup pairs
+    (Hamming ≤ 3 over the 64-bit aHash, found by the pigeonhole band
+    join in x5_phash_neardup) feed the same confluent min-label
+    connected components, yielding (doc_id, group_id = min member) —
+    the keep-one-per-visual-duplicate stage of an image/video corpus
+    pipeline. The oracle replays the full chain: byte-exact hash bits,
+    banded pair predicate, recursive-CTE transitive closure.
+
+    100 TB: pairs come from the banded equi-join (never all-pairs),
+    components from the degree-bounded min propagation — the identical
+    economics as text dedup, because the operator stack is shared."""
+    pairs = x5_phash_neardup(spark, sf_dir).select("id_a", "id_b")
+    from recipes_spark.operators.dedup import connected_components
+
+    nodes = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    comps = connected_components(
+        nodes, pairs, node_col="node", src_col="id_a", dst_col="id_b"
+    )
+    return (
+        comps.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("group_id"),
+        )
+        .orderBy("doc_id")
+    )

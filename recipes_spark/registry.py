@@ -166,6 +166,7 @@ _DEFER: set[str] = {
     "agg_mann_kendall",
     "x6_budget_apportion",
     "agg_share_of_parent",
+    "x5_media_dedup_groups",
 }
 
 

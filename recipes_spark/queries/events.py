@@ -2714,3 +2714,111 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_seasonal_strength",
+    oracle="""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, unnest(range(min(b), max(b) + 1)) AS b
+  FROM c GROUP BY event_type
+), filled AS (
+  SELECT g.event_type, g.b, g.b % 24 AS hod, coalesce(c.n, 0) AS x
+  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+), season AS (
+  SELECT event_type, hod,
+         CAST(sum(x) AS BIGINT) AS sn, CAST(count(*) AS BIGINT) AS sd
+  FROM filled GROUP BY event_type, hod
+), sagg AS (
+  SELECT event_type, sd, CAST(sum(sn * sn) AS BIGINT) AS snn
+  FROM season GROUP BY event_type, sd
+), t2 AS (
+  SELECT event_type, sum(CAST(snn AS DOUBLE) / sd) AS t2
+  FROM sagg GROUP BY event_type
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM filled GROUP BY event_type
+)
+SELECT t.event_type, t.nb AS n_buckets,
+       CAST(floor(1000000.0
+            * (t2.t2 - CAST(t.sx AS DOUBLE) * t.sx / t.nb)
+            / (t.sxx - CAST(t.sx AS DOUBLE) * t.sx / t.nb)) AS BIGINT)
+         AS strength_micro
+FROM tot t JOIN t2 ON t2.event_type = t.event_type
+ORDER BY t.event_type
+""",
+)
+def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL STRENGTH — the STL diagnostic 1 − SS_resid/SS_total
+    over the hour-of-day profile (ts_seasonal_decompose's model): the
+    share of each type's hourly variance the daily cycle explains,
+    i.e. the number that decides whether a forecaster keeps the
+    seasonal term. Computed WITHOUT any order-sensitive double
+    reduction via the ANOVA identity SS_resid = Σx² − Σ_hod sn²/sd:
+    every aggregate is an exact integer sum, and because a CONTIGUOUS
+    hourly grid gives each hour-of-day slot one of at most TWO counts
+    (⌊N/24⌋ or ⌈N/24⌉), the rational term collapses to a ≤2-term
+    double sum — IEEE addition is commutative, so two terms cannot
+    flake where a 3600-term resid² sum would. The final ratio is one
+    fixed-shape expression over identical integers on both engines.
+
+    100 TB: exactly the ts_seasonal_decompose plan (grid join +
+    profile agg clustered on event_type) plus two metadata-sized
+    aggs — nothing new touches the event stream."""
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("b"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("cents").cast("long").alias("n"))
+    )
+    grid = (
+        c.groupBy("event_type")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("b"))
+    )
+    filled = grid.join(c, ["event_type", "b"], "left").select(
+        "event_type", "b", (F.col("b") % 24).alias("hod"),
+        F.coalesce("n", F.lit(0)).alias("x"),
+    )
+    season = filled.groupBy("event_type", "hod").agg(
+        F.sum("x").cast("long").alias("sn"),
+        F.count(F.lit(1)).cast("long").alias("sd"),
+    )
+    sagg = season.groupBy("event_type", "sd").agg(
+        F.sum(F.col("sn") * F.col("sn")).cast("long").alias("snn")
+    )
+    t2 = sagg.groupBy("event_type").agg(
+        F.sum(F.col("snn").cast("double") / F.col("sd")).alias("t2")
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    sxd = F.col("sx").cast("double")
+    mean_term = sxd * F.col("sx") / F.col("n_buckets")
+    return (
+        tot.join(t2, "event_type")
+        .select(
+            "event_type",
+            "n_buckets",
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("t2") - mean_term)
+                / (F.col("sxx") - mean_term)
+            )
+            .cast("long")
+            .alias("strength_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -167,6 +167,7 @@ _DEFER: set[str] = {
     "x6_budget_apportion",
     "agg_share_of_parent",
     "x5_media_dedup_groups",
+    "agg_seasonal_strength",
 }
 
 

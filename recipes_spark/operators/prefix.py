@@ -29,35 +29,74 @@ def partitioned_row_number(
     order_exprs: list,
     out_col: str = "rn",
     shards: int | None = None,
+    partition_by: list[str] | None = None,
+    with_total: bool = True,
 ) -> tuple[DataFrame, int]:
-    """Add ``out_col`` = 1-based global row number over ``order_exprs``
-    (a total order — include a unique tiebreaker), computed
-    shard-parallel, and return ``(df, total_row_count)``.
+    """Add ``out_col`` = 1-based row number over ``order_exprs`` (a
+    total order — include a unique tiebreaker), computed
+    shard-parallel, and return ``(df, total_row_count)``. With
+    ``partition_by``, the row number restarts per key — the scale-safe
+    spelling of ``row_number() OVER (PARTITION BY key ORDER BY ...)``
+    when a key is HOT (few distinct values): the naive window funnels
+    each key's entire history through one task.
 
     Same two-pass shape as :func:`partitioned_prefix_sum`: range
-    shuffle on the order key, shard-LOCAL row_number via a partitioned
-    window (parallel — no Exchange SinglePartition anywhere in the
-    plan), per-shard counts exclusive-scanned on the driver (S values)
-    and broadcast back as offsets. This is the scale-safe spelling of
-    every global-rank consumer (ntile scoring, percentile assignment,
-    keyset backfill): the naive ``Window.orderBy`` with no partitionBy
-    is a single-task sort of the whole table.
+    shuffle on (keys, order) — each key's rows land on a contiguous,
+    internally ordered shard span — then a shard-LOCAL row_number via
+    a (keys, shard)-partitioned window (parallel — no per-key
+    single-task sort anywhere in the plan), then per-(key, shard)
+    counts exclusive-scanned into offsets and joined back. The global
+    scan collects S values on the driver; the per-key scan is itself a
+    window over the (keys × shards)-row count table — metadata-sized,
+    ordered by shard id within each key — so no driver loop touches
+    key cardinality.
 
-    The total count comes free from the per-shard counts already on
-    the driver, so callers computing rank-arithmetic (e.g. ntile
-    buckets) don't pay a separate count() job.
+    The total count comes free from the per-shard counts (driver-side
+    for the global form, one tiny agg over the checkpointed shard
+    stage for the per-key form), so callers computing rank-arithmetic
+    (e.g. ntile buckets) don't pay a separate full count() job;
+    ``with_total=False`` skips even that small job (returns -1) for
+    callers that only need the ranks. ``partition_by`` takes column
+    NAMES (they key the offset join-back).
     """
     spark = df.sparkSession
     if shards is None:
         shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    ranged = df.repartitionByRange(shards, *order_exprs).withColumn(
+    keys = list(partition_by or [])
+    ranged = df.repartitionByRange(shards, *keys, *order_exprs).withColumn(
         "__shard", F.spark_partition_id()
     )
-    w = Window.partitionBy("__shard").orderBy(*order_exprs)
+    w = Window.partitionBy(*keys, "__shard").orderBy(*order_exprs)
     local = ranged.withColumn(
         out_col, F.row_number().over(w).cast("long")
     ).localCheckpoint(eager=True)
+
+    if keys:
+        counts = local.groupBy(*keys, "__shard").agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        woff = (
+            Window.partitionBy(*keys)
+            .orderBy("__shard")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off_df = counts.select(
+            *keys,
+            "__shard",
+            F.coalesce(F.sum("__n").over(woff), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+        out = (
+            local.join(off_df, [*keys, "__shard"])
+            .withColumn(out_col, F.col(out_col) + F.col("__off"))
+            .drop("__shard", "__off")
+        )
+        if not with_total:
+            return out, -1
+        total = counts.agg(F.sum("__n").alias("t")).collect()[0]["t"] or 0
+        return out, int(total)
 
     counts = sorted(
         (r["__shard"], r["n"])

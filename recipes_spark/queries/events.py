@@ -2474,28 +2474,58 @@ def window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents × holding micros, summed); only the final presentation
     division floors to micro-cents.
 
-    100 TB: one hashpartitioning(event_type) exchange shared by the
-    lead window and the aggregate; span and weighted sum are plain
-    map-side-combining min/max/sum. Per-user TWAP swaps the partition
-    key; calendar-bucketed TWAP composes with the t2 tumbling
-    buckets."""
+    100 TB: event_type has a HANDFUL of values, so the textbook
+    per-type `lead` window would sort each type's ENTIRE history
+    inside one task. Instead this is the st25 seam stitch run
+    batch-side: range-shuffle on (type, ts, id) into shards, `lead`
+    within each (type, shard) slice (parallel — every task sorts one
+    shard, never one type), then price the one holding interval that
+    crosses each shard seam from the per-(type, shard) boundary
+    summary (last event struct-max vs the next shard's first
+    instant) — a types×shards-row table whose stitch window is
+    metadata-sized. One range exchange + one agg; every sum is exact
+    int64 and associative, so the shard boundaries can fall anywhere
+    (pinned by the partition-invariance test). Per-user TWAP swaps
+    the partition key; calendar-bucketed TWAP composes with the t2
+    tumbling buckets."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     s = ev.select(
         "event_type",
         F.unix_micros("ts").alias("us"),
+        F.col("event_id").cast("long").alias("eid"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
-    )
+    ).repartitionByRange(shards, "event_type", "us", "eid")
+    s = s.withColumn("__shard", F.spark_partition_id())
+    w = Window.partitionBy("event_type", "__shard").orderBy("us", "eid")
+    stepped = s.withColumn("nxt", F.lead("us").over(w))
     hold = F.col("cents") * (F.col("nxt") - F.col("us"))
+    summary = stepped.groupBy("event_type", "__shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("nxt").isNotNull(), hold)), F.lit(0)
+        )
+        .cast("long")
+        .alias("intra"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("max_us"),
+        F.max(F.struct("us", "eid", "cents")).alias("last"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("__shard")
+    seam = F.col("last.cents") * (
+        F.lead("first_us").over(ws) - F.col("last.us")
+    )
+    stitched = summary.withColumn(
+        "wsum", F.col("intra") + F.coalesce(seam, F.lit(0))
+    )
     return (
-        s.groupBy("event_type")
+        stitched.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.when(F.col("nxt").isNotNull(), hold))
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("wsum").cast("long").alias("weighted_sum"),
+            (F.max("max_us") - F.min("first_us"))
             .cast("long")
-            .alias("weighted_sum"),
-            (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+            .alias("span_us"),
         )
         .select(
             "event_type",
@@ -2557,34 +2587,90 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     give the true averaged rank, where row_number would inject
     partition-order noise.
 
-    100 TB: both rank windows and the co-moment agg cluster on
-    event_type — one exchange, two in-partition sorts. Co-moments of
-    doubled ranks reach n²·4 per type; beyond ~10⁹ rows per type the
-    sums move to the mean-centered two-pass form, same contract."""
+    100 TB: event_type is a HOT key (a handful of values), so neither
+    rank may be a per-type window over raw events (single-task sort of
+    each type's whole history). The y-side never touches rows at all:
+    ry is a function of cents ALONE within a type, so it comes from
+    the per-(type, cents) count table — the agg_ks_test ECDF
+    machinery — whose cumulative-tie window runs over grid-sized
+    distinct values; sy and syy are tc-weighted sums over that same
+    table. The x-side rank over (ts, id) is distinct by construction,
+    so rx = 2·row_number via the sharded
+    operators/prefix.partitioned_row_number (range shuffle +
+    shard-local window + per-(key, shard) offset scan — no per-type
+    single task), and sx = n(n+1), sxx = 2n(n+1)(2n+1)/3 collapse to
+    closed forms. Only sxy needs per-row work: one grid-sized join of
+    the ranked rows to the ry table. Co-moments of doubled ranks reach
+    n²·4 per type; beyond ~10⁹ rows per type the sums move to the
+    mean-centered two-pass form, same contract."""
+    from recipes_spark.operators.prefix import partitioned_row_number
+
     ev = load(spark, sf_dir, "events")
     s = ev.select(
         "event_type",
         F.unix_micros("ts").alias("us"),
-        "event_id",
+        F.col("event_id").cast("long").alias("eid"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    wt = Window.partitionBy("event_type").orderBy("us", "event_id")
-    wv = Window.partitionBy("event_type").orderBy("cents")
-    wtie = Window.partitionBy("event_type", "cents")
-    r = s.select(
-        "event_type",
-        (2 * F.rank().over(wt)).cast("long").alias("rx"),
-        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(wtie) - 1)
-        .cast("long")
-        .alias("ry"),
+    # y side: doubled average rank per distinct cents value.
+    # rank = 1 + (# strictly smaller) = 1 + exclusive-cumsum(tc), so
+    # ry = 2*rank + tc - 1 = 2*cum + tc + 1.
+    counts = s.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
     )
-    m = r.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rx").cast("long").alias("sx"),
-        F.sum("ry").cast("long").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ry_tab = counts.withColumn(
+        "ry",
+        (
+            2 * F.coalesce(F.sum("tc").over(wc), F.lit(0))
+            + F.col("tc")
+            + 1
+        ).cast("long"),
+    )
+    ystats = ry_tab.groupBy("event_type").agg(
+        F.sum("tc").cast("long").alias("n"),
+        F.sum(F.col("tc") * F.col("ry")).cast("long").alias("sy"),
+        F.sum(F.col("tc") * F.col("ry") * F.col("ry"))
+        .cast("long")
+        .alias("syy"),
+    )
+    # x side: (us, eid) is unique per type, so the doubled rank is
+    # 2·row_number — sharded, never a per-type single-task sort.
+    ranked, _ = partitioned_row_number(
+        s,
+        order_exprs=[F.col("us"), F.col("eid")],
+        partition_by=["event_type"],
+        out_col="rn",
+        with_total=False,
+    )
+    xy = (
+        ranked.join(ry_tab.select("event_type", "cents", "ry"),
+                    ["event_type", "cents"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(2 * F.col("rn") * F.col("ry")).cast("long").alias("sxy")
+        )
+    )
+    n = F.col("n")
+    m = (
+        ystats.join(xy, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "sy",
+            "syy",
+            "sxy",
+            (n * (n + 1)).cast("long").alias("sx"),
+            # Σ(2i)² = 4·n(n+1)(2n+1)/6 — the numerator is always
+            # divisible by 3, so integer `div` is exact (no double).
+            (2 * n * (n + 1) * (2 * n + 1)).cast("long").alias("sxx3"),
+        )
+        .withColumn("sxx", F.expr("sxx3 div 3"))
+        .drop("sxx3")
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(

@@ -141,33 +141,34 @@ _FRONT: list[str] = [
     "x5_scene_cuts",
 ]
 
-#: Names registered in the CURRENT round: serve these LAST within the
-#: unattested tier, so they never displace older debt from the driver's
-#: bounded per-round sample. Inert once attested.
-_DEFER: set[str] = {
-    "stac_fields_paged_search",
-    "x4_top_ngram_fraction",
-    "x4_gopher_filter",
-    "stac_queryables",
-    "st24_stream_hll",
-    "scalar_bitwise",
-    "x6_kanon_release",
-    "x3_knn_graph",
-    "ts_changepoint",
-    "x7_modularity",
-    "ts_theil_sen",
-    "g9_trajectory_stats",
-    "agg_hodges_lehmann",
-    "x6_drop_provenance",
-    "window_twap",
-    "x5_mp4_boxes",
-    "agg_spearman",
-    "st25_stream_twap",
-    "agg_mann_kendall",
-    "x6_budget_apportion",
-    "agg_share_of_parent",
-    "x5_media_dedup_groups",
-    "agg_seasonal_strength",
+#: Names registered in RECENT rounds (name -> registration round):
+#: serve these LAST within the unattested tier, ordered by round, so a
+#: newer registration can never displace older attestation debt from
+#: the driver's bounded per-round sample. Inert once attested.
+_DEFER: dict[str, int] = {
+    "stac_fields_paged_search": 8,
+    "x4_top_ngram_fraction": 8,
+    "x4_gopher_filter": 8,
+    "stac_queryables": 8,
+    "st24_stream_hll": 8,
+    "scalar_bitwise": 8,
+    "x6_kanon_release": 8,
+    "x3_knn_graph": 8,
+    "ts_changepoint": 8,
+    "x7_modularity": 8,
+    "ts_theil_sen": 8,
+    "g9_trajectory_stats": 8,
+    "agg_hodges_lehmann": 8,
+    "x6_drop_provenance": 8,
+    "window_twap": 8,
+    "x5_mp4_boxes": 8,
+    "agg_spearman": 8,
+    "st25_stream_twap": 8,
+    "agg_mann_kendall": 8,
+    "x6_budget_apportion": 8,
+    "agg_share_of_parent": 8,
+    "x5_media_dedup_groups": 8,
+    "agg_seasonal_strength": 8,
 }
 
 
@@ -195,9 +196,11 @@ def all_queries() -> dict[str, QueryFn]:
     for name, fn in _QUERIES.items():
         if name not in attested and name not in ordered and name not in _DEFER:
             ordered[name] = fn
-    for name, fn in _QUERIES.items():
-        if name not in attested and name not in ordered:
-            ordered[name] = fn
+    deferred = [
+        n for n in _QUERIES if n not in attested and n not in ordered
+    ]
+    for name in sorted(deferred, key=lambda n: _DEFER.get(n, 0)):
+        ordered[name] = _QUERIES[name]
     for name, fn in _QUERIES.items():
         if name not in ordered:
             ordered[name] = fn

@@ -180,6 +180,12 @@ PARTITION_SENSITIVE = [
     # order, so both pin against partitioning.
     "x3_knn_graph",
     "ts_theil_sen",
+    # Round-9 reshapes: both split a hot-key (event_type) computation
+    # across range shards and stitch at the seams — the answer must
+    # not depend on where the shard boundaries fall (3 vs 32 shards
+    # moves every seam).
+    "window_twap",
+    "agg_spearman",
 ]
 
 

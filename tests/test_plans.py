@@ -442,15 +442,36 @@ def test_headline_plan_fingerprints_locked(spark):
     )
 
 
-def test_twap_and_spearman_share_one_type_exchange(spark, sf_dir):
-    """window_twap's lead window + aggregate, and agg_spearman's two
-    rank windows + co-moment aggregate, each cluster on event_type —
-    exactly ONE single-key hashpartitioning(event_type) exchange may
-    appear in each plan (the bucket/row aggs key on wider tuples and
-    don't match the single-key pattern)."""
+def test_twap_no_per_type_raw_event_window(spark, sf_dir):
+    """window_twap (round-9 reshape): event_type has a handful of
+    values, so NO window over raw events may partition on event_type
+    alone — the lead runs within (event_type, __shard) slices of a
+    range shuffle, and the only event_type-alone window is the seam
+    stitch over the types×shards boundary summary (ordered by
+    __shard). A per-type `lead` over (us, eid) reappearing here is the
+    single-task-funnel regression the reshape removed."""
     import re
 
-    one_key = r"Exchange hashpartitioning\(event_type#\d+L?, \d+\)"
-    for name in ("window_twap", "agg_spearman"):
-        plan = _plan(spark, sf_dir, name)
-        assert len(re.findall(one_key, plan)) == 1, (name, plan)
+    plan = _plan(spark, sf_dir, "window_twap")
+    assert re.search(r"rangepartitioning\(event_type#\d+", plan), plan
+    for spec in re.findall(r"windowspecdefinition\(event_type#\d+,([^)]*)\)", plan):
+        assert "__shard" in spec, (
+            "window partitioned on event_type alone over raw events:\n" + plan
+        )
+
+
+def test_spearman_no_raw_event_rank_window(spark, sf_dir):
+    """agg_spearman (round-9 reshape): the y-rank comes from the
+    per-(type, cents) count table (grid-sized cumulative window) and
+    the x-rank from the sharded partitioned_row_number — no rank()
+    window over raw events may appear, and every window partitioned on
+    event_type alone must order by cents (the distinct-value grid) or
+    __shard (the offset scan), never by the raw (us, eid) stream."""
+    import re
+
+    plan = _plan(spark, sf_dir, "agg_spearman")
+    assert "rank(" not in plan.replace("dense_rank(", ""), plan
+    for spec in re.findall(
+        r"windowspecdefinition\(event_type#\d+, ([a-z_]+)#\d+", plan
+    ):
+        assert spec in ("cents", "__shard"), (spec, plan)

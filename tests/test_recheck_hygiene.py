@@ -94,7 +94,7 @@ def test_front_and_defer_names_are_registered_and_ordered():
     order = list(all_queries())
     names = set(order)
     assert not (set(_FRONT) - names), "unregistered _FRONT names"
-    assert not (_DEFER - names), "unregistered _DEFER names"
+    assert not (set(_DEFER) - names), "unregistered _DEFER names"
 
     attested = _driver_attested()
     tiers = []
@@ -113,3 +113,7 @@ def test_front_and_defer_names_are_registered_and_ordered():
         "registry ordering violates tier invariants: "
         + str([(n, t) for n, t in zip(order, tiers)][:40])
     )
+    # Within the defer tier, older rounds' registrations must come
+    # first — a new round's names can never displace prior backlog.
+    defer_rounds = [_DEFER[n] for n, t in zip(order, tiers) if t == 3]
+    assert defer_rounds == sorted(defer_rounds), defer_rounds

@@ -184,6 +184,14 @@ def extra_plans(spark) -> dict[str, str]:
         "window_cusum",
         "ts_linear_interp",
         "x4_source_gini",
+        # window_twap (st25's batch twin) + agg_spearman: the round-9
+        # hot-key reshapes — the range shuffle + shard-local window +
+        # seam stitch must not silently regress to a per-event_type
+        # global sort (the lead/rank windows' partition specs are also
+        # asserted structurally in test_plans.py; this pins the whole
+        # plan).
+        "window_twap",
+        "agg_spearman",
     ):
         out[name] = plan_hash(q[name](spark, SF_DIR))
     return out

@@ -35,6 +35,128 @@ def bbox_intersects(
     )
 
 
+def _geom_rings(geometry) -> list[list[list[tuple[float, float]]]]:
+    """Normalize a query geometry to a list of POLYGONS, each a list of
+    rings (exterior first, then holes), each ring a vertex list.
+    Accepts a GeoJSON Polygon/MultiPolygon dict or a bare exterior
+    ring (sequence of (lon, lat))."""
+    if isinstance(geometry, dict):
+        t = geometry.get("type")
+        if t == "Polygon":
+            return [[[(float(x), float(y)) for x, y in ring]
+                     for ring in geometry["coordinates"]]]
+        if t == "MultiPolygon":
+            return [
+                [[(float(x), float(y)) for x, y in ring] for ring in poly]
+                for poly in geometry["coordinates"]
+            ]
+        raise ValueError(f"unsupported intersects geometry type: {t}")
+    return [[[(float(x), float(y)) for x, y in geometry]]]
+
+
+def _ring_edges(ring):
+    pts = list(ring)
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    return [
+        (pts[i], pts[(i + 1) % len(pts)])
+        for i in range(len(pts))
+        if pts[i] != pts[(i + 1) % len(pts)]
+    ]
+
+
+def _seg_rect(x1, y1, x2, y2, w, s, e, n) -> Column:
+    """Closed segment (x1,y1)-(x2,y2) (CONSTANTS) intersects the
+    axis-aligned rectangle [w,e]×[s,n] (COLUMNS): Liang–Barsky slab
+    clip with the parametric bounds built at compile time — per axis
+    the entry/exit parameters are (bound − origin)/delta with a
+    CONSTANT divisor, so the runtime predicate is a handful of double
+    compares, no division by a column, no UDF."""
+    tlo, thi, conds = [F.lit(0.0)], [F.lit(1.0)], []
+    for d, o, lo_c, hi_c in ((x2 - x1, x1, w, e), (y2 - y1, y1, s, n)):
+        if d:
+            t0 = (lo_c - F.lit(o)) / F.lit(d)
+            t1 = (hi_c - F.lit(o)) / F.lit(d)
+            tlo.append(F.least(t0, t1))
+            thi.append(F.greatest(t0, t1))
+        else:
+            conds.append((lo_c <= F.lit(o)) & (F.lit(o) <= hi_c))
+    enter = tlo[0] if len(tlo) == 1 else F.greatest(*tlo)
+    exit_ = thi[0] if len(thi) == 1 else F.least(*thi)
+    pred = enter <= exit_
+    for c in conds:
+        pred = pred & c
+    return pred
+
+
+def _point_in_rings(px: Column, py: Column, rings) -> Column:
+    """Even-odd ray cast of the COLUMN point (px, py) against constant
+    rings: odd crossing count of the +x ray = inside (holes subtract
+    naturally). Horizontal edges never satisfy the straddle condition
+    and are skipped, so every slope is a finite compile-time
+    constant."""
+    crossings = None
+    for ring in rings:
+        for (x1, y1), (x2, y2) in _ring_edges(ring):
+            if y1 == y2:
+                continue
+            slope = (x2 - x1) / (y2 - y1)
+            c = F.when(
+                ((F.lit(y1) > py) != (F.lit(y2) > py))
+                & (px < (py - F.lit(y1)) * F.lit(slope) + F.lit(x1)),
+                1,
+            ).otherwise(0)
+            crossings = c if crossings is None else crossings + c
+    if crossings is None:
+        return F.lit(False)
+    return crossings % 2 == 1
+
+
+def polygon_bbox_intersects(
+    geometry,
+    west: Column, south: Column, east: Column, north: Column,
+) -> Column:
+    """EXACT intersection of a constant query polygon against the
+    item's bbox rectangle (the engine's stored footprint, SURVEY §2.9
+    G3) — the STAC /search ``intersects`` parameter, strictly stronger
+    than ``bbox``: a polygon that differs from its own envelope
+    excludes items the envelope test would keep.
+
+    Decomposition (exact for simple polygons, even-odd holes,
+    MultiPolygon as union): the regions meet iff some polygon edge
+    crosses the rectangle (covers every boundary contact and the
+    polygon-inside-rect case, since an inside vertex's edges intersect
+    the rect) OR a rectangle corner lies inside the polygon (the
+    rect-entirely-inside case, hole-aware via even-odd). Everything is
+    compile-time constant except the four corner columns, and the
+    polygon's ENVELOPE overlap — implied by any true intersection — is
+    AND-ed in as a redundant conjunct because ITS four comparisons
+    push down to parquet row-group stats; the exact predicate then
+    only evaluates on surviving row groups. Antimeridian-crossing
+    query polygons are not supported here (split them into a
+    MultiPolygon at ±180 first — the cql.py bbox path shows the
+    split)."""
+    polys = _geom_rings(geometry)
+    pred = None
+    for rings in polys:
+        p = None
+        for ring in rings:
+            for (x1, y1), (x2, y2) in _ring_edges(ring):
+                sr = _seg_rect(x1, y1, x2, y2, west, south, east, north)
+                p = sr if p is None else p | sr
+        inside = _point_in_rings(west, south, rings)
+        p = inside if p is None else p | inside
+        pred = p if pred is None else pred | p
+    if pred is None:
+        return F.lit(False)
+    xs = [x for rings in polys for ring in rings for x, _ in ring]
+    ys = [y for rings in polys for ring in rings for _, y in ring]
+    envelope = bbox_intersects(
+        west, south, east, north, min(xs), min(ys), max(xs), max(ys)
+    )
+    return envelope & pred
+
+
 def upsert_items(spark: SparkSession, items: DataFrame, catalog_path: str) -> None:
     """S12: idempotent upsert by item id into the partitioned store.
     Plain INSERT is not enough (SURVEY §4.1): re-runs must not duplicate.
@@ -362,7 +484,9 @@ def catalog_search(
     items: DataFrame,
     *,
     collections: Sequence[str] | None = None,
+    ids: Sequence[str] | None = None,
     bbox: tuple[float, float, float, float] | None = None,
+    intersects=None,
     datetime_range: tuple[str, str] | None = None,
     filter: Column | None = None,
     sortby: Sequence[tuple[str, str]] | None = None,
@@ -381,6 +505,11 @@ def catalog_search(
 
     `filter` is the CQL2 property-filter slot: any Column predicate
     (callers build it with pyspark.sql.functions, the engine's CQL).
+    `ids` and `intersects` are the stac-fastapi top-level convenience
+    params (a pystac-client sends them outside the CQL2 filter):
+    an id IN-list, and an exact GeoJSON-polygon-vs-footprint test
+    (polygon_bbox_intersects — stronger than `bbox` whenever the
+    polygon differs from its own envelope).
 
     Paging is KEYSET (pgstac search tokens), never OFFSET: the order is
     always the caller's sortby with an enforced `id asc` tiebreak
@@ -394,6 +523,23 @@ def catalog_search(
     out = items
     if collections:
         out = out.filter(F.col("collection_id").isin(list(collections)))
+    if ids:
+        # Top-level `ids` convenience param (stac-fastapi /search,
+        # docker-compose.yml:2-28): a bounded IN-list on the unique
+        # key — at 100 TB this is the predicate bloom/row-group stats
+        # eat first.
+        out = out.filter(F.col("id").isin(list(ids)))
+    if intersects is not None:
+        # Top-level `intersects` (GeoJSON geometry): EXACT
+        # polygon-vs-footprint test, envelope conjunct included for
+        # pushdown — see polygon_bbox_intersects.
+        out = out.filter(
+            polygon_bbox_intersects(
+                intersects,
+                F.col("bbox")[0], F.col("bbox")[1],
+                F.col("bbox")[2], F.col("bbox")[3],
+            )
+        )
     if filter is not None:
         out = out.filter(filter)
     keys = effective_sortby(sortby)

@@ -1027,3 +1027,143 @@ def stac_queryables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "queryable string, dtype string"
     ).orderBy("queryable")
+
+
+# ---------------------------------------------------------------------------
+# Top-level /search convenience params: intersects= (exact GeoJSON
+# polygon vs footprint) and ids= (stac-fastapi docker-compose.yml:2-28)
+
+
+def _seg_rect_sql(x1: float, y1: float, x2: float, y2: float) -> str:
+    """DuckDB spelling of plans.catalog._seg_rect for one constant edge
+    against the (west, south, east, north) columns — the SAME
+    Liang–Barsky slab arithmetic, constant-for-constant (repr floats
+    round-trip), so both engines evaluate bit-identical doubles."""
+    tlo, thi, conds = ["0.0"], ["1.0"], []
+    for d, o, lo, hi in (
+        (x2 - x1, x1, "west", "east"),
+        (y2 - y1, y1, "south", "north"),
+    ):
+        if d:
+            t0 = f"(({lo} - {o!r}) / {d!r})"
+            t1 = f"(({hi} - {o!r}) / {d!r})"
+            tlo.append(f"least({t0}, {t1})")
+            thi.append(f"greatest({t0}, {t1})")
+        else:
+            conds.append(f"({lo} <= {o!r} AND {o!r} <= {hi})")
+    enter = tlo[0] if len(tlo) == 1 else f"greatest({', '.join(tlo)})"
+    exit_ = thi[0] if len(thi) == 1 else f"least({', '.join(thi)})"
+    return "(" + " AND ".join([f"({enter} <= {exit_})"] + conds) + ")"
+
+
+def _poly_rect_sql(geometry) -> str:
+    """DuckDB spelling of plans.catalog.polygon_bbox_intersects (minus
+    the redundant envelope conjunct — it's implied by any true
+    intersection, and exists engine-side only for parquet pushdown)."""
+    from recipes_spark.plans.catalog import _geom_rings, _ring_edges
+
+    polys = []
+    for rings in _geom_rings(geometry):
+        edge_terms = [
+            _seg_rect_sql(x1, y1, x2, y2)
+            for ring in rings
+            for (x1, y1), (x2, y2) in _ring_edges(ring)
+        ]
+        cross = [
+            f"(CASE WHEN (({y1!r} > south) <> ({y2!r} > south))"
+            f" AND (west < (south - {y1!r}) * {(x2 - x1) / (y2 - y1)!r}"
+            f" + {x1!r}) THEN 1 ELSE 0 END)"
+            for ring in rings
+            for (x1, y1), (x2, y2) in _ring_edges(ring)
+            if y1 != y2
+        ]
+        inside = f"((({' + '.join(cross)}) % 2) = 1)" if cross else "FALSE"
+        polys.append("(" + " OR ".join(edge_terms + [inside]) + ")")
+    return "(" + " OR ".join(polys) + ")"
+
+
+#: A triangle whose envelope is [-120,-60]×[120,60]: items whose boxes
+#: sit in the envelope's corners but outside the hypotenuses prove
+#: intersects= is doing exact geometry, not a bbox test.
+_SEARCH_TRIANGLE = {
+    "type": "Polygon",
+    "coordinates": [
+        [(-120.0, -60.0), (0.0, 60.0), (120.0, -60.0), (-120.0, -60.0)]
+    ],
+}
+
+
+@query(
+    "stac_search_intersects",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id, collection_id, west, south, east, north
+FROM meta
+WHERE {_poly_rect_sql(_SEARCH_TRIANGLE)}
+ORDER BY id
+LIMIT 400
+""",
+)
+def stac_search_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAC /search `intersects=` (top-level GeoJSON geometry param a
+    pystac-client sends outside the CQL2 filter — stac-fastapi surface,
+    ref docker-compose.yml:2-28): EXACT polygon-vs-footprint
+    intersection, compiled entirely at plan-build time to constant
+    Liang–Barsky edge clips + an even-odd corner test over the bbox
+    corner columns (plans/catalog.polygon_bbox_intersects). The
+    polygon's ENVELOPE rides along as a redundant pushdown-friendly
+    conjunct, so at 100 TB row groups prune on corner stats first and
+    the exact test runs only on survivors. The query triangle's
+    envelope corners are deliberately outside the triangle: items
+    there match a bbox= search but NOT this one (pinned by the intent
+    test), proving intersects ≠ bbox."""
+    items = build_items(_metadata(spark, sf_dir))
+    found = catalog_search(
+        items,
+        intersects=_SEARCH_TRIANGLE,
+        sortby=[("id", "asc")],
+        limit=400,
+    )
+    return found.select(
+        "id",
+        "collection_id",
+        F.col("bbox")[0].alias("west"),
+        F.col("bbox")[1].alias("south"),
+        F.col("bbox")[2].alias("east"),
+        F.col("bbox")[3].alias("north"),
+    )
+
+
+#: Fixed id list for the ids= search — a mix of present keys (TPC-H
+#: orderkeys are sparse: 1,2,3,4,5,6,7,32,...) and absent ones, since
+#: /search with unknown ids must simply return fewer items.
+_SEARCH_IDS = [
+    "item-1", "item-7", "item-32", "item-33", "item-69", "item-100",
+    "item-997", "item-4999", "item-32000", "item-no-such",
+]
+
+
+@query(
+    "stac_search_ids",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META})
+SELECT item_id AS id, collection_id, start_datetime, end_datetime
+FROM meta
+WHERE item_id IN ({", ".join(repr(i) for i in _SEARCH_IDS)})
+ORDER BY id
+""",
+)
+def stac_search_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAC /search `ids=` (top-level convenience param): a bounded
+    IN-list on the unique item id, composed through the same
+    catalog_search pipeline as every other param (keyset paging and
+    fields projection included). At 100 TB this is the most prunable
+    predicate the store sees — id IN-lists hit parquet column
+    statistics/bloom filters before anything else runs; absent ids
+    just match nothing (no existence check round-trip, exactly like
+    pgstac)."""
+    items = build_items(_metadata(spark, sf_dir))
+    found = catalog_search(items, ids=_SEARCH_IDS, sortby=[("id", "asc")])
+    return found.select(
+        "id", "collection_id", "start_datetime", "end_datetime"
+    )

@@ -169,6 +169,8 @@ _DEFER: dict[str, int] = {
     "agg_share_of_parent": 8,
     "x5_media_dedup_groups": 8,
     "agg_seasonal_strength": 8,
+    "stac_search_intersects": 9,
+    "stac_search_ids": 9,
 }
 
 

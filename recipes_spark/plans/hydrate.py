@@ -1,0 +1,100 @@
+"""pgstac-style item dehydration/hydration (SURVEY.md §3.3 parity:
+the reference runs stac-fastapi with USE_API_HYDRATE,
+docker-compose.yml:22 — pgstac stores each item as a DELTA against its
+collection's BASE ITEM and re-hydrates at read time).
+
+The engine's columnar store makes the byte-savings argument mostly
+moot (a constant column run-length-encodes to nothing in parquet), so
+this exists for BEHAVIORAL parity: the same three-way merge pgstac
+performs, over string item fields.
+
+Semantics (mirroring pgstac's content_hydrate/content_dehydrate):
+- base item  = per collection, per field, the modal value among items
+  (deterministic tiebreak: higher count, then smaller value);
+- dehydrate  = field equal to the base value → stored NULL;
+  field NULL where the base has a value → stored DO_NOT_MERGE token
+  (pgstac's magic string — "this key is explicitly absent, do not
+  inherit"); anything else stored verbatim;
+- hydrate    = token → NULL; NULL → base value; else the stored value.
+
+hydrate(dehydrate(items)) == items for every case, including
+explicit-null fields — the round-trip is oracled in
+queries/stac.py::stac_item_hydration and property-tested in
+tests/test_intent_round9.py.
+
+Scale: the base derivation is one count aggregate over (collection,
+field value) — distinct-value-sized — plus a window over THAT table;
+dehydrate/hydrate are broadcast joins of the collections-sized base
+dim against the item stream. No shuffle of item rows anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+#: Magic "do not merge" marker (pgstac's hydration uses an equally
+#: improbable cuneiform marker string) — stored where an item
+#: EXPLICITLY lacks a field its collection base provides, so hydration
+#: restores NULL instead of inheriting the base value.
+DO_NOT_MERGE = "𒍟※"
+
+
+def base_items(items: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """Derive the per-collection base item: for each field, the modal
+    non-null value with a deterministic (count DESC, value ASC)
+    tiebreak. Output: one row per collection_id with ``base_<field>``
+    columns (NULL when a collection has no non-null value at all)."""
+    out = items.select("collection_id").distinct()
+    for f in fields:
+        counts = (
+            items.filter(F.col(f).isNotNull())
+            .groupBy("collection_id", f)
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy("collection_id").orderBy(
+            F.col("__c").desc(), F.col(f).asc()
+        )
+        best = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("collection_id", F.col(f).alias(f"base_{f}"))
+        )
+        out = out.join(best, "collection_id", "left")
+    return out
+
+
+def dehydrate_items(
+    items: DataFrame, base: DataFrame, fields: Sequence[str]
+) -> DataFrame:
+    """Strip each listed field down to its delta against the collection
+    base: equal-to-base (null-safe) → NULL; explicitly-null where the
+    base has a value → DO_NOT_MERGE; else kept verbatim. The base dim
+    is broadcast — item rows never shuffle."""
+    out = items.join(F.broadcast(base), "collection_id", "left")
+    for f in fields:
+        b = F.col(f"base_{f}")
+        out = out.withColumn(
+            f,
+            F.when(F.col(f).eqNullSafe(b), F.lit(None).cast("string"))
+            .when(F.col(f).isNull() & b.isNotNull(), F.lit(DO_NOT_MERGE))
+            .otherwise(F.col(f)),
+        )
+    return out.drop(*[f"base_{f}" for f in fields])
+
+
+def hydrate_items(
+    dehydrated: DataFrame, base: DataFrame, fields: Sequence[str]
+) -> DataFrame:
+    """Invert dehydrate_items: token → NULL, NULL → base value, else
+    the stored delta. Same broadcast shape."""
+    out = dehydrated.join(F.broadcast(base), "collection_id", "left")
+    for f in fields:
+        out = out.withColumn(
+            f,
+            F.when(F.col(f) == DO_NOT_MERGE, F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col(f), F.col(f"base_{f}"))),
+        )
+    return out.drop(*[f"base_{f}" for f in fields])

@@ -1167,3 +1167,115 @@ def stac_search_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return found.select(
         "id", "collection_id", "start_datetime", "end_datetime"
     )
+
+
+@query(
+    "stac_item_hydration",
+    oracle=f"""
+WITH meta AS ({_ORACLE_META}),
+flat AS (
+  SELECT item_id AS id, collection_id,
+         'application/netcdf' AS media,
+         'platform-' || CAST(CAST(substr(item_id, 6) AS BIGINT) % 3
+                             AS VARCHAR) AS platform,
+         CASE WHEN CAST(substr(item_id, 6) AS BIGINT) % 97 = 0
+              THEN NULL ELSE 'CC-BY-4.0' END AS license
+  FROM meta
+),
+bp AS (
+  SELECT collection_id, platform AS b FROM (
+    SELECT collection_id, platform,
+           row_number() OVER (PARTITION BY collection_id
+                              ORDER BY count(*) DESC, platform ASC) AS rn
+    FROM flat WHERE platform IS NOT NULL
+    GROUP BY collection_id, platform
+  ) WHERE rn = 1
+),
+bm AS (
+  SELECT collection_id, media AS b FROM (
+    SELECT collection_id, media,
+           row_number() OVER (PARTITION BY collection_id
+                              ORDER BY count(*) DESC, media ASC) AS rn
+    FROM flat WHERE media IS NOT NULL
+    GROUP BY collection_id, media
+  ) WHERE rn = 1
+),
+bl AS (
+  SELECT collection_id, license AS b FROM (
+    SELECT collection_id, license,
+           row_number() OVER (PARTITION BY collection_id
+                              ORDER BY count(*) DESC, license ASC) AS rn
+    FROM flat WHERE license IS NOT NULL
+    GROUP BY collection_id, license
+  ) WHERE rn = 1
+)
+SELECT f.id, f.collection_id, f.media, f.platform, f.license,
+       CAST((CASE WHEN f.media    IS NOT DISTINCT FROM bm.b THEN 1 ELSE 0 END)
+          + (CASE WHEN f.platform IS NOT DISTINCT FROM bp.b THEN 1 ELSE 0 END)
+          + (CASE WHEN f.license  IS NOT DISTINCT FROM bl.b THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_stripped,
+       CAST((CASE WHEN f.media    IS NULL AND bm.b IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN f.platform IS NULL AND bp.b IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN f.license  IS NULL AND bl.b IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_sentinel
+FROM flat f
+LEFT JOIN bp USING (collection_id)
+LEFT JOIN bm USING (collection_id)
+LEFT JOIN bl USING (collection_id)
+""",
+)
+def stac_item_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgstac item DEHYDRATE → HYDRATE round-trip (the reference serves
+    its API with USE_API_HYDRATE, docker-compose.yml:22: items are
+    stored as deltas against a per-collection base item and re-merged
+    at read). The engine derives the base (modal value, deterministic
+    tiebreak), strips three fields chosen to exercise every merge
+    branch — media (constant per collection → always stripped),
+    platform (varies → stripped only for the modal third), license
+    (NULL for keys divisible by 97 → the DO_NOT_MERGE sentinel, since
+    a hydrating reader must NOT inherit the base for an explicitly
+    absent field) — then hydrates back. The oracle compares the
+    HYDRATED values against the originals computed directly (the
+    round-trip identity IS the check) plus per-row stripped/sentinel
+    counts replaying the modal-base rule in SQL.
+
+    100 TB: base derivation = one distinct-value-sized count agg + a
+    window over that table; dehydrate/hydrate broadcast the
+    collections-sized base — item rows never shuffle
+    (plans/hydrate.py)."""
+    from recipes_spark.plans.hydrate import (
+        DO_NOT_MERGE,
+        base_items,
+        dehydrate_items,
+        hydrate_items,
+    )
+
+    fields = ["media", "platform", "license"]
+    okey = F.expr("CAST(substring(item_id, 6) AS BIGINT)")
+    flat = _metadata(spark, sf_dir).select(
+        F.col("item_id").alias("id"),
+        "collection_id",
+        F.lit("application/netcdf").alias("media"),
+        F.concat(F.lit("platform-"), (okey % 3).cast("string")).alias(
+            "platform"
+        ),
+        F.when(okey % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("CC-BY-4.0"))
+        .alias("license"),
+    )
+    base = base_items(flat, fields)
+    deh = dehydrate_items(flat, base, fields)
+    n_stripped = sum(
+        (F.when(F.col(f).isNull(), 1).otherwise(0) for f in fields),
+        start=F.lit(0),
+    )
+    n_sentinel = sum(
+        (F.when(F.col(f) == DO_NOT_MERGE, 1).otherwise(0) for f in fields),
+        start=F.lit(0),
+    )
+    deh = deh.withColumn(
+        "n_stripped", n_stripped.cast("long")
+    ).withColumn("n_sentinel", n_sentinel.cast("long"))
+    return hydrate_items(deh, base, fields).select(
+        "id", "collection_id", *fields, "n_stripped", "n_sentinel"
+    )

@@ -171,6 +171,7 @@ _DEFER: dict[str, int] = {
     "agg_seasonal_strength": 8,
     "stac_search_intersects": 9,
     "stac_search_ids": 9,
+    "stac_item_hydration": 9,
 }
 
 

@@ -135,3 +135,43 @@ def test_items_sink_lands_pgstac_shape(spark, db):
     assert doc["id"] == "i1" and doc["bbox"] == [-10.0, -5.0, 0.0, 5.0]
     sink()  # idempotent on id
     assert _all(db, "items") == rows
+
+
+def test_upsert_sql_golden_both_dialects():
+    """Dialect-conformance lock: the container has no Postgres, so the
+    psycopg2 ('format') leg can't run an integration round-trip — pin
+    the GENERATED statement against golden strings for both dialects
+    instead (quoting, conflict target, excluded.-refs, placeholder
+    style are the parts that differ between drivers and the parts a
+    refactor silently breaks). The SQLite leg additionally has the
+    live idempotency tests above; the Postgres leg's runtime coverage
+    is documented as environment-limited in API.md."""
+    from recipes_spark.plans.db_sink import build_upsert_sql
+
+    assert build_upsert_sql(
+        "items", ["id", "collection_id", "content"], ["id"],
+        paramstyle="qmark",
+    ) == (
+        'INSERT INTO "items" ("id", "collection_id", "content") '
+        "VALUES (?, ?, ?) "
+        'ON CONFLICT ("id") DO UPDATE SET '
+        '"collection_id" = excluded."collection_id", '
+        '"content" = excluded."content"'
+    )
+    assert build_upsert_sql(
+        "items", ["id", "collection_id", "content"], ["id"],
+        paramstyle="format",
+    ) == (
+        'INSERT INTO "items" ("id", "collection_id", "content") '
+        "VALUES (%s, %s, %s) "
+        'ON CONFLICT ("id") DO UPDATE SET '
+        '"collection_id" = excluded."collection_id", '
+        '"content" = excluded."content"'
+    )
+    # composite key + embedded-quote escaping + all-key degradation
+    assert build_upsert_sql(
+        'we"ird', ["a", "b"], ["a", "b"], paramstyle="qmark"
+    ) == (
+        'INSERT INTO "we""ird" ("a", "b") VALUES (?, ?) '
+        'ON CONFLICT ("a", "b") DO NOTHING'
+    )

@@ -183,3 +183,53 @@ def test_per_key_row_number_skips_total_job(spark, sf_dir):
     )
     assert total == -1
     assert out.limit(1).count() == 1
+
+
+def test_hydration_round_trip_all_branches(spark):
+    """hydrate(dehydrate(x)) == x on a hand-built frame covering every
+    merge branch: equal-to-base, differs-from-base, explicit NULL with
+    a non-null base (the DO_NOT_MERGE sentinel), NULL with a NULL base
+    (whole collection lacks the field), and a single-item
+    collection."""
+    from recipes_spark.plans.hydrate import (
+        DO_NOT_MERGE,
+        base_items,
+        dehydrate_items,
+        hydrate_items,
+    )
+
+    rows = [
+        ("a", "c1", "x"),
+        ("b", "c1", "x"),
+        ("c", "c1", "y"),      # differs from base
+        ("d", "c1", None),     # explicit null, base exists → sentinel
+        ("e", "c2", None),     # whole collection null → base null
+        ("f", "c2", None),
+        ("g", "c3", "solo"),   # single-item collection
+    ]
+    df = spark.createDataFrame(rows, "id string, collection_id string, v string")
+    base = base_items(df, ["v"])
+    got_base = {r["collection_id"]: r["base_v"] for r in base.collect()}
+    assert got_base == {"c1": "x", "c2": None, "c3": "solo"}
+
+    deh = dehydrate_items(df, base, ["v"])
+    got_deh = {r["id"]: r["v"] for r in deh.collect()}
+    assert got_deh == {
+        "a": None, "b": None, "c": "y", "d": DO_NOT_MERGE,
+        "e": None, "f": None, "g": None,
+    }
+
+    hyd = hydrate_items(deh, base, ["v"])
+    assert {(r["id"], r["collection_id"], r["v"]) for r in hyd.collect()} == set(rows)
+
+
+def test_base_item_tiebreak_is_deterministic(spark):
+    """Modal-value ties break to the SMALLER value — re-derivation on
+    differently-partitioned input cannot flap the base item."""
+    from recipes_spark.plans.hydrate import base_items
+
+    rows = [("i%d" % i, "c", v) for i, v in enumerate(["b", "b", "a", "a"])]
+    df = spark.createDataFrame(rows, "id string, collection_id string, v string")
+    for parts in (1, 7):
+        got = base_items(df.repartition(parts), ["v"]).collect()
+        assert [(r["collection_id"], r["base_v"]) for r in got] == [("c", "a")]

@@ -3635,3 +3635,382 @@ def x6_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x4_line_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), l0 AS (
+  SELECT doc_id,
+         unnest([struct_pack(idx := i,
+                             line := array_to_string(t[i+1:i+3], ' '))
+                 FOR i IN range(0, len(t), 3)]) AS u
+  FROM toks
+), lines AS (
+  SELECT doc_id, u.idx AS idx, u.line AS line FROM l0
+), freq AS (
+  SELECT line, CAST(count(*) AS BIGINT) AS c FROM lines GROUP BY line
+), marked AS (
+  SELECT l.doc_id, l.idx, l.line, f.c >= 3 AS drop
+  FROM lines l JOIN freq f USING (line)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE drop) AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(len(line)) FILTER (WHERE drop), 0) AS BIGINT)
+         AS chars_dropped,
+       coalesce(string_agg(line, ' ' ORDER BY idx)
+                FILTER (WHERE NOT drop), '') AS kept_text
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def x4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-GLOBAL line deduplication (the C4 cleaning rule, Raffel
+    et al. 2020 §2.2, public: discard any line occurring >= 3 times in
+    the corpus — boilerplate nav bars, cookie banners, license
+    footers). The synthetic corpus has no newlines, so 'lines' are the
+    deterministic 3-token segmentation (the same fixed-injection
+    convention x4_pii_scrub uses); each document is reassembled IN
+    ORDER from its surviving lines, with dropped-line counts and
+    character volume reported per doc.
+
+    100 TB shape: segmentation is row-local; the global frequency
+    table is ONE map-side-combining count keyed on the line (dedup's
+    exact-hash shuffle, X1's shape); the verdict joins back on the
+    same key (AQE broadcasts it when small, shuffles when not), and
+    reassembly is one doc_id-keyed agg over struct-sorted surviving
+    segments — sort_array over a per-doc array, never a global sort.
+    A production pass keys on sha2(line) instead of the text to keep
+    shuffle payloads fixed-width; the text key here keeps the oracle
+    byte-comparable."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    lines = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("idx"),
+                    F.array_join(F.slice("t", i + 1, 3), " ").alias("line"),
+                ),
+            )
+        ).alias("u"),
+    ).select("doc_id", F.col("u.idx").alias("idx"), F.col("u.line").alias("line"))
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    marked = lines.join(freq, "line").withColumn("drop", F.col("c") >= 3)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.count_if("drop").cast("long").alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("drop"), F.length("line"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("chars_dropped"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("drop"),
+                                    F.struct("idx", "line"),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Positions 1..10 discounted as floor(1e6 / log2(pos+1)) — computed
+#: ONCE in Python and injected as literals on BOTH engines, so no
+#: runtime libm log ever has to agree across engines.
+_NDCG_DISCOUNT = [
+    (p, int(1_000_000 // __import__("math").log2(p + 1)))
+    for p in range(1, 11)
+]
+
+_NDCG_TERMS = ("spark", "join", "window", "vector")
+
+
+@query(
+    "x4_ndcg_eval",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {_NDCG_TERMS!r}
+  GROUP BY doc_id, w
+), cand AS (
+  SELECT term, doc_id, tf,
+         CAST((doc_id + len(term)) % 4 AS BIGINT) AS rel
+  FROM tf
+), ranked AS (
+  SELECT term, rel,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id ASC) AS pos
+  FROM cand
+), ideal AS (
+  SELECT term, rel,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY rel DESC, doc_id ASC) AS pos
+  FROM cand
+), disc(pos, dm) AS (
+  VALUES {", ".join(f"({p}, {d})" for p, d in _NDCG_DISCOUNT)}
+), dcg AS (
+  SELECT term,
+         CAST(sum(((1 << rel) - 1) * dm) AS BIGINT) AS dcg_micro
+  FROM ranked JOIN disc USING (pos) GROUP BY term
+), idcg AS (
+  SELECT term,
+         CAST(sum(((1 << rel) - 1) * dm) AS BIGINT) AS idcg_micro
+  FROM ideal JOIN disc USING (pos) GROUP BY term
+), n AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY term
+)
+SELECT term, n_candidates, dcg_micro, idcg_micro,
+       CAST(1000000 * dcg_micro // idcg_micro AS BIGINT) AS ndcg_ppm
+FROM n JOIN dcg USING (term) JOIN idcg USING (term)
+ORDER BY term
+""",
+)
+def x4_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: nDCG@10 of the term-frequency
+    ranking against synthetic graded relevance labels, per query term
+    — the eval loop every search/RAG pipeline runs next to x4_bm25.
+    rel = (doc_id + |term|) % 4 is deliberately INDEPENDENT of the
+    ranking signal so nDCG lands strictly inside (0,1). Exactness: the
+    position discounts 1/log2(pos+1) are floor-scaled to micros ONCE
+    in Python and injected as literals on both engines (no runtime
+    libm); gains (2^rel − 1), DCG, IDCG and the final ppm ratio are
+    then pure int64.
+
+    100 TB: tokens collapse to (doc, term, tf) with the IN-filter
+    inside the explode (x4_bm25's scan shape); both top-10 cuts are
+    per-term window ranks over the CANDIDATE set (docs containing the
+    term — for rare-to-moderate terms this is the posting list, far
+    smaller than the corpus; a stopword-dense query would swap in the
+    topk-per-group heap pattern); the discount join is a 10-row
+    broadcast."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*_NDCG_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cand = tf.withColumn(
+        "rel",
+        ((F.col("doc_id") + F.length("term")) % 4).cast("long"),
+    )
+    disc = F.broadcast(
+        load(spark, sf_dir, "documents")
+        .sparkSession.createDataFrame(_NDCG_DISCOUNT, "pos int, dm bigint")
+    )
+    gain = F.expr("CAST(shiftleft(1, CAST(rel AS INT)) - 1 AS BIGINT)")
+    wr = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    wi = Window.partitionBy("term").orderBy(F.col("rel").desc(), F.col("doc_id"))
+    dcg = (
+        cand.withColumn("pos", F.row_number().over(wr))
+        .join(disc, "pos")
+        .groupBy("term")
+        .agg(F.sum(gain * F.col("dm")).cast("long").alias("dcg_micro"))
+    )
+    idcg = (
+        cand.withColumn("pos", F.row_number().over(wi))
+        .join(disc, "pos")
+        .groupBy("term")
+        .agg(F.sum(gain * F.col("dm")).cast("long").alias("idcg_micro"))
+    )
+    n = cand.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    return (
+        n.join(dcg, "term")
+        .join(idcg, "term")
+        .select(
+            "term", "n_candidates", "dcg_micro", "idcg_micro",
+            F.expr("1000000 * dcg_micro div idcg_micro")
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("term")
+    )
+
+
+@query(
+    "x4_url_canonicalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://Example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.COM:443/p/' || CAST(doc_id % 7 AS VARCHAR)
+                       || '/?b=2&a=1&utm_source=x'
+           WHEN 1 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id % 7 AS VARCHAR)
+                       || '?a=1&b=2'
+           WHEN 2 THEN 'HTTPS://EXAMPLE' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com:443/p/' || CAST(doc_id % 7 AS VARCHAR)
+                       || '?utm_campaign=y&b=2&a=1'
+           ELSE 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id % 7 AS VARCHAR)
+                       || '/?a=1&b=2&c=3'
+         END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(split_part(url, '://', 1)) AS scheme,
+         split_part(url, '://', 2) AS rest
+  FROM raw
+), hp AS (
+  SELECT *, split_part(rest, '/', 1) AS hostport,
+         substr(rest, len(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM parts
+), pieces AS (
+  SELECT doc_id, url, scheme,
+         lower(split_part(hostport, ':', 1)) AS host,
+         split_part(hostport, ':', 2) AS port,
+         split_part(pathq, '?', 1) AS path,
+         CASE WHEN contains(pathq, '?')
+              THEN split_part(pathq, '?', 2) ELSE '' END AS qs
+  FROM hp
+), canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host
+         || CASE WHEN port <> ''
+                  AND NOT (scheme = 'https' AND port = '443')
+                  AND NOT (scheme = 'http' AND port = '80')
+                 THEN ':' || port ELSE '' END
+         || CASE WHEN path LIKE '%/' AND len(path) > 1
+                 THEN substr(path, 1, len(path) - 1) ELSE path END
+         || CASE WHEN array_to_string(list_sort(list_filter(
+                        string_split(qs, '&'),
+                        x -> NOT starts_with(x, 'utm_'))), '&') <> ''
+                 THEN '?' || array_to_string(list_sort(list_filter(
+                        string_split(qs, '&'),
+                        x -> NOT starts_with(x, 'utm_'))), '&')
+                 ELSE '' END AS canonical_url
+  FROM pieces
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+""",
+)
+def x4_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the normalization every web-crawl
+    pipeline runs BEFORE exact dedup, because raw URLs split one page
+    across scheme-case, default-port, trailing-slash, query-order and
+    tracking-param variants (the synthesis plants exactly those four
+    variant classes per doc): lowercase scheme+host, strip the
+    scheme's default port, strip one trailing slash, drop utm_*
+    params, sort what remains. Three of the four planted variants
+    collapse to one canonical URL; the c=3 variant stays distinct —
+    the group sizes prove both directions.
+
+    100 TB: canonicalization is pure row-local string/array Catalyst
+    (no UDF, no regex backtracking), then ONE map-side-combining count
+    keyed on the canonical string — X1 exact dedup's shuffle with the
+    key fixed up front. The param sort is per-URL-sized (HOF over a
+    <10-element array)."""
+    d = scale_partitions(load(spark, sf_dir, "documents")).select("doc_id")
+    dom = (F.col("doc_id") % 50).cast("string")
+    pth = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://Example"), dom, F.lit(".COM:443/p/"),
+                     pth, F.lit("/?b=2&a=1&utm_source=x")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://example"), dom, F.lit(".com/p/"),
+                     pth, F.lit("?a=1&b=2")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("HTTPS://EXAMPLE"), dom, F.lit(".com:443/p/"),
+                     pth, F.lit("?utm_campaign=y&b=2&a=1")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://example"), dom, F.lit(".com/p/"),
+                     pth, F.lit("/?a=1&b=2&c=3")),
+        )
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.substring_index("url", "://", 1))
+    rest = F.substring_index("url", "://", -1)
+    hostport = F.substring_index(rest, "/", 1)
+    pathq = F.expr(
+        "substring(substring_index(url, '://', -1),"
+        " length(substring_index(substring_index(url, '://', -1), '/', 1)) + 1)"
+    )
+    pieces = raw.select(
+        "doc_id",
+        "url",
+        scheme.alias("scheme"),
+        F.lower(F.substring_index(hostport, ":", 1)).alias("host"),
+        F.when(
+            hostport.contains(":"), F.substring_index(hostport, ":", -1)
+        ).otherwise(F.lit("")).alias("port"),
+        F.substring_index(pathq, "?", 1).alias("path"),
+        F.when(
+            pathq.contains("?"), F.substring_index(pathq, "?", -1)
+        ).otherwise(F.lit("")).alias("qs"),
+    )
+    keep_port = (
+        (F.col("port") != "")
+        & ~((F.col("scheme") == "https") & (F.col("port") == "443"))
+        & ~((F.col("scheme") == "http") & (F.col("port") == "80"))
+    )
+    path_c = F.when(
+        F.col("path").endswith("/") & (F.length("path") > 1),
+        F.expr("substring(path, 1, length(path) - 1)"),
+    ).otherwise(F.col("path"))
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("qs", "&"), lambda x: ~x.startswith("utm_")
+            )
+        ),
+        "&",
+    )
+    canon = pieces.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("scheme"), F.lit("://"), F.col("host"),
+            F.when(keep_port, F.concat(F.lit(":"), F.col("port")))
+            .otherwise(F.lit("")),
+            path_c,
+            F.when(params != "", F.concat(F.lit("?"), params))
+            .otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.countDistinct("url").cast("long").alias("n_distinct_raw"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -2908,3 +2908,71 @@ def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "window_ohlc",
+    oracle="""
+WITH s AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+         epoch_us(ts) AS us, event_id AS eid,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, b, cents,
+         row_number() OVER (PARTITION BY event_type, b
+                            ORDER BY us, eid) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, b
+                            ORDER BY us DESC, eid DESC) AS rn_d
+  FROM s
+)
+SELECT event_type, CAST(b AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(min(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents
+FROM r
+GROUP BY event_type, b
+ORDER BY event_type, bucket
+""",
+)
+def window_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resample — hourly open/high/low/close bars per
+    event type, THE time-series downsampling every pricing/telemetry
+    dashboard serves. Open/close are min_by/max_by on the total
+    (us, event_id) order (deterministic under timestamp ties — the
+    same struct-argmax tiebreak contract as agg_argmax_conditional);
+    high/low/count are plain extrema. Values stay exact integer
+    cents.
+
+    100 TB: ONE map-side-combining hash aggregate keyed on the
+    (event_type, hour) composite — no window function at all, so the
+    hot event_type key never funnels (the bucket fans it out), and
+    partial min_by/max_by structs combine associatively. The oracle
+    spells the same argmax with per-bucket rank windows because DuckDB
+    lacks composite-key arg_min; the engine side needs no rank
+    anywhere."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        s.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min_by("cents", F.struct("us", "eid"))
+            .cast("long")
+            .alias("open_cents"),
+            F.max("cents").cast("long").alias("high_cents"),
+            F.min("cents").cast("long").alias("low_cents"),
+            F.max_by("cents", F.struct("us", "eid"))
+            .cast("long")
+            .alias("close_cents"),
+        )
+        .orderBy("event_type", "bucket")
+    )

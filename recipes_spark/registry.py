@@ -172,6 +172,10 @@ _DEFER: dict[str, int] = {
     "stac_search_intersects": 9,
     "stac_search_ids": 9,
     "stac_item_hydration": 9,
+    "x4_line_dedup": 9,
+    "x4_ndcg_eval": 9,
+    "x4_url_canonicalize": 9,
+    "window_ohlc": 9,
 }
 
 

@@ -186,6 +186,13 @@ PARTITION_SENSITIVE = [
     # moves every seam).
     "window_twap",
     "agg_spearman",
+    # Round-9 determinism claims: OHLC's open/close are struct-argmax
+    # tiebreaks whose partial aggregates must combine associatively;
+    # line dedup reassembles docs from array_sort(collect_list(...)),
+    # where collect_list order is partitioning-dependent BY DESIGN and
+    # the sort must fully cancel it.
+    "window_ohlc",
+    "x4_line_dedup",
 ]
 
 

@@ -963,6 +963,71 @@ def probe_global_rank(spark: SparkSession) -> dict:
     return out
 
 
+def probe_per_key_rank(spark: SparkSession) -> dict:
+    """Round-9 leg of the global_rank probe: PER-KEY ranking over a HOT
+    key (5 distinct values — the event_type shape that motivated the
+    agg_spearman/window_twap reshapes). Compares
+    partitioned_row_number(partition_by=['k']) — range shuffle on
+    (k, order) + (k, shard)-local window + windowed offset scan over
+    the (keys × shards)-row count table — against the naive
+    Window.partitionBy(k).orderBy(...), which funnels each key's whole
+    history (n/5 rows here) through ONE task. Reports walls at 1M/10M,
+    the sharded exponent, and exact-agreement counts (must be 0
+    mismatches: (k, order) is unique by construction)."""
+    from recipes_spark.operators.prefix import partitioned_row_number
+
+    def rows(n: int):
+        return spark.range(n).select(
+            (F.col("id") % 5).cast("string").alias("k"),
+            ((F.col("id") * 48271) % 9999991).alias("m"),
+            F.col("id").alias("uid"),
+        )
+
+    out = {"probe": "per_key_rank"}
+    order = [F.col("m").asc(), F.col("uid").asc()]
+    walls = {}
+    for tag, n in (("1x", 1_000_000), ("10x", 10_000_000)):
+        df = rows(n).cache()
+        df.count()
+
+        def sharded():
+            s, _ = partitioned_row_number(
+                df, order_exprs=order, partition_by=["k"], out_col="rn",
+                with_total=False,
+            )
+            s.groupBy("k").agg(F.sum("rn")).collect()
+
+        def naive():
+            w = Window.partitionBy("k").orderBy(*order)
+            df.select(
+                "k", F.row_number().over(w).cast("long").alias("rn")
+            ).groupBy("k").agg(F.sum("rn")).collect()
+
+        walls[tag] = min(_timed(sharded) for _ in range(2))
+        out[f"wall_sec_sharded_{tag}"] = round(walls[tag], 2)
+        out[f"wall_sec_hot_key_window_{tag}"] = round(
+            min(_timed(naive) for _ in range(2)), 2
+        )
+        s, _ = partitioned_row_number(
+            df, order_exprs=order, partition_by=["k"], out_col="rn",
+            with_total=False,
+        )
+        w = Window.partitionBy("k").orderBy(*order)
+        both = df.select(
+            "k", "uid", F.row_number().over(w).cast("long").alias("want")
+        ).join(s.select("k", "uid", F.col("rn").alias("got")), ["k", "uid"])
+        out[f"mismatches_{tag}"] = both.filter(
+            F.col("want") != F.col("got")
+        ).count()
+        df.unpersist()
+    import math
+
+    out["exponent_sharded"] = round(
+        math.log(walls["10x"] / walls["1x"]) / math.log(10), 2
+    )
+    return out
+
+
 PROBES = {
     "cc_chain": probe_cc_chain,
     "cc_skew": probe_cc_skew,
@@ -978,6 +1043,7 @@ PROBES = {
     "partition_pruning": probe_partition_pruning,
     "gram_block": probe_gram_block,
     "global_rank": probe_global_rank,
+    "per_key_rank": probe_per_key_rank,
 }
 
 

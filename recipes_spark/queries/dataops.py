@@ -3748,3 +3748,74 @@ def x7_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree_sum",
         q.cast("long").alias("q_term_micro"),
     ).orderBy("community")
+
+
+_MATRYOSHKA_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), full_ranked AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(c.v, q.qv) /
+                   (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) DESC,
+             c.vec_id) AS rnk
+    FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+  ) WHERE rnk <= 10
+), trunc_ranked AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(c.v[1:16], q.qv[1:16]) /
+                   (sqrt(list_dot_product(c.v[1:16], c.v[1:16]))
+                    * sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))), 4) DESC,
+             c.vec_id) AS rnk
+    FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+  ) WHERE rnk <= 10
+)
+SELECT f.query_id,
+       CAST(count(*) AS BIGINT) AS overlap_at_10
+FROM full_ranked f JOIN trunc_ranked t
+  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@query("x3_matryoshka_eval", oracle=_MATRYOSHKA_ORACLE)
+def x3_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncated-embedding retrieval eval (Kusupati et al.
+    2022, public): overlap@10 between exact cosine top-10 under the
+    FULL 64-dim embedding and under its FIRST-16-dim prefix — the
+    measurement that decides whether a pipeline can serve the 4×
+    cheaper prefix index and re-rank with full vectors. Both legs are
+    the x3 brute-force machinery (per-batch numpy matmul, partial
+    top-k under the final (round(sim,4) DESC, id) order); the prefix
+    leg just slices the array column before the kernel, which at scan
+    time is a narrower Arrow batch, not a copy.
+
+    100 TB: two embarrassingly-parallel scans + one k·|Q|-row join.
+    The serving-shaped variant swaps the truncated leg for the IVF
+    index built on prefixes (x3_ivf_topk) and keeps this query as its
+    recall gate."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    full = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    t_emb = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    t_q = queries.select(
+        "query_id", F.slice("query_vec", 1, 16).alias("query_vec")
+    )
+    trunc = brute_force_topk(t_emb, t_q, k=10).select("query_id", "vec_id")
+    return (
+        full.join(trunc, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_at_10"))
+        .orderBy("query_id")
+    )

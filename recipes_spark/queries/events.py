@@ -2910,9 +2910,9 @@ def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_ohlc",
-    oracle="""
+#: Shared by window_ohlc and its streaming twin st26_stream_ohlc — the
+#: streamed final state must equal the one-pass batch computation.
+OHLC_ORACLE = """
 WITH s AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS b,
          epoch_us(ts) AS us, event_id AS eid,
@@ -2935,8 +2935,10 @@ SELECT event_type, CAST(b AS BIGINT) AS bucket,
 FROM r
 GROUP BY event_type, b
 ORDER BY event_type, bucket
-""",
-)
+"""
+
+
+@query("window_ohlc", oracle=OHLC_ORACLE)
 def window_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick resample — hourly open/high/low/close bars per
     event type, THE time-series downsampling every pricing/telemetry

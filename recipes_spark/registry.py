@@ -176,6 +176,8 @@ _DEFER: dict[str, int] = {
     "x4_ndcg_eval": 9,
     "x4_url_canonicalize": 9,
     "window_ohlc": 9,
+    "x3_matryoshka_eval": 9,
+    "st26_stream_ohlc": 9,
 }
 
 

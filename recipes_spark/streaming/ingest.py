@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from recipes_spark.queries.events import (
     TWAP_ORACLE,
     ATTRIBUTION_ORACLE,
+    OHLC_ORACLE,
     PATTERN_FUNNEL_ORACLE,
 )
 from recipes_spark.registry import query
@@ -2124,3 +2125,154 @@ def st25_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twap_micro_cents"),
     ).orderBy("event_type")
+
+
+_ST26_STATE_SCHEMA = (
+    "event_type string, bucket long, n long,"
+    " open_us long, open_eid long, open_cents long,"
+    " high_cents long, low_cents long,"
+    " close_us long, close_eid long, close_cents long"
+)
+
+
+def ohlc_advance_factory(spark: SparkSession, state_dir: str):
+    """st26's per-micro-batch body: aggregate the batch to per-(type,
+    hour-bucket) OHLC rows (min_by/max_by on the (us, eid) struct —
+    window_ohlc's exact aggregate), then merge into the carried state
+    by full outer join: counts add, extrema take greatest/least, and
+    open/close resolve by comparing the carried endpoint STRUCT
+    against the batch endpoint struct under the same total order — the
+    associative-merge property that makes OHLC a CUBE-maintainable
+    aggregate. Per-bid overwrites + prior-only reads = the family
+    retry contract."""
+
+    def ohlc_advance(bdf: DataFrame, bid: int) -> None:
+        e = bdf.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").cast("long").alias("eid"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        inc = e.groupBy("event_type", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("b_n"),
+            F.min(F.struct("us", "eid", "cents")).alias("b_open"),
+            F.max("cents").cast("long").alias("b_high"),
+            F.min("cents").cast("long").alias("b_low"),
+            F.max(F.struct("us", "eid", "cents")).alias("b_close"),
+        )
+        if bid > 0:
+            st = spark.read.schema(_ST26_STATE_SCHEMA).parquet(
+                os.path.join(state_dir, f"s_{bid - 1}")
+            )
+        else:
+            st = spark.createDataFrame([], _ST26_STATE_SCHEMA)
+        s_open = F.struct(
+            F.col("open_us").alias("us"),
+            F.col("open_eid").alias("eid"),
+            F.col("open_cents").alias("cents"),
+        )
+        s_close = F.struct(
+            F.col("close_us").alias("us"),
+            F.col("close_eid").alias("eid"),
+            F.col("close_cents").alias("cents"),
+        )
+        opn = F.when(
+            F.col("n").isNull(), F.col("b_open")
+        ).when(F.col("b_n").isNull(), s_open).otherwise(
+            F.least(s_open, F.col("b_open"))
+        )
+        cls = F.when(
+            F.col("n").isNull(), F.col("b_close")
+        ).when(F.col("b_n").isNull(), s_close).otherwise(
+            F.greatest(s_close, F.col("b_close"))
+        )
+        merged = (
+            st.join(inc, ["event_type", "bucket"], "full")
+            .select(
+                "event_type",
+                "bucket",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("b_n", F.lit(0)))
+                .cast("long")
+                .alias("n"),
+                opn["us"].alias("open_us"),
+                opn["eid"].alias("open_eid"),
+                opn["cents"].alias("open_cents"),
+                F.greatest(
+                    F.coalesce("high_cents", F.col("b_high")),
+                    F.coalesce("b_high", F.col("high_cents")),
+                )
+                .cast("long")
+                .alias("high_cents"),
+                F.least(
+                    F.coalesce("low_cents", F.col("b_low")),
+                    F.coalesce("b_low", F.col("low_cents")),
+                )
+                .cast("long")
+                .alias("low_cents"),
+                cls["us"].alias("close_us"),
+                cls["eid"].alias("close_eid"),
+                cls["cents"].alias("close_cents"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"s_{bid}")
+        )
+
+    return ohlc_advance
+
+
+@query("st26_stream_ohlc", oracle=OHLC_ORACLE)
+def st26_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars — the tenth sketch-state family member:
+    per-(type, hour) state is the OHLC row itself, advanced per
+    micro-batch by the associative merge (counts add, extrema combine,
+    endpoints struct-compare), so the final state equals window_ohlc
+    over the whole stream — the oracle is shared verbatim, the same
+    telescoping argument as st25's weighted sums but over a
+    MERGEABLE aggregate with no seam at all (OHLC needs no
+    cross-batch interval pricing; that contrast is the point of
+    keeping both).
+
+    100 TB: state is one row per (type, hour) — grid-sized; each
+    batch does one map-side-combining aggregate + a grid-sized outer
+    join. Retry-idempotent by the family contract (per-bid overwrite,
+    prior-only reads)."""
+    from recipes_spark.streaming.core import stage_events_ordered
+
+    staged = stage_events_ordered(spark, sf_dir, chunks=4)
+    schema = (
+        spark.read.parquet(os.path.join(staged, "chunk001.parquet")).schema
+    )
+    state_dir = tempfile.mkdtemp(prefix="recipes_st26_state_")
+    ohlc_advance = ohlc_advance_factory(spark, state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(ohlc_advance)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st26_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    st = spark.read.schema(_ST26_STATE_SCHEMA).parquet(
+        os.path.join(state_dir, "s_3")
+    )
+    return st.select(
+        "event_type",
+        "bucket",
+        F.col("n").alias("n_events"),
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+    ).orderBy("event_type", "bucket")

@@ -462,3 +462,61 @@ def test_st25_twap_seam_exact_and_retry(spark, sf_dir, tmp_path):
     before = [state(b) for b in range(3)]
     fn(batches[1], 1)  # at-least-once redelivery
     assert [state(b) for b in range(3)] == before
+
+
+def test_st26_ohlc_merge_exact_and_retry(spark, sf_dir, tmp_path):
+    """st26's mergeable-aggregate claim, exercised directly: OHLC state
+    accumulated over 3 time-ordered batches equals the one-pass batch
+    aggregate (endpoint struct-max/min and extrema combine
+    associatively — no seam pricing exists to get wrong, which is the
+    contrast with st25), and a redelivery of a middle batch rewrites
+    its state byte-identically."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.registry import all_queries
+    from recipes_spark.streaming.ingest import ohlc_advance_factory
+
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    batches = [
+        ev.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi))
+        )
+        for i in range(3)
+    ]
+    batches[2] = batches[2].unionByName(ev.filter(F.col("ts") == hi))
+    state_dir = str(tmp_path / "st26_state")
+    os.makedirs(state_dir, exist_ok=True)
+    fn = ohlc_advance_factory(spark, state_dir)
+    for bid, bdf in enumerate(batches):
+        fn(bdf, bid)
+
+    def state(bid):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, f"s_{bid}")
+            ).collect()
+        )
+
+    want = sorted(
+        (
+            r["event_type"], r["bucket"], r["n_events"],
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"],
+        )
+        for r in all_queries()["window_ohlc"](spark, sf_dir).collect()
+    )
+    got = sorted(
+        (r[0], r[1], r[2], r[5], r[6], r[7], r[10]) for r in state(2)
+    )
+    assert got == want
+
+    before = [state(b) for b in range(3)]
+    fn(batches[1], 1)  # at-least-once redelivery
+    assert [state(b) for b in range(3)] == before

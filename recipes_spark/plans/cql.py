@@ -173,6 +173,7 @@ def _spatial_predicate(
     op: str,
     spatial_cols: tuple[Column, Column, Column, Column],
     env: tuple[float, float, float, float],
+    rings: list | None = None,
 ) -> Column:
     """The four CQL2 spatial relations over envelope footprints (exact
     for the engine's bbox geometries, G3): INTERSECTS = interval
@@ -181,7 +182,30 @@ def _spatial_predicate(
     antimeridian-crossing query (west > east) splits into the two
     wrapped ranges: OR for intersects/within (either piece suffices),
     AND for contains (a non-wrapping item must cover both pieces —
-    effectively the full longitude span)."""
+    effectively the full longitude span).
+
+    When the literal is a POLYGON, ``rings`` carries its vertex rings
+    and INTERSECTS/DISJOINT compile to the EXACT
+    polygon-vs-footprint predicate (plans/catalog.
+    polygon_bbox_intersects — same Column tree the top-level
+    `intersects=` search param uses, so the CQL2 spelling and the
+    convenience param can never disagree). For a rectangular ring the
+    exact test reduces to the envelope test, so previously-compiled
+    rectangle filters are unchanged. CONTAINS/WITHIN stay
+    envelope-based (exact when the query is a BBOX — the engine's
+    footprints are boxes, and box-in-concave-polygon containment is
+    not expressible against corner columns without the full
+    even-odd machinery; documented conservative). Exact polygons do
+    not antimeridian-wrap — split into a MultiPolygon first, as the
+    search param requires."""
+    if rings is not None and op in ("S_INTERSECTS", "S_DISJOINT"):
+        from recipes_spark.plans.catalog import polygon_bbox_intersects
+
+        cw, cs, ce, cn = spatial_cols
+        exact = polygon_bbox_intersects(
+            {"type": "Polygon", "coordinates": rings}, cw, cs, ce, cn
+        )
+        return ~exact if op == "S_DISJOINT" else exact
     if op == "S_DISJOINT":
         return ~_envelope_predicate(spatial_cols, env)
     w, s, e, n = env
@@ -355,12 +379,13 @@ class _Parser:
     def _num(self) -> float:
         return float(self.next("num"))
 
-    def _geom_envelope(self) -> tuple[float, float, float, float]:
-        """Parse a geometry literal and return its (w, s, e, n) envelope.
-        The engine's footprints are bbox corners (G3), so intersection
-        against the envelope IS the engine's spatial semantics — exact
-        for BBOX queries, conservative (superset) for concave polygons,
-        same as any bbox-index pre-filter."""
+    def _geom_envelope(self):
+        """Parse a geometry literal and return ((w, s, e, n), rings):
+        the envelope plus, for POLYGON literals, the vertex ring —
+        the spatial compiler uses the ring for the EXACT
+        intersects/disjoint predicate and the envelope for everything
+        else (exact for BBOX/POINT queries against the engine's bbox
+        footprints, conservative for polygon contains/within)."""
         k = self.peek()
         if k == "BBOX":
             self.next()
@@ -371,13 +396,13 @@ class _Parser:
                 vals.append(self._num())
             self.next("rp")
             w, s, e, n = vals
-            return (w, s, e, n)
+            return (w, s, e, n), None
         if k == "POINT":
             self.next()
             self.next("lp")
             x, y = self._num(), self._num()
             self.next("rp")
-            return (x, y, x, y)
+            return (x, y, x, y), None
         if k == "POLYGON":
             self.next()
             self.next("lp")
@@ -389,7 +414,8 @@ class _Parser:
                 ys.append(self._num())
             self.next("rp")
             self.next("rp")
-            return (min(xs), min(ys), max(xs), max(ys))
+            ring = list(zip(xs, ys))
+            return (min(xs), min(ys), max(xs), max(ys)), [ring]
         raise CQLError(
             f"expected BBOX/POINT/POLYGON geometry, got {self.toks[self.i][1]!r}"
         )
@@ -429,9 +455,9 @@ class _Parser:
         self.next("lp")
         self.next("word")  # the queryable name ('geometry') — resolved
         self.next("comma")  # through spatial_cols, pgstac-queryables style
-        env = self._geom_envelope()
+        env, rings = self._geom_envelope()
         self.next("rp")
-        return _spatial_predicate(op, self.spatial_cols, env)
+        return _spatial_predicate(op, self.spatial_cols, env, rings)
 
     def temporal_pred(self) -> Column:
         if self.temporal_cols is None:
@@ -679,8 +705,9 @@ class _JsonWalker:
                     "pass spatial_cols= to compile_cql_json"
                 )
             self._arity(op, args, 2)
+            env, rings = self._geom_envelope(args[1])
             return _spatial_predicate(
-                op.upper(), self.spatial_cols, self._geom_envelope(args[1])
+                op.upper(), self.spatial_cols, env, rings
             )
         if op in ("t_intersects", "anyinteracts", "t_before", "t_after",
                   "t_during", "t_contains"):
@@ -729,12 +756,15 @@ class _JsonWalker:
         raise CQLError(f"unsupported literal: {node!r}")
 
     @staticmethod
-    def _geom_envelope(g) -> tuple[float, float, float, float]:
-        """GeoJSON geometry / {'bbox': […]} → (w, s, e, n) envelope —
-        same conservative-envelope semantics as the text grammar.
-        Malformed coordinate structures (wrong arity, non-numeric,
-        missing) raise CQLError, never Index/Type/ValueError — the
-        geometry arrives off the wire and the crash class is the API."""
+    def _geom_envelope(g):
+        """GeoJSON geometry / {'bbox': […]} → ((w, s, e, n), rings) —
+        envelope plus, for Polygons, ALL vertex rings (exterior +
+        holes: the JSON encoding, unlike the text grammar, carries
+        holes, and the exact intersects predicate is even-odd
+        hole-aware). Malformed coordinate structures (wrong arity,
+        non-numeric, missing) raise CQLError, never
+        Index/Type/ValueError — the geometry arrives off the wire and
+        the crash class is the API."""
         if not isinstance(g, dict):
             raise CQLError(f"expected geometry object, got {g!r}")
         try:
@@ -743,18 +773,22 @@ class _JsonWalker:
                 if not (isinstance(box, list) and len(box) == 4):
                     raise CQLError("bbox must be [west, south, east, north]")
                 w, s, e, n = (float(v) for v in box)
-                return (w, s, e, n)
+                return (w, s, e, n), None
             typ = str(g.get("type", "")).lower()
             coords = g.get("coordinates")
             if typ == "point":
                 x, y = float(coords[0]), float(coords[1])
-                return (x, y, x, y)
+                return (x, y, x, y), None
             if typ == "polygon":
                 if not coords or not coords[0]:
                     raise CQLError("polygon needs a non-empty exterior ring")
-                xs = [float(p[0]) for p in coords[0]]
-                ys = [float(p[1]) for p in coords[0]]
-                return (min(xs), min(ys), max(xs), max(ys))
+                rings = [
+                    [(float(p[0]), float(p[1])) for p in ring]
+                    for ring in coords
+                ]
+                xs = [x for x, _ in rings[0]]
+                ys = [y for _, y in rings[0]]
+                return (min(xs), min(ys), max(xs), max(ys)), rings
         except (TypeError, ValueError, IndexError, KeyError) as exc:
             raise CQLError(f"malformed geometry {g!r}: {exc}") from None
         raise CQLError(f"unsupported geometry type: {g.get('type')!r}")

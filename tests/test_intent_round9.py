@@ -233,3 +233,74 @@ def test_base_item_tiebreak_is_deterministic(spark):
     for parts in (1, 7):
         got = base_items(df.repartition(parts), ["v"]).collect()
         assert [(r["collection_id"], r["base_v"]) for r in got] == [("c", "a")]
+
+
+def test_cql_polygon_intersects_is_exact(spark, items):
+    """CQL2 S_INTERSECTS with a POLYGON now compiles to the SAME exact
+    Column tree as the top-level intersects= param (both encodings) —
+    the text filter, the JSON filter and the convenience param must
+    return the identical id set on a triangle that differs from its
+    own envelope, and S_DISJOINT must be its exact complement."""
+    from recipes_spark.plans.catalog import catalog_search
+    from recipes_spark.plans.cql import compile_cql, compile_cql_json
+    from recipes_spark.queries.stac import _SEARCH_TRIANGLE
+
+    def ids(df):
+        return {r["id"] for r in df.select("id").collect()}
+
+    via_param = ids(catalog_search(items, intersects=_SEARCH_TRIANGLE))
+    tri_txt = (
+        "S_INTERSECTS(geometry, "
+        "POLYGON((-120 -60, 0 60, 120 -60, -120 -60)))"
+    )
+    via_text = ids(catalog_search(items, filter=compile_cql(tri_txt)))
+    via_json = ids(
+        catalog_search(
+            items,
+            filter=compile_cql_json(
+                {
+                    "op": "s_intersects",
+                    "args": [
+                        {"property": "geometry"},
+                        {
+                            "type": "Polygon",
+                            "coordinates": _SEARCH_TRIANGLE["coordinates"],
+                        },
+                    ],
+                }
+            ),
+        )
+    )
+    assert via_text == via_param
+    assert via_json == via_param
+    disjoint = ids(
+        catalog_search(
+            items,
+            filter=compile_cql(tri_txt.replace("S_INTERSECTS", "S_DISJOINT")),
+        )
+    )
+    every = ids(items)
+    assert via_param | disjoint == every
+    assert not (via_param & disjoint)
+    # and the triangle genuinely differs from its envelope
+    env = ids(catalog_search(items, bbox=(-120.0, -60.0, 120.0, 60.0)))
+    assert via_param < env
+
+
+def test_cql_rectangle_polygon_unchanged(spark, items):
+    """A RECTANGULAR polygon's exact test must equal the envelope test
+    (the reduction that keeps every previously-attested rectangle
+    filter, e.g. stac_cql_spatial's, byte-identical)."""
+    from recipes_spark.plans.catalog import catalog_search
+    from recipes_spark.plans.cql import compile_cql
+
+    def ids(df):
+        return {r["id"] for r in df.select("id").collect()}
+
+    rect = compile_cql(
+        "S_INTERSECTS(geometry, "
+        "POLYGON((-50 -40, 60 -40, 60 40, -50 40, -50 -40)))"
+    )
+    assert ids(catalog_search(items, filter=rect)) == ids(
+        catalog_search(items, bbox=(-50.0, -40.0, 60.0, 40.0))
+    )

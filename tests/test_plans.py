@@ -475,3 +475,17 @@ def test_spearman_no_raw_event_rank_window(spark, sf_dir):
         r"windowspecdefinition\(event_type#\d+, ([a-z_]+)#\d+", plan
     ):
         assert spec in ("cents", "__shard"), (spec, plan)
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    """window_ohlc's whole point: OHLC is a MERGEABLE aggregate — the
+    plan must contain no Window node at all (open/close are
+    min_by/max_by partials) and exactly one exchange, keyed on the
+    (event_type, bucket) composite so the hot type key fans out."""
+    import re
+
+    plan = _plan(spark, sf_dir, "window_ohlc")
+    assert "Window" not in plan, plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 1, keys
+    assert "event_type" in keys[0] and "bucket" in keys[0], keys

@@ -192,6 +192,14 @@ def extra_plans(spark) -> dict[str, str]:
         # plan).
         "window_twap",
         "agg_spearman",
+        # Round-9 second wave: OHLC must stay ONE hash aggregate with
+        # no window node (it doubles as st26's batch side);
+        # stac_search_intersects must keep the envelope conjunct that
+        # makes the exact polygon test pushdown-friendly; line dedup's
+        # reassembly must stay a doc-keyed agg, never a global sort.
+        "window_ohlc",
+        "stac_search_intersects",
+        "x4_line_dedup",
     ):
         out[name] = plan_hash(q[name](spark, SF_DIR))
     return out

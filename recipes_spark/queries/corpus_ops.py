@@ -3800,11 +3800,12 @@ def x4_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: tokens collapse to (doc, term, tf) with the IN-filter
     inside the explode (x4_bm25's scan shape); both top-10 cuts are
-    per-term window ranks over the CANDIDATE set (docs containing the
-    term — for rare-to-moderate terms this is the posting list, far
-    smaller than the corpus; a stopword-dense query would swap in the
-    topk-per-group heap pattern); the discount join is a 10-row
-    broadcast."""
+    TWO-PHASE — partition-local top-10 per term under the final total
+    order, then a rank over the ≤ partitions×terms×10 survivors — so
+    the handful-of-terms key never funnels a posting list through one
+    task (the same partial-selection-under-final-order argument as
+    brute_force_topk, and the reshape discipline window_twap set);
+    the discount join is a 10-row broadcast."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -3821,16 +3822,32 @@ def x4_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sparkSession.createDataFrame(_NDCG_DISCOUNT, "pos int, dm bigint")
     )
     gain = F.expr("CAST(shiftleft(1, CAST(rel AS INT)) - 1 AS BIGINT)")
-    wr = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id"))
-    wi = Window.partitionBy("term").orderBy(F.col("rel").desc(), F.col("doc_id"))
+
+    def top10(order_exprs):
+        """Two-phase per-term top-10: term has FOUR values, so a plain
+        PARTITION BY term window would sort each term's whole posting
+        list in one task. Phase 1 keeps each partition's local top-10
+        per term under the SAME total order as the final (the
+        brute_force_topk argument: partial selection under the final
+        order makes the merge exact); phase 2 ranks the surviving
+        ≤ partitions×terms×10 rows — metadata-sized."""
+        local = Window.partitionBy(
+            "term", F.spark_partition_id()
+        ).orderBy(*order_exprs)
+        survivors = cand.withColumn(
+            "__lr", F.row_number().over(local)
+        ).filter(F.col("__lr") <= 10).drop("__lr")
+        final = Window.partitionBy("term").orderBy(*order_exprs)
+        return survivors.withColumn("pos", F.row_number().over(final))
+
     dcg = (
-        cand.withColumn("pos", F.row_number().over(wr))
+        top10([F.col("tf").desc(), F.col("doc_id")])
         .join(disc, "pos")
         .groupBy("term")
         .agg(F.sum(gain * F.col("dm")).cast("long").alias("dcg_micro"))
     )
     idcg = (
-        cand.withColumn("pos", F.row_number().over(wi))
+        top10([F.col("rel").desc(), F.col("doc_id")])
         .join(disc, "pos")
         .groupBy("term")
         .agg(F.sum(gain * F.col("dm")).cast("long").alias("idcg_micro"))

@@ -193,6 +193,9 @@ PARTITION_SENSITIVE = [
     # the sort must fully cancel it.
     "window_ohlc",
     "x4_line_dedup",
+    # nDCG's two-phase top-10: local selection boundaries move with
+    # the partitioning; the final rank must fully cancel them.
+    "x4_ndcg_eval",
 ]
 
 

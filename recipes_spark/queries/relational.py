@@ -2723,3 +2723,103 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_bp"),
     ).orderBy("r_name", "n_name")
+
+
+@query(
+    "scalar_inet",
+    oracle="""
+WITH ips AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 167772160 + doc_id
+              WHEN doc_id % 7 = 0 THEN 3232235520 + doc_id % 65536
+              ELSE (doc_id * 2654435761) % 4294967296 END AS ipint
+  FROM documents
+), oct AS (
+  SELECT doc_id, ipint,
+         CAST(ipint >> 24 AS BIGINT) AS o1,
+         CAST((ipint >> 16) & 255 AS BIGINT) AS o2,
+         CAST((ipint >> 8) & 255 AS BIGINT) AS o3,
+         CAST(ipint & 255 AS BIGINT) AS o4
+  FROM ips
+), flags AS (
+  SELECT doc_id, ipint, o1, o2,
+         o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+         (o1 = 10)
+          OR (o1 = 172 AND (ipint >> 20) = (2886729728 >> 20))
+          OR (o1 = 192 AND o2 = 168) AS is_private,
+         ((ipint >> 24) = (167772160 >> 24))
+          OR ((ipint >> 8) = (3405803776 >> 8)) AS is_blocked
+  FROM oct
+)
+SELECT CAST(ipint >> 16 AS BIGINT) AS subnet16,
+       CAST(count(*) AS BIGINT) AS n_ips,
+       CAST(count(*) FILTER (WHERE is_private) AS BIGINT) AS n_private,
+       CAST(count(*) FILTER (WHERE is_blocked) AS BIGINT) AS n_blocked,
+       min(ip) AS sample_ip
+FROM flags
+GROUP BY 1
+ORDER BY subnet16
+LIMIT 300
+""",
+)
+def scalar_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network-address scalar suite — the IP hygiene pass a web-crawl
+    pipeline runs before geolocation/abuse filtering: int↔dotted-quad
+    conversion, RFC-1918 private-range detection (10/8, 172.16/12,
+    192.168/16), CIDR blocklist containment via prefix shifts
+    (10.0.0.0/8 and the TEST-NET 203.0.113.0/24), aggregated per /16
+    subnet. Spark has no inet builtins, so the point is the spelling:
+    every operation is shift/mask arithmetic on one int64 column —
+    whole-stage-codegen'd, pushdown-friendly, no UDF, no regex. The
+    CIDR test `ip >> (32-prefix) == net >> (32-prefix)` is the
+    longest-prefix-match building block; a real blocklist broadcasts a
+    (net, prefix) dim and joins on the shifted key per prefix length.
+
+    100 TB: row-local arithmetic then ONE map-side-combining count on
+    the /16 key (65k groups — perfectly uniform here by construction;
+    real traffic skews and the count combines map-side anyway)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    # every 5th doc planted in 10/8, every 7th in 192.168/16, so the
+    # private/blocked branches fire at any SF (same CASE both engines)
+    _IP = ("CASE WHEN doc_id % 5 = 0 THEN 167772160 + doc_id"
+           " WHEN doc_id % 7 = 0 THEN 3232235520 + doc_id % 65536"
+           " ELSE (doc_id * 2654435761) % 4294967296 END")
+    ipint = F.expr(_IP)
+    oct_ = d.select("doc_id", ipint.alias("ipint")).select(
+        "doc_id",
+        "ipint",
+        F.expr("CAST(shiftright(ipint, 24) AS BIGINT)").alias("o1"),
+        F.expr("CAST(shiftright(ipint, 16) & 255 AS BIGINT)").alias("o2"),
+        F.expr("CAST(shiftright(ipint, 8) & 255 AS BIGINT)").alias("o3"),
+        F.expr("CAST(ipint & 255 AS BIGINT)").alias("o4"),
+    )
+    ip_str = F.concat_ws(".", "o1", "o2", "o3", "o4")
+    is_private = (
+        (F.col("o1") == 10)
+        | ((F.col("o1") == 172) & (F.expr("shiftright(ipint, 20)") == (2886729728 >> 20)))
+        | ((F.col("o1") == 192) & (F.col("o2") == 168))
+    )
+    is_blocked = (
+        (F.expr("shiftright(ipint, 24)") == (167772160 >> 24))
+        | (F.expr("shiftright(ipint, 8)") == (3405803776 >> 8))
+    )
+    flags = oct_.select(
+        "doc_id",
+        "ipint",
+        ip_str.alias("ip"),
+        is_private.alias("is_private"),
+        is_blocked.alias("is_blocked"),
+    )
+    return (
+        flags.groupBy(
+            F.expr("CAST(shiftright(ipint, 16) AS BIGINT)").alias("subnet16")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ips"),
+            F.count_if("is_private").cast("long").alias("n_private"),
+            F.count_if("is_blocked").cast("long").alias("n_blocked"),
+            F.min("ip").alias("sample_ip"),
+        )
+        .orderBy("subnet16")
+        .limit(300)
+    )

@@ -178,6 +178,7 @@ _DEFER: dict[str, int] = {
     "window_ohlc": 9,
     "x3_matryoshka_eval": 9,
     "st26_stream_ohlc": 9,
+    "scalar_inet": 9,
 }
 
 

@@ -4031,3 +4031,136 @@ def x4_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+@query(
+    "x4_reading_level",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST((len(string_split(text, ' ')) + 11) // 12 AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_split_to_array(text, '[aeiou]+')) - 1 AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(floor(1000.0 * (206.835
+            - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+            - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+         AS BIGINT) AS flesch_milli
+FROM m
+ORDER BY doc_id
+""",
+)
+def x4_reading_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (Flesch 1948, public; the pile of heuristics C4/
+    Gopher-style filters sit next to). The corpus has no sentence
+    punctuation, so sentences are the deterministic 12-word
+    segmentation (the fixed-injection convention), and syllables are
+    the vowel-run proxy (count of [aeiou]+ groups — the standard
+    cheap estimator). Counts are exact integers; the score is ONE
+    fixed-shape double tree over them (identical literal order both
+    engines), floored to milli.
+
+    100 TB: entirely row-local — a narrow projection over the scan,
+    no shuffle at all; composes with x4_gopher_filter's rule table as
+    one more AND-able column."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.expr(
+            "CAST((size(split(text, ' ')) + 11) div 12 AS BIGINT)"
+        ).alias("n_sentences"),
+        (F.size(F.split("text", "[aeiou]+")) - 1)
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.floor(F.lit(1000.0) * flesch).cast("long").alias("flesch_milli"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x6_skew_report",
+    oracle="""
+WITH keyed AS (
+  SELECT 'k' || CASE WHEN event_id % 2 = 0 THEN '0'
+                     ELSE CAST(event_id % 100 AS VARCHAR) END AS k
+  FROM events
+), counts AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n FROM keyed GROUP BY k
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) // count(*) AS BIGINT) AS mean_n
+  FROM counts
+)
+SELECT k, n,
+       CAST(1000000 * n // total AS BIGINT) AS share_ppm,
+       CAST((n + mean_n - 1) // mean_n AS BIGINT) AS salt_factor
+FROM counts, tot
+ORDER BY n DESC, k
+LIMIT 10
+""",
+)
+def x6_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics — the operational report a 100 TB
+    pipeline runs BEFORE choosing a join strategy: per-key row counts
+    for the top heavy hitters, each key's corpus share (exact integer
+    ppm) and the salt factor that would level its partition back to
+    the mean key's size (ceil(n/mean) — the replication factor
+    operators/bucketing.salted_join takes). The probe key plants a
+    50% hot key (event_id parity) over a 100-value tail, so the
+    report must surface k0 at ~500000 ppm with a ~50x salt while the
+    tail sits at salt 1 — the skew_join stress probe's shape, turned
+    into a queryable operator.
+
+    100 TB: ONE map-side-combining count on the key (the same
+    aggregate the real join would shuffle anyway, so the report costs
+    one pass), a 1-row total broadcast, and a top-10 heap. For
+    sketch-budget scans swap the exact count for the CMS heavy-hitter
+    pass (x4_cms_heavy_hitters) and keep the same report columns."""
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat(
+            F.lit("k"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("0")).otherwise(
+                (F.col("event_id") % 100).cast("string")
+            ),
+        ).alias("k")
+    )
+    counts = keyed.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.expr("sum(n) div count(1)").cast("long").alias("mean_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n",
+            F.expr("1000000 * n div total").cast("long").alias("share_ppm"),
+            F.expr("(n + mean_n - 1) div mean_n")
+            .cast("long")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.col("n").desc(), "k")
+        .limit(10)
+    )

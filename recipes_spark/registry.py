@@ -179,6 +179,8 @@ _DEFER: dict[str, int] = {
     "x3_matryoshka_eval": 9,
     "st26_stream_ohlc": 9,
     "scalar_inet": 9,
+    "x4_reading_level": 9,
+    "x6_skew_report": 9,
 }
 
 

@@ -2978,3 +2978,153 @@ def window_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+#: Shapley attribution tables, generated ONCE in Python and shared by
+#: both engines: 4 channels as bits, the 16 coalitions, and the 64
+#: (channel, coalition-without-channel, weight) marginal terms with
+#: the exact s!(3-s)! weights (denominator 4! = 24).
+_SHAP_CHANNELS = [("view", 1), ("click", 2), ("signup", 4), ("error", 8)]
+_SHAP_WEIGHT = {0: 6, 1: 2, 2: 2, 3: 6}  # s!(3-s)! for |S| = s
+_SHAP_TERMS = [
+    (name, s, s | bit, _SHAP_WEIGHT[bin(s).count("1")])
+    for name, bit in _SHAP_CHANNELS
+    for s in range(16)
+    if not s & bit
+]
+
+
+@query(
+    "event_attribution_shapley",
+    oracle=f"""
+WITH touches AS (
+  SELECT user_id,
+         CAST(bit_or(CASE WHEN event_id % 16 <> user_id % 16 THEN 0
+                       ELSE CASE event_type
+                            WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                            WHEN 'signup' THEN 4 WHEN 'error' THEN 8
+                            ELSE 0 END END) AS BIGINT) AS mask,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+), mask_conv AS (
+  SELECT mask, CAST(sum(conv) AS BIGINT) AS n_conv
+  FROM touches GROUP BY mask
+), coalitions(s) AS (
+  VALUES {", ".join(f"({s})" for s in range(16))}
+), v AS (
+  SELECT c.s,
+         CAST(coalesce(sum(m.n_conv), 0) AS BIGINT) AS v
+  FROM coalitions c LEFT JOIN mask_conv m
+    ON (m.mask & ~c.s & 15) = 0
+  GROUP BY c.s
+), terms(channel, s_without, s_with, w) AS (
+  VALUES {", ".join(f"('{c}', {s}, {sw}, {w})" for c, s, sw, w in _SHAP_TERMS)}
+), phi AS (
+  SELECT t.channel,
+         CAST(sum(t.w * (vw.v - vo.v)) AS BIGINT) AS phi_x24
+  FROM terms t
+  JOIN v vw ON vw.s = t.s_with
+  JOIN v vo ON vo.s = t.s_without
+  GROUP BY t.channel
+), tot AS (
+  SELECT CAST(sum(phi_x24) AS BIGINT) AS total FROM phi
+)
+SELECT channel, phi_x24,
+       CAST(1000000 * phi_x24 // total AS BIGINT) AS share_ppm
+FROM phi, tot
+ORDER BY channel
+""",
+)
+def event_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley 1953; the
+    data-driven attribution model, e.g. Zhao et al. 2018, public) —
+    the game-theoretic completion of the attribution family next to
+    last-touch (event_attribution_lasttouch / st23): each user's
+    touched channel SET is a 4-bit mask, the characteristic function
+    v(S) = conversions among users whose touches fit inside coalition
+    S, and each channel's value is the weighted average of its
+    marginal contributions over all 8 coalitions that exclude it.
+    Touches are the deterministic 1/16 event sample keyed on
+    (event_id, user_id) parity — at test density every user otherwise
+    touches all four channels and the game degenerates to equal
+    shares; the sample leaves a realistic spread of partial masks.
+    With 4 channels the game is ENUMERABLE, so everything is exact
+    int64: v is a count, the s!(3-s)! weights (denominator 4!)
+    are literals generated once in Python and shared with the oracle,
+    phi is reported ×24, and shares are integer ppm.
+
+    100 TB: one user-keyed bit_or/max aggregate collapses the event
+    stream to per-user masks, a 16-value mask aggregate collapses
+    users to AT MOST 16 rows, and every join after that is over
+    literal tables — the whole game solves in metadata space. More
+    channels grow the coalition table 2^k; past ~20 channels the
+    standard move is sampled-permutation Shapley over the same mask
+    aggregate, same contract."""
+    ev = load(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    touches = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(bit_or(CASE WHEN event_id % 16 <> user_id % 16 THEN 0"
+            " ELSE CASE event_type WHEN 'view' THEN 1"
+            " WHEN 'click' THEN 2 WHEN 'signup' THEN 4"
+            " WHEN 'error' THEN 8 ELSE 0 END END) AS BIGINT)"
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    _ = bit  # spelled in SQL above so both engines share one CASE tree
+    mask_conv = touches.groupBy("mask").agg(
+        F.sum("conv").cast("long").alias("n_conv")
+    )
+    spark_ = ev.sparkSession
+    coalitions = F.broadcast(
+        spark_.createDataFrame([(s,) for s in range(16)], "s int")
+    )
+    v = (
+        coalitions.join(
+            mask_conv,
+            F.expr("(mask & ~s & 15) = 0"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    terms = F.broadcast(
+        spark_.createDataFrame(
+            _SHAP_TERMS, "channel string, s_without int, s_with int, w int"
+        )
+    )
+    vw = v.select(F.col("s").alias("s_with"), F.col("v").alias("v_with"))
+    vo = v.select(F.col("s").alias("s_without"), F.col("v").alias("v_without"))
+    phi = (
+        terms.join(vw, "s_with")
+        .join(vo, "s_without")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w") * (F.col("v_with") - F.col("v_without")))
+            .cast("long")
+            .alias("phi_x24")
+        )
+    )
+    tot = phi.agg(F.sum("phi_x24").cast("long").alias("total"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "phi_x24",
+            F.expr("1000000 * phi_x24 div total")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("channel")
+    )

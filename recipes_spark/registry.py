@@ -181,6 +181,7 @@ _DEFER: dict[str, int] = {
     "scalar_inet": 9,
     "x4_reading_level": 9,
     "x6_skew_report": 9,
+    "event_attribution_shapley": 9,
 }
 
 

@@ -3128,3 +3128,175 @@ def event_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+#: BH step-up thresholds for m = 120 hypotheses at q = 0.2, as
+#: floor-scaled micro |z| cutoffs: rank k rejects when
+#: |z|_(k) >= Phi^{-1}(1 - (k*q/m)/2). Computed ONCE in Python
+#: (stdlib NormalDist) and shared as literals with the oracle — no
+#: runtime normal quantile has to agree across engines.
+_BH_M, _BH_Q = 120, 0.2
+_BH_THRESH = [
+    (k, int(__import__("statistics").NormalDist().inv_cdf(
+        1 - (k * _BH_Q / _BH_M) / 2) * 1_000_000))
+    for k in range(1, _BH_M + 1)
+]
+
+
+@query(
+    "agg_fdr_bh",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS hod,
+         CAST(round(value * 100) AS BIGINT)
+         + CASE WHEN event_type = 'click' AND epoch_us(ts) // 3600000000 % 24 = 3
+                THEN 3000
+                WHEN event_type = 'view' AND epoch_us(ts) // 3600000000 % 24 = 7
+                THEN 2000
+                ELSE 0 END AS cents
+  FROM events
+), cell AS (
+  SELECT event_type, hod,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(cents) AS BIGINT) AS s1,
+         CAST(sum(cents * cents) AS BIGINT) AS q1
+  FROM base GROUP BY event_type, hod
+), typ AS (
+  SELECT event_type,
+         CAST(sum(n1) AS BIGINT) AS nt,
+         CAST(sum(s1) AS BIGINT) AS st,
+         CAST(sum(q1) AS BIGINT) AS qt
+  FROM cell GROUP BY event_type
+), z AS (
+  SELECT c.event_type, c.hod, c.n1,
+         (t.nt - c.n1) AS n2,
+         CAST(c.s1 AS DOUBLE) / c.n1 AS m1,
+         CAST(t.st - c.s1 AS DOUBLE) / (t.nt - c.n1) AS m2,
+         (CAST(c.q1 AS DOUBLE) - CAST(c.s1 AS DOUBLE) * c.s1 / c.n1)
+           / (c.n1 - 1) AS v1,
+         (CAST(t.qt - c.q1 AS DOUBLE)
+          - CAST(t.st - c.s1 AS DOUBLE) * (t.st - c.s1) / (t.nt - c.n1))
+           / (t.nt - c.n1 - 1) AS v2
+  FROM cell c JOIN typ t USING (event_type)
+), zs AS (
+  SELECT event_type, hod, n1,
+         CAST(floor(1000000.0 * abs(m1 - m2)
+              / sqrt(v1 / n1 + v2 / n2)) AS BIGINT) AS absz_micro,
+         CAST(floor(1000000.0 * (m1 - m2)
+              / sqrt(v1 / n1 + v2 / n2)) AS BIGINT) AS z_micro
+  FROM z
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY absz_micro DESC, event_type, hod)
+                 AS BIGINT) AS bh_rank
+  FROM zs
+), thr(k, thr_micro) AS (
+  VALUES {", ".join(f"({k}, {t})" for k, t in _BH_THRESH)}
+), cut AS (
+  SELECT CAST(coalesce(max(bh_rank), 0) AS BIGINT) AS kmax
+  FROM ranked JOIN thr ON thr.k = ranked.bh_rank
+  WHERE absz_micro >= thr_micro
+)
+SELECT event_type, CAST(hod AS BIGINT) AS hod, n1 AS n_cell,
+       z_micro, bh_rank,
+       CAST(CASE WHEN bh_rank <= kmax THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM ranked, cut
+ORDER BY bh_rank
+""",
+)
+def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction (BH 1995, public) over a
+    battery of 120 hypotheses — the multiple-testing step every
+    drift/experiment dashboard needs once it tests more than one
+    cell: per (event_type, hour-of-day), Welch z of the cell's mean
+    value against the rest of its type (exact int64 sufficient
+    statistics, the agg_welch_ttest discipline, with the complement
+    side derived by SUBTRACTION from per-type totals — no second
+    scan). Two planted shifts (click@3, view@7 — the fixed-injection
+    convention) guarantee the rejection path runs. The step-up rule
+    compares each rank's floor-scaled |z| micro against Python-
+    precomputed Phi^{-1} literals shared with the oracle, so no
+    runtime normal quantile, erf or p-value has to agree across
+    engines; kmax and the rejected flags are pure integer
+    comparisons.
+
+    100 TB: one (type, hour)-keyed map-side-combining agg + a
+    type-keyed rollup of the 120-row cell table; the ranking window
+    and threshold join run over 120 rows — metadata space. More
+    hypotheses regenerate the literal table; the step-up stays a
+    count over the joined flags."""
+    ev = load(spark, sf_dir, "events")
+    hod = F.expr("unix_micros(ts) div 3600000000 % 24")
+    cents = F.round(F.col("value") * 100).cast("long") + (
+        F.when((F.col("event_type") == "click") & (hod == 3), 3000)
+        .when((F.col("event_type") == "view") & (hod == 7), 2000)
+        .otherwise(0)
+    )
+    base = ev.select("event_type", hod.alias("hod"), cents.alias("cents"))
+    cell = base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q1"),
+    )
+    typ = cell.groupBy("event_type").agg(
+        F.sum("n1").cast("long").alias("nt"),
+        F.sum("s1").cast("long").alias("st"),
+        F.sum("q1").cast("long").alias("qt"),
+    )
+    j = cell.join(typ, "event_type")
+    n1, n2 = F.col("n1"), (F.col("nt") - F.col("n1"))
+    m1 = F.col("s1").cast("double") / n1
+    m2 = (F.col("st") - F.col("s1")).cast("double") / n2
+    v1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / n1
+    ) / (n1 - 1)
+    v2 = (
+        (F.col("qt") - F.col("q1")).cast("double")
+        - (F.col("st") - F.col("s1")).cast("double")
+        * (F.col("st") - F.col("s1"))
+        / n2
+    ) / (n2 - 1)
+    se = F.sqrt(v1 / n1 + v2 / n2)
+    zs = j.select(
+        "event_type",
+        F.col("hod").cast("long").alias("hod"),
+        F.col("n1").alias("n_cell"),
+        F.floor(F.lit(1000000.0) * F.abs(m1 - m2) / se)
+        .cast("long")
+        .alias("absz_micro"),
+        F.floor(F.lit(1000000.0) * (m1 - m2) / se)
+        .cast("long")
+        .alias("z_micro"),
+    )
+    wr = Window.orderBy(
+        F.col("absz_micro").desc(), "event_type", "hod"
+    )
+    ranked = zs.withColumn(
+        "bh_rank", F.row_number().over(wr).cast("long")
+    )
+    thr = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            _BH_THRESH, "k int, thr_micro long"
+        )
+    )
+    cut = (
+        ranked.join(thr, ranked["bh_rank"] == thr["k"])
+        .filter(F.col("absz_micro") >= F.col("thr_micro"))
+        .agg(F.coalesce(F.max("bh_rank"), F.lit(0)).cast("long").alias("kmax"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "event_type",
+            "hod",
+            "n_cell",
+            "z_micro",
+            "bh_rank",
+            F.when(F.col("bh_rank") <= F.col("kmax"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )

@@ -182,6 +182,7 @@ _DEFER: dict[str, int] = {
     "x4_reading_level": 9,
     "x6_skew_report": 9,
     "event_attribution_shapley": 9,
+    "agg_fdr_bh": 9,
 }
 
 

@@ -497,21 +497,26 @@ def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope/intercept — the regression itself cannot float-flake.
 
     100 TB: term counts are the usual map-side-combining shuffle; the
-    rank window runs over the VOCABULARY (not the token stream) and
-    the fit reads 1000 rows — the whole statistic is metadata-sized
-    after the first aggregation."""
+    top-1000 selection is TakeOrderedAndProject (k-row heap per
+    partition — a web-scale vocabulary of typo/URL singletons NEVER
+    sorts globally; the round-9 shape ranked the whole distinct-term
+    table in one task and then discarded 99.99% of it), and only the
+    1000 survivors see the rank window (bounded single partition,
+    deliberate — the x4_vocab_encode shape). The fit reads 1000 rows —
+    metadata-sized after the first aggregation."""
     d = load(spark, sf_dir, "documents")
     tc = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = tc.select(
+    top = tc.orderBy(F.desc("c"), F.asc("term")).limit(1000)
+    ranked = top.select(
         "c",
         F.row_number()
         .over(Window.orderBy(F.desc("c"), "term"))
         .alias("r"),
-    ).filter(F.col("r") <= 1000)
+    )
     pts = ranked.select(
         F.floor(F.log("r") * 1_000_000).cast("long").alias("x"),
         F.floor(F.log("c") * 1_000_000).cast("long").alias("y"),
@@ -2930,34 +2935,39 @@ def x4_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind vocab-size/OOV-rate decisions (and the empirical face of
     x4_zipf_fit's power law — a heavy tail means the curve flattens
     late). Terms rank by (count desc, term) — the deterministic total
-    order — the cumulative mass comes from one window over the
-    DISTINCT vocabulary (vocab-sized, never the stream), and each
-    cutoff reads max(cum) over ranks <= k, which also clamps cutoffs
-    beyond the vocabulary to full mass instead of NULLing out.
-    Coverage in floored basis points of exact integer counts.
+    order — and each cutoff reads max(cum) over ranks <= k, which also
+    clamps cutoffs beyond the vocabulary to full mass instead of
+    NULLing out. Coverage in floored basis points of exact integer
+    counts.
 
-    100 TB: term counts are one map-side-combining agg; the ranked
-    window runs over distinct terms (the BPE-merge economics); the
+    100 TB: term counts are one map-side-combining agg; total mass is
+    a scalar aggregate over that table (1 row, broadcast back); only
+    the top-max(k) terms are selected — TakeOrderedAndProject, a k-row
+    heap per partition — before the rank/cumsum window touches them
+    (bounded max(k) rows; a cumulative sum over rank r only reads rows
+    ranked above r, all inside the top-k slice, so restricting the
+    window to the survivors is exact). The round-9 shape ranked and
+    cumsum-scanned the ENTIRE distinct vocabulary in one task to read
+    6 cutoffs ≤ 30 — the single-task funnel this reshape removes. The
     cutoff join is a 6-row broadcast."""
     d = load(spark, sf_dir, "documents")
+    cuts_k = (5, 10, 15, 20, 25, 30)
     cnt = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    total_df = cnt.agg(F.sum("c").cast("long").alias("total"))
+    top = cnt.orderBy(F.desc("c"), F.asc("term")).limit(max(cuts_k))
     worder = Window.orderBy(F.desc("c"), "term")
     wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = cnt.select(
+    ranked = top.select(
         "term", "c",
         F.row_number().over(worder).alias("rnk"),
         F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wall).alias("total"),
-    )
+    ).crossJoin(F.broadcast(total_df))
     cuts = d.sparkSession.createDataFrame(
-        [(k,) for k in (5, 10, 15, 20, 25, 30)], "k long"
+        [(k,) for k in cuts_k], "k long"
     )
     return (
         F.broadcast(cuts)

@@ -88,6 +88,11 @@ _RECHECK: dict[str, int] = {
     # round-8: items gained xstac projection metadata (proj:epsg +
     # cube:dimensions + leading extension URIs) — the oracle widened:
     "stac_item_assembly": 8,
+    # round-10: the last two full-vocabulary single-task rank windows
+    # reshaped onto TakeOrderedAndProject (k-row heap) before ranking —
+    # same oracle, same output, re-attest on the reshaped plans:
+    "x4_zipf_fit": 10,
+    "x4_vocab_coverage_curve": 10,
 }
 
 

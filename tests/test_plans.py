@@ -477,6 +477,27 @@ def test_spearman_no_raw_event_rank_window(spark, sf_dir):
         assert spec in ("cents", "__shard"), (spec, plan)
 
 
+@pytest.mark.parametrize(
+    "name", ["x4_zipf_fit", "x4_vocab_coverage_curve"]
+)
+def test_vocab_rank_windows_run_after_takeordered(spark, sf_dir, name):
+    """x4_zipf_fit / x4_vocab_coverage_curve (round-10 reshape): both
+    read a fixed top-k of the vocabulary, so selection must be
+    TakeOrderedAndProject (k-row heap per partition) and EVERY window
+    must sit ABOVE the limit — a Window whose subtree lacks the
+    TakeOrdered is the full-vocabulary single-task rank funnel the
+    reshape removed (at web scale the distinct-term table is ~10⁹ rows
+    of typo/URL singletons, 99.99% of which the old plan sorted in one
+    task and then discarded)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan, plan
+    head, sep, below = plan.partition("Window")
+    assert not sep or "TakeOrderedAndProject" in below, (
+        "window runs below the top-k limit — full-vocab rank funnel:\n"
+        + plan
+    )
+
+
 def test_ohlc_single_aggregate_no_window(spark, sf_dir):
     """window_ohlc's whole point: OHLC is a MERGEABLE aggregate — the
     plan must contain no Window node at all (open/close are

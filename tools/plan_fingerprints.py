@@ -200,6 +200,12 @@ def extra_plans(spark) -> dict[str, str]:
         "window_ohlc",
         "stac_search_intersects",
         "x4_line_dedup",
+        # Round-10: the last two full-vocab rank windows now heap-select
+        # top-k BEFORE ranking — a Window re-appearing below the
+        # TakeOrderedAndProject is the single-task funnel regression
+        # (also asserted structurally in test_plans.py).
+        "x4_zipf_fit",
+        "x4_vocab_coverage_curve",
     ):
         out[name] = plan_hash(q[name](spark, SF_DIR))
     return out

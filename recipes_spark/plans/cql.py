@@ -202,9 +202,17 @@ def _spatial_predicate(
         from recipes_spark.plans.catalog import polygon_bbox_intersects
 
         cw, cs, ce, cn = spatial_cols
-        exact = polygon_bbox_intersects(
-            {"type": "Polygon", "coordinates": rings}, cw, cs, ce, cn
+        # ``rings`` is a Polygon's ring list, or (JSON encoding only) a
+        # MultiPolygon's polygon list tagged as a dict — the documented
+        # antimeridian workaround (split at ±180 into a MultiPolygon)
+        # must be expressible through CQL2, not just the top-level
+        # intersects= param.
+        geom = (
+            rings
+            if isinstance(rings, dict)
+            else {"type": "Polygon", "coordinates": rings}
         )
+        exact = polygon_bbox_intersects(geom, cw, cs, ce, cn)
         return ~exact if op == "S_DISJOINT" else exact
     if op == "S_DISJOINT":
         return ~_envelope_predicate(spatial_cols, env)
@@ -761,8 +769,11 @@ class _JsonWalker:
         envelope plus, for Polygons, ALL vertex rings (exterior +
         holes: the JSON encoding, unlike the text grammar, carries
         holes, and the exact intersects predicate is even-odd
-        hole-aware). Malformed coordinate structures (wrong arity,
-        non-numeric, missing) raise CQLError, never
+        hole-aware). A MultiPolygon returns its full geometry dict
+        (envelope spans all exterior rings; the exact predicate treats
+        it as a union) — the antimeridian split this module documents
+        as the wrap workaround. Malformed coordinate structures (wrong
+        arity, non-numeric, missing) raise CQLError, never
         Index/Type/ValueError — the geometry arrives off the wire and
         the crash class is the API."""
         if not isinstance(g, dict):
@@ -789,6 +800,25 @@ class _JsonWalker:
                 xs = [x for x, _ in rings[0]]
                 ys = [y for _, y in rings[0]]
                 return (min(xs), min(ys), max(xs), max(ys)), rings
+            if typ == "multipolygon":
+                if not coords or not all(p and p[0] for p in coords):
+                    raise CQLError(
+                        "multipolygon needs a non-empty exterior ring "
+                        "per polygon"
+                    )
+                polys = [
+                    [
+                        [(float(p[0]), float(p[1])) for p in ring]
+                        for ring in poly
+                    ]
+                    for poly in coords
+                ]
+                xs = [x for poly in polys for x, _ in poly[0]]
+                ys = [y for poly in polys for _, y in poly[0]]
+                return (min(xs), min(ys), max(xs), max(ys)), {
+                    "type": "MultiPolygon",
+                    "coordinates": polys,
+                }
         except (TypeError, ValueError, IndexError, KeyError) as exc:
             raise CQLError(f"malformed geometry {g!r}: {exc}") from None
         raise CQLError(f"unsupported geometry type: {g.get('type')!r}")

@@ -20,7 +20,9 @@ Semantics (mirroring pgstac's content_hydrate/content_dehydrate):
 hydrate(dehydrate(items)) == items for every case, including
 explicit-null fields — the round-trip is oracled in
 queries/stac.py::stac_item_hydration and property-tested in
-tests/test_intent_round9.py.
+tests/test_intent_round9.py. The one value the identity CANNOT cover
+is a source field equal to the sentinel itself; dehydrate_items
+raises on it rather than corrupt silently (ADVICE r9).
 
 Scale: the base derivation is one count aggregate over (collection,
 field value) — distinct-value-sized — plus a window over THAT table;
@@ -46,24 +48,46 @@ def base_items(items: DataFrame, fields: Sequence[str]) -> DataFrame:
     """Derive the per-collection base item: for each field, the modal
     non-null value with a deterministic (count DESC, value ASC)
     tiebreak. Output: one row per collection_id with ``base_<field>``
-    columns (NULL when a collection has no non-null value at all)."""
-    out = items.select("collection_id").distinct()
-    for f in fields:
-        counts = (
-            items.filter(F.col(f).isNotNull())
-            .groupBy("collection_id", f)
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
-        w = Window.partitionBy("collection_id").orderBy(
-            F.col("__c").desc(), F.col(f).asc()
-        )
-        best = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("collection_id", F.col(f).alias(f"base_{f}"))
-        )
-        out = out.join(best, "collection_id", "left")
-    return out
+    columns (NULL when a collection has no non-null value at all).
+
+    ONE pass over the item table: every field melts into a
+    (collection_id, field, value) long row (row-local explode of a
+    literal-keyed map), one count aggregate over the long form, the
+    modal pick as a window over THAT distinct-value-sized table, and a
+    pivot back to one row per collection. The round-9 shape ran one
+    groupBy-count per field — F fields = F scans; this is the same
+    distinct-value-sized shuffle volume in a single scan. The pivot
+    keys on the compile-time field list (no extra distinct job)."""
+    long = items.select(
+        "collection_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(f) for f in fields]),
+                F.array(*[F.col(f).cast("string") for f in fields]),
+            )
+        ).alias("__field", "__value"),
+    ).filter(F.col("__value").isNotNull())
+    counts = long.groupBy("collection_id", "__field", "__value").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy("collection_id", "__field").orderBy(
+        F.col("__c").desc(), F.col("__value").asc()
+    )
+    best = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy("collection_id")
+        .pivot("__field", list(fields))
+        .agg(F.first("__value"))
+    )
+    return items.select("collection_id").distinct().join(
+        best.select(
+            "collection_id",
+            *[F.col(f).alias(f"base_{f}") for f in fields],
+        ),
+        "collection_id",
+        "left",
+    )
 
 
 def dehydrate_items(
@@ -72,13 +96,31 @@ def dehydrate_items(
     """Strip each listed field down to its delta against the collection
     base: equal-to-base (null-safe) → NULL; explicitly-null where the
     base has a value → DO_NOT_MERGE; else kept verbatim. The base dim
-    is broadcast — item rows never shuffle."""
+    is broadcast — item rows never shuffle.
+
+    A SOURCE value equal to the DO_NOT_MERGE sentinel raises at
+    execution time (fail-closed): stored verbatim it would hydrate
+    back to NULL, silently breaking the hydrate(dehydrate(x)) == x
+    identity this module advertises — and pgstac has the same
+    collision, it just never checks. One extra string compare per
+    field per row."""
     out = items.join(F.broadcast(base), "collection_id", "left")
     for f in fields:
         b = F.col(f"base_{f}")
         out = out.withColumn(
             f,
-            F.when(F.col(f).eqNullSafe(b), F.lit(None).cast("string"))
+            F.when(
+                F.col(f) == F.lit(DO_NOT_MERGE),
+                F.raise_error(
+                    F.lit(
+                        f"dehydrate_items: field {f!r} contains the "
+                        "DO_NOT_MERGE sentinel as a source value — the "
+                        "round-trip identity cannot hold; escape or drop "
+                        "the row upstream"
+                    )
+                ).cast("string"),
+            )
+            .when(F.col(f).eqNullSafe(b), F.lit(None).cast("string"))
             .when(F.col(f).isNull() & b.isNotNull(), F.lit(DO_NOT_MERGE))
             .otherwise(F.col(f)),
         )

@@ -4136,10 +4136,12 @@ def x6_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm) and the salt factor that would level its partition back to
     the mean key's size (ceil(n/mean) — the replication factor
     operators/bucketing.salted_join takes). The probe key plants a
-    50% hot key (event_id parity) over a 100-value tail, so the
-    report must surface k0 at ~500000 ppm with a ~50x salt while the
-    tail sits at salt 1 — the skew_join stress probe's shape, turned
-    into a queryable operator.
+    50% hot key (even event_ids → k0) over the 50 ODD residues of
+    event_id % 100 (51 distinct keys total), so the mean key holds
+    ~1/51 of the rows and the report must surface k0 at ~500000 ppm
+    with a ceil(51/2) = 26x salt while the tail sits at salt 1 — the
+    skew_join stress probe's shape, turned into a queryable
+    operator.
 
     100 TB: ONE map-side-combining count on the key (the same
     aggregate the real join would shuffle anyway, so the report costs

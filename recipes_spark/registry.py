@@ -93,6 +93,10 @@ _RECHECK: dict[str, int] = {
     # same oracle, same output, re-attest on the reshaped plans:
     "x4_zipf_fit": 10,
     "x4_vocab_coverage_curve": 10,
+    # round-10: base_items melted to a single-pass long-form count +
+    # pivot (was one scan per field) and dehydrate gained the sentinel
+    # collision guard — same output, re-attest on the new plan:
+    "stac_item_hydration": 10,
 }
 
 

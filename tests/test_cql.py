@@ -484,6 +484,37 @@ def test_json_geometries_and_intervals(geo):
     assert _json_ids(geo, _json.dumps(open_iv)) == [3]
 
 
+def test_json_multipolygon_intersects(geo):
+    """ADVICE r9: the documented antimeridian workaround — split the
+    wrapping polygon into a MultiPolygon at ±180 — must be expressible
+    through the CQL2 JSON encoding, matching the top-level intersects=
+    search param (which already accepts MultiPolygon)."""
+    mp = {"op": "s_intersects", "args": [
+        {"property": "geometry"},
+        {"type": "MultiPolygon", "coordinates": [
+            [[[160, -85], [180, -85], [180, -55], [160, -55], [160, -85]]],
+            [[[-180, -85], [-140, -85], [-140, -55], [-180, -55],
+              [-180, -85]]],
+        ]},
+    ]}
+    # Item 3 (-170..-150 × -80..-60) sits in the western piece.
+    assert _json_ids(geo, mp, spatial_cols=_SC) == [3]
+    assert _json_ids(
+        geo, {"op": "s_disjoint", "args": mp["args"]}, spatial_cols=_SC
+    ) == [1, 2]
+    # EXACT union, not the union's envelope: two triangles straddling
+    # item 1's box — their joint envelope covers it, neither piece
+    # touches it.
+    tri = {"op": "s_intersects", "args": [
+        {"property": "geometry"},
+        {"type": "MultiPolygon", "coordinates": [
+            [[[-30, -5], [-20, -5], [-25, 5], [-30, -5]]],
+            [[[20, -5], [30, -5], [25, 5], [20, -5]]],
+        ]},
+    ]}
+    assert _json_ids(geo, tri, spatial_cols=_SC) == []
+
+
 def test_json_errors(geo):
     from recipes_spark.plans.cql import CQLError, compile_cql_json
 
@@ -493,6 +524,10 @@ def test_json_errors(geo):
         {"op": "in", "args": [{"property": "id"}, []]},
         {"op": "s_intersects", "args": [
             {"property": "geometry"}, {"type": "Circle", "coordinates": []},
+        ]},
+        {"op": "s_intersects", "args": [
+            {"property": "geometry"},
+            {"type": "MultiPolygon", "coordinates": [[]]},
         ]},
         {"op": "t_before", "args": [{"property": "datetime"}, 5]},
         {"no_op": 1},

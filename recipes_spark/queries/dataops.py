@@ -1323,6 +1323,133 @@ def x2_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_substring_dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), occ AS (
+  SELECT doc_id, u.i AS i, u.gram AS gram FROM (
+    SELECT doc_id,
+           unnest([{'i': i, 'gram': array_to_string(w[i:i+7], ' ')}
+                   FOR i IN range(1, len(w) - 6)]) AS u
+    FROM t WHERE len(w) >= 8
+  )
+), dup AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM occ)
+  GROUP BY gram HAVING count(*) >= 2
+), ds AS (
+  SELECT DISTINCT o.doc_id, o.i FROM occ o JOIN dup d USING (gram)
+), isl AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM ds
+), spans AS (
+  SELECT doc_id, min(i) AS s, max(i) - min(i) + 8 AS l
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT sp.doc_id,
+       CAST(sp.s AS BIGINT) AS span_start,
+       CAST(sp.l AS BIGINT) AS span_len,
+       sha256(array_to_string(t.w[sp.s : sp.s + sp.l - 1], ' ')) AS span_sha
+FROM spans sp JOIN t USING (doc_id)
+WHERE sp.l >= 12
+""",
+)
+def x2_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-LENGTH exact substring dedup — the ExactSubstr shape of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", public): report every MAXIMAL duplicated token span of
+    length >= 12 per document, where x2_span_scrub only knows fixed
+    8-gram coverage. The suffix-array computation distributes as
+    sorted-anchor islands: every 8-gram occurring in >=2 distinct
+    documents marks its start position; consecutive duplicated starts
+    in a doc merge (gaps-and-islands) into a maximal span [s, e+7] —
+    precisely the maximal spans in which EVERY 8-gram is cross-doc
+    duplicated. COMPLETE by the pigeonhole on anchors: a true
+    duplicated span of length L >= 12 contains all of its L-7 8-gram
+    anchors duplicated, so its island covers it exactly — no false
+    negatives; the one widening is span CHAINING, when two regions
+    duplicated against different partners overlap by >= 7 tokens (the
+    anchor starts stay consecutive) and report as one island a suffix
+    array would split. Regions that merely abut or gap do NOT merge
+    (their anchor starts jump), unlike span_scrub's coverage-union
+    removal set. Output carries
+    the span sha256 so the extraction itself is verified, and the
+    min-length threshold demonstrably fires (sf0.01 has a length-11
+    island that must be absent).
+
+    100 TB: identical shuffle diet to x2_span_scrub — anchor assembly
+    is row-local, the duplicate-set shuffle carries (gram, doc) after
+    a map-side distinct, one join ships each doc's duplicated start
+    positions back as a short int array, and the island extraction is
+    a per-row higher-order function (index-aware filter + zip_with) —
+    NO window over positions, no suffix array materialization. For
+    real corpora hash the gram to 64-bit before the shuffle (text kept
+    here so the oracle replays it)."""
+    min_span = 12
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 7),
+        lambda i: F.struct(
+            i.alias("i"), F.concat_ws(" ", F.slice("w", i, 8)).alias("gram")
+        ),
+    )
+    occ = (
+        words.filter(F.size("w") >= 8)
+        .select("doc_id", F.explode(gram_structs).alias("g"))
+        .select("doc_id", "g.i", "g.gram")
+    )
+    dup = (
+        occ.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    starts = occ.join(dup, "gram").groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("i")).alias("ss")
+    )
+    # Row-local islands over the sorted starts: an element opens an
+    # island when its predecessor isn't s-1, closes one when its
+    # successor isn't s+1; the k-th opener pairs with the k-th closer.
+    # CASE-guarded element_at so the boundary index never evaluates
+    # (ANSI mode rejects index 0 / past-the-end).
+    opens = F.filter(
+        "ss",
+        lambda s, j: F.when(j == F.lit(0), F.lit(True)).otherwise(
+            F.element_at(F.col("ss"), j) != s - 1
+        ),
+    )
+    closes = F.filter(
+        "ss",
+        lambda s, j: F.when(
+            j == F.size("ss") - 1, F.lit(True)
+        ).otherwise(F.element_at(F.col("ss"), j + 2) != s + 1),
+    )
+    spans = F.zip_with(
+        opens,
+        closes,
+        lambda s, e: F.struct(s.alias("s"), (e - s + 8).alias("l")),
+    )
+    return (
+        words.join(starts, "doc_id")
+        .select("doc_id", "w", F.explode(spans).alias("sp"))
+        .filter(F.col("sp.l") >= min_span)
+        .select(
+            "doc_id",
+            F.col("sp.s").cast("long").alias("span_start"),
+            F.col("sp.l").cast("long").alias("span_len"),
+            F.sha2(
+                F.concat_ws(" ", F.slice("w", F.col("sp.s"), F.col("sp.l"))),
+                256,
+            ).alias("span_sha"),
+        )
+    )
+
+
+@query(
     "x3_semantic_dedup",
     oracle="""
 WITH RECURSIVE e AS (

@@ -192,6 +192,7 @@ _DEFER: dict[str, int] = {
     "x6_skew_report": 9,
     "event_attribution_shapley": 9,
     "agg_fdr_bh": 9,
+    "x2_substring_dedup": 10,
 }
 
 

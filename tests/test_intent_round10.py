@@ -6,6 +6,70 @@ from __future__ import annotations
 
 import pytest
 
+from recipes_spark.registry import all_queries
+from tests.test_intent_round7 import _mini_docs
+
+QUERIES = all_queries()
+
+
+def _tok(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_substring_dedup_maximal_spans_and_threshold(spark, tmp_path):
+    """x2_substring_dedup's defining behavior on planted docs: a
+    15-token shared span reports as ONE maximal island at the right
+    (start, len) in BOTH docs with matching span hashes; a 10-token
+    shared span (>= the 8-gram anchor, < the 12 threshold) is
+    suppressed; a doc repeating its own 8-gram (nowhere else) reports
+    nothing (cross-doc rule)."""
+    big = _tok("s", 15)        # 15 shared tokens
+    small = _tok("u", 10)      # 10 shared tokens — island forms, filtered
+    selfrep = _tok("r", 8)     # 8 tokens repeated within ONE doc only
+    rows = [
+        (0, f"a0 a1 {big} b0 b1 b2"),              # big at start 3
+        (1, f"c0 {big} {small} d0"),               # big at 2, small at 17
+        (2, f"e0 e1 e2 {small} f0"),               # small at 4
+        (3, f"{selfrep} g0 {selfrep}"),            # within-doc repeat
+        (4, "plain filler words nothing shared here at all ok"),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"]): r["span_sha"]
+        for r in QUERIES["x2_substring_dedup"](spark, sf).collect()
+    }
+    assert set(got) == {(0, 3, 15), (1, 2, 15)}
+    # Same maximal span → same extracted text → same sha.
+    assert got[(0, 3, 15)] == got[(1, 2, 15)]
+
+
+def test_substring_dedup_chains_overlaps_not_gaps(spark, tmp_path):
+    """The documented chaining semantics: two regions duplicated
+    against DIFFERENT partners that overlap by >= 7 tokens keep their
+    anchor starts consecutive and report as ONE island; regions that
+    merely abut or gap do not merge (and die to the threshold here).
+    The 10-token partners themselves stay below the 12 threshold."""
+    r = [f"r{i}" for i in range(10)]
+    w = ["w0", "w1", "w2"]
+    reg1 = " ".join(r)                 # r0..r9
+    reg2 = " ".join(r[3:] + w)         # r3..r9 w0 w1 w2 (7-token overlap)
+    p = _tok("p", 9)
+    q = _tok("q", 9)
+    rows = [
+        (0, f"a0 a1 {reg1} {' '.join(w)} a2"),  # reg1 at 3, reg2 at 6
+        (1, f"b0 {reg1} b1"),                   # partner for reg1 (10 < 12)
+        (2, f"c0 {reg2} c1"),                   # partner for reg2 (10 < 12)
+        (3, f"d0 {p} gap0 {q} d1"),             # gapped 9-islands, both < 12
+        (4, f"e0 e1 {p} e2"),                   # partner for p
+        (5, f"f0 {q} f1 f2"),                   # partner for q
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in QUERIES["x2_substring_dedup"](spark, sf).collect()
+    }
+    assert got == {(0, 3, 13)}
+
 
 def test_base_items_single_pass_multi_field(spark):
     """base_items melts ALL fields into one long-form count — the

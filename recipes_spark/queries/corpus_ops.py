@@ -2003,6 +2003,128 @@ def x4_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed BPE merge table for x4_bpe_apply — priority-ordered, later
+# merges consume earlier outputs (t+h → th, th+e → the; an → and).
+# Shared Python-generated literals: the Spark fold and the DuckDB
+# oracle are BOTH rendered from this list, so the engines cannot
+# disagree on the table.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
+    ("a", "t"), ("e", "s"),
+]
+#: id = 1-based position: merge outputs first, then the base alphabet;
+#: anything else (never occurs in the lowercase corpus) is OOV → 0.
+_BPE_VOCAB = [a + b for a, b in _BPE_MERGES] + list(
+    "abcdefghijklmnopqrstuvwxyz0123456789"
+)
+
+
+def _bpe_fold_sql(expr: str) -> str:
+    """Render the merge fold as nested DuckDB replace() calls over the
+    chr(31)-marked symbol string."""
+    for a, b in _BPE_MERGES:
+        pat = f"chr(31)||'{a}'||chr(31)||'{b}'"
+        rep = f"chr(31)||'{a}{b}'"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+
+_BPE_VOCAB_SQL = "[" + ", ".join(f"'{v}'" for v in _BPE_VOCAB) + "]"
+
+
+@query(
+    "x4_bpe_apply",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         regexp_replace(text, '([^ ])', e'\\x1f\\\\1', 'g') AS marked
+  FROM documents
+), f AS (
+  SELECT doc_id, marked, {_bpe_fold_sql("marked")} AS folded FROM m
+), sy AS (
+  SELECT doc_id,
+         length(marked) - length(replace(marked, chr(31), '')) AS n_base,
+         length(folded) - length(replace(folded, chr(31), '')) AS n_tokens,
+         list_transform(
+           list_filter(string_split_regex(folded, e'[ \\x1f]'),
+                       x -> x != ''),
+           x -> coalesce(list_position({_BPE_VOCAB_SQL}, x), 0)
+         ) AS ids
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_base - n_tokens AS BIGINT) AS n_merges,
+       CAST(len(list_filter(ids, i -> i = 0)) AS BIGINT) AS n_oov,
+       CAST(coalesce(list_sum(ids), 0) AS BIGINT) AS ids_checksum
+FROM sy
+""",
+)
+def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the inverse of x4_bpe_merge_step's
+    training round: apply a FIXED priority-ordered merge table to every
+    document and emit token ids + per-doc token counts, the unit every
+    mixing/packing operator otherwise approximates with whitespace
+    tokens. Spec: words start char-level; merges apply sequentially in
+    table order, each one replacing every (leftmost, non-overlapping)
+    adjacent symbol pair in the corpus — the deterministic fold both
+    engines replay literally. Encoding trick: every symbol carries a
+    U+001F prefix, so the pair (a, b) is the plain substring
+    "\\x1fa\\x1fb" and each merge round is ONE replace() — a symbol can
+    never match inside another symbol or across the un-marked word
+    boundary space, and both engines' replace() scans
+    leftmost-non-overlapping. Ids are 1-based positions in the shared
+    vocab literal (array_position == list_position, OOV → 0), summed
+    into an order-free checksum that proves every token went through
+    the lookup.
+
+    100 TB: ZERO shuffle — marking, the 12-replace fold, symbol split,
+    id lookup and checksum are all row-local Catalyst string/HOF
+    expressions (no UDF, no explode, no join: the vocab lives in the
+    expression tree, the token stream never leaves its row). Contrast
+    x4_vocab_encode, which broadcast-joins because its vocab is
+    corpus-derived; a REAL 50k-merge GPT-style table would swap the
+    literal fold for one Arrow-batched mapInPandas rank-greedy pass —
+    same zero-shuffle shape, different island. Reference for the
+    algorithm class: Sennrich et al. 2016."""
+    sep = "\x1f"
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    marked = F.regexp_replace("text", "([^ ])", sep + "$1")
+    folded = marked
+    for a, b in _BPE_MERGES:
+        folded = F.replace(
+            folded, F.lit(f"{sep}{a}{sep}{b}"), F.lit(f"{sep}{a}{b}")
+        )
+    vocab = F.array(*[F.lit(v) for v in _BPE_VOCAB])
+    base = d.select(
+        "doc_id",
+        (
+            F.length(marked) - F.length(F.replace(marked, F.lit(sep)))
+        ).alias("n_base"),
+        (
+            F.length(folded) - F.length(F.replace(folded, F.lit(sep)))
+        ).alias("n_tokens"),
+        F.transform(
+            F.filter(
+                F.split(folded, f"[ {sep}]"), lambda x: x != F.lit("")
+            ),
+            lambda x: F.array_position(vocab, x),
+        ).alias("ids"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_base") - F.col("n_tokens")).cast("long").alias("n_merges"),
+        F.size(F.filter("ids", lambda i: i == F.lit(0)))
+        .cast("long")
+        .alias("n_oov"),
+        F.aggregate(
+            "ids", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("ids_checksum"),
+    )
+
+
 @query(
     "x4_cms_heavy_hitters",
     oracle="""

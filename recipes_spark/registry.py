@@ -193,6 +193,7 @@ _DEFER: dict[str, int] = {
     "event_attribution_shapley": 9,
     "agg_fdr_bh": 9,
     "x2_substring_dedup": 10,
+    "x4_bpe_apply": 10,
 }
 
 

@@ -71,6 +71,36 @@ def test_substring_dedup_chains_overlaps_not_gaps(spark, tmp_path):
     assert got == {(0, 3, 13)}
 
 
+def test_bpe_apply_merge_semantics(spark, tmp_path):
+    """x4_bpe_apply's defining behavior on planted words (vocab ids:
+    merge outputs 1..12 in table order, then a..z = 13..38):
+    - 'the'  : t+h → th, th+e → the — ONE token, id 2, 2 merges;
+    - 'there': the|re (the th-e merge consumes the e before e+r can
+               fire; r+e still does) — ids 2+8, 3 merges;
+    - 'tth'  : leftmost-non-overlapping — the (t,h) merge binds the
+               SECOND t, leaving t|th — ids 32+1;
+    - 'ab!'  : '!' is outside the vocab → OOV id 0, counted."""
+    rows = [
+        (0, "the"),
+        (1, "there"),
+        (2, "tth"),
+        (3, "ab!"),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_merges"], r["n_oov"], r["ids_checksum"]
+        )
+        for r in QUERIES["x4_bpe_apply"](spark, sf).collect()
+    }
+    assert got == {
+        0: (1, 2, 0, 2),
+        1: (2, 3, 0, 10),
+        2: (2, 1, 0, 33),
+        3: (3, 0, 1, 13 + 14),
+    }
+
+
 def test_base_items_single_pass_multi_field(spark):
     """base_items melts ALL fields into one long-form count — the
     per-field modal values and NULL-when-absent behavior must be

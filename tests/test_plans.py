@@ -477,6 +477,20 @@ def test_spearman_no_raw_event_rank_window(spark, sf_dir):
         assert spec in ("cents", "__shard"), (spec, plan)
 
 
+def test_bpe_apply_is_zero_shuffle(spark, sf_dir):
+    """x4_bpe_apply's 100 TB claim: the merge fold, symbol split, id
+    lookup and checksum are all row-local Catalyst expressions — no
+    semantic shuffle (hash/range/single-partition), no join, no Python
+    island; the only allowed exchange is scale_partitions' round-robin
+    fan-out of the single-row-group test file."""
+    plan = _plan(spark, sf_dir, "x4_bpe_apply")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 @pytest.mark.parametrize(
     "name", ["x4_zipf_fit", "x4_vocab_coverage_curve"]
 )

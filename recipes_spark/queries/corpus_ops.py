@@ -2003,6 +2003,213 @@ def x4_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x6_corpus_pipeline_e2e",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 30 AND n_chars >= 100
+), l0 AS (
+  SELECT doc_id, source,
+         unnest([struct_pack(idx := i,
+                             line := array_to_string(t[i+1:i+3], ' '))
+                 FOR i IN range(0, len(t), 3)]) AS u
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM base)
+), lines AS (
+  SELECT doc_id, source, u.idx AS idx, u.line AS line FROM l0
+), freq AS (
+  SELECT line, CAST(count(*) AS BIGINT) AS c FROM lines GROUP BY line
+), reasm AS (
+  SELECT doc_id, source,
+         coalesce(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE c < 3),
+                  '') AS kept
+  FROM lines JOIN freq USING (line)
+  GROUP BY doc_id, source
+), surv AS (
+  SELECT doc_id, source, kept,
+         row_number() OVER (PARTITION BY sha256(kept) ORDER BY doc_id)
+           AS rn
+  FROM reasm
+), q AS (
+  SELECT doc_id, source, kept,
+         CAST(len(string_split(kept, ' ')) AS BIGINT) AS n_tok
+  FROM surv WHERE rn = 1 AND len(string_split(kept, ' ')) >= 20
+), cnts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM q GROUP BY source
+), mixed AS (
+  SELECT q.doc_id, q.kept, q.n_tok
+  FROM q JOIN cnts USING (source)
+  WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000
+        < CAST(floor(least(1.0, 8.0 / sqrt(n_src)) * 1e6) AS BIGINT)
+), sh AS (
+  SELECT doc_id, kept, n_tok,
+         CAST(('0x' || substr(sha256('shard:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 16 AS shard,
+         CAST(('0x' || substr(sha256('pos:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS hv2
+  FROM mixed
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY hv2, doc_id)
+              AS pos
+  FROM sh
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT (pos - 1) // 4) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       sha256(string_agg(kept, chr(30) ORDER BY pos)) AS checksum
+FROM ranked GROUP BY shard ORDER BY shard
+""",
+)
+def x6_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as ONE composed plan — the LLM
+    twin of stac_e2e_pipeline: quality pre-clean (token/char floors) →
+    corpus-global line dedup (C4's >=3-occurrence rule, in-order
+    reassembly) → exact near-dup survivor pick over the SCRUBBED text
+    (sha-group, min-doc_id — scrubbing first is what makes
+    boilerplate-differing copies collapse) → post-scrub quality floor →
+    temperature mixture (UniMax tau=0.5 hash threshold per source) →
+    hash-shard + deterministic epoch-shuffle order → 4-doc sequence
+    packing → per-shard content manifest. Every stage is an
+    already-attested operator; the composition proves they CHAIN — a
+    stage-ordering bug (sampling before dedup, packing before mixing)
+    or a survivor flake changes the 16 order-sensitive shard digests.
+    The oracle replays all eight stages, so the digest pins doc set
+    AND pack order.
+
+    100 TB: the corpus crosses exactly four data-sized exchanges —
+    line-frequency count (map-side combining), doc reassembly, the
+    dedup window on uniform sha keys, and the shard/pack window —
+    everything else is row-local or metadata-sized (source counts
+    broadcast back; the final manifest agg REUSES the pack window's
+    shard partitioning, no extra exchange — plan-asserted). The
+    cleaned corpus is checkpointed once between the clean and serve
+    phases so its two consumers share one computation. The
+    per-shard rank window is bounded by the SHARDING PARAMETER (shard
+    count scales with corpus size; the epoch-shuffle argument), so no
+    hot-key funnel; with few-but-huge shards swap in
+    operators/prefix.partitioned_row_number(partition_by=['shard'])."""
+    from recipes_spark.functions.portable_hash import sha_slice_bucket
+
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    base = d.filter(
+        (F.size(F.split("text", " ")) >= 30) & (F.col("n_chars") >= 100)
+    ).select("doc_id", "source", "text")
+    toks = base.select("doc_id", "source", F.split("text", " ").alias("t"))
+    lines = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("idx"),
+                    F.array_join(F.slice("t", i + 1, 3), " ").alias("line"),
+                ),
+            )
+        ).alias("u"),
+    ).select("doc_id", "source", "u.idx", "u.line")
+    freq = lines.groupBy("line").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    reasm = (
+        lines.join(freq, "line")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("c") < 3, F.struct("idx", "line")
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept")
+        )
+    )
+    wdup = Window.partitionBy(F.sha2("kept", 256)).orderBy("doc_id")
+    # The cleaned corpus feeds TWO consumers (the source-count aggregate
+    # and the mixture join) — materialize it once or Spark re-runs the
+    # whole clean→dedup chain per join side (ReuseExchange does not
+    # collapse sibling subtrees). At cluster scale this is the
+    # checkpoint/persist a production pipeline places between its clean
+    # and serve phases anyway.
+    q = (
+        reasm.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .withColumn("n_tok", F.size(F.split("kept", " ")).cast("long"))
+        .filter(F.col("n_tok") >= 20)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    thr = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    ).withColumn(
+        "thr",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(8.0) / F.sqrt("n_src")) * F.lit(1e6)
+        ).cast("long"),
+    )
+    mixed = (
+        q.join(F.broadcast(thr), "source")
+        .filter(_bucket(F.col("doc_id").cast("string"), 1_000_000) < F.col("thr"))
+        .select("doc_id", "kept", "n_tok")
+    )
+    sh = mixed.select(
+        "doc_id",
+        "kept",
+        "n_tok",
+        sha_slice_bucket(
+            F.concat(F.lit("shard:"), F.col("doc_id").cast("string")), 16
+        ).alias("shard"),
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit("pos:"), F.col("doc_id").cast("string")),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv2"),
+    )
+    wpack = Window.partitionBy("shard").orderBy("hv2", "doc_id")
+    ranked = sh.withColumn("pos", F.row_number().over(wpack).cast("long"))
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(F.expr("(pos - 1) div 4"))
+            .cast("long")
+            .alias("n_seqs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sha2(
+                F.concat_ws(
+                    chr(30),
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "kept"))),
+                        lambda r: r["kept"],
+                    ),
+                ),
+                256,
+            ).alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 # Fixed BPE merge table for x4_bpe_apply — priority-ordered, later
 # merges consume earlier outputs (t+h → th, th+e → the; an → and).
 # Shared Python-generated literals: the Spark fold and the DuckDB

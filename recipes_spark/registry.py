@@ -194,6 +194,7 @@ _DEFER: dict[str, int] = {
     "agg_fdr_bh": 9,
     "x2_substring_dedup": 10,
     "x4_bpe_apply": 10,
+    "x6_corpus_pipeline_e2e": 10,
 }
 
 

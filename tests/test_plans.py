@@ -477,6 +477,31 @@ def test_spearman_no_raw_event_rank_window(spark, sf_dir):
         assert spec in ("cents", "__shard"), (spec, plan)
 
 
+def test_corpus_pipeline_e2e_shuffle_diet(spark, sf_dir):
+    """x6_corpus_pipeline_e2e's composition claims: the serve phase
+    (post-checkpoint) adds exactly ONE shard exchange — the pack
+    window's, which the final manifest aggregate must REUSE — the
+    mixture threshold arrives by broadcast, the expensive clean chain
+    does not re-enter the consumer plan (the checkpoint boundary), and
+    nothing falls into a single-partition or cartesian stage."""
+    df = QUERIES["x6_corpus_pipeline_e2e"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the final plan followed by the pre-adaptive initial
+    # plan — assert over the final section only.
+    plan = plan.split("Initial Plan")[0]
+    import re
+
+    shard_ex = re.findall(r"Exchange hashpartitioning\(shard", plan)
+    assert len(shard_ex) == 1, plan
+    assert "BroadcastHashJoin" in plan  # mixture threshold join
+    # Clean-chain operators live behind the checkpoint: their line-key
+    # exchange must not appear in (= re-execute inside) this plan.
+    assert "hashpartitioning(line" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_bpe_apply_is_zero_shuffle(spark, sf_dir):
     """x4_bpe_apply's 100 TB claim: the merge fold, symbol split, id
     lookup and checksum are all row-local Catalyst expressions — no

@@ -46,6 +46,32 @@ HEADLINE = [
 ]
 
 
+def _calibration_sec(spark) -> float:
+    """FROZEN host-speed canary — never change this workload. Pure
+    Spark (range → sha256 → shuffle → agg), zero engine code, so the
+    number moves with the HOST, not with the repo: BENCH readers divide
+    the headline by this to compare rounds across host-speed swings
+    (round 9 burned a day on a +49% 'regression' that was entirely the
+    host — see SCALE.md 'Measuring on a shared/noisy host'). Min-of-5
+    like the headline queries."""
+    import pyspark.sql.functions as F
+
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+            .groupBy(F.substring("h", 1, 2).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("m"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     from recipes_spark.registry import all_queries
     from recipes_spark.session import get_session
@@ -92,16 +118,23 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    calib = _calibration_sec(spark)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_wall_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Host-speed canary (frozen workload, see
+                # _calibration_sec): headline/calib is the
+                # host-normalized number to compare across rounds.
+                "calib_sec": calib,
+                "value_per_calib": round(total / calib, 2),
             }
         )
     )

@@ -1028,12 +1028,70 @@ def probe_per_key_rank(spark: SparkSession) -> dict:
     return out
 
 
+def probe_ann_recall_10x(spark: SparkSession) -> dict:
+    """Round-10 leg of ann_10x: RECALL@10 economics at 1x and 10x the
+    vector corpus. The suite gates IVF recall >= 0.9 at the driver SF;
+    this measures how a FIXED (n_centroids=16, nprobe) budget holds at
+    10x density and what each extra probed list buys — the
+    nprobe/n_centroids pricing a 100 TB deployment does, measured
+    rather than asserted. Replicas are perturbed with a deterministic
+    per-(rep, dim) ripple (±~1%) so duplicates don't tie-break the
+    exact ground truth ambiguously; queries are 5 UNperturbed
+    originals, so their perturbed twins crowd the true top-10 at 10x —
+    the adversarial densification case for list pruning."""
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e1 = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").cache()
+    n1 = e1.count()
+    reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
+    e10 = (
+        e1.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * (
+                    F.lit(1.0)
+                    + F.col("rep") * F.lit(0.003) * ((i % 7) - F.lit(3))
+                ),
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    n10 = e10.count()
+    out = {"probe": "ann_recall_10x", "vectors_1x": n1, "vectors_10x": n10}
+    for tag, corpus in (("1x", e1), ("10x", e10)):
+        queries = e1.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(corpus, queries, k=10).collect()
+        }
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.perf_counter()
+            got = ivf_topk(
+                corpus, queries, k=10, n_centroids=16, nprobe=nprobe
+            ).collect()
+            wall = time.perf_counter() - t0
+            hits = sum(1 for r in got if (r.query_id, r.vec_id) in exact)
+            out[f"recall_{tag}_np{nprobe}"] = round(hits / len(exact), 3)
+            out[f"query_sec_{tag}_np{nprobe}"] = round(wall, 2)
+    e1.unpersist()
+    e10.unpersist()
+    return out
+
+
 PROBES = {
     "cc_chain": probe_cc_chain,
     "cc_skew": probe_cc_skew,
     "bloom_10x": probe_bloom_10x,
     "epoch_shuffle": probe_epoch_shuffle,
     "ann_10x": probe_ann_10x,
+    "ann_recall_10x": probe_ann_recall_10x,
     "pagerank": probe_pagerank,
     "skew_join": probe_skew_join,
     "zorder_pruning": probe_zorder_pruning,

@@ -195,6 +195,8 @@ _DEFER: dict[str, int] = {
     "x2_substring_dedup": 10,
     "x4_bpe_apply": 10,
     "x6_corpus_pipeline_e2e": 10,
+    "x6_packing_bpe": 10,
+    "x4_bpe_train_rounds": 10,
 }
 
 

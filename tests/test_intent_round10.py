@@ -101,6 +101,22 @@ def test_bpe_apply_merge_semantics(spark, tmp_path):
     }
 
 
+def test_bpe_train_rounds_planted_merge_sequence(spark, tmp_path):
+    """x4_bpe_train_rounds' defining behavior: merges are
+    DATA-DEPENDENT and sequential — round 2 counts pairs over round 1's
+    MERGED vocabulary. Planted: 'the'x3 + 'than'x1 → round 1 merges
+    (t,h) freq 4; round 2 sees th as ONE symbol and merges (th,e)
+    freq 3 (a char-level counter would pick (h,e)); round 3's tie at
+    freq 1 breaks by pattern order → (a,n)."""
+    rows = [(0, "the the the"), (1, "than")]
+    sf = _mini_docs(spark, tmp_path, rows)
+    got = [
+        (r["round"], r["pair"], r["freq"])
+        for r in QUERIES["x4_bpe_train_rounds"](spark, sf).collect()
+    ]
+    assert got == [(1, "t h", 4), (2, "th e", 3), (3, "a n", 1)]
+
+
 def test_base_items_single_pass_multi_field(spark):
     """base_items melts ALL fields into one long-form count — the
     per-field modal values and NULL-when-absent behavior must be

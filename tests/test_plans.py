@@ -118,6 +118,17 @@ def test_packing_plan_has_no_single_task_stage(spark, sf_dir):
     assert "Sort [doc_id" not in plan.replace("ASC NULLS FIRST", ""), plan
 
 
+def test_packing_bpe_has_no_single_task_stage(spark, sf_dir):
+    """x6_packing_bpe: the BPE token count must not change the packing
+    plan's scale shape — shard-partitioned cumsum window, broadcast
+    shard offsets, no single-partition exchange."""
+    df = QUERIES["x6_packing_bpe"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # shard-offset join
+
+
 def test_funnel_windows_share_one_exchange(spark, sf_dir):
     """The 3 chained funnel windows partition identically (user_id), so
     exactly ONE hashpartitioning(user_id) exchange must feed them —

@@ -2227,10 +2227,11 @@ _BPE_VOCAB = [a + b for a, b in _BPE_MERGES] + list(
 )
 
 
-def _bpe_fold_sql(expr: str) -> str:
-    """Render the merge fold as nested DuckDB replace() calls over the
-    chr(31)-marked symbol string."""
-    for a, b in _BPE_MERGES:
+def _bpe_fold_sql(expr: str, upto: int | None = None) -> str:
+    """Render the merge fold (optionally only the first ``upto``
+    merges) as nested DuckDB replace() calls over the chr(31)-marked
+    symbol string."""
+    for a, b in _BPE_MERGES[: len(_BPE_MERGES) if upto is None else upto]:
         pat = f"chr(31)||'{a}'||chr(31)||'{b}'"
         rep = f"chr(31)||'{a}{b}'"
         expr = f"replace({expr}, {pat}, {rep})"
@@ -2250,10 +2251,10 @@ def _bpe_marked():
     return F.regexp_replace("text", "([^ ])", _BPE_SEP + "$1")
 
 
-def _bpe_folded():
-    """Column: the marked text after the full _BPE_MERGES fold."""
+def _bpe_folded(upto: int | None = None):
+    """Column: the marked text after the (first ``upto``) merges."""
     folded = _bpe_marked()
-    for a, b in _BPE_MERGES:
+    for a, b in _BPE_MERGES[: len(_BPE_MERGES) if upto is None else upto]:
         folded = F.replace(
             folded,
             F.lit(f"{_BPE_SEP}{a}{_BPE_SEP}{b}"),
@@ -2350,6 +2351,59 @@ def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ids", F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("ids_checksum"),
     )
+
+
+def _bpe_curve_oracle_sql() -> str:
+    """Oracle for x4_bpe_compression_curve: one corpus aggregate with a
+    token-count column per merge prefix, unpivoted into 13 rows."""
+    m = len(_BPE_MERGES)
+    cols = ", ".join(
+        "CAST(sum(length({f}) - length(replace({f}, chr(31), ''))) AS "
+        "BIGINT) AS s{k}".format(f=_bpe_fold_sql("marked", upto=k), k=k)
+        for k in range(m + 1)
+    )
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS k, s{k} AS total_tokens FROM agg"
+        for k in range(m + 1)
+    )
+    return (
+        "WITH m AS (SELECT regexp_replace(text, '([^ ])', e'\\x1f\\\\1',"
+        " 'g') AS marked FROM documents),\n"
+        f"agg AS (SELECT {cols} FROM m)\n{rows}\nORDER BY k"
+    )
+
+
+@query("x4_bpe_compression_curve", oracle=_bpe_curve_oracle_sql())
+def x4_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE COMPRESSION CURVE — corpus token count after the first k
+    merges, k = 0..12: the marginal-value-per-merge economics a
+    tokenizer designer reads before spending vocabulary slots (the
+    empirical face of x4_bpe_train_rounds' freq column: each merge
+    saves exactly its application count). Every prefix fold is a
+    row-local expression evaluated in ONE scan; the 13 sums partial-agg
+    map-side and the unpivot is a stack over the single aggregate row —
+    no per-k pass, no shuffle beyond the 1-row agg.
+
+    100 TB: one corpus pass however long the curve; the k² replace
+    chain is per-row CPU inside codegen (78 calls at 12 merges). For a
+    50k-merge production table compute the curve from the trainer's
+    per-round application counts instead (train once, subtract
+    cumulatively) — this operator is the direct-measurement form that
+    validates that arithmetic."""
+    m = len(_BPE_MERGES)
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    agg = d.agg(
+        *[
+            F.sum(_bpe_symbol_count(_bpe_folded(upto=k)))
+            .cast("long")
+            .alias(f"s{k}")
+            for k in range(m + 1)
+        ]
+    )
+    stack = ", ".join(f"CAST({k} AS BIGINT), s{k}" for k in range(m + 1))
+    return agg.selectExpr(
+        f"stack({m + 1}, {stack}) AS (k, total_tokens)"
+    ).orderBy("k")
 
 
 def _bpe_train_oracle_sql(rounds: int) -> str:

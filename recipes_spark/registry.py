@@ -197,6 +197,7 @@ _DEFER: dict[str, int] = {
     "x6_corpus_pipeline_e2e": 10,
     "x6_packing_bpe": 10,
     "x4_bpe_train_rounds": 10,
+    "x4_bpe_compression_curve": 10,
 }
 
 

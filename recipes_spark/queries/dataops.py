@@ -1323,6 +1323,114 @@ def x2_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_decontaminate_spans",
+    oracle="""
+WITH bench AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id < 20
+), corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id >= 20
+), bgrams AS (
+  SELECT DISTINCT unnest([array_to_string(w[i:i+7], ' ')
+                          FOR i IN range(1, len(w) - 6)]) AS gram
+  FROM bench WHERE len(w) >= 8
+), occ AS (
+  SELECT doc_id, u.i AS i, u.gram AS gram FROM (
+    SELECT doc_id,
+           unnest([{'i': i, 'gram': array_to_string(w[i:i+7], ' ')}
+                   FOR i IN range(1, len(w) - 6)]) AS u
+    FROM corpus WHERE len(w) >= 8
+  )
+), starts AS (
+  SELECT o.doc_id, list_sort(list(DISTINCT o.i)) AS ss
+  FROM occ o JOIN bgrams b USING (gram)
+  GROUP BY o.doc_id
+), scrub AS (
+  SELECT c.doc_id, c.w,
+         CASE WHEN s.ss IS NULL THEN c.w
+              ELSE [c.w[j] FOR j IN range(1, len(c.w) + 1)
+                    IF len(list_filter(s.ss,
+                           x -> x <= j AND j <= x + 7)) = 0]
+         END AS kept
+  FROM corpus c LEFT JOIN starts s USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS text_clean,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_removed
+FROM scrub
+""",
+)
+def x4_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCHMARK DECONTAMINATION by shared spans — the cross-table twin
+    of x2_span_scrub and the step every serious pretraining pipeline
+    runs before training (GPT-3 appendix C; Lee et al. 2022 §6.2,
+    public): every corpus token covered by an 8-gram that also occurs
+    in the EVAL BENCHMARK is removed, so the model cannot memorize test
+    answers from training text. Benchmark = the doc_id < 20 slice (the
+    held-out-probe convention x4_cms_heavy_hitters uses); corpus = the
+    rest; every corpus doc survives to the output with its cleaned
+    text and removal counts (zero-match docs pass through verbatim —
+    pinned by planted tests).
+
+    100 TB: the benchmark side is SMALL by construction (an eval suite
+    is MBs) — its distinct gram set behaves like a broadcast dim, so
+    the candidate join costs corpus-scan + broadcast lookup, NOT the
+    corpus×corpus shuffle of self-dedup; the duplicated start
+    positions ship back as one short int array per contaminated doc
+    and the rewrite is the same row-local HOF as span_scrub. At real
+    scale hash grams to 64-bit and pre-filter with a bloom of the
+    benchmark grams (x2_bloom_candidates) to skip the join for the
+    ~99% of docs with no hit."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    bench = words.filter(F.col("doc_id") < 20)
+    corpus = words.filter(F.col("doc_id") >= 20)
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 7),
+        lambda i: F.struct(
+            i.alias("i"), F.concat_ws(" ", F.slice("w", i, 8)).alias("gram")
+        ),
+    )
+    bgrams = (
+        bench.filter(F.size("w") >= 8)
+        .select(F.explode(gram_structs).alias("g"))
+        .select("g.gram")
+        .distinct()
+    )
+    occ = (
+        corpus.filter(F.size("w") >= 8)
+        .select("doc_id", F.explode(gram_structs).alias("g"))
+        .select("doc_id", "g.i", "g.gram")
+    )
+    starts = (
+        occ.join(F.broadcast(bgrams), "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("i")).alias("ss"))
+    )
+    kept = F.filter(
+        "w",
+        lambda tok, j: ~F.exists(
+            "ss", lambda s: (s <= j + 1) & (j + 1 <= s + 7)
+        ),
+    )
+    return (
+        corpus.join(starts, "doc_id", "left")
+        .withColumn(
+            "ss", F.coalesce("ss", F.expr("CAST(array() AS array<int>)"))
+        )
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "kept").alias("text_clean"),
+            F.size("kept").cast("long").alias("n_kept"),
+            (F.size("w") - F.size("kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
+@query(
     "x2_substring_dedup",
     oracle="""
 WITH t AS (

@@ -198,6 +198,7 @@ _DEFER: dict[str, int] = {
     "x6_packing_bpe": 10,
     "x4_bpe_train_rounds": 10,
     "x4_bpe_compression_curve": 10,
+    "x4_decontaminate_spans": 10,
 }
 
 

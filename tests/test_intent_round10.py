@@ -71,6 +71,34 @@ def test_substring_dedup_chains_overlaps_not_gaps(spark, tmp_path):
     assert got == {(0, 3, 13)}
 
 
+def test_decontaminate_spans_benchmark_only(spark, tmp_path):
+    """x4_decontaminate_spans' defining behavior vs span_scrub: ONLY
+    benchmark-shared 8-grams are scrubbed — a span duplicated between
+    two CORPUS docs (but absent from the benchmark) survives, a
+    benchmark doc never appears in the output, and a clean corpus doc
+    passes through verbatim."""
+    leak = _tok("s", 8)    # in the benchmark AND one corpus doc
+    cdup = _tok("u", 8)    # duplicated corpus-corpus only
+    rows = [
+        (1, f"bench header {leak}"),               # benchmark (id < 20)
+        (20, f"a0 {leak} a1"),                     # contaminated
+        (21, f"b0 {cdup} b1"),                     # corpus-corpus dup
+        (22, f"c0 c1 {cdup}"),                     # corpus-corpus dup
+        (23, "perfectly clean document body here with no leak at all"),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["x4_decontaminate_spans"](spark, sf).collect()
+    }
+    assert set(out) == {20, 21, 22, 23}
+    assert out[20]["text_clean"] == "a0 a1"
+    assert out[20]["n_removed"] == 8
+    for i in (21, 22, 23):
+        assert out[i]["text_clean"] == rows[[r[0] for r in rows].index(i)][1]
+        assert out[i]["n_removed"] == 0
+
+
 def test_bpe_apply_merge_semantics(spark, tmp_path):
     """x4_bpe_apply's defining behavior on planted words (vocab ids:
     merge outputs 1..12 in table order, then a..z = 13..38):

@@ -71,6 +71,57 @@ def test_substring_dedup_chains_overlaps_not_gaps(spark, tmp_path):
     assert got == {(0, 3, 13)}
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_substring_dedup_matches_python_reference(spark, tmp_path, seed):
+    """Property-grade check on seeded random corpora with heavy n-gram
+    collisions (8-word alphabet): the Spark islands must EXACTLY equal
+    an independent pure-Python reimplementation of the spec —
+    cross-doc duplicated 8-gram starts, consecutive-run islands,
+    span >= 12 threshold, sha over the extracted tokens."""
+    import hashlib
+    import random
+
+    rng = random.Random(seed)
+    alphabet = [f"w{i}" for i in range(8)]
+    docs = {
+        i: [rng.choice(alphabet) for _ in range(rng.randint(20, 40))]
+        for i in range(12)
+    }
+    sf = _mini_docs(
+        spark, tmp_path, [(i, " ".join(t)) for i, t in docs.items()]
+    )
+
+    grams = {}  # gram -> set of doc_ids
+    for i, toks in docs.items():
+        for s in range(len(toks) - 7):
+            grams.setdefault(tuple(toks[s : s + 8]), set()).add(i)
+    expected = set()
+    for i, toks in docs.items():
+        starts = sorted(
+            s + 1
+            for s in range(len(toks) - 7)
+            if len(grams[tuple(toks[s : s + 8])]) >= 2
+        )
+        run = []
+        for s in starts + [None]:
+            if run and (s is None or s != run[-1] + 1):
+                length = run[-1] - run[0] + 8
+                if length >= 12:
+                    text = " ".join(toks[run[0] - 1 : run[0] - 1 + length])
+                    expected.add(
+                        (i, run[0], length,
+                         hashlib.sha256(text.encode()).hexdigest())
+                    )
+                run = []
+            if s is not None:
+                run.append(s)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"], r["span_sha"])
+        for r in QUERIES["x2_substring_dedup"](spark, sf).collect()
+    }
+    assert got == expected
+
+
 def test_decontaminate_spans_benchmark_only(spark, tmp_path):
     """x4_decontaminate_spans' defining behavior vs span_scrub: ONLY
     benchmark-shared 8-grams are scrubbed — a span duplicated between

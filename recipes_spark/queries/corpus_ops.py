@@ -2247,8 +2247,21 @@ _BPE_SEP = "\x1f"
 
 def _bpe_marked():
     """Column: ``text`` with every non-space char U+001F-prefixed (the
-    symbol marking that makes each merge one plain replace)."""
-    return F.regexp_replace("text", "([^ ])", _BPE_SEP + "$1")
+    symbol marking that makes each merge one plain replace). FAILS
+    CLOSED (raise_error) on text already containing the U+001F marker:
+    a spoofed boundary would silently corrupt every downstream token
+    count/id — the hydrate.DO_NOT_MERGE discipline. One contains()
+    per row."""
+    return F.when(
+        F.contains("text", F.lit(_BPE_SEP)),
+        F.raise_error(
+            F.lit(
+                "bpe: text contains the U+001F symbol marker — strip or "
+                "re-encode control characters upstream (the marking "
+                "invariant cannot hold)"
+            )
+        ).cast("string"),
+    ).otherwise(F.regexp_replace("text", "([^ ])", _BPE_SEP + "$1"))
 
 
 def _bpe_folded(upto: int | None = None):
@@ -2480,9 +2493,14 @@ def x4_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    cur = wc.select(
-        F.regexp_replace("w", "(.)", sep + "$1").alias("m"), "cnt"
-    ).localCheckpoint(eager=True)
+    # Same fail-closed marker guard as _bpe_marked, over the word dim.
+    marked_w = F.when(
+        F.contains("w", F.lit(sep)),
+        F.raise_error(
+            F.lit("bpe: word contains the U+001F symbol marker")
+        ).cast("string"),
+    ).otherwise(F.regexp_replace("w", "(.)", sep + "$1"))
+    cur = wc.select(marked_w.alias("m"), "cnt").localCheckpoint(eager=True)
     rep = F.concat(
         F.lit(sep), F.replace(F.expr("substring(pat, 2)"), F.lit(sep))
     )

@@ -150,6 +150,16 @@ def test_decontaminate_spans_benchmark_only(spark, tmp_path):
         assert out[i]["n_removed"] == 0
 
 
+def test_bpe_rejects_marker_in_input(spark, tmp_path):
+    """A document containing the U+001F symbol marker would spoof
+    symbol boundaries and silently corrupt every downstream count/id —
+    the encode must fail closed instead (the hydrate DO_NOT_MERGE
+    discipline)."""
+    sf = _mini_docs(spark, tmp_path, [(0, "ok text"), (1, "bad\x1fhere")])
+    with pytest.raises(Exception, match="U\\+001F|SparkRuntimeException"):
+        QUERIES["x4_bpe_apply"](spark, sf).collect()
+
+
 def test_bpe_apply_merge_semantics(spark, tmp_path):
     """x4_bpe_apply's defining behavior on planted words (vocab ids:
     merge outputs 1..12 in table order, then a..z = 13..38):

@@ -1431,6 +1431,108 @@ def x4_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_dsir_weights",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, doc_id < 20 AS is_t,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tc AS (
+  SELECT term,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM tok GROUP BY term
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+         CAST(count(*) AS BIGINT) AS v
+  FROM tc
+), micro AS (
+  SELECT term,
+         CAST(floor(ln(((ct + 1.0) * (nr + v)) / ((cr + 1.0) * (nt + v)))
+              * 1000000) AS BIGINT) AS m
+  FROM tc, tot
+), dt AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n
+  FROM tok WHERE NOT is_t GROUP BY doc_id, term
+), w AS (
+  SELECT doc_id,
+         CAST(sum(n * m) AS BIGINT) AS weight_micro,
+         CAST(sum(n) AS BIGINT) AS n_tokens
+  FROM dt JOIN micro USING (term) GROUP BY doc_id
+)
+SELECT doc_id, weight_micro, n_tokens
+FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100
+""",
+)
+def x4_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public) — score every
+    raw-corpus document by how much more likely a TARGET-domain unigram
+    model finds it than the raw-corpus model, and keep the top-k: the
+    principled replacement for hand-written quality rules when "good
+    data" is defined by an exemplar set. Target = the doc_id < 20
+    slice (the held-out-probe convention); both LMs are add-1 smoothed
+    over the shared vocabulary, so the per-term log-ratio is
+    ln((ct+1)(Nr+V) / ((cr+1)(Nt+V))) — every operand an exact
+    integer, products < 2^53, ONE fixed expression shape floored to
+    integer micros per TERM (the NLL/KL libm discipline), so the
+    per-doc weight is an order-free integer sum both engines reproduce
+    bit-for-bit.
+
+    100 TB: the term table is ONE map-side-combining count over the
+    token stream carrying an is-target flag (vocab-sized output); the
+    scalar totals broadcast back through a 1-row cross join; per-doc
+    scoring pre-aggregates (doc, term) counts BEFORE joining the
+    vocab-sized micro table (x4_unigram_nll's asserted shape — the
+    token stream never joins row-by-row); selection is
+    TakeOrderedAndProject. The target slice is small by construction
+    (an exemplar set is MBs), but nothing here depends on it: both
+    sides flow through the same one-pass count."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        (F.col("doc_id") < 20).alias("is_t"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tc = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("cr"),
+    )
+    tot = tc.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    micro = tc.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1.0) * (F.col("nr") + F.col("v")))
+                / ((F.col("cr") + 1.0) * (F.col("nt") + F.col("v")))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    dt = (
+        tok.filter(~F.col("is_t"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        dt.join(micro, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("m")).cast("long").alias("weight_micro"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .orderBy(F.desc("weight_micro"), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
     "x2_substring_dedup",
     oracle="""
 WITH t AS (

@@ -199,6 +199,7 @@ _DEFER: dict[str, int] = {
     "x4_bpe_train_rounds": 10,
     "x4_bpe_compression_curve": 10,
     "x4_decontaminate_spans": 10,
+    "x4_dsir_weights": 10,
 }
 
 

@@ -122,6 +122,24 @@ def test_substring_dedup_matches_python_reference(spark, tmp_path, seed):
     assert got == expected
 
 
+def test_dsir_weights_rank_target_like_docs_first(spark, tmp_path):
+    """x4_dsir_weights' defining behavior: a raw doc written in the
+    target slice's vocabulary scores a POSITIVE log-ratio weight and
+    ranks above an off-topic doc whose terms the target never uses
+    (negative weight); target docs themselves never appear in the
+    output."""
+    rows = [
+        (0, "alpha beta gamma alpha beta gamma alpha beta"),  # target
+        (1, "alpha gamma beta alpha gamma beta gamma alpha"),  # target
+        (20, "alpha beta alpha beta gamma alpha"),            # on-topic
+        (21, "zebra yak zebra yak zebra yak"),                # off-topic
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    out = QUERIES["x4_dsir_weights"](spark, sf).collect()
+    assert [r["doc_id"] for r in out] == [20, 21]
+    assert out[0]["weight_micro"] > 0 > out[1]["weight_micro"]
+
+
 def test_decontaminate_spans_benchmark_only(spark, tmp_path):
     """x4_decontaminate_spans' defining behavior vs span_scrub: ONLY
     benchmark-shared 8-grams are scrubbed — a span duplicated between

@@ -4271,9 +4271,11 @@ def x6_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x4_line_dedup",
-    oracle="""
+#: Shared by x4_line_dedup and its streaming twin st27 (the
+#: OHLC_ORACLE convention): the stream's SUM-merged line-count state
+#: telescopes to the whole-corpus counts, so the final report equals
+#: the one-pass batch form and both attest against this one oracle.
+LINE_DEDUP_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), l0 AS (
@@ -4300,30 +4302,14 @@ SELECT doc_id,
 FROM marked
 GROUP BY doc_id
 ORDER BY doc_id
-""",
-)
-def x4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CORPUS-GLOBAL line deduplication (the C4 cleaning rule, Raffel
-    et al. 2020 §2.2, public: discard any line occurring >= 3 times in
-    the corpus — boilerplate nav bars, cookie banners, license
-    footers). The synthetic corpus has no newlines, so 'lines' are the
-    deterministic 3-token segmentation (the same fixed-injection
-    convention x4_pii_scrub uses); each document is reassembled IN
-    ORDER from its surviving lines, with dropped-line counts and
-    character volume reported per doc.
+"""
 
-    100 TB shape: segmentation is row-local; the global frequency
-    table is ONE map-side-combining count keyed on the line (dedup's
-    exact-hash shuffle, X1's shape); the verdict joins back on the
-    same key (AQE broadcasts it when small, shuffles when not), and
-    reassembly is one doc_id-keyed agg over struct-sorted surviving
-    segments — sort_array over a per-doc array, never a global sort.
-    A production pass keys on sha2(line) instead of the text to keep
-    shuffle payloads fixed-width; the text key here keeps the oracle
-    byte-comparable."""
-    d = scale_partitions(load(spark, sf_dir, "documents"))
+
+def doc_lines(d: DataFrame) -> DataFrame:
+    """(doc_id, idx, line): the deterministic 3-token segmentation both
+    the batch line dedup and the st27 stream state are built on."""
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    lines = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -4334,8 +4320,15 @@ def x4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("u"),
-    ).select("doc_id", F.col("u.idx").alias("idx"), F.col("u.line").alias("line"))
-    freq = lines.groupBy("line").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).select(
+        "doc_id", F.col("u.idx").alias("idx"), F.col("u.line").alias("line")
+    )
+
+
+def line_dedup_report(lines: DataFrame, freq: DataFrame) -> DataFrame:
+    """Apply the C4 rule (count >= 3 drops) to a segmented corpus and a
+    (line, c) count table, reassembling each doc in order — shared by
+    the batch query and st27's final read."""
     marked = lines.join(freq, "line").withColumn("drop", F.col("c") >= 3)
     return (
         marked.groupBy("doc_id")
@@ -4367,6 +4360,34 @@ def x4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("x4_line_dedup", oracle=LINE_DEDUP_ORACLE)
+def x4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-GLOBAL line deduplication (the C4 cleaning rule, Raffel
+    et al. 2020 §2.2, public: discard any line occurring >= 3 times in
+    the corpus — boilerplate nav bars, cookie banners, license
+    footers). The synthetic corpus has no newlines, so 'lines' are the
+    deterministic 3-token segmentation (the same fixed-injection
+    convention x4_pii_scrub uses); each document is reassembled IN
+    ORDER from its surviving lines, with dropped-line counts and
+    character volume reported per doc.
+
+    100 TB shape: segmentation is row-local; the global frequency
+    table is ONE map-side-combining count keyed on the line (dedup's
+    exact-hash shuffle, X1's shape); the verdict joins back on the
+    same key (AQE broadcasts it when small, shuffles when not), and
+    reassembly is one doc_id-keyed agg over struct-sorted surviving
+    segments — sort_array over a per-doc array, never a global sort.
+    A production pass keys on sha2(line) instead of the text to keep
+    shuffle payloads fixed-width; the text key here keeps the oracle
+    byte-comparable."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    lines = doc_lines(d)
+    freq = lines.groupBy("line").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return line_dedup_report(lines, freq)
 
 
 #: Positions 1..10 discounted as floor(1e6 / log2(pos+1)) — computed

@@ -29,6 +29,11 @@ from recipes_spark.queries.events import (
     OHLC_ORACLE,
     PATTERN_FUNNEL_ORACLE,
 )
+from recipes_spark.queries.corpus_ops import (
+    LINE_DEDUP_ORACLE,
+    doc_lines,
+    line_dedup_report,
+)
 from recipes_spark.registry import query
 from recipes_spark.streaming.core import stream_events
 
@@ -2276,3 +2281,97 @@ def st26_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low_cents",
         "close_cents",
     ).orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# st27: streaming corpus line dedup (the C4 rule as accumulated state).
+# ---------------------------------------------------------------------------
+
+_ST27_STATE_SCHEMA = "line string, c long"
+
+
+def line_count_advance_factory(spark: SparkSession, state_dir: str):
+    """st27's per-micro-batch body: segment the batch's documents into
+    the deterministic 3-token lines (queries.corpus_ops.doc_lines —
+    the exact batch segmentation), count them batch-locally
+    (map-side combining), and SUM-merge into the carried (line, c)
+    state by full outer join. Counts are the textbook mergeable
+    aggregate, so the state after batch k telescopes to the one-pass
+    counts over chunks 1..k with no seam logic at all. Per-bid
+    overwrites + prior-only reads = the family retry contract."""
+    from recipes_spark.queries.corpus_ops import doc_lines
+
+    def advance(bdf: DataFrame, bid: int) -> None:
+        inc = doc_lines(bdf.select("doc_id", "text")).groupBy("line").agg(
+            F.count(F.lit(1)).cast("long").alias("b_c")
+        )
+        if bid > 0:
+            st = spark.read.schema(_ST27_STATE_SCHEMA).parquet(
+                os.path.join(state_dir, f"s_{bid - 1}")
+            )
+        else:
+            st = spark.createDataFrame([], _ST27_STATE_SCHEMA)
+        merged = st.join(inc, "line", "full").select(
+            "line",
+            (F.coalesce("c", F.lit(0)) + F.coalesce("b_c", F.lit(0)))
+            .cast("long")
+            .alias("c"),
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"s_{bid}")
+        )
+
+    return advance
+
+
+@query("st27_stream_line_dedup", oracle=LINE_DEDUP_ORACLE)
+def st27_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-global LINE DEDUP (C4's >= 3-occurrence rule) —
+    the eleventh sketch-state family member and x4_line_dedup's stream
+    twin: the corpus arrives as four ordered micro-batches, each batch
+    SUM-merges its line counts into the carried (line, c) state, and
+    the final report applies the threshold to the accumulated counts —
+    so a boilerplate line whose copies are SPREAD across batches (one
+    per ingest day, never >= 3 within any single batch) is still
+    caught, the incremental property a per-batch filter cannot have
+    (pinned by the cross-batch intent test). The oracle is
+    x4_line_dedup's verbatim: SUM-merged state telescopes to the
+    whole-corpus counts, the same argument as st26's mergeable OHLC —
+    line counting needs no seam logic at all.
+
+    100 TB: per-batch work = one batch-sized map-side-combining count
+    + a state-sized outer join; the carried state is the distinct-line
+    table (vocabulary-scaled, never corpus-scaled — at production
+    scale key it on sha2(line), exactly as the batch docstring says).
+    Retry-idempotent by the family contract (per-bid overwrite,
+    prior-only reads — asserted by re-invoking a mid-stream batch)."""
+    from recipes_spark.io import load
+    from recipes_spark.streaming.core import stage_ordered
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [d.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
+    staged = stage_ordered(chunks, prefix="recipes_st27_landing_")
+    state_dir = tempfile.mkdtemp(prefix="recipes_st27_state_")
+    advance = line_count_advance_factory(spark, state_dir)
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(advance)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st27_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    freq = spark.read.schema(_ST27_STATE_SCHEMA).parquet(
+        os.path.join(state_dir, "s_3")
+    )
+    return line_dedup_report(doc_lines(d), freq)

@@ -520,3 +520,65 @@ def test_st26_ohlc_merge_exact_and_retry(spark, sf_dir, tmp_path):
     before = [state(b) for b in range(3)]
     fn(batches[1], 1)  # at-least-once redelivery
     assert [state(b) for b in range(3)] == before
+
+
+def test_st27_cross_batch_threshold_and_retry(spark, tmp_path):
+    """st27's incremental property, exercised directly: a boilerplate
+    line with ONE copy per batch (never >= 3 within any single batch)
+    crosses the C4 threshold only in the ACCUMULATED state and is
+    dropped from every hosting doc in the final report; a line with
+    two copies total survives; and redelivering a middle batch
+    rewrites its state byte-identically."""
+    import os
+
+    from recipes_spark.queries.corpus_ops import doc_lines, line_dedup_report
+    from recipes_spark.streaming.ingest import line_count_advance_factory
+
+    boiler = "cookie banner text"      # one 3-token line
+    rare = "rare header line"
+    batches = [
+        spark.createDataFrame(
+            [(bid * 10, f"{boiler} unique{bid} u{bid} v{bid}")],
+            "doc_id long, text string",
+        )
+        for bid in range(3)
+    ]
+    batches[1] = batches[1].unionByName(
+        spark.createDataFrame(
+            [(11, f"{rare} only here once"), (12, f"{rare} second copy x")],
+            "doc_id long, text string",
+        )
+    )
+    state_dir = str(tmp_path / "st27_state")
+    os.makedirs(state_dir, exist_ok=True)
+    fn = line_count_advance_factory(spark, state_dir)
+    for bid, bdf in enumerate(batches):
+        fn(bdf, bid)
+
+    freq = spark.read.parquet(os.path.join(state_dir, "s_2"))
+    counts = {r["line"]: r["c"] for r in freq.collect()}
+    assert counts[boiler] == 3 and counts[rare] == 2
+
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_report(doc_lines(full), freq).collect()
+    }
+    for bid in range(3):  # boiler dropped from every hosting doc
+        assert out[bid * 10]["n_dropped"] == 1
+        assert boiler not in out[bid * 10]["kept_text"]
+    assert rare in out[11]["kept_text"]  # 2 < 3 survives
+
+    def state(bid):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, f"s_{bid}")
+            ).collect()
+        )
+
+    before = [state(b) for b in range(3)]
+    fn(batches[1], 1)  # at-least-once redelivery
+    assert [state(b) for b in range(3)] == before

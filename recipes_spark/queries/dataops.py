@@ -1479,15 +1479,15 @@ def x4_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc weight is an order-free integer sum both engines reproduce
     bit-for-bit.
 
-    100 TB: the term table is ONE map-side-combining count over the
+    100 TB: the term table is one map-side-combining count over the
     token stream carrying an is-target flag (vocab-sized output); the
     scalar totals broadcast back through a 1-row cross join; per-doc
     scoring pre-aggregates (doc, term) counts BEFORE joining the
     vocab-sized micro table (x4_unigram_nll's asserted shape — the
     token stream never joins row-by-row); selection is
-    TakeOrderedAndProject. The target slice is small by construction
-    (an exemplar set is MBs), but nothing here depends on it: both
-    sides flow through the same one-pass count."""
+    TakeOrderedAndProject. Two corpus tokenize passes (LM build +
+    per-doc scoring) — at 100 TB persist the (doc, term, n) view and
+    derive BOTH from it, the x4_vocab_encode note."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id",

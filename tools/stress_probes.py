@@ -1085,6 +1085,112 @@ def probe_ann_recall_10x(spark: SparkSession) -> dict:
     return out
 
 
+def _stage_docs_sfdir(
+    spark: SparkSession, reps_n: int = 10, mode: str = "suffix"
+) -> str:
+    """Write a reps_n× documents table (shifted ids) into a tmp dir
+    shaped like an sf_dir, so registered queries run on it unmodified.
+    mode='suffix' appends '#rep' to the text — replicas share almost
+    every n-gram (the adversarial near-total-duplication corpus);
+    mode='mutate' prefixes every TOKEN with r<rep>x — cross-replica
+    duplication vanishes while each replica keeps the 1x corpus's OWN
+    duplicate structure, so per-stage WORK scales 10× without the
+    dedup stages degenerately emptying the corpus."""
+    import tempfile
+
+    from recipes_spark.io import load
+
+    d = load(spark, SF_DIR, "documents")
+    reps = spark.range(reps_n).select(F.col("id").cast("long").alias("rep"))
+    if mode == "suffix":
+        text = F.concat_ws("#", "text", F.col("rep").cast("string"))
+    else:
+        tag = F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit("x"))
+        text = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", " "), lambda x: F.concat(tag, x)
+                ),
+            )
+        )
+    big = d.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = tempfile.mkdtemp(prefix="recipes_docs10x_")
+    big.repartition(32).write.mode("overwrite").parquet(
+        out + "/documents.parquet"
+    )
+    return out
+
+
+def probe_corpus_pipeline_10x(spark: SparkSession) -> dict:
+    """x6_corpus_pipeline_e2e (8 chained stages, 4 data-sized
+    exchanges) at 1x vs 10x the corpus — the composition claim under
+    load: wall should scale ~linearly (no stage is quadratic or
+    single-task). The 10x corpus uses mode='mutate' (per-replica token
+    prefixes): each replica carries the 1x corpus's OWN duplicate
+    structure, so every stage does 10x the work — a '#rep'-suffix
+    replication was measured first and the C4 line rule CORRECTLY
+    emptied the corpus (every cross-replica-shared line >= 3 → all
+    text dropped → quality floor kills every doc), which validates the
+    pipeline's semantics but measures nothing."""
+    import math
+
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()["x6_corpus_pipeline_e2e"]
+    out = {"probe": "corpus_pipeline_10x"}
+    big_dir = _stage_docs_sfdir(spark, mode="mutate")
+    for tag, sfd in (("1x", SF_DIR), ("10x", big_dir)):
+        rows = None
+
+        def run():
+            nonlocal rows
+            rows = q(spark, sfd).collect()
+
+        out[f"wall_sec_{tag}"] = round(min(_timed(run) for _ in range(2)), 2)
+        out[f"shards_{tag}"] = len(rows)
+        out[f"docs_packed_{tag}"] = sum(r["n_docs"] for r in rows)
+    out["exponent"] = round(
+        math.log(out["wall_sec_10x"] / out["wall_sec_1x"]) / math.log(10), 2
+    )
+    return out
+
+
+def probe_substring_dedup_10x(spark: SparkSession) -> dict:
+    """x2_substring_dedup at 1x vs 10x under NEAR-TOTAL duplication
+    (every replica shares every 8-gram not touching its suffixed last
+    token — the adversarial case for the anchor join: almost no gram
+    dies at the >= 2-docs filter). Wall + reported-span volume; the
+    anchor shuffle is the only corpus-sized exchange, so the exponent
+    prices exactly that."""
+    import math
+
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()["x2_substring_dedup"]
+    out = {"probe": "substring_dedup_10x"}
+    big_dir = _stage_docs_sfdir(spark)
+    for tag, sfd in (("1x", SF_DIR), ("10x", big_dir)):
+        n = None
+
+        def run():
+            nonlocal n
+            n = q(spark, sfd).count()
+
+        out[f"wall_sec_{tag}"] = round(min(_timed(run) for _ in range(2)), 2)
+        out[f"spans_{tag}"] = n
+    out["exponent"] = round(
+        math.log(out["wall_sec_10x"] / out["wall_sec_1x"]) / math.log(10), 2
+    )
+    return out
+
+
 PROBES = {
     "cc_chain": probe_cc_chain,
     "cc_skew": probe_cc_skew,
@@ -1092,6 +1198,8 @@ PROBES = {
     "epoch_shuffle": probe_epoch_shuffle,
     "ann_10x": probe_ann_10x,
     "ann_recall_10x": probe_ann_recall_10x,
+    "corpus_pipeline_10x": probe_corpus_pipeline_10x,
+    "substring_dedup_10x": probe_substring_dedup_10x,
     "pagerank": probe_pagerank,
     "skew_join": probe_skew_join,
     "zorder_pruning": probe_zorder_pruning,

@@ -2419,6 +2419,62 @@ def x4_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+@query(
+    "x4_bpe_fertility",
+    oracle=f"""
+WITH m AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         regexp_replace(text, '([^ ])', e'\\x1f\\\\1', 'g') AS marked
+  FROM documents
+), f AS (
+  SELECT lang, n_words, {_bpe_fold_sql("marked")} AS folded FROM m
+), per AS (
+  SELECT lang, n_words,
+         length(folded) - length(replace(folded, chr(31), '')) AS n_tok
+  FROM f
+)
+SELECT lang,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(floor(1000000.0 * sum(n_tok) / sum(n_words)) AS BIGINT)
+         AS fertility_micro
+FROM per GROUP BY lang ORDER BY lang
+""",
+)
+def x4_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language — BPE tokens emitted per
+    whitespace word, the standard fairness metric for a shared
+    vocabulary (a language the merge table underserves pays more
+    tokens per word, hence more compute per sentence — the mBERT/XLM-R
+    literature's tokens-per-word curve). Reuses x4_bpe_apply's fold:
+    token and word counts are row-local expressions in one scan, the
+    rollup is a lang-keyed hash agg, and the ratio floors exact
+    integer sums to micros — one fixed double division per GROUP, not
+    per row, so no summation-order surface exists.
+
+    100 TB: one corpus pass, one group-count-sized exchange."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    per = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        _bpe_symbol_count(_bpe_folded()).cast("long").alias("n_tok"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.floor(
+                1000000.0 * F.sum("n_tok") / F.sum("n_words")
+            )
+            .cast("long")
+            .alias("fertility_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _bpe_train_oracle_sql(rounds: int) -> str:
     """Generate the unrolled ``rounds``-round BPE-training oracle: each
     round enumerates adjacent symbol pairs over the marked DISTINCT

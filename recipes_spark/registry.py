@@ -201,6 +201,7 @@ _DEFER: dict[str, int] = {
     "x4_decontaminate_spans": 10,
     "x4_dsir_weights": 10,
     "st27_stream_line_dedup": 10,
+    "x4_bpe_fertility": 10,
 }
 
 

@@ -4418,6 +4418,78 @@ def line_dedup_report(lines: DataFrame, freq: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "x4_intradoc_line_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), l0 AS (
+  SELECT doc_id,
+         unnest([struct_pack(idx := i,
+                             line := array_to_string(t[i+1:i+3], ' '))
+                 FOR i IN range(0, len(t), 3)]) AS u
+  FROM toks
+), lines AS (
+  SELECT doc_id, u.idx AS idx, u.line AS line,
+         row_number() OVER (PARTITION BY doc_id, u.line
+                            ORDER BY u.idx) AS rn
+  FROM l0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
+                '') AS kept_text
+FROM lines
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def x4_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document line dedup — dolma's paragraph self-dedup rule,
+    the intra-doc complement of the corpus-global C4 pass: a line
+    REPEATED inside one document keeps only its FIRST occurrence
+    (generated boilerplate, scraper echo loops, chorus repetition),
+    regardless of how rare the line is corpus-wide. Same deterministic
+    3-token segmentation as x4_line_dedup (queries compose: run this
+    first, then the corpus-global rule on the survivors).
+
+    100 TB: ONE exchange — the (doc_id, line) window key is
+    corpus-unique-ish so no hot key exists, and the reassembly agg
+    reuses the same doc_id clustering. Everything else is row-local;
+    contrast the corpus-global pass, whose count table is the shared
+    state this one deliberately avoids."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    lines = doc_lines(d)
+    w = Window.partitionBy("doc_id", "line").orderBy("idx")
+    marked = lines.withColumn("rn", F.row_number().over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.count_if(F.col("rn") > 1).cast("long").alias("n_dropped"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct("idx", "line"),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("x4_line_dedup", oracle=LINE_DEDUP_ORACLE)
 def x4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORPUS-GLOBAL line deduplication (the C4 cleaning rule, Raffel

@@ -202,6 +202,7 @@ _DEFER: dict[str, int] = {
     "x4_dsir_weights": 10,
     "st27_stream_line_dedup": 10,
     "x4_bpe_fertility": 10,
+    "x4_intradoc_line_dedup": 10,
 }
 
 

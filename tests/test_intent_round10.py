@@ -122,6 +122,31 @@ def test_substring_dedup_matches_python_reference(spark, tmp_path, seed):
     assert got == expected
 
 
+def test_intradoc_line_dedup_keeps_first_ignores_crossdoc(spark, tmp_path):
+    """x4_intradoc_line_dedup's defining contrast with the corpus-global
+    C4 pass: a line repeated WITHIN one doc keeps only its first
+    occurrence, while a line shared across three docs (once each —
+    which x4_line_dedup would drop everywhere) is untouched here."""
+    rep = "la la la"                       # one 3-token line
+    shared = "shared footer line"
+    rows = [
+        (0, f"{rep} verse one x {rep} verse two y {rep}"),
+        (1, f"{shared} body alpha a"),
+        (2, f"{shared} body beta bb"),
+        (3, f"{shared} body gamma c"),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["x4_intradoc_line_dedup"](spark, sf).collect()
+    }
+    assert out[0]["n_dropped"] == 2
+    assert out[0]["kept_text"] == f"{rep} verse one x verse two y"
+    for i in (1, 2, 3):
+        assert out[i]["n_dropped"] == 0
+        assert out[i]["kept_text"] == rows[i][1]
+
+
 def test_dsir_weights_rank_target_like_docs_first(spark, tmp_path):
     """x4_dsir_weights' defining behavior: a raw doc written in the
     target slice's vocabulary scores a POSITIVE log-ratio weight and

@@ -1479,24 +1479,36 @@ def x4_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc weight is an order-free integer sum both engines reproduce
     bit-for-bit.
 
-    100 TB: the term table is one map-side-combining count over the
-    token stream carrying an is-target flag (vocab-sized output); the
-    scalar totals broadcast back through a 1-row cross join; per-doc
-    scoring pre-aggregates (doc, term) counts BEFORE joining the
-    vocab-sized micro table (x4_unigram_nll's asserted shape — the
-    token stream never joins row-by-row); selection is
-    TakeOrderedAndProject. Two corpus tokenize passes (LM build +
-    per-doc scoring) — at 100 TB persist the (doc, term, n) view and
-    derive BOTH from it, the x4_vocab_encode note."""
+    100 TB: the corpus is tokenized ONCE — the (doc, is_t, term, n)
+    pre-aggregate is the single corpus-sized exchange, materialized
+    (localCheckpoint, the e2e two-consumer pattern) so BOTH the LM
+    build and the per-doc scoring read it instead of re-tokenizing
+    (round 10 ran two tokenize passes and deferred this to a
+    docstring; now it IS the plan — test_plans pins zero Generate
+    nodes and zero parquet scans in the consumer plan). The term
+    table is then a vocab-sized second agg over that view; the scalar
+    totals broadcast back through a 1-row cross join; the scoring
+    join is (doc, term)-pre-aggregated against the vocab-sized micro
+    table (x4_unigram_nll's asserted shape — the token stream never
+    joins row-by-row); selection is TakeOrderedAndProject."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
-    tok = d.select(
-        "doc_id",
-        (F.col("doc_id") < 20).alias("is_t"),
-        F.explode(F.split("text", " ")).alias("term"),
+    dtn = (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") < 20).alias("is_t"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .groupBy("doc_id", "is_t", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
     )
-    tc = tok.groupBy("term").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("cr"),
+    tc = dtn.groupBy("term").agg(
+        F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("n")))
+        .cast("long")
+        .alias("cr"),
     )
     tot = tc.agg(
         F.sum("ct").cast("long").alias("nt"),
@@ -1515,11 +1527,7 @@ def x4_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m"),
     )
-    dt = (
-        tok.filter(~F.col("is_t"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    dt = dtn.filter(~F.col("is_t")).select("doc_id", "term", "n")
     return (
         dt.join(micro, "term")
         .groupBy("doc_id")
@@ -3389,10 +3397,14 @@ def x4_lang_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same scoring column lang_id serves, so the report can
     never diverge from the classifier it grades.
 
-    100 TB: predictions are row-local; the class x prediction
-    cross-count is |classes| x rows through one map-side-combining
-    agg (classes is a tiny broadcast), and the metric sheet is
-    O(classes) scalar math."""
+    100 TB: predictions are row-local and collapse FIRST into the
+    (true_lang, pred_lang) confusion-count MATRIX — one
+    map-side-combining agg over the corpus, L² rows out — and every
+    class's tp/fp/fn is a weighted sum over that matrix. (The
+    round-10 form replicated the scored corpus once per class through
+    a broadcast crossJoin before counting: no extra shuffle, but ×L
+    row processing; the matrix pre-agg removes it.) The class×matrix
+    crossJoin below is L×L² metadata rows, corpus-independent."""
     from recipes_spark.functions.text import lang_id as lang_id_col
 
     d = load(spark, sf_dir, "documents")
@@ -3400,23 +3412,28 @@ def x4_lang_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("true_lang"),
         lang_id_col("text").alias("pred_lang"),
     )
-    classes = pred.select(
-        F.col("true_lang").alias("cls")
-    ).distinct()
+    mat = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    classes = mat.select(F.col("true_lang").alias("cls")).distinct()
+    def _cell(cond):
+        return F.sum(F.when(cond, F.col("n")).otherwise(F.lit(0))).cast(
+            "long"
+        )
     cells = (
         F.broadcast(classes)
-        .crossJoin(pred)
+        .crossJoin(mat)
         .groupBy("cls")
         .agg(
-            F.count_if(
+            _cell(
                 (F.col("true_lang") == F.col("cls"))
                 & (F.col("pred_lang") == F.col("cls"))
             ).alias("tp"),
-            F.count_if(
+            _cell(
                 (F.col("true_lang") != F.col("cls"))
                 & (F.col("pred_lang") == F.col("cls"))
             ).alias("fp"),
-            F.count_if(
+            _cell(
                 (F.col("true_lang") == F.col("cls"))
                 & (F.col("pred_lang") != F.col("cls"))
             ).alias("fn"),

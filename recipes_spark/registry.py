@@ -97,6 +97,35 @@ _RECHECK: dict[str, int] = {
     # pivot (was one scan per field) and dehydrate gained the sentinel
     # collision guard — same output, re-attest on the new plan:
     "stac_item_hydration": 10,
+    # round-11: the verdict's "turn every documented 'at 100 TB do X
+    # instead' caveat into the actual code" batch — same oracles,
+    # reshaped plans, re-attest each:
+    # confusion-matrix pre-agg replaced the broadcast-class crossJoin
+    # over the scored corpus (×L row processing removed):
+    "x4_lang_macro_f1": 11,
+    # single-tokenize: the (doc, is_t, term, n) view is materialized
+    # once and feeds BOTH the LM build and the scoring join (was two
+    # corpus tokenize passes):
+    "x4_dsir_weights": 11,
+    # 60-bit hashed anchors through the duplicate-set shuffle (was raw
+    # 8-gram text); the oracle replays the identical hash:
+    "x2_substring_dedup": 11,
+    # BPE family migrated to the SOUND double-marked symbol encoding
+    # (\x1f s \x1e): the round-10 prefix-marked fold could merge INTO a
+    # symbol whose name starts with the pattern's second element
+    # ("more" folded to [m, ore], not BPE's [m, o, re]) — unreachable
+    # on this corpus's 31-word vocab, but false in general; the
+    # double-marked fold provably equals symbol-level rank-greedy BPE
+    # for ANY valid table. Oracles re-rendered from the same literals:
+    "x4_bpe_apply": 11,
+    "x4_bpe_compression_curve": 11,
+    "x4_bpe_fertility": 11,
+    "x4_bpe_train_rounds": 11,
+    "x6_packing_bpe": 11,
+    # e2e composition: post-scrub floor + packing now run on REAL BPE
+    # token counts (was whitespace), and the floor moved BEFORE the
+    # survivor window (kills the kept='' hot key — ADVICE r10):
+    "x6_corpus_pipeline_e2e": 11,
 }
 
 

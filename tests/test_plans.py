@@ -548,6 +548,19 @@ def test_vocab_rank_windows_run_after_takeordered(spark, sf_dir, name):
     )
 
 
+def test_dsir_single_tokenize(spark, sf_dir):
+    """x4_dsir_weights (round-11 reshape): the corpus is tokenized
+    exactly once into the materialized (doc, is_t, term, n) view, so
+    the CONSUMER plan — the one that runs per selection — must contain
+    no Generate/explode (no re-tokenize) and no parquet scan at all
+    (both the LM build and the scoring join read the checkpointed
+    view)."""
+    plan = _plan(spark, sf_dir, "x4_dsir_weights")
+    assert "Generate" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_ohlc_single_aggregate_no_window(spark, sf_dir):
     """window_ohlc's whole point: OHLC is a MERGEABLE aggregate — the
     plan must contain no Window node at all (open/close are

@@ -57,7 +57,18 @@ def base_items(items: DataFrame, fields: Sequence[str]) -> DataFrame:
     pivot back to one row per collection. The round-9 shape ran one
     groupBy-count per field — F fields = F scans; this is the same
     distinct-value-sized shuffle volume in a single scan. The pivot
-    keys on the compile-time field list (no extra distinct job)."""
+    keys on the compile-time field list (no extra distinct job).
+
+    Typing contract (ADVICE r10): the melt canonicalizes every field
+    to its Spark string form, so each ``base_<f>`` is cast BACK to the
+    source field's type on the way out — output types match the
+    round-9 per-field derivation. The modal COUNT is type-independent;
+    only the count-tie tiebreak differs for non-string fields
+    (lexicographic on the canonical string form, e.g. '10' < '9',
+    rather than numeric). pgstac's hydration fields are strings, where
+    the two orders coincide; callers passing numeric fields get a
+    deterministic — just lexicographic — tie pick."""
+    dtypes = dict(items.dtypes)
     long = items.select(
         "collection_id",
         F.explode(
@@ -83,7 +94,10 @@ def base_items(items: DataFrame, fields: Sequence[str]) -> DataFrame:
     return items.select("collection_id").distinct().join(
         best.select(
             "collection_id",
-            *[F.col(f).alias(f"base_{f}") for f in fields],
+            *[
+                F.col(f).cast(dtypes[f]).alias(f"base_{f}")
+                for f in fields
+            ],
         ),
         "collection_id",
         "left",

@@ -2229,49 +2229,79 @@ _BPE_VOCAB = [a + b for a, b in _BPE_MERGES] + list(
 
 def _bpe_fold_sql(expr: str, upto: int | None = None) -> str:
     """Render the merge fold (optionally only the first ``upto``
-    merges) as nested DuckDB replace() calls over the chr(31)-marked
-    symbol string."""
+    merges) as nested DuckDB replace() calls over the double-marked
+    symbol string (see _bpe_marked for why both markers)."""
     for a, b in _BPE_MERGES[: len(_BPE_MERGES) if upto is None else upto]:
-        pat = f"chr(31)||'{a}'||chr(31)||'{b}'"
-        rep = f"chr(31)||'{a}{b}'"
+        pat = f"chr(31)||'{a}'||chr(30)||chr(31)||'{b}'||chr(30)"
+        rep = f"chr(31)||'{a}{b}'||chr(30)"
         expr = f"replace({expr}, {pat}, {rep})"
     return expr
 
 
 _BPE_VOCAB_SQL = "[" + ", ".join(f"'{v}'" for v in _BPE_VOCAB) + "]"
 
-#: U+001F symbol marker (see x4_bpe_apply) — module constant so every
-#: BPE consumer marks/folds identically.
+#: Symbol markers (see x4_bpe_apply) — module constants so every BPE
+#: consumer marks/folds identically: each symbol is WRAPPED
+#: \x1f<symbol>\x1e, so a merge pattern can only ever match two
+#: complete adjacent symbols.
 _BPE_SEP = "\x1f"
+_BPE_END = "\x1e"
 
 
-def _bpe_marked():
-    """Column: ``text`` with every non-space char U+001F-prefixed (the
-    symbol marking that makes each merge one plain replace). FAILS
-    CLOSED (raise_error) on text already containing the U+001F marker:
-    a spoofed boundary would silently corrupt every downstream token
-    count/id — the hydrate.DO_NOT_MERGE discipline. One contains()
-    per row."""
+def _bpe_marked_sql(expr: str = "text") -> str:
+    """DuckDB twin of _bpe_marked — INCLUDING the fail-closed marker
+    guard (round-10 ADVICE: the guard was Spark-side only, so an
+    attestation run on marker-bearing text would have recorded an
+    asymmetric engine error instead of a clean refusal on both
+    sides)."""
+    return (
+        f"CASE WHEN contains({expr}, chr(31)) OR contains({expr}, chr(30))"
+        " THEN error('bpe: text contains a symbol marker')"
+        f" ELSE regexp_replace({expr}, '([^ ])', e'\\x1f\\\\1\\x1e', 'g')"
+        " END"
+    )
+
+
+def _bpe_marked(col="text"):
+    """Column: ``col`` with every non-space char wrapped
+    \\x1f<char>\\x1e — the DOUBLE marking that makes each merge one
+    plain replace whose pattern can only match two complete adjacent
+    symbols. (Round 10 used prefix-only marking, whose pattern
+    "\\x1fa\\x1fb" also matches symbol `a` followed by any symbol
+    whose NAME starts with `b` — e.g. after r+e→re, the (o,r) pattern
+    matched INSIDE "m\\x1fo\\x1fre" and folded "more" to [m, ore]
+    instead of BPE's [m, o, re]. The 31-word synthetic vocabulary
+    never reaches the collision, but the claim was false in general;
+    with both ends marked, \\x1fa\\x1e matches exactly the complete
+    symbol `a`, so the fold is sound for ANY merge table and provably
+    equals symbol-level rank-greedy BPE — the x4_bpe_apply_greedy
+    gate.) FAILS CLOSED (raise_error) on text already containing
+    either marker: a spoofed boundary would silently corrupt every
+    downstream token count/id — the hydrate.DO_NOT_MERGE discipline.
+    Two contains() per row."""
+    c = F.col(col) if isinstance(col, str) else col
     return F.when(
-        F.contains("text", F.lit(_BPE_SEP)),
+        F.contains(c, F.lit(_BPE_SEP)) | F.contains(c, F.lit(_BPE_END)),
         F.raise_error(
             F.lit(
-                "bpe: text contains the U+001F symbol marker — strip or "
-                "re-encode control characters upstream (the marking "
-                "invariant cannot hold)"
+                "bpe: text contains a symbol marker (U+001F/U+001E) — "
+                "strip or re-encode control characters upstream (the "
+                "marking invariant cannot hold)"
             )
         ).cast("string"),
-    ).otherwise(F.regexp_replace("text", "([^ ])", _BPE_SEP + "$1"))
+    ).otherwise(
+        F.regexp_replace(c, "([^ ])", _BPE_SEP + "$1" + _BPE_END)
+    )
 
 
-def _bpe_folded(upto: int | None = None):
+def _bpe_folded(upto: int | None = None, col="text"):
     """Column: the marked text after the (first ``upto``) merges."""
-    folded = _bpe_marked()
+    folded = _bpe_marked(col)
     for a, b in _BPE_MERGES[: len(_BPE_MERGES) if upto is None else upto]:
         folded = F.replace(
             folded,
-            F.lit(f"{_BPE_SEP}{a}{_BPE_SEP}{b}"),
-            F.lit(f"{_BPE_SEP}{a}{b}"),
+            F.lit(f"{_BPE_SEP}{a}{_BPE_END}{_BPE_SEP}{b}{_BPE_END}"),
+            F.lit(f"{_BPE_SEP}{a}{b}{_BPE_END}"),
         )
     return folded
 
@@ -2282,12 +2312,12 @@ def _bpe_symbol_count(col) -> "F.Column":
     return F.length(col) - F.length(F.replace(col, F.lit(_BPE_SEP)))
 
 
-@query(
-    "x4_bpe_apply",
-    oracle=f"""
+#: Shared by x4_bpe_apply AND x4_bpe_apply_greedy: the two engines'
+#: encoders are provably output-identical (see x4_bpe_apply's
+#: docstring), so the sound-fold replay attests both.
+_BPE_APPLY_ORACLE = f"""
 WITH m AS (
-  SELECT doc_id,
-         regexp_replace(text, '([^ ])', e'\\x1f\\\\1', 'g') AS marked
+  SELECT doc_id, {_bpe_marked_sql("text")} AS marked
   FROM documents
 ), f AS (
   SELECT doc_id, marked, {_bpe_fold_sql("marked")} AS folded FROM m
@@ -2296,7 +2326,7 @@ WITH m AS (
          length(marked) - length(replace(marked, chr(31), '')) AS n_base,
          length(folded) - length(replace(folded, chr(31), '')) AS n_tokens,
          list_transform(
-           list_filter(string_split_regex(folded, e'[ \\x1f]'),
+           list_filter(string_split_regex(folded, e'[ \\x1f\\x1e]'),
                        x -> x != ''),
            x -> coalesce(list_position({_BPE_VOCAB_SQL}, x), 0)
          ) AS ids
@@ -2308,8 +2338,10 @@ SELECT doc_id,
        CAST(len(list_filter(ids, i -> i = 0)) AS BIGINT) AS n_oov,
        CAST(coalesce(list_sum(ids), 0) AS BIGINT) AS ids_checksum
 FROM sy
-""",
-)
+"""
+
+
+@query("x4_bpe_apply", oracle=_BPE_APPLY_ORACLE)
 def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION — the inverse of x4_bpe_merge_step's
     training round: apply a FIXED priority-ordered merge table to every
@@ -2318,26 +2350,35 @@ def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens. Spec: words start char-level; merges apply sequentially in
     table order, each one replacing every (leftmost, non-overlapping)
     adjacent symbol pair in the corpus — the deterministic fold both
-    engines replay literally. Encoding trick: every symbol carries a
-    U+001F prefix, so the pair (a, b) is the plain substring
-    "\\x1fa\\x1fb" and each merge round is ONE replace() — a symbol can
-    never match inside another symbol or across the un-marked word
-    boundary space, and both engines' replace() scans
-    leftmost-non-overlapping. Ids are 1-based positions in the shared
-    vocab literal (array_position == list_position, OOV → 0), summed
-    into an order-free checksum that proves every token went through
-    the lookup.
+    engines replay literally. Encoding trick: every symbol is WRAPPED
+    \\x1f<symbol>\\x1e, so the pair (a, b) is the plain substring
+    "\\x1fa\\x1e\\x1fb\\x1e" and each merge round is ONE replace() —
+    \\x1f occurs only at symbol starts and \\x1e only at symbol ends,
+    so the pattern matches exactly two complete adjacent symbols,
+    never inside a longer symbol or across the un-marked word-boundary
+    space (round 10's prefix-only marking violated this — see
+    _bpe_marked), and both engines' replace() scans
+    leftmost-non-overlapping. This makes the fold provably identical
+    to symbol-level rank-greedy BPE for any VALID table (every merge's
+    operands predate it): a later merge's output symbol cannot appear
+    in an earlier merge's pattern, so one pass per merge in table
+    order leaves no table pair behind — the x4_bpe_apply_greedy
+    equivalence gate. Ids are 1-based positions in the shared vocab
+    literal (array_position == list_position, OOV → 0), summed into
+    an order-free checksum that proves every token went through the
+    lookup.
 
     100 TB: ZERO shuffle — marking, the 12-replace fold, symbol split,
     id lookup and checksum are all row-local Catalyst string/HOF
     expressions (no UDF, no explode, no join: the vocab lives in the
     expression tree, the token stream never leaves its row). Contrast
     x4_vocab_encode, which broadcast-joins because its vocab is
-    corpus-derived; a REAL 50k-merge GPT-style table would swap the
-    literal fold for one Arrow-batched mapInPandas rank-greedy pass —
-    same zero-shuffle shape, different island. Reference for the
+    corpus-derived; for a REAL 50k-merge GPT-style table the literal
+    fold is replaced by x4_bpe_apply_greedy's Arrow-batched
+    mapInPandas rank-greedy pass — same zero-shuffle shape, different
+    island, same output by the equivalence above. Reference for the
     algorithm class: Sennrich et al. 2016."""
-    sep = _BPE_SEP
+    sep, end = _BPE_SEP, _BPE_END
     d = scale_partitions(load(spark, sf_dir, "documents"))
     marked = _bpe_marked()
     folded = _bpe_folded()
@@ -2348,7 +2389,7 @@ def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bpe_symbol_count(folded).alias("n_tokens"),
         F.transform(
             F.filter(
-                F.split(folded, f"[ {sep}]"), lambda x: x != F.lit("")
+                F.split(folded, f"[ {sep}{end}]"), lambda x: x != F.lit("")
             ),
             lambda x: F.array_position(vocab, x),
         ).alias("ids"),
@@ -2366,6 +2407,124 @@ def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_greedy_kernel(merges, vocab_list):
+    """mapInPandas generator for rank-greedy BPE encoding — the
+    PRODUCTION encode island x4_bpe_apply's docstring promises for
+    large merge tables. Per unique word (cached across the batch
+    iterator — Zipf makes the cache hit rate ~99% on natural text):
+    repeatedly find the lowest-rank merge-table pair adjacent in the
+    symbol sequence and merge every leftmost-non-overlapping
+    occurrence, until no table pair remains — the GPT-2 encode loop.
+    O(|word| × rounds) per MISS, O(1) per hit; no per-merge scan of
+    the text, so a 50k-entry table costs the same corpus pass as a
+    12-entry one (the literal fold is O(merges × |text|) per row —
+    the economics that force this island at real vocab sizes). The
+    merge table and vocab ride the closure (Spark broadcasts the
+    serialized function to every executor once)."""
+    rank = {pair: r for r, pair in enumerate(merges)}
+    vocab = {v: i + 1 for i, v in enumerate(vocab_list)}
+    merges = list(merges)
+
+    def encode_word(word, cache):
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while len(syms) > 1:
+            best = None
+            for ab in zip(syms, syms[1:]):
+                r = rank.get(ab)
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = merges[best]
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        ids = [vocab.get(s, 0) for s in syms]
+        res = (len(syms), sum(ids), sum(1 for x in ids if x == 0))
+        cache[word] = res
+        return res
+
+    def gen(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            # Fail closed on marker bytes — the _bpe_marked guard,
+            # mirrored so the two encode paths refuse identically.
+            if pdf["text"].str.contains("[\x1f\x1e]", regex=True).any():
+                raise ValueError(
+                    "bpe: text contains a symbol marker (U+001F/U+001E)"
+                    " — strip or re-encode control characters upstream"
+                )
+            n_tokens, n_merges, n_oov, checksum = [], [], [], []
+            for t in pdf["text"]:
+                nt = ck = ov = nb = 0
+                for w in t.split(" "):
+                    if not w:
+                        continue
+                    nb += len(w)
+                    s, c, o = encode_word(w, cache)
+                    nt += s
+                    ck += c
+                    ov += o
+                n_tokens.append(nt)
+                n_merges.append(nb - nt)
+                n_oov.append(ov)
+                checksum.append(ck)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": n_tokens,
+                    "n_merges": n_merges,
+                    "n_oov": n_oov,
+                    "ids_checksum": checksum,
+                }
+            )
+
+    return gen
+
+
+@query("x4_bpe_apply_greedy", oracle=_BPE_APPLY_ORACLE)
+def x4_bpe_apply_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer application, PRODUCTION form — one Arrow-batched
+    mapInPandas rank-greedy pass (bpe_greedy_kernel) instead of
+    x4_bpe_apply's literal replace() fold. Same output by theorem: for
+    a valid merge table (every pair's operands predate it) the
+    double-marked sequential fold and symbol-level rank-greedy produce
+    identical symbol sequences — a later merge's output cannot appear
+    in an earlier pattern, so each table pair is eliminated exactly
+    once in rank order by both procedures. The equivalence is gated
+    bit-identical against x4_bpe_apply at sf0.001/0.01/0.1
+    (tests/test_intent_round11.py) and both share ONE oracle; a
+    ≥1k-merge synthetic table rides the same kernel in the
+    bpe_greedy_1k stress probe, where the fold's O(merges × text)
+    per-row cost is the thing this island exists to avoid.
+
+    100 TB: same ZERO-shuffle shape as the fold — one corpus scan, the
+    merge table broadcast inside the serialized closure, Arrow batch
+    transfer in/out, per-batch unique-word caching (Zipf → ~99% hits).
+    The plan is a single ArrowEvalPython-free mapInPandas island over
+    the scan (plan-asserted: no exchange, no join)."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    gen = bpe_greedy_kernel(_BPE_MERGES, _BPE_VOCAB)
+    return d.select("doc_id", "text").mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, n_tokens bigint, n_merges bigint,"
+            " n_oov bigint, ids_checksum bigint"
+        ),
+    )
+
+
 def _bpe_curve_oracle_sql() -> str:
     """Oracle for x4_bpe_compression_curve: one corpus aggregate with a
     token-count column per merge prefix, unpivoted into 13 rows."""
@@ -2380,8 +2539,8 @@ def _bpe_curve_oracle_sql() -> str:
         for k in range(m + 1)
     )
     return (
-        "WITH m AS (SELECT regexp_replace(text, '([^ ])', e'\\x1f\\\\1',"
-        " 'g') AS marked FROM documents),\n"
+        f"WITH m AS (SELECT {_bpe_marked_sql('text')} AS marked"
+        " FROM documents),\n"
         f"agg AS (SELECT {cols} FROM m)\n{rows}\nORDER BY k"
     )
 
@@ -2425,7 +2584,7 @@ def x4_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT lang,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         regexp_replace(text, '([^ ])', e'\\x1f\\\\1', 'g') AS marked
+         {_bpe_marked_sql("text")} AS marked
   FROM documents
 ), f AS (
   SELECT lang, n_words, {_bpe_fold_sql("marked")} AS folded FROM m
@@ -2482,14 +2641,20 @@ def _bpe_train_oracle_sql(rounds: int) -> str:
     it with the same replace() arithmetic the engine uses."""
     sep = "chr(31)"
     pair_list = (
-        f"[{sep}||sy[i]||{sep}||sy[i+1] FOR i IN range(1, len(sy))]"
+        f"[{sep}||sy[i]||chr(30)||{sep}||sy[i+1]||chr(30)"
+        " FOR i IN range(1, len(sy))]"
+    )
+    end = "chr(30)"
+    guard = (
+        "CASE WHEN contains(w, chr(31)) OR contains(w, chr(30))"
+        " THEN error('bpe: word contains a symbol marker')"
+        " ELSE regexp_replace(w, '(.)', e'\\x1f\\\\1\\x1e', 'g') END"
     )
     ctes = [
         "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ("
         "SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
         " GROUP BY w)",
-        "m0 AS (SELECT regexp_replace(w, '(.)', e'\\x1f\\\\1', 'g') AS m,"
-        " cnt FROM wc)",
+        f"m0 AS (SELECT {guard} AS m, cnt FROM wc)",
     ]
     selects = []
     for r in range(1, rounds + 1):
@@ -2497,7 +2662,8 @@ def _bpe_train_oracle_sql(rounds: int) -> str:
         ctes.append(
             f"p{r} AS (SELECT pat, CAST(sum(cnt) AS BIGINT) AS freq FROM ("
             f"SELECT unnest({pair_list}) AS pat, cnt FROM ("
-            f"SELECT list_filter(string_split(m, e'\\x1f'), x -> x != '')"
+            f"SELECT list_filter(string_split_regex(m, e'[\\x1f\\x1e]'),"
+            f" x -> x != '')"
             f" AS sy, cnt FROM {prev}) WHERE len(sy) >= 2) GROUP BY pat)"
         )
         ctes.append(
@@ -2506,12 +2672,14 @@ def _bpe_train_oracle_sql(rounds: int) -> str:
         )
         ctes.append(
             f"m{r} AS (SELECT replace({prev}.m, w{r}.pat, "
-            f"{sep} || replace(substr(w{r}.pat, 2), {sep}, '')) AS m, cnt"
+            f"{sep} || replace(replace(w{r}.pat, {sep}, ''), {end}, '')"
+            f" || {end}) AS m, cnt"
             f" FROM {prev}, w{r})"
         )
         selects.append(
             f"SELECT CAST({r} AS BIGINT) AS round, "
-            f"replace(substr(pat, 2), {sep}, ' ') AS pair, freq FROM w{r}"
+            f"replace(replace(replace(pat, {end} || {sep}, ' '),"
+            f" {sep}, ''), {end}, '') AS pair, freq FROM w{r}"
         )
     return (
         "WITH " + ",\n".join(ctes) + "\n"
@@ -2542,7 +2710,7 @@ def x4_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derive rounds 1..r-1 for each of the winner's two consumers.
     Real trainers run ~50k rounds with the identical per-round shape —
     the constant is rounds × vocab, never rounds × corpus."""
-    sep = _BPE_SEP
+    sep, end = _BPE_SEP, _BPE_END
     d = scale_partitions(load(spark, sf_dir, "documents"))
     wc = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -2551,18 +2719,22 @@ def x4_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Same fail-closed marker guard as _bpe_marked, over the word dim.
     marked_w = F.when(
-        F.contains("w", F.lit(sep)),
+        F.contains("w", F.lit(sep)) | F.contains("w", F.lit(end)),
         F.raise_error(
-            F.lit("bpe: word contains the U+001F symbol marker")
+            F.lit("bpe: word contains a symbol marker (U+001F/U+001E)")
         ).cast("string"),
-    ).otherwise(F.regexp_replace("w", "(.)", sep + "$1"))
+    ).otherwise(F.regexp_replace("w", "(.)", sep + "$1" + end))
     cur = wc.select(marked_w.alias("m"), "cnt").localCheckpoint(eager=True)
     rep = F.concat(
-        F.lit(sep), F.replace(F.expr("substring(pat, 2)"), F.lit(sep))
+        F.lit(sep),
+        F.replace(F.replace(F.col("pat"), F.lit(sep)), F.lit(end)),
+        F.lit(end),
     )
     winners = []
     for r in (1, 2, 3):
-        sy = F.filter(F.split("m", sep), lambda x: x != F.lit(""))
+        sy = F.filter(
+            F.split("m", f"[{sep}{end}]"), lambda x: x != F.lit("")
+        )
         pairs = (
             cur.select(F.col("cnt"), sy.alias("sy"))
             .filter(F.size("sy") >= 2)
@@ -2574,8 +2746,10 @@ def x4_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda i: F.concat(
                             F.lit(sep),
                             F.element_at("sy", i),
+                            F.lit(end),
                             F.lit(sep),
                             F.element_at("sy", i + 1),
+                            F.lit(end),
                         ),
                     )
                 ).alias("pat"),
@@ -2592,7 +2766,13 @@ def x4_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             win.select(
                 F.lit(r).cast("long").alias("round"),
                 F.replace(
-                    F.expr("substring(pat, 2)"), F.lit(sep), F.lit(" ")
+                    F.replace(
+                        F.replace(
+                            F.col("pat"), F.lit(end + sep), F.lit(" ")
+                        ),
+                        F.lit(sep),
+                    ),
+                    F.lit(end),
                 ).alias("pair"),
                 "freq",
             )
@@ -2612,8 +2792,7 @@ def x4_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x6_packing_bpe",
     oracle=f"""
 WITH m AS (
-  SELECT doc_id,
-         regexp_replace(text, '([^ ])', e'\\x1f\\\\1', 'g') AS marked
+  SELECT doc_id, {_bpe_marked_sql("text")} AS marked
   FROM documents
 ), f AS (
   SELECT doc_id, {_bpe_fold_sql("marked")} AS folded FROM m

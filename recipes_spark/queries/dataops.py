@@ -1546,17 +1546,20 @@ def x4_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), occ AS (
-  SELECT doc_id, u.i AS i, u.gram AS gram FROM (
+  SELECT doc_id, u.i AS i, u.gh AS gh FROM (
     SELECT doc_id,
-           unnest([{'i': i, 'gram': array_to_string(w[i:i+7], ' ')}
+           unnest([{'i': i,
+                    'gh': CAST(('0x' || substr(sha256(
+                            array_to_string(w[i:i+7], ' ')), 1, 15))
+                          AS BIGINT)}
                    FOR i IN range(1, len(w) - 6)]) AS u
     FROM t WHERE len(w) >= 8
   )
 ), dup AS (
-  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM occ)
-  GROUP BY gram HAVING count(*) >= 2
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM occ)
+  GROUP BY gh HAVING count(*) >= 2
 ), ds AS (
-  SELECT DISTINCT o.doc_id, o.i FROM occ o JOIN dup d USING (gram)
+  SELECT DISTINCT o.doc_id, o.i FROM occ o JOIN dup d USING (gh)
 ), isl AS (
   SELECT doc_id, i,
          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
@@ -1597,36 +1600,53 @@ def x2_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     island that must be absent).
 
     100 TB: identical shuffle diet to x2_span_scrub — anchor assembly
-    is row-local, the duplicate-set shuffle carries (gram, doc) after
-    a map-side distinct, one join ships each doc's duplicated start
-    positions back as a short int array, and the island extraction is
-    a per-row higher-order function (index-aware filter + zip_with) —
-    NO window over positions, no suffix array materialization. For
-    real corpora hash the gram to 64-bit before the shuffle (text kept
-    here so the oracle replays it)."""
+    is row-local, the duplicate-set shuffle carries (anchor, doc)
+    after a map-side distinct, one join ships each doc's duplicated
+    start positions back as a short int array, and the island
+    extraction is a per-row higher-order function (index-aware filter
+    + zip_with) — NO window over positions, no suffix array
+    materialization. The anchor is the gram's 60-bit sha-slice
+    (round 11; round 10 shipped the raw ~9-token gram TEXT through
+    the only corpus-sized exchange — the docstring's own "hash to
+    64-bit for real corpora" instruction, now the code): 8 bytes per
+    anchor instead of ~50. The oracle replays the identical hash, so
+    the check stays exact; a 60-bit collision (birthday ~4e2 spurious
+    anchors at 10^12 distinct grams) can only ADD a false duplicated
+    start, never lose a true span, and the pure-Python property test
+    (test_intent_round10, TEXT-keyed spec) cross-checks that no
+    collision fires on the test corpora."""
     min_span = 12
     d = scale_partitions(load(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.split("text", " ").alias("w"))
     gram_structs = F.transform(
         F.sequence(F.lit(1), F.size("w") - 7),
         lambda i: F.struct(
-            i.alias("i"), F.concat_ws(" ", F.slice("w", i, 8)).alias("gram")
+            i.alias("i"),
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat_ws(" ", F.slice("w", i, 8)), 256), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gh"),
         ),
     )
     occ = (
         words.filter(F.size("w") >= 8)
         .select("doc_id", F.explode(gram_structs).alias("g"))
-        .select("doc_id", "g.i", "g.gram")
+        .select("doc_id", "g.i", "g.gh")
     )
     dup = (
-        occ.select("doc_id", "gram")
+        occ.select("doc_id", "gh")
         .distinct()
-        .groupBy("gram")
+        .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
-        .select("gram")
+        .select("gh")
     )
-    starts = occ.join(dup, "gram").groupBy("doc_id").agg(
+    starts = occ.join(dup, "gh").groupBy("doc_id").agg(
         F.array_sort(F.collect_set("i")).alias("ss")
     )
     # Row-local islands over the sorted starts: an element opens an

@@ -1,0 +1,165 @@
+"""Round-11 intent tests: the sound double-marked BPE fold vs the
+Arrow rank-greedy encoder (equivalence gate + the collision word the
+round-10 encoding folded wrong), hashed substring-dedup anchors, and
+the e2e composition's BPE-count floor/packing."""
+
+from __future__ import annotations
+
+import pytest
+
+from recipes_spark.registry import all_queries
+from tests.test_intent_round7 import _mini_docs
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+)
+def test_bpe_greedy_bit_identical_to_fold(spark, sf):
+    """The verdict's gate: the Arrow rank-greedy encoder and the
+    literal sound fold must be BIT-identical on the 12-merge table at
+    every test scale factor — same doc set, same token counts, same
+    OOV counts, same order-free id checksums."""
+    fold = {
+        r["doc_id"]: (r["n_tokens"], r["n_merges"], r["n_oov"],
+                      r["ids_checksum"])
+        for r in QUERIES["x4_bpe_apply"](spark, sf).collect()
+    }
+    greedy = {
+        r["doc_id"]: (r["n_tokens"], r["n_merges"], r["n_oov"],
+                      r["ids_checksum"])
+        for r in QUERIES["x4_bpe_apply_greedy"](spark, sf).collect()
+    }
+    assert fold == greedy and len(fold) > 0
+
+
+def test_bpe_sound_encoding_on_collision_words(spark, tmp_path):
+    """The round-10 prefix-marked fold merged INTO a symbol whose name
+    starts with the pattern's second element: 'more' folded to
+    [m, ore] (3 chars of 'ore' fused, id OOV) instead of BPE's
+    [m, o, re]. The double-marked fold must agree with rank-greedy on
+    exactly these words:
+    - 'more': m|o|re — 3 tokens, 1 merge, 0 OOV;
+    - 'ore' : o|re  — 2 tokens, 1 merge, 0 OOV;
+    - 'rer' : re|r  — 2 tokens, 1 merge, 0 OOV (the (r,e) merge binds
+      leftmost; prefix-marking instead fused all of 'rer')."""
+    rows = [(0, "more"), (1, "ore"), (2, "rer")]
+    sf = _mini_docs(spark, tmp_path, rows)
+    for name in ("x4_bpe_apply", "x4_bpe_apply_greedy"):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_merges"], r["n_oov"])
+            for r in QUERIES[name](spark, sf).collect()
+        }
+        assert got == {
+            0: (3, 1, 0),
+            1: (2, 1, 0),
+            2: (2, 1, 0),
+        }, name
+
+
+def test_bpe_greedy_rejects_marker_in_input(spark, tmp_path):
+    """The Arrow island mirrors _bpe_marked's fail-closed guard — on
+    EITHER marker byte."""
+    for bad in ("bad\x1fhere", "bad\x1ehere"):
+        sf = _mini_docs(spark, tmp_path, [(0, "ok text"), (1, bad)])
+        with pytest.raises(Exception, match="symbol marker|PythonException"):
+            QUERIES["x4_bpe_apply_greedy"](spark, sf).collect()
+
+
+def test_bpe_greedy_is_zero_shuffle(spark, sf_dir):
+    """Same 100 TB claim as the fold: one mapInPandas island over the
+    scan — no semantic exchange, no join."""
+    df = QUERIES["x4_bpe_apply_greedy"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_base_items_preserves_source_field_types(spark):
+    """ADVICE r10: the single-pass melt canonicalizes values to
+    string; each base_<f> must come back in the SOURCE field's type
+    (here int), with the documented lexicographic count-tie contract
+    on the string form."""
+    from recipes_spark.plans.hydrate import base_items
+
+    rows = [("a", "c1", 9), ("b", "c1", 9), ("c", "c1", 10)]
+    df = spark.createDataFrame(
+        rows, "id string, collection_id string, n int"
+    )
+    out = base_items(df, ["n"])
+    assert dict(out.dtypes)["base_n"] == "int"
+    assert out.collect()[0]["base_n"] == 9  # modal, not a tie
+
+
+def test_bpe_greedy_large_table_matches_python_reference(spark, tmp_path):
+    """A 1000-merge VALID synthetic table (gen-1 = letter pairs,
+    gen-2 = pairs of gen-1 symbols) through the same kernel must match
+    an independent pure-Python double-marked FOLD — the
+    fold ≡ rank-greedy theorem exercised far beyond the 12-merge
+    table, on words engineered to chain merges across generations."""
+    import itertools
+    import random
+
+    letters = "abcdefgh"
+    gen1 = [(a, b) for a, b in itertools.product(letters, repeat=2)]
+    gen2 = [
+        (a + b, c + d)
+        for (a, b), (c, d) in zip(gen1, gen1[1:])
+    ]
+    merges = (gen1 + gen2)[:1000]
+    vocab = [a + b for a, b in merges] + list(letters)
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice(letters) for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    rows = [(i, " ".join(rng.sample(words, 8))) for i in range(40)]
+    sf = _mini_docs(spark, tmp_path, rows)
+
+    def fold_ref(text):
+        sep, end = "\x1f", "\x1e"
+        out_tok = out_ids0 = 0
+        vpos = {v: i + 1 for i, v in enumerate(vocab)}
+        m = "".join(
+            c if c == " " else sep + c + end for c in text
+        )
+        for a, b in merges:
+            m = m.replace(sep + a + end + sep + b + end, sep + a + b + end)
+        syms = [s for s in m.replace(end, "\x00").replace(sep, "\x00")
+                .replace(" ", "\x00").split("\x00") if s]
+        ids = [vpos.get(s, 0) for s in syms]
+        return (
+            len(syms),
+            sum(len(w) for w in text.split(" ")) - len(syms),
+            sum(1 for i in ids if i == 0),
+            sum(ids),
+        )
+
+    from recipes_spark.io import load
+    from recipes_spark.queries.corpus_ops import bpe_greedy_kernel
+
+    gen = bpe_greedy_kernel(merges, vocab)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_merges"], r["n_oov"],
+                      r["ids_checksum"])
+        for r in load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            gen,
+            schema=(
+                "doc_id bigint, n_tokens bigint, n_merges bigint,"
+                " n_oov bigint, ids_checksum bigint"
+            ),
+        )
+        .collect()
+    }
+    expected = {i: fold_ref(t) for i, t in rows}
+    assert got == expected
+    # The table must actually fire beyond the first generation.
+    assert any(v[1] > 0 for v in expected.values())

@@ -541,9 +541,15 @@ def test_vocab_rank_windows_run_after_takeordered(spark, sf_dir, name):
     task and then discarded)."""
     plan = _plan(spark, sf_dir, name)
     assert "TakeOrderedAndProject" in plan, plan
-    head, sep, below = plan.partition("Window")
-    assert not sep or "TakeOrderedAndProject" in below, (
-        "window runs below the top-k limit — full-vocab rank funnel:\n"
+    # ADVICE r10: the old partition() check was vacuous when no Window
+    # existed and only guarded the FIRST Window — both queries DO rank
+    # over the bounded slice, so require a Window, and require the
+    # TakeOrdered below the LAST one (plans print top-down, so "after
+    # the last Window occurrence" = every window sits above the limit).
+    assert "Window" in plan, plan
+    head, sep, below = plan.rpartition("Window")
+    assert "TakeOrderedAndProject" in below, (
+        "a window runs below the top-k limit — full-vocab rank funnel:\n"
         + plan
     )
 

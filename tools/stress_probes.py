@@ -1191,8 +1191,72 @@ def probe_substring_dedup_10x(spark: SparkSession) -> dict:
     return out
 
 
+def probe_bpe_greedy_1k(spark: SparkSession) -> dict:
+    """bpe_greedy_kernel throughput at PRODUCTION table sizes: encode
+    the sf corpus with the 12-merge table (literal fold vs Arrow
+    greedy, same output) and with a synthetic VALID 1000-merge table
+    (greedy only — a 1000-deep replace() chain per row is the cost
+    class the island exists to avoid). Reports wall, corpus MB/s and
+    output tokens/s; the greedy pass must be table-size-insensitive
+    (per-word cost is rounds-applied, not table-scan — the unique-word
+    cache makes repeat words O(1))."""
+    import itertools
+
+    from recipes_spark.io import load
+    from recipes_spark.queries.corpus_ops import (
+        _BPE_MERGES,
+        _BPE_VOCAB,
+        bpe_greedy_kernel,
+    )
+    from recipes_spark.registry import all_queries
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    mb = (
+        d.agg(F.sum(F.length("text"))).collect()[0][0] or 0
+    ) / 1e6
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    gen1 = [(a, b) for a, b in itertools.product(letters, repeat=2)][:676]
+    gen2 = [(a + b, c + d2) for (a, b), (c, d2) in zip(gen1, gen1[1:])]
+    big = (gen1 + gen2)[:1000]
+    big_vocab = [a + b for a, b in big] + list(letters + "0123456789")
+    schema = (
+        "doc_id bigint, n_tokens bigint, n_merges bigint,"
+        " n_oov bigint, ids_checksum bigint"
+    )
+    out = {"probe": "bpe_greedy_1k", "corpus_mb": round(mb, 1)}
+    toks = {}
+
+    def run_kernel(merges, vocab, tag):
+        gen = bpe_greedy_kernel(merges, vocab)
+        df = d.repartition(32).mapInPandas(gen, schema=schema)
+
+        def run():
+            toks[tag] = df.agg(F.sum("n_tokens")).collect()[0][0]
+
+        out[f"wall_sec_{tag}"] = round(min(_timed(run) for _ in range(3)), 2)
+        out[f"tokens_{tag}"] = toks[tag]
+        out[f"mb_per_sec_{tag}"] = round(mb / out[f"wall_sec_{tag}"], 1)
+
+    run_kernel(_BPE_MERGES, _BPE_VOCAB, "greedy_12")
+    run_kernel(big, big_vocab, "greedy_1000")
+    fold = all_queries()["x4_bpe_apply"]
+
+    def run_fold():
+        toks["fold"] = (
+            fold(spark, SF_DIR).agg(F.sum("n_tokens")).collect()[0][0]
+        )
+
+    out["wall_sec_fold_12"] = round(min(_timed(run_fold) for _ in range(3)), 2)
+    assert toks["fold"] == toks["greedy_12"]
+    out["table_size_ratio_1000_vs_12"] = round(
+        out["wall_sec_greedy_1000"] / out["wall_sec_greedy_12"], 2
+    )
+    return out
+
+
 PROBES = {
     "cc_chain": probe_cc_chain,
+    "bpe_greedy_1k": probe_bpe_greedy_1k,
     "cc_skew": probe_cc_skew,
     "bloom_10x": probe_bloom_10x,
     "epoch_shuffle": probe_epoch_shuffle,

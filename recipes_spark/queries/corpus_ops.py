@@ -227,7 +227,10 @@ def x6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebalancing step). sampleBy is seeded per-row Bernoulli: exact
     fractions are random, so rows-only; tests/test_corpus.py asserts
     per-stratum proportion bounds. At 100 TB this is the one-pass
-    alternative to per-stratum sort+limit quotas."""
+    alternative to per-stratum sort+limit quotas. This is the
+    documented RNG alternative — x6_stratified_hash_sample is the
+    deterministic, exactly-oracled primary (portable hash-threshold
+    keep, reproducible across engines/runs/partitionings)."""
     d = load(spark, sf_dir, "documents")
     langs = [r[0] for r in d.select("lang").distinct().collect()]
     fractions = {l: (0.5 if i % 2 == 0 else 0.2) for i, l in enumerate(sorted(langs))}
@@ -2003,213 +2006,6 @@ def x4_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x6_corpus_pipeline_e2e",
-    oracle="""
-WITH base AS (
-  SELECT doc_id, source, text FROM documents
-  WHERE len(string_split(text, ' ')) >= 30 AND n_chars >= 100
-), l0 AS (
-  SELECT doc_id, source,
-         unnest([struct_pack(idx := i,
-                             line := array_to_string(t[i+1:i+3], ' '))
-                 FOR i IN range(0, len(t), 3)]) AS u
-  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM base)
-), lines AS (
-  SELECT doc_id, source, u.idx AS idx, u.line AS line FROM l0
-), freq AS (
-  SELECT line, CAST(count(*) AS BIGINT) AS c FROM lines GROUP BY line
-), reasm AS (
-  SELECT doc_id, source,
-         coalesce(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE c < 3),
-                  '') AS kept
-  FROM lines JOIN freq USING (line)
-  GROUP BY doc_id, source
-), surv AS (
-  SELECT doc_id, source, kept,
-         row_number() OVER (PARTITION BY sha256(kept) ORDER BY doc_id)
-           AS rn
-  FROM reasm
-), q AS (
-  SELECT doc_id, source, kept,
-         CAST(len(string_split(kept, ' ')) AS BIGINT) AS n_tok
-  FROM surv WHERE rn = 1 AND len(string_split(kept, ' ')) >= 20
-), cnts AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM q GROUP BY source
-), mixed AS (
-  SELECT q.doc_id, q.kept, q.n_tok
-  FROM q JOIN cnts USING (source)
-  WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
-             AS BIGINT) % 1000000
-        < CAST(floor(least(1.0, 8.0 / sqrt(n_src)) * 1e6) AS BIGINT)
-), sh AS (
-  SELECT doc_id, kept, n_tok,
-         CAST(('0x' || substr(sha256('shard:' || CAST(doc_id AS VARCHAR)),
-                              1, 8)) AS BIGINT) % 16 AS shard,
-         CAST(('0x' || substr(sha256('pos:' || CAST(doc_id AS VARCHAR)),
-                              1, 8)) AS BIGINT) AS hv2
-  FROM mixed
-), ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY hv2, doc_id)
-              AS pos
-  FROM sh
-)
-SELECT shard,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(DISTINCT (pos - 1) // 4) AS BIGINT) AS n_seqs,
-       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       sha256(string_agg(kept, chr(30) ORDER BY pos)) AS checksum
-FROM ranked GROUP BY shard ORDER BY shard
-""",
-)
-def x6_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WHOLE training-data pipeline as ONE composed plan — the LLM
-    twin of stac_e2e_pipeline: quality pre-clean (token/char floors) →
-    corpus-global line dedup (C4's >=3-occurrence rule, in-order
-    reassembly) → exact near-dup survivor pick over the SCRUBBED text
-    (sha-group, min-doc_id — scrubbing first is what makes
-    boilerplate-differing copies collapse) → post-scrub quality floor →
-    temperature mixture (UniMax tau=0.5 hash threshold per source) →
-    hash-shard + deterministic epoch-shuffle order → 4-doc sequence
-    packing → per-shard content manifest. Every stage is an
-    already-attested operator; the composition proves they CHAIN — a
-    stage-ordering bug (sampling before dedup, packing before mixing)
-    or a survivor flake changes the 16 order-sensitive shard digests.
-    The oracle replays all eight stages, so the digest pins doc set
-    AND pack order.
-
-    100 TB: the corpus crosses exactly four data-sized exchanges —
-    line-frequency count (map-side combining), doc reassembly, the
-    dedup window on uniform sha keys, and the shard/pack window —
-    everything else is row-local or metadata-sized (source counts
-    broadcast back; the final manifest agg REUSES the pack window's
-    shard partitioning, no extra exchange — plan-asserted). The
-    cleaned corpus is checkpointed once between the clean and serve
-    phases so its two consumers share one computation. The
-    per-shard rank window is bounded by the SHARDING PARAMETER (shard
-    count scales with corpus size; the epoch-shuffle argument), so no
-    hot-key funnel; with few-but-huge shards swap in
-    operators/prefix.partitioned_row_number(partition_by=['shard'])."""
-    from recipes_spark.functions.portable_hash import sha_slice_bucket
-
-    d = scale_partitions(load(spark, sf_dir, "documents"))
-    base = d.filter(
-        (F.size(F.split("text", " ")) >= 30) & (F.col("n_chars") >= 100)
-    ).select("doc_id", "source", "text")
-    toks = base.select("doc_id", "source", F.split("text", " ").alias("t"))
-    lines = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 1, F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("idx"),
-                    F.array_join(F.slice("t", i + 1, 3), " ").alias("line"),
-                ),
-            )
-        ).alias("u"),
-    ).select("doc_id", "source", "u.idx", "u.line")
-    freq = lines.groupBy("line").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    reasm = (
-        lines.join(freq, "line")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.coalesce(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("c") < 3, F.struct("idx", "line")
-                                )
-                            )
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    " ",
-                ),
-                F.lit(""),
-            ).alias("kept")
-        )
-    )
-    wdup = Window.partitionBy(F.sha2("kept", 256)).orderBy("doc_id")
-    # The cleaned corpus feeds TWO consumers (the source-count aggregate
-    # and the mixture join) — materialize it once or Spark re-runs the
-    # whole clean→dedup chain per join side (ReuseExchange does not
-    # collapse sibling subtrees). At cluster scale this is the
-    # checkpoint/persist a production pipeline places between its clean
-    # and serve phases anyway.
-    q = (
-        reasm.withColumn("rn", F.row_number().over(wdup))
-        .filter(F.col("rn") == 1)
-        .withColumn("n_tok", F.size(F.split("kept", " ")).cast("long"))
-        .filter(F.col("n_tok") >= 20)
-        .drop("rn")
-        .localCheckpoint(eager=True)
-    )
-    thr = q.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_src")
-    ).withColumn(
-        "thr",
-        F.floor(
-            F.least(F.lit(1.0), F.lit(8.0) / F.sqrt("n_src")) * F.lit(1e6)
-        ).cast("long"),
-    )
-    mixed = (
-        q.join(F.broadcast(thr), "source")
-        .filter(_bucket(F.col("doc_id").cast("string"), 1_000_000) < F.col("thr"))
-        .select("doc_id", "kept", "n_tok")
-    )
-    sh = mixed.select(
-        "doc_id",
-        "kept",
-        "n_tok",
-        sha_slice_bucket(
-            F.concat(F.lit("shard:"), F.col("doc_id").cast("string")), 16
-        ).alias("shard"),
-        F.conv(
-            F.substring(
-                F.sha2(
-                    F.concat(F.lit("pos:"), F.col("doc_id").cast("string")),
-                    256,
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("hv2"),
-    )
-    wpack = Window.partitionBy("shard").orderBy("hv2", "doc_id")
-    ranked = sh.withColumn("pos", F.row_number().over(wpack).cast("long"))
-    return (
-        ranked.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.countDistinct(F.expr("(pos - 1) div 4"))
-            .cast("long")
-            .alias("n_seqs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-            F.sha2(
-                F.concat_ws(
-                    chr(30),
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "kept"))),
-                        lambda r: r["kept"],
-                    ),
-                ),
-                256,
-            ).alias("checksum"),
-        )
-        .orderBy("shard")
-    )
-
-
 # Fixed BPE merge table for x4_bpe_apply — priority-ordered, later
 # merges consume earlier outputs (t+h → th, th+e → the; an → and).
 # Shared Python-generated literals: the Spark fold and the DuckDB
@@ -2859,6 +2655,523 @@ def x6_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
         .orderBy("seq_id")
+    )
+
+
+# Hashed-feature linear quality classifier (the fastText shape of the
+# GPT-3/LLaMA quality-filter stage, public): token -> sha-slice bucket
+# in [0, _QF_DIM), score = mean of per-bucket integer-micro weights.
+# The weight table is Python-GENERATED from seed-word lists and
+# rendered as a literal into BOTH engines (the BPE merge-table
+# discipline), so the engines cannot disagree on the model.
+_QF_DIM = 64
+_QF_GOOD = [
+    "the", "a", "and", "of", "to", "in", "is", "it", "on", "for",
+]
+_QF_BAD = [
+    "click", "buy", "free", "winner", "casino", "subscribe",
+    "lottery", "prize", "congratulations", "unsubscribe",
+]
+_QF_THRESHOLD_MICRO = -20_000
+
+
+def _qf_bucket_py(tok: str) -> int:
+    import hashlib
+
+    return int(
+        hashlib.sha256(f"qf:{tok}".encode()).hexdigest()[:8], 16
+    ) % _QF_DIM
+
+
+def _qf_weights() -> list[int]:
+    w = [-40_000] * _QF_DIM
+    for t in _QF_GOOD:
+        w[_qf_bucket_py(t)] += 90_000
+    for t in _QF_BAD:
+        w[_qf_bucket_py(t)] -= 150_000
+    return w
+
+
+_QF_WEIGHTS = _qf_weights()
+
+
+@query(
+    "x4_quality_classifier",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform(t, x ->
+           ([{", ".join(str(w) for w in _QF_WEIGHTS)}])[
+             CAST(('0x' || substr(sha256('qf:' || x), 1, 8)) AS BIGINT)
+             % {_QF_DIM} + 1]
+         )) AS BIGINT) AS total
+  FROM toks
+)
+SELECT doc_id, n_tok,
+       CAST(floor(total / n_tok) AS BIGINT) AS score_micro,
+       CAST(CASE WHEN floor(total / n_tok) >= {_QF_THRESHOLD_MICRO}
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM s
+""",
+)
+def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR QUALITY CLASSIFIER over hashed n-gram features — the
+    famous pipeline stage (GPT-3's logistic quality filter, LLaMA/
+    CCNet's fastText classifier, both public) as a first-class
+    operator: every token hashes to one of _QF_DIM=64 feature buckets
+    (sha-slice, the portable hash family), the doc score is the MEAN
+    of the bucket weights in integer micros, and keep is a threshold
+    decision. Weights here are seed-list-generated literals (stopword
+    buckets up, spam-vocabulary buckets down) standing in for trained
+    coefficients — the SERVING shape is exactly what a trained
+    fastText/logistic model ships as: a dense weight vector indexed by
+    feature hash. floor(total/n_tok) is exact on both engines (both
+    operands < 2^53; an exactly-divisible quotient is exactly
+    representable, a non-divisible one sits >> 1 ulp from the
+    boundary).
+
+    100 TB: ZERO shuffle — tokenize, hash, weight lookup (the vector
+    lives in the expression tree) and mean are row-local; scoring a
+    corpus costs one scan, exactly like the production stage. A real
+    50k-bucket trained vector would ride a broadcast + Arrow kernel
+    (the bpe_greedy_kernel pattern) instead of a literal array."""
+    w = F.array(*[F.lit(x) for x in _QF_WEIGHTS])
+    toks = F.split("text", " ")
+    total = F.aggregate(
+        F.transform(
+            toks,
+            lambda x: F.element_at(
+                w,
+                (
+                    F.conv(
+                        F.substring(
+                            F.sha2(F.concat(F.lit("qf:"), x), 256), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _QF_DIM
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        total.alias("total"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.floor(F.col("total") / F.col("n_tok"))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    return scored.withColumn(
+        "keep",
+        F.when(
+            F.col("score_micro") >= _QF_THRESHOLD_MICRO, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+@query(
+    "x6_stratified_hash_sample",
+    oracle="""
+WITH langs AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) AS li
+  FROM (SELECT DISTINCT lang FROM documents)
+), thr AS (
+  SELECT lang,
+         CAST(CASE WHEN li % 2 = 1 THEN 500000 ELSE 200000 END AS BIGINT)
+           AS frac_micro
+  FROM langs
+), marked AS (
+  SELECT d.lang, t.frac_micro,
+         CASE WHEN CAST(('0x' || substr(sha256(
+                  'strat:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)),
+                  1, 8)) AS BIGINT) % 1000000 < t.frac_micro
+              THEN 1 ELSE 0 END AS k
+  FROM documents d JOIN thr t USING (lang)
+)
+SELECT lang, frac_micro,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(k) AS BIGINT) AS n_sampled
+FROM marked GROUP BY lang, frac_micro ORDER BY lang
+""",
+)
+def x6_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC stratified sampling — x6_stratified_sample's
+    per-language quotas with the portable hash-threshold keep decision
+    (x6_temperature_sample's mechanism) in place of sampleBy's
+    seeded-RNG Bernoulli: keep doc ⇔ sha-slice('strat:'||lang||':'||
+    doc_id) mod 1e6 < floor(fraction·1e6). Reproducible across
+    engines, runs, and partitionings (the property that keeps a
+    training mixture stable across pipeline re-executions), exactly
+    oracled — the deterministic PRIMARY; sampleBy remains as the
+    documented rows-only alternative with its per-stratum proportion
+    tests. Fractions alternate 0.5/0.2 by the stratum's rank in the
+    sorted language list, mirroring the sampleBy form.
+
+    100 TB: the language rank is a window over the DISTINCT-lang table
+    (dozens of rows — a bounded grid window, not a data window),
+    broadcast back; the keep test is row-local; the rollup is a
+    lang-keyed hash agg. One pass."""
+    d = load(spark, sf_dir, "documents")
+    wl = Window.orderBy("lang")
+    thr = (
+        d.select("lang")
+        .distinct()
+        .withColumn("li", F.row_number().over(wl))
+        .select(
+            "lang",
+            F.when(F.pmod("li", F.lit(2)) == 1, F.lit(500_000))
+            .otherwise(F.lit(200_000))
+            .cast("long")
+            .alias("frac_micro"),
+        )
+    )
+    hv = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit("strat:"),
+                        F.col("lang"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .select(
+            "lang",
+            "frac_micro",
+            F.when(hv < F.col("frac_micro"), 1).otherwise(0).alias("k"),
+        )
+        .groupBy("lang", "frac_micro")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("k").cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+def pipeline_clean_lines(d: DataFrame) -> DataFrame:
+    """Stages 1–2a of the corpus pipeline, shared VERBATIM by the
+    batch composition (x6_corpus_pipeline_e2e) and its streaming twin
+    (st28_stream_corpus_pipeline): quality pre-clean (>= 30 whitespace
+    words, >= 100 chars) and the deterministic 3-token line
+    segmentation, source carried. Row-local throughout, so it commutes
+    with ANY partitioning of the corpus — the property st28's
+    telescoping argument rests on (clean lines of a union = union of
+    per-batch clean lines)."""
+    base = d.filter(
+        (F.size(F.split("text", " ")) >= 30) & (F.col("n_chars") >= 100)
+    ).select("doc_id", "source", "text")
+    toks = base.select("doc_id", "source", F.split("text", " ").alias("t"))
+    return toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("idx"),
+                    F.array_join(F.slice("t", i + 1, 3), " ").alias("line"),
+                ),
+            )
+        ).alias("u"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("u.idx").alias("idx"),
+        F.col("u.line").alias("line"),
+    )
+
+
+def pipeline_line_freq(lines: DataFrame) -> DataFrame:
+    """(line, c): the C4 count table over segmented lines — one
+    map-side-combining hash agg. Counts SUM-merge, so st28 can carry
+    this as accumulated state: freq(batch 1..k lines) = the SUM-merge
+    of per-batch freqs, with no seam logic (st27's argument)."""
+    return lines.groupBy("line").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def pipeline_reassemble(lines: DataFrame, freq: DataFrame) -> DataFrame:
+    """Stage 2b: apply C4's >= 3-occurrence drop against a (line, c)
+    count table and reassemble each doc's survivors in order —
+    (doc_id, source, kept)."""
+    return (
+        lines.join(freq, "line")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("c") < 3, F.struct("idx", "line")
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept")
+        )
+    )
+
+
+def pipeline_serve(reasm: DataFrame) -> DataFrame:
+    """Stages 3–8 over the reassembled corpus: BPE-count quality floor
+    → exact survivor pick over the scrubbed text → UniMax temperature
+    mixture → hash shard + deterministic epoch order → TOKEN-BUDGET
+    packing (2048 BPE tokens per sequence) → per-shard order-sensitive
+    manifest. Round-11 changes vs the round-10 composition: (1) the
+    floor and packing run on _bpe_symbol_count's REAL tokenizer counts
+    — the unit the trainer consumes — not the whitespace proxy
+    (x6_packing_bpe proved the count rides the same scan; now the
+    shipped pipeline uses it); (2) the floor runs BEFORE the survivor
+    window — every doc in a sha-group shares kept, hence shares n_tok,
+    so the move is output-identical, and it keeps fully-scrubbed
+    (kept='') docs out of the sha-keyed exchange where a
+    boilerplate-heavy corpus would funnel them onto ONE key (ADVICE
+    r10); (3) sequences are token-budget islands within the shard
+    (floor((cum - n_tok) / 2048) over the pack window's own exchange)
+    instead of fixed 4-doc groups."""
+    from recipes_spark.functions.portable_hash import sha_slice_bucket
+
+    qf = reasm.withColumn(
+        "n_tok", _bpe_symbol_count(_bpe_folded(col="kept")).cast("long")
+    ).filter(F.col("n_tok") >= 80)
+    wdup = Window.partitionBy(F.sha2("kept", 256)).orderBy("doc_id")
+    # The cleaned corpus feeds TWO consumers (the source-count
+    # aggregate and the mixture join) — materialize it once or Spark
+    # re-runs the whole clean→dedup chain per join side (ReuseExchange
+    # does not collapse sibling subtrees). At cluster scale this is
+    # the checkpoint/persist a production pipeline places between its
+    # clean and serve phases anyway.
+    q = (
+        qf.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    thr = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    ).withColumn(
+        "thr",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(8.0) / F.sqrt("n_src")) * F.lit(1e6)
+        ).cast("long"),
+    )
+    mixed = (
+        q.join(F.broadcast(thr), "source")
+        .filter(
+            _bucket(F.col("doc_id").cast("string"), 1_000_000)
+            < F.col("thr")
+        )
+        .select("doc_id", "kept", "n_tok")
+    )
+    sh = mixed.select(
+        "doc_id",
+        "kept",
+        "n_tok",
+        sha_slice_bucket(
+            F.concat(F.lit("shard:"), F.col("doc_id").cast("string")), 16
+        ).alias("shard"),
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit("pos:"), F.col("doc_id").cast("string")),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv2"),
+    )
+    wpack = Window.partitionBy("shard").orderBy("hv2", "doc_id")
+    ranked = sh.withColumn(
+        "pos", F.row_number().over(wpack).cast("long")
+    ).withColumn(
+        "cum",
+        F.sum("n_tok")
+        .over(
+            wpack.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    return (
+        ranked.select(
+            "shard",
+            "kept",
+            "n_tok",
+            "pos",
+            F.floor((F.col("cum") - F.col("n_tok")) / 2048)
+            .cast("long")
+            .alias("seq"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("seq").cast("long").alias("n_seqs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sha2(
+                F.concat_ws(
+                    chr(30),
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "kept"))),
+                        lambda r: r["kept"],
+                    ),
+                ),
+                256,
+            ).alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _corpus_pipeline_oracle_sql() -> str:
+    """The 8-stage replay, shared VERBATIM by x6_corpus_pipeline_e2e
+    and st28_stream_corpus_pipeline (the telescoping argument: the
+    stream's SUM-merged line counts and unioned clean-line store equal
+    the batch quantities, so one oracle attests both)."""
+    kept_fold = _bpe_fold_sql(_bpe_marked_sql("kept"))
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 30 AND n_chars >= 100
+), l0 AS (
+  SELECT doc_id, source,
+         unnest([struct_pack(idx := i,
+                             line := array_to_string(t[i+1:i+3], ' '))
+                 FOR i IN range(0, len(t), 3)]) AS u
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM base)
+), lines AS (
+  SELECT doc_id, source, u.idx AS idx, u.line AS line FROM l0
+), freq AS (
+  SELECT line, CAST(count(*) AS BIGINT) AS c FROM lines GROUP BY line
+), reasm AS (
+  SELECT doc_id, source,
+         coalesce(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE c < 3),
+                  '') AS kept
+  FROM lines JOIN freq USING (line)
+  GROUP BY doc_id, source
+), qf AS (
+  SELECT doc_id, source, kept,
+         CAST(length(fold) - length(replace(fold, chr(31), ''))
+              AS BIGINT) AS n_tok
+  FROM (SELECT doc_id, source, kept, {kept_fold} AS fold FROM reasm)
+), ql AS (
+  SELECT * FROM qf WHERE n_tok >= 80
+), surv AS (
+  SELECT doc_id, source, kept, n_tok,
+         row_number() OVER (PARTITION BY sha256(kept) ORDER BY doc_id)
+           AS rn
+  FROM ql
+), q AS (
+  SELECT doc_id, source, kept, n_tok FROM surv WHERE rn = 1
+), cnts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM q GROUP BY source
+), mixed AS (
+  SELECT q.doc_id, q.kept, q.n_tok
+  FROM q JOIN cnts USING (source)
+  WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000
+        < CAST(floor(least(1.0, 8.0 / sqrt(n_src)) * 1e6) AS BIGINT)
+), sh AS (
+  SELECT doc_id, kept, n_tok,
+         CAST(('0x' || substr(sha256('shard:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 16 AS shard,
+         CAST(('0x' || substr(sha256('pos:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS hv2
+  FROM mixed
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY shard ORDER BY hv2, doc_id)
+           AS pos,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY hv2, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sh
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT (cum - n_tok) // 2048) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       sha256(string_agg(kept, chr(30) ORDER BY pos)) AS checksum
+FROM ranked GROUP BY shard ORDER BY shard
+"""
+
+
+CORPUS_PIPELINE_E2E_ORACLE = _corpus_pipeline_oracle_sql()
+
+
+@query("x6_corpus_pipeline_e2e", oracle=CORPUS_PIPELINE_E2E_ORACLE)
+def x6_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as ONE composed plan — the LLM
+    twin of stac_e2e_pipeline: quality pre-clean (token/char floors) →
+    corpus-global line dedup (C4's >=3-occurrence rule, in-order
+    reassembly) → BPE-token quality floor → exact near-dup survivor
+    pick over the SCRUBBED text (sha-group, min-doc_id — scrubbing
+    first is what makes boilerplate-differing copies collapse) →
+    temperature mixture (UniMax tau=0.5 hash threshold per source) →
+    hash-shard + deterministic epoch-shuffle order → 2048-BPE-token
+    sequence packing → per-shard content manifest. Every stage is an
+    already-attested operator; the composition proves they CHAIN — a
+    stage-ordering bug (sampling before dedup, packing before mixing)
+    or a survivor flake changes the 16 order-sensitive shard digests.
+    The oracle replays all eight stages, so the digest pins doc set
+    AND pack order. Round 11: the floor and packing consume
+    _bpe_symbol_count's REAL tokenizer counts (was the whitespace
+    proxy), and the floor runs BEFORE the survivor window (see
+    pipeline_serve — output-identical per sha-group, kills the
+    kept='' hot key).
+
+    100 TB: the corpus crosses exactly four data-sized exchanges —
+    line-frequency count (map-side combining), doc reassembly, the
+    dedup window on uniform sha keys (empty docs pre-filtered), and
+    the shard/pack window (whose exchange the cumsum, the rank AND the
+    final manifest agg all REUSE — plan-asserted) — everything else is
+    row-local or metadata-sized (source counts broadcast back). The
+    cleaned corpus is checkpointed once between the clean and serve
+    phases so its two consumers share one computation. The per-shard
+    rank window is bounded by the SHARDING PARAMETER (shard count
+    scales with corpus size; the epoch-shuffle argument), so no
+    hot-key funnel; with few-but-huge shards swap in
+    operators/prefix.partitioned_row_number(partition_by=['shard'])."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    lines = pipeline_clean_lines(d)
+    return pipeline_serve(
+        pipeline_reassemble(lines, pipeline_line_freq(lines))
     )
 
 

@@ -30,9 +30,14 @@ from recipes_spark.queries.events import (
     PATTERN_FUNNEL_ORACLE,
 )
 from recipes_spark.queries.corpus_ops import (
+    CORPUS_PIPELINE_E2E_ORACLE,
     LINE_DEDUP_ORACLE,
     doc_lines,
     line_dedup_report,
+    pipeline_clean_lines,
+    pipeline_line_freq,
+    pipeline_reassemble,
+    pipeline_serve,
 )
 from recipes_spark.registry import query
 from recipes_spark.streaming.core import stream_events
@@ -2375,3 +2380,137 @@ def st27_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(state_dir, "s_3")
     )
     return line_dedup_report(doc_lines(d), freq)
+
+
+# ---------------------------------------------------------------------------
+# st28: the corpus pipeline's clean→dedup stages over incremental arrival.
+# ---------------------------------------------------------------------------
+
+_ST28_LINES_SCHEMA = "doc_id bigint, source string, idx int, line string"
+_ST28_SRC_SCHEMA = "source string, n_docs long"
+
+
+def corpus_pipeline_advance_factory(spark: SparkSession, state_dir: str):
+    """st28's per-micro-batch body, three state families per batch:
+    (1) the batch's CLEAN LINES (pipeline_clean_lines — row-local, so
+    the union over batches equals the batch pipeline's segmentation of
+    the whole corpus), written once per bid and read back so the two
+    downstream aggregates share the materialization; (2) the (line, c)
+    C4 count state, SUM-merged by full outer join (st27's telescoping
+    — counts after batch k ARE the one-pass counts over batches 1..k);
+    (3) per-source cleaned-doc counts, SUM-merged the same way (the
+    ingest-monitoring state a production pipeline alarms on). Per-bid
+    overwrites + prior-only reads = the family retry contract."""
+
+    def advance(bdf: DataFrame, bid: int) -> None:
+        lines_path = os.path.join(state_dir, f"l_{bid}")
+        pipeline_clean_lines(
+            bdf.select("doc_id", "source", "text", "n_chars")
+        ).write.mode("overwrite").parquet(lines_path)
+        lines = spark.read.schema(_ST28_LINES_SCHEMA).parquet(lines_path)
+        inc = pipeline_line_freq(lines).withColumnRenamed("c", "b_c")
+        src_inc = (
+            lines.select("doc_id", "source")
+            .distinct()
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("b_n"))
+        )
+        if bid > 0:
+            st = spark.read.schema(_ST27_STATE_SCHEMA).parquet(
+                os.path.join(state_dir, f"s_{bid - 1}")
+            )
+            src_st = spark.read.schema(_ST28_SRC_SCHEMA).parquet(
+                os.path.join(state_dir, f"src_{bid - 1}")
+            )
+        else:
+            st = spark.createDataFrame([], _ST27_STATE_SCHEMA)
+            src_st = spark.createDataFrame([], _ST28_SRC_SCHEMA)
+        st.join(inc, "line", "full").select(
+            "line",
+            (F.coalesce("c", F.lit(0)) + F.coalesce("b_c", F.lit(0)))
+            .cast("long")
+            .alias("c"),
+        ).write.mode("overwrite").parquet(os.path.join(state_dir, f"s_{bid}"))
+        src_st.join(src_inc, "source", "full").select(
+            "source",
+            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("b_n", F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"src_{bid}")
+        )
+
+    return advance
+
+
+def st28_final_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Serve phase over the ACCUMULATED state: reassemble every doc
+    from the unioned clean-line store against the final C4 counts,
+    then run pipeline_serve VERBATIM — floor, survivor pick, mixture,
+    shard, token-budget pack, manifest."""
+    all_lines = spark.read.schema(_ST28_LINES_SCHEMA).parquet(
+        *sorted(
+            os.path.join(state_dir, p)
+            for p in os.listdir(state_dir)
+            if p.startswith("l_")
+        )
+    )
+    freq = spark.read.schema(_ST27_STATE_SCHEMA).parquet(
+        os.path.join(state_dir, "s_3")
+    )
+    return pipeline_serve(pipeline_reassemble(all_lines, freq))
+
+
+@query("st28_stream_corpus_pipeline", oracle=CORPUS_PIPELINE_E2E_ORACLE)
+def st28_stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline's clean→dedup→mixture stages over
+    INCREMENTAL arrival — x6_corpus_pipeline_e2e's stream twin and the
+    shape a 100 TB ingest actually runs (data lands daily; the C4
+    counts, the digest-keyed survivor pick and the mixture all depend
+    on the WHOLE corpus so far): four ordered micro-batches each
+    segment their documents row-locally and SUM-merge line counts +
+    per-source counts into carried state, and the final report serves
+    the accumulated corpus through pipeline_serve. Shares the batch
+    composition's oracle VERBATIM — the telescoping argument: clean
+    segmentation is row-local (commutes with batching), counts
+    SUM-merge exactly, and the serve phase is the same code over equal
+    inputs, so incremental arrival provably cannot change a digest. A
+    boilerplate line whose copies are SPREAD one-per-batch (never
+    >= 3 within any batch) is still scrubbed — the property a
+    per-batch-local pipeline cannot have (cross-batch intent test).
+
+    100 TB: per-batch work = batch-sized row-local segmentation + one
+    map-side-combining count + a state-sized outer join (the state is
+    the distinct-line table — vocabulary-scaled); the corpus-sized
+    serve phase runs ONCE at the end, not per batch.
+    Retry-idempotent by the family contract (per-bid overwrite,
+    prior-only reads — asserted by re-invoking a mid-stream batch)."""
+    from recipes_spark.io import load
+    from recipes_spark.streaming.core import stage_ordered
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    chunks = [d.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
+    staged = stage_ordered(chunks, prefix="recipes_st28_landing_")
+    state_dir = tempfile.mkdtemp(prefix="recipes_st28_state_")
+    advance = corpus_pipeline_advance_factory(spark, state_dir)
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(advance)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st28_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return st28_final_report(spark, state_dir)

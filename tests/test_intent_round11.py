@@ -80,6 +80,57 @@ def test_bpe_greedy_is_zero_shuffle(spark, sf_dir):
     assert "MapInPandas" in plan, plan
 
 
+def test_quality_classifier_separates_planted_pair(spark, tmp_path):
+    """The classifier's defining behavior: a stopword-built doc (every
+    token in the GOOD seed list) scores the good-bucket mean and
+    passes the keep threshold; a spam doc (every token in the BAD
+    list) scores deeply negative and is dropped; a mixed doc lands
+    between the two."""
+    from recipes_spark.queries.corpus_ops import (
+        _QF_BAD,
+        _QF_GOOD,
+        _QF_THRESHOLD_MICRO,
+    )
+
+    rows = [
+        (0, " ".join(_QF_GOOD)),
+        (1, " ".join(_QF_BAD)),
+        (2, " ".join(_QF_GOOD[:5] + _QF_BAD[:5])),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["x4_quality_classifier"](spark, sf).collect()
+    }
+    assert out[0]["keep"] == 1 and out[1]["keep"] == 0
+    assert (
+        out[1]["score_micro"]
+        < out[2]["score_micro"]
+        < out[0]["score_micro"]
+    )
+    assert out[0]["score_micro"] >= _QF_THRESHOLD_MICRO
+
+
+def test_stratified_hash_sample_is_deterministic_and_stratified(spark):
+    """Two runs must produce IDENTICAL per-stratum counts (the whole
+    point vs sampleBy's RNG), fractions must alternate 0.5/0.2 in
+    sorted-lang order, and each stratum's realized rate must sit near
+    its fraction."""
+    sf = "/root/testdata/sf0.01"
+    a = sorted(
+        tuple(r)
+        for r in QUERIES["x6_stratified_hash_sample"](spark, sf).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in QUERIES["x6_stratified_hash_sample"](spark, sf).collect()
+    )
+    assert a == b and len(a) >= 2
+    for i, (lang, frac, n_docs, n_sampled) in enumerate(a):
+        assert frac == (500_000 if i % 2 == 0 else 200_000)
+        assert abs(n_sampled / n_docs - frac / 1e6) < 0.15
+
+
 def test_base_items_preserves_source_field_types(spark):
     """ADVICE r10: the single-pass melt canonicalizes values to
     string; each base_<f> must come back in the SOURCE field's type

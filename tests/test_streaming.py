@@ -522,6 +522,125 @@ def test_st26_ohlc_merge_exact_and_retry(spark, sf_dir, tmp_path):
     assert [state(b) for b in range(3)] == before
 
 
+def test_st28_matches_batch_composition_and_telescopes(spark, sf_dir):
+    """st28's whole claim: incremental arrival cannot change a digest —
+    the stream twin's 16-shard manifest must equal
+    x6_corpus_pipeline_e2e's bit-for-bit, and the carried per-source
+    count state must telescope to the whole-corpus cleaned-doc counts."""
+    import glob
+    import os
+
+    from recipes_spark.io import load
+    from recipes_spark.queries.corpus_ops import pipeline_clean_lines
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()
+    got = sorted(
+        tuple(r) for r in q["st28_stream_corpus_pipeline"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in q["x6_corpus_pipeline_e2e"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+    state_dir = max(
+        glob.glob(os.path.join(tempfile.gettempdir(), "recipes_st28_state_*")),
+        key=os.path.getmtime,
+    )
+    src = {
+        r["source"]: r["n_docs"]
+        for r in spark.read.parquet(os.path.join(state_dir, "src_3")).collect()
+    }
+    d = load(spark, sf_dir, "documents")
+    expect = {
+        r["source"]: r["n"]
+        for r in pipeline_clean_lines(d)
+        .select("doc_id", "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert src == expect
+
+
+def test_st28_cross_batch_scrub_and_retry(spark, tmp_path):
+    """The incremental property a per-batch-local pipeline cannot
+    have: a boilerplate opening line planted ONCE per batch (batches
+    see count 1; only the accumulated state reaches C4's >= 3) must be
+    scrubbed from every surviving doc — visible as identical kept
+    texts that then COLLAPSE to one survivor in the manifest — and
+    redelivering a middle batch rewrites all three state families
+    byte-identically."""
+    import os
+
+    from recipes_spark.streaming.ingest import (
+        corpus_pipeline_advance_factory,
+        st28_final_report,
+    )
+
+    from recipes_spark.queries.corpus_ops import pipeline_reassemble
+
+    boiler = "cookie banner text"  # 3 tokens = one segmented line
+    # Each doc: the boiler OPENING line + 9 doc-UNIQUE lines (30 words,
+    # >= 100 chars, each body line count 1 corpus-wide).
+    def doc(bid):
+        body = " ".join(
+            f"w{bid}x{k} filler{bid}y{k} tail{bid}z{k}" for k in range(9)
+        )
+        return (bid * 10, "s0", f"{boiler} {body}", 200)
+
+    batches = [
+        spark.createDataFrame(
+            [doc(bid)], "doc_id long, source string, text string, n_chars long"
+        )
+        for bid in range(4)
+    ]
+    state_dir = str(tmp_path / "st28_state")
+    os.makedirs(state_dir, exist_ok=True)
+    fn = corpus_pipeline_advance_factory(spark, state_dir)
+    for bid, bdf in enumerate(batches):
+        fn(bdf, bid)
+
+    counts = {
+        r["line"]: r["c"]
+        for r in spark.read.parquet(os.path.join(state_dir, "s_3")).collect()
+    }
+    assert counts[boiler] == 4  # spread 1-per-batch, caught only merged
+
+    all_lines = spark.read.parquet(
+        *[os.path.join(state_dir, f"l_{b}") for b in range(4)]
+    )
+    freq = spark.read.parquet(os.path.join(state_dir, "s_3"))
+    kept = {
+        r["doc_id"]: r["kept"]
+        for r in pipeline_reassemble(all_lines, freq).collect()
+    }
+    for bid in range(4):  # boiler gone from EVERY doc, unique body kept
+        assert boiler not in kept[bid * 10]
+        assert f"w{bid}x0" in kept[bid * 10]
+    # All four scrubbed docs survive the serve phase (distinct bodies).
+    out = st28_final_report(spark, state_dir).collect()
+    assert sum(r["n_docs"] for r in out) == 4
+
+    def state(prefix, bid):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, f"{prefix}_{bid}")
+            ).collect()
+        )
+
+    before = [
+        (state("s", b), state("src", b), state("l", b)) for b in range(4)
+    ]
+    fn(batches[2], 2)  # at-least-once redelivery
+    after = [
+        (state("s", b), state("src", b), state("l", b)) for b in range(4)
+    ]
+    assert after == before
+
+
 def test_st27_cross_batch_threshold_and_retry(spark, tmp_path):
     """st27's incremental property, exercised directly: a boilerplate
     line with ONE copy per batch (never >= 3 within any single batch)

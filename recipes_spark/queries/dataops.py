@@ -1332,19 +1332,24 @@ WITH bench AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
   WHERE doc_id >= 20
 ), bgrams AS (
-  SELECT DISTINCT unnest([array_to_string(w[i:i+7], ' ')
-                          FOR i IN range(1, len(w) - 6)]) AS gram
+  SELECT DISTINCT unnest([CAST(('0x' || substr(sha256(
+                            array_to_string(w[i:i+7], ' ')), 1, 15))
+                          AS BIGINT)
+                          FOR i IN range(1, len(w) - 6)]) AS gh
   FROM bench WHERE len(w) >= 8
 ), occ AS (
-  SELECT doc_id, u.i AS i, u.gram AS gram FROM (
+  SELECT doc_id, u.i AS i, u.gh AS gh FROM (
     SELECT doc_id,
-           unnest([{'i': i, 'gram': array_to_string(w[i:i+7], ' ')}
+           unnest([{'i': i,
+                    'gh': CAST(('0x' || substr(sha256(
+                            array_to_string(w[i:i+7], ' ')), 1, 15))
+                          AS BIGINT)}
                    FOR i IN range(1, len(w) - 6)]) AS u
     FROM corpus WHERE len(w) >= 8
   )
 ), starts AS (
   SELECT o.doc_id, list_sort(list(DISTINCT o.i)) AS ss
-  FROM occ o JOIN bgrams b USING (gram)
+  FROM occ o JOIN bgrams b USING (gh)
   GROUP BY o.doc_id
 ), scrub AS (
   SELECT c.doc_id, c.w,
@@ -1379,33 +1384,48 @@ def x4_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join costs corpus-scan + broadcast lookup, NOT the
     corpus×corpus shuffle of self-dedup; the duplicated start
     positions ship back as one short int array per contaminated doc
-    and the rewrite is the same row-local HOF as span_scrub. At real
-    scale hash grams to 64-bit and pre-filter with a bloom of the
-    benchmark grams (x2_bloom_candidates) to skip the join for the
-    ~99% of docs with no hit."""
+    and the rewrite is the same row-local HOF as span_scrub. Grams are
+    60-bit sha-slice anchors (round 11 — was raw text; the hash is
+    replayed by the oracle); at real scale additionally pre-filter
+    with a bloom of the benchmark grams (x2_bloom_candidates) to skip
+    the join for the ~99% of docs with no hit."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.split("text", " ").alias("w"))
     bench = words.filter(F.col("doc_id") < 20)
     corpus = words.filter(F.col("doc_id") >= 20)
+    # 60-bit sha-slice anchors on BOTH sides (round 11, the
+    # x2_substring_dedup convention): the corpus-side exploded
+    # intermediate and the broadcast set carry 8 bytes per gram
+    # instead of ~50 of text; the oracle replays the identical hash,
+    # and a collision can only ADD a scrubbed span, never miss one.
     gram_structs = F.transform(
         F.sequence(F.lit(1), F.size("w") - 7),
         lambda i: F.struct(
-            i.alias("i"), F.concat_ws(" ", F.slice("w", i, 8)).alias("gram")
+            i.alias("i"),
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat_ws(" ", F.slice("w", i, 8)), 256), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gh"),
         ),
     )
     bgrams = (
         bench.filter(F.size("w") >= 8)
         .select(F.explode(gram_structs).alias("g"))
-        .select("g.gram")
+        .select("g.gh")
         .distinct()
     )
     occ = (
         corpus.filter(F.size("w") >= 8)
         .select("doc_id", F.explode(gram_structs).alias("g"))
-        .select("doc_id", "g.i", "g.gram")
+        .select("doc_id", "g.i", "g.gh")
     )
     starts = (
-        occ.join(F.broadcast(bgrams), "gram")
+        occ.join(F.broadcast(bgrams), "gh")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("i")).alias("ss"))
     )

@@ -110,6 +110,9 @@ _RECHECK: dict[str, int] = {
     # 60-bit hashed anchors through the duplicate-set shuffle (was raw
     # 8-gram text); the oracle replays the identical hash:
     "x2_substring_dedup": 11,
+    # same hash-anchor convention for the benchmark-decontamination
+    # join (corpus-side exploded grams + the broadcast set):
+    "x4_decontaminate_spans": 11,
     # BPE family migrated to the SOUND double-marked symbol encoding
     # (\x1f s \x1e): the round-10 prefix-marked fold could merge INTO a
     # symbol whose name starts with the pattern's second element

@@ -206,6 +206,23 @@ def extra_plans(spark) -> dict[str, str]:
         # (also asserted structurally in test_plans.py).
         "x4_zipf_fit",
         "x4_vocab_coverage_curve",
+        # Round-11: both BPE encode paths must stay zero-shuffle
+        # single-island plans (an exchange/join appearing in either is
+        # the regression); the substring-dedup and decontamination
+        # anchor joins must keep their hashed-gram shapes; the
+        # classifier and the stratified sample are row-local +
+        # broadcast plans that must not grow a corpus-keyed exchange.
+        # (x6_corpus_pipeline_e2e / x4_dsir_weights localCheckpoint at
+        # construction — their post-checkpoint plans scan run-local
+        # RDDs, so they are pinned structurally in test_plans.py
+        # instead.)
+        "x4_bpe_apply",
+        "x4_bpe_apply_greedy",
+        "x2_substring_dedup",
+        "x4_decontaminate_spans",
+        "x4_lang_macro_f1",
+        "x4_quality_classifier",
+        "x6_stratified_hash_sample",
     ):
         out[name] = plan_hash(q[name](spark, SF_DIR))
     return out

@@ -1254,9 +1254,94 @@ def probe_bpe_greedy_1k(spark: SparkSession) -> dict:
     return out
 
 
+def probe_bpe_train_50round(spark: SparkSession) -> dict:
+    """x4_bpe_train_rounds' 100 TB claim measured: training cost is
+    rounds × VOCAB, never rounds × corpus — one corpus-sized word
+    count up front, then every round is a pair explode + hash agg +
+    1-row TakeOrdered + broadcast apply over the DISTINCT vocabulary.
+    Runs 50 data-dependent rounds (the query ships 3) with the same
+    double-marked primitives and reports wall for rounds 1-10 vs
+    41-50: if per-round cost grew with accumulated merges or corpus
+    size, the tail decade would blow up; vocabulary-sized work keeps
+    it flat-ish."""
+    from recipes_spark.queries.corpus_ops import _BPE_END, _BPE_SEP
+
+    sep, end = _BPE_SEP, _BPE_END
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    t0 = time.perf_counter()
+    cur = wc.select(
+        F.regexp_replace("w", "(.)", sep + "$1" + end).alias("m"), "cnt"
+    ).localCheckpoint(eager=True)
+    wall_wc = time.perf_counter() - t0
+    rep = F.concat(
+        F.lit(sep),
+        F.replace(F.replace(F.col("pat"), F.lit(sep)), F.lit(end)),
+        F.lit(end),
+    )
+    decade = {}
+    merges = 0
+    t_dec = time.perf_counter()
+    for r in range(1, 51):
+        sy = F.filter(
+            F.split("m", f"[{sep}{end}]"), lambda x: x != F.lit("")
+        )
+        pairs = (
+            cur.select(F.col("cnt"), sy.alias("sy"))
+            .filter(F.size("sy") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sy") - 1),
+                        lambda i: F.concat(
+                            F.lit(sep),
+                            F.element_at("sy", i),
+                            F.lit(end),
+                            F.lit(sep),
+                            F.element_at("sy", i + 1),
+                            F.lit(end),
+                        ),
+                    )
+                ).alias("pat"),
+            )
+        )
+        win = (
+            pairs.groupBy("pat")
+            .agg(F.sum("cnt").cast("long").alias("freq"))
+            .orderBy(F.desc("freq"), "pat")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        if win.count() == 0:
+            break
+        merges = r
+        cur = (
+            cur.crossJoin(F.broadcast(win))
+            .select(F.replace("m", F.col("pat"), rep).alias("m"), "cnt")
+            .localCheckpoint(eager=True)
+        )
+        if r % 10 == 0:
+            decade[f"wall_rounds_{r - 9}_{r}"] = round(
+                time.perf_counter() - t_dec, 2
+            )
+            t_dec = time.perf_counter()
+    return {
+        "probe": "bpe_train_50round",
+        "wall_wordcount_sec": round(wall_wc, 2),
+        "rounds_completed": merges,
+        **decade,
+    }
+
+
 PROBES = {
     "cc_chain": probe_cc_chain,
     "bpe_greedy_1k": probe_bpe_greedy_1k,
+    "bpe_train_50round": probe_bpe_train_50round,
     "cc_skew": probe_cc_skew,
     "bloom_10x": probe_bloom_10x,
     "epoch_shuffle": probe_epoch_shuffle,

@@ -2430,11 +2430,13 @@ def x4_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_oracle_sql(rounds: int) -> str:
-    """Generate the unrolled ``rounds``-round BPE-training oracle: each
-    round enumerates adjacent symbol pairs over the marked DISTINCT
-    vocabulary, picks the (freq DESC, pattern ASC) winner, and applies
-    it with the same replace() arithmetic the engine uses."""
+def _bpe_train_ctes(rounds: int) -> tuple[list[str], list[str]]:
+    """The unrolled ``rounds``-round training CTE chain (shared by the
+    train oracle and the train→apply composition oracle): each round
+    enumerates adjacent symbol pairs over the double-marked DISTINCT
+    vocabulary, picks the (freq DESC, pattern ASC) winner w<r>, and
+    applies it with the same replace() arithmetic the engine uses.
+    Returns (ctes, per-round SELECTs of the winner table)."""
     sep = "chr(31)"
     pair_list = (
         f"[{sep}||sy[i]||chr(30)||{sep}||sy[i+1]||chr(30)"
@@ -2477,9 +2479,45 @@ def _bpe_train_oracle_sql(rounds: int) -> str:
             f"replace(replace(replace(pat, {end} || {sep}, ' '),"
             f" {sep}, ''), {end}, '') AS pair, freq FROM w{r}"
         )
+    return ctes, selects
+
+
+def _bpe_train_oracle_sql(rounds: int) -> str:
+    """The unrolled training oracle: the winner of each round."""
+    ctes, selects = _bpe_train_ctes(rounds)
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL ".join(selects) + "\nORDER BY round"
+    )
+
+
+def _bpe_train_apply_oracle_sql(rounds: int) -> str:
+    """Train→apply composition oracle: the same training CTE chain,
+    then the TRAINED winners applied sequentially (rank order, the
+    same double-marked replace) to every document's marked text."""
+    ctes, _ = _bpe_train_ctes(rounds)
+    ctes.append(
+        f"docm AS (SELECT doc_id, {_bpe_marked_sql('text')} AS f0"
+        " FROM documents)"
+    )
+    sep, end = "chr(31)", "chr(30)"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"docf{r} AS (SELECT doc_id, replace(docf.f, w{r}.pat, "
+            f"{sep} || replace(replace(w{r}.pat, {sep}, ''), {end}, '')"
+            f" || {end}) AS f"
+            f" FROM (SELECT doc_id, f{'0' if r == 1 else ''} AS f FROM "
+            f"{'docm' if r == 1 else f'docf{r - 1}'}) AS docf, w{r})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT d.doc_id,\n"
+        "  CAST(length(f.f) - length(replace(f.f, chr(31), '')) AS BIGINT)"
+        " AS n_tokens,\n"
+        "  CAST((length(d.f0) - length(replace(d.f0, chr(31), '')))"
+        " - (length(f.f) - length(replace(f.f, chr(31), ''))) AS BIGINT)"
+        " AS n_merges\n"
+        f"FROM docm d JOIN docf{rounds} f USING (doc_id)"
     )
 
 
@@ -2505,7 +2543,17 @@ def x4_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed (pagerank's convention) so round r's lineage doesn't
     re-derive rounds 1..r-1 for each of the winner's two consumers.
     Real trainers run ~50k rounds with the identical per-round shape —
-    the constant is rounds × vocab, never rounds × corpus."""
+    the constant is rounds × vocab, never rounds × corpus (measured to
+    50 rounds by the bpe_train_50round probe: per-decade wall FALLS)."""
+    return _bpe_train_winners(spark, sf_dir, rounds=3).orderBy("round")
+
+
+def _bpe_train_winners(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """The training loop behind x4_bpe_train_rounds and
+    x4_bpe_train_apply: ``rounds`` data-dependent merge rounds over the
+    double-marked distinct vocabulary; returns (round, pair, freq)."""
     sep, end = _BPE_SEP, _BPE_END
     d = scale_partitions(load(spark, sf_dir, "documents"))
     wc = (
@@ -2527,7 +2575,7 @@ def x4_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(end),
     )
     winners = []
-    for r in (1, 2, 3):
+    for r in range(1, rounds + 1):
         sy = F.filter(
             F.split("m", f"[{sep}{end}]"), lambda x: x != F.lit("")
         )
@@ -2582,6 +2630,45 @@ def x4_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for w in winners[1:]:
         out = out.unionByName(w)
     return out.orderBy("round")
+
+
+@query("x4_bpe_train_apply", oracle=_bpe_train_apply_oracle_sql(3))
+def x4_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN → APPLY, composed: the three data-dependent merges
+    x4_bpe_train_rounds learns flow into the PRODUCTION encoder
+    (bpe_greedy_kernel, x4_bpe_apply_greedy's Arrow island) and every
+    document is re-encoded with the trained table — the full tokenizer
+    lifecycle as one verified pair of plans. The oracle replays BOTH
+    halves: the unrolled training CTE chain picks the same winners,
+    then applies them sequentially to each doc's double-marked text
+    (fold ≡ rank-greedy holds for the trained table too: winners are
+    built from symbols that exist when they are picked, so the table
+    is valid by construction). A stage-coupling bug — training on a
+    different segmentation than the encoder consumes, a rank-order
+    swap, a marking mismatch — shifts every per-doc token count.
+
+    100 TB: training is one corpus-sized word count + rounds ×
+    vocab-sized work (bpe_train_50round probe); the learned table
+    crosses to the encoder as a 3-row bounded collect — exactly the
+    production seam, where the trainer PERSISTS the merge table and
+    the encode fleet loads it into its closure — and the encode pass
+    is the same zero-shuffle Arrow island as x4_bpe_apply_greedy."""
+    winners = _bpe_train_winners(spark, sf_dir, rounds=3).orderBy(
+        "round"
+    ).collect()  # bounded: exactly `rounds` rows — the persisted table
+    merges = [tuple(r["pair"].split(" ", 1)) for r in winners]
+    vocab = [a + b for a, b in merges] + list(
+        "abcdefghijklmnopqrstuvwxyz0123456789"
+    )
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    gen = bpe_greedy_kernel(merges, vocab)
+    return d.select("doc_id", "text").mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, n_tokens bigint, n_merges bigint,"
+            " n_oov bigint, ids_checksum bigint"
+        ),
+    ).select("doc_id", "n_tokens", "n_merges")
 
 
 @query(

@@ -236,6 +236,7 @@ _DEFER: dict[str, int] = {
     "x4_bpe_fertility": 10,
     "x4_intradoc_line_dedup": 10,
     "x4_bpe_apply_greedy": 11,
+    "x4_bpe_train_apply": 11,
     "x4_quality_classifier": 11,
     "x6_stratified_hash_sample": 11,
     "st28_stream_corpus_pipeline": 11,

@@ -80,6 +80,22 @@ def test_bpe_greedy_is_zero_shuffle(spark, sf_dir):
     assert "MapInPandas" in plan, plan
 
 
+def test_bpe_train_apply_composition(spark, tmp_path):
+    """The train→apply seam on the planted train-rounds corpus
+    ('the'×3 + 'than' → merges (t,h), (th,e), (a,n)): the trained
+    table must re-encode 'the the the' as THREE `the` tokens (9 base
+    chars − 3 tokens = 6 merges applied) and 'than' as th|an (2
+    tokens, 2 merges) — a rank-order or segmentation mismatch between
+    trainer and encoder changes these counts."""
+    rows = [(0, "the the the"), (1, "than")]
+    sf = _mini_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_merges"])
+        for r in QUERIES["x4_bpe_train_apply"](spark, sf).collect()
+    }
+    assert got == {0: (3, 6), 1: (2, 2)}
+
+
 def test_quality_classifier_separates_planted_pair(spark, tmp_path):
     """The classifier's defining behavior: a stopword-built doc (every
     token in the GOOD seed list) scores the good-bucket mean and

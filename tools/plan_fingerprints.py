@@ -34,7 +34,11 @@ SF_DIR = "/root/testdata/sf0.1"
 def normalize_plan(plan: str) -> str:
     p = re.sub(r"#\d+[L]?", "#N", plan)              # expression ids
     p = re.sub(r"plan_id=\d+", "plan_id=N", p)
-    p = re.sub(r"lambda x_\d+", "lambda x_K", p)     # session lambda counter
+    # Session-global lambda variable counters: element vars print as
+    # `lambda x_<n>`, index vars (index-aware filter/transform) as
+    # `lambda y_<n>` — normalize ANY single-letter lambda name, keeping
+    # the letter (arity/role) and masking the counter.
+    p = re.sub(r"lambda ([a-z])_\d+", r"lambda \1_K", p)
     # With-CSE aliases (count_if rewrites etc.) number from a
     # session-global counter, like the lambda variables above.
     p = re.sub(r"_common_expr_\d+", "_common_expr_K", p)

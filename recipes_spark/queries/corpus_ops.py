@@ -2759,7 +2759,11 @@ _QF_BAD = [
     "click", "buy", "free", "winner", "casino", "subscribe",
     "lottery", "prize", "congratulations", "unsubscribe",
 ]
-_QF_THRESHOLD_MICRO = -20_000
+#: Keep docs whose mean token weight beats the unboosted background
+#: bucket weight (-40000): on the sf corpus this keeps ~25-30% (p75),
+#: a realistic quality-filter pass rate, and the boundary demonstrably
+#: fires in both directions.
+_QF_THRESHOLD_MICRO = -40_000
 
 
 def _qf_bucket_py(tok: str) -> int:

@@ -2652,7 +2652,14 @@ def x4_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses to the encoder as a 3-row bounded collect — exactly the
     production seam, where the trainer PERSISTS the merge table and
     the encode fleet loads it into its closure — and the encode pass
-    is the same zero-shuffle Arrow island as x4_bpe_apply_greedy."""
+    is the same zero-shuffle Arrow island as x4_bpe_apply_greedy.
+
+    Degenerate-corpus caveat (unreachable at any fixture SF, noted for
+    honesty): if training finds FEWER than 3 winners (e.g. a corpus of
+    single-char words), the Spark side still encodes every doc with
+    the shorter table, while the oracle's per-round doc-fold CTE
+    chain crosses an empty winner row and returns no rows — the same
+    empty-winner behavior x4_bpe_train_rounds' oracle has."""
     winners = _bpe_train_winners(spark, sf_dir, rounds=3).orderBy(
         "round"
     ).collect()  # bounded: exactly `rounds` rows — the persisted table

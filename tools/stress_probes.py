@@ -1254,6 +1254,58 @@ def probe_bpe_greedy_1k(spark: SparkSession) -> dict:
     return out
 
 
+def probe_stream_pipeline_batches(spark: SparkSession) -> dict:
+    """st28's 100 TB claim measured: per-batch ingest work stays
+    BATCH-sized while the carried state grows — run the advance body
+    over 8 equal batches (twice the query's 4) at 1× and a mutated
+    10× corpus and report the first/last batch walls. If the
+    state-merge outer join were corpus-sized (or the clean stage
+    re-ran history), late batches would grow ~linearly with
+    accumulated state; vocabulary-scaled state keeps the tail batch
+    near the head batch."""
+    import tempfile
+
+    from recipes_spark.io import load
+    from recipes_spark.streaming.ingest import (
+        corpus_pipeline_advance_factory,
+        st28_final_report,
+    )
+
+    out = {"probe": "stream_pipeline_batches"}
+    big_dir = _stage_docs_sfdir(spark, mode="mutate")
+    for tag, sfd in (("1x", SF_DIR), ("10x", big_dir)):
+        d = load(spark, sfd, "documents").select(
+            "doc_id", "source", "text", "n_chars"
+        )
+        state_dir = tempfile.mkdtemp(prefix="recipes_probe_st28_")
+        fn = corpus_pipeline_advance_factory(spark, state_dir)
+        walls = []
+        for bid in range(8):
+            bdf = d.filter(F.pmod("doc_id", F.lit(8)) == bid)
+            walls.append(_timed(lambda: fn(bdf, bid)))
+        out[f"wall_batch0_{tag}"] = round(walls[0], 2)
+        out[f"wall_batch7_{tag}"] = round(walls[7], 2)
+        out[f"tail_over_head_{tag}"] = round(walls[7] / walls[0], 2)
+        # Final serve over 8 accumulated batches (st28_final_report
+        # reads s_3 for the 4-batch query; here read s_7 directly).
+        import os as _os
+
+        from recipes_spark.queries.corpus_ops import (
+            pipeline_reassemble,
+            pipeline_serve,
+        )
+
+        lines = spark.read.parquet(
+            *[_os.path.join(state_dir, f"l_{b}") for b in range(8)]
+        )
+        freq = spark.read.parquet(_os.path.join(state_dir, "s_7"))
+        t0 = time.perf_counter()
+        n = pipeline_serve(pipeline_reassemble(lines, freq)).count()
+        out[f"wall_serve_{tag}"] = round(time.perf_counter() - t0, 2)
+        out[f"shards_{tag}"] = n
+    return out
+
+
 def probe_bpe_train_50round(spark: SparkSession) -> dict:
     """x4_bpe_train_rounds' 100 TB claim measured: training cost is
     rounds × VOCAB, never rounds × corpus — one corpus-sized word
@@ -1342,6 +1394,7 @@ PROBES = {
     "cc_chain": probe_cc_chain,
     "bpe_greedy_1k": probe_bpe_greedy_1k,
     "bpe_train_50round": probe_bpe_train_50round,
+    "stream_pipeline_batches": probe_stream_pipeline_batches,
     "cc_skew": probe_cc_skew,
     "bloom_10x": probe_bloom_10x,
     "epoch_shuffle": probe_epoch_shuffle,

@@ -2502,12 +2502,21 @@ def _bpe_train_apply_oracle_sql(rounds: int) -> str:
     )
     sep, end = "chr(31)", "chr(30)"
     for r in range(1, rounds + 1):
+        # Scalar subqueries (not a cross join) so an EMPTY winner round
+        # — a degenerate corpus that trains fewer than `rounds` merges
+        # — degrades to a no-op replace (chr(0) never occurs in marked
+        # text), matching the Spark side, which simply encodes with the
+        # shorter table.
+        pat = f"coalesce((SELECT pat FROM w{r}), chr(0))"
+        rep = (
+            f"coalesce((SELECT {sep} ||"
+            f" replace(replace(pat, {sep}, ''), {end}, '') || {end}"
+            f" FROM w{r}), '')"
+        )
         ctes.append(
-            f"docf{r} AS (SELECT doc_id, replace(docf.f, w{r}.pat, "
-            f"{sep} || replace(replace(w{r}.pat, {sep}, ''), {end}, '')"
-            f" || {end}) AS f"
+            f"docf{r} AS (SELECT doc_id, replace(f, {pat}, {rep}) AS f"
             f" FROM (SELECT doc_id, f{'0' if r == 1 else ''} AS f FROM "
-            f"{'docm' if r == 1 else f'docf{r - 1}'}) AS docf, w{r})"
+            f"{'docm' if r == 1 else f'docf{r - 1}'}) AS docf)"
         )
     return (
         "WITH " + ",\n".join(ctes) + "\n"
@@ -2653,13 +2662,11 @@ def x4_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     production seam, where the trainer PERSISTS the merge table and
     the encode fleet loads it into its closure — and the encode pass
     is the same zero-shuffle Arrow island as x4_bpe_apply_greedy.
-
-    Degenerate-corpus caveat (unreachable at any fixture SF, noted for
-    honesty): if training finds FEWER than 3 winners (e.g. a corpus of
-    single-char words), the Spark side still encodes every doc with
-    the shorter table, while the oracle's per-round doc-fold CTE
-    chain crosses an empty winner row and returns no rows — the same
-    empty-winner behavior x4_bpe_train_rounds' oracle has."""
+    Degenerate corpora that train FEWER than 3 merges (all single-char
+    words) are handled on both sides: Spark encodes with the shorter
+    table; the oracle's per-round doc fold reads each winner through a
+    scalar subquery that degrades to a no-op replace when the round is
+    empty (intent-tested)."""
     winners = _bpe_train_winners(spark, sf_dir, rounds=3).orderBy(
         "round"
     ).collect()  # bounded: exactly `rounds` rows — the persisted table

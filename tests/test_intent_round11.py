@@ -96,6 +96,32 @@ def test_bpe_train_apply_composition(spark, tmp_path):
     assert got == {0: (3, 6), 1: (2, 2)}
 
 
+def test_bpe_train_apply_degenerate_corpus(spark, tmp_path):
+    """A corpus of single-char words trains ZERO merges — both the
+    Spark side (shorter table) and the oracle (empty-winner scalar
+    subquery → no-op replace) must return every doc un-merged."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+    from recipes_spark.queries.corpus_ops import (
+        _bpe_train_apply_oracle_sql,
+    )
+
+    rows = [(0, "a b c"), (1, "d e")]
+    sf = _mini_docs(spark, tmp_path, rows)
+    sdf = QUERIES["x4_bpe_train_apply"](spark, sf)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_merges"]) for r in sdf.collect()}
+    assert got == {0: (3, 0), 1: (2, 0)}
+    con = duckdb.connect()
+    # _mini_docs writes a Spark parquet DIRECTORY — glob its parts.
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    odf = con.sql(_bpe_train_apply_oracle_sql(3)).df()
+    assert not compare(sdf, odf, "degenerate")
+
+
 def test_quality_classifier_separates_planted_pair(spark, tmp_path):
     """The classifier's defining behavior: a stopword-built doc (every
     token in the GOOD seed list) scores the good-bucket mean and

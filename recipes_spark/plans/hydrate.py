@@ -67,8 +67,24 @@ def base_items(items: DataFrame, fields: Sequence[str]) -> DataFrame:
     (lexicographic on the canonical string form, e.g. '10' < '9',
     rather than numeric). pgstac's hydration fields are strings, where
     the two orders coincide; callers passing numeric fields get a
-    deterministic — just lexicographic — tie pick."""
+    deterministic — just lexicographic — tie pick. The contract covers
+    ATOMIC types only: a complex-typed field (array/struct/map) cannot
+    round-trip through the string melt (string→complex cast is
+    unsupported in Spark and would fail at analysis time deep inside
+    the pivot) — rejected up front with a clear error (ADVICE r11)."""
     dtypes = dict(items.dtypes)
+    complex_fields = [
+        f
+        for f in fields
+        if dtypes[f].startswith(("array<", "struct<", "map<"))
+    ]
+    if complex_fields:
+        raise ValueError(
+            "base_items: only atomic-typed fields are supported (the "
+            "melt canonicalizes through a string cast, and Spark cannot "
+            "cast a string back to a complex type); got complex-typed "
+            f"field(s): {complex_fields}"
+        )
     long = items.select(
         "collection_id",
         F.explode(

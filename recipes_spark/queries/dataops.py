@@ -1630,8 +1630,9 @@ def x2_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only corpus-sized exchange — the docstring's own "hash to
     64-bit for real corpora" instruction, now the code): 8 bytes per
     anchor instead of ~50. The oracle replays the identical hash, so
-    the check stays exact; a 60-bit collision (birthday ~4e2 spurious
-    anchors at 10^12 distinct grams) can only ADD a false duplicated
+    the check stays exact; a 60-bit collision (birthday n²/2m ≈ 4e5
+    spurious anchors at 10^12 distinct grams — ~4e2 at ~3e10 grams)
+    can only ADD a false duplicated
     start, never lose a true span, and the pure-Python property test
     (test_intent_round10, TEXT-keyed spec) cross-checks that no
     collision fires on the test corpora."""

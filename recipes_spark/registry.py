@@ -129,6 +129,11 @@ _RECHECK: dict[str, int] = {
     # token counts (was whitespace), and the floor moved BEFORE the
     # survivor window (kills the kept='' hot key — ADVICE r10):
     "x6_corpus_pipeline_e2e": 11,
+    # round-12: st28's serve phase derives the final state generation
+    # from the state dir (max s_* bid, cross-checked against l_*)
+    # instead of hardcoding s_3 — same oracle, same output, re-attest
+    # on the generalized path (r11 verdict task 4 / ADVICE):
+    "st28_stream_corpus_pipeline": 12,
 }
 
 

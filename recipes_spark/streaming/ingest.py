@@ -2377,7 +2377,7 @@ def st27_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     freq = spark.read.schema(_ST27_STATE_SCHEMA).parquet(
-        os.path.join(state_dir, "s_3")
+        os.path.join(state_dir, f"s_{_max_state_bid(state_dir, 's_')}")
     )
     return line_dedup_report(doc_lines(d), freq)
 
@@ -2388,6 +2388,12 @@ def st27_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ST28_LINES_SCHEMA = "doc_id bigint, source string, idx int, line string"
 _ST28_SRC_SCHEMA = "source string, n_docs long"
+
+#: State dir of the most recent st28_stream_corpus_pipeline run in this
+#: process — a test/inspection hook (ADVICE r11: tests used to locate
+#: the dir by mtime-globbing the global tempdir, racy under parallel
+#: runs or leftover dirs from prior sessions).
+_ST28_LAST_STATE_DIR: str | None = None
 
 
 def corpus_pipeline_advance_factory(spark: SparkSession, state_dir: str):
@@ -2443,11 +2449,42 @@ def corpus_pipeline_advance_factory(spark: SparkSession, state_dir: str):
     return advance
 
 
+def _max_state_bid(state_dir: str, prefix: str) -> int:
+    """Largest batch id among ``<prefix><bid>`` entries in the state
+    dir — the GENERATION the serve phase should read. Raises on an
+    empty family (a serve before any batch advanced is a bug)."""
+    bids = [
+        int(p[len(prefix):])
+        for p in os.listdir(state_dir)
+        if p.startswith(prefix) and p[len(prefix):].isdigit()
+    ]
+    if not bids:
+        raise ValueError(
+            f"no {prefix}* state under {state_dir}: serve phase called "
+            "before any micro-batch advanced"
+        )
+    return max(bids)
+
+
 def st28_final_report(spark: SparkSession, state_dir: str) -> DataFrame:
     """Serve phase over the ACCUMULATED state: reassemble every doc
     from the unioned clean-line store against the final C4 counts,
     then run pipeline_serve VERBATIM — floor, survivor pick, mixture,
-    shard, token-budget pack, manifest."""
+    shard, token-budget pack, manifest. The final count-state
+    generation is DERIVED from the state dir (max s_* bid) and
+    cross-checked against the line-store generations, so the
+    registered 4-batch query, the 8-batch probe and any
+    variable-batch variant share this one code path (round 11
+    hardcoded s_3 — the 8-batch probe had to work around it; fixed
+    per the r11 verdict/ADVICE)."""
+    final_bid = _max_state_bid(state_dir, "s_")
+    lines_bid = _max_state_bid(state_dir, "l_")
+    if final_bid != lines_bid:
+        raise ValueError(
+            f"st28 state families disagree: max s_* bid {final_bid} != "
+            f"max l_* bid {lines_bid} — a partial batch advance; "
+            "stale counts must not pair with a fuller line store"
+        )
     all_lines = spark.read.schema(_ST28_LINES_SCHEMA).parquet(
         *sorted(
             os.path.join(state_dir, p)
@@ -2456,7 +2493,7 @@ def st28_final_report(spark: SparkSession, state_dir: str) -> DataFrame:
         )
     )
     freq = spark.read.schema(_ST27_STATE_SCHEMA).parquet(
-        os.path.join(state_dir, "s_3")
+        os.path.join(state_dir, f"s_{final_bid}")
     )
     return pipeline_serve(pipeline_reassemble(all_lines, freq))
 
@@ -2494,6 +2531,8 @@ def st28_stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = [d.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
     staged = stage_ordered(chunks, prefix="recipes_st28_landing_")
     state_dir = tempfile.mkdtemp(prefix="recipes_st28_state_")
+    global _ST28_LAST_STATE_DIR
+    _ST28_LAST_STATE_DIR = state_dir
     advance = corpus_pipeline_advance_factory(spark, state_dir)
 
     q = (

@@ -190,15 +190,17 @@ def test_base_items_preserves_source_field_types(spark):
 
 
 def test_bpe_greedy_large_table_matches_python_reference(spark, tmp_path):
-    """A 1000-merge VALID synthetic table (gen-1 = letter pairs,
-    gen-2 = pairs of gen-1 symbols) through the same kernel must match
-    an independent pure-Python double-marked FOLD — the
-    fold ≡ rank-greedy theorem exercised far beyond the 12-merge
-    table, on words engineered to chain merges across generations."""
+    """A 1000-merge VALID synthetic table (gen-1 = the 676 letter
+    pairs, gen-2 = pairs of adjacent gen-1 symbols, truncated to
+    exactly 1000) through the same kernel must match an independent
+    pure-Python double-marked FOLD — the fold ≡ rank-greedy theorem
+    exercised far beyond the 12-merge table, on words engineered to
+    chain merges across generations (ADVICE r11: the 8-letter alphabet
+    only yielded 127 merges; 26 letters make the [:1000] cut real)."""
     import itertools
     import random
 
-    letters = "abcdefgh"
+    letters = "abcdefghijklmnopqrstuvwxyz"
     gen1 = [(a, b) for a, b in itertools.product(letters, repeat=2)]
     gen2 = [
         (a + b, c + d)

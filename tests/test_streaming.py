@@ -527,7 +527,6 @@ def test_st28_matches_batch_composition_and_telescopes(spark, sf_dir):
     the stream twin's 16-shard manifest must equal
     x6_corpus_pipeline_e2e's bit-for-bit, and the carried per-source
     count state must telescope to the whole-corpus cleaned-doc counts."""
-    import glob
     import os
 
     from recipes_spark.io import load
@@ -543,10 +542,12 @@ def test_st28_matches_batch_composition_and_telescopes(spark, sf_dir):
     )
     assert got == want and len(got) > 0
 
-    state_dir = max(
-        glob.glob(os.path.join(tempfile.gettempdir(), "recipes_st28_state_*")),
-        key=os.path.getmtime,
-    )
+    # The module hook, not an mtime-glob over the global tempdir
+    # (ADVICE r11: the glob is racy under parallel runs / leftovers).
+    from recipes_spark.streaming import ingest
+
+    state_dir = ingest._ST28_LAST_STATE_DIR
+    assert state_dir is not None
     src = {
         r["source"]: r["n_docs"]
         for r in spark.read.parquet(os.path.join(state_dir, "src_3")).collect()

@@ -1286,21 +1286,12 @@ def probe_stream_pipeline_batches(spark: SparkSession) -> dict:
         out[f"wall_batch0_{tag}"] = round(walls[0], 2)
         out[f"wall_batch7_{tag}"] = round(walls[7], 2)
         out[f"tail_over_head_{tag}"] = round(walls[7] / walls[0], 2)
-        # Final serve over 8 accumulated batches (st28_final_report
-        # reads s_3 for the 4-batch query; here read s_7 directly).
-        import os as _os
-
-        from recipes_spark.queries.corpus_ops import (
-            pipeline_reassemble,
-            pipeline_serve,
-        )
-
-        lines = spark.read.parquet(
-            *[_os.path.join(state_dir, f"l_{b}") for b in range(8)]
-        )
-        freq = spark.read.parquet(_os.path.join(state_dir, "s_7"))
+        # Final serve over 8 accumulated batches through the REGISTERED
+        # serve path (round 12: st28_final_report derives the final
+        # state generation from the dir — no more per-batch-count
+        # workaround here).
         t0 = time.perf_counter()
-        n = pipeline_serve(pipeline_reassemble(lines, freq)).count()
+        n = st28_final_report(spark, state_dir).count()
         out[f"wall_serve_{tag}"] = round(time.perf_counter() - t0, 2)
         out[f"shards_{tag}"] = n
     return out

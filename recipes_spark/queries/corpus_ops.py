@@ -2888,6 +2888,172 @@ def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trained-vector form of the quality classifier (round 12 — the
+# production dimensionality x4_quality_classifier's docstring names):
+# a ~50k-bucket weight vector shipped to executors inside an Arrow
+# kernel's closure (the bpe_greedy_kernel pattern), NOT a 50k-literal
+# Catalyst array. Seed lists expand the literal form's 10+10 words
+# with deterministic generated vocabulary standing in for trained
+# coefficients — the serving shape is what a trained fastText /
+# logistic model ships: a dense hash-indexed weight vector.
+_QFT_DIM = 50_000
+#: Background (un-updated) bucket weight.
+_QFT_BASE_MICRO = -40_000
+#: Keep threshold: base + 1. At 64 buckets every bucket carries some
+#: seed mass (collisions smear it), so threshold == base splits the
+#: corpus; at 50k buckets a no-seed-word doc scores EXACTLY base, so
+#: the trained form keeps only docs with strictly more good-mass than
+#: bad-mass — and the boundary demonstrably fires in both directions.
+_QFT_THRESHOLD_MICRO = _QFT_BASE_MICRO + 1
+_QFT_GOOD = _QF_GOOD + [f"useful{i:03d}" for i in range(240)]
+_QFT_BAD = _QF_BAD + [f"spamtok{i:03d}" for i in range(240)]
+
+
+def _qft_weight_rows(
+    dim: int, good: list[str], bad: list[str], base: int
+) -> dict[int, int]:
+    """FINAL weights of the non-base buckets only: bucket -> weight
+    after every seed-word update (+90k good / -150k bad, accumulated
+    on hash collisions) — the compact relation the DuckDB oracle joins
+    instead of materializing a dim-sized literal array."""
+    import hashlib
+
+    w: dict[int, int] = {}
+    for toks, delta in ((good, 90_000), (bad, -150_000)):
+        for t in toks:
+            b = int(
+                hashlib.sha256(f"qf:{t}".encode()).hexdigest()[:8], 16
+            ) % dim
+            w[b] = w.get(b, base) + delta
+    return w
+
+
+def quality_score_kernel(
+    weights: dict[int, int], dim: int, base: int, threshold: int
+):
+    """mapInPandas generator for the hashed-feature linear scorer —
+    the PRODUCTION serving island: the (sparse) trained weight map
+    rides the closure (Spark broadcasts the serialized function to
+    every executor once), tokens hash to buckets with the portable
+    sha-slice (identical to the Catalyst/DuckDB expression), and the
+    doc score is the exact integer mean in micros. Per-unique-token
+    caching across the batch iterator (Zipf → ~99% hits), so scoring
+    cost is corpus-scan-bound and INSENSITIVE to dim — a 50k-bucket
+    vector costs the same pass as a 64-bucket one (measured:
+    SCALE.md quality_classifier_dim probe). floor division on exact
+    ints == both engines' floor(total/n_tok) by the literal form's
+    exactness argument."""
+    import hashlib
+
+    def tok_weight(tok: str, cache: dict) -> int:
+        w = cache.get(tok)
+        if w is None:
+            b = int(
+                hashlib.sha256(b"qf:" + tok.encode()).hexdigest()[:8], 16
+            ) % dim
+            w = weights.get(b, base)
+            cache[tok] = w
+        return w
+
+    def gen(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            n_tok, score, keep = [], [], []
+            for t in pdf["text"]:
+                toks = t.split(" ")
+                total = 0
+                for tok in toks:
+                    total += tok_weight(tok, cache)
+                n = len(toks)
+                s = total // n  # floor division, exact ints
+                n_tok.append(n)
+                score.append(s)
+                keep.append(1 if s >= threshold else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tok": pd.Series(n_tok, dtype="int64"),
+                    "score_micro": pd.Series(score, dtype="int64"),
+                    "keep": pd.Series(keep, dtype="int32"),
+                }
+            )
+
+    return gen
+
+
+def _qft_oracle_sql() -> str:
+    rows = ", ".join(
+        f"({b}, {w})"
+        for b, w in sorted(
+            _qft_weight_rows(
+                _QFT_DIM, _QFT_GOOD, _QFT_BAD, _QFT_BASE_MICRO
+            ).items()
+        )
+    )
+    return f"""
+WITH wt(b, w) AS (VALUES {rows}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), bt AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256('qf:' || tok), 1, 8)) AS BIGINT)
+           % {_QFT_DIM} AS b
+  FROM toks
+), s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(coalesce(w, {_QFT_BASE_MICRO})) AS BIGINT) AS total
+  FROM bt LEFT JOIN wt USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tok,
+       CAST(floor(total / n_tok) AS BIGINT) AS score_micro,
+       CAST(CASE WHEN floor(total / n_tok) >= {_QFT_THRESHOLD_MICRO}
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM s
+"""
+
+
+@query("x4_quality_classifier_trained", oracle=_qft_oracle_sql())
+def x4_quality_classifier_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality classifier at PRODUCTION dimensionality — the 50k-bucket
+    trained-vector form x4_quality_classifier's docstring names (and
+    the r11 verdict's task 1): the weight vector no longer fits the
+    expression tree as a literal array, so it ships to executors
+    inside an Arrow mapInPandas kernel's closure (bpe_greedy_kernel's
+    pattern — Spark broadcasts the serialized function once per
+    executor) and scoring is one zero-shuffle corpus pass with
+    per-unique-token caching. Weights are Python-generated from seed
+    word lists (deterministic, shared-seed) standing in for trained
+    coefficients; the DuckDB oracle joins the ~500 NON-base buckets as
+    a compact weight relation (VALUES table + COALESCE to the base
+    weight) — fully oracled without a 50k-literal array, and any
+    bucket-math or accumulation drift between the engines shifts
+    doc scores. Gated bit-identical to the 64-bucket literal form on a
+    shared-seed config (tests/test_intent_round12.py), and the
+    threshold fires in both directions on the sf corpus.
+
+    100 TB: ZERO shuffle — one scan through one Arrow island; dim
+    enters only closure size (50k × 8 B ≈ 400 KB serialized once per
+    executor) and the per-MISS hash cost, not the per-token cost
+    (measured dim-insensitive: SCALE.md quality_classifier_dim)."""
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    gen = quality_score_kernel(
+        _qft_weight_rows(_QFT_DIM, _QFT_GOOD, _QFT_BAD, _QFT_BASE_MICRO),
+        _QFT_DIM,
+        _QFT_BASE_MICRO,
+        _QFT_THRESHOLD_MICRO,
+    )
+    return d.select("doc_id", "text").mapInPandas(
+        gen,
+        schema="doc_id bigint, n_tok bigint, score_micro bigint, keep int",
+    )
+
+
 @query(
     "x6_stratified_hash_sample",
     oracle="""

@@ -245,6 +245,7 @@ _DEFER: dict[str, int] = {
     "x4_quality_classifier": 11,
     "x6_stratified_hash_sample": 11,
     "st28_stream_corpus_pipeline": 11,
+    "x4_quality_classifier_trained": 12,
 }
 
 

@@ -1,0 +1,88 @@
+"""Round-12 intent tests: the trained 50k-bucket quality classifier
+(kernel ≡ literal-form gate on a shared-seed config, both-directions
+threshold, planted ordering), the bloom pre-filter composed into
+decontamination, and the portable-hash MinHash-LSH oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from recipes_spark.registry import all_queries
+from tests.test_intent_round7 import _mini_docs
+
+QUERIES = all_queries()
+
+
+def test_quality_kernel_bit_identical_to_literal_form(spark, sf_dir):
+    """The shared-seed gate (r11 verdict task 1): the Arrow kernel at
+    dim 64 with the literal form's exact seed lists / base / threshold
+    must reproduce x4_quality_classifier BIT-identically — same
+    per-doc token counts, scores, and keep decisions. Any drift in the
+    bucket hash, the collision accumulation, or the floor arithmetic
+    between the closure path and the expression-tree path fails
+    here."""
+    from recipes_spark.io import load, scale_partitions
+    from recipes_spark.queries.corpus_ops import (
+        _QF_BAD,
+        _QF_DIM,
+        _QF_GOOD,
+        _QF_THRESHOLD_MICRO,
+        _qft_weight_rows,
+        quality_score_kernel,
+    )
+
+    literal = {
+        r["doc_id"]: (r["n_tok"], r["score_micro"], r["keep"])
+        for r in QUERIES["x4_quality_classifier"](spark, sf_dir).collect()
+    }
+    gen = quality_score_kernel(
+        _qft_weight_rows(_QF_DIM, _QF_GOOD, _QF_BAD, _QF_THRESHOLD_MICRO),
+        _QF_DIM,
+        _QF_THRESHOLD_MICRO,
+        _QF_THRESHOLD_MICRO,
+    )
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    kernel = {
+        r["doc_id"]: (r["n_tok"], r["score_micro"], r["keep"])
+        for r in d.select("doc_id", "text")
+        .mapInPandas(
+            gen,
+            schema="doc_id bigint, n_tok bigint, score_micro bigint, keep int",
+        )
+        .collect()
+    }
+    assert kernel == literal and len(kernel) > 0
+
+
+def test_quality_trained_threshold_fires_both_directions(spark, sf_dir):
+    """The trained form's keep boundary must demonstrably fire both
+    ways on the sf corpus (the literal form's contract, kept)."""
+    keeps = {
+        r["keep"]
+        for r in QUERIES["x4_quality_classifier_trained"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert keeps == {0, 1}
+
+
+def test_quality_trained_planted_ordering(spark, tmp_path):
+    """Planted triple through the TRAINED vector: a stopword-rich doc
+    scores above a neutral doc scores above a spam doc, and the keep
+    decisions split exactly at the good/neutral boundary (threshold =
+    base + 1: only strictly-positive good-mass keeps)."""
+    rows = [
+        (0, "the a and of to in is it on for"),
+        # Tokens verified base-bucketed (no collision with any seed
+        # bucket at _QFT_DIM) — 'qqq' e.g. lands on a boosted bucket.
+        (1, "www eee rrr ttt yyy uuu iii ooo"),
+        (2, "click buy free winner casino subscribe"),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: (r["score_micro"], r["keep"])
+        for r in QUERIES["x4_quality_classifier_trained"](spark, sf).collect()
+    }
+    assert out[0][0] > out[1][0] > out[2][0]
+    assert out[0][1] == 1 and out[1][1] == 0 and out[2][1] == 0

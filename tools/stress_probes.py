@@ -1254,6 +1254,66 @@ def probe_bpe_greedy_1k(spark: SparkSession) -> dict:
     return out
 
 
+def probe_quality_classifier_dim(spark: SparkSession) -> dict:
+    """x4_quality_classifier_trained's 100 TB claim measured: scoring
+    cost is corpus-scan-bound and INSENSITIVE to the weight-vector
+    dimensionality — dim enters only the closure size and the
+    per-unique-token hash, never the per-token cost. Runs the SAME
+    Arrow kernel over the sf corpus at dim 64 (the literal form's
+    toy config) and dim 50k (the trained serving shape) and reports
+    both walls; if dim leaked into the hot loop the 50k run would
+    blow up ~800x."""
+    from recipes_spark.io import load
+    from recipes_spark.queries.corpus_ops import (
+        _QF_BAD,
+        _QF_DIM,
+        _QF_GOOD,
+        _QF_THRESHOLD_MICRO,
+        _QFT_BAD,
+        _QFT_BASE_MICRO,
+        _QFT_DIM,
+        _QFT_GOOD,
+        _QFT_THRESHOLD_MICRO,
+        _qft_weight_rows,
+        quality_score_kernel,
+    )
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    mb = (d.agg(F.sum(F.length("text"))).collect()[0][0] or 0) / 1e6
+    out = {"probe": "quality_classifier_dim", "corpus_mb": round(mb, 1)}
+    schema = "doc_id bigint, n_tok bigint, score_micro bigint, keep int"
+    configs = {
+        "dim_64": (
+            _qft_weight_rows(_QF_DIM, _QF_GOOD, _QF_BAD, _QF_THRESHOLD_MICRO),
+            _QF_DIM,
+            _QF_THRESHOLD_MICRO,
+            _QF_THRESHOLD_MICRO,
+        ),
+        "dim_50k": (
+            _qft_weight_rows(
+                _QFT_DIM, _QFT_GOOD, _QFT_BAD, _QFT_BASE_MICRO
+            ),
+            _QFT_DIM,
+            _QFT_BASE_MICRO,
+            _QFT_THRESHOLD_MICRO,
+        ),
+    }
+    for tag, cfg in configs.items():
+        df = d.repartition(32).mapInPandas(
+            quality_score_kernel(*cfg), schema=schema
+        )
+        out[f"wall_sec_{tag}"] = round(
+            min(_timed(lambda: df.agg(F.sum("n_tok")).collect())
+                for _ in range(3)),
+            2,
+        )
+        out[f"mb_per_sec_{tag}"] = round(mb / out[f"wall_sec_{tag}"], 1)
+    out["dim_ratio_50k_vs_64"] = round(
+        out["wall_sec_dim_50k"] / out["wall_sec_dim_64"], 2
+    )
+    return out
+
+
 def probe_stream_pipeline_batches(spark: SparkSession) -> dict:
     """st28's 100 TB claim measured: per-batch ingest work stays
     BATCH-sized while the carried state grows — run the advance body
@@ -1403,6 +1463,7 @@ PROBES = {
     "gram_block": probe_gram_block,
     "global_rank": probe_global_rank,
     "per_key_rank": probe_per_key_rank,
+    "quality_classifier_dim": probe_quality_classifier_dim,
 }
 
 

@@ -828,6 +828,71 @@ def bloom_members(
     return df.filter(F.col(key_col).isNotNull()).filter(bloom_hit(*pos_cols))
 
 
+def bloom_build_longs(
+    df: DataFrame, key_col: str, *, m_bits: int = 1 << 17, k: int = 4
+) -> list[int]:
+    """Bloom filter over a LONG key column, packed as a list of
+    m_bits/64 int64 words suitable for a Catalyst array LITERAL — the
+    engine-internal pre-filter form (never oracle-replayed: a bloom
+    that only gates work cannot change output, so the cheap xxhash64
+    lane family is fine here where bloom_build needs the portable
+    sha-slice). Returns the signed-int64 view of the bitmap; the
+    distinct-positions collect is bounded by m_bits regardless of
+    input size. Merging shards = elementwise OR."""
+    import numpy as np
+
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    rows = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(*_bloom_positions_long(F.col(key_col), m_bits, k))
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in rows:
+        p = int(r["p"])
+        words[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+    return [int(x) for x in words.view(np.int64)]
+
+
+def bloom_hit_expr(
+    key: Column, words: list[int], *, m_bits: int, k: int
+) -> Column:
+    """Row-local membership test of a LONG key expression against a
+    bloom_build_longs bitmap: TRUE iff all k bits are set. Pure
+    Catalyst (element_at + bit_get over the words literal — the
+    literal array constant-folds once), so the test composes into
+    higher-order-function lambdas: e.g.
+    ``F.exists(grams, lambda g: bloom_hit_expr(g["gh"], ...))`` gives
+    a zero-shuffle per-DOCUMENT pre-filter over a gram array. No
+    false negatives by the bloom property, so gating an exact join on
+    this cannot change its output — only skip provably-missing work."""
+    arr = F.array(*[F.lit(int(w)) for w in words])
+    hit = F.lit(True)
+    for i, p in enumerate(_bloom_positions_long(key, m_bits, k)):
+        word = F.element_at(arr, F.shiftright(p, 6).cast("int") + 1)
+        bit = F.call_function(
+            "bit_get", word, F.pmod(p, F.lit(64)).cast("int")
+        )
+        hit = hit & (bit == 1) if i else (bit == 1)
+    return hit
+
+
+def _bloom_positions_long(key: Column, m_bits: int, k: int) -> list:
+    """The ONE definition of the long-key bloom lanes — shared by
+    bloom_build_longs and bloom_hit_expr so build and probe cannot
+    drift (the no-false-negative guarantee depends on it):
+    position_i = pmod(xxhash64(key, seed=i), m_bits)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
 def _bloom_positions(key_col: str, m_bits: int, k: int) -> list:
     """The ONE definition of the portable bloom bit positions —
     position_i = int(sha256_hex[8i+1 .. 8i+8], 16) % m_bits, the

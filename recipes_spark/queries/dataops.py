@@ -21,6 +21,8 @@ from recipes_spark.functions.vectors import as_double, cosine
 from recipes_spark.io import load, scale_partitions
 from recipes_spark.operators.dedup import (
     band_hashes,
+    bloom_build_longs,
+    bloom_hit_expr,
     connected_components,
     connected_components_star,
     containment_pairs,
@@ -1386,9 +1388,23 @@ def x4_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions ship back as one short int array per contaminated doc
     and the rewrite is the same row-local HOF as span_scrub. Grams are
     60-bit sha-slice anchors (round 11 — was raw text; the hash is
-    replayed by the oracle); at real scale additionally pre-filter
-    with a bloom of the benchmark grams (x2_bloom_candidates) to skip
-    the join for the ~99% of docs with no hit."""
+    replayed by the oracle). Round 12: a 16 KiB BLOOM of the benchmark
+    grams pre-filters at the DOCUMENT level (row-local exists over the
+    gram array, zero shuffle) so the ~99% of docs with no hit never
+    explode into the candidate join — the bloom has no false
+    negatives, so the output is bit-identical and the oracle
+    unchanged; measured join-input reduction in SCALE.md
+    (decontaminate_bloom)."""
+    return _decontaminate_spans_plan(spark, sf_dir, use_bloom=True)
+
+
+def _decontaminate_spans_plan(
+    spark: SparkSession, sf_dir: str, *, use_bloom: bool
+) -> DataFrame:
+    """x4_decontaminate_spans' plan, bloom gate togglable so the
+    decontaminate_bloom probe can measure the gated vs ungated join
+    input on the same corpus (the two variants are output-identical —
+    no false negatives)."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.split("text", " ").alias("w"))
     bench = words.filter(F.col("doc_id") < 20)
@@ -1418,11 +1434,33 @@ def x4_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(gram_structs).alias("g"))
         .select("g.gh")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    occ = (
-        corpus.filter(F.size("w") >= 8)
-        .select("doc_id", F.explode(gram_structs).alias("g"))
-        .select("doc_id", "g.i", "g.gh")
+    # Round 12 (r11 verdict task 3): the docstring's bloom pre-filter,
+    # composed. A 16 KiB bloom of the benchmark grams rides the plan as
+    # a words-array literal; a document explodes into the candidate
+    # join ONLY if some gram of its hits the bloom (row-local exists —
+    # zero shuffle, no UDF). No false negatives ⇒ the surviving
+    # `starts` set is IDENTICAL, so the oracle is unchanged; the ~99%
+    # clean docs skip the explode+join entirely (measured:
+    # SCALE.md decontaminate_bloom). bgrams is checkpointed because it
+    # now has two consumers (bitmap build + broadcast join).
+    occ = corpus.filter(F.size("w") >= 8)
+    if use_bloom:
+        _BLOOM_M, _BLOOM_K = 1 << 17, 4
+        bloom_words = bloom_build_longs(
+            bgrams, "gh", m_bits=_BLOOM_M, k=_BLOOM_K
+        )
+        occ = occ.filter(
+            F.exists(
+                gram_structs,
+                lambda g: bloom_hit_expr(
+                    g["gh"], bloom_words, m_bits=_BLOOM_M, k=_BLOOM_K
+                ),
+            )
+        )
+    occ = occ.select("doc_id", F.explode(gram_structs).alias("g")).select(
+        "doc_id", "g.i", "g.gh"
     )
     starts = (
         occ.join(F.broadcast(bgrams), "gh")

@@ -134,6 +134,11 @@ _RECHECK: dict[str, int] = {
     # instead of hardcoding s_3 — same oracle, same output, re-attest
     # on the generalized path (r11 verdict task 4 / ADVICE):
     "st28_stream_corpus_pipeline": 12,
+    # round-12: benchmark-gram bloom pre-filter composed into the
+    # decontamination plan (doc-level exists, zero shuffle) — the
+    # bloom is a pure work-gate with no false negatives, so the
+    # oracle is unchanged; re-attest on the gated plan:
+    "x4_decontaminate_spans": 12,
 }
 
 

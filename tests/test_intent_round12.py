@@ -86,3 +86,24 @@ def test_quality_trained_planted_ordering(spark, tmp_path):
     }
     assert out[0][0] > out[1][0] > out[2][0]
     assert out[0][1] == 1 and out[1][1] == 0 and out[2][1] == 0
+
+
+def test_decontaminate_bloom_gate_no_false_negative(spark, tmp_path):
+    """The bloom pre-filter is a pure work-gate: a corpus doc sharing
+    an 8-gram with the benchmark slice MUST still be scrubbed (the
+    bloom cannot produce a false negative), and clean docs still pass
+    through verbatim with empty removal counts."""
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"benchmark prefix {bench_gram} benchmark suffix"),
+        (20, f"pre {bench_gram} post filler filler2 filler3"),
+        (21, "clean doc with entirely unshared tokens one two three"),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: (r["n_removed"], r["text_clean"])
+        for r in QUERIES["x4_decontaminate_spans"](spark, sf).collect()
+    }
+    assert set(out) == {20, 21}  # bench slice (doc_id < 20) not emitted
+    assert out[20][0] > 0 and bench_gram not in out[20][1]
+    assert out[21][0] == 0 and out[21][1] == rows[2][1]

@@ -1254,6 +1254,86 @@ def probe_bpe_greedy_1k(spark: SparkSession) -> dict:
     return out
 
 
+def probe_decontaminate_bloom(spark: SparkSession) -> dict:
+    """x4_decontaminate_spans' round-12 claim measured: the 16 KiB
+    benchmark-gram bloom gates the corpus at the DOCUMENT level, so on
+    a low-contamination corpus (the realistic regime — an eval suite
+    overlaps ~nothing) almost no doc explodes into the candidate join.
+    Reports docs/grams entering the join with and without the gate,
+    the reduction factors, end-to-end walls both ways, and asserts the
+    two variants' outputs are IDENTICAL (the no-false-negative
+    contract)."""
+    from recipes_spark.queries.dataops import _decontaminate_spans_plan
+
+    out = {"probe": "decontaminate_bloom"}
+    gated = _decontaminate_spans_plan(spark, SF_DIR, use_bloom=True)
+    ungated = _decontaminate_spans_plan(spark, SF_DIR, use_bloom=False)
+    rows_g = sorted(tuple(r) for r in gated.collect())
+    rows_u = sorted(tuple(r) for r in ungated.collect())
+    assert rows_g == rows_u, "bloom gate changed decontamination output"
+    out["docs"] = len(rows_g)
+    out["contaminated_docs"] = sum(1 for r in rows_g if r[3] > 0)
+    out["wall_sec_gated"] = round(
+        min(_timed(lambda: gated.count()) for _ in range(3)), 2
+    )
+    out["wall_sec_ungated"] = round(
+        min(_timed(lambda: ungated.count()) for _ in range(3)), 2
+    )
+    # Join-input volume: gram rows surviving to the candidate join.
+    # Rebuild just the occ legs (the plan helper keeps them internal).
+    from recipes_spark.operators.dedup import (
+        bloom_build_longs,
+        bloom_hit_expr,
+    )
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 7),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat_ws(" ", F.slice("w", i, 8)), 256), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gh"),
+        ),
+    )
+    bgrams = (
+        words.filter((F.col("doc_id") < 20) & (F.size("w") >= 8))
+        .select(F.explode(gram_structs).alias("g"))
+        .select("g.gh")
+        .distinct()
+    )
+    bw = bloom_build_longs(bgrams, "gh", m_bits=1 << 17, k=4)
+    corpus = words.filter((F.col("doc_id") >= 20) & (F.size("w") >= 8))
+    hit = corpus.filter(
+        F.exists(
+            gram_structs,
+            lambda g: bloom_hit_expr(g["gh"], bw, m_bits=1 << 17, k=4),
+        )
+    )
+    out["join_docs_ungated"] = corpus.count()
+    out["join_docs_gated"] = hit.count()
+    out["join_grams_ungated"] = corpus.select(
+        F.sum(F.size("w") - 7)
+    ).collect()[0][0]
+    out["join_grams_gated"] = (
+        hit.select(F.sum(F.size("w") - 7)).collect()[0][0] or 0
+    )
+    out["doc_reduction"] = (
+        round(out["join_docs_ungated"] / max(out["join_docs_gated"], 1), 1)
+    )
+    out["gram_reduction"] = round(
+        out["join_grams_ungated"] / max(out["join_grams_gated"], 1), 1
+    )
+    return out
+
+
 def probe_quality_classifier_dim(spark: SparkSession) -> dict:
     """x4_quality_classifier_trained's 100 TB claim measured: scoring
     cost is corpus-scan-bound and INSENSITIVE to the weight-vector
@@ -1464,6 +1544,7 @@ PROBES = {
     "global_rank": probe_global_rank,
     "per_key_rank": probe_per_key_rank,
     "quality_classifier_dim": probe_quality_classifier_dim,
+    "decontaminate_bloom": probe_decontaminate_bloom,
 }
 
 

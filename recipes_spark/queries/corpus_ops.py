@@ -2436,7 +2436,16 @@ def _bpe_train_ctes(rounds: int) -> tuple[list[str], list[str]]:
     enumerates adjacent symbol pairs over the double-marked DISTINCT
     vocabulary, picks the (freq DESC, pattern ASC) winner w<r>, and
     applies it with the same replace() arithmetic the engine uses.
-    Returns (ctes, per-round SELECTs of the winner table)."""
+    Returns (ctes, per-round SELECTs of the winner table).
+
+    Every chained CTE is AS MATERIALIZED: round r's vocabulary m{r} is
+    referenced twice downstream (by round r+1's pair count AND its own
+    apply), and DuckDB 1.0 INLINES multiply-referenced CTEs by default
+    — without the hint the evaluation tree re-derives the whole prior
+    chain per reference, doubling work per round (the 3-round form
+    quietly paid 2³; a 12-round chain would pay 2¹² and never finish).
+    Materialization makes the oracle rounds-LINEAR, matching the
+    engine's per-round localCheckpoint discipline."""
     sep = "chr(31)"
     pair_list = (
         f"[{sep}||sy[i]||chr(30)||{sep}||sy[i+1]||chr(30)"
@@ -2449,27 +2458,28 @@ def _bpe_train_ctes(rounds: int) -> tuple[list[str], list[str]]:
         " ELSE regexp_replace(w, '(.)', e'\\x1f\\\\1\\x1e', 'g') END"
     )
     ctes = [
-        "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        "wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ("
         "SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
         " GROUP BY w)",
-        f"m0 AS (SELECT {guard} AS m, cnt FROM wc)",
+        f"m0 AS MATERIALIZED (SELECT {guard} AS m, cnt FROM wc)",
     ]
     selects = []
     for r in range(1, rounds + 1):
         prev = f"m{r - 1}"
         ctes.append(
-            f"p{r} AS (SELECT pat, CAST(sum(cnt) AS BIGINT) AS freq FROM ("
+            f"p{r} AS MATERIALIZED"
+            f" (SELECT pat, CAST(sum(cnt) AS BIGINT) AS freq FROM ("
             f"SELECT unnest({pair_list}) AS pat, cnt FROM ("
             f"SELECT list_filter(string_split_regex(m, e'[\\x1f\\x1e]'),"
             f" x -> x != '')"
             f" AS sy, cnt FROM {prev}) WHERE len(sy) >= 2) GROUP BY pat)"
         )
         ctes.append(
-            f"w{r} AS (SELECT pat, freq FROM p{r}"
+            f"w{r} AS MATERIALIZED (SELECT pat, freq FROM p{r}"
             f" ORDER BY freq DESC, pat LIMIT 1)"
         )
         ctes.append(
-            f"m{r} AS (SELECT replace({prev}.m, w{r}.pat, "
+            f"m{r} AS MATERIALIZED (SELECT replace({prev}.m, w{r}.pat, "
             f"{sep} || replace(replace(w{r}.pat, {sep}, ''), {end}, '')"
             f" || {end}) AS m, cnt"
             f" FROM {prev}, w{r})"
@@ -2497,8 +2507,8 @@ def _bpe_train_apply_oracle_sql(rounds: int) -> str:
     same double-marked replace) to every document's marked text."""
     ctes, _ = _bpe_train_ctes(rounds)
     ctes.append(
-        f"docm AS (SELECT doc_id, {_bpe_marked_sql('text')} AS f0"
-        " FROM documents)"
+        f"docm AS MATERIALIZED (SELECT doc_id, {_bpe_marked_sql('text')}"
+        " AS f0 FROM documents)"
     )
     sep, end = "chr(31)", "chr(30)"
     for r in range(1, rounds + 1):
@@ -2514,7 +2524,8 @@ def _bpe_train_apply_oracle_sql(rounds: int) -> str:
             f" FROM w{r}), '')"
         )
         ctes.append(
-            f"docf{r} AS (SELECT doc_id, replace(f, {pat}, {rep}) AS f"
+            f"docf{r} AS MATERIALIZED"
+            f" (SELECT doc_id, replace(f, {pat}, {rep}) AS f"
             f" FROM (SELECT doc_id, f{'0' if r == 1 else ''} AS f FROM "
             f"{'docm' if r == 1 else f'docf{r - 1}'}) AS docf)"
         )
@@ -2667,7 +2678,17 @@ def x4_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the oracle's per-round doc fold reads each winner through a
     scalar subquery that degrades to a no-op replace when the round is
     empty (intent-tested)."""
-    winners = _bpe_train_winners(spark, sf_dir, rounds=3).orderBy(
+    return _bpe_train_apply(spark, sf_dir, rounds=3)
+
+
+def _bpe_train_apply(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> DataFrame:
+    """The train→apply composition behind x4_bpe_train_apply (3 rounds)
+    and x4_bpe_train_apply_deep (12): train ``rounds`` data-dependent
+    merges, collect the bounded table, re-encode every document with
+    the rank-greedy Arrow kernel."""
+    winners = _bpe_train_winners(spark, sf_dir, rounds=rounds).orderBy(
         "round"
     ).collect()  # bounded: exactly `rounds` rows — the persisted table
     merges = [tuple(r["pair"].split(" ", 1)) for r in winners]
@@ -2683,6 +2704,27 @@ def x4_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_oov bigint, ids_checksum bigint"
         ),
     ).select("doc_id", "n_tokens", "n_merges")
+
+
+@query("x4_bpe_train_apply_deep", oracle=_bpe_train_apply_oracle_sql(12))
+def x4_bpe_train_apply_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN → APPLY at DEPTH — 12 data-dependent merge rounds through
+    the same composition as x4_bpe_train_apply, still fully oracled by
+    the unrolled training CTE chain + per-doc sequential fold. The
+    point of the depth: round-12 winners are built from round-1..11
+    OUTPUT symbols (generation chaining), so the oracle now exercises
+    merges whose operands are themselves merged symbols end-to-end
+    through BOTH the trainer and the greedy encoder — and demonstrates
+    the oracle construction scales with training depth (the CTE chain
+    is rounds-linear, not exponential: each round is one replace over
+    the previous round's vocabulary/doc fold).
+
+    100 TB: identical shape to the 3-round form — ONE corpus-sized
+    word-count shuffle, then 12 × vocabulary-sized rounds (the
+    bpe_train_50round probe measured per-decade wall FALLING to 50
+    rounds as the vocabulary shrinks), a 12-row collect across the
+    production seam, and the zero-shuffle Arrow encode island."""
+    return _bpe_train_apply(spark, sf_dir, rounds=12)
 
 
 @query(

@@ -139,6 +139,13 @@ _RECHECK: dict[str, int] = {
     # bloom is a pure work-gate with no false negatives, so the
     # oracle is unchanged; re-attest on the gated plan:
     "x4_decontaminate_spans": 12,
+    # round-12: the BPE training CTE chain is now AS MATERIALIZED
+    # (DuckDB 1.0 inlines multiply-referenced CTEs → exponential
+    # re-evaluation per round; required for the 12-round deep
+    # composition). Output-identical, but the oracle TEXT changed —
+    # re-attest the pair under the materialized chain:
+    "x4_bpe_train_rounds": 12,
+    "x4_bpe_train_apply": 12,
 }
 
 
@@ -251,6 +258,7 @@ _DEFER: dict[str, int] = {
     "x6_stratified_hash_sample": 11,
     "st28_stream_corpus_pipeline": 11,
     "x4_quality_classifier_trained": 12,
+    "x4_bpe_train_apply_deep": 12,
 }
 
 

@@ -75,6 +75,7 @@ def _band_rows(
     num_hashes: int,
     bands: int,
     carry_cols: tuple[str, ...] = (),
+    portable: bool = False,
 ) -> DataFrame:
     """(id, bhash) banding rows, ROW-LOCAL: one xxhash64 per shingle
     JVM-side, then every lane minimum and band hash computed in one
@@ -101,7 +102,20 @@ def _band_rows(
     downstream (bhash) equi-join. Documents with an EMPTY set column
     produce no banding rows (same exclusion as the explode-based forms).
     Set elements must be non-null (xxhash64 of the element is taken
-    JVM-side; a null element would surface as a null lane hash)."""
+    JVM-side; a null element would surface as a null lane hash).
+
+    ``portable=True`` swaps the per-element base hash from xxhash64 to
+    the repo's portable sha-slice family (60-bit
+    ``conv(substr(sha2(s, 256), 1, 15), 16, 10)`` — the x2_substring
+    anchor convention), which DuckDB replays bit-for-bit; combined
+    with the DETERMINISTIC lane/band keys and the splitmix64 mixer
+    (exactly expressible in DuckDB HUGEINT arithmetic), the ENTIRE
+    banding stage — lane minima, band fold, candidate set — becomes
+    oracle-replayable, converting MinHash-LSH from a rows-only check
+    to a full value-hash one. Cost: one sha256 per element instead of
+    one xxhash64 (~3× the hash arithmetic on a scan that is usually
+    I/O- or shingle-bound); keep the default for throughput-critical
+    paths whose candidate set is verified downstream anyway."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -124,10 +138,19 @@ def _band_rows(
     # expression tree evaluates TWICE per row (once in the Filter, once
     # in the Project — verified in the executed plan). Empty sets are
     # skipped inside the kernel instead, same exclusion semantics.
+    if portable:
+        def _elem_hash(s):
+            return F.conv(
+                F.substring(F.sha2(s, 256), 1, 15), 16, 10
+            ).cast("long")
+    else:
+        def _elem_hash(s):
+            return F.xxhash64(s)
+
     base = df.select(
         id_col,
         *carry,
-        F.transform(set_col, lambda s: F.xxhash64(s)).alias("__hs"),
+        F.transform(set_col, _elem_hash).alias("__hs"),
     )
 
     out_schema = StructType(
@@ -189,6 +212,7 @@ def band_hashes(
     num_hashes: int = 128,
     bands: int = 32,
     carry_cols: tuple[str, ...] = (),
+    portable: bool = False,
 ) -> DataFrame:
     """(id, *carry_cols, bhash) MinHash banding rows from a string-array
     column — the candidate-generation stage shared by every Jaccard
@@ -214,6 +238,7 @@ def band_hashes(
         num_hashes=num_hashes,
         bands=bands,
         carry_cols=carry_cols,
+        portable=portable,
     )
 
 
@@ -342,6 +367,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """X2: near-duplicate pairs (id_a < id_b) with exact shingle-Jaccard
     ≥ threshold, found via MinHash banding.
@@ -372,6 +398,7 @@ def minhash_lsh_pairs(
         set_col="__sh",
         num_hashes=num_hashes,
         bands=bands,
+        portable=portable,
     )
 
     cand = (

@@ -383,15 +383,137 @@ def x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("x2_minhash_lsh")
+def _sm64_py(z: int) -> int:
+    """Pure-Python SplitMix64 finalizer — bit-identical to
+    operators/dedup._splitmix64 (asserted in tests) — used to
+    precompute the banding kernel's lane/band key constants for the
+    oracle without importing numpy at module import."""
+    m = (1 << 64) - 1
+    z &= m
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) & m
+    z ^= z >> 27
+    z = (z * 0x94D049BB133111EB) & m
+    z ^= z >> 31
+    return z
+
+
+def _minhash_lane_keys(num_hashes: int) -> list[tuple[int, int]]:
+    """(lane_key, band_key) per lane — the _band_rows constants."""
+    out = []
+    for i in range(1, num_hashes + 1):
+        lk = _sm64_py((i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1))
+        out.append((lk, _sm64_py(lk ^ 0xA5A5A5A55A5A5A5A)))
+    return out
+
+
+def _sm64_mulmod_sql(z: str, c: int) -> str:
+    """``(z * c) mod 2^64`` over HUGEINT SQL expressions, overflow-free:
+    a 64×64 product reaches 2^128 (past signed HUGEINT), so split into
+    32-bit partials — z*c ≡ zl·cl + ((zl·ch + zh·cl) mod 2^32)·2^32."""
+    cl, ch = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"((({z} & 4294967295) * {cl}"
+        f" + ((({z} & 4294967295) * {ch} + ({z} >> 32) * {cl})"
+        f" % 4294967296) * 4294967296) % 18446744073709551616)"
+    )
+
+
+def _sm64_sql_ctes(
+    src: str, keep: str, prefix: str
+) -> tuple[list[str], str]:
+    """CTE stages computing ``z = splitmix64(z)`` over CTE ``src``
+    (columns: ``keep`` + z), one xorshift+multiply per stage so no
+    expression tree references its input more than thrice."""
+    s1, s2, s3 = f"{prefix}1", f"{prefix}2", f"{prefix}3"
+    xs = lambda z, k: f"xor({z}, {z} >> {k})"  # noqa: E731
+    return [
+        f"{s1} AS (SELECT {keep},"
+        f" {_sm64_mulmod_sql(xs('z', 30), 0xBF58476D1CE4E5B9)} AS z"
+        f" FROM {src})",
+        f"{s2} AS (SELECT {keep},"
+        f" {_sm64_mulmod_sql(xs('z', 27), 0x94D049BB133111EB)} AS z"
+        f" FROM {s1})",
+        f"{s3} AS (SELECT {keep}, {xs('z', 31)} AS z FROM {s2})",
+    ], s3
+
+
+def _minhash_lsh_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
+    """Full replay of minhash_lsh_pairs(portable=True): 60-bit
+    sha-slice base hash per distinct 3-word shingle, the numpy
+    kernel's splitmix64 lane permutation + per-doc lane minima + the
+    band_key remix + per-band XOR fold — all in DuckDB HUGEINT
+    arithmetic (bit-identical: splitmix64's wraparound multiply is
+    expressed as 32-bit partial products) — then the SAME bhash
+    equi-join candidate set and the exact Jaccard ≥ 0.8 verify. The
+    banding keys are VALUES-inlined from the deterministic generator
+    the kernel uses, so candidate set, verify pass and output pairs
+    hash-match the engine exactly."""
+    r = num_hashes // bands
+    keys = ",\n  ".join(
+        f"({i}, {lk}::HUGEINT, {bk}::HUGEINT)"
+        for i, (lk, bk) in enumerate(_minhash_lane_keys(num_hashes))
+    )
+    ctes = [
+        f"lk(lane, lkey, bkey) AS (VALUES\n  {keys})",
+        "d AS MATERIALIZED (SELECT doc_id,"
+        " list_distinct([array_to_string(w[i:i+2], ' ')"
+        " FOR i IN range(1, greatest(len(w) - 2, 1) + 1)]) AS sh"
+        " FROM (SELECT doc_id, string_split(text, ' ') AS w"
+        " FROM documents))",
+        "base AS MATERIALIZED (SELECT doc_id,"
+        " CAST(CAST(('0x' || substr(sha256(g), 1, 15)) AS BIGINT)"
+        " AS HUGEINT) AS h"
+        " FROM (SELECT doc_id, unnest(sh) AS g FROM d))",
+        "l0 AS (SELECT doc_id, lane, bkey, xor(h, lkey) AS z"
+        " FROM base CROSS JOIN lk)",
+    ]
+    perm, ptail = _sm64_sql_ctes("l0", "doc_id, lane, bkey", "lp")
+    ctes += perm
+    ctes.append(
+        f"mn AS MATERIALIZED (SELECT doc_id, lane,"
+        f" xor(min(z), any_value(bkey)) AS z"
+        f" FROM {ptail} GROUP BY doc_id, lane)"
+    )
+    remix, rtail = _sm64_sql_ctes("mn", "doc_id, lane", "rm")
+    ctes += remix
+    ctes += [
+        f"bhx AS (SELECT doc_id, lane // {r} AS band, bit_xor(z) AS bh"
+        f" FROM {rtail} GROUP BY doc_id, band)",
+        "bh AS MATERIALIZED (SELECT DISTINCT doc_id, bh FROM bhx)",
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+        " FROM bh a JOIN bh b ON a.bh = b.bh AND a.doc_id < b.doc_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT c.id_a, c.id_b,\n"
+        "       round(len(list_intersect(da.sh, db.sh)) * 1.0 /\n"
+        "             len(list_distinct(list_concat(da.sh, db.sh))), 4)"
+        " AS jaccard\n"
+        "FROM cand c JOIN d da ON c.id_a = da.doc_id\n"
+        "            JOIN d db ON c.id_b = db.doc_id\n"
+        "-- Integer form of Spark's round(jaccard, 4) >= 0.8 filter\n"
+        "-- (the near_dup_wordset boundary argument):\n"
+        "WHERE 20000 * len(list_intersect(da.sh, db.sh)) >=\n"
+        "      15999 * len(list_distinct(list_concat(da.sh, db.sh)))"
+    )
+
+
+@query("x2_minhash_lsh", oracle=_minhash_lsh_oracle_sql(64, 16))
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash(64)+LSH(16 bands) near-dup pairs, exact 3-shingle
-    Jaccard ≥ 0.8 verified on candidates. Approximate recall → rows-only
-    check (tests assert candidate⊇wordset-pairs properties)."""
+    Jaccard ≥ 0.8 verified on candidates — FULLY ORACLED since round
+    12: with the portable 60-bit sha-slice base hash, the banding
+    kernel's whole arithmetic (deterministic lane keys, splitmix64
+    permutation, lane minima, band-key remix, XOR band fold) replays
+    exactly in DuckDB HUGEINT math, so the CANDIDATE SET — not just
+    the verified output — is pinned cross-engine. Rows-only for
+    eleven rounds ("candidate-set-sensitive without a full oracle");
+    the recall/pigeonhole property tests stay as defense in depth."""
     d = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", shingle_n=3, num_hashes=64, bands=16,
-        jaccard_threshold=0.8,
+        jaccard_threshold=0.8, portable=True,
     )
 
 

@@ -66,10 +66,9 @@ _RECHECK: dict[str, int] = {
     # round-4 banding hash-family change (splitmix64 numpy kernel replaced
     # the xxhash64 lane aggregates): every ORACLED consumer was verified
     # bit-identical at sf0.001/0.01/0.1 before landing, but these two are
-    # candidate-set-sensitive without a full oracle (x2_minhash_lsh is
-    # rows-only; st12's banding feeds an accumulated cross-batch index),
-    # so a marginal pair COULD differ — re-attest under the new family:
-    "x2_minhash_lsh": 4,
+    # candidate-set-sensitive without a full oracle (st12's banding
+    # feeds an accumulated cross-batch index), so a marginal pair
+    # COULD differ — re-attest under the new family:
     "st12_stream_neardup": 4,
     # round-5 output-shape fix: codes array<int> → packed BIGINT so the
     # driver's canonicalizer can sort/hash the (rows-only) output; the r4
@@ -146,6 +145,11 @@ _RECHECK: dict[str, int] = {
     # re-attest the pair under the materialized chain:
     "x4_bpe_train_rounds": 12,
     "x4_bpe_train_apply": 12,
+    # round-12: x2_minhash_lsh converted from rows-only to FULLY
+    # ORACLED — portable sha-slice base hash + the banding kernel's
+    # splitmix64/fold replayed in DuckDB HUGEINT arithmetic. Prior
+    # rows-only (err=no_oracle) rows must not attest the oracled form:
+    "x2_minhash_lsh": 12,
 }
 
 

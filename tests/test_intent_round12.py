@@ -107,3 +107,66 @@ def test_decontaminate_bloom_gate_no_false_negative(spark, tmp_path):
     assert set(out) == {20, 21}  # bench slice (doc_id < 20) not emitted
     assert out[20][0] > 0 and bench_gram not in out[20][1]
     assert out[21][0] == 0 and out[21][1] == rows[2][1]
+
+
+def test_sm64_py_matches_numpy_kernel():
+    """The oracle's pure-Python SplitMix64 (used to precompute the
+    VALUES-inlined lane/band keys) must be bit-identical to the numpy
+    finalizer inside the banding kernel — a divergence would silently
+    desynchronize every oracle-replayed band hash."""
+    import numpy as np
+
+    from recipes_spark.operators.dedup import _splitmix64
+    from recipes_spark.queries.dataops import _sm64_py
+
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 1 << 64, size=4096, dtype=np.uint64)
+    expect = _splitmix64(vals)
+    got = np.array([_sm64_py(int(v)) for v in vals], dtype=np.uint64)
+    assert (got == expect).all()
+    # Boundary values, where wraparound bugs live.
+    for v in (0, 1, (1 << 64) - 1, 1 << 63, 0xBF58476D1CE4E5B9):
+        assert _sm64_py(v) == int(_splitmix64(np.array([v], dtype=np.uint64))[0])
+
+
+def test_minhash_lane_keys_match_kernel_constants():
+    """The (lane_key, band_key) constants the oracle inlines must equal
+    the ones _band_rows derives with numpy — same seed recurrence,
+    same xor constant, same order."""
+    import numpy as np
+
+    from recipes_spark.operators.dedup import _splitmix64
+    from recipes_spark.queries.dataops import _minhash_lane_keys
+
+    n = 64
+    lane_keys = _splitmix64(
+        np.arange(1, n + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    band_keys = _splitmix64(lane_keys ^ np.uint64(0xA5A5A5A55A5A5A5A))
+    got = _minhash_lane_keys(n)
+    assert [g[0] for g in got] == [int(x) for x in lane_keys]
+    assert [g[1] for g in got] == [int(x) for x in band_keys]
+
+
+def test_minhash_lsh_portable_finds_planted_neardups(spark, tmp_path):
+    """The portable-hash family preserves the operator's behavior: a
+    planted ~0.9-Jaccard pair is found (128/32-grade recall holds at
+    64/16 for j=0.9: miss ≈ (1-0.9^4)^16 ≈ 3e-3), an unrelated doc
+    pairs with nothing, and the emitted jaccard is the exact shingle
+    value."""
+    base = ("one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen")
+    rows = [
+        (0, base),
+        (1, base + " seventeen"),  # near-dup of 0
+        (2, "completely different words nothing shared here at all "
+            "zip zero nada none"),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in QUERIES["x2_minhash_lsh"](spark, sf).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    # 14 shared 3-shingles of 14 (doc0) vs 15 (doc1): J = 14/15.
+    assert pairs[(0, 1)] == pytest.approx(round(14 / 15, 4))

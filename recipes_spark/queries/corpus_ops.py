@@ -2203,6 +2203,35 @@ def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _greedy_syms(word, rank, merges):
+    """Rank-greedy BPE over one word: repeatedly merge every
+    leftmost-non-overlapping occurrence of the lowest-rank adjacent
+    pair until no table pair remains; returns the symbol list. The ONE
+    merge loop behind bpe_greedy_kernel (counts) and
+    bpe_greedy_ids_kernel (id sequences) so the two emissions cannot
+    drift."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for ab in zip(syms, syms[1:]):
+            r = rank.get(ab)
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def bpe_greedy_kernel(merges, vocab_list):
     """mapInPandas generator for rank-greedy BPE encoding — the
     PRODUCTION encode island x4_bpe_apply's docstring promises for
@@ -2225,27 +2254,8 @@ def bpe_greedy_kernel(merges, vocab_list):
         hit = cache.get(word)
         if hit is not None:
             return hit
-        syms = list(word)
-        while len(syms) > 1:
-            best = None
-            for ab in zip(syms, syms[1:]):
-                r = rank.get(ab)
-                if r is not None and (best is None or r < best):
-                    best = r
-            if best is None:
-                break
-            a, b = merges[best]
-            out, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        ids = [vocab.get(s, 0) for s in syms]
-        res = (len(syms), sum(ids), sum(1 for x in ids if x == 0))
+        ids = [vocab.get(s, 0) for s in _greedy_syms(word, rank, merges)]
+        res = (len(ids), sum(ids), sum(1 for x in ids if x == 0))
         cache[word] = res
         return res
 
@@ -2796,6 +2806,154 @@ def x6_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n").cast("long").alias("n_tokens"),
             F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def bpe_greedy_ids_kernel(merges, vocab_list):
+    """mapInPandas generator emitting the ACTUAL token-id sequence per
+    document — (doc_id, n, ids array<int>) — through the same
+    rank-greedy merge loop as bpe_greedy_kernel (shared _greedy_syms,
+    shared per-batch unique-word cache, shared fail-closed marker
+    guard). This is the trainer-facing emission: packing on counts
+    proves boundaries, but what a pretraining run reads is the id
+    stream itself."""
+    rank = {pair: r for r, pair in enumerate(merges)}
+    vocab = {v: i + 1 for i, v in enumerate(vocab_list)}
+    merges = list(merges)
+
+    def gen(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            if pdf["text"].str.contains("[\x1f\x1e]", regex=True).any():
+                raise ValueError(
+                    "bpe: text contains a symbol marker (U+001F/U+001E)"
+                    " — strip or re-encode control characters upstream"
+                )
+            out_n, out_ids = [], []
+            for t in pdf["text"]:
+                ids: list = []
+                for w in t.split(" "):
+                    if not w:
+                        continue
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = [
+                            vocab.get(s, 0)
+                            for s in _greedy_syms(w, rank, merges)
+                        ]
+                        cache[w] = hit
+                    ids.extend(hit)
+                out_n.append(len(ids))
+                out_ids.append(ids)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n": out_n, "ids": out_ids}
+            )
+
+    return gen
+
+
+_PACKING_IDS_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, {_bpe_marked_sql("text")} AS marked
+  FROM documents
+), f AS (
+  SELECT doc_id, {_bpe_fold_sql("marked")} AS folded FROM m
+), tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(folded, e'[ \\x1f\\x1e]'),
+                       x -> x != ''),
+           x -> coalesce(list_position({_BPE_VOCAB_SQL}, x), 0)
+         ) AS ids
+  FROM f
+), packed AS (
+  SELECT doc_id, len(ids) AS n, ids,
+         sum(len(ids)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM tok
+), per AS (
+  SELECT CAST(floor((cum - n) / 512) AS BIGINT) AS seq_id, doc_id, n, ids
+  FROM packed
+)
+SELECT seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       sha256(array_to_string(flatten(list(ids ORDER BY doc_id)), ','))
+         AS ids_sha
+FROM per GROUP BY seq_id ORDER BY seq_id
+"""
+
+
+@query("x6_packing_ids", oracle=_PACKING_IDS_ORACLE)
+def x6_packing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing that MATERIALIZES the token-id stream — the
+    production emission x6_packing_bpe's count-only plan stops short
+    of: each document's ids come from the rank-greedy Arrow kernel
+    (bpe_greedy_ids_kernel — the x4_bpe_apply_greedy island, now
+    emitting the sequence, not its summary), boundaries from the same
+    shard-parallel prefix sum at 512 tokens, and each packed sequence
+    reports (n_docs, n_tokens, first_doc, ids_sha) where ids_sha is
+    sha256 over the doc-ordered concatenated id stream. The oracle
+    replays the FOLD's id sequence (fold ≡ rank-greedy, the round-11
+    theorem) plus the same pack boundaries — so the check proves the
+    id STREAM (values and order), not just its length, survives the
+    composition; a vocab-lookup swap, a word-order scramble inside the
+    pack, or a boundary off-by-one all flip the sha.
+
+    100 TB: the kernel is the same zero-shuffle Arrow island (ids add
+    ~4 bytes/token to the Arrow transfer — the unavoidable payload of
+    actually emitting tokens); ONE range exchange for the prefix sum
+    (partitioned_prefix_sum, no single-task window), one hash exchange
+    for the seq_id assembly — identical exchange count to
+    x6_packing_bpe. Per-sequence state is bounded by the 512-token
+    pack size, and the output is a digest, so nothing corpus-sized
+    ever concentrates. A real emitter would write (seq_id, ids) shards
+    to parquet instead of digesting — same plan minus the agg."""
+    from recipes_spark.operators.prefix import partitioned_prefix_sum
+
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    gen = bpe_greedy_ids_kernel(_BPE_MERGES, _BPE_VOCAB)
+    toks = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, n bigint, ids array<int>"
+    )
+    packed = partitioned_prefix_sum(
+        toks, order_col="doc_id", value_col="n", out_col="cum", shards=32
+    )
+    per = packed.select(
+        F.floor((F.col("cum") - F.col("n")) / 512)
+        .cast("long")
+        .alias("seq_id"),
+        "doc_id",
+        "n",
+        "ids",
+    )
+    flat_ids = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("doc_id").alias("d"), F.col("ids").alias("i"))
+                )
+            ),
+            lambda s: s["i"],
+        )
+    )
+    return (
+        per.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.sha2(
+                F.concat_ws(
+                    ",", F.transform(flat_ids, lambda x: x.cast("string"))
+                ),
+                256,
+            ).alias("ids_sha"),
         )
         .orderBy("seq_id")
     )

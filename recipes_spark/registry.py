@@ -263,6 +263,7 @@ _DEFER: dict[str, int] = {
     "st28_stream_corpus_pipeline": 11,
     "x4_quality_classifier_trained": 12,
     "x4_bpe_train_apply_deep": 12,
+    "x6_packing_ids": 12,
 }
 
 

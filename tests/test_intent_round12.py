@@ -170,3 +170,42 @@ def test_minhash_lsh_portable_finds_planted_neardups(spark, tmp_path):
     assert set(pairs) == {(0, 1)}
     # 14 shared 3-shingles of 14 (doc0) vs 15 (doc1): J = 14/15.
     assert pairs[(0, 1)] == pytest.approx(round(14 / 15, 4))
+
+
+def test_greedy_ids_kernel_equals_fold_id_stream(spark, sf_dir):
+    """The id-LEVEL form of the fold ≡ rank-greedy theorem: the ids
+    array bpe_greedy_ids_kernel emits must equal the Catalyst
+    double-marked fold's id sequence per document (same vocab lookup,
+    same order) — x4_bpe_apply only pins the checksum; packing ships
+    the stream itself, so pin the stream."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load, scale_partitions
+    from recipes_spark.queries.corpus_ops import (
+        _BPE_MERGES,
+        _BPE_VOCAB,
+        _bpe_folded,
+        bpe_greedy_ids_kernel,
+    )
+
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    gen = bpe_greedy_ids_kernel(_BPE_MERGES, _BPE_VOCAB)
+    kernel = {
+        r["doc_id"]: list(r["ids"])
+        for r in d.select("doc_id", "text")
+        .mapInPandas(gen, "doc_id bigint, n bigint, ids array<int>")
+        .collect()
+    }
+    vocab = F.array(*[F.lit(v) for v in _BPE_VOCAB])
+    folded = d.select(
+        "doc_id",
+        F.transform(
+            F.filter(
+                F.split(_bpe_folded(), "[\x1f\x1e ]"),
+                lambda x: x != F.lit(""),
+            ),
+            lambda x: F.array_position(vocab, x).cast("int"),
+        ).alias("ids"),
+    )
+    fold = {r["doc_id"]: list(r["ids"]) for r in folded.collect()}
+    assert kernel == fold

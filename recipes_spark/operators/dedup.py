@@ -659,12 +659,21 @@ def connected_components_star(
     )
 
 
+SIMHASH_BITS = 60
+
+
 def simhash_sketch(
     df: DataFrame, *, id_col: str, text_col: str, shingle_n: int = 2
 ) -> DataFrame:
-    """(id, sketch) — SimHash-64 as ONE BIGINT: majority vote per bit
-    position over xxhash64(shingle), bit b set iff more shingle hashes
-    have bit b set than clear.
+    """(id, sketch) — SimHash as ONE BIGINT: majority vote per bit
+    position over the PORTABLE 60-bit sha-slice hash of each shingle
+    (``conv(substr(sha2(s, 256), 1, 15), 16, 10)`` — the same family
+    as the substring-dedup anchors and the portable MinHash base), bit
+    b set iff more shingle hashes have bit b set than clear. 60 bits
+    instead of 64 (the sha-slice fits signed BIGINT with headroom);
+    the family is chosen so a SQL oracle can replay the ENTIRE sketch
+    — votes, majority, band split, hamming — value-exactly (round 12;
+    the xxhash64-seeded form was permanently rows-only).
 
     Same two-narrow-agg shape as MinHash banding (_band_rows) and for
     the same reason: the row-local form (64 HOF aggregate expressions
@@ -683,9 +692,19 @@ def simhash_sketch(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     ).select("__id", word_shingles("__t", shingle_n).alias("__sh"))
     lanes = shingled.select(
-        "__id", F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__h")
+        "__id",
+        F.explode(
+            F.transform(
+                "__sh",
+                lambda s: F.conv(
+                    F.substring(F.sha2(s, 256), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        ).alias("__h"),
     ).select(
-        "__id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__bit"), "__h"
+        "__id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("__bit"),
+        "__h",
     )
     # shiftright by the bit COLUMN (shiftright(col, int) only takes a
     # literal int in the DSL) — use expr for the column-shift form.
@@ -711,13 +730,13 @@ def simhash_pairs(
     max_hamming: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup candidates by SimHash: split the 64-bit sketch into
-    `bands` chunks; pairs agreeing on ≥1 chunk are candidates (pigeonhole:
-    hamming ≤ 64/bands ⇒ some chunk matches... guaranteed only for
-    hamming < bands, we use it as a recall heuristic); verify by exact
-    hamming = bit_count(a XOR b) — single-instruction popcount on the
-    BIGINT sketch, no array comparison."""
-    chunk = 64 // bands
+    """Near-dup candidates by SimHash: split the SIMHASH_BITS-bit
+    sketch into `bands` chunks; pairs agreeing on ≥1 chunk are
+    candidates (pigeonhole: guaranteed complete for hamming < bands,
+    used as a recall heuristic beyond); verify by exact hamming =
+    bit_count(a XOR b) — single-instruction popcount on the BIGINT
+    sketch, no array comparison."""
+    chunk = SIMHASH_BITS // bands
     base = simhash_sketch(df, id_col=id_col, text_col=text_col)
     banded = base.select(
         F.col(id_col).alias("__id"),
@@ -747,7 +766,7 @@ def simhash_pairs(
         left.join(right, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.expr("bit_count(sk_a ^ sk_b)"))
+        .withColumn("hamming", F.expr("bit_count(sk_a ^ sk_b)").cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

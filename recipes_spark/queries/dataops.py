@@ -517,10 +517,62 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x2_simhash")
+def _simhash_oracle_sql(bands: int = 4, max_hamming: int = 8) -> str:
+    """Full replay of simhash_pairs over the portable 60-bit sha-slice
+    family: per-bit majority votes over every distinct 2-word
+    shingle's hash, the sketch fold, the band split, the banded
+    candidate self-join and the exact popcount verify — all plain
+    BIGINT arithmetic in DuckDB (the sketch fits signed int64, so no
+    HUGEINT staging is needed, unlike the MinHash splitmix replay)."""
+    from recipes_spark.operators.dedup import SIMHASH_BITS
+
+    chunk = SIMHASH_BITS // bands
+    mask = (1 << chunk) - 1
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+1], ' ')
+                        FOR i IN range(1, greatest(len(w) - 1, 1) + 1)])
+           AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), base AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(g), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(sh) AS g FROM d)
+), votes AS (
+  SELECT doc_id, b.bit,
+         CAST(sum((h >> b.bit) & 1) AS BIGINT) AS nset,
+         count(*) AS n
+  FROM base CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS bit) b
+  GROUP BY doc_id, b.bit
+), sk AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN nset * 2 > n
+                       THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS sketch
+  FROM votes GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, sketch, b.band,
+         (sketch >> (b.band * {chunk})) & {mask} AS bhash
+  FROM sk CROSS JOIN (SELECT unnest(range({bands})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sketch, b.sketch)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sketch, b.sketch)) <= {max_hamming}
+"""
+
+
+@query("x2_simhash", oracle=_simhash_oracle_sql(4, 8))
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup candidates, hamming ≤ 8 (PERMANENTLY
-    rows-only: the sketch is hash-seed specific). Quality contract in
+    """SimHash near-dup candidates, hamming ≤ 8 — FULLY ORACLED since
+    round 12: the sketch moved from the Spark-specific xxhash64 seeds
+    (which made it "PERMANENTLY rows-only") to the portable 60-bit
+    sha-slice family, so the bit votes, majority fold, band split and
+    popcount verify all replay value-exactly in DuckDB. Quality
+    contract unchanged, re-gated on the new family in
     tests/test_corpus.py::test_simhash_recall_on_planted_neardups —
     pigeonhole-complete recall at hamming ≤ bands-1, ≥0.8 planted
     recall at the full bound, and every emitted pair's sketch distance

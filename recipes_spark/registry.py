@@ -51,7 +51,7 @@ _RECHECK: dict[str, int] = {
     # round-3 perf rewrites (bigint SimHash sketch; broadcast-probe
     # blocked fuzzy join; numpy LSH sketch + payload-free banding join
     # + parallel verify; materialized tf):
-    "x2_simhash": 3,
+    # x2_simhash moved to the round-12 tier below (portable family).
     "x7_fuzzy_match": 3,
     "embedding_neardup": 3,
     "x3_semantic_dedup": 3,
@@ -150,6 +150,11 @@ _RECHECK: dict[str, int] = {
     # splitmix64/fold replayed in DuckDB HUGEINT arithmetic. Prior
     # rows-only (err=no_oracle) rows must not attest the oracled form:
     "x2_minhash_lsh": 12,
+    # round-12: x2_simhash converted from rows-only to FULLY ORACLED —
+    # sketch family moved from xxhash64 seeds to the portable 60-bit
+    # sha-slice, whole pipeline (votes → sketch → bands → popcount)
+    # replayed in DuckDB BIGINT arithmetic:
+    "x2_simhash": 12,
 }
 
 

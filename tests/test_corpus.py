@@ -542,8 +542,11 @@ def test_leakage_safe_split_contract(spark, sf_dir):
 
 
 def test_simhash_recall_on_planted_neardups(spark, sf_dir):
-    """x2_simhash's quality gate (it is rows-only — the 64-bit sketch
-    is hash-seed specific, no SQL oracle). Banded candidate
+    """x2_simhash's quality gate (since round 12 the sketch is the
+    portable 60-bit sha-slice family and the query is fully oracled;
+    this test guards the RECALL contract the value-hash can't — the
+    oracle replays the same banding, so it would match even if recall
+    collapsed). Banded candidate
     generation over 4 bands is pigeonhole-COMPLETE only to hamming <=
     bands-1 = 3 (4+ flips can land one in every band), so the gate
     asserts exactly the operator's contract: (1) every planted pair

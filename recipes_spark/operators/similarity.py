@@ -490,6 +490,130 @@ def train_pq_codebooks(
     return books
 
 
+def train_pq_codebooks_int(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+) -> np.ndarray:
+    """Product-quantization codebooks on the INTEGER MILLI GRID — the
+    oracle-replayable twin of train_pq_codebooks. Every arithmetic
+    step is exact and engine-portable, so a SQL oracle can replay the
+    whole training loop (the BPE train→apply discipline applied to
+    vectors):
+
+    - sample: the ``sample`` LOWEST ids (orderBy + limit — a
+      deterministic prefix, where .limit(sample) alone is
+      partition-order dependent);
+    - values: floor(x · 1000) int64 (float→double exact, one IEEE
+      multiply, floor — the embedding_centroids convention);
+    - init (per subspace j): the k sample vectors ranked smallest by
+      the portable sha-slice of 'pq:<j>:<vec_id>' — deterministic,
+      hash-spread, replayable as a SQL row_number;
+    - assignment: argmin of the INTEGER squared distance, ties to the
+      lowest centroid index;
+    - update: floor(sum / n) per dimension — the float division is
+      provably exact-floor for |sum| < 2^53 (a non-integer true
+      quotient has fractional part ≥ 1/n ≫ double epsilon, so
+      rounding can never cross the floor boundary); empty clusters
+      keep their previous centroid.
+
+    The 0.001-per-dim-per-round grid quantization is noise relative
+    to PQ's own distortion (16 centroids per 8-dim subspace);
+    distortion/recall gates re-assert quality in tests. Returns int64
+    (m, k, dim/m) milli-unit centroids."""
+    import hashlib
+
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    if not rows:
+        raise ValueError("train_pq_codebooks_int: empty training sample")
+    ids = [int(r[0]) for r in rows]
+    X = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Xm = np.floor(X * 1000.0).astype(np.int64)
+    dim = Xm.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, k, sub), dtype=np.int64)
+    for j in range(m):
+        S = Xm[:, j * sub : (j + 1) * sub]
+
+        def h(vid: int) -> int:
+            return int(
+                hashlib.sha256(f"pq:{j}:{vid}".encode()).hexdigest()[:15], 16
+            )
+
+        order = sorted(range(len(ids)), key=lambda i: (h(ids[i]), ids[i]))
+        cents = S[order[:k]].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # first occurrence = lowest c
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = np.floor(
+                        members.sum(axis=0) / len(members)
+                    ).astype(np.int64)
+        books[j] = cents
+    return books
+
+
+def pq_encode_int(
+    corpus: DataFrame,
+    books_milli: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign PQ codes against milli-grid integer codebooks
+    (train_pq_codebooks_int), emitting (id, codes_packed BIGINT,
+    sse_milli2 BIGINT): big-endian nibble-packed codes (the
+    x3_pq_codes driver shape) and the EXACT integer squared
+    reconstruction error in milli² units — both bit-portable, so the
+    full corpus encode hash-matches a SQL replay. Same Arrow batch =
+    one numpy distance matrix per subspace shape as pq_encode."""
+    m, k, sub = books_milli.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Xm = np.floor(X * 1000.0).astype(np.int64)
+            n = len(Xm)
+            codes = np.empty((n, m), dtype=np.int64)
+            sse = np.zeros(n, dtype=np.int64)
+            for j in range(m):
+                S = Xm[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - books_milli[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+                sse += d2[np.arange(n), codes[:, j]]
+            packed = np.zeros(n, dtype=np.int64)
+            for j in range(m):
+                packed = (packed << 4) + codes[:, j]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes_packed": packed,
+                    "sse_milli2": sse,
+                }
+            )
+
+    return scale_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        encode, f"{id_col} long, codes_packed long, sse_milli2 long"
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     books: np.ndarray,
@@ -556,6 +680,95 @@ def pq_encode(
         corpus.select(id_col, *keep_cols, vec_col)
     ).mapInPandas(
         encode, f"{id_col} long{keep_ddl}{list_ddl}, codes array<int>, mse double"
+    )
+
+
+def pq_adc_topk_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books_milli: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    refine: int = 4,
+) -> DataFrame:
+    """pq_adc_topk on the INTEGER milli grid — same production shape
+    (per-query distance table, m-lookup ADC scan over the codes,
+    shortlist, exact-cosine re-rank of shortlist only), but the ADC
+    distances are exact int64 milli² sums against
+    train_pq_codebooks_int books, so the SHORTLIST — the only
+    approximate stage — is bit-deterministic and SQL-replayable; with
+    the sequential-fold cosine of the re-rank (bit-comparable to
+    DuckDB's list_dot_product) the whole query is oracle-checkable.
+    The scan reads ONE packed BIGINT per vector (pq_encode_int's
+    emission — m·4 bits, the honest PQ memory story) and unpacks
+    nibbles in the kernel."""
+    m, kc, sub = books_milli.shape
+    collected = _collect_queries(queries, query_id_col, query_vec_col)
+    if collected is None:
+        return _empty_topk(corpus.sparkSession, query_id_col, id_col)
+    qids, Q = collected
+    Qm = np.floor(np.asarray(Q, dtype=np.float64) * 1000.0).astype(np.int64)
+    tables = np.empty((len(Qm), m, kc), dtype=np.int64)
+    for j in range(m):
+        S = Qm[:, j * sub : (j + 1) * sub]
+        tables[:, j, :] = (
+            (S[:, None, :] - books_milli[j][None, :, :]) ** 2
+        ).sum(axis=2)
+    n_keep = refine * k
+
+    def partial(batches):
+        shifts = np.array(
+            [4 * (m - 1 - j) for j in range(m)], dtype=np.int64
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            packed = pdf["codes_packed"].to_numpy(dtype=np.int64)
+            codes = (packed[:, None] >> shifts[None, :]) & 15  # (n, m)
+            frames = []
+            for qi, qid in enumerate(qids):
+                dist = tables[qi, np.arange(m)[None, :], codes].sum(axis=1)
+                mask = ids != qid
+                cids, cd = ids[mask], dist[mask]
+                order = np.lexsort((cids, cd))[:n_keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: cids[order],
+                            query_id_col: qid,
+                            "adc_dist": cd[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    coded = pq_encode_int(
+        corpus, books_milli, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "codes_packed")
+    cand = coded.mapInPandas(
+        partial, f"{id_col} long, {query_id_col} long, adc_dist long"
+    )
+    wq = Window.partitionBy(query_id_col).orderBy("adc_dist", F.col(id_col))
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_keep)
+        .select(id_col, query_id_col)
+    )
+    return _exact_rerank(
+        shortlist,
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=k,
     )
 
 

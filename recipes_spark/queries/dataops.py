@@ -2076,49 +2076,188 @@ def x2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return in_batch.join(corpus_idx, "h", "left_anti").select("doc_id")
 
 
-@query("x3_pq_codes")
+def _pq_train_encode_ctes(
+    m: int = 8, k: int = 16, sample: int = 2048, iters: int = 5,
+    dim: int = 64,
+) -> list[str]:
+    """Shared CTE chain replaying train_pq_codebooks_int +
+    the corpus code assignment: milli-grid values, hash-ranked init,
+    ``iters`` unrolled integer k-means rounds (assignment =
+    integer-d² argmin with lowest-index ties; update = exact-floor
+    mean; empty clusters carry the previous centroid through a LEFT
+    JOIN coalesce), ending at ``c{iters}`` (the trained books) and
+    ``fa`` (j, vec_id, c, d2 — every vector's per-subspace code and
+    exact distortion). Every CTE referenced twice is MATERIALIZED
+    (the BPE-chain lesson: DuckDB 1.0 inlines, which would re-derive
+    the training chain per round). Consumed by the x3_pq_codes oracle
+    (pack + SSE) and the x3_pq_adc_topk oracle (ADC scan +
+    shortlist + exact rerank)."""
+    sub = dim // m
+    ctes = [
+        # (vec_id, j, d, mv): milli-grid values keyed by subspace.
+        "ej AS MATERIALIZED (SELECT vec_id,"
+        f" (generate_subscripts(embedding, 1) - 1) // {sub} AS j,"
+        f" (generate_subscripts(embedding, 1) - 1) % {sub} AS d,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
+        " AS mv FROM embeddings)",
+        f"sids AS (SELECT vec_id FROM embeddings ORDER BY vec_id"
+        f" LIMIT {sample})",
+        "sj AS MATERIALIZED (SELECT e.* FROM ej e JOIN sids USING (vec_id))",
+        # Hash-ranked init: centroid c of subspace j = the sample
+        # vector with the (c+1)-th smallest sha-slice of 'pq:j:id'.
+        "rk AS (SELECT j, vec_id, row_number() OVER (PARTITION BY j"
+        " ORDER BY CAST(('0x' || substr(sha256('pq:' ||"
+        " CAST(j AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT), vec_id) - 1 AS c FROM sids"
+        f" CROSS JOIN (SELECT unnest(range({m})) AS j))",
+        "c0 AS MATERIALIZED (SELECT r.j, r.c, s.d, s.mv AS val"
+        " FROM rk r JOIN sj s ON s.vec_id = r.vec_id AND s.j = r.j"
+        f" WHERE r.c < {k})",
+    ]
+    for i in range(1, iters + 1):
+        p = f"c{i - 1}"
+        ctes += [
+            f"d{i} AS (SELECT s.j, s.vec_id, c.c,"
+            " sum((s.mv - c.val) * (s.mv - c.val)) AS d2"
+            f" FROM sj s JOIN {p} c ON c.j = s.j AND c.d = s.d"
+            " GROUP BY s.j, s.vec_id, c.c)",
+            f"a{i} AS MATERIALIZED (SELECT j, vec_id, c FROM"
+            " (SELECT j, vec_id, c,"
+            " row_number() OVER (PARTITION BY j, vec_id ORDER BY d2, c)"
+            f" AS rn FROM d{i}) WHERE rn = 1)",
+            f"n{i} AS (SELECT a.j, a.c, s.d,"
+            " CAST(floor(sum(s.mv) * 1.0 / count(*)) AS BIGINT) AS val"
+            f" FROM a{i} a JOIN sj s"
+            " ON s.j = a.j AND s.vec_id = a.vec_id"
+            " GROUP BY a.j, a.c, s.d)",
+            f"c{i} AS MATERIALIZED (SELECT p.j, p.c, p.d,"
+            f" coalesce(n.val, p.val) AS val FROM {p} p"
+            f" LEFT JOIN n{i} n ON n.j = p.j AND n.c = p.c AND n.d = p.d)",
+        ]
+    ctes += [
+        "fd AS (SELECT e.j, e.vec_id, c.c,"
+        " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
+        f" FROM ej e JOIN c{iters} c ON c.j = e.j AND c.d = e.d"
+        " GROUP BY e.j, e.vec_id, c.c)",
+        "fa AS MATERIALIZED (SELECT j, vec_id, c, d2 FROM"
+        " (SELECT j, vec_id, c, d2,"
+        " row_number() OVER (PARTITION BY j, vec_id ORDER BY d2, c) AS rn"
+        " FROM fd) WHERE rn = 1)",
+    ]
+    return ctes
+
+
+def _pq_codes_oracle_sql(
+    m: int = 8, k: int = 16, sample: int = 2048, iters: int = 5,
+    dim: int = 64,
+) -> str:
+    """x3_pq_codes oracle: the shared train+assign chain, then nibble
+    packing and the exact integer SSE per vector."""
+    ctes = _pq_train_encode_ctes(m, k, sample, iters, dim)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id,\n"
+        f"  CAST(sum(c * (CAST(1 AS BIGINT) << (4 * ({m - 1} - j))))"
+        " AS BIGINT) AS codes_packed,\n"
+        "  CAST(sum(d2) AS BIGINT) AS sse_milli2\n"
+        "FROM fa GROUP BY vec_id"
+    )
+
+
+@query("x3_pq_codes", oracle=_pq_codes_oracle_sql())
 def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization of the embedding column: 8 subspaces × 16
-    centroids → 8 codes (4 bits each) per 64-dim vector, 64× smaller
-    than float64 — the compression layer under billion-scale ANN
-    (combine with IVF lists: ivf_assign for the coarse cell, PQ codes
-    for in-cell asymmetric distance). Codebooks train on a bounded
-    driver sample with a fixed seed; assignment is one numpy matmul
-    per Arrow batch. Approximate (k-means) → rows-only driver check;
-    tests assert distortion and determinism gates.
+    centroids → 8 codes (4 bits each) per 64-dim vector — the
+    compression layer under billion-scale ANN. FULLY ORACLED since
+    round 12: training moved to the integer milli grid
+    (train_pq_codebooks_int — deterministic lowest-id sample,
+    hash-ranked init, integer-d² assignment with lowest-index ties,
+    exact-floor mean updates), so the DuckDB oracle replays the WHOLE
+    train→encode pipeline — 5 unrolled k-means rounds and the corpus
+    encode — value-exactly, the BPE train→apply discipline applied to
+    vectors (previously rows-only: numpy RNG seeding + float means).
 
-    Output shape: the 8 nibble codes are packed into ONE BIGINT
-    (`codes_packed`, big-endian nibbles, fits in 32 bits) rather than
-    an ``array<int>`` column — the driver's canonicalizer pandas-sorts
-    every output column and dies on list cells (r4 ERROR row), and a
-    packed integer is also the honest PQ memory story (m·4 bits/row).
-    The operator API (`pq_encode`) keeps the array form."""
+    Output: big-endian nibble-packed codes in ONE BIGINT (the
+    driver's canonicalizer dies on list cells — r4 ERROR row) and the
+    exact integer squared reconstruction error in milli² units
+    (replacing the float mse whose summation order no SQL engine
+    matches bit-for-bit).
+
+    100 TB: training reads a bounded id-prefix sample (a real fleet
+    persists the codebook like a tokenizer's merge table); the encode
+    is ONE zero-shuffle Arrow island over the corpus with the books
+    in the closure."""
     from recipes_spark.operators.similarity import (
-        pq_encode,
-        train_pq_codebooks,
+        pq_encode_int,
+        train_pq_codebooks_int,
     )
 
     e = load(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(e, m=8, k=16)
-    coded = pq_encode(e, books)
-    packed = F.aggregate(
-        "codes",
-        F.lit(0).cast("long"),
-        lambda acc, c: F.shiftleft(acc, 4) + c.cast("long"),
-    ).alias("codes_packed")
-    return coded.select("vec_id", packed, "mse")
+    books = train_pq_codebooks_int(e, m=8, k=16)
+    return pq_encode_int(e, books)
 
 
-@query("x3_pq_adc_topk")
+def _pq_adc_oracle_sql(
+    m: int = 8, k: int = 16, sample: int = 2048, iters: int = 5,
+    dim: int = 64, topk: int = 10, refine: int = 4, n_queries: int = 5,
+) -> str:
+    """x3_pq_adc_topk oracle: the shared train+assign chain, then the
+    per-query distance table (qd), the ADC scan as a (codes ⋈ table)
+    sum, the (adc_dist, id) shortlist, and the exact-cosine re-rank —
+    the cosine arithmetic is the attested _COSINE_ORACLE form, whose
+    sequential list_dot_product matches the engine's fold."""
+    n_keep = refine * topk
+    ctes = _pq_train_encode_ctes(m, k, sample, iters, dim)
+    ctes += [
+        f"qd AS MATERIALIZED (SELECT e.vec_id AS query_id, c.j, c.c,"
+        " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
+        f" FROM ej e JOIN c{iters} c ON c.j = e.j AND c.d = e.d"
+        f" WHERE e.vec_id < {n_queries}"
+        " GROUP BY e.vec_id, c.j, c.c)",
+        "adc AS (SELECT q.query_id, f.vec_id, sum(q.d2) AS adc_dist"
+        " FROM fa f JOIN qd q ON q.j = f.j AND q.c = f.c"
+        " WHERE f.vec_id != q.query_id"
+        " GROUP BY q.query_id, f.vec_id)",
+        "short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY adc_dist, vec_id) AS rn FROM adc)"
+        f" WHERE rn <= {n_keep})",
+        f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f" FROM embeddings WHERE vec_id < {n_queries})",
+        "cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "sims AS (SELECT s.query_id, s.vec_id,"
+        " round(list_dot_product(c.v, q.qv) /"
+        " (sqrt(list_dot_product(c.v, c.v)) *"
+        " sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim"
+        " FROM short s JOIN cv c ON c.vec_id = s.vec_id"
+        " JOIN qv q ON q.query_id = s.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, vec_id, cosine_sim, rnk FROM (\n"
+        "  SELECT query_id, vec_id, cosine_sim,\n"
+        "         CAST(row_number() OVER (PARTITION BY query_id\n"
+        "              ORDER BY cosine_sim DESC, vec_id) AS INT) AS rnk\n"
+        f"  FROM sims) WHERE rnk <= {topk}"
+    )
+
+
+@query("x3_pq_adc_topk", oracle=_pq_adc_oracle_sql())
 def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k with exact re-rank — the
-    billion-vector search shape (scan m bytes/vector via code lookups,
-    exact math on the refine-bounded shortlist only). Approximate
-    (codebook recall) → rows-only; tests/test_similarity.py gates
-    recall against brute force."""
+    billion-vector search shape (scan m·4 bits/vector via code
+    lookups, exact math on the refine-bounded shortlist only). FULLY
+    ORACLED since round 12 on the integer milli grid: the trained
+    books, every vector's codes, the per-query ADC distance table and
+    the shortlist are exact int64 arithmetic the oracle replays; the
+    re-rank's cosine is the sequential fold both engines compute
+    bit-comparably. The shortlist IS the recall knob — still gated
+    against brute force in tests/test_similarity.py — but its
+    membership is now deterministic, so "approximate" no longer means
+    "unverifiable"."""
     from recipes_spark.operators.similarity import (
-        pq_adc_topk,
-        train_pq_codebooks,
+        pq_adc_topk_int,
+        train_pq_codebooks_int,
     )
 
     e = load(spark, sf_dir, "embeddings")
@@ -2126,8 +2265,8 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    books = train_pq_codebooks(e, m=8, k=16)
-    return pq_adc_topk(e, queries_df, books, k=10).withColumnRenamed(
+    books = train_pq_codebooks_int(e, m=8, k=16)
+    return pq_adc_topk_int(e, queries_df, books, k=10).withColumnRenamed(
         "rank", "rnk"
     )
 

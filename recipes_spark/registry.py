@@ -70,10 +70,8 @@ _RECHECK: dict[str, int] = {
     # feeds an accumulated cross-batch index), so a marginal pair
     # COULD differ — re-attest under the new family:
     "st12_stream_neardup": 4,
-    # round-5 output-shape fix: codes array<int> → packed BIGINT so the
-    # driver's canonicalizer can sort/hash the (rows-only) output; the r4
-    # row was an ERROR, so re-queue under the new shape:
-    "x3_pq_codes": 5,
+    # x3_pq_codes moved to the round-12 tier below (integer milli-grid
+    # train+encode, fully oracled).
     # round-5 oracle-convention fix: nll round(,4) double → floor-scaled
     # BIGINT nll_micro (summation-order flake risk flagged in r4 ADVICE):
     "x4_unigram_nll": 5,
@@ -155,6 +153,13 @@ _RECHECK: dict[str, int] = {
     # sha-slice, whole pipeline (votes → sketch → bands → popcount)
     # replayed in DuckDB BIGINT arithmetic:
     "x2_simhash": 12,
+    # round-12: the PQ pair converted from rows-only to FULLY ORACLED
+    # on the integer milli grid — deterministic sample + hash-ranked
+    # init + integer k-means (train_pq_codebooks_int), exact int64
+    # codes/SSE/ADC shortlist, sequential-fold cosine re-rank; the
+    # DuckDB oracle replays the whole train→encode(→search) pipeline:
+    "x3_pq_codes": 12,
+    "x3_pq_adc_topk": 12,
 }
 
 

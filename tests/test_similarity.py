@@ -299,3 +299,75 @@ def test_mmr_diversifies_and_stays_relevant(spark, sf_dir):
         m_ids = [v for _, v in sorted(mmr[qid])]
         assert m_ids[0] == p_ids[0]  # relevance retained at rank 1
         assert mean_pairwise(m_ids) <= mean_pairwise(p_ids) + 1e-9, qid
+
+
+def test_pq_int_distortion_and_determinism(spark, sf_dir):
+    """The integer milli-grid PQ path (x3_pq_codes' round-12 oracled
+    form): distortion must stay in the float trainer's class (the
+    0.001 grid is noise next to 16-centroid quantization error), the
+    packed codes must carry valid nibbles, and two full train+encode
+    runs must be bit-identical — the determinism the oracle replay
+    depends on."""
+    import numpy as np
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_int,
+        train_pq_codebooks,
+        train_pq_codebooks_int,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks_int(e, m=8, k=16)
+    out = pq_encode_int(e, books).collect()
+    packed = np.asarray([r.codes_packed for r in out], dtype=np.int64)
+    assert packed.min() >= 0 and packed.max() < (1 << 32)
+    # Integer SSE (milli² over 64 dims) → per-dim MSE in data units.
+    mse_int = np.asarray(
+        [r.sse_milli2 for r in out], dtype=np.float64
+    ).mean() / (64 * 1e6)
+    fbooks = train_pq_codebooks(e, m=8, k=16)
+    mse_float = np.asarray(
+        [r.mse for r in pq_encode(e, fbooks).collect()]
+    ).mean()
+    assert mse_int < 1.5 * mse_float + 1e-6, (mse_int, mse_float)
+    again = {
+        r.vec_id: (r.codes_packed, r.sse_milli2)
+        for r in pq_encode_int(e, train_pq_codebooks_int(e, m=8, k=16)).collect()
+    }
+    first = {r.vec_id: (r.codes_packed, r.sse_milli2) for r in out}
+    assert first == again
+
+
+def test_pq_adc_int_recall_vs_brute_force(spark, sf_dir):
+    """x3_pq_adc_topk's integer form must hold the same recall class
+    as the float ADC it replaced (recall@10 >= 0.6 on near-random
+    synthetic vectors at refine=8; the registered query's refine=4 is
+    the oracle's exact-replay target, this gate is the quality
+    floor)."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk_int,
+        train_pq_codebooks_int,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    truth = {}
+    for r in brute_force_topk(e, queries, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    books = train_pq_codebooks_int(e, m=8, k=16)
+    got = {}
+    for r in pq_adc_topk_int(e, queries, books, k=10, refine=8).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

@@ -570,6 +570,7 @@ def pq_encode_int(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_milli: np.ndarray | None = None,
 ) -> DataFrame:
     """Assign PQ codes against milli-grid integer codebooks
     (train_pq_codebooks_int), emitting (id, codes_packed BIGINT,
@@ -577,7 +578,13 @@ def pq_encode_int(
     x3_pq_codes driver shape) and the EXACT integer squared
     reconstruction error in milli² units — both bit-portable, so the
     full corpus encode hash-matches a SQL replay. Same Arrow batch =
-    one numpy distance matrix per subspace shape as pq_encode."""
+    one numpy distance matrix per subspace shape as pq_encode.
+
+    ``coarse_milli`` (an m=1 book's (k, dim) centroid matrix) fuses
+    the IVF coarse cell assignment — integer-L2 argmin, lowest index
+    on ties — into the same pass as an extra ``__list int`` column:
+    one corpus read + Arrow transfer builds the whole IVF-PQ index
+    (pq_encode's coarse_centroids rationale, integer form)."""
     m, k, sub = books_milli.shape
 
     def encode(batches):
@@ -601,16 +608,21 @@ def pq_encode_int(
             packed = np.zeros(n, dtype=np.int64)
             for j in range(m):
                 packed = (packed << 4) + codes[:, j]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "codes_packed": packed,
-                    "sse_milli2": sse,
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "codes_packed": packed,
+                "sse_milli2": sse,
+            }
+            if coarse_milli is not None:
+                cd2 = ((Xm[:, None, :] - coarse_milli[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                out["__list"] = np.argmin(cd2, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
 
+    list_ddl = ", __list int" if coarse_milli is not None else ""
     return scale_partitions(corpus.select(id_col, vec_col)).mapInPandas(
-        encode, f"{id_col} long, codes_packed long, sse_milli2 long"
+        encode, f"{id_col} long, codes_packed long, sse_milli2 long{list_ddl}"
     )
 
 
@@ -680,6 +692,188 @@ def pq_encode(
         corpus.select(id_col, *keep_cols, vec_col)
     ).mapInPandas(
         encode, f"{id_col} long{keep_ddl}{list_ddl}, codes array<int>, mse double"
+    )
+
+
+def lsh_planes_int(
+    n_tables: int = 8, n_planes: int = 4, dim: int = 64
+) -> np.ndarray:
+    """±1 hyperplane tables, signs from the portable sha-slice of
+    'lsh:<table>:<plane>:<dim>' (odd → +1) — the deterministic,
+    SQL-replayable analog of rng.standard_normal hyperplanes. For
+    sign-bucket LSH a Rademacher (±1) projection is as good a random
+    hyperplane as a Gaussian one (only the direction matters, and
+    ±1 directions are uniform enough at dim ≫ n_planes); on the
+    integer milli grid the dot products — hence every bucket bit —
+    are exact int64."""
+    import hashlib
+
+    W = np.empty((n_tables, n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                h = int(
+                    hashlib.sha256(
+                        f"lsh:{t}:{p}:{d}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                W[t, p, d] = 1 if h % 2 == 1 else -1
+    return W
+
+
+def _hyperplane_buckets_int(
+    df: DataFrame,
+    *,
+    W: np.ndarray,
+    vec_col: str,
+    id_out: str,
+    id_col: str,
+) -> DataFrame:
+    """(id_out, bucket) rows — n_tables integer sign-buckets per
+    vector: bucket = table · 2^n_planes + Σ (Σ_d W[t,p,d]·mv_d ≥ 0)
+    · 2^p, all int64 milli-grid arithmetic (one integer einsum per
+    Arrow batch)."""
+    n_tables, n_planes, dim = W.shape
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Xm = np.floor(X * 1000.0).astype(np.int64)
+            S = np.einsum("nd,tpd->ntp", Xm, W)  # (n, tables, planes)
+            bits = (S >= 0).astype(np.int64)
+            weights = (1 << np.arange(n_planes, dtype=np.int64))
+            codes = (bits * weights[None, None, :]).sum(axis=2)
+            buckets = (
+                np.arange(n_tables, dtype=np.int64)[None, :]
+                * (1 << n_planes)
+                + codes
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_out: np.repeat(ids, n_tables),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return scale_partitions(df.select(id_col, vec_col)).mapInPandas(
+        assign, f"{id_out} long, bucket long"
+    )
+
+
+def lsh_topk_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """lsh_topk on the INTEGER milli grid with hash-signed ±1
+    hyperplanes (lsh_planes_int) — candidate buckets, the only
+    approximate stage, are exact int64 arithmetic and therefore
+    deterministic + SQL-replayable; the re-rank is the
+    sequential-fold exact cosine. Same plan shape as lsh_topk: bucket
+    rows carry ids only, candidates dedupe, vectors re-join for the
+    shortlist."""
+    W = lsh_planes_int(n_tables, n_planes, dim)
+    cb = _hyperplane_buckets_int(
+        corpus, W=W, vec_col=vec_col, id_out=id_col, id_col=id_col
+    )
+    qb = _hyperplane_buckets_int(
+        queries, W=W, vec_col=query_vec_col, id_out=query_id_col,
+        id_col=query_id_col,
+    )
+    cand_ids = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+        .dropDuplicates([query_id_col, id_col])
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    )
+    return _exact_rerank(
+        cand_ids,
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=k,
+    )
+
+
+def ivf_topk_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample: int = 2048,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF top-k on the INTEGER milli grid — the oracle-replayable
+    twin of ivf_topk. The coarse quantizer IS the m=1 case of the
+    integer PQ trainer (one subspace spanning the whole vector), so
+    training, corpus cell assignment (pq_encode_int's packed code =
+    the cell id) and the per-query probe ranking are all exact int64
+    arithmetic; cell pruning — the only approximation — is therefore
+    deterministic and SQL-replayable, and the in-cell re-rank is the
+    sequential-fold exact cosine. Coarse metric is milli-grid L2
+    where ivf_topk used cosine: for cell PRUNING the two agree on
+    which cells are near unless vector norms vary wildly (recall
+    gates re-assert quality on this corpus)."""
+    books = train_pq_codebooks_int(
+        corpus, id_col=id_col, vec_col=vec_col, m=1, k=n_centroids,
+        sample=sample, iters=iters,
+    )
+    collected = _collect_queries(queries, query_id_col, query_vec_col)
+    if collected is None:
+        return _empty_topk(corpus.sparkSession, query_id_col, id_col)
+    qids, Q = collected
+    Qm = np.floor(np.asarray(Q, dtype=np.float64) * 1000.0).astype(np.int64)
+    C = books[0]  # (n_centroids, dim)
+    probes = []
+    for qi, qid in enumerate(qids):
+        d2 = ((Qm[qi][None, :] - C) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(n_centroids), d2))[:nprobe]
+        probes.extend((int(qid), int(c)) for c in order)
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(
+        probes, f"{query_id_col} long, __list int"
+    )
+    assigned = pq_encode_int(
+        corpus, books, id_col=id_col, vec_col=vec_col
+    ).select(id_col, F.col("codes_packed").cast("int").alias("__list"))
+    cand_ids = (
+        assigned.join(F.broadcast(probe_df), "__list")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(
+        cand_ids,
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=k,
     )
 
 
@@ -757,6 +951,101 @@ def pq_adc_topk_int(
     wq = Window.partitionBy(query_id_col).orderBy("adc_dist", F.col(id_col))
     shortlist = (
         cand.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_keep)
+        .select(id_col, query_id_col)
+    )
+    return _exact_rerank(
+        shortlist,
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=k,
+    )
+
+
+def ivf_pq_topk_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 14,
+    refine: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF + PQ/ADC + exact re-rank composed on the INTEGER milli grid
+    — ivf_pq_topk's billion-vector plan (coarse cell prune → m-byte
+    ADC scan inside probed cells → exact math on the refine·k
+    shortlist), every approximate stage exact-integer and therefore
+    SQL-replayable. One fused encode pass builds the index (cell +
+    packed codes, pq_encode_int coarse_milli); the ADC scan is PURE
+    CATALYST: each query ships its (m × k_codes) integer distance
+    table as array literals on the broadcast probe row, and the score
+    is m element_at lookups on the unpacked nibbles — no second
+    Python island, whole-stage-codegen all the way to the shortlist
+    window."""
+    coarse = train_pq_codebooks_int(
+        corpus, id_col=id_col, vec_col=vec_col, m=1, k=n_centroids,
+        sample=sample, iters=iters,
+    )[0]
+    books = train_pq_codebooks_int(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, k=k_codes,
+        sample=sample, iters=iters,
+    )
+    collected = _collect_queries(queries, query_id_col, query_vec_col)
+    if collected is None:
+        return _empty_topk(corpus.sparkSession, query_id_col, id_col)
+    qids, Q = collected
+    Qm = np.floor(np.asarray(Q, dtype=np.float64) * 1000.0).astype(np.int64)
+    sub = Qm.shape[1] // m
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        cd2 = ((Qm[qi][None, :] - coarse) ** 2).sum(axis=1)
+        cells = np.lexsort((np.arange(n_centroids), cd2))[:nprobe]
+        tables = [
+            [
+                int(((Qm[qi, j * sub : (j + 1) * sub] - books[j][c]) ** 2).sum())
+                for c in range(k_codes)
+            ]
+            for j in range(m)
+        ]
+        for c in cells:
+            probe_rows.append((int(qid), int(c), *tables))
+    spark = corpus.sparkSession
+    t_ddl = ", ".join(f"__t{j} array<long>" for j in range(m))
+    probe_df = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, __list int, {t_ddl}"
+    )
+    coded = pq_encode_int(
+        corpus, books, id_col=id_col, vec_col=vec_col, coarse_milli=coarse
+    ).select(id_col, "codes_packed", "__list")
+    adc = sum(
+        F.element_at(
+            f"__t{j}",
+            (
+                F.shiftright("codes_packed", 4 * (m - 1 - j)).bitwiseAND(15)
+                + 1
+            ).cast("int"),
+        )
+        for j in range(m)
+    )
+    n_keep = refine * k
+    wq = Window.partitionBy(query_id_col).orderBy("adc_dist", F.col(id_col))
+    shortlist = (
+        coded.join(F.broadcast(probe_df), "__list")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("adc_dist", adc)
+        .withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= n_keep)
         .select(id_col, query_id_col)
     )

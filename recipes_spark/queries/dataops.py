@@ -742,32 +742,211 @@ def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x3_ivf_topk")
+def _pq_train_encode_ctes(
+    m: int = 8, k: int = 16, sample: int = 2048, iters: int = 5,
+    dim: int = 64, prefix: str = "",
+) -> list[str]:
+    """Shared CTE chain replaying train_pq_codebooks_int +
+    the corpus code assignment: milli-grid values, hash-ranked init,
+    ``iters`` unrolled integer k-means rounds (assignment =
+    integer-d² argmin with lowest-index ties; update = exact-floor
+    mean; empty clusters carry the previous centroid through a LEFT
+    JOIN coalesce), ending at ``c{iters}`` (the trained books) and
+    ``fa`` (j, vec_id, c, d2 — every vector's per-subspace code and
+    exact distortion). Every CTE referenced twice is MATERIALIZED
+    (the BPE-chain lesson: DuckDB 1.0 inlines, which would re-derive
+    the training chain per round). Consumed by the x3_pq_codes oracle
+    (pack + SSE) and the x3_pq_adc_topk oracle (ADC scan +
+    shortlist + exact rerank)."""
+    sub = dim // m
+    ctes = [
+        # (vec_id, j, d, mv): milli-grid values keyed by subspace.
+        f"{prefix}ej AS MATERIALIZED (SELECT vec_id,"
+        f" (generate_subscripts(embedding, 1) - 1) // {sub} AS j,"
+        f" (generate_subscripts(embedding, 1) - 1) % {sub} AS d,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
+        " AS mv FROM embeddings)",
+        f"{prefix}sids AS (SELECT vec_id FROM embeddings ORDER BY vec_id"
+        f" LIMIT {sample})",
+        f"{prefix}sj AS MATERIALIZED (SELECT e.* FROM {prefix}ej e JOIN {prefix}sids USING (vec_id))",
+        # Hash-ranked init: centroid c of subspace j = the sample
+        # vector with the (c+1)-th smallest sha-slice of 'pq:j:id'.
+        f"{prefix}rk AS (SELECT j, vec_id, row_number() OVER (PARTITION BY j"
+        " ORDER BY CAST(('0x' || substr(sha256('pq:' ||"
+        " CAST(j AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), 1, 15))"
+        f" AS BIGINT), vec_id) - 1 AS c FROM {prefix}sids"
+        f" CROSS JOIN (SELECT unnest(range({m})) AS j))",
+        f"{prefix}c0 AS MATERIALIZED (SELECT r.j, r.c, s.d, s.mv AS val"
+        f" FROM {prefix}rk r JOIN {prefix}sj s ON s.vec_id = r.vec_id AND s.j = r.j"
+        f" WHERE r.c < {k})",
+    ]
+    for i in range(1, iters + 1):
+        p = f"c{i - 1}"
+        ctes += [
+            f"{prefix}d{i} AS (SELECT s.j, s.vec_id, c.c,"
+            " sum((s.mv - c.val) * (s.mv - c.val)) AS d2"
+            f" FROM {prefix}sj s JOIN {prefix}{p} c ON c.j = s.j AND c.d = s.d"
+            " GROUP BY s.j, s.vec_id, c.c)",
+            f"{prefix}a{i} AS MATERIALIZED (SELECT j, vec_id, c FROM"
+            " (SELECT j, vec_id, c,"
+            " row_number() OVER (PARTITION BY j, vec_id ORDER BY d2, c)"
+            f" AS rn FROM {prefix}d{i}) WHERE rn = 1)",
+            f"{prefix}n{i} AS (SELECT a.j, a.c, s.d,"
+            " CAST(floor(sum(s.mv) * 1.0 / count(*)) AS BIGINT) AS val"
+            f" FROM {prefix}a{i} a JOIN {prefix}sj s"
+            " ON s.j = a.j AND s.vec_id = a.vec_id"
+            " GROUP BY a.j, a.c, s.d)",
+            f"{prefix}c{i} AS MATERIALIZED (SELECT p.j, p.c, p.d,"
+            f" coalesce(n.val, p.val) AS val FROM {prefix}{p} p"
+            f" LEFT JOIN {prefix}n{i} n ON n.j = p.j AND n.c = p.c AND n.d = p.d)",
+        ]
+    ctes += [
+        f"{prefix}fd AS (SELECT e.j, e.vec_id, c.c,"
+        " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
+        f" FROM {prefix}ej e JOIN {prefix}c{iters} c ON c.j = e.j AND c.d = e.d"
+        " GROUP BY e.j, e.vec_id, c.c)",
+        f"{prefix}fa AS MATERIALIZED (SELECT j, vec_id, c, d2 FROM"
+        " (SELECT j, vec_id, c, d2,"
+        " row_number() OVER (PARTITION BY j, vec_id ORDER BY d2, c) AS rn"
+        f" FROM {prefix}fd) WHERE rn = 1)",
+    ]
+    return ctes
+
+
+def _ivf_topk_oracle_sql(
+    n_centroids: int = 16, nprobe: int = 4, topk: int = 10,
+    n_queries: int = 5, sample: int = 2048, iters: int = 5,
+    dim: int = 64,
+) -> str:
+    """x3_ivf_topk oracle: the m=1 integer train+assign chain (the
+    coarse quantizer), per-query cell distances, the (d2, c) probe
+    ranking, cell-pruned candidates, exact-cosine re-rank."""
+    ctes = _pq_train_encode_ctes(
+        m=1, k=n_centroids, sample=sample, iters=iters, dim=dim
+    )
+    ctes += [
+        f"qd AS (SELECT e.vec_id AS query_id, c.c,"
+        " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
+        f" FROM ej e JOIN c{iters} c ON c.j = e.j AND c.d = e.d"
+        f" WHERE e.vec_id < {n_queries}"
+        " GROUP BY e.vec_id, c.c)",
+        "probe AS (SELECT query_id, c FROM (SELECT query_id, c,"
+        " row_number() OVER (PARTITION BY query_id ORDER BY d2, c) AS rn"
+        f" FROM qd) WHERE rn <= {nprobe})",
+        "cand AS (SELECT p.query_id, f.vec_id FROM fa f"
+        " JOIN probe p ON p.c = f.c WHERE f.vec_id != p.query_id)",
+        f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f" FROM embeddings WHERE vec_id < {n_queries})",
+        "cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "sims AS (SELECT s.query_id, s.vec_id,"
+        " round(list_dot_product(c.v, q.qv) /"
+        " (sqrt(list_dot_product(c.v, c.v)) *"
+        " sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim"
+        " FROM cand s JOIN cv c ON c.vec_id = s.vec_id"
+        " JOIN qv q ON q.query_id = s.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, vec_id, cosine_sim, rnk FROM (\n"
+        "  SELECT query_id, vec_id, cosine_sim,\n"
+        "         CAST(row_number() OVER (PARTITION BY query_id\n"
+        "              ORDER BY cosine_sim DESC, vec_id) AS INT) AS rnk\n"
+        f"  FROM sims) WHERE rnk <= {topk}"
+    )
+
+
+@query("x3_ivf_topk", oracle=_ivf_topk_oracle_sql())
 def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path #2: IVF — k-means coarse quantizer (sample-trained),
-    nprobe=4 of 16 inverted lists probed per query, exact re-rank inside
-    the lists. Approximate → rows-only (tests assert recall vs brute
-    force)."""
-    from recipes_spark.operators.similarity import ivf_topk
+    """X3 scale path #2: IVF — coarse quantizer, nprobe=4 of 16
+    inverted lists probed per query, exact re-rank inside the lists.
+    FULLY ORACLED since round 12: the coarse quantizer is the m=1
+    case of the integer milli-grid PQ trainer, so cell training,
+    corpus assignment and the per-query probe ranking are exact int64
+    arithmetic the oracle replays; cell pruning — the only
+    approximation — is deterministic, and the in-cell cosine re-rank
+    is the sequential fold. Recall still gated vs brute force in
+    tests/test_similarity.py."""
+    from recipes_spark.operators.similarity import ivf_topk_int
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries, k=10).withColumnRenamed("rank", "rnk")
+    return ivf_topk_int(emb, queries, k=10).withColumnRenamed("rank", "rnk")
 
 
-@query("x3_lsh_topk")
+def _lsh_topk_oracle_sql(
+    n_tables: int = 8, n_planes: int = 4, dim: int = 64,
+    topk: int = 10, n_queries: int = 5,
+) -> str:
+    """x3_lsh_topk oracle: hash-signed ±1 planes, integer sign
+    buckets, the bucket-join candidate set, exact-cosine re-rank."""
+    return f"""
+WITH el AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+           AS mv
+  FROM embeddings
+), pl AS MATERIALIZED (
+  SELECT ts.t, ps.p, ds.d,
+         CASE WHEN CAST(('0x' || substr(sha256('lsh:' ||
+              CAST(ts.t AS VARCHAR) || ':' || CAST(ps.p AS VARCHAR) ||
+              ':' || CAST(ds.d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 1
+              THEN 1 ELSE -1 END AS w
+  FROM range({n_tables}) ts(t), range({n_planes}) ps(p),
+       range({dim}) ds(d)
+), s AS (
+  SELECT e.vec_id, pl.t, pl.p, sum(pl.w * e.mv) AS s
+  FROM el e JOIN pl ON pl.d = e.d
+  GROUP BY e.vec_id, pl.t, pl.p
+), bk AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(t * {1 << n_planes} + sum(CASE WHEN s >= 0
+              THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM s GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM bk c JOIN bk q ON c.bucket = q.bucket
+  WHERE q.vec_id < {n_queries} AND c.vec_id != q.vec_id
+), qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {n_queries}
+), cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_dot_product(c.v, q.qv) /
+               (sqrt(list_dot_product(c.v, c.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+  FROM cand s JOIN cv c ON c.vec_id = s.vec_id
+  JOIN qv q ON q.query_id = s.query_id
+)
+SELECT query_id, vec_id, cosine_sim, rnk FROM (
+  SELECT query_id, vec_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, vec_id) AS INT) AS rnk
+  FROM sims) WHERE rnk <= {topk}
+"""
+
+
+@query("x3_lsh_topk", oracle=_lsh_topk_oracle_sql())
 def x3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: random-hyperplane LSH bucketing (8 tables × 4
-    planes, recall-first defaults) then exact re-rank of candidates.
-    Approximate → rows-only (tests/test_similarity.py asserts recall
-    vs brute force)."""
+    """X3 scale path: hyperplane-LSH bucketing (8 tables × 4 planes,
+    recall-first defaults) then exact re-rank of candidates. FULLY
+    ORACLED since round 12: the hyperplanes are hash-signed ±1
+    (Rademacher — as good a random direction as a Gaussian for
+    sign-bucket LSH) and the dot products run on the integer milli
+    grid, so the candidate buckets — the only approximate stage —
+    replay exactly in DuckDB; the re-rank cosine is the sequential
+    fold. Recall still gated vs brute force in
+    tests/test_similarity.py."""
+    from recipes_spark.operators.similarity import lsh_topk_int
+
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, k=10).withColumnRenamed("rank", "rnk")
+    return lsh_topk_int(emb, queries, k=10).withColumnRenamed("rank", "rnk")
 
 
 @query(
@@ -2076,77 +2255,6 @@ def x2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return in_batch.join(corpus_idx, "h", "left_anti").select("doc_id")
 
 
-def _pq_train_encode_ctes(
-    m: int = 8, k: int = 16, sample: int = 2048, iters: int = 5,
-    dim: int = 64,
-) -> list[str]:
-    """Shared CTE chain replaying train_pq_codebooks_int +
-    the corpus code assignment: milli-grid values, hash-ranked init,
-    ``iters`` unrolled integer k-means rounds (assignment =
-    integer-d² argmin with lowest-index ties; update = exact-floor
-    mean; empty clusters carry the previous centroid through a LEFT
-    JOIN coalesce), ending at ``c{iters}`` (the trained books) and
-    ``fa`` (j, vec_id, c, d2 — every vector's per-subspace code and
-    exact distortion). Every CTE referenced twice is MATERIALIZED
-    (the BPE-chain lesson: DuckDB 1.0 inlines, which would re-derive
-    the training chain per round). Consumed by the x3_pq_codes oracle
-    (pack + SSE) and the x3_pq_adc_topk oracle (ADC scan +
-    shortlist + exact rerank)."""
-    sub = dim // m
-    ctes = [
-        # (vec_id, j, d, mv): milli-grid values keyed by subspace.
-        "ej AS MATERIALIZED (SELECT vec_id,"
-        f" (generate_subscripts(embedding, 1) - 1) // {sub} AS j,"
-        f" (generate_subscripts(embedding, 1) - 1) % {sub} AS d,"
-        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
-        " AS mv FROM embeddings)",
-        f"sids AS (SELECT vec_id FROM embeddings ORDER BY vec_id"
-        f" LIMIT {sample})",
-        "sj AS MATERIALIZED (SELECT e.* FROM ej e JOIN sids USING (vec_id))",
-        # Hash-ranked init: centroid c of subspace j = the sample
-        # vector with the (c+1)-th smallest sha-slice of 'pq:j:id'.
-        "rk AS (SELECT j, vec_id, row_number() OVER (PARTITION BY j"
-        " ORDER BY CAST(('0x' || substr(sha256('pq:' ||"
-        " CAST(j AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), 1, 15))"
-        " AS BIGINT), vec_id) - 1 AS c FROM sids"
-        f" CROSS JOIN (SELECT unnest(range({m})) AS j))",
-        "c0 AS MATERIALIZED (SELECT r.j, r.c, s.d, s.mv AS val"
-        " FROM rk r JOIN sj s ON s.vec_id = r.vec_id AND s.j = r.j"
-        f" WHERE r.c < {k})",
-    ]
-    for i in range(1, iters + 1):
-        p = f"c{i - 1}"
-        ctes += [
-            f"d{i} AS (SELECT s.j, s.vec_id, c.c,"
-            " sum((s.mv - c.val) * (s.mv - c.val)) AS d2"
-            f" FROM sj s JOIN {p} c ON c.j = s.j AND c.d = s.d"
-            " GROUP BY s.j, s.vec_id, c.c)",
-            f"a{i} AS MATERIALIZED (SELECT j, vec_id, c FROM"
-            " (SELECT j, vec_id, c,"
-            " row_number() OVER (PARTITION BY j, vec_id ORDER BY d2, c)"
-            f" AS rn FROM d{i}) WHERE rn = 1)",
-            f"n{i} AS (SELECT a.j, a.c, s.d,"
-            " CAST(floor(sum(s.mv) * 1.0 / count(*)) AS BIGINT) AS val"
-            f" FROM a{i} a JOIN sj s"
-            " ON s.j = a.j AND s.vec_id = a.vec_id"
-            " GROUP BY a.j, a.c, s.d)",
-            f"c{i} AS MATERIALIZED (SELECT p.j, p.c, p.d,"
-            f" coalesce(n.val, p.val) AS val FROM {p} p"
-            f" LEFT JOIN n{i} n ON n.j = p.j AND n.c = p.c AND n.d = p.d)",
-        ]
-    ctes += [
-        "fd AS (SELECT e.j, e.vec_id, c.c,"
-        " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
-        f" FROM ej e JOIN c{iters} c ON c.j = e.j AND c.d = e.d"
-        " GROUP BY e.j, e.vec_id, c.c)",
-        "fa AS MATERIALIZED (SELECT j, vec_id, c, d2 FROM"
-        " (SELECT j, vec_id, c, d2,"
-        " row_number() OVER (PARTITION BY j, vec_id ORDER BY d2, c) AS rn"
-        " FROM fd) WHERE rn = 1)",
-    ]
-    return ctes
-
-
 def _pq_codes_oracle_sql(
     m: int = 8, k: int = 16, sample: int = 2048, iters: int = 5,
     dim: int = 64,
@@ -2271,31 +2379,99 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x3_ivf_pq_topk")
+def _ivf_pq_oracle_sql(
+    m: int = 8, k_codes: int = 16, n_centroids: int = 16,
+    nprobe: int = 14, topk: int = 10, refine: int = 16,
+    n_queries: int = 5, sample: int = 2048, iters: int = 5,
+    dim: int = 64,
+) -> str:
+    """x3_ivf_pq_topk oracle: BOTH integer chains — the m=1 coarse
+    quantizer (prefix cv_) and the m=8 PQ books — then the probe
+    ranking, cell-pruned candidates, the ADC sum as a (codes ⋈
+    per-query table) join, the shortlist, and the exact-cosine
+    re-rank."""
+    n_keep = refine * topk
+    ctes = _pq_train_encode_ctes(
+        m=m, k=k_codes, sample=sample, iters=iters, dim=dim
+    )
+    ctes += _pq_train_encode_ctes(
+        m=1, k=n_centroids, sample=sample, iters=iters, dim=dim,
+        prefix="cv_",
+    )
+    ctes += [
+        f"cqd AS (SELECT e.vec_id AS query_id, c.c,"
+        " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
+        f" FROM cv_ej e JOIN cv_c{iters} c ON c.j = e.j AND c.d = e.d"
+        f" WHERE e.vec_id < {n_queries}"
+        " GROUP BY e.vec_id, c.c)",
+        "probe AS (SELECT query_id, c FROM (SELECT query_id, c,"
+        " row_number() OVER (PARTITION BY query_id ORDER BY d2, c) AS rn"
+        f" FROM cqd) WHERE rn <= {nprobe})",
+        "cellcand AS MATERIALIZED (SELECT p.query_id, f.vec_id"
+        " FROM cv_fa f JOIN probe p ON p.c = f.c"
+        " WHERE f.vec_id != p.query_id)",
+        f"pqd AS MATERIALIZED (SELECT e.vec_id AS query_id, c.j, c.c,"
+        " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
+        f" FROM ej e JOIN c{iters} c ON c.j = e.j AND c.d = e.d"
+        f" WHERE e.vec_id < {n_queries}"
+        " GROUP BY e.vec_id, c.j, c.c)",
+        "adc AS (SELECT cc.query_id, cc.vec_id, sum(q.d2) AS adc_dist"
+        " FROM cellcand cc JOIN fa f ON f.vec_id = cc.vec_id"
+        " JOIN pqd q ON q.query_id = cc.query_id"
+        " AND q.j = f.j AND q.c = f.c"
+        " GROUP BY cc.query_id, cc.vec_id)",
+        "short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY adc_dist, vec_id) AS rn FROM adc)"
+        f" WHERE rn <= {n_keep})",
+        f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f" FROM embeddings WHERE vec_id < {n_queries})",
+        "cvv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "sims AS (SELECT s.query_id, s.vec_id,"
+        " round(list_dot_product(c.v, q.qv) /"
+        " (sqrt(list_dot_product(c.v, c.v)) *"
+        " sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim"
+        " FROM short s JOIN cvv c ON c.vec_id = s.vec_id"
+        " JOIN qv q ON q.query_id = s.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, vec_id, cosine_sim, rnk FROM (\n"
+        "  SELECT query_id, vec_id, cosine_sim,\n"
+        "         CAST(row_number() OVER (PARTITION BY query_id\n"
+        "              ORDER BY cosine_sim DESC, vec_id) AS INT) AS rnk\n"
+        f"  FROM sims) WHERE rnk <= {topk}"
+    )
+
+
+@query("x3_ivf_pq_topk", oracle=_ivf_pq_oracle_sql())
 def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ + exact re-rank composed as ONE plan — the actual
     billion-vector ANN shape (coarse cell prune → m-byte ADC scan
     inside probed cells → exact math on the refine·k shortlist only).
-    The legs exist separately (x3_ivf_topk, x3_pq_adc_topk); this is
-    the composition a production vector store runs. Approximate →
-    rows-only; tests/test_similarity.py::test_ivf_pq_recall_vs_brute_force
-    gates mean recall@10 >= 0.9 against brute force at the driver SF.
+    FULLY ORACLED since round 12 on the integer milli grid: both
+    trained books, the fused cell+code index (one corpus pass), the
+    probe ranking, the pure-Catalyst ADC scan (per-query integer
+    distance tables as broadcast array literals, m element_at lookups
+    per row) and the shortlist are exact int64 arithmetic the oracle
+    replays end to end; the re-rank cosine is the sequential fold.
+    tests/test_similarity.py::test_ivf_pq_recall_vs_brute_force gates
+    mean recall@10 >= 0.9 against brute force at the driver SF.
 
     nprobe is deliberately high (14/16): the synthetic embeddings are
     near-uniform, so true neighbors scatter across lists and coarse
-    pruning costs recall roughly linearly (measured at sf0.01:
-    nprobe 8 → 0.78, 12 → 0.88, 14 → 0.94). On a real clustered
-    corpus the same plan runs at nprobe/n_centroids ≈ 1/8 — the knob
-    is data-dependent, the SHAPE (prune → ADC scan → bounded exact
+    pruning costs recall roughly linearly. On a real clustered corpus
+    the same plan runs at nprobe/n_centroids ≈ 1/8 — the knob is
+    data-dependent, the SHAPE (prune → ADC scan → bounded exact
     re-rank) is what scales."""
-    from recipes_spark.operators.similarity import ivf_pq_topk
+    from recipes_spark.operators.similarity import ivf_pq_topk_int
 
     e = load(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    return ivf_pq_topk(
+    return ivf_pq_topk_int(
         e, queries_df, k=10, n_centroids=16, nprobe=14, refine=16
     ).withColumnRenamed("rank", "rnk")
 

@@ -56,7 +56,6 @@ _RECHECK: dict[str, int] = {
     "embedding_neardup": 3,
     "x3_semantic_dedup": 3,
     "tfidf_top_terms": 3,
-    "x3_lsh_topk": 3,
     "agg_percentiles": 3,
     # round-4 oracle-type fixes (DuckDB HUGEINT aggregates cast to BIGINT;
     # Spark values were already correct, the oracle output dtype changed):
@@ -160,6 +159,13 @@ _RECHECK: dict[str, int] = {
     # DuckDB oracle replays the whole train→encode(→search) pipeline:
     "x3_pq_codes": 12,
     "x3_pq_adc_topk": 12,
+    # round-12: the remaining ANN legs converted the same way — IVF's
+    # coarse quantizer is the m=1 integer trainer, LSH moved to
+    # hash-signed ±1 planes on the milli grid, and the composition
+    # fuses both; candidate sets are deterministic and oracle-replayed:
+    "x3_ivf_topk": 12,
+    "x3_lsh_topk": 12,
+    "x3_ivf_pq_topk": 12,
 }
 
 

@@ -371,3 +371,36 @@ def test_pq_adc_int_recall_vs_brute_force(spark, sf_dir):
         len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
     ]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_int_ann_legs_recall_and_exactness(topk_inputs):
+    """Round-12 integer ANN legs (the oracled forms behind
+    x3_lsh_topk / x3_ivf_topk / x3_ivf_pq_topk): each must hold the
+    same recall class as the float leg it replaced, and int-IVF at
+    nprobe == n_centroids must equal brute force exactly (pruning is
+    the ONLY approximation)."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_topk_int,
+        ivf_topk_int,
+        lsh_topk_int,
+    )
+
+    emb, queries, exact = topk_inputs
+    r_lsh = _recall(lsh_topk_int(emb, queries, k=10).collect(), exact)
+    assert r_lsh >= 0.5, f"int LSH recall@10 {r_lsh:.2f} < 0.5"
+    r_ivf = _recall(
+        ivf_topk_int(emb, queries, k=10, n_centroids=16, nprobe=4).collect(),
+        exact,
+    )
+    assert r_ivf >= 0.5, f"int IVF recall@10 {r_ivf:.2f} < 0.5"
+    full = ivf_topk_int(
+        emb, queries, k=10, n_centroids=8, nprobe=8
+    ).collect()
+    assert {(r.query_id, r.vec_id) for r in full} == exact
+    r_ivfpq = _recall(
+        ivf_pq_topk_int(
+            emb, queries, k=10, n_centroids=16, nprobe=14, refine=16
+        ).collect(),
+        exact,
+    )
+    assert r_ivfpq >= 0.8, f"int IVF-PQ recall@10 {r_ivfpq:.2f} < 0.8"

@@ -69,8 +69,12 @@ def plan_hash(df) -> str:
         conf.set("spark.sql.debug.maxToStringFields", "10000")
         # Scan-node metadata (DataFilters/ReadSchema lists) abbreviates
         # at maxMetadataStringLength CHARS — the cut lands mid-token at
-        # a position that shifts with expr-id digit widths.
-        conf.set("spark.sql.maxMetadataStringLength", "100000")
+        # a position that shifts with expr-id digit widths. 10M, not
+        # 100k: the round-12 bloom-gated decontamination scan carries a
+        # ~40 KB pushed-filter literal (2048 int64 bloom words), which
+        # blew past the old limit and made the cut session-dependent
+        # again (caught by the full suite, invisible standalone).
+        conf.set("spark.sql.maxMetadataStringLength", "10000000")
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         conf.set("spark.sql.debug.maxToStringFields", prev_fields)

@@ -1521,7 +1521,50 @@ def probe_bpe_train_50round(spark: SparkSession) -> dict:
     }
 
 
+def probe_minhash_portable(spark: SparkSession) -> dict:
+    """The price of oracle-replayability on the MinHash banding stage
+    (round 12): band_hashes with the default xxhash64 base vs the
+    portable sha-slice base (x2_minhash_lsh's oracled form), at 1x and
+    a 10x mutated corpus. The two differ ONLY in the per-shingle base
+    hash (one sha256+conv vs one xxhash64, both JVM-side before the
+    identical numpy kernel), so the wall ratio isolates the hash
+    premium; row counts are asserted equal (both emit docs x bands
+    rows)."""
+    from recipes_spark.io import load, scale_partitions
+    from recipes_spark.functions.text import word_shingles
+    from recipes_spark.operators.dedup import band_hashes
+
+    out = {"probe": "minhash_portable"}
+    big_dir = _stage_docs_sfdir(spark, mode="mutate")
+    for tag, sfd in (("1x", SF_DIR), ("10x", big_dir)):
+        d = scale_partitions(load(spark, sfd, "documents")).select(
+            "doc_id", word_shingles("text", 3).alias("sh")
+        )
+        counts = {}
+        for fam, portable in (("xxh", False), ("sha", True)):
+            n = None
+
+            def run():
+                nonlocal n
+                n = band_hashes(
+                    d, id_col="doc_id", set_col="sh",
+                    num_hashes=64, bands=16, portable=portable,
+                ).count()
+
+            out[f"wall_sec_{fam}_{tag}"] = round(
+                min(_timed(run) for _ in range(3)), 2
+            )
+            counts[fam] = n
+        assert counts["xxh"] == counts["sha"], counts
+        out[f"rows_{tag}"] = counts["sha"]
+        out[f"sha_over_xxh_{tag}"] = round(
+            out[f"wall_sec_sha_{tag}"] / out[f"wall_sec_xxh_{tag}"], 2
+        )
+    return out
+
+
 PROBES = {
+    "minhash_portable": probe_minhash_portable,
     "cc_chain": probe_cc_chain,
     "bpe_greedy_1k": probe_bpe_greedy_1k,
     "bpe_train_50round": probe_bpe_train_50round,

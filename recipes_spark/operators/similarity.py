@@ -1295,10 +1295,23 @@ def mmr_rerank(
     (Q × `shortlist` rows) and is inherently sequential-greedy, so it
     runs driver-side on the collected shortlist + its vectors —
     bounded by construction, exactly where every production vector
-    store runs it. Scores are integer micro-units with λ in tenths
-    (score·10 = 7·sim_q − 3·max_sim, integer throughout after a
-    per-pair floor), ties broken by lowest id — bit-deterministic
-    across runs, partitionings, and engines."""
+    store runs it.
+
+    PORTABLE SCORING (round 12 — what made the query oracleable):
+    score = λ_tenths·simq_bp − (10−λ_tenths)·red_bp, integers, ties to
+    the lowest id, where
+    - simq_bp = the shortlist's OWN round(cos, 4) relevance in basis
+      points — the identical quantization brute_force_topk ranks by,
+      so the first greedy pick equals the plain top-1 EXACTLY (the
+      rank-1 contract), and cross-engine parity rides the already
+      attested round-4 cosine arithmetic;
+    - red_bp = floor(10⁴ · cos_milli(a, b)) on the integer MILLI-GRID
+      vectors: dot and norms are exact int64 sums, so the only doubles
+      are sqrt/divide/multiply of integer-derived values through ONE
+      fixed op sequence — both engines compute the identical value,
+      no summation-order surface (the old form floored UNROUNDED
+      float cosines at 1e-6, whose ulp-level engine differences sat
+      right on boundary density 100× higher)."""
     cand = brute_force_topk(
         corpus,
         queries,
@@ -1308,10 +1321,12 @@ def mmr_rerank(
         query_vec_col=query_vec_col,
         k=shortlist,
     )
-    rows = cand.select(query_id_col, id_col).collect()
+    rows = cand.select(query_id_col, id_col, "cosine_sim").collect()
     by_q: dict = {}
     for r in rows:
-        by_q.setdefault(r[query_id_col], []).append(r[id_col])
+        by_q.setdefault(r[query_id_col], {})[r[id_col]] = int(
+            round(r["cosine_sim"] * 10000)
+        )
     need_ids = sorted({i for ids in by_q.values() for i in ids})
     spark = corpus.sparkSession
     vec_rows = (
@@ -1324,44 +1339,35 @@ def mmr_rerank(
         .select(id_col, vec_col)
         .collect()
     )
-    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in vec_rows}
-    qcollected = _collect_queries(queries, query_id_col, query_vec_col)
-    if qcollected is None:
-        return spark.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, mmr_micro long, rank int"
+    import math
+
+    milli = {
+        r[0]: [math.floor(float(x) * 1000.0) for x in r[1]] for r in vec_rows
+    }
+    norms2 = {i: sum(v * v for v in m) for i, m in milli.items()}
+
+    def red_bp(a: int, b: int) -> int:
+        dm = sum(x * y for x, y in zip(milli[a], milli[b]))
+        return math.floor(
+            10000.0 * dm / (math.sqrt(norms2[a]) * math.sqrt(norms2[b]))
         )
-    qids, Q = qcollected
-    qvec = {int(q): Q[i] for i, q in enumerate(qids)}
-
-    def cos(a: np.ndarray, b: np.ndarray) -> float:
-        na = max(float(np.linalg.norm(a)), 1e-300)
-        nb = max(float(np.linalg.norm(b)), 1e-300)
-        return float(a @ b) / (na * nb)
-
-    def simq_micro(a: np.ndarray, b: np.ndarray) -> int:
-        # QUANTIZED LIKE THE SHORTLIST: brute_force_topk ranks on
-        # np.round(cos, 4), so the relevance term must quantize the
-        # same way or a 4-decimal tie could order differently here
-        # than there and break the rank-1 == plain-top-1 contract
-        # (both orders then break ties by lowest id).
-        return int(round(float(np.round(cos(a, b), 4)) * 1e6))
-
-    def red_micro(a: np.ndarray, b: np.ndarray) -> int:
-        return int(np.floor(cos(a, b) * 1e6))
 
     out = []
-    for q, ids in sorted(by_q.items()):
-        simq = {i: simq_micro(vecs[i], qvec[q]) for i in ids}
+    for q, simq in sorted(by_q.items()):
         selected: list = []
-        remaining = sorted(ids)
+        remaining = sorted(simq)
         # Incremental MMR: carry each candidate's running max
         # redundancy and fold in only the newly selected item —
-        # O(k·shortlist) pair sims, not O(k²·shortlist).
-        red = {i: 0 for i in remaining}
+        # O(k·shortlist) pair sims, not O(k²·shortlist). None (not 0)
+        # before the first fold: red_bp can be NEGATIVE (anti-aligned
+        # vectors), and a zero floor would silently clamp the max —
+        # the first pick has NO redundancy term at all.
+        red: dict = dict.fromkeys(remaining, None)
         while remaining and len(selected) < k:
             best_id, best_score = None, None
             for i in remaining:
-                score = lambda_tenths * simq[i] - (10 - lambda_tenths) * red[i]
+                penalty = (10 - lambda_tenths) * red[i] if red[i] is not None else 0
+                score = lambda_tenths * simq[i] - penalty
                 # Deterministic: strict improvement wins; ties keep the
                 # LOWEST id (remaining is sorted ascending).
                 if best_score is None or score > best_score:
@@ -1370,7 +1376,8 @@ def mmr_rerank(
             remaining.remove(best_id)
             out.append((int(q), int(best_id), int(best_score), len(selected)))
             for i in remaining:
-                red[i] = max(red[i], red_micro(vecs[i], vecs[best_id]))
+                r2 = red_bp(i, best_id)
+                red[i] = r2 if red[i] is None else max(red[i], r2)
     return spark.createDataFrame(
-        out, f"{query_id_col} long, {id_col} long, mmr_micro long, rank int"
+        out, f"{query_id_col} long, {id_col} long, mmr_score long, rank int"
     )

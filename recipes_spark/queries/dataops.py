@@ -3170,15 +3170,98 @@ def x7_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x3_mmr_topk")
+def _mmr_oracle_sql(
+    k: int = 10, shortlist: int = 50, n_queries: int = 5,
+    lambda_tenths: int = 7,
+) -> str:
+    """x3_mmr_topk oracle: the brute shortlist (attested round-4
+    cosine, rank ≤ shortlist), per-pair milli-grid redundancy in basis
+    points, then the GREEDY LOOP UNROLLED — k rounds, each a max-red
+    aggregate over the selected set, an (score DESC, id) argmax pick,
+    and a selected-set union. Greedy-sequential stopped meaning
+    unoracleable once the scoring became portable integers."""
+    lam, lam2 = lambda_tenths, 10 - lambda_tenths
+    ctes = [
+        f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f" FROM embeddings WHERE vec_id < {n_queries})",
+        "cvv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "el AS MATERIALIZED (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) - 1 AS d,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
+        " AS mv FROM embeddings)",
+        "sims AS (SELECT q.query_id, c.vec_id,"
+        " round(list_dot_product(c.v, q.qv) /"
+        " (sqrt(list_dot_product(c.v, c.v)) *"
+        " sqrt(list_dot_product(q.qv, q.qv))), 4) AS c4"
+        " FROM cvv c CROSS JOIN qv q WHERE c.vec_id != q.query_id)",
+        f"cand AS MATERIALIZED (SELECT query_id, vec_id,"
+        " CAST(round(c4 * 10000) AS BIGINT) AS simq"
+        " FROM (SELECT query_id, vec_id, c4, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY c4 DESC, vec_id) AS rn"
+        f" FROM sims) WHERE rn <= {shortlist})",
+        "sel_el AS MATERIALIZED (SELECT e.* FROM el e"
+        " JOIN (SELECT DISTINCT vec_id FROM cand) m USING (vec_id))",
+        "nm AS MATERIALIZED (SELECT vec_id, sum(mv * mv) AS n2"
+        " FROM sel_el GROUP BY vec_id)",
+        "pdot AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,"
+        " sum(x.mv * y.mv) AS dm FROM sel_el x JOIN sel_el y"
+        " ON x.d = y.d AND x.vec_id != y.vec_id"
+        " GROUP BY x.vec_id, y.vec_id)",
+        "pred AS MATERIALIZED (SELECT ca.query_id, ca.vec_id AS a,"
+        " cb.vec_id AS b, CAST(floor(10000.0 * dm.dm /"
+        " (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS red"
+        " FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id"
+        " AND ca.vec_id != cb.vec_id"
+        " JOIN pdot dm ON dm.a = ca.vec_id AND dm.b = cb.vec_id"
+        " JOIN nm na ON na.vec_id = ca.vec_id"
+        " JOIN nm nb ON nb.vec_id = cb.vec_id)",
+        f"pick1 AS MATERIALIZED (SELECT query_id, vec_id,"
+        f" {lam} * simq AS sc, 1 AS rnk FROM (SELECT query_id, vec_id,"
+        " simq, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY simq DESC, vec_id) AS rn FROM cand) WHERE rn = 1)",
+        "sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM pick1)",
+    ]
+    for r in range(2, k + 1):
+        p = r - 1
+        ctes += [
+            f"sc{r} AS (SELECT c.query_id, c.vec_id,"
+            f" {lam} * c.simq - {lam2} * max(p.red) AS sc"
+            f" FROM cand c JOIN sel{p} s ON s.query_id = c.query_id"
+            f" JOIN pred p ON p.query_id = c.query_id"
+            f" AND p.a = c.vec_id AND p.b = s.vec_id"
+            f" WHERE NOT EXISTS (SELECT 1 FROM sel{p} s2"
+            f" WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)"
+            f" GROUP BY c.query_id, c.vec_id, c.simq)",
+            f"pick{r} AS MATERIALIZED (SELECT query_id, vec_id, sc,"
+            f" {r} AS rnk FROM (SELECT query_id, vec_id, sc,"
+            " row_number() OVER (PARTITION BY query_id"
+            f" ORDER BY sc DESC, vec_id) AS rn FROM sc{r}) WHERE rn = 1)",
+            f"sel{r} AS MATERIALIZED (SELECT * FROM sel{p}"
+            f" UNION ALL SELECT query_id, vec_id FROM pick{r})",
+        ]
+    union = "\nUNION ALL ".join(
+        f"SELECT query_id, vec_id, CAST(sc AS BIGINT) AS mmr_score,"
+        f" CAST(rnk AS INT) AS rnk FROM pick{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@query("x3_mmr_topk", oracle=_mmr_oracle_sql())
 def x3_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware retrieval: brute-force shortlist (distributed
     stage) → maximal-marginal-relevance greedy rerank (bounded
     driver-side stage, where every production vector store runs it) —
-    λ=0.7 relevance vs redundancy in integer micro-units, ties to the
-    lowest id. Greedy-sequential → no SQL oracle (rows-only);
-    tests/test_similarity.py gates determinism across partitionings,
-    redundancy reduction vs plain top-k, and relevance retention."""
+    λ=0.7, ties to the lowest id. FULLY ORACLED since round 12: the
+    relevance term is the shortlist's own attested round-4 cosine in
+    basis points (so rank 1 still equals the plain top-1 exactly) and
+    the redundancy term is the milli-grid integer cosine floored to
+    basis points (every double derives from int64 inputs through one
+    fixed op sequence — no summation-order surface), which makes the
+    greedy loop a deterministic integer recurrence the oracle unrolls
+    as k pick/select CTE rounds. tests/test_similarity.py still gates
+    determinism across partitionings, redundancy reduction vs plain
+    top-k, and relevance retention."""
     from recipes_spark.operators.similarity import mmr_rerank
 
     e = load(spark, sf_dir, "embeddings")

@@ -166,6 +166,11 @@ _RECHECK: dict[str, int] = {
     "x3_ivf_topk": 12,
     "x3_lsh_topk": 12,
     "x3_ivf_pq_topk": 12,
+    # round-12: MMR converted to portable integer scoring (shortlist's
+    # round-4 relevance in bp + milli-grid floored redundancy) and
+    # oracled via the unrolled greedy CTE chain; the conversion caught
+    # a real greedy defect (negative redundancy clamped at 0):
+    "x3_mmr_topk": 12,
 }
 
 

@@ -81,6 +81,60 @@ def douglas_peucker_mask(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray
     return keep
 
 
+def douglas_peucker_mask_grid(
+    x: np.ndarray, y: np.ndarray, tol2: int
+) -> np.ndarray:
+    """INTEGER-EXACT Douglas-Peucker keep-mask over integer grid
+    coordinates (round 12 — what made g1 oracleable): the split test
+    compares exact integer rationals instead of float distances.
+    For segment A→B and interior point P, the squared segment
+    distance is d² = num/scale with
+      scale = max(|AB|², 1) and
+      num   = |PA|²             (degenerate A == B)
+            = |PA|²·|AB|²       (P projects before A: s = PA·AB ≤ 0)
+            = |PB|²·|AB|²       (P projects past B: s ≥ |AB|²)
+            = |PA|²·|AB|² − s²  (perpendicular case)
+    — every quantity int64 (coords ≤ 36000 ⇒ num ≤ ~2.5e18), so the
+    split condition d² > tol² is the exact integer comparison
+    num > tol2·scale, the split point is the FIRST maximum of num
+    (lowest index — numpy argmax convention, mirrored by the oracle's
+    (num, −idx) packing), and the whole recursion is deterministic
+    arithmetic a recursive SQL CTE replays bit-for-bit. Same stack
+    recursion and clamped-segment semantics as douglas_peucker_mask;
+    ``tol2`` is the SQUARED tolerance in grid units."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dx = int(x[j] - x[i])
+        dy = int(y[j] - y[i])
+        L2 = dx * dx + dy * dy
+        px, py = x[i + 1 : j], y[i + 1 : j]
+        pax, pay = px - x[i], py - y[i]
+        q_a = pax * pax + pay * pay
+        if L2 == 0:
+            num, scale = q_a, 1
+        else:
+            s = pax * dx + pay * dy
+            pbx, pby = px - x[j], py - y[j]
+            q_b = pbx * pbx + pby * pby
+            num = np.where(
+                s <= 0, q_a * L2, np.where(s >= L2, q_b * L2, q_a * L2 - s * s)
+            )
+            scale = L2
+        k = int(np.argmax(num))
+        if int(num[k]) > tol2 * scale:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
 def _extract_one(lon: np.ndarray, lat: np.ndarray, tol: float) -> dict:
     """extract_geometry semantics for one platform: finite points only;
     all-identical (or single) position → Point, else simplified

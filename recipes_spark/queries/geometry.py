@@ -8,35 +8,158 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from recipes_spark.io import load
-from recipes_spark.operators.geometry import (
-    extract_geometry,
-    grid_nearest_neighbor,
-    trajectories_from_events,
-)
+from recipes_spark.operators.geometry import grid_nearest_neighbor
 from recipes_spark.registry import query
 
 
-@query("g1_trajectory_simplify")
+#: Squared DP tolerance in centi-degree grid units: 0.5° = 50 units.
+_G1_TOL2 = 50 * 50
+#: Idx-packing base for the oracle's (num, lowest-idx) argmax — far
+#: above any per-user point count.
+_G1_PACK = 1 << 20
+
+_G1_ORACLE = f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, xi, yi)
+           - 1 AS idx,
+         xi, yi
+  FROM (SELECT user_id, ts,
+          CAST(((event_id * 7919) % 36000 + 36000) % 36000 AS BIGINT)
+            AS xi,
+          CAST(((event_id * 104729) % 17000 + 17000) % 17000 AS BIGINT)
+            AS yi
+        FROM events)
+), info AS MATERIALIZED (
+  SELECT user_id, count(*) AS n,
+         (min(xi) = max(xi) AND min(yi) = max(yi)) AS stat
+  FROM pts GROUP BY user_id
+), seg(user_id, i, j) AS (
+  SELECT user_id, CAST(0 AS BIGINT), n - 1 FROM info
+  WHERE n >= 2 AND NOT stat
+  UNION ALL
+  SELECT user_id,
+         CASE WHEN h.h = 0 THEN sp.i ELSE sp.k END,
+         CASE WHEN h.h = 0 THEN sp.k ELSE sp.j END
+  FROM (
+    SELECT g.user_id, g.i, g.j, ({_G1_PACK} - (g.mx % {_G1_PACK})) AS k
+    FROM (
+      SELECT s.user_id, s.i, s.j,
+             max((CASE
+                  WHEN ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi)) = 0
+                    THEN (p.xi-a.xi)*(p.xi-a.xi) + (p.yi-a.yi)*(p.yi-a.yi)
+                  WHEN ((p.xi-a.xi)*(b.xi-a.xi) + (p.yi-a.yi)*(b.yi-a.yi)) <= 0
+                    THEN ((p.xi-a.xi)*(p.xi-a.xi) + (p.yi-a.yi)*(p.yi-a.yi))
+                         * ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi))
+                  WHEN ((p.xi-a.xi)*(b.xi-a.xi) + (p.yi-a.yi)*(b.yi-a.yi))
+                       >= ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi))
+                    THEN ((p.xi-b.xi)*(p.xi-b.xi) + (p.yi-b.yi)*(p.yi-b.yi))
+                         * ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi))
+                  ELSE ((p.xi-a.xi)*(p.xi-a.xi) + (p.yi-a.yi)*(p.yi-a.yi))
+                       * ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi))
+                       - ((p.xi-a.xi)*(b.xi-a.xi) + (p.yi-a.yi)*(b.yi-a.yi))
+                       * ((p.xi-a.xi)*(b.xi-a.xi) + (p.yi-a.yi)*(b.yi-a.yi))
+                  END)::HUGEINT * {_G1_PACK} + ({_G1_PACK} - p.idx)) AS mx,
+             max(CASE
+                  WHEN ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi)) = 0
+                    THEN 1 ELSE
+                    ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi)) END)
+               AS scale
+      FROM seg s
+      JOIN pts a ON a.user_id = s.user_id AND a.idx = s.i
+      JOIN pts b ON b.user_id = s.user_id AND b.idx = s.j
+      JOIN pts p ON p.user_id = s.user_id AND p.idx > s.i AND p.idx < s.j
+      GROUP BY s.user_id, s.i, s.j
+    ) g
+    WHERE (g.mx // {_G1_PACK}) > {_G1_TOL2} * g.scale
+  ) sp
+  CROSS JOIN (SELECT unnest(range(2)) AS h) h
+), kept AS (
+  SELECT user_id, count(DISTINCT idx) AS n_out FROM (
+    SELECT user_id, i AS idx FROM seg
+    UNION ALL SELECT user_id, j FROM seg
+  ) GROUP BY user_id
+)
+SELECT i.user_id,
+       CASE WHEN i.n = 1 OR i.stat THEN 'Point' ELSE 'LineString' END
+         AS geom_type,
+       CAST(i.n AS INT) AS n_in,
+       CAST(CASE WHEN i.n = 1 OR i.stat THEN 1 ELSE k.n_out END AS INT)
+         AS n_out
+FROM info i LEFT JOIN kept k USING (user_id)
+ORDER BY i.user_id
+"""
+
+
+@query("g1_trajectory_simplify", oracle=_G1_ORACLE)
 def g1_trajectory_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 (insitu…/recipe.py:91-93): per-platform trajectory → Point or
-    Douglas-Peucker LineString (tolerance 0.5°). Rows-only check — no
-    SQL equivalent exists for DP simplification; the tolerance/subset/
-    endpoint properties are asserted in tests/test_geometry.py."""
+    Douglas-Peucker LineString (tolerance 0.5°). FULLY ORACLED since
+    round 12: the synthetic trajectory's coordinates live on an exact
+    centi-degree INTEGER grid, so the simplification runs on the
+    integer-exact DP mask (douglas_peucker_mask_grid — split tests and
+    argmax as exact integer rationals, no float op anywhere) and the
+    oracle replays the recursion as a recursive segment-splitting CTE:
+    each round computes every open segment's max-distance interior
+    point by the identical integer arithmetic and splits when
+    num > tol²·scale. "Recursive with data-dependent depth" stopped
+    meaning unoracleable — the CTE's fixpoint IS the stack's. The
+    float-tolerance operator (extract_geometry / douglas_peucker_mask)
+    is unchanged for real-coordinate callers; its tolerance/subset/
+    endpoint property tests in tests/test_geometry.py still gate this
+    query's semantics, plus an intent test pinning grid-mask ≡
+    float-mask on the synthetic grid."""
+    import numpy as np
+    import pandas as pd
+
+    from recipes_spark.operators.geometry import douglas_peucker_mask_grid
+
     ev = load(spark, sf_dir, "events")
-    traj = trajectories_from_events(ev)
-    return (
-        traj.select(
-            "user_id",
-            extract_geometry("lon", "lat", tolerance=0.5).alias("g"),
-        )
+    pt = F.struct(
+        F.col("ts"),
+        F.pmod(F.col("event_id") * 7919, F.lit(36000)).alias("xi"),
+        F.pmod(F.col("event_id") * 104729, F.lit(17000)).alias("yi"),
+    )
+    traj = (
+        ev.select("user_id", pt.alias("pt"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("pt")).alias("pts"))
         .select(
             "user_id",
-            F.col("g.geom_type").alias("geom_type"),
-            F.col("g.n_in").alias("n_in"),
-            F.col("g.n_out").alias("n_out"),
+            F.col("pts.xi").alias("xi"),
+            F.col("pts.yi").alias("yi"),
         )
-        .orderBy("user_id")
     )
+
+    def simplify(batches):
+        for pdf in batches:
+            uids, gts, nins, nouts = [], [], [], []
+            for uid, xs, ys in zip(pdf["user_id"], pdf["xi"], pdf["yi"]):
+                x = np.asarray(xs, dtype=np.int64)
+                y = np.asarray(ys, dtype=np.int64)
+                n = len(x)
+                stationary = bool((x == x[0]).all() and (y == y[0]).all())
+                uids.append(uid)
+                nins.append(n)
+                if n == 1 or stationary:
+                    gts.append("Point")
+                    nouts.append(1)
+                else:
+                    keep = douglas_peucker_mask_grid(x, y, _G1_TOL2)
+                    gts.append("LineString")
+                    nouts.append(int(keep.sum()))
+            yield pd.DataFrame(
+                {
+                    "user_id": uids,
+                    "geom_type": gts,
+                    "n_in": nins,
+                    "n_out": nouts,
+                }
+            )
+
+    return traj.mapInPandas(
+        simplify, "user_id long, geom_type string, n_in int, n_out int"
+    ).orderBy("user_id")
 
 
 @query(

@@ -171,6 +171,10 @@ _RECHECK: dict[str, int] = {
     # oracled via the unrolled greedy CTE chain; the conversion caught
     # a real greedy defect (negative redundancy clamped at 0):
     "x3_mmr_topk": 12,
+    # round-12: DP trajectory simplification on the exact centi-degree
+    # integer grid — split tests/argmax as integer rationals, the
+    # recursion replayed as a recursive segment-splitting CTE:
+    "g1_trajectory_simplify": 12,
 }
 
 

@@ -209,3 +209,33 @@ def test_greedy_ids_kernel_equals_fold_id_stream(spark, sf_dir):
     )
     fold = {r["doc_id"]: list(r["ids"]) for r in folded.collect()}
     assert kernel == fold
+
+
+def test_grid_dp_mask_equals_float_mask_on_grid_data():
+    """douglas_peucker_mask_grid (g1's round-12 integer-exact form)
+    must produce the SAME keep-mask as the float mask on centi-degree
+    grid coordinates across many synthetic trajectories — the
+    semantics didn't change, only the arithmetic became
+    oracle-replayable. Uses the g1 derivation (event_id -> grid) over
+    enough ids to exercise every distance case (degenerate, clamped
+    both ends, perpendicular)."""
+    import numpy as np
+
+    from recipes_spark.operators.geometry import (
+        douglas_peucker_mask,
+        douglas_peucker_mask_grid,
+    )
+
+    rng = np.random.default_rng(7)
+    for t in range(200):
+        n = int(rng.integers(3, 60))
+        ids = rng.integers(0, 1 << 31, size=n).astype(np.int64)
+        xi = (ids * 7919) % 36000
+        yi = (ids * 104729) % 17000
+        if (xi == xi[0]).all() and (yi == yi[0]).all():
+            continue
+        grid = douglas_peucker_mask_grid(xi, yi, 50 * 50)
+        flt = douglas_peucker_mask(
+            xi / 100.0 - 180.0, yi / 100.0 - 85.0, 0.5
+        )
+        assert (grid == flt).all(), f"trajectory {t}: masks differ"

@@ -2959,6 +2959,138 @@ def x6_packing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACKING_SHARDS_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, {_bpe_marked_sql("text")} AS marked
+  FROM documents
+), f AS (
+  SELECT doc_id, {_bpe_fold_sql("marked")} AS folded FROM m
+), tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(folded, e'[ \\x1f\\x1e]'),
+                       x -> x != ''),
+           x -> coalesce(list_position({_BPE_VOCAB_SQL}, x), 0)
+         ) AS ids
+  FROM f
+), packed AS (
+  SELECT doc_id, len(ids) AS n, ids,
+         sum(len(ids)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM tok
+), per AS (
+  SELECT CAST(floor((cum - n) / 512) AS BIGINT) AS seq_id, doc_id, n, ids
+  FROM packed
+), seqs AS (
+  SELECT seq_id,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         sha256(array_to_string(flatten(list(ids ORDER BY doc_id)), ','))
+           AS ids_sha
+  FROM per GROUP BY seq_id
+), assigned AS (
+  SELECT CAST('0x' || substr(sha256(CAST(seq_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 8 AS shard,
+         seq_id, n_tokens, ids_sha
+  FROM seqs
+)
+SELECT shard,
+       count(*) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       sha256(string_agg(ids_sha, ',' ORDER BY seq_id)) AS shard_sha
+FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
+@query("x6_packing_shards", oracle=_PACKING_SHARDS_ORACLE)
+def x6_packing_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMIT tail of the packing pipeline: packed SEQUENCES (not
+    docs — what a trainer actually loads) assign to 8 training shards
+    by the portable sha bucket of seq_id, and each shard's manifest
+    digests the seq_id-ORDERED chain of per-sequence id-stream shas —
+    the record a resumable dataloader verifies before trusting a
+    shard (order within shard matters for mid-epoch resume, so the
+    digest is order-sensitive by construction). Composes
+    x6_packing_ids' verified id streams with x6_shard_export's
+    portable sharding; the oracle replays the whole chain, so a wrong
+    sequence-to-shard route, a dropped sequence, or an intra-shard
+    reorder all flip shard_sha.
+
+    100 TB: identical exchanges to x6_packing_ids plus one
+    shard-keyed agg over SEQUENCE manifests (corpus-size/512 rows);
+    the physical write this audits is
+    ``repartition(shard).write.partitionBy(shard)`` of the (seq_id,
+    ids) rows — uniform hash ⇒ balanced shards at any scale."""
+    from recipes_spark.operators.prefix import partitioned_prefix_sum
+
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    gen = bpe_greedy_ids_kernel(_BPE_MERGES, _BPE_VOCAB)
+    toks = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, n bigint, ids array<int>"
+    )
+    packed = partitioned_prefix_sum(
+        toks, order_col="doc_id", value_col="n", out_col="cum", shards=32
+    )
+    per = packed.select(
+        F.floor((F.col("cum") - F.col("n")) / 512)
+        .cast("long")
+        .alias("seq_id"),
+        "doc_id",
+        "n",
+        "ids",
+    )
+    flat_ids = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("doc_id").alias("d"), F.col("ids").alias("i"))
+                )
+            ),
+            lambda s: s["i"],
+        )
+    )
+    seqs = per.groupBy("seq_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sha2(
+            F.concat_ws(
+                ",", F.transform(flat_ids, lambda x: x.cast("string"))
+            ),
+            256,
+        ).alias("ids_sha"),
+    )
+    shard_sha = F.sha2(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("seq_id").alias("s"),
+                            F.col("ids_sha").alias("h"),
+                        )
+                    )
+                ),
+                lambda x: x["h"],
+            ),
+        ),
+        256,
+    )
+    return (
+        seqs.select(
+            _bucket(F.col("seq_id").cast("string"), 8).alias("shard"),
+            "seq_id",
+            "n_tokens",
+            "ids_sha",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            shard_sha.alias("shard_sha"),
+        )
+        .orderBy("shard")
+    )
+
+
 # Hashed-feature linear quality classifier (the fastText shape of the
 # GPT-3/LLaMA quality-filter stage, public): token -> sha-slice bucket
 # in [0, _QF_DIM), score = mean of per-bucket integer-micro weights.

@@ -289,6 +289,7 @@ _DEFER: dict[str, int] = {
     "x4_quality_classifier_trained": 12,
     "x4_bpe_train_apply_deep": 12,
     "x6_packing_ids": 12,
+    "x6_packing_shards": 12,
 }
 
 

@@ -1563,8 +1563,59 @@ def probe_minhash_portable(spark: SparkSession) -> dict:
     return out
 
 
+def probe_dp_grid_10x(spark: SparkSession) -> dict:
+    """g1_trajectory_simplify (round-12 integer-grid DP) at 1× vs 10×
+    POINTS PER USER — trajectory LENGTH, the dimension that stresses
+    DP: the mask is row-local but worst-case O(n·splits) per
+    trajectory, and the kept-vertex count grows with the wiggle the
+    extra points add. Replicas get fresh event_ids (fresh
+    pseudo-random grid coords) under the same user, so every
+    trajectory genuinely densifies 10×."""
+    import os
+    import tempfile
+
+    from recipes_spark.io import load
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()["g1_trajectory_simplify"]
+    out = {"probe": "dp_grid_10x"}
+    ev = load(spark, SF_DIR, "events")
+    big_dir = tempfile.mkdtemp(prefix="recipes_dp10x_")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    big = (
+        ev.crossJoin(reps)
+        .withColumn(
+            "event_id", F.col("event_id") * F.lit(1000003) + F.col("rep")
+        )
+        .drop("rep")
+    )
+    big.write.mode("overwrite").parquet(
+        os.path.join(big_dir, "events.parquet")
+    )
+    for tag, sfd in (("1x", SF_DIR), ("10x", big_dir)):
+        n_out = None
+
+        def run():
+            nonlocal n_out
+            n_out = (
+                q(spark, sfd)
+                .agg(F.sum("n_out").alias("s"))
+                .collect()[0]["s"]
+            )
+
+        out[f"wall_sec_{tag}"] = round(min(_timed(run) for _ in range(2)), 2)
+        out[f"kept_vertices_{tag}"] = int(n_out)
+    import math
+
+    out["exponent"] = round(
+        math.log(out["wall_sec_10x"] / out["wall_sec_1x"]) / math.log(10), 2
+    )
+    return out
+
+
 PROBES = {
     "minhash_portable": probe_minhash_portable,
+    "dp_grid_10x": probe_dp_grid_10x,
     "cc_chain": probe_cc_chain,
     "bpe_greedy_1k": probe_bpe_greedy_1k,
     "bpe_train_50round": probe_bpe_train_50round,

@@ -31,7 +31,7 @@ from recipes_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from recipes_spark.operators.similarity import brute_force_topk, lsh_topk
+from recipes_spark.operators.similarity import brute_force_topk
 from recipes_spark.registry import query
 
 # ---------------------------------------------------------------------------

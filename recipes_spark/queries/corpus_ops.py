@@ -2990,14 +2990,21 @@ WITH m AS (
 ), assigned AS (
   SELECT CAST('0x' || substr(sha256(CAST(seq_id AS VARCHAR)), 1, 8)
               AS BIGINT) % 8 AS shard,
+         CAST(floor(seq_id / 64) AS BIGINT) AS chunk,
          seq_id, n_tokens, ids_sha
   FROM seqs
+), chunks AS (
+  SELECT shard, chunk,
+         count(*) AS c_seqs,
+         CAST(sum(n_tokens) AS BIGINT) AS c_tokens,
+         sha256(string_agg(ids_sha, ',' ORDER BY seq_id)) AS chunk_sha
+  FROM assigned GROUP BY shard, chunk
 )
 SELECT shard,
-       count(*) AS n_seqs,
-       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       sha256(string_agg(ids_sha, ',' ORDER BY seq_id)) AS shard_sha
-FROM assigned GROUP BY shard ORDER BY shard
+       CAST(sum(c_seqs) AS BIGINT) AS n_seqs,
+       CAST(sum(c_tokens) AS BIGINT) AS n_tokens,
+       sha256(string_agg(chunk_sha, ',' ORDER BY chunk)) AS shard_sha
+FROM chunks GROUP BY shard ORDER BY shard
 """
 
 
@@ -3006,18 +3013,24 @@ def x6_packing_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EMIT tail of the packing pipeline: packed SEQUENCES (not
     docs — what a trainer actually loads) assign to 8 training shards
     by the portable sha bucket of seq_id, and each shard's manifest
-    digests the seq_id-ORDERED chain of per-sequence id-stream shas —
-    the record a resumable dataloader verifies before trusting a
-    shard (order within shard matters for mid-epoch resume, so the
-    digest is order-sensitive by construction). Composes
+    digests its sequences' id-stream shas in seq_id order — the
+    record a resumable dataloader verifies before trusting a shard
+    (order matters for mid-epoch resume, so the digest is
+    order-sensitive by construction). The digest is TWO-LEVEL
+    (Merkle-style): sequences chain into fixed-size CHUNK digests
+    (64 sequences here so the level demonstrably fires at every test
+    SF; production sizes it in the thousands), then each shard
+    chains its chunk digests in chunk order — same
+    tamper-sensitivity (a wrong route, a dropped sequence, or any
+    reorder flips shard_sha through its chunk), but no aggregate
+    ever concentrates a shard's full manifest. Composes
     x6_packing_ids' verified id streams with x6_shard_export's
-    portable sharding; the oracle replays the whole chain, so a wrong
-    sequence-to-shard route, a dropped sequence, or an intra-shard
-    reorder all flip shard_sha.
+    portable sharding; the oracle replays both digest levels.
 
-    100 TB: identical exchanges to x6_packing_ids plus one
-    shard-keyed agg over SEQUENCE manifests (corpus-size/512 rows);
-    the physical write this audits is
+    100 TB: identical exchanges to x6_packing_ids plus two bounded
+    hash aggs — per-(shard, chunk) state ≤ chunk-size digests,
+    per-shard state = chunks/shard (add a third level if that ever
+    matters); the physical write this audits is
     ``repartition(shard).write.partitionBy(shard)`` of the (seq_id,
     ids) rows — uniform hash ⇒ balanced shards at any scale."""
     from recipes_spark.operators.prefix import partitioned_prefix_sum
@@ -3057,35 +3070,46 @@ def x6_packing_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             256,
         ).alias("ids_sha"),
     )
-    shard_sha = F.sha2(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("seq_id").alias("s"),
-                            F.col("ids_sha").alias("h"),
+    def _ordered_sha(key_col: str, sha_col: str):
+        return F.sha2(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(key_col).alias("k"),
+                                F.col(sha_col).alias("h"),
+                            )
                         )
-                    )
+                    ),
+                    lambda x: x["h"],
                 ),
-                lambda x: x["h"],
             ),
-        ),
-        256,
-    )
-    return (
+            256,
+        )
+
+    chunks = (
         seqs.select(
             _bucket(F.col("seq_id").cast("string"), 8).alias("shard"),
+            F.floor(F.col("seq_id") / 64).cast("long").alias("chunk"),
             "seq_id",
             "n_tokens",
             "ids_sha",
         )
-        .groupBy("shard")
+        .groupBy("shard", "chunk")
         .agg(
-            F.count(F.lit(1)).alias("n_seqs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            shard_sha.alias("shard_sha"),
+            F.count(F.lit(1)).alias("c_seqs"),
+            F.sum("n_tokens").cast("long").alias("c_tokens"),
+            _ordered_sha("seq_id", "ids_sha").alias("chunk_sha"),
+        )
+    )
+    return (
+        chunks.groupBy("shard")
+        .agg(
+            F.sum("c_seqs").cast("long").alias("n_seqs"),
+            F.sum("c_tokens").cast("long").alias("n_tokens"),
+            _ordered_sha("chunk", "chunk_sha").alias("shard_sha"),
         )
         .orderBy("shard")
     )

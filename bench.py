@@ -108,6 +108,11 @@ def main() -> None:
     # query swings 4.8 → 3.2 → 1.8 → 1.4 s across consecutive runs), so
     # min-of-3 was recording the interpreter ramp, not the plan. A
     # long-lived cluster executor never pays that ramp per query.
+    # Canary BEFORE the query loop (the r12 lesson: one canary reading
+    # taken after the loop missed a load burst INSIDE it and a judge
+    # round went to adjudicating a phantom 68% regression).
+    calib_pre = _calibration_sec(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -118,7 +123,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    calib = _calibration_sec(spark)
+    # ... and AFTER: the two readings bracket the loop, so a host load
+    # burst during the queries shows up as canary drift instead of
+    # masquerading as an engine regression.
+    calib_post = _calibration_sec(spark)
+    calib = min(calib_pre, calib_post)
+    drift = abs(calib_pre - calib_post) / calib
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 3)
@@ -133,7 +143,17 @@ def main() -> None:
                 # Host-speed canary (frozen workload, see
                 # _calibration_sec): headline/calib is the
                 # host-normalized number to compare across rounds.
+                # TWO readings bracket the query loop; calib_sec is
+                # their min (the host's demonstrated best, matching
+                # every query's own min-of-5 convention).
                 "calib_sec": calib,
+                "calib_pre_sec": calib_pre,
+                "calib_post_sec": calib_post,
+                # >25% pre/post drift = the host shifted UNDER the run:
+                # treat value/value_per_calib as unreliable and re-run
+                # before reading anything into a round-over-round diff.
+                "calib_drift": round(drift, 3),
+                "unreliable_run": drift > 0.25,
                 "value_per_calib": round(total / calib, 2),
             }
         )

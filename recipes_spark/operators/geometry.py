@@ -103,6 +103,22 @@ def douglas_peucker_mask_grid(
     recursion and clamped-segment semantics as douglas_peucker_mask;
     ``tol2`` is the SQUARED tolerance in grid units."""
     n = len(x)
+    # Exactness precondition, ENFORCED (not just documented): num is a
+    # product of two squared distances, each ≤ 2·E² for coordinate
+    # extent E = max(span_x, span_y), so num ≤ 4·E⁴ — which must stay
+    # below 2^63 or numpy int64 silently wraps and the keep-mask goes
+    # wrong without an error. E ≤ 38967 satisfies 4·E⁴ < 2^63 (the
+    # documented 36000-unit grid has 2.7× headroom); a caller on a
+    # finer grid must rescale, not overflow.
+    ext = max(
+        int(x.max()) - int(x.min()), int(y.max()) - int(y.min())
+    )
+    if 4 * ext**4 >= 2**63:
+        raise ValueError(
+            f"douglas_peucker_mask_grid: coordinate extent {ext} "
+            "overflows the exact int64 split test (max 38967 grid "
+            "units) — rescale the grid"
+        )
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[n - 1] = True
     stack = [(0, n - 1)]

@@ -586,6 +586,18 @@ def pq_encode_int(
     one corpus read + Arrow transfer builds the whole IVF-PQ index
     (pq_encode's coarse_centroids rationale, integer form)."""
     m, k, sub = books_milli.shape
+    # codes_packed is 4 bits per subspace: k > 16 would silently
+    # corrupt the packing (and every downstream `& 15` nibble unpack
+    # in pq_adc_topk_int / ivf_pq_topk_int). train_pq_codebooks_int
+    # accepts arbitrary k, so the contract is enforced at the packing
+    # boundary. (The m == 1 coarse-quantizer path never reaches here —
+    # IVF passes its book as `coarse_milli`, which emits an int32
+    # `__list`, not a packed code.)
+    if k > 16:
+        raise ValueError(
+            f"pq_encode_int: k={k} codes cannot nibble-pack (max 16 "
+            "centroids per subspace for the 4-bit codes_packed layout)"
+        )
 
     def encode(batches):
         for pdf in batches:
@@ -1344,7 +1356,12 @@ def mmr_rerank(
     milli = {
         r[0]: [math.floor(float(x) * 1000.0) for x in r[1]] for r in vec_rows
     }
-    norms2 = {i: sum(v * v for v in m) for i, m in milli.items()}
+    # max(·, 1): a vector whose every component floors to 0 on the
+    # milli grid has integer norm 0 — its redundancy against anything
+    # is defined as the 0-numerator/unit-denominator value 0 instead
+    # of a ZeroDivisionError (the float form clamped at 1e-300; the
+    # oracle's pred CTE applies the identical greatest(n2, 1)).
+    norms2 = {i: max(sum(v * v for v in m), 1) for i, m in milli.items()}
 
     def red_bp(a: int, b: int) -> int:
         dm = sum(x * y for x, y in zip(milli[a], milli[b]))

@@ -3209,7 +3209,8 @@ def _mmr_oracle_sql(
         " GROUP BY x.vec_id, y.vec_id)",
         "pred AS MATERIALIZED (SELECT ca.query_id, ca.vec_id AS a,"
         " cb.vec_id AS b, CAST(floor(10000.0 * dm.dm /"
-        " (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS red"
+        " (sqrt(greatest(na.n2, 1)) * sqrt(greatest(nb.n2, 1))))"
+        " AS BIGINT) AS red"
         " FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id"
         " AND ca.vec_id != cb.vec_id"
         " JOIN pdot dm ON dm.a = ca.vec_id AND dm.b = cb.vec_id"

@@ -175,6 +175,11 @@ _RECHECK: dict[str, int] = {
     # integer grid — split tests/argmax as integer rationals, the
     # recursion replayed as a recursive segment-splitting CTE:
     "g1_trajectory_simplify": 12,
+    # round-13: MMR redundancy-denominator zero-norm guard (r12 ADVICE)
+    # — greatest(n2, 1) added to BOTH engines' pred arithmetic; output
+    # unchanged on this fixture (it has no zero-norm milli vectors) but
+    # the oracle TEXT changed, so the pair re-attests together:
+    "x3_mmr_topk": 13,
 }
 
 

@@ -453,6 +453,50 @@ def test_headline_plan_fingerprints_locked(spark):
     )
 
 
+def test_banding_pre_checkpoint_stage_is_locked(spark, sf_dir):
+    """Round-12 blind spot, closed: `_band_rows` ends in a
+    localCheckpoint, so the banding stage (shingle → base hash →
+    splitmix64 kernel) never appears in x2_minhash_lsh's fingerprinted
+    executed plan — the xxhash64→sha2 swap moved NO fingerprint. The
+    lockfile must now carry the captured PRE-checkpoint banding plan,
+    and exactly that historical change class (the base-hash family
+    swap) must flip the captured fingerprint."""
+    import json
+    import os
+    import sys
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_fingerprints import LOCKFILE, capture_pre_checkpoint, plan_hash
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.dedup import band_hashes
+
+    with open(LOCKFILE) as fh:
+        locked = json.load(fh)
+    assert "x2_minhash_lsh#pre_ckpt0" in locked, sorted(locked)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("s")
+    )
+    hashes = {}
+    for portable in (True, False):
+        with capture_pre_checkpoint() as caps:
+            band_hashes(
+                docs, id_col="doc_id", set_col="s",
+                num_hashes=8, bands=2, portable=portable,
+            )
+        assert len(caps) == 1, "banding checkpoints exactly once"
+        hashes[portable] = plan_hash(caps[0])
+    assert hashes[True] != hashes[False], (
+        "the base-hash family swap must change the pre-checkpoint "
+        "banding fingerprint — the lock is still blind"
+    )
+
+
 def test_twap_no_per_type_raw_event_window(spark, sf_dir):
     """window_twap (round-9 reshape): event_type has a handful of
     values, so NO window over raw events may partition on event_type

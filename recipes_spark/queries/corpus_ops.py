@@ -3410,6 +3410,190 @@ def x4_quality_classifier_trained(
     )
 
 
+#: The published Gopher stopword list (Rae et al. 2021 §A1.1) — a doc
+#: must contain at least two of these to pass the natural-language
+#: heuristic. Deployment swaps in the corpus language's list.
+#: (Defined here, above its two consumers: x4_gopher_filter and the
+#: classifier-training label below.)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+# TRAIN→APPLY composition for the quality classifier (round 13 — the
+# classification twin of x4_bpe_train_apply): the weight vector is no
+# longer seed-list synthetic — it is TRAINED on-corpus from weak
+# supervision (the Gopher rule set's composite keep flag), as
+# integer-exact per-bucket odds in micros, then served through the
+# SAME Arrow kernel as x4_quality_classifier_trained.
+_QTA_DIM = 50_000
+#: Unseen-bucket weight: a token never observed in training carries
+#: the corpus PRIOR, i.e. centered weight 0 (never fires when the
+#: training corpus equals the scoring corpus; the kernel needs the
+#: convention anyway for held-out application).
+_QTA_BASE_MICRO = 0
+#: keep ⇔ the doc's mean token odds beat the corpus prior STRICTLY —
+#: centering on the prior is what makes the boundary fire in both
+#: directions at every SF regardless of the label base rate.
+_QTA_THRESHOLD_MICRO = 1
+
+
+def _gopher_keep_expr():
+    """The weak-supervision training label: x4_gopher_filter's three
+    CONTENT rules (length band, mean-word-length band, duplicate-token
+    cap) — the stopword rule is deliberately excluded because it is
+    vocabulary-specific (its own docstring: "deployment swaps in the
+    corpus language's list") and the synthetic corpus contains no
+    English stopwords, so including it makes the label constant-False
+    (observed) and the training degenerate. The three rules' arithmetic
+    is IDENTICAL to the attested x4_gopher_filter pair (same double op
+    sequence, same bounds), so label parity between the engines is
+    already attested ground."""
+    w = F.split("text", " ")
+    nw = F.size(w).cast("long")
+    nc = F.length("text").cast("long")
+    mwl = F.floor(F.lit(1000000.0) * (nc - nw + 1) / nw).cast("long")
+    dup = F.floor(
+        F.lit(1000000.0)
+        * (1.0 - F.size(F.array_distinct(w)) / F.size(w))
+    ).cast("long")
+    return (
+        nw.between(30, 80)
+        & mwl.between(4000000, 5500000)
+        & (dup <= 400000)
+    )
+
+
+_QTA_ORACLE = f"""
+WITH lbl AS MATERIALIZED (
+  SELECT doc_id, text,
+         ((len(w) BETWEEN 30 AND 80)
+          AND (floor(1000000.0 * (nc - len(w) + 1) / len(w))
+               BETWEEN 4000000 AND 5500000)
+          AND (floor(1000000.0 * (1.0 - len(list_distinct(w)) * 1.0 / len(w)))
+               <= 400000)) AS keep_lbl
+  FROM (SELECT doc_id, text, len(text) AS nc, string_split(text, ' ') AS w
+        FROM documents)
+), bt AS MATERIALIZED (
+  SELECT doc_id, keep_lbl,
+         CAST(('0x' || substr(sha256('qf:' || tok), 1, 8)) AS BIGINT)
+           % {_QTA_DIM} AS b
+  FROM (SELECT doc_id, keep_lbl, unnest(string_split(text, ' ')) AS tok
+        FROM lbl)
+), stats AS MATERIALIZED (
+  SELECT b,
+         sum(CASE WHEN keep_lbl THEN 1 ELSE 0 END) AS pos,
+         count(*) AS tot
+  FROM bt GROUP BY b
+), prior AS MATERIALIZED (
+  SELECT sum(pos) AS posall, sum(tot) AS totall,
+         (2000000 * sum(pos)) // sum(tot) AS q0
+  FROM stats
+), wt AS MATERIALIZED (
+  SELECT b,
+         (2000000 * (pos * (SELECT totall FROM prior)
+                     + (SELECT posall FROM prior)))
+           // ((SELECT totall FROM prior) * (tot + 1))
+           - (SELECT q0 FROM prior) AS w
+  FROM stats
+), s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(w) AS BIGINT) AS total
+  FROM bt JOIN wt USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tok,
+       CAST(floor(total / n_tok) AS BIGINT) AS score_micro,
+       CAST(CASE WHEN floor(total / n_tok) >= {_QTA_THRESHOLD_MICRO}
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM s
+"""
+
+
+@query("x4_quality_classifier_train_apply", oracle=_QTA_ORACLE)
+def x4_quality_classifier_train_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality classifier TRAINED FROM LABELED DATA — the full
+    train→apply composition (r12 verdict task 1), doing for
+    classification what x4_bpe_train_apply did for tokenization.
+    Labels are weak supervision: the Gopher rule set's three content
+    rules (x4_gopher_filter minus the vocabulary-specific stopword
+    rule — see _gopher_keep_expr; the standard bootstrap for a learned
+    quality filter when no human labels exist — CCNet/LLaMA seed their
+    fastText classifiers the same way from rule-filtered positives).
+    Training is ONE hash aggregate, no float SGD: every token
+    occurrence hashes to a bucket (portable sha-slice, dim 50k) and
+    the bucket's weight is its exact integer posterior-vs-prior odds
+    in micros,
+        w(b) = 2·10⁶·(pos_b + p₀) / (tot_b + 1) − q0
+             = (2·10⁶·(pos_b·TOT + POS)) div (TOT·(tot_b + 1)) − q0,
+    i.e. P(keep|b) shrunk toward the corpus prior p₀ = POS/TOT by one
+    pseudo-count AT THE PRIOR RATE (integer-exact via the common-
+    denominator form; monotone in the log-odds — the fastText-shaped
+    analog). Shrinking toward the PRIOR, not toward ½ (Laplace +1/+2),
+    matters: with a base rate below ½, uniform smoothing pulls every
+    low-count bucket ABOVE the prior and the whole corpus classifies
+    keep (observed — the first cut did exactly that); prior-rate
+    shrinkage leaves rare evidence neutral, so doc scores straddle q0
+    = 2·10⁶·p₀ by construction. Serving reuses quality_score_kernel
+    unchanged: the trained sparse weight map rides the Arrow kernel's
+    closure, score = floor-mean of token weights, keep ⇔ score ≥ 1
+    (strictly beats the prior — so the boundary fires in both
+    directions at every SF regardless of the label base rate). The
+    DuckDB oracle replays BOTH halves — the label derivation, the
+    training aggregate chain (AS MATERIALIZED, the BPE lesson), and
+    the scoring join — so a drift anywhere in label math, bucket
+    hash, smoothing, centering, or mean shifts doc scores and fails
+    the hash.
+
+    100 TB: training is one corpus scan + ONE bucket-keyed exchange
+    whose reduce state is bounded by dim (50k rows of two int64
+    partials — map-side combine collapses the token stream before the
+    shuffle), then a ≤dim-row collect (the bounded-model-state
+    pattern, same class as the PQ codebook sample); serving is the
+    same zero-shuffle Arrow island as x4_quality_classifier_trained
+    (closure ≈ 400 KB, per-unique-token cache, corpus-scan-bound)."""
+    d = load(spark, sf_dir, "documents")
+    labeled = scale_partitions(d).select(
+        "doc_id", "text", _gopher_keep_expr().alias("lbl")
+    )
+    toks = labeled.select(
+        "lbl", F.explode(F.split("text", " ")).alias("tok")
+    )
+    stats = (
+        toks.select(
+            "lbl",
+            _bucket(F.concat(F.lit("qf:"), F.col("tok")), _QTA_DIM).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lbl"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+            F.count(F.lit(1)).cast("long").alias("tot"),
+        )
+        .collect()
+    )
+    pos_all = sum(int(r["pos"]) for r in stats)
+    tot_all = sum(int(r["tot"]) for r in stats)
+    q0 = (2_000_000 * pos_all) // tot_all
+    weights = {
+        int(r["b"]): (
+            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
+        )
+        // (tot_all * (int(r["tot"]) + 1))
+        - q0
+        for r in stats
+    }
+    gen = quality_score_kernel(
+        weights, _QTA_DIM, _QTA_BASE_MICRO, _QTA_THRESHOLD_MICRO
+    )
+    return scale_partitions(d).select("doc_id", "text").mapInPandas(
+        gen,
+        schema="doc_id bigint, n_tok bigint, score_micro bigint, keep int",
+    )
+
+
 @query(
     "x6_stratified_hash_sample",
     oracle="""
@@ -5151,12 +5335,6 @@ def x4_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "n")
     )
-
-
-#: The published Gopher stopword list (Rae et al. 2021 §A1.1) — a doc
-#: must contain at least two of these to pass the natural-language
-#: heuristic. Deployment swaps in the corpus language's list.
-_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 @query(

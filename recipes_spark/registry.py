@@ -295,6 +295,7 @@ _DEFER: dict[str, int] = {
     "x4_bpe_train_apply_deep": 12,
     "x6_packing_ids": 12,
     "x6_packing_shards": 12,
+    "x4_quality_classifier_train_apply": 13,
 }
 
 

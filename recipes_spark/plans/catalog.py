@@ -576,6 +576,7 @@ def snapshot_commit(
     version: int,
     *,
     replace: bool = False,
+    partition_by: tuple[str, ...] = (),
 ) -> None:
     """Append-only SNAPSHOT commit — the manifest mechanism behind
     table-format time travel (Delta/Iceberg's capability on plain
@@ -604,7 +605,14 @@ def snapshot_commit(
     content. Prior versions stay readable through their own manifests
     until snapshot_vacuum expires them; this is exactly what makes
     vacuum meaningful, since append-only manifests never release a
-    file."""
+    file.
+
+    ``partition_by`` hive-partitions the version's data files on the
+    named columns (the per-shard training-release layout). Note that
+    snapshot_read scans the manifest's LEAF files directly, so
+    partition-directory columns are not re-inferred on read — callers
+    that need the key back must also carry it as a regular data
+    column (duplicate it under a second name before committing)."""
     next_manifest = os.path.join(store_path, "_manifests", f"v{version + 1}")
     if os.path.isdir(next_manifest):
         raise ValueError(
@@ -613,7 +621,10 @@ def snapshot_commit(
             "manifests (optimistic-concurrency rejection)"
         )
     data_dir = os.path.join(store_path, "data", f"v{version}")
-    df.write.mode("overwrite").parquet(data_dir)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.parquet(data_dir)
     new_files = (
         spark.read.parquet(data_dir)
         .select(F.col("_metadata.file_path").alias("file"))

@@ -2959,6 +2959,30 @@ def x6_packing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ordered_sha(key_col: str, sha_col: str):
+    """Order-sensitive digest of a group's (key, sha) rows: sha256 over
+    the key-sorted comma-joined shas — the chunk/shard manifest
+    aggregate shared by x6_packing_shards and the physical release
+    verification (x6_release_materialize)."""
+    return F.sha2(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(key_col).alias("k"),
+                            F.col(sha_col).alias("h"),
+                        )
+                    )
+                ),
+                lambda x: x["h"],
+            ),
+        ),
+        256,
+    )
+
+
 _PACKING_SHARDS_ORACLE = f"""
 WITH m AS (
   SELECT doc_id, {_bpe_marked_sql("text")} AS marked
@@ -3070,25 +3094,6 @@ def x6_packing_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             256,
         ).alias("ids_sha"),
     )
-    def _ordered_sha(key_col: str, sha_col: str):
-        return F.sha2(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col(key_col).alias("k"),
-                                F.col(sha_col).alias("h"),
-                            )
-                        )
-                    ),
-                    lambda x: x["h"],
-                ),
-            ),
-            256,
-        )
-
     chunks = (
         seqs.select(
             _bucket(F.col("seq_id").cast("string"), 8).alias("shard"),
@@ -3110,6 +3115,173 @@ def x6_packing_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_seqs").cast("long").alias("n_seqs"),
             F.sum("c_tokens").cast("long").alias("n_tokens"),
             _ordered_sha("chunk", "chunk_sha").alias("shard_sha"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _two_level_shard_digest(seq_rows: DataFrame, suffix: str = "") -> DataFrame:
+    """(shard, n_seqs, n_tokens, shard_sha) from (shard, chunk, seq_id,
+    n_tokens, ids_sha) rows — the two-level Merkle-style manifest agg,
+    shared by the plan side and the files side of
+    x6_release_materialize so the two digests cannot drift by
+    construction of anything EXCEPT the data they read."""
+    chunks = seq_rows.groupBy("shard", "chunk").agg(
+        F.count(F.lit(1)).alias("c_seqs"),
+        F.sum("n_tokens").cast("long").alias("c_tokens"),
+        _ordered_sha("seq_id", "ids_sha").alias("chunk_sha"),
+    )
+    return chunks.groupBy("shard").agg(
+        F.sum("c_seqs").cast("long").alias(f"n_seqs{suffix}"),
+        F.sum("c_tokens").cast("long").alias(f"n_tokens{suffix}"),
+        _ordered_sha("chunk", "chunk_sha").alias(f"shard_sha{suffix}"),
+    )
+
+
+#: Test/debug hook: absolute path of the snapshot store the most recent
+#: x6_release_materialize call committed (the _ST28_LAST_STATE_DIR
+#: pattern) — lets tests inspect the physical layout and tamper-check.
+_LAST_RELEASE_STORE: list = []
+
+_RELEASE_ORACLE = f"""
+WITH base AS ({_PACKING_SHARDS_ORACLE})
+SELECT shard, n_seqs, n_tokens, shard_sha,
+       shard_sha AS shard_sha_files,
+       true AS digests_match
+FROM base
+ORDER BY shard
+"""
+
+
+@query("x6_release_materialize", oracle=_RELEASE_ORACLE)
+def x6_release_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL training release, end-to-end (r12 verdict task 3):
+    x6_packing_shards computes shard manifests plan-side; this query
+    WRITES the release and proves the manifests hold on what a trainer
+    would actually read back. The packed (seq_id, ids) rows land as
+    per-shard hive-partitioned parquet under a committed SNAPSHOT
+    (snapshot_commit — the manifest-pinned table format, so the
+    release is versioned, time-travelable, and safely vacuumable like
+    any other table here); the committed version is re-read THROUGH
+    its snapshot manifest (snapshot_read — leaf-file scan, nothing
+    later is visible), both digest levels are recomputed FROM THE
+    FILES (ids_sha from the id arrays as read, chunk digests, shard
+    digests — the identical _two_level_shard_digest agg), and each
+    shard row reports manifest-vs-files equality. This is the
+    resumable-dataloader contract made physical: `digests_match` false
+    on any shard means the bytes on disk no longer carry the id
+    streams the manifest promised (wrong route, dropped/duplicated
+    sequence, reorder, or value corruption through the write→read
+    round-trip). The oracle replays the plan-side digests and expects
+    files ≡ manifest; idempotency of the re-run (fresh store per
+    invocation + overwrite-latest-version commit semantics) is gated
+    in tests/test_intent_round13.py.
+
+    100 TB: the id-emission/packing stages are x6_packing_ids'
+    exchanges unchanged; the release write is ONE repartition(shard)
+    + partitioned write (uniform sha bucket ⇒ balanced shards); the
+    verification re-read is corpus-sequential with per-(shard, chunk)
+    digest state bounded at chunk size — a trainer-side verifier can
+    run it per shard independently. localCheckpoint makes ONE packing
+    computation feed both the manifest and the write (the mapInPandas
+    self-join rule); at 100 TB that materialization is the release
+    staging table itself."""
+    import tempfile
+
+    from recipes_spark.operators.prefix import partitioned_prefix_sum
+    from recipes_spark.plans.catalog import snapshot_commit, snapshot_read
+
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    gen = bpe_greedy_ids_kernel(_BPE_MERGES, _BPE_VOCAB)
+    toks = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, n bigint, ids array<int>"
+    )
+    packed = partitioned_prefix_sum(
+        toks, order_col="doc_id", value_col="n", out_col="cum", shards=32
+    )
+    per = packed.select(
+        F.floor((F.col("cum") - F.col("n")) / 512)
+        .cast("long")
+        .alias("seq_id"),
+        "doc_id",
+        "n",
+        "ids",
+    )
+    flat_ids = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("doc_id").alias("d"), F.col("ids").alias("i"))
+                )
+            ),
+            lambda s: s["i"],
+        )
+    )
+    seqs = (
+        per.groupBy("seq_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            flat_ids.alias("ids"),
+        )
+        .select(
+            _bucket(F.col("seq_id").cast("string"), 8).alias("shard"),
+            F.floor(F.col("seq_id") / 64).cast("long").alias("chunk"),
+            "seq_id",
+            "n_tokens",
+            "ids",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def ids_sha(df: DataFrame) -> DataFrame:
+        return df.select(
+            "shard",
+            "chunk",
+            "seq_id",
+            "n_tokens",
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.transform(F.col("ids"), lambda x: x.cast("string")),
+                ),
+                256,
+            ).alias("ids_sha"),
+        )
+
+    manifest = _two_level_shard_digest(ids_sha(seqs))
+
+    store = tempfile.mkdtemp(prefix="recipes_release_")
+    _LAST_RELEASE_STORE.clear()
+    _LAST_RELEASE_STORE.append(store)
+    snapshot_commit(
+        spark,
+        # shard duplicated as the partition key: partitionBy consumes
+        # its column, and snapshot_read's leaf-file scan does not
+        # re-infer partition directories (see snapshot_commit).
+        seqs.withColumn("shard_key", F.col("shard")).repartition(
+            "shard_key"
+        ),
+        store,
+        1,
+        partition_by=("shard_key",),
+    )
+    reread = snapshot_read(spark, store, 1).select(
+        "shard", "chunk", "seq_id", "n_tokens", "ids"
+    )
+    files_side = _two_level_shard_digest(ids_sha(reread), suffix="_files")
+    return (
+        manifest.join(files_side, "shard")
+        .select(
+            "shard",
+            "n_seqs",
+            "n_tokens",
+            "shard_sha",
+            "shard_sha_files",
+            (
+                (F.col("shard_sha") == F.col("shard_sha_files"))
+                & (F.col("n_seqs") == F.col("n_seqs_files"))
+                & (F.col("n_tokens") == F.col("n_tokens_files"))
+            ).alias("digests_match"),
         )
         .orderBy("shard")
     )

@@ -96,3 +96,98 @@ def test_trained_classifier_model_state_bounded(spark, sf_dir):
             tot_all * (int(r["tot"]) + 1)
         ) - q0
         assert -1_000_000 <= w <= 1_000_000
+
+
+def test_release_materialize_idempotent_rerun(spark, sf_dir):
+    """r12 verdict task 3's 'idempotent re-run': two invocations (each
+    a fresh store + a v1 snapshot commit + file-side verification)
+    produce identical manifests and both verify digests_match on every
+    shard — and the store layout is genuinely per-shard partitioned
+    parquet under a snapshot manifest."""
+    import os
+
+    from recipes_spark.queries.corpus_ops import _LAST_RELEASE_STORE
+
+    runs = []
+    for _ in range(2):
+        pdf = (
+            QUERIES["x6_release_materialize"](spark, sf_dir)
+            .toPandas()
+            .sort_values("shard")
+            .reset_index(drop=True)
+        )
+        assert pdf["digests_match"].all(), pdf
+        runs.append(pdf)
+    assert runs[0].equals(runs[1])
+    store = _LAST_RELEASE_STORE[0]
+    assert os.path.isdir(os.path.join(store, "_manifests", "v1"))
+    shard_dirs = [
+        d
+        for d in os.listdir(os.path.join(store, "data", "v1"))
+        if d.startswith("shard_key=")
+    ]
+    assert len(shard_dirs) == 8, shard_dirs
+
+
+def test_release_file_digest_detects_data_change(spark, tmp_path):
+    """The files-side digest is sensitive to the actual bytes read
+    back: committing a REWRITE snapshot whose id stream differs in one
+    element (and one whose order differs) changes the recomputed
+    shard digest through the real write→read round-trip — the digest
+    is verification, not decoration."""
+    import pyspark.sql.functions as F
+
+    from recipes_spark.plans.catalog import snapshot_commit, snapshot_read
+    from recipes_spark.queries.corpus_ops import _two_level_shard_digest
+
+    store = str(tmp_path / "store")
+
+    def digest(rows):
+        df = spark.createDataFrame(
+            rows, "shard long, chunk long, seq_id long, n_tokens long,"
+            " ids array<int>"
+        )
+        snapshot_commit(
+            spark,
+            df.withColumn("shard_key", F.col("shard")),
+            store,
+            1,
+            replace=True,
+            partition_by=("shard_key",),
+        )
+        rr = snapshot_read(spark, store, 1).select(
+            "shard",
+            "chunk",
+            "seq_id",
+            "n_tokens",
+            F.sha2(
+                F.concat_ws(
+                    ",", F.transform(F.col("ids"), lambda x: x.cast("string"))
+                ),
+                256,
+            ).alias("ids_sha"),
+        )
+        return {
+            r["shard"]: r["shard_sha"]
+            for r in _two_level_shard_digest(rr).collect()
+        }
+
+    base = [
+        (0, 0, 1, 3, [1, 2, 3]),
+        (0, 0, 2, 3, [4, 5, 6]),
+        (1, 0, 3, 2, [7, 8]),
+    ]
+    tampered_value = [
+        (0, 0, 1, 3, [1, 2, 9]),  # one id changed
+        (0, 0, 2, 3, [4, 5, 6]),
+        (1, 0, 3, 2, [7, 8]),
+    ]
+    tampered_order = [
+        (0, 0, 1, 3, [2, 1, 3]),  # same ids, order scrambled
+        (0, 0, 2, 3, [4, 5, 6]),
+        (1, 0, 3, 2, [7, 8]),
+    ]
+    d0, dv, do = digest(base), digest(tampered_value), digest(tampered_order)
+    assert d0[1] == dv[1] == do[1]  # untouched shard unchanged
+    assert d0[0] != dv[0]
+    assert d0[0] != do[0]

@@ -564,6 +564,156 @@ def train_pq_codebooks_int(
     return books
 
 
+def train_coarse_centroids_int(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+    hash_tag: str = "pq:0",
+) -> np.ndarray:
+    """DISTRIBUTED integer Lloyd trainer for the IVF coarse quantizer
+    (r12 verdict task 5): train_pq_codebooks_int collects a bounded
+    2048-row sample — right for PQ subspace codebooks, but a
+    production IVF coarse quantizer wants n_centroids in the tens of
+    thousands trained on far more than 2048 points. This trainer keeps
+    the IDENTICAL integer arithmetic (same milli grid, same sha-slice
+    init ranking, same lowest-index argmin tie-break, same exact
+    floor(sum/n) update, same empty-cluster carry) but runs every
+    round DISTRIBUTED:
+
+    - init: the k corpus vectors ranked smallest by (sha-slice-60 of
+      '<hash_tag>:<vec_id>', vec_id) — a TakeOrdered over the corpus
+      (k rows collected), not a sample prefix;
+    - assignment + partial update in ONE Arrow kernel pass: each batch
+      assigns its vectors to the nearest centroid (exact int64 L2,
+      first-minimum = lowest index) and emits per-(centroid, dim)
+      PARTIAL sums + member counts — the map-side combine that bounds
+      the shuffle at batches × k × dim rows regardless of corpus size;
+    - update: one hash agg on (centroid, dim) + a k·dim-row collect;
+      new centroid dim = floor(sum / n) (exact: |sum| < 2^53), empty
+      clusters keep their previous centroid.
+
+    Per-round driver state is the k×dim int64 centroid matrix itself
+    (the model — bounded by construction), so lineage resets at every
+    round's collect (contrast the iterative-JOIN algorithms, whose
+    state is a DataFrame). The (id, vec) projection is STAGED once
+    (scale_partitions + eager localCheckpoint — the MLlib-KMeans
+    cache-the-input pattern): rounds then scan staged blocks instead
+    of re-reading and re-partitioning the source per round; at 100 TB
+    stage to a table instead, exactly like the CC edge checkpoint.
+    Gated
+    BIT-IDENTICAL to train_pq_codebooks_int(m=1) on the shared config
+    (same 2048-prefix corpus, same k/iters/hash family) in
+    tests/test_intent_round13.py; centroid-count scaling measured in
+    SCALE.md (coarse_kmeans_scaling). Returns (k, dim) int64
+    milli-unit centroids.
+
+    100 TB: per round = one corpus scan + one k·dim-bounded exchange;
+    serving composes with pq_encode_int(coarse_milli=...) /
+    ivf_topk_int unchanged (they take the centroid matrix, not the
+    trainer). Reference scale pattern: faiss trains IVF coarse
+    quantizers on bounded samples too, but the distributed form is
+    what removes the sample-size ceiling when k itself is large."""
+    import hashlib
+
+    dim = None
+    # Deterministic init: rank by the portable 60-bit sha slice of the
+    # tagged id (identical string family to train_pq_codebooks_int's
+    # per-subspace init for hash_tag='pq:<j>').
+    hx = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(f"{hash_tag}:"), F.col(id_col).cast("string")
+                ),
+                256,
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    init_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(hx.asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"train_coarse_centroids_int: k={k} exceeds corpus size "
+            f"{len(init_rows)}"
+        )
+    # Python-side hash must agree with the Catalyst ranking (both are
+    # the 60-bit slice) — re-sort defensively in exact arithmetic so a
+    # Catalyst collation quirk can never reorder equal-hash ids.
+    def h(vid: int) -> int:
+        return int(
+            hashlib.sha256(f"{hash_tag}:{vid}".encode()).hexdigest()[:15],
+            16,
+        )
+
+    init_rows = sorted(init_rows, key=lambda r: (h(int(r[0])), int(r[0])))
+    cents = np.asarray(
+        [
+            np.floor(np.asarray(r[1], dtype=np.float64) * 1000.0)
+            for r in init_rows
+        ]
+    ).astype(np.int64)
+    dim = cents.shape[1]
+
+    from recipes_spark.io import scale_partitions
+
+    vecs = scale_partitions(corpus.select(id_col, vec_col)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        c_broadcast = cents.copy()
+
+        def partials(batches, _c=c_broadcast):
+            kk, dd = _c.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                Xm = np.floor(X * 1000.0).astype(np.int64)
+                d2 = ((Xm[:, None, :] - _c[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)  # first min = lowest c
+                sums = np.zeros((kk, dd), dtype=np.int64)
+                np.add.at(sums, assign, Xm)
+                counts = np.bincount(assign, minlength=kk).astype(np.int64)
+                nz = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "c": np.repeat(nz, dd).astype(np.int32),
+                        "pos": np.tile(np.arange(dd, dtype=np.int32), len(nz)),
+                        "s": sums[nz].reshape(-1),
+                        "n": np.repeat(counts[nz], dd),
+                    }
+                )
+
+        agg = (
+            vecs.mapInPandas(partials, "c int, pos int, s long, n long")
+            .groupBy("c", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new_cents = cents.copy()  # empty clusters keep previous
+        for r in agg:
+            # exact floor on ints (Python //), matching the PQ
+            # trainer's provably-exact np.floor(sum/n)
+            new_cents[int(r["c"]), int(r["pos"])] = int(r["s"]) // int(
+                r["n"]
+            )
+        cents = new_cents
+    return cents
+
+
 def pq_encode_int(
     corpus: DataFrame,
     books_milli: np.ndarray,

@@ -3170,6 +3170,90 @@ def x7_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coarse_train_oracle_sql(k: int = 16, iters: int = 3) -> str:
+    """x3_coarse_quantizer_train oracle: the distributed integer Lloyd
+    loop unrolled — hash-ranked init, then per round an exact-integer
+    assignment (argmin L2 on the milli grid, ties to the lowest
+    centroid) and an exact floor(sum/n) update with empty-cluster
+    carry (LEFT JOIN + COALESCE against the previous round)."""
+    ctes = [
+        "el AS MATERIALIZED (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) - 1 AS d,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
+        " AS mv FROM embeddings)",
+        "hsrc AS (SELECT vec_id,"
+        " CAST(('0x' || substr(sha256('pq:0:' || CAST(vec_id AS VARCHAR)),"
+        " 1, 15)) AS BIGINT) AS h FROM embeddings)",
+        f"init AS MATERIALIZED (SELECT vec_id, cid FROM ("
+        f"SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid"
+        f" FROM hsrc) WHERE cid < {k})",
+        "c0 AS MATERIALIZED (SELECT i.cid, e.d, e.mv AS cv"
+        " FROM init i JOIN el e USING (vec_id))",
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes += [
+            f"d{r} AS (SELECT e.vec_id, c.cid,"
+            f" sum((e.mv - c.cv) * (e.mv - c.cv)) AS dist"
+            f" FROM el e JOIN c{p} c ON e.d = c.d"
+            f" GROUP BY e.vec_id, c.cid)",
+            f"a{r} AS MATERIALIZED (SELECT vec_id, min(cid) AS cid FROM ("
+            f"SELECT vec_id, cid, dist,"
+            f" min(dist) OVER (PARTITION BY vec_id) AS md FROM d{r})"
+            f" WHERE dist = md GROUP BY vec_id)",
+            f"s{r} AS (SELECT a.cid, e.d, sum(e.mv) AS s, count(*) AS n"
+            f" FROM a{r} a JOIN el e USING (vec_id) GROUP BY a.cid, e.d)",
+            f"c{r} AS MATERIALIZED (SELECT c.cid, c.d,"
+            f" coalesce(CAST(floor(CAST(s.s AS DOUBLE) / s.n) AS BIGINT),"
+            f" c.cv) AS cv"
+            f" FROM c{p} c LEFT JOIN s{r} s ON s.cid = c.cid AND s.d = c.d)",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(cid AS BIGINT) AS cid, CAST(d AS INT) AS pos,"
+        f" CAST(cv AS BIGINT) AS c_milli FROM c{iters} ORDER BY cid, pos"
+    )
+
+
+@query("x3_coarse_quantizer_train", oracle=_coarse_train_oracle_sql())
+def x3_coarse_quantizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training, DISTRIBUTED (r12 verdict task 5):
+    train_pq_codebooks_int's exact integer k-means without its
+    2048-sample ceiling — the FULL embeddings table trains k=16
+    centroids for 3 Lloyd rounds, each round one corpus scan whose
+    Arrow kernel fuses assignment with per-(centroid, dim) partial
+    sums (map-side combine: the shuffle carries batches × k × dim
+    rows, never the corpus) plus a k·dim-bounded collect. Identical
+    arithmetic to the sampled trainer (same milli grid, hash-ranked
+    init, lowest-index argmin, exact floor(sum/n), empty-cluster
+    carry), gated bit-identical to train_pq_codebooks_int(m=1) on the
+    shared config in tests/test_intent_round13.py; the DuckDB oracle
+    unrolls all three rounds (init → assign → update CTEs). Emits the
+    final (cid, pos, c_milli) centroid table — the matrix ivf_topk_int
+    / pq_encode_int(coarse_milli=...) serve from.
+
+    100 TB: rounds × (scan + bounded exchange); k in the tens of
+    thousands changes kernel FLOPs and the k·dim collect, not the
+    shuffle structure (measured: SCALE.md coarse_kmeans_scaling)."""
+    from recipes_spark.operators.similarity import (
+        train_coarse_centroids_int,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(
+        e, k=16, iters=3, hash_tag="pq:0"
+    )
+    rows = [
+        (c, p, int(cents[c, p]))
+        for c in range(cents.shape[0])
+        for p in range(cents.shape[1])
+    ]
+    return spark.createDataFrame(
+        rows, "cid long, pos int, c_milli long"
+    ).orderBy("cid", "pos")
+
+
 def _mmr_oracle_sql(
     k: int = 10, shortlist: int = 50, n_queries: int = 5,
     lambda_tenths: int = 7,

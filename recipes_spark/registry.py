@@ -297,6 +297,7 @@ _DEFER: dict[str, int] = {
     "x6_packing_shards": 12,
     "x4_quality_classifier_train_apply": 13,
     "x6_release_materialize": 13,
+    "x3_coarse_quantizer_train": 13,
 }
 
 

@@ -98,6 +98,46 @@ def test_trained_classifier_model_state_bounded(spark, sf_dir):
         assert -1_000_000 <= w <= 1_000_000
 
 
+def test_distributed_coarse_trainer_equals_sampled_pq_m1(spark, sf_dir):
+    """r12 verdict task 5's equality gate: the distributed integer
+    Lloyd trainer on the sampled trainer's exact config (the same
+    2048-lowest-ids corpus prefix, k=16, 5 rounds, the j=0 init hash
+    family) must reproduce train_pq_codebooks_int(m=1)'s codebook
+    BIT-identically — same init ranking, same argmin tie-break, same
+    exact floor updates, same empty-cluster carry. Any drift means the
+    distributed form is a different algorithm, not a scale-out of the
+    same one."""
+    import numpy as np
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks_int(e, m=1, k=16, sample=2048, iters=5)
+    prefix = e.orderBy("vec_id").limit(2048)
+    dist = train_coarse_centroids_int(
+        prefix, k=16, iters=5, hash_tag="pq:0"
+    )
+    assert np.array_equal(books[0], dist)
+
+
+def test_coarse_trainer_rejects_k_above_corpus(spark, sf_dir):
+    """k > corpus size must fail loudly at init, not train on a
+    silently short centroid set."""
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        train_coarse_centroids_int,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        train_coarse_centroids_int(e, k=n + 1, iters=1)
+
+
 def test_release_materialize_idempotent_rerun(spark, sf_dir):
     """r12 verdict task 3's 'idempotent re-run': two invocations (each
     a fresh store + a v1 snapshot commit + file-side verification)

@@ -1613,8 +1613,40 @@ def probe_dp_grid_10x(spark: SparkSession) -> dict:
     return out
 
 
+def probe_coarse_kmeans_scaling(spark: SparkSession) -> dict:
+    """train_coarse_centroids_int centroid-count scaling (r12 verdict
+    task 5's SCALE row): the 100 TB claim is that k enters kernel
+    FLOPs and the k·dim collect, NOT the shuffle structure — per round
+    the exchange carries batches × k × dim partial rows whatever the
+    corpus size. Train 2 rounds on the sf0.1 embeddings at k=16 vs
+    k=128 (8×) and k=256 (16×) and report the wall ratios; a ratio
+    tracking k would mean the update shuffle (not the vectorized
+    distance kernel) dominates and a bigger k needs a different
+    update path."""
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        train_coarse_centroids_int,
+    )
+
+    e = load(spark, SF_DIR, "embeddings")
+    out = {"probe": "coarse_kmeans_scaling", "n_vectors": e.count()}
+    for k in (16, 128, 256):
+        def run(k=k):
+            train_coarse_centroids_int(e, k=k, iters=2)
+
+        out[f"wall_sec_k{k}"] = round(min(_timed(run) for _ in range(2)), 2)
+    out["ratio_k128_over_k16"] = round(
+        out["wall_sec_k128"] / out["wall_sec_k16"], 2
+    )
+    out["ratio_k256_over_k16"] = round(
+        out["wall_sec_k256"] / out["wall_sec_k16"], 2
+    )
+    return out
+
+
 PROBES = {
     "minhash_portable": probe_minhash_portable,
+    "coarse_kmeans_scaling": probe_coarse_kmeans_scaling,
     "dp_grid_10x": probe_dp_grid_10x,
     "cc_chain": probe_cc_chain,
     "bpe_greedy_1k": probe_bpe_greedy_1k,

@@ -12,9 +12,15 @@ operator in the engine with no Catalyst/SQL equivalent (SURVEY §4.2).
 Scale design: the UDF is row-local (one trajectory per row, coordinate
 ARRAYs already assembled by a groupBy upstream), so it parallelizes
 embarrassingly — no shuffle inside, Arrow batch transfer, and the
-output is small (simplified arrays). Trajectories with millions of
-points per platform would instead chunk via mapInPandas, but observed
-in-situ platforms are thousands of points at most.
+output is small (simplified arrays). Observed in-situ platforms are
+thousands of points at most; for trajectories beyond per-task memory,
+the CHUNKED variant is shipped (round 13, no longer a docstring
+promise): queries/geometry.g1_trajectory_simplify_chunked runs the
+same integer DP per fixed-size chunk with seam points duplicated as
+shared endpoints — per-task arrays bounded at chunk+1 points, the
+tolerance guarantee preserved globally (only minimality at seams is
+relaxed), fully oracled, and measured at dense trajectories in
+SCALE.md (dp_chunked_dense).
 """
 
 from __future__ import annotations

@@ -162,6 +162,215 @@ def g1_trajectory_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+#: Chunk size for the memory-bounded DP variant: production sizes this
+#: in the tens of thousands (the per-task array bound); 16 here so
+#: multiple chunks and seams demonstrably fire at every test SF
+#: (~67 points/user on the fixture).
+_G1_CHUNK = 16
+
+_G1_CHUNKED_ORACLE = f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, xi, yi)
+           - 1 AS idx,
+         xi, yi
+  FROM (SELECT user_id, ts,
+          CAST(((event_id * 7919) % 36000 + 36000) % 36000 AS BIGINT)
+            AS xi,
+          CAST(((event_id * 104729) % 17000 + 17000) % 17000 AS BIGINT)
+            AS yi
+        FROM events)
+), info AS MATERIALIZED (
+  SELECT user_id, count(*) AS n,
+         (min(xi) = max(xi) AND min(yi) = max(yi)) AS stat
+  FROM pts GROUP BY user_id
+), bounds AS MATERIALIZED (
+  SELECT p.user_id,
+         CAST(min(p.idx) AS BIGINT) AS i,
+         CAST(least(max(p.idx) + 1, i2.n - 1) AS BIGINT) AS j
+  FROM pts p JOIN info i2 USING (user_id)
+  WHERE i2.n >= 2 AND NOT i2.stat
+  GROUP BY p.user_id, p.idx // {_G1_CHUNK}, i2.n
+), seg(user_id, i, j) AS (
+  SELECT user_id, i, j FROM bounds WHERE j > i
+  UNION ALL
+  SELECT user_id,
+         CASE WHEN h.h = 0 THEN sp.i ELSE sp.k END,
+         CASE WHEN h.h = 0 THEN sp.k ELSE sp.j END
+  FROM (
+    SELECT g.user_id, g.i, g.j, ({_G1_PACK} - (g.mx % {_G1_PACK})) AS k
+    FROM (
+      SELECT s.user_id, s.i, s.j,
+             max((CASE
+                  WHEN ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi)) = 0
+                    THEN (p.xi-a.xi)*(p.xi-a.xi) + (p.yi-a.yi)*(p.yi-a.yi)
+                  WHEN ((p.xi-a.xi)*(b.xi-a.xi) + (p.yi-a.yi)*(b.yi-a.yi)) <= 0
+                    THEN ((p.xi-a.xi)*(p.xi-a.xi) + (p.yi-a.yi)*(p.yi-a.yi))
+                         * ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi))
+                  WHEN ((p.xi-a.xi)*(b.xi-a.xi) + (p.yi-a.yi)*(b.yi-a.yi))
+                       >= ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi))
+                    THEN ((p.xi-b.xi)*(p.xi-b.xi) + (p.yi-b.yi)*(p.yi-b.yi))
+                         * ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi))
+                  ELSE ((p.xi-a.xi)*(p.xi-a.xi) + (p.yi-a.yi)*(p.yi-a.yi))
+                       * ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi))
+                       - ((p.xi-a.xi)*(b.xi-a.xi) + (p.yi-a.yi)*(b.yi-a.yi))
+                       * ((p.xi-a.xi)*(b.xi-a.xi) + (p.yi-a.yi)*(b.yi-a.yi))
+                  END)::HUGEINT * {_G1_PACK} + ({_G1_PACK} - p.idx)) AS mx,
+             max(CASE
+                  WHEN ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi)) = 0
+                    THEN 1 ELSE
+                    ((b.xi-a.xi)*(b.xi-a.xi) + (b.yi-a.yi)*(b.yi-a.yi)) END)
+               AS scale
+      FROM seg s
+      JOIN pts a ON a.user_id = s.user_id AND a.idx = s.i
+      JOIN pts b ON b.user_id = s.user_id AND b.idx = s.j
+      JOIN pts p ON p.user_id = s.user_id AND p.idx > s.i AND p.idx < s.j
+      GROUP BY s.user_id, s.i, s.j
+    ) g
+    WHERE (g.mx // {_G1_PACK}) > {_G1_TOL2} * g.scale
+  ) sp
+  CROSS JOIN (SELECT unnest(range(2)) AS h) h
+), kept AS (
+  SELECT user_id, count(DISTINCT idx) AS n_out FROM (
+    SELECT user_id, i AS idx FROM seg
+    UNION ALL SELECT user_id, j FROM seg
+  ) GROUP BY user_id
+)
+SELECT i.user_id,
+       CASE WHEN i.n = 1 OR i.stat THEN 'Point' ELSE 'LineString' END
+         AS geom_type,
+       CAST(i.n AS INT) AS n_in,
+       CAST(CASE WHEN i.n = 1 OR i.stat THEN 1 ELSE k.n_out END AS INT)
+         AS n_out
+FROM info i LEFT JOIN kept k USING (user_id)
+ORDER BY i.user_id
+"""
+
+
+@query("g1_trajectory_simplify_chunked", oracle=_G1_CHUNKED_ORACLE)
+def g1_trajectory_simplify_chunked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MEMORY-BOUNDED Douglas-Peucker (r12 verdict task 4): g1's one
+    documented unprobed bound was "one user's full point array in one
+    task" — this variant never assembles it. Points get a per-user
+    index (window row_number — external-sortable, spillable), chunk at
+    fixed seams (floor(idx/chunk)), and each seam point is DUPLICATED
+    into the preceding chunk as its right endpoint, so every
+    per-(user, chunk) group is ≤ chunk+1 points — the per-task memory
+    bound, whatever the trajectory length. The grid DP mask
+    (douglas_peucker_mask_grid, integer-exact) runs per chunk; kept
+    vertex indices union (DISTINCT folds the shared seams) into the
+    per-user count.
+
+    Error contract (documented, not hand-waved): chunk endpoints are
+    always kept, so the output polyline is the concatenation of the
+    chunk polylines — every dropped vertex is within tol of its own
+    chunk's simplified segment chain, which is a sub-polyline of the
+    OUTPUT, so the Douglas-Peucker tolerance guarantee (each dropped
+    vertex within tol of the result) holds globally. What chunking
+    relaxes is MINIMALITY: seams (and vertices they shadow) may be
+    kept that full-trajectory DP would drop — fidelity is never lost,
+    only compression; with chunk ≥ n the output equals unchunked g1
+    exactly (gated in tests/test_intent_round13.py). The oracle
+    replays the same recursion from per-chunk initial segments.
+
+    100 TB: the windows (idx) and the (user, chunk) assembly share
+    user-keyed exchanges with bounded groups; the DP kernel is the
+    same embarrassingly-parallel Arrow island as g1 but with an
+    O(chunk) per-row bound instead of O(trajectory); the kept-index
+    count is a user-keyed agg over kept vertices. A million-point
+    platform costs ⌈n/chunk⌉ bounded tasks instead of one unbounded
+    one."""
+    import numpy as np
+    import pandas as pd
+
+    from recipes_spark.operators.geometry import douglas_peucker_mask_grid
+
+    C = _G1_CHUNK
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        F.pmod(F.col("event_id") * 7919, F.lit(36000)).alias("xi"),
+        F.pmod(F.col("event_id") * 104729, F.lit(17000)).alias("yi"),
+    )
+    users = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            (F.min("xi") == F.max("xi")) & (F.min("yi") == F.max("yi"))
+        ).alias("stat"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "xi", "yi")
+    pts = base.select(
+        "user_id",
+        "xi",
+        "yi",
+        (F.row_number().over(wo) - 1).cast("long").alias("idx"),
+    )
+    line_users = users.filter((F.col("n") >= 2) & (~F.col("stat")))
+    cmain = F.floor(F.col("idx") / C).cast("long")
+    chunked = (
+        pts.join(line_users.select("user_id"), "user_id")
+        .select(
+            "user_id",
+            "idx",
+            "xi",
+            "yi",
+            F.explode(
+                F.when(
+                    (F.col("idx") % C == 0) & (F.col("idx") > 0),
+                    F.array(cmain, cmain - 1),
+                ).otherwise(F.array(cmain))
+            ).alias("chunk"),
+        )
+    )
+    grouped = chunked.groupBy("user_id", "chunk").agg(
+        F.sort_array(
+            F.collect_list(F.struct("idx", "xi", "yi"))
+        ).alias("pts")
+    )
+
+    def simplify(batches):
+        for pdf in batches:
+            out_u, out_i = [], []
+            for uid, rows in zip(pdf["user_id"], pdf["pts"]):
+                idxs = np.asarray([r["idx"] for r in rows], dtype=np.int64)
+                x = np.asarray([r["xi"] for r in rows], dtype=np.int64)
+                y = np.asarray([r["yi"] for r in rows], dtype=np.int64)
+                keep = douglas_peucker_mask_grid(x, y, _G1_TOL2)
+                for i in idxs[keep]:
+                    out_u.append(uid)
+                    out_i.append(int(i))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(out_u, dtype="int64"),
+                    "idx": pd.Series(out_i, dtype="int64"),
+                }
+            )
+
+    kept = grouped.mapInPandas(simplify, "user_id long, idx long")
+    n_out = kept.groupBy("user_id").agg(
+        F.countDistinct("idx").cast("int").alias("n_out_line")
+    )
+    is_point = (F.col("n") == 1) | F.col("stat")
+    return (
+        users.join(n_out, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(is_point, F.lit("Point"))
+            .otherwise(F.lit("LineString"))
+            .alias("geom_type"),
+            F.col("n").cast("int").alias("n_in"),
+            F.when(is_point, F.lit(1))
+            .otherwise(F.col("n_out_line"))
+            .cast("int")
+            .alias("n_out"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query(
     "g2_trajectory_bbox",
     oracle="""

@@ -298,6 +298,7 @@ _DEFER: dict[str, int] = {
     "x4_quality_classifier_train_apply": 13,
     "x6_release_materialize": 13,
     "x3_coarse_quantizer_train": 13,
+    "g1_trajectory_simplify_chunked": 13,
 }
 
 

@@ -98,6 +98,88 @@ def test_trained_classifier_model_state_bounded(spark, sf_dir):
         assert -1_000_000 <= w <= 1_000_000
 
 
+def test_chunked_dp_equals_unchunked_when_chunk_covers_trajectory(
+    spark, sf_dir, monkeypatch
+):
+    """With chunk ≥ every trajectory length the chunked query IS the
+    unchunked one — same keep decisions row for row (the equality leg
+    of the chunked error contract)."""
+    import recipes_spark.queries.geometry as geo
+
+    monkeypatch.setattr(geo, "_G1_CHUNK", 1_000_000_000)
+    chunked = (
+        geo.g1_trajectory_simplify_chunked(spark, sf_dir)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    plain = (
+        QUERIES["g1_trajectory_simplify"](spark, sf_dir)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert chunked.equals(plain)
+
+
+def test_chunked_dp_tolerance_guarantee_and_seams():
+    """The stitching contract on a trajectory DP actually compresses
+    (a near-straight line with sparse kinks — unlike the fixture's
+    pseudo-random walk, which keeps ~everything): (1) every chunk seam
+    is kept; (2) the DP tolerance guarantee holds GLOBALLY — each
+    dropped vertex is within tol of the segment between its
+    neighboring kept vertices (exact integer rational test, the
+    kernel's own arithmetic); (3) chunking only ADDS kept vertices
+    (count ≥ unchunked) while still dropping most of this line."""
+    import numpy as np
+
+    from recipes_spark.operators.geometry import douglas_peucker_mask_grid
+
+    tol2 = 50 * 50
+    C = 16
+    n = 400
+    # Deterministic near-straight line with occasional big kinks.
+    i = np.arange(n, dtype=np.int64)
+    x = i * 37 % 30000
+    y = (i * 3 % 7) + np.where(i % 97 == 0, 900, 0)
+    x, y = x.astype(np.int64), y.astype(np.int64)
+
+    full = douglas_peucker_mask_grid(x, y, tol2)
+    kept: set[int] = set()
+    for lo in range(0, n - 1, C):
+        hi = min(lo + C, n - 1)
+        m = douglas_peucker_mask_grid(x[lo : hi + 1], y[lo : hi + 1], tol2)
+        kept |= {lo + int(t) for t in np.nonzero(m)[0]}
+    seams = {s for s in range(0, n, C)} | {n - 1}
+    assert seams <= kept  # (1)
+    assert len(kept) >= int(full.sum())  # (3a)
+    assert len(kept) < n // 2  # (3b) genuinely compresses
+    ordered = sorted(kept)
+    pos = {v: t for t, v in enumerate(ordered)}
+    for v in range(n):  # (2)
+        if v in kept:
+            continue
+        lo = max(w for w in ordered if w < v)
+        hi = min(w for w in ordered if w > v)
+        assert pos[hi] == pos[lo] + 1  # consecutive kept vertices
+        dx, dy = int(x[hi] - x[lo]), int(y[hi] - y[lo])
+        L2 = dx * dx + dy * dy
+        pax, pay = int(x[v] - x[lo]), int(y[v] - y[lo])
+        qa = pax * pax + pay * pay
+        if L2 == 0:
+            num, scale = qa, 1
+        else:
+            s = pax * dx + pay * dy
+            pbx, pby = int(x[v] - x[hi]), int(y[v] - y[hi])
+            qb = pbx * pbx + pby * pby
+            if s <= 0:
+                num = qa * L2
+            elif s >= L2:
+                num = qb * L2
+            else:
+                num = qa * L2 - s * s
+            scale = L2
+        assert num <= tol2 * scale, (v, lo, hi)
+
+
 def test_distributed_coarse_trainer_equals_sampled_pq_m1(spark, sf_dir):
     """r12 verdict task 5's equality gate: the distributed integer
     Lloyd trainer on the sampled trainer's exact config (the same

@@ -1613,6 +1613,56 @@ def probe_dp_grid_10x(spark: SparkSession) -> dict:
     return out
 
 
+def probe_dp_chunked_dense(spark: SparkSession, reps_n: int = 100) -> dict:
+    """g1 vs g1_trajectory_simplify_chunked at 100× POINTS PER USER
+    (r12 verdict task 4's probe): the unchunked form assembles one
+    user's whole point array in one task (collect_list) — fine at
+    thousands of points, the documented bound at millions; the chunked
+    form holds ≤ chunk+1 points per task whatever the trajectory
+    length. Same densification protocol as dp_grid_10x (fresh
+    pseudo-random grid coords per replica under the same user)."""
+    import os
+    import tempfile
+
+    from recipes_spark.io import load
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()
+    ev = load(spark, SF_DIR, "events")
+    big_dir = tempfile.mkdtemp(prefix="recipes_dpchunk_")
+    reps = spark.range(reps_n).select(F.col("id").alias("rep"))
+    (
+        ev.crossJoin(reps)
+        .withColumn(
+            "event_id", F.col("event_id") * F.lit(1000003) + F.col("rep")
+        )
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(big_dir, "events.parquet"))
+    )
+    out = {"probe": "dp_chunked_dense", "reps": reps_n}
+    for tag, name in (
+        ("unchunked", "g1_trajectory_simplify"),
+        ("chunked", "g1_trajectory_simplify_chunked"),
+    ):
+        kept = None
+
+        def run():
+            nonlocal kept
+            kept = (
+                q[name](spark, big_dir)
+                .agg(F.sum("n_out").alias("s"))
+                .collect()[0]["s"]
+            )
+
+        out[f"wall_sec_{tag}"] = round(min(_timed(run) for _ in range(2)), 2)
+        out[f"kept_vertices_{tag}"] = int(kept)
+    out["wall_ratio_chunked"] = round(
+        out["wall_sec_chunked"] / out["wall_sec_unchunked"], 2
+    )
+    return out
+
+
 def probe_coarse_kmeans_scaling(spark: SparkSession) -> dict:
     """train_coarse_centroids_int centroid-count scaling (r12 verdict
     task 5's SCALE row): the 100 TB claim is that k enters kernel
@@ -1647,6 +1697,7 @@ def probe_coarse_kmeans_scaling(spark: SparkSession) -> dict:
 PROBES = {
     "minhash_portable": probe_minhash_portable,
     "coarse_kmeans_scaling": probe_coarse_kmeans_scaling,
+    "dp_chunked_dense": probe_dp_chunked_dense,
     "dp_grid_10x": probe_dp_grid_10x,
     "cc_chain": probe_cc_chain,
     "bpe_greedy_1k": probe_bpe_greedy_1k,

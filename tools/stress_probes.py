@@ -1162,6 +1162,47 @@ def probe_corpus_pipeline_10x(spark: SparkSession) -> dict:
     return out
 
 
+def probe_packing_tail_100x(spark: SparkSession) -> dict:
+    """The newest composition stages TWO decades past bench SF (r12
+    verdict task 7): real id-stream packing (x6_packing_ids), the
+    two-level shard manifests (x6_packing_shards), the physical
+    release write→reread→verify (x6_release_materialize), and the full
+    e2e composition, each at 1× vs 100× docs (mode='mutate' — every
+    replica carries the 1× corpus's own duplicate structure, so the
+    stages do genuine 100× work). Per-stage exponent =
+    log(w_100x/w_1x)/log(100); anything > ~1.1 is a named follow-up."""
+    import math
+
+    from recipes_spark.registry import all_queries
+
+    q = all_queries()
+    out = {"probe": "packing_tail_100x"}
+    big_dir = _stage_docs_sfdir(spark, reps_n=100, mode="mutate")
+    for name, label in (
+        ("x6_packing_ids", "packing_ids"),
+        ("x6_packing_shards", "packing_shards"),
+        ("x6_release_materialize", "release"),
+        ("x6_corpus_pipeline_e2e", "e2e"),
+    ):
+        for tag, sfd in (("1x", SF_DIR), ("100x", big_dir)):
+            rows = None
+
+            def run(name=name, sfd=sfd):
+                nonlocal rows
+                rows = q[name](spark, sfd).collect()
+
+            out[f"{label}_wall_{tag}"] = round(
+                min(_timed(run) for _ in range(2)), 2
+            )
+            out[f"{label}_rows_{tag}"] = len(rows)
+        out[f"{label}_exponent"] = round(
+            math.log(out[f"{label}_wall_100x"] / out[f"{label}_wall_1x"])
+            / math.log(100),
+            2,
+        )
+    return out
+
+
 def probe_substring_dedup_10x(spark: SparkSession) -> dict:
     """x2_substring_dedup at 1x vs 10x under NEAR-TOTAL duplication
     (every replica shares every 8-gram not touching its suffixed last
@@ -1698,6 +1739,7 @@ PROBES = {
     "minhash_portable": probe_minhash_portable,
     "coarse_kmeans_scaling": probe_coarse_kmeans_scaling,
     "dp_chunked_dense": probe_dp_chunked_dense,
+    "packing_tail_100x": probe_packing_tail_100x,
     "dp_grid_10x": probe_dp_grid_10x,
     "cc_chain": probe_cc_chain,
     "bpe_greedy_1k": probe_bpe_greedy_1k,

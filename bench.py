@@ -53,9 +53,27 @@ def _calibration_sec(spark) -> float:
     the headline by this to compare rounds across host-speed swings
     (round 9 burned a day on a +49% 'regression' that was entirely the
     host — see SCALE.md 'Measuring on a shared/noisy host'). Min-of-5
-    like the headline queries."""
+    like the headline queries, after 6 UNTIMED warmups: the round-13
+    bracketing exposed that a canary measured early in JVM life reads
+    its own codegen/JIT ramp (pre ~1.7× post, consistently), which
+    would fire the drift flag on every run — the warmups make the two
+    bracket readings measure the HOST, not the canary's position in
+    JVM warm-up. The measured workload itself is unchanged (frozen)."""
     import pyspark.sql.functions as F
 
+    def once() -> None:
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+            .groupBy(F.substring("h", 1, 2).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("m"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    for _ in range(6):
+        once()
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()

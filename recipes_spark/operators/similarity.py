@@ -736,14 +736,15 @@ def pq_encode_int(
     one corpus read + Arrow transfer builds the whole IVF-PQ index
     (pq_encode's coarse_centroids rationale, integer form)."""
     m, k, sub = books_milli.shape
-    # codes_packed is 4 bits per subspace: k > 16 would silently
-    # corrupt the packing (and every downstream `& 15` nibble unpack
-    # in pq_adc_topk_int / ivf_pq_topk_int). train_pq_codebooks_int
-    # accepts arbitrary k, so the contract is enforced at the packing
-    # boundary. (The m == 1 coarse-quantizer path never reaches here —
-    # IVF passes its book as `coarse_milli`, which emits an int32
-    # `__list`, not a packed code.)
-    if k > 16:
+    # codes_packed is 4 bits per subspace: at m > 1, k > 16 would
+    # silently corrupt the packing (and every downstream `& 15` nibble
+    # unpack in pq_adc_topk_int / ivf_pq_topk_int).
+    # train_pq_codebooks_int accepts arbitrary k, so the contract is
+    # enforced at the packing boundary. m == 1 is explicitly EXEMPT:
+    # with one subspace, codes_packed IS the single code (no shift
+    # ever happens), which is how the IVF coarse path serves
+    # n_centroids > 16 books from the distributed trainer.
+    if k > 16 and m > 1:
         raise ValueError(
             f"pq_encode_int: k={k} codes cannot nibble-pack (max 16 "
             "centroids per subspace for the 4-bit codes_packed layout)"
@@ -988,6 +989,7 @@ def ivf_topk_int(
     nprobe: int = 4,
     sample: int = 2048,
     iters: int = 5,
+    coarse_milli: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF top-k on the INTEGER milli grid — the oracle-replayable
     twin of ivf_topk. The coarse quantizer IS the m=1 case of the
@@ -999,11 +1001,25 @@ def ivf_topk_int(
     sequential-fold exact cosine. Coarse metric is milli-grid L2
     where ivf_topk used cosine: for cell PRUNING the two agree on
     which cells are near unless vector norms vary wildly (recall
-    gates re-assert quality on this corpus)."""
-    books = train_pq_codebooks_int(
-        corpus, id_col=id_col, vec_col=vec_col, m=1, k=n_centroids,
-        sample=sample, iters=iters,
-    )
+    gates re-assert quality on this corpus).
+
+    ``coarse_milli`` (a (n_centroids, dim) int64 matrix, e.g. from
+    train_coarse_centroids_int's distributed trainer) serves the index
+    from an externally trained coarse book instead of the internal
+    2048-sample trainer — the trainer→index→search composition
+    x3_ivf_distrib_topk registers."""
+    if coarse_milli is not None:
+        if coarse_milli.shape[0] != n_centroids:
+            raise ValueError(
+                f"coarse_milli has {coarse_milli.shape[0]} centroids, "
+                f"expected n_centroids={n_centroids}"
+            )
+        books = coarse_milli[None, :, :]
+    else:
+        books = train_pq_codebooks_int(
+            corpus, id_col=id_col, vec_col=vec_col, m=1, k=n_centroids,
+            sample=sample, iters=iters,
+        )
     collected = _collect_queries(queries, query_id_col, query_vec_col)
     if collected is None:
         return _empty_topk(corpus.sparkSession, query_id_col, id_col)

@@ -3170,12 +3170,14 @@ def x7_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _coarse_train_oracle_sql(k: int = 16, iters: int = 3) -> str:
-    """x3_coarse_quantizer_train oracle: the distributed integer Lloyd
-    loop unrolled — hash-ranked init, then per round an exact-integer
-    assignment (argmin L2 on the milli grid, ties to the lowest
-    centroid) and an exact floor(sum/n) update with empty-cluster
-    carry (LEFT JOIN + COALESCE against the previous round)."""
+def _coarse_train_ctes(k: int = 16, iters: int = 3) -> list[str]:
+    """CTE chain replaying train_coarse_centroids_int: hash-ranked
+    init, then per round an exact-integer assignment (argmin L2 on the
+    milli grid, ties to the lowest centroid) and an exact floor(sum/n)
+    update with empty-cluster carry (LEFT JOIN + COALESCE against the
+    previous round). Final centroids land in CTE ``c{iters}``. Shared
+    by the trainer oracle (x3_coarse_quantizer_train) and the served
+    composition (x3_ivf_distrib_topk)."""
     ctes = [
         "el AS MATERIALIZED (SELECT vec_id,"
         " generate_subscripts(embedding, 1) - 1 AS d,"
@@ -3208,9 +3210,15 @@ def _coarse_train_oracle_sql(k: int = 16, iters: int = 3) -> str:
             f" c.cv) AS cv"
             f" FROM c{p} c LEFT JOIN s{r} s ON s.cid = c.cid AND s.d = c.d)",
         ]
+    return ctes
+
+
+def _coarse_train_oracle_sql(k: int = 16, iters: int = 3) -> str:
+    """x3_coarse_quantizer_train oracle: the distributed integer Lloyd
+    loop unrolled (see _coarse_train_ctes)."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_coarse_train_ctes(k=k, iters=iters))
         + f"\nSELECT CAST(cid AS BIGINT) AS cid, CAST(d AS INT) AS pos,"
         f" CAST(cv AS BIGINT) AS c_milli FROM c{iters} ORDER BY cid, pos"
     )
@@ -3252,6 +3260,86 @@ def x3_coarse_quantizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cid long, pos int, c_milli long"
     ).orderBy("cid", "pos")
+
+
+def _ivf_distrib_oracle_sql(
+    k: int = 16, iters: int = 3, nprobe: int = 4, topk: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """x3_ivf_distrib_topk oracle: the distributed-trainer CTEs
+    (_coarse_train_ctes, final book in c{iters}), then full-corpus
+    cell assignment, per-query probe ranking, cell-pruned candidates,
+    and the exact round-4 cosine re-rank — the x3_ivf_topk tail on the
+    distributed book."""
+    ctes = _coarse_train_ctes(k=k, iters=iters)
+    ctes += [
+        f"fd AS (SELECT e.vec_id, c.cid,"
+        f" sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM el e JOIN c{iters} c ON e.d = c.d"
+        f" GROUP BY e.vec_id, c.cid)",
+        "fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM fd) WHERE rn = 1)",
+        f"probe AS (SELECT query_id, cid FROM (SELECT vec_id AS"
+        " query_id, cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM fd"
+        f" WHERE vec_id < {n_queries}) WHERE rn <= {nprobe})",
+        "cand AS (SELECT p.query_id, f.vec_id FROM fa f"
+        " JOIN probe p ON p.cid = f.cid WHERE f.vec_id != p.query_id)",
+        f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f" FROM embeddings WHERE vec_id < {n_queries})",
+        "cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "sims AS (SELECT s.query_id, s.vec_id,"
+        " round(list_dot_product(c.v, q.qv) /"
+        " (sqrt(list_dot_product(c.v, c.v)) *"
+        " sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim"
+        " FROM cand s JOIN cv c ON c.vec_id = s.vec_id"
+        " JOIN qv q ON q.query_id = s.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, vec_id, cosine_sim, rnk FROM (\n"
+        "  SELECT query_id, vec_id, cosine_sim,\n"
+        "         CAST(row_number() OVER (PARTITION BY query_id\n"
+        "              ORDER BY cosine_sim DESC, vec_id) AS INT) AS rnk\n"
+        f"  FROM sims) WHERE rnk <= {topk}"
+    )
+
+
+@query("x3_ivf_distrib_topk", oracle=_ivf_distrib_oracle_sql())
+def x3_ivf_distrib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer→index→search composition SERVED from the
+    distributed coarse book: x3_ivf_topk's exact search shape
+    (deterministic cell pruning, nprobe=4 of 16 lists, exact round-4
+    cosine re-rank inside probed lists) but the coarse quantizer is
+    train_coarse_centroids_int's full-corpus distributed trainer —
+    no 2048-sample ceiling anywhere in the serving path. Everything
+    stays exact int64 arithmetic, so the DuckDB oracle replays the
+    WHOLE chain: 3 distributed Lloyd rounds, full-corpus cell
+    assignment, probe ranking, candidate pruning, re-rank.
+
+    100 TB: training = rounds × (staged scan + k·dim-bounded
+    exchange); index build = one pq_encode_int pass (m=1: the packed
+    code IS the cell id, explicitly exempt from the nibble cap, so
+    n_centroids can grow into the tens of thousands); search = a
+    broadcast probe join + in-list re-rank — the faiss IVF serving
+    shape end to end with every stage driver-verifiable."""
+    from recipes_spark.operators.similarity import (
+        ivf_topk_int,
+        train_coarse_centroids_int,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(
+        emb, k=16, iters=3, hash_tag="pq:0"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_topk_int(
+        emb, queries, k=10, coarse_milli=cents
+    ).withColumnRenamed("rank", "rnk")
 
 
 def _mmr_oracle_sql(

@@ -299,6 +299,7 @@ _DEFER: dict[str, int] = {
     "x6_release_materialize": 13,
     "x3_coarse_quantizer_train": 13,
     "g1_trajectory_simplify_chunked": 13,
+    "x3_ivf_distrib_topk": 13,
 }
 
 

@@ -188,11 +188,13 @@ def extra_plans(spark) -> dict[str, str]:
     out["st14_batch_side"] = plan_hash(
         st14_hot_terms(tc, prior, 1, depth=4, width=1024, thresh=200)
     )
-    out["join_interval_overlap"] = plan_hash(
-        q["join_interval_overlap"](spark, SF_DIR)
+    hash_with_pre_checkpoints(
+        "join_interval_overlap",
+        lambda: q["join_interval_overlap"](spark, SF_DIR),
+        out,
     )
-    out["join_asof_nearest"] = plan_hash(
-        q["join_asof_nearest"](spark, SF_DIR)
+    hash_with_pre_checkpoints(
+        "join_asof_nearest", lambda: q["join_asof_nearest"](spark, SF_DIR), out
     )
     from recipes_spark.streaming.ingest import (
         st17_prior_quantiles,
@@ -220,8 +222,10 @@ def extra_plans(spark) -> dict[str, str]:
     out["st24_batch_side"] = plan_hash(
         st24_batch_registers(docs.select("doc_id", "text"))
     )
-    out["event_attribution_lasttouch"] = plan_hash(
-        q["event_attribution_lasttouch"](spark, SF_DIR)
+    hash_with_pre_checkpoints(
+        "event_attribution_lasttouch",
+        lambda: q["event_attribution_lasttouch"](spark, SF_DIR),
+        out,
     )
     for name in (
         "event_pattern_match",

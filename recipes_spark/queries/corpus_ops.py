@@ -3457,7 +3457,11 @@ def _qft_weight_rows(
 
 
 def quality_score_kernel(
-    weights: dict[int, int], dim: int, base: int, threshold: int
+    weights: dict[int, int],
+    dim: int,
+    base: int,
+    threshold: int,
+    passthrough: tuple[str, ...] = (),
 ):
     """mapInPandas generator for the hashed-feature linear scorer —
     the PRODUCTION serving island: the (sparse) trained weight map
@@ -3470,7 +3474,9 @@ def quality_score_kernel(
     vector costs the same pass as a 64-bucket one (measured:
     SCALE.md quality_classifier_dim probe). floor division on exact
     ints == both engines' floor(total/n_tok) by the literal form's
-    exactness argument."""
+    exactness argument. ``passthrough`` names extra input columns
+    copied verbatim to the output (the eval composition rides its
+    label through the island instead of re-joining it)."""
     import hashlib
 
     def tok_weight(tok: str, cache: dict) -> int:
@@ -3499,14 +3505,15 @@ def quality_score_kernel(
                 n_tok.append(n)
                 score.append(s)
                 keep.append(1 if s >= threshold else 0)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_tok": pd.Series(n_tok, dtype="int64"),
-                    "score_micro": pd.Series(score, dtype="int64"),
-                    "keep": pd.Series(keep, dtype="int32"),
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_tok": pd.Series(n_tok, dtype="int64"),
+                "score_micro": pd.Series(score, dtype="int64"),
+                "keep": pd.Series(keep, dtype="int32"),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     return gen
 
@@ -3763,6 +3770,209 @@ def x4_quality_classifier_train_apply(
     return scale_partitions(d).select("doc_id", "text").mapInPandas(
         gen,
         schema="doc_id bigint, n_tok bigint, score_micro bigint, keep int",
+    )
+
+
+_QTA_EVAL_ORACLE = f"""
+WITH lbl AS MATERIALIZED (
+  SELECT doc_id, text,
+         ((len(w) BETWEEN 30 AND 80)
+          AND (floor(1000000.0 * (nc - len(w) + 1) / len(w))
+               BETWEEN 4000000 AND 5500000)
+          AND (floor(1000000.0 * (1.0 - len(list_distinct(w)) * 1.0 / len(w)))
+               <= 400000)) AS keep_lbl,
+         (CAST(('0x' || substr(sha256('qsplit:' || CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) % 10 < 8) AS is_train
+  FROM (SELECT doc_id, text, len(text) AS nc, string_split(text, ' ') AS w
+        FROM documents)
+), bt AS MATERIALIZED (
+  SELECT doc_id, is_train, keep_lbl,
+         CAST(('0x' || substr(sha256('qf:' || tok), 1, 8)) AS BIGINT)
+           % {_QTA_DIM} AS b
+  FROM (SELECT doc_id, is_train, keep_lbl,
+               unnest(string_split(text, ' ')) AS tok
+        FROM lbl)
+), stats AS MATERIALIZED (
+  SELECT b,
+         sum(CASE WHEN keep_lbl THEN 1 ELSE 0 END) AS pos,
+         count(*) AS tot
+  FROM bt WHERE is_train GROUP BY b
+), prior AS MATERIALIZED (
+  SELECT sum(pos) AS posall, sum(tot) AS totall,
+         (2000000 * sum(pos)) // sum(tot) AS q0
+  FROM stats
+), wt AS MATERIALIZED (
+  SELECT b,
+         (2000000 * (pos * (SELECT totall FROM prior)
+                     + (SELECT posall FROM prior)))
+           // ((SELECT totall FROM prior) * (tot + 1))
+           - (SELECT q0 FROM prior) AS w
+  FROM stats
+), s AS (
+  SELECT doc_id, keep_lbl,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(coalesce(w, 0)) AS BIGINT) AS total
+  FROM (SELECT * FROM bt WHERE NOT is_train) h LEFT JOIN wt USING (b)
+  GROUP BY doc_id, keep_lbl
+), pred AS (
+  SELECT keep_lbl, (floor(total / n_tok) >= {_QTA_THRESHOLD_MICRO}) AS p
+  FROM s
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN p AND keep_lbl THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(sum(CASE WHEN p AND NOT keep_lbl THEN 1 ELSE 0 END) AS BIGINT)
+           AS fp,
+         CAST(sum(CASE WHEN NOT p AND keep_lbl THEN 1 ELSE 0 END) AS BIGINT)
+           AS fn,
+         CAST(sum(CASE WHEN NOT p AND NOT keep_lbl THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM pred
+), m AS (
+  SELECT n_eval, tp, fp, fn, tn,
+         CAST(floor(1000000.0 * tp / greatest(tp + fp, 1)) AS BIGINT)
+           AS precision_micro,
+         CAST(floor(1000000.0 * tp / greatest(tp + fn, 1)) AS BIGINT)
+           AS recall_micro,
+         CAST(floor(1000000.0 * (tp + tn) / n_eval) AS BIGINT)
+           AS accuracy_micro
+  FROM c
+)
+SELECT n_eval, tp, fp, fn, tn, precision_micro, recall_micro,
+       accuracy_micro,
+       CAST(floor(2.0 * precision_micro * recall_micro /
+            greatest(precision_micro + recall_micro, 1)) AS BIGINT)
+         AS f1_micro
+FROM m
+"""
+
+
+@query("x4_quality_classifier_eval", oracle=_QTA_EVAL_ORACLE)
+def x4_quality_classifier_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EVALUATION leg completing the classifier lifecycle —
+    train→apply→evaluate with an honest HELD-OUT split: docs split
+    80/20 by the portable hash of 'qsplit:<doc_id>' (deterministic,
+    engine-replayable — never a seeded RNG), the weight vector trains
+    on the 80% exactly as x4_quality_classifier_train_apply does, the
+    held-out 20% scores through the same Arrow kernel (its label rides
+    the island via the kernel's passthrough — no re-join), and the
+    output is the confusion matrix plus precision / recall / accuracy
+    / F1 in floor-scaled integer micros. Held-out scoring genuinely
+    exercises the UNSEEN-bucket path (tokens absent from the training
+    split take the prior, base 0) — the serving condition the
+    train==apply corpus of the sibling query can never reach. The
+    oracle replays the split, both training halves, the held-out
+    scoring join, and every metric in the same integer arithmetic.
+
+    100 TB: identical shape to the train_apply sibling (one training
+    scan + dim-bounded exchange + ≤dim collect; one held-out Arrow
+    scan) plus a single 1-row aggregate — evaluation adds no new
+    data-sized exchange."""
+    d = load(spark, sf_dir, "documents")
+    labeled = scale_partitions(d).select(
+        "doc_id",
+        "text",
+        _gopher_keep_expr().alias("lbl"),
+        (
+            _bucket(
+                F.concat(F.lit("qsplit:"), F.col("doc_id").cast("string")),
+                10,
+            )
+            < 8
+        ).alias("is_train"),
+    )
+    stats = (
+        labeled.filter(F.col("is_train"))
+        .select("lbl", F.explode(F.split("text", " ")).alias("tok"))
+        .select(
+            "lbl",
+            _bucket(F.concat(F.lit("qf:"), F.col("tok")), _QTA_DIM).alias(
+                "b"
+            ),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lbl"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+            F.count(F.lit(1)).cast("long").alias("tot"),
+        )
+        .collect()
+    )
+    pos_all = sum(int(r["pos"]) for r in stats)
+    tot_all = sum(int(r["tot"]) for r in stats)
+    q0 = (2_000_000 * pos_all) // tot_all
+    weights = {
+        int(r["b"]): (
+            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
+        )
+        // (tot_all * (int(r["tot"]) + 1))
+        - q0
+        for r in stats
+    }
+    gen = quality_score_kernel(
+        weights,
+        _QTA_DIM,
+        _QTA_BASE_MICRO,
+        _QTA_THRESHOLD_MICRO,
+        passthrough=("lbl",),
+    )
+    scored = (
+        labeled.filter(~F.col("is_train"))
+        .select("doc_id", "text", "lbl")
+        .mapInPandas(
+            gen,
+            schema="doc_id bigint, n_tok bigint, score_micro bigint,"
+            " keep int, lbl boolean",
+        )
+    )
+    p = F.col("keep") == 1
+    lb = F.col("lbl")
+    c = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(p & lb, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(p & ~lb, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~p & lb, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~p & ~lb, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    m = c.select(
+        "*",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("tp")
+            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+        )
+        .cast("long")
+        .alias("precision_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("tp")
+            / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+        )
+        .cast("long")
+        .alias("recall_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("tp") + F.col("tn"))
+            / F.col("n_eval")
+        )
+        .cast("long")
+        .alias("accuracy_micro"),
+    )
+    return m.select(
+        "*",
+        F.floor(
+            F.lit(2.0)
+            * F.col("precision_micro")
+            * F.col("recall_micro")
+            / F.greatest(
+                F.col("precision_micro") + F.col("recall_micro"), F.lit(1)
+            )
+        )
+        .cast("long")
+        .alias("f1_micro"),
     )
 
 

@@ -300,6 +300,7 @@ _DEFER: dict[str, int] = {
     "x3_coarse_quantizer_train": 13,
     "g1_trajectory_simplify_chunked": 13,
     "x3_ivf_distrib_topk": 13,
+    "x4_quality_classifier_eval": 13,
 }
 
 

@@ -220,6 +220,59 @@ def test_coarse_trainer_rejects_k_above_corpus(spark, sf_dir):
         train_coarse_centroids_int(e, k=n + 1, iters=1)
 
 
+def test_classifier_eval_confusion_consistency(spark, sf_dir):
+    """The eval leg's single row must be internally consistent:
+    tp+fp+fn+tn == n_eval (every held-out doc lands in exactly one
+    cell), n_eval ≈ 20% of the corpus (the 80/20 hash split), and
+    every metric recomputes from the counts by the same floor-micro
+    arithmetic."""
+    row = QUERIES["x4_quality_classifier_eval"](spark, sf_dir).collect()[0]
+    tp, fp, fn, tn = row["tp"], row["fp"], row["fn"], row["tn"]
+    n = row["n_eval"]
+    assert tp + fp + fn + tn == n
+    from recipes_spark.io import load
+
+    total = load(spark, sf_dir, "documents").count()
+    assert 0.1 * total <= n <= 0.3 * total
+    import math
+
+    assert row["precision_micro"] == math.floor(
+        1000000.0 * tp / max(tp + fp, 1)
+    )
+    assert row["recall_micro"] == math.floor(1000000.0 * tp / max(tp + fn, 1))
+    assert row["accuracy_micro"] == math.floor(1000000.0 * (tp + tn) / n)
+    assert row["f1_micro"] == math.floor(
+        2.0
+        * row["precision_micro"]
+        * row["recall_micro"]
+        / max(row["precision_micro"] + row["recall_micro"], 1)
+    )
+
+
+def test_quality_kernel_unseen_bucket_takes_base():
+    """Held-out serving's unseen-token path, unit-level: a token whose
+    bucket carries no trained weight scores the base (prior), and the
+    passthrough column rides the island unchanged."""
+    import pandas as pd
+
+    from recipes_spark.queries.corpus_ops import quality_score_kernel
+
+    gen = quality_score_kernel({}, 50_000, 7, 1, passthrough=("lbl",))
+    batches = [
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["never seen tokens", "x"],
+                "lbl": [True, False],
+            }
+        )
+    ]
+    out = pd.concat(list(gen(iter(batches))))
+    assert list(out["score_micro"]) == [7, 7]  # base everywhere
+    assert list(out["keep"]) == [1, 1]
+    assert list(out["lbl"]) == [True, False]
+
+
 def test_ivf_distrib_recall_vs_brute(spark, sf_dir):
     """The served composition (distributed-trained coarse book →
     pq_encode cell assignment → probe → re-rank) must keep retrieval

@@ -18,9 +18,11 @@ the CHUNKED variant is shipped (round 13, no longer a docstring
 promise): queries/geometry.g1_trajectory_simplify_chunked runs the
 same integer DP per fixed-size chunk with seam points duplicated as
 shared endpoints — per-task arrays bounded at chunk+1 points, the
-tolerance guarantee preserved globally (only minimality at seams is
-relaxed), fully oracled, and measured at dense trajectories in
-SCALE.md (dp_chunked_dense).
+tolerance guarantee preserved globally (what chunking trades is
+MINIMALITY: seams are always pinned and kept sets can differ from
+full-trajectory DP in either direction inside a chunk — fidelity,
+the within-tol property, never degrades), fully oracled, and measured
+at dense trajectories in SCALE.md (dp_chunked_dense).
 """
 
 from __future__ import annotations

@@ -618,7 +618,6 @@ def train_coarse_centroids_int(
     what removes the sample-size ceiling when k itself is large."""
     import hashlib
 
-    dim = None
     # Deterministic init: rank by the portable 60-bit sha slice of the
     # tagged id (identical string family to train_pq_codebooks_int's
     # per-subspace init for hash_tag='pq:<j>').
@@ -663,7 +662,6 @@ def train_coarse_centroids_int(
             for r in init_rows
         ]
     ).astype(np.int64)
-    dim = cents.shape[1]
 
     from recipes_spark.io import scale_partitions
 

@@ -3877,6 +3877,148 @@ def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the semantics BOTH SQL
+    engines share (Spark `div`, DuckDB `//`: -7//2 = -3), which Python
+    `//` does NOT (floor: -4). Every driver-side integer division that
+    an oracle replays must use this, not `//`, whenever the dividend
+    can be negative."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+#: Power-iteration rounds for the dominant-component query: the
+#: fixed-point sequence is deterministic at ANY round count (parity
+#: needs no convergence), but QUALITY does — the synthetic embeddings
+#: are near-isotropic (λ2/λ1 ≈ 0.987 at sf0.01, the hard regime for
+#: power iteration), so 200 rounds are needed to clear the 0.99-cosine
+#: gate vs LAPACK (measured: cos 0.924 @ 50, 0.989 @ 100, 0.9992 @
+#: 200). Each round is O(d²) — 200 rounds of 64-dim driver ints and
+#: 4096-row oracle joins are both trivial.
+_POWIT_ROUNDS = 200
+
+
+def _powit_oracle_sql(rounds: int = _POWIT_ROUNDS) -> str:
+    """x3_power_iteration_project oracle: integer Gram/sums → the
+    exact centered scatter matrix M = n·G − S·Sᵀ (HUGEINT) → `rounds`
+    fixed-point power-iteration steps (renormalize to ~±10⁶ by
+    truncating division each round) → deterministic sign → exact
+    integer projection of mean-centered micro coordinates."""
+    ctes = [
+        "el AS MATERIALIZED (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) - 1 AS d,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)"
+        " AS BIGINT) AS mv FROM embeddings)",
+        "nn AS (SELECT count(*) AS n FROM embeddings)",
+        "sv AS MATERIALIZED (SELECT d, sum(mv) AS s FROM el GROUP BY d)",
+        "g AS MATERIALIZED (SELECT a.d AS i, b.d AS j,"
+        " sum(a.mv * b.mv) AS gij FROM el a JOIN el b USING (vec_id)"
+        " GROUP BY a.d, b.d)",
+        "m AS MATERIALIZED (SELECT g.i, g.j,"
+        " (SELECT n FROM nn) * g.gij - sa.s * sb.s AS m"
+        " FROM g JOIN sv sa ON sa.d = g.i JOIN sv sb ON sb.d = g.j)",
+        "v0 AS (SELECT d AS j, CAST(1000000 AS HUGEINT) AS v FROM sv)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes += [
+            f"w{t} AS (SELECT m.i AS j, sum(m.m * v.v) AS w"
+            f" FROM m JOIN v{p} v ON v.j = m.j GROUP BY m.i)",
+            f"v{t} AS MATERIALIZED (SELECT j, w // greatest("
+            f"(SELECT max(abs(w)) FROM w{t}) // 1000000, 1) AS v"
+            f" FROM w{t})",
+        ]
+    ctes += [
+        f"sgn AS (SELECT CASE WHEN (SELECT v FROM v{rounds}"
+        " ORDER BY abs(v) DESC, j LIMIT 1) < 0 THEN -1 ELSE 1 END AS s)",
+        f"vf AS MATERIALIZED (SELECT j,"
+        f" v * (SELECT s FROM sgn) AS v FROM v{rounds})",
+        "mu AS (SELECT d AS j, s // (SELECT n FROM nn) AS mu FROM sv)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT e.vec_id,"
+        " CAST(sum(v.v * (e.mv - m2.mu)) AS BIGINT) AS pc_fixed\n"
+        "FROM el e JOIN vf v ON v.j = e.d JOIN mu m2 ON m2.j = e.d\n"
+        "GROUP BY e.vec_id ORDER BY e.vec_id"
+    )
+
+
+@query("x3_power_iteration_project", oracle=_powit_oracle_sql())
+def x3_power_iteration_project(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOMINANT principal component by FIXED-POINT INTEGER POWER
+    ITERATION — the exact-arithmetic sibling of x3_pca_project, doing
+    for the eigenproblem what x7_pagerank did for PageRank: LAPACK's
+    full eigh is irrational/float-bound (that query stays rows-only
+    behind its quality gates), but the top component only needs a
+    power sequence, and in fixed point that sequence is a
+    deterministic integer recurrence BOTH engines replay exactly.
+    Chain: the shared _embedding_gram sketch (exact int64 G, S, n —
+    the ONLY distributed pass besides the projection) → M = n·G − S·Sᵀ
+    (the n²-scaled covariance, exact ints, driver-side Python
+    arbitrary precision / DuckDB HUGEINT) → _POWIT_ROUNDS rounds of
+    w = M·v, v ← w ÷ₜ max(1, max|w| ÷ₜ 10⁶) (truncating division —
+    Spark `div`/DuckDB `//` semantics, see _tdiv; keeps |v| ≈ 10⁶) →
+    sign fixed by the largest-|component| entry (ties: lowest dim)
+    positive → projection Σⱼ vⱼ·(qⱼ − μⱼ) over mean-centered micro
+    coordinates (μ = S ÷ₜ n), a zero-shuffle pure-Catalyst fold with v
+    and μ as broadcast literals. Fixed-point truncation noise is
+    measured, not assumed: the quality gate pins cosine ≥ 0.99 against
+    LAPACK's top eigenvector.
+
+    100 TB: identical shape to x3_pca_project — one O(d²·partitions)
+    sketch exchange, O(d²·rounds) driver ints (d=64: trivial), one
+    embarrassingly-parallel projection scan. Overflow is a non-issue
+    on both replay sides (Python bigints / HUGEINT) and the int64
+    Catalyst fold is bounded by |v|·|q−μ|·d ≈ 2⁴⁸."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    merged = _embedding_gram(emb).collect()
+    d = max(int(r["i"]) for r in merged)
+    n = 0
+    S = [0] * d
+    G = [[0] * d for _ in range(d)]
+    for r in merged:
+        i, j, sij = int(r["i"]), int(r["j"]), int(r["sij"])
+        if j == 0:
+            S[i - 1] = sij
+        else:
+            G[i - 1][j - 1] = sij
+            G[j - 1][i - 1] = sij
+            if i == 1 and j == 1:
+                n = int(r["n"])
+    M = [
+        [n * G[i][j] - S[i] * S[j] for j in range(d)] for i in range(d)
+    ]
+    v = [1_000_000] * d
+    for _ in range(_POWIT_ROUNDS):
+        w = [sum(M[i][j] * v[j] for j in range(d)) for i in range(d)]
+        vs = max(max(abs(x) for x in w) // 1_000_000, 1)
+        v = [_tdiv(x, vs) for x in w]
+    top = min(range(d), key=lambda i: (-abs(v[i]), i))
+    if v[top] < 0:
+        v = [-x for x in v]
+    mu = [_tdiv(S[j], n) for j in range(d)]
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    centered = F.zip_with(
+        q, F.array(*[F.lit(int(m)) for m in mu]), lambda a, b: a - b
+    )
+    p = F.aggregate(
+        F.zip_with(
+            centered,
+            F.array(*[F.lit(int(x)) for x in v]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select("vec_id", p.alias("pc_fixed")).orderBy("vec_id")
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
     head = """
 WITH ids AS (

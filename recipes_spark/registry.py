@@ -301,6 +301,7 @@ _DEFER: dict[str, int] = {
     "g1_trajectory_simplify_chunked": 13,
     "x3_ivf_distrib_topk": 13,
     "x4_quality_classifier_eval": 13,
+    "x3_power_iteration_project": 13,
 }
 
 

@@ -324,6 +324,53 @@ def test_quality_kernel_unseen_bucket_takes_base():
     assert list(out["lbl"]) == [True, False]
 
 
+def test_power_iteration_matches_lapack_direction(spark, sf_dir):
+    """The fixed-point integer power sequence must actually find the
+    dominant direction, not just be replayable: cosine vs LAPACK's top
+    eigenvector of the same exact scatter matrix ≥ 0.99 (this corpus
+    is near-isotropic — λ2/λ1 ≈ 0.93–0.99, the hard regime — which is
+    what sized _POWIT_ROUNDS). Also pins the truncating-division
+    convention: _tdiv must agree with DuckDB `//` and Spark `div` on
+    negatives."""
+    import numpy as np
+
+    from recipes_spark.io import load
+    from recipes_spark.queries.dataops import (
+        _POWIT_ROUNDS,
+        _embedding_gram,
+        _tdiv,
+    )
+
+    assert _tdiv(-7, 2) == -3 and _tdiv(7, 2) == 3  # truncation, not floor
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    merged = _embedding_gram(emb).collect()
+    d = max(int(r["i"]) for r in merged)
+    S = [0] * d
+    G = [[0] * d for _ in range(d)]
+    n = 0
+    for r in merged:
+        i, j, sij = int(r["i"]), int(r["j"]), int(r["sij"])
+        if j == 0:
+            S[i - 1] = sij
+        else:
+            G[i - 1][j - 1] = sij
+            G[j - 1][i - 1] = sij
+            if i == 1 and j == 1:
+                n = int(r["n"])
+    M = [[n * G[i][j] - S[i] * S[j] for j in range(d)] for i in range(d)]
+    v = [1_000_000] * d
+    for _ in range(_POWIT_ROUNDS):
+        w = [sum(M[i][j] * v[j] for j in range(d)) for i in range(d)]
+        vs = max(max(abs(x) for x in w) // 1_000_000, 1)
+        v = [_tdiv(x, vs) for x in w]
+    vf = np.asarray(v, dtype=np.float64)
+    vf /= np.linalg.norm(vf)
+    Mf = np.asarray([[float(x) for x in row] for row in M])
+    _evals, evecs = np.linalg.eigh(Mf)
+    assert abs(float(vf @ evecs[:, -1])) >= 0.99
+
+
 def test_ivf_distrib_recall_vs_brute(spark, sf_dir):
     """The served composition (distributed-trained coarse book →
     pq_encode cell assignment → probe → re-rank) must keep retrieval

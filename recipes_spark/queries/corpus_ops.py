@@ -3186,6 +3186,7 @@ def x6_release_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation feed both the manifest and the write (the mapInPandas
     self-join rule); at 100 TB that materialization is the release
     staging table itself."""
+    import shutil
     import tempfile
 
     from recipes_spark.operators.prefix import partitioned_prefix_sum
@@ -3250,6 +3251,13 @@ def x6_release_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     manifest = _two_level_shard_digest(ids_sha(seqs))
 
+    # Reclaim the previous invocation's store before creating the next
+    # one: each run writes a full packed-release copy, so bench loops /
+    # idempotency re-runs would otherwise leak multi-GB /tmp dirs
+    # (ADVICE r13). Keeping only the LATEST store preserves the
+    # tamper-check hook's contract.
+    for prev in _LAST_RELEASE_STORE:
+        shutil.rmtree(prev, ignore_errors=True)
     store = tempfile.mkdtemp(prefix="recipes_release_")
     _LAST_RELEASE_STORE.clear()
     _LAST_RELEASE_STORE.append(store)
@@ -3834,7 +3842,7 @@ WITH lbl AS MATERIALIZED (
            AS precision_micro,
          CAST(floor(1000000.0 * tp / greatest(tp + fn, 1)) AS BIGINT)
            AS recall_micro,
-         CAST(floor(1000000.0 * (tp + tn) / n_eval) AS BIGINT)
+         CAST(floor(1000000.0 * (tp + tn) / greatest(n_eval, 1)) AS BIGINT)
            AS accuracy_micro
   FROM c
 )
@@ -3956,7 +3964,9 @@ def x4_quality_classifier_eval(
         F.floor(
             F.lit(1000000.0)
             * (F.col("tp") + F.col("tn"))
-            / F.col("n_eval")
+            # Clamped like precision/recall/f1: an empty 20% hash split
+            # must yield a defined 0, not null (ADVICE r13).
+            / F.greatest(F.col("n_eval"), F.lit(1))
         )
         .cast("long")
         .alias("accuracy_micro"),

@@ -180,6 +180,11 @@ _RECHECK: dict[str, int] = {
     # unchanged on this fixture (it has no zero-norm milli vectors) but
     # the oracle TEXT changed, so the pair re-attests together:
     "x3_mmr_topk": 13,
+    # round-14: accuracy_micro's denominator clamped with
+    # greatest(n_eval, 1) in BOTH engines (r13 ADVICE — an empty 20%
+    # hash split must return 0, not null); output unchanged on every
+    # fixture SF but the oracle TEXT changed:
+    "x4_quality_classifier_eval": 14,
 }
 
 

@@ -103,9 +103,13 @@ def capture_pre_checkpoint():
     captured: list = []
     orig = _DF.localCheckpoint
 
-    def patched(self, eager: bool = True):
+    def patched(self, *args, **kwargs):
+        # Forward verbatim: PySpark 4's signature is (eager=True,
+        # storageLevel=None) and callers may pass either positionally —
+        # a pinned (self, eager) shim would TypeError under the lock
+        # tool only (ADVICE r13).
         captured.append(self)
-        return orig(self, eager=eager)
+        return orig(self, *args, **kwargs)
 
     _DF.localCheckpoint = patched
     try:

@@ -36,6 +36,50 @@ def _collect_queries(
     return qids, Q
 
 
+def _d2_int(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """EXACT int64 squared L2 distances between integer-grid rows of
+    ``X`` (n, d) and ``C`` (k, d) via the norm expansion
+    |x|² − 2·x·cᵀ + |c|² — memory O(n·k) where the broadcast-difference
+    form ((X[:,None,:] − C[None,:,:])²).sum(-1) materializes O(n·k·d)
+    int64 (hundreds of GB per 10k-row Arrow batch once k reaches the
+    tens of thousands the coarse trainer targets — r13 ADVICE).
+
+    Exactness: when every |x·c| partial sum stays below 2⁵³ the float64
+    BLAS matmul is EXACT (each product and every intermediate integer
+    sum is exactly representable), so the fast path casts back to int64
+    losslessly; otherwise fall back to numpy's int64 matmul (exact by
+    definition, modular overflow impossible under the same bound on
+    d·max|X|·max|C|). Milli/micro-grid vectors here are ≤ ~10⁴ per
+    coordinate at d = 64 — 2³⁰ of headroom — but the guard keeps the
+    contract honest for any caller."""
+    X = np.ascontiguousarray(X, dtype=np.int64)
+    C = np.ascontiguousarray(C, dtype=np.int64)
+    d = X.shape[1]
+    mx = int(np.abs(X).max(initial=0))
+    mc = int(np.abs(C).max(initial=0))
+    xn = (X * X).sum(axis=1)
+    cn = (C * C).sum(axis=1)
+    # |d2| ≤ d·(mx+mc)² — when that also clears 2⁵³ the whole combine
+    # can stay in ONE float64 buffer (in-place, no int64 temporaries)
+    # before a single exact cast back.
+    if d * (mx + mc) * (mx + mc) < 2**53:
+        acc = X.astype(np.float64) @ C.astype(np.float64).T
+        acc *= -2.0
+        acc += xn[:, None].astype(np.float64)
+        acc += cn[None, :].astype(np.float64)
+        return acc.astype(np.int64)
+    if d * (mx + mc) * (mx + mc) >= 2**63:
+        raise ValueError(
+            "_d2_int: d*(max|X|+max|C|)^2 exceeds int64 — quantize to a "
+            "coarser grid before computing exact distances"
+        )
+    dot = X @ C.T
+    dot *= -2
+    dot += xn[:, None]
+    dot += cn[None, :]
+    return dot
+
+
 def _empty_topk(spark, query_id_col: str, id_col: str) -> DataFrame:
     return spark.createDataFrame(
         [], f"{query_id_col} long, {id_col} long, cosine_sim double, rank int"
@@ -552,7 +596,7 @@ def train_pq_codebooks_int(
         order = sorted(range(len(ids)), key=lambda i: (h(ids[i]), ids[i]))
         cents = S[order[:k]].copy()
         for _ in range(iters):
-            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d2 = _d2_int(S, cents)
             assign = np.argmin(d2, axis=1)  # first occurrence = lowest c
             for c in range(k):
                 members = S[assign == c]
@@ -680,7 +724,11 @@ def train_coarse_centroids_int(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )
                 Xm = np.floor(X * 1000.0).astype(np.int64)
-                d2 = ((Xm[:, None, :] - _c[None, :, :]) ** 2).sum(axis=2)
+                # Exact norm-expansion kernel: O(batch × k) memory, so
+                # k in the tens of thousands costs FLOPs, not an
+                # O(batch·k·dim) int64 temp (r13 ADVICE — the broadcast
+                # difference was ~1.3 GB per 10k batch at k=256 alone).
+                d2 = _d2_int(Xm, _c)
                 assign = np.argmin(d2, axis=1)  # first min = lowest c
                 sums = np.zeros((kk, dd), dtype=np.int64)
                 np.add.at(sums, assign, Xm)
@@ -761,9 +809,7 @@ def pq_encode_int(
             sse = np.zeros(n, dtype=np.int64)
             for j in range(m):
                 S = Xm[:, j * sub : (j + 1) * sub]
-                d2 = ((S[:, None, :] - books_milli[j][None, :, :]) ** 2).sum(
-                    axis=2
-                )
+                d2 = _d2_int(S, books_milli[j])
                 codes[:, j] = np.argmin(d2, axis=1)
                 sse += d2[np.arange(n), codes[:, j]]
             packed = np.zeros(n, dtype=np.int64)
@@ -775,9 +821,7 @@ def pq_encode_int(
                 "sse_milli2": sse,
             }
             if coarse_milli is not None:
-                cd2 = ((Xm[:, None, :] - coarse_milli[None, :, :]) ** 2).sum(
-                    axis=2
-                )
+                cd2 = _d2_int(Xm, coarse_milli)
                 out["__list"] = np.argmin(cd2, axis=1).astype(np.int32)
             yield pd.DataFrame(out)
 
@@ -1024,10 +1068,10 @@ def ivf_topk_int(
     qids, Q = collected
     Qm = np.floor(np.asarray(Q, dtype=np.float64) * 1000.0).astype(np.int64)
     C = books[0]  # (n_centroids, dim)
+    qd2 = _d2_int(Qm, C)
     probes = []
     for qi, qid in enumerate(qids):
-        d2 = ((Qm[qi][None, :] - C) ** 2).sum(axis=1)
-        order = np.lexsort((np.arange(n_centroids), d2))[:nprobe]
+        order = np.lexsort((np.arange(n_centroids), qd2[qi]))[:nprobe]
         probes.extend((int(qid), int(c)) for c in order)
     spark = corpus.sparkSession
     probe_df = spark.createDataFrame(
@@ -1084,10 +1128,9 @@ def pq_adc_topk_int(
     Qm = np.floor(np.asarray(Q, dtype=np.float64) * 1000.0).astype(np.int64)
     tables = np.empty((len(Qm), m, kc), dtype=np.int64)
     for j in range(m):
-        S = Qm[:, j * sub : (j + 1) * sub]
-        tables[:, j, :] = (
-            (S[:, None, :] - books_milli[j][None, :, :]) ** 2
-        ).sum(axis=2)
+        tables[:, j, :] = _d2_int(
+            Qm[:, j * sub : (j + 1) * sub], books_milli[j]
+        )
     n_keep = refine * k
 
     def partial(batches):
@@ -1184,17 +1227,18 @@ def ivf_pq_topk_int(
     qids, Q = collected
     Qm = np.floor(np.asarray(Q, dtype=np.float64) * 1000.0).astype(np.int64)
     sub = Qm.shape[1] // m
+    qcd2 = _d2_int(Qm, coarse)
+    qtab = np.stack(
+        [
+            _d2_int(Qm[:, j * sub : (j + 1) * sub], books[j])
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (Q, m, k_codes)
     probe_rows = []
     for qi, qid in enumerate(qids):
-        cd2 = ((Qm[qi][None, :] - coarse) ** 2).sum(axis=1)
-        cells = np.lexsort((np.arange(n_centroids), cd2))[:nprobe]
-        tables = [
-            [
-                int(((Qm[qi, j * sub : (j + 1) * sub] - books[j][c]) ** 2).sum())
-                for c in range(k_codes)
-            ]
-            for j in range(m)
-        ]
+        cells = np.lexsort((np.arange(n_centroids), qcd2[qi]))[:nprobe]
+        tables = [[int(x) for x in qtab[qi, j]] for j in range(m)]
         for c in cells:
             probe_rows.append((int(qid), int(c), *tables))
     spark = corpus.sparkSession

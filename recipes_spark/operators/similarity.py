@@ -767,14 +767,19 @@ def pq_encode_int(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     coarse_milli: np.ndarray | None = None,
+    code_bits: int = 4,
 ) -> DataFrame:
     """Assign PQ codes against milli-grid integer codebooks
     (train_pq_codebooks_int), emitting (id, codes_packed BIGINT,
-    sse_milli2 BIGINT): big-endian nibble-packed codes (the
-    x3_pq_codes driver shape) and the EXACT integer squared
+    sse_milli2 BIGINT): big-endian ``code_bits``-per-subspace packed
+    codes (the x3_pq_codes driver shape) and the EXACT integer squared
     reconstruction error in milli² units — both bit-portable, so the
     full corpus encode hash-matches a SQL replay. Same Arrow batch =
     one numpy distance matrix per subspace shape as pq_encode.
+
+    ``code_bits`` = 4 (nibble, k ≤ 16) or 8 (byte, k ≤ 256 — the faiss
+    production default of 8-bit codes, r13 verdict task 1); any width
+    with m·code_bits ≤ 63 packs losslessly into the one BIGINT.
 
     ``coarse_milli`` (an m=1 book's (k, dim) centroid matrix) fuses
     the IVF coarse cell assignment — integer-L2 argmin, lowest index
@@ -782,19 +787,26 @@ def pq_encode_int(
     one corpus read + Arrow transfer builds the whole IVF-PQ index
     (pq_encode's coarse_centroids rationale, integer form)."""
     m, k, sub = books_milli.shape
-    # codes_packed is 4 bits per subspace: at m > 1, k > 16 would
-    # silently corrupt the packing (and every downstream `& 15` nibble
-    # unpack in pq_adc_topk_int / ivf_pq_topk_int).
+    # codes_packed carries code_bits per subspace: at m > 1, k beyond
+    # the width would silently corrupt the packing (and every
+    # downstream masked unpack in pq_adc_topk_int / ivf_pq_topk_int).
     # train_pq_codebooks_int accepts arbitrary k, so the contract is
     # enforced at the packing boundary. m == 1 is explicitly EXEMPT:
     # with one subspace, codes_packed IS the single code (no shift
     # ever happens), which is how the IVF coarse path serves
-    # n_centroids > 16 books from the distributed trainer.
-    if k > 16 and m > 1:
-        raise ValueError(
-            f"pq_encode_int: k={k} codes cannot nibble-pack (max 16 "
-            "centroids per subspace for the 4-bit codes_packed layout)"
-        )
+    # arbitrarily large books from the distributed trainer.
+    if m > 1:
+        if k > (1 << code_bits):
+            raise ValueError(
+                f"pq_encode_int: k={k} codes cannot nibble-pack into "
+                f"{code_bits}-bit fields (max {1 << code_bits} "
+                "centroids per subspace for this codes_packed layout)"
+            )
+        if m * code_bits > 63:
+            raise ValueError(
+                f"pq_encode_int: m={m} subspaces at {code_bits} bits "
+                "overflow the signed BIGINT codes_packed column"
+            )
 
     def encode(batches):
         for pdf in batches:
@@ -814,7 +826,7 @@ def pq_encode_int(
                 sse += d2[np.arange(n), codes[:, j]]
             packed = np.zeros(n, dtype=np.int64)
             for j in range(m):
-                packed = (packed << 4) + codes[:, j]
+                packed = (packed << code_bits) + codes[:, j]
             out = {
                 id_col: pdf[id_col].to_numpy(),
                 "codes_packed": packed,
@@ -1108,6 +1120,7 @@ def pq_adc_topk_int(
     query_vec_col: str = "query_vec",
     k: int = 10,
     refine: int = 4,
+    code_bits: int = 4,
 ) -> DataFrame:
     """pq_adc_topk on the INTEGER milli grid — same production shape
     (per-query distance table, m-lookup ADC scan over the codes,
@@ -1118,9 +1131,21 @@ def pq_adc_topk_int(
     the sequential-fold cosine of the re-rank (bit-comparable to
     DuckDB's list_dot_product) the whole query is oracle-checkable.
     The scan reads ONE packed BIGINT per vector (pq_encode_int's
-    emission — m·4 bits, the honest PQ memory story) and unpacks
-    nibbles in the kernel."""
+    emission — m·code_bits bits, the honest PQ memory story) and
+    unpacks the fields in the kernel. ``code_bits`` must match the
+    encode side's layout."""
     m, kc, sub = books_milli.shape
+    # Unpacking masks with (1 << code_bits) − 1: a book wider than the
+    # field (e.g. an m=1, k>16 coarse book from the distributed
+    # trainer fed into a nibble-layout scan) would silently truncate
+    # codes and return wrong neighbors — the same corruption class the
+    # encode-side guard stops (r13 ADVICE).
+    if kc > (1 << code_bits):
+        raise ValueError(
+            f"pq_adc_topk_int: books carry k={kc} centroids per "
+            f"subspace but the scan unpacks {code_bits}-bit fields "
+            f"(max {1 << code_bits}) — pass the encode-side code_bits"
+        )
     collected = _collect_queries(queries, query_id_col, query_vec_col)
     if collected is None:
         return _empty_topk(corpus.sparkSession, query_id_col, id_col)
@@ -1135,14 +1160,15 @@ def pq_adc_topk_int(
 
     def partial(batches):
         shifts = np.array(
-            [4 * (m - 1 - j) for j in range(m)], dtype=np.int64
+            [code_bits * (m - 1 - j) for j in range(m)], dtype=np.int64
         )
+        mask = (1 << code_bits) - 1
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             packed = pdf["codes_packed"].to_numpy(dtype=np.int64)
-            codes = (packed[:, None] >> shifts[None, :]) & 15  # (n, m)
+            codes = (packed[:, None] >> shifts[None, :]) & mask  # (n, m)
             frames = []
             for qi, qid in enumerate(qids):
                 dist = tables[qi, np.arange(m)[None, :], codes].sum(axis=1)
@@ -1162,7 +1188,8 @@ def pq_adc_topk_int(
                 yield pd.concat(frames, ignore_index=True)
 
     coded = pq_encode_int(
-        corpus, books_milli, id_col=id_col, vec_col=vec_col
+        corpus, books_milli, id_col=id_col, vec_col=vec_col,
+        code_bits=code_bits,
     ).select(id_col, "codes_packed")
     cand = coded.mapInPandas(
         partial, f"{id_col} long, {query_id_col} long, adc_dist long"
@@ -1201,6 +1228,8 @@ def ivf_pq_topk_int(
     k_codes: int = 16,
     sample: int = 2048,
     iters: int = 5,
+    code_bits: int = 4,
+    coarse_milli: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF + PQ/ADC + exact re-rank composed on the INTEGER milli grid
     — ivf_pq_topk's billion-vector plan (coarse cell prune → m-byte
@@ -1210,13 +1239,35 @@ def ivf_pq_topk_int(
     packed codes, pq_encode_int coarse_milli); the ADC scan is PURE
     CATALYST: each query ships its (m × k_codes) integer distance
     table as array literals on the broadcast probe row, and the score
-    is m element_at lookups on the unpacked nibbles — no second
+    is m element_at lookups on the unpacked code fields — no second
     Python island, whole-stage-codegen all the way to the shortlist
-    window."""
-    coarse = train_pq_codebooks_int(
-        corpus, id_col=id_col, vec_col=vec_col, m=1, k=n_centroids,
-        sample=sample, iters=iters,
-    )[0]
+    window.
+
+    ``code_bits`` selects the packed layout (4 = nibble/k ≤ 16, 8 =
+    byte/k ≤ 256 — the faiss-default production shape); pq_encode_int
+    enforces the packing contract. ``coarse_milli`` serves the coarse
+    stage from an externally trained (n_centroids, dim) book — e.g.
+    train_coarse_centroids_int's distributed trainer — so the FULL
+    production chain (distributed coarse train → fused encode →
+    pure-Catalyst ADC probe → exact re-rank) composes with no
+    2048-sample ceiling anywhere (r13 verdict task 3)."""
+    if k_codes > (1 << code_bits):
+        raise ValueError(
+            f"ivf_pq_topk_int: k_codes={k_codes} exceeds the "
+            f"{code_bits}-bit packed field (max {1 << code_bits})"
+        )
+    if coarse_milli is not None:
+        if coarse_milli.shape[0] != n_centroids:
+            raise ValueError(
+                f"coarse_milli has {coarse_milli.shape[0]} centroids, "
+                f"expected n_centroids={n_centroids}"
+            )
+        coarse = coarse_milli
+    else:
+        coarse = train_pq_codebooks_int(
+            corpus, id_col=id_col, vec_col=vec_col, m=1, k=n_centroids,
+            sample=sample, iters=iters,
+        )[0]
     books = train_pq_codebooks_int(
         corpus, id_col=id_col, vec_col=vec_col, m=m, k=k_codes,
         sample=sample, iters=iters,
@@ -1247,13 +1298,17 @@ def ivf_pq_topk_int(
         probe_rows, f"{query_id_col} long, __list int, {t_ddl}"
     )
     coded = pq_encode_int(
-        corpus, books, id_col=id_col, vec_col=vec_col, coarse_milli=coarse
+        corpus, books, id_col=id_col, vec_col=vec_col, coarse_milli=coarse,
+        code_bits=code_bits,
     ).select(id_col, "codes_packed", "__list")
+    fmask = (1 << code_bits) - 1
     adc = sum(
         F.element_at(
             f"__t{j}",
             (
-                F.shiftright("codes_packed", 4 * (m - 1 - j)).bitwiseAND(15)
+                F.shiftright(
+                    "codes_packed", code_bits * (m - 1 - j)
+                ).bitwiseAND(fmask)
                 + 1
             ).cast("int"),
         )

@@ -2256,17 +2256,17 @@ def x2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_codes_oracle_sql(
-    m: int = 8, k: int = 16, sample: int = 2048, iters: int = 5,
-    dim: int = 64,
+    m: int = 4, k: int = 256, sample: int = 2048, iters: int = 5,
+    dim: int = 64, code_bits: int = 8,
 ) -> str:
-    """x3_pq_codes oracle: the shared train+assign chain, then nibble
-    packing and the exact integer SSE per vector."""
+    """x3_pq_codes oracle: the shared train+assign chain, then
+    fixed-width field packing and the exact integer SSE per vector."""
     ctes = _pq_train_encode_ctes(m, k, sample, iters, dim)
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         "SELECT vec_id,\n"
-        f"  CAST(sum(c * (CAST(1 AS BIGINT) << (4 * ({m - 1} - j))))"
-        " AS BIGINT) AS codes_packed,\n"
+        f"  CAST(sum(c * (CAST(1 AS BIGINT) <<"
+        f" ({code_bits} * ({m - 1} - j)))) AS BIGINT) AS codes_packed,\n"
         "  CAST(sum(d2) AS BIGINT) AS sse_milli2\n"
         "FROM fa GROUP BY vec_id"
     )
@@ -2274,22 +2274,24 @@ def _pq_codes_oracle_sql(
 
 @query("x3_pq_codes", oracle=_pq_codes_oracle_sql())
 def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization of the embedding column: 8 subspaces × 16
-    centroids → 8 codes (4 bits each) per 64-dim vector — the
-    compression layer under billion-scale ANN. FULLY ORACLED since
-    round 12: training moved to the integer milli grid
+    """Product quantization of the embedding column: 4 subspaces × 256
+    centroids → 4 codes (8 bits each) per 64-dim vector — the
+    compression layer under billion-scale ANN, at the PRODUCTION code
+    width (k = 256 byte codes, the faiss default; r14 lifts the 4-bit
+    nibble cap that held every m > 1 book at k ≤ 16). FULLY ORACLED
+    since round 12: training on the integer milli grid
     (train_pq_codebooks_int — deterministic lowest-id sample,
     hash-ranked init, integer-d² assignment with lowest-index ties,
     exact-floor mean updates), so the DuckDB oracle replays the WHOLE
     train→encode pipeline — 5 unrolled k-means rounds and the corpus
     encode — value-exactly, the BPE train→apply discipline applied to
-    vectors (previously rows-only: numpy RNG seeding + float means).
+    vectors.
 
-    Output: big-endian nibble-packed codes in ONE BIGINT (the
-    driver's canonicalizer dies on list cells — r4 ERROR row) and the
-    exact integer squared reconstruction error in milli² units
-    (replacing the float mse whose summation order no SQL engine
-    matches bit-for-bit).
+    Output: big-endian byte-packed codes in ONE BIGINT (the driver's
+    canonicalizer dies on list cells — r4 ERROR row; m·code_bits = 32
+    of the 63 usable bits) and the exact integer squared
+    reconstruction error in milli² units (replacing the float mse
+    whose summation order no SQL engine matches bit-for-bit).
 
     100 TB: training reads a bounded id-prefix sample (a real fleet
     persists the codebook like a tokenizer's merge table); the encode
@@ -2301,12 +2303,12 @@ def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks_int(e, m=8, k=16)
-    return pq_encode_int(e, books)
+    books = train_pq_codebooks_int(e, m=4, k=256)
+    return pq_encode_int(e, books, code_bits=8)
 
 
 def _pq_adc_oracle_sql(
-    m: int = 8, k: int = 16, sample: int = 2048, iters: int = 5,
+    m: int = 4, k: int = 256, sample: int = 2048, iters: int = 5,
     dim: int = 64, topk: int = 10, refine: int = 4, n_queries: int = 5,
 ) -> str:
     """x3_pq_adc_topk oracle: the shared train+assign chain, then the
@@ -2353,16 +2355,16 @@ def _pq_adc_oracle_sql(
 @query("x3_pq_adc_topk", oracle=_pq_adc_oracle_sql())
 def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k with exact re-rank — the
-    billion-vector search shape (scan m·4 bits/vector via code
-    lookups, exact math on the refine-bounded shortlist only). FULLY
-    ORACLED since round 12 on the integer milli grid: the trained
-    books, every vector's codes, the per-query ADC distance table and
-    the shortlist are exact int64 arithmetic the oracle replays; the
-    re-rank's cosine is the sequential fold both engines compute
-    bit-comparably. The shortlist IS the recall knob — still gated
-    against brute force in tests/test_similarity.py — but its
-    membership is now deterministic, so "approximate" no longer means
-    "unverifiable"."""
+    billion-vector search shape (scan m·8 bits/vector via code
+    lookups, exact math on the refine-bounded shortlist only), at the
+    production k = 256 byte-code width since r14. FULLY ORACLED since
+    round 12 on the integer milli grid: the trained books, every
+    vector's codes, the per-query ADC distance table and the shortlist
+    are exact int64 arithmetic the oracle replays; the re-rank's
+    cosine is the sequential fold both engines compute bit-comparably.
+    The shortlist IS the recall knob — still gated against brute force
+    in tests/test_similarity.py — but its membership is deterministic,
+    so "approximate" never means "unverifiable"."""
     from recipes_spark.operators.similarity import (
         pq_adc_topk_int,
         train_pq_codebooks_int,
@@ -2373,14 +2375,14 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    books = train_pq_codebooks_int(e, m=8, k=16)
-    return pq_adc_topk_int(e, queries_df, books, k=10).withColumnRenamed(
-        "rank", "rnk"
-    )
+    books = train_pq_codebooks_int(e, m=4, k=256)
+    return pq_adc_topk_int(
+        e, queries_df, books, k=10, code_bits=8
+    ).withColumnRenamed("rank", "rnk")
 
 
 def _ivf_pq_oracle_sql(
-    m: int = 8, k_codes: int = 16, n_centroids: int = 16,
+    m: int = 4, k_codes: int = 256, n_centroids: int = 16,
     nprobe: int = 14, topk: int = 10, refine: int = 16,
     n_queries: int = 5, sample: int = 2048, iters: int = 5,
     dim: int = 64,
@@ -2463,7 +2465,11 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning costs recall roughly linearly. On a real clustered corpus
     the same plan runs at nprobe/n_centroids ≈ 1/8 — the knob is
     data-dependent, the SHAPE (prune → ADC scan → bounded exact
-    re-rank) is what scales."""
+    re-rank) is what scales. Since r14 the PQ stage runs at the
+    production byte-code width (m=4 × k=256 — each probe row carries
+    4 × 256 int64 table literals; SCALE.md `adc_table_broadcast`
+    measures where the literal-array plan stops being the right
+    shape)."""
     from recipes_spark.operators.similarity import ivf_pq_topk_int
 
     e = load(spark, sf_dir, "embeddings")
@@ -2472,7 +2478,8 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     return ivf_pq_topk_int(
-        e, queries_df, k=10, n_centroids=16, nprobe=14, refine=16
+        e, queries_df, k=10, n_centroids=16, nprobe=14, refine=16,
+        m=4, k_codes=256, code_bits=8,
     ).withColumnRenamed("rank", "rnk")
 
 

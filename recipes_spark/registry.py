@@ -180,6 +180,14 @@ _RECHECK: dict[str, int] = {
     # unchanged on this fixture (it has no zero-norm milli vectors) but
     # the oracle TEXT changed, so the pair re-attests together:
     "x3_mmr_topk": 13,
+    # round-14: the PQ family moved from 4-bit nibble codes (k ≤ 16
+    # per subspace) to the production 8-bit byte layout — m=4 × k=256
+    # books, code_bits threaded through encode/ADC/composed plans, the
+    # oracle's pack/train CTEs re-parameterized; outputs and oracle
+    # texts both changed, so all three re-attest:
+    "x3_pq_codes": 14,
+    "x3_pq_adc_topk": 14,
+    "x3_ivf_pq_topk": 14,
     # round-14: accuracy_micro's denominator clamped with
     # greatest(n_eval, 1) in BOTH engines (r13 ADVICE — an empty 20%
     # hash split must return 0, not null); output unchanged on every

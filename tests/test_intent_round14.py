@@ -1,0 +1,158 @@
+"""Round-14 intent gates: byte-packed PQ codes (k = 256 per subspace,
+the faiss-production width), the exact norm-expansion distance kernel,
+and the distributed IVF-PQ composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from recipes_spark.io import load
+
+
+def test_d2_int_exact_and_bounded():
+    """The norm-expansion kernel (r13 ADVICE medium) must equal the
+    broadcast-difference form bit-for-bit on milli-grid magnitudes, on
+    the >2^53 int64 fallback path, and refuse magnitudes whose d2
+    would overflow int64."""
+    from recipes_spark.operators.similarity import _d2_int
+
+    rng = np.random.default_rng(14)
+    X = rng.integers(-4000, 4000, size=(300, 64)).astype(np.int64)
+    C = rng.integers(-4000, 4000, size=(50, 64)).astype(np.int64)
+    ref = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    got = _d2_int(X, C)
+    assert got.dtype == np.int64 and (got == ref).all()
+    # int64 fallback (products exceed 2^53 but d2 fits int64)
+    Xb = rng.integers(-(2**26), 2**26, size=(20, 8)).astype(np.int64)
+    Cb = rng.integers(-(2**26), 2**26, size=(7, 8)).astype(np.int64)
+    refb = ((Xb[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
+    assert (_d2_int(Xb, Cb) == refb).all()
+    with pytest.raises(ValueError, match="int64"):
+        _d2_int(
+            np.full((2, 8), 2**31, dtype=np.int64),
+            np.full((2, 8), -(2**31), dtype=np.int64),
+        )
+
+
+def test_pq_byte_codes_pack_and_determinism(spark, sf_dir):
+    """x3_pq_codes' r14 byte layout: m=4 × k=256 codes pack big-endian
+    into 32 bits of one BIGINT, every unpacked byte indexes a real
+    centroid, the code assignment matches a direct numpy argmin per
+    subspace, and two train+encode runs are bit-identical."""
+    from recipes_spark.operators.similarity import (
+        _d2_int,
+        pq_encode_int,
+        train_pq_codebooks_int,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks_int(e, m=4, k=256)
+    assert books.shape == (4, 256, 16)
+    out = pq_encode_int(e, books, code_bits=8).collect()
+    packed = np.asarray([r.codes_packed for r in out], dtype=np.int64)
+    assert packed.min() >= 0 and packed.max() < (1 << 32)
+    vecs = {
+        r["vec_id"]: np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * 1000.0
+        ).astype(np.int64)
+        for r in e.limit(100).collect()
+    }
+    checked = 0
+    for r in out:
+        v = vecs.get(r["vec_id"])
+        if v is None:
+            continue
+        want = 0
+        for j in range(4):
+            d2 = _d2_int(v[None, j * 16 : (j + 1) * 16], books[j])[0]
+            want = (want << 8) + int(np.argmin(d2))
+        assert int(r["codes_packed"]) == want
+        checked += 1
+    assert checked >= 50
+    again = {
+        (r.vec_id, r.codes_packed, r.sse_milli2)
+        for r in pq_encode_int(
+            e, train_pq_codebooks_int(e, m=4, k=256), code_bits=8
+        ).collect()
+    }
+    assert {(r.vec_id, r.codes_packed, r.sse_milli2) for r in out} == again
+
+
+def test_pq_packing_guards(spark, sf_dir):
+    """The packing contract at every boundary: a k=256 book cannot
+    nibble-pack, m=8 byte codes overflow the signed BIGINT, and the
+    ADC scan REFUSES books wider than its unpack mask instead of
+    silently truncating codes (r13 ADVICE low #2)."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_topk_int,
+        pq_adc_topk_int,
+        pq_encode_int,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    wide = np.zeros((4, 256, 16), dtype=np.int64)
+    with pytest.raises(ValueError, match="nibble-pack"):
+        pq_encode_int(e, wide)  # default code_bits=4
+    deep = np.zeros((8, 256, 8), dtype=np.int64)
+    with pytest.raises(ValueError, match="BIGINT"):
+        pq_encode_int(e, deep, code_bits=8)
+    coarse_as_book = np.zeros((1, 20, 64), dtype=np.int64)
+    with pytest.raises(ValueError, match="code_bits"):
+        pq_adc_topk_int(e, q, coarse_as_book, k=5)  # 20 > 2^4
+    with pytest.raises(ValueError, match="exceeds"):
+        ivf_pq_topk_int(e, q, k=5, m=4, k_codes=256)  # default 4-bit
+
+
+def test_pq_byte_adc_recall_vs_brute_force(topk_pair):
+    """The registered byte-width configs re-pass the recall gates,
+    HIGHER than the nibble era's floors because byte codes quantize
+    finer: m=4 × k=256 ADC at refine=4 (the x3_pq_adc_topk shape)
+    holds recall@10 ≥ 0.85 (measured 0.86 @ sf0.001, 0.92 @ sf0.01 —
+    the nibble layout read 0.62 at the same knobs) and the composed
+    IVF-PQ at the x3_ivf_pq_topk knobs holds ≥ 0.9 (measured 0.98 /
+    1.00)."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_topk_int,
+        pq_adc_topk_int,
+        train_pq_codebooks_int,
+    )
+
+    emb, queries, exact = topk_pair
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    adc = pq_adc_topk_int(
+        emb, queries, books, k=10, refine=4, code_bits=8
+    ).collect()
+    r_adc = sum(1 for r in adc if (r.query_id, r.vec_id) in exact) / len(
+        exact
+    )
+    assert r_adc >= 0.85, f"byte-ADC recall@10 {r_adc:.2f} < 0.85"
+    ivfpq = ivf_pq_topk_int(
+        emb, queries, k=10, n_centroids=16, nprobe=14, refine=16,
+        m=4, k_codes=256, code_bits=8,
+    ).collect()
+    r_ivfpq = sum(
+        1 for r in ivfpq if (r.query_id, r.vec_id) in exact
+    ) / len(exact)
+    assert r_ivfpq >= 0.9, f"byte IVF-PQ recall@10 {r_ivfpq:.2f} < 0.9"
+
+
+@pytest.fixture(scope="module")
+def topk_pair(spark, sf_dir):
+    from recipes_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    return emb, queries, exact

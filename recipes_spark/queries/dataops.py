@@ -3177,45 +3177,52 @@ def x7_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _coarse_train_ctes(k: int = 16, iters: int = 3) -> list[str]:
+def _coarse_train_ctes(
+    k: int = 16, iters: int = 3, prefix: str = ""
+) -> list[str]:
     """CTE chain replaying train_coarse_centroids_int: hash-ranked
     init, then per round an exact-integer assignment (argmin L2 on the
     milli grid, ties to the lowest centroid) and an exact floor(sum/n)
     update with empty-cluster carry (LEFT JOIN + COALESCE against the
-    previous round). Final centroids land in CTE ``c{iters}``. Shared
-    by the trainer oracle (x3_coarse_quantizer_train) and the served
-    composition (x3_ivf_distrib_topk)."""
+    previous round). Final centroids land in CTE ``{prefix}c{iters}``.
+    Shared by the trainer oracle (x3_coarse_quantizer_train), the
+    served composition (x3_ivf_distrib_topk), and — via ``prefix``, to
+    keep its names disjoint from the PQ chain's — the fully
+    distributed IVF-PQ composition (x3_ivf_pq_distrib_topk)."""
+    px = prefix
     ctes = [
-        "el AS MATERIALIZED (SELECT vec_id,"
+        f"{px}el AS MATERIALIZED (SELECT vec_id,"
         " generate_subscripts(embedding, 1) - 1 AS d,"
         " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
         " AS mv FROM embeddings)",
-        "hsrc AS (SELECT vec_id,"
+        f"{px}hsrc AS (SELECT vec_id,"
         " CAST(('0x' || substr(sha256('pq:0:' || CAST(vec_id AS VARCHAR)),"
         " 1, 15)) AS BIGINT) AS h FROM embeddings)",
-        f"init AS MATERIALIZED (SELECT vec_id, cid FROM ("
+        f"{px}init AS MATERIALIZED (SELECT vec_id, cid FROM ("
         f"SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid"
-        f" FROM hsrc) WHERE cid < {k})",
-        "c0 AS MATERIALIZED (SELECT i.cid, e.d, e.mv AS cv"
-        " FROM init i JOIN el e USING (vec_id))",
+        f" FROM {px}hsrc) WHERE cid < {k})",
+        f"{px}c0 AS MATERIALIZED (SELECT i.cid, e.d, e.mv AS cv"
+        f" FROM {px}init i JOIN {px}el e USING (vec_id))",
     ]
     for r in range(1, iters + 1):
         p = r - 1
         ctes += [
-            f"d{r} AS (SELECT e.vec_id, c.cid,"
+            f"{px}d{r} AS (SELECT e.vec_id, c.cid,"
             f" sum((e.mv - c.cv) * (e.mv - c.cv)) AS dist"
-            f" FROM el e JOIN c{p} c ON e.d = c.d"
+            f" FROM {px}el e JOIN {px}c{p} c ON e.d = c.d"
             f" GROUP BY e.vec_id, c.cid)",
-            f"a{r} AS MATERIALIZED (SELECT vec_id, min(cid) AS cid FROM ("
+            f"{px}a{r} AS MATERIALIZED (SELECT vec_id, min(cid) AS cid FROM ("
             f"SELECT vec_id, cid, dist,"
-            f" min(dist) OVER (PARTITION BY vec_id) AS md FROM d{r})"
+            f" min(dist) OVER (PARTITION BY vec_id) AS md FROM {px}d{r})"
             f" WHERE dist = md GROUP BY vec_id)",
-            f"s{r} AS (SELECT a.cid, e.d, sum(e.mv) AS s, count(*) AS n"
-            f" FROM a{r} a JOIN el e USING (vec_id) GROUP BY a.cid, e.d)",
-            f"c{r} AS MATERIALIZED (SELECT c.cid, c.d,"
+            f"{px}s{r} AS (SELECT a.cid, e.d, sum(e.mv) AS s, count(*) AS n"
+            f" FROM {px}a{r} a JOIN {px}el e USING (vec_id)"
+            f" GROUP BY a.cid, e.d)",
+            f"{px}c{r} AS MATERIALIZED (SELECT c.cid, c.d,"
             f" coalesce(CAST(floor(CAST(s.s AS DOUBLE) / s.n) AS BIGINT),"
             f" c.cv) AS cv"
-            f" FROM c{p} c LEFT JOIN s{r} s ON s.cid = c.cid AND s.d = c.d)",
+            f" FROM {px}c{p} c LEFT JOIN {px}s{r} s"
+            f" ON s.cid = c.cid AND s.d = c.d)",
         ]
     return ctes
 
@@ -3346,6 +3353,117 @@ def x3_ivf_distrib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_topk_int(
         emb, queries, k=10, coarse_milli=cents
+    ).withColumnRenamed("rank", "rnk")
+
+
+def _ivf_pq_distrib_oracle_sql(
+    k_coarse: int = 16, coarse_iters: int = 3, nprobe: int = 14,
+    topk: int = 10, refine: int = 16, n_queries: int = 5, m: int = 4,
+    k_codes: int = 256, sample: int = 2048, iters: int = 5,
+    dim: int = 64,
+) -> str:
+    """x3_ivf_pq_distrib_topk oracle: BOTH training chains — the
+    DISTRIBUTED coarse trainer (_coarse_train_ctes, prefix cq_) and
+    the byte-width PQ books (_pq_train_encode_ctes) — then the
+    full-corpus cell assignment, per-query probe ranking, cell-pruned
+    candidates, the ADC sum as a (codes ⋈ per-query table) join, the
+    shortlist, and the exact round-4 cosine re-rank."""
+    n_keep = refine * topk
+    ctes = _coarse_train_ctes(
+        k=k_coarse, iters=coarse_iters, prefix="cq_"
+    )
+    ctes += _pq_train_encode_ctes(
+        m=m, k=k_codes, sample=sample, iters=iters, dim=dim
+    )
+    ctes += [
+        "cq_fd AS MATERIALIZED (SELECT e.vec_id, c.cid,"
+        " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM cq_el e JOIN cq_c{coarse_iters} c ON e.d = c.d"
+        " GROUP BY e.vec_id, c.cid)",
+        "cq_fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM cq_fd) WHERE rn = 1)",
+        "probe AS (SELECT query_id, cid FROM (SELECT vec_id AS"
+        " query_id, cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM cq_fd"
+        f" WHERE vec_id < {n_queries}) WHERE rn <= {nprobe})",
+        "cellcand AS MATERIALIZED (SELECT p.query_id, f.vec_id"
+        " FROM cq_fa f JOIN probe p ON p.cid = f.cid"
+        " WHERE f.vec_id != p.query_id)",
+        "pqd AS MATERIALIZED (SELECT e.vec_id AS query_id, c.j, c.c,"
+        " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
+        f" FROM ej e JOIN c{iters} c ON c.j = e.j AND c.d = e.d"
+        f" WHERE e.vec_id < {n_queries}"
+        " GROUP BY e.vec_id, c.j, c.c)",
+        "adc AS (SELECT cc.query_id, cc.vec_id, sum(q.d2) AS adc_dist"
+        " FROM cellcand cc JOIN fa f ON f.vec_id = cc.vec_id"
+        " JOIN pqd q ON q.query_id = cc.query_id"
+        " AND q.j = f.j AND q.c = f.c"
+        " GROUP BY cc.query_id, cc.vec_id)",
+        "short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY adc_dist, vec_id) AS rn FROM adc)"
+        f" WHERE rn <= {n_keep})",
+        f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f" FROM embeddings WHERE vec_id < {n_queries})",
+        "cvv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "sims AS (SELECT s.query_id, s.vec_id,"
+        " round(list_dot_product(c.v, q.qv) /"
+        " (sqrt(list_dot_product(c.v, c.v)) *"
+        " sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim"
+        " FROM short s JOIN cvv c ON c.vec_id = s.vec_id"
+        " JOIN qv q ON q.query_id = s.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, vec_id, cosine_sim, rnk FROM (\n"
+        "  SELECT query_id, vec_id, cosine_sim,\n"
+        "         CAST(row_number() OVER (PARTITION BY query_id\n"
+        "              ORDER BY cosine_sim DESC, vec_id) AS INT) AS rnk\n"
+        f"  FROM sims) WHERE rnk <= {topk}"
+    )
+
+
+@query("x3_ivf_pq_distrib_topk", oracle=_ivf_pq_distrib_oracle_sql())
+def x3_ivf_pq_distrib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ANN chain end to end, every stage distributed
+    and driver-verifiable (r13 verdict task 3): distributed coarse
+    train (train_coarse_centroids_int — one staged-corpus scan per
+    Lloyd round, map-side-combined k·dim exchange, no sample ceiling)
+    → ONE fused encode pass building the whole index (coarse cell id
+    + byte-packed m=4 × k=256 PQ codes — the faiss-default 8-bit code
+    width) → pure-Catalyst ADC probe (per-query integer distance
+    tables as broadcast array literals, m element_at lookups on the
+    unpacked bytes — no second Python island) → exact round-4 cosine
+    re-rank of the refine·k shortlist. x3_ivf_distrib_topk proved the
+    trainer serves plain IVF; this composes it through the FULL
+    IVF-PQ plan, so no stage of the flagship ANN shape trains on a
+    bounded sample except the PQ subspace books themselves (which are
+    model-sized by construction — faiss trains those sampled too).
+    Everything stays exact int64 arithmetic: the DuckDB oracle
+    replays 3 distributed Lloyd rounds, 5 sampled PQ k-means rounds,
+    both corpus assignments, probe ranking, ADC sums, shortlist, and
+    re-rank. Recall@10 ≥ 0.9 gated in tests/test_intent_round14.py.
+
+    100 TB: training = rounds × (scan + k·dim-bounded exchange);
+    index = one corpus pass; search = broadcast probe join + windowed
+    shortlist + bounded re-rank — no corpus self-join anywhere."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_topk_int,
+        train_coarse_centroids_int,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(
+        emb, k=16, iters=3, hash_tag="pq:0"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_pq_topk_int(
+        emb, queries, k=10, n_centroids=16, nprobe=14, refine=16,
+        m=4, k_codes=256, code_bits=8, coarse_milli=cents,
     ).withColumnRenamed("rank", "rnk")
 
 

@@ -315,6 +315,7 @@ _DEFER: dict[str, int] = {
     "x3_ivf_distrib_topk": 13,
     "x4_quality_classifier_eval": 13,
     "x3_power_iteration_project": 13,
+    "x3_ivf_pq_distrib_topk": 14,
 }
 
 

@@ -142,6 +142,44 @@ def test_pq_byte_adc_recall_vs_brute_force(topk_pair):
     assert r_ivfpq >= 0.9, f"byte IVF-PQ recall@10 {r_ivfpq:.2f} < 0.9"
 
 
+def test_ivf_pq_distrib_recall_and_equivalence(topk_pair):
+    """x3_ivf_pq_distrib_topk's composed chain (distributed coarse
+    book threaded through the full IVF-PQ plan): recall@10 ≥ 0.9 at
+    the registered knobs, and the coarse_milli path must equal the
+    internal-trainer path bit-for-bit when handed the SAME book —
+    threading the book through changes where training runs, never
+    what serving computes."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_topk_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+
+    emb, queries, exact = topk_pair
+    cents = train_coarse_centroids_int(emb, k=16, iters=3)
+    got = ivf_pq_topk_int(
+        emb, queries, k=10, n_centroids=16, nprobe=14, refine=16,
+        m=4, k_codes=256, code_bits=8, coarse_milli=cents,
+    ).collect()
+    r = sum(1 for x in got if (x.query_id, x.vec_id) in exact) / len(
+        exact
+    )
+    assert r >= 0.9, f"distrib IVF-PQ recall@10 {r:.2f} < 0.9"
+    sampled_book = train_pq_codebooks_int(emb, m=1, k=16)[0]
+    via_param = ivf_pq_topk_int(
+        emb, queries, k=10, n_centroids=16, nprobe=14, refine=16,
+        m=4, k_codes=256, code_bits=8, coarse_milli=sampled_book,
+    ).collect()
+    internal = ivf_pq_topk_int(
+        emb, queries, k=10, n_centroids=16, nprobe=14, refine=16,
+        m=4, k_codes=256, code_bits=8,
+    ).collect()
+    key = lambda rows: sorted(
+        (x.query_id, x.vec_id, x.cosine_sim, x.rank) for x in rows
+    )
+    assert key(via_param) == key(internal)
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

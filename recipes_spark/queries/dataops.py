@@ -4144,6 +4144,232 @@ def x3_power_iteration_project(
     return emb.select("vec_id", p.alias("pc_fixed")).orderBy("vec_id")
 
 
+#: Rounds for the TOP-2 power-iteration query. Component 1 converges at
+#: λ2/λ1 per round, the deflated component 2 at λ3/λ2 — the slower,
+#: near-isotropic rate that sized these (measured cosine vs LAPACK at
+#: 300/300: e1 ≥ 0.9996, e2 ≥ 0.9966 across sf0.001/0.01/0.1; 200/200
+#: read e2 0.961 at sf0.01). The deterministic hash-SIGNED ±10⁶ init
+#: (sha parity per dim) replaces the all-ones start, whose overlap with
+#: e1 at sf0.1 is an accidental 2.5·10⁻⁴ — small enough that no
+#: realistic round count recovers (the all-ones x3_power_iteration
+#: _project leg converges at the SFs its gates pin, but the signed init
+#: removes the failure mode wholesale).
+_POWIT2_ROUNDS = 300
+
+
+def _powit_signed_init_sql(tag: str) -> str:
+    """SQL for the hash-signed ±10⁶ init entry: sign = parity of the
+    portable 60-bit sha slice of '<tag>:<dim>' — replayable on both
+    engines (h ≥ 0, so % 2 agrees everywhere)."""
+    return (
+        f"CASE WHEN CAST(('0x' || substr(sha256("
+        f"'{tag}:' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0"
+        " THEN CAST(1000000 AS HUGEINT)"
+        " ELSE CAST(-1000000 AS HUGEINT) END"
+    )
+
+
+def _powit_signed_init_py(tag: str, d: int) -> list[int]:
+    return [
+        1_000_000
+        if int(
+            hashlib.sha256(f"{tag}:{j}".encode()).hexdigest()[:15], 16
+        )
+        % 2
+        == 0
+        else -1_000_000
+        for j in range(d)
+    ]
+
+
+def _powit_top2_oracle_sql(rounds: int = _POWIT2_ROUNDS) -> str:
+    """x3_power_iteration_top2 oracle: the integer Gram/scatter chain,
+    `rounds` fixed-point steps for component 1 from the signed init,
+    then `rounds` DEFLATED steps for component 2 — each round
+    multiplies by M, renormalizes to ~±10⁶, projects out component 1
+    EXACTLY (w·(v₁ᵀv₁) − v₁·(v₁ᵀw): annihilates v₁ by construction —
+    no division, no λ estimate), renormalizes again — then
+    deterministic signs and the exact two-axis integer projection.
+
+    Both iterations are RECURSIVE CTEs (the x7_pagerank form), not the
+    r13 unrolled-WITH chain: at 300+300 rounds the unrolled form both
+    exceeds DuckDB's 1000-deep binder limit and pays per-round binder
+    cost (~0.75 s/round measured) — the recursive twins run the whole
+    oracle in ~2.5 s. Per-round scalars (the renormalizer max|w| and
+    the deflation dot v₁ᵀw) are windows OVER () inside the recursive
+    term, which DuckDB evaluates per iteration batch."""
+    return f"""
+WITH RECURSIVE el AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS mv
+  FROM embeddings
+), nn AS (SELECT count(*) AS n FROM embeddings),
+sv AS MATERIALIZED (SELECT d, sum(mv) AS s FROM el GROUP BY d),
+g AS MATERIALIZED (SELECT a.d AS i, b.d AS j, sum(a.mv * b.mv) AS gij
+  FROM el a JOIN el b USING (vec_id) GROUP BY a.d, b.d),
+m AS MATERIALIZED (SELECT g.i, g.j,
+  (SELECT n FROM nn) * g.gij - sa.s * sb.s AS m
+  FROM g JOIN sv sa ON sa.d = g.i JOIN sv sb ON sb.d = g.j),
+pv(iter, j, v) AS (
+  SELECT 0, d, {_powit_signed_init_sql("powit1")} FROM sv
+  UNION ALL
+  SELECT iter + 1, j, w // greatest(max(abs(w)) OVER () // 1000000, 1)
+  FROM (SELECT pv.iter, m.i AS j, sum(m.m * pv.v) AS w
+        FROM pv JOIN m ON pv.j = m.j WHERE pv.iter < {rounds}
+        GROUP BY pv.iter, m.i)
+),
+sgn AS (SELECT CASE WHEN (SELECT v FROM pv WHERE iter = {rounds}
+  ORDER BY abs(v) DESC, j LIMIT 1) < 0 THEN -1 ELSE 1 END AS s),
+vf AS MATERIALIZED (SELECT j, v * (SELECT s FROM sgn) AS v
+  FROM pv WHERE iter = {rounds}),
+vn2 AS (SELECT sum(v * v) AS n2 FROM vf),
+pu(iter, j, v) AS (
+  SELECT 0, d, {_powit_signed_init_sql("powit2")} FROM sv
+  UNION ALL
+  SELECT iter + 1, j, pw // greatest(max(abs(pw)) OVER () // 1000000, 1)
+  FROM (
+    SELECT a.iter, a.j,
+           a.v * (SELECT n2 FROM vn2)
+           - vf.v * sum(a.v * vf.v) OVER () AS pw
+    FROM (
+      SELECT iter, j, w // greatest(max(abs(w)) OVER () // 1000000, 1) AS v
+      FROM (SELECT pu.iter, m.i AS j, sum(m.m * pu.v) AS w
+            FROM pu JOIN m ON pu.j = m.j WHERE pu.iter < {rounds}
+            GROUP BY pu.iter, m.i)
+    ) a JOIN vf ON vf.j = a.j
+  )
+),
+usgn AS (SELECT CASE WHEN (SELECT v FROM pu WHERE iter = {rounds}
+  ORDER BY abs(v) DESC, j LIMIT 1) < 0 THEN -1 ELSE 1 END AS s),
+uf AS MATERIALIZED (SELECT j, v * (SELECT s FROM usgn) AS v
+  FROM pu WHERE iter = {rounds}),
+mu AS (SELECT d AS j, s // (SELECT n FROM nn) AS mu FROM sv)
+SELECT e.vec_id,
+ CAST(sum(v.v * (e.mv - m2.mu)) AS BIGINT) AS pc1_fixed,
+ CAST(sum(u.v * (e.mv - m2.mu)) AS BIGINT) AS pc2_fixed
+FROM el e JOIN vf v ON v.j = e.d JOIN uf u ON u.j = e.d
+JOIN mu m2 ON m2.j = e.d
+GROUP BY e.vec_id ORDER BY e.vec_id
+"""
+
+
+def _powit_top2_vectors(
+    merged: list, rounds: int = _POWIT2_ROUNDS
+) -> tuple[list[int], list[int], list[int], int]:
+    """Driver-side exact integer replay shared by the query and its
+    quality gates: (v1, u, mu, d) from _embedding_gram's collected
+    sketch rows — Python bigints, so no overflow anywhere (the oracle's
+    HUGEINT twin)."""
+    d = max(int(r["i"]) for r in merged)
+    n = 0
+    S = [0] * d
+    G = [[0] * d for _ in range(d)]
+    for r in merged:
+        i, j, sij = int(r["i"]), int(r["j"]), int(r["sij"])
+        if j == 0:
+            S[i - 1] = sij
+        else:
+            G[i - 1][j - 1] = sij
+            G[j - 1][i - 1] = sij
+            if i == 1 and j == 1:
+                n = int(r["n"])
+    M = [
+        [n * G[i][j] - S[i] * S[j] for j in range(d)] for i in range(d)
+    ]
+
+    def step(x: list[int]) -> list[int]:
+        w = [sum(M[i][j] * x[j] for j in range(d)) for i in range(d)]
+        ws = max(max(abs(e) for e in w) // 1_000_000, 1)
+        return [_tdiv(e, ws) for e in w]
+
+    def sign_fix(x: list[int]) -> list[int]:
+        top = min(range(d), key=lambda i: (-abs(x[i]), i))
+        return [-e for e in x] if x[top] < 0 else x
+
+    v = _powit_signed_init_py("powit1", d)
+    for _ in range(rounds):
+        v = step(v)
+    v = sign_fix(v)
+    vn2 = sum(e * e for e in v)
+    u = _powit_signed_init_py("powit2", d)
+    for _ in range(rounds):
+        u = step(u)
+        dot = sum(a * b for a, b in zip(v, u))
+        u = [a * vn2 - b * dot for a, b in zip(u, v)]
+        us = max(max(abs(e) for e in u) // 1_000_000, 1)
+        u = [_tdiv(e, us) for e in u]
+    u = sign_fix(u)
+    mu = [_tdiv(S[j], n) for j in range(d)]
+    return v, u, mu, d
+
+
+@query("x3_power_iteration_top2", oracle=_powit_top2_oracle_sql())
+def x3_power_iteration_top2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOP-2 principal components by FIXED-POINT INTEGER POWER
+    ITERATION WITH EXACT DEFLATION (r13 verdict task 4) — the
+    two-axis form that puts an exact-arithmetic, fully-oracled
+    sibling beside BOTH of x3_pca_project's components, shrinking the
+    genuinely-float-bound surface to LAPACK's own last ulp. Chain: the
+    shared _embedding_gram sketch → M = n·G − S·Sᵀ (exact ints) →
+    component 1 = _POWIT2_ROUNDS fixed-point power rounds from a
+    hash-SIGNED ±10⁶ init (sha-parity per dim — the all-ones start's
+    overlap with e₁ is data-luck; at sf0.1 it is 2.5·10⁻⁴ and the
+    sequence converges somewhere else entirely) → component 2 = the
+    same rounds under EXACT integer deflation: after each
+    multiply+renormalize, w ← w·(v₁ᵀv₁) − v₁·(v₁ᵀw) annihilates the
+    v₁ direction with no division and no eigenvalue estimate
+    (Hotelling deflation needs λ₁/(v₁ᵀv₁) rationals; the projection
+    form stays in ℤ and kills v₁ EXACTLY even though v₁ itself is
+    approximate), then renormalize — all in truncating fixed point
+    both engines replay bit-for-bit. Signs fixed per component
+    (largest-|entry| positive, ties lowest dim); projection is one
+    zero-shuffle pure-Catalyst fold over mean-centered micro
+    coordinates with both vectors as broadcast literals.
+
+    Quality is measured, not assumed (tests/test_intent_round14.py):
+    cosine vs LAPACK ≥ 0.99 on BOTH components at the gate SFs
+    (measured ≥ 0.9966 everywhere at 300/300 rounds — λ3/λ2 ≈ 0.98 on
+    this near-isotropic corpus is the binding rate, the λ2/λ3 watch
+    the r13 verdict called for), plus near-orthogonality of the two
+    integer vectors.
+
+    100 TB: identical shape to x3_power_iteration_project — ONE
+    O(d²·partitions) sketch exchange feeds both components; the 2·
+    rounds·O(d²) recurrence is driver ints (d=64: trivial); the
+    projection scan is embarrassingly parallel. Doubling components
+    costs zero additional distributed passes."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    merged = _embedding_gram(emb).collect()
+    v, u, mu, d = _powit_top2_vectors(merged)
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    centered = F.zip_with(
+        q, F.array(*[F.lit(int(m)) for m in mu]), lambda a, b: a - b
+    )
+
+    def proj(vec: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(int(x)) for x in vec]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return emb.select(
+        "vec_id",
+        proj(v).alias("pc1_fixed"),
+        proj(u).alias("pc2_fixed"),
+    ).orderBy("vec_id")
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
     head = """
 WITH ids AS (

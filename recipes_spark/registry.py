@@ -316,6 +316,7 @@ _DEFER: dict[str, int] = {
     "x4_quality_classifier_eval": 13,
     "x3_power_iteration_project": 13,
     "x3_ivf_pq_distrib_topk": 14,
+    "x3_power_iteration_top2": 14,
 }
 
 

@@ -180,6 +180,85 @@ def test_ivf_pq_distrib_recall_and_equivalence(topk_pair):
     assert key(via_param) == key(internal)
 
 
+def _top2_quality(spark, sf_dir):
+    """cos-vs-LAPACK for both fixed-point components at one SF."""
+    from recipes_spark.io import load
+    from recipes_spark.queries.dataops import (
+        _embedding_gram,
+        _powit_top2_vectors,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    merged = _embedding_gram(emb).collect()
+    v, u, mu, d = _powit_top2_vectors(merged)
+    n = 0
+    S = np.zeros(d)
+    G = np.zeros((d, d))
+    for r in merged:
+        i, j, sij = int(r["i"]), int(r["j"]), float(r["sij"])
+        if j == 0:
+            S[i - 1] = sij
+        else:
+            G[i - 1, j - 1] = sij
+            G[j - 1, i - 1] = sij
+            if i == 1 and j == 1:
+                n = int(r["n"])
+    M = n * G - np.outer(S, S)
+    _, evecs = np.linalg.eigh(M)
+    vf = np.asarray(v, dtype=np.float64)
+    uf = np.asarray(u, dtype=np.float64)
+    c1 = abs(vf @ evecs[:, -1]) / np.linalg.norm(vf)
+    c2 = abs(uf @ evecs[:, -2]) / np.linalg.norm(uf)
+    ortho = abs(vf @ uf) / (np.linalg.norm(vf) * np.linalg.norm(uf))
+    return c1, c2, ortho
+
+
+def test_power_iteration_top2_quality(spark, sf_dir, oracle_sf_dir):
+    """The r14 two-component leg's fixed-point vectors must agree with
+    LAPACK's top-2 eigenvectors (cosine ≥ 0.99 each) and be nearly
+    orthogonal — at the local SF and at the driver's oracle SF, the
+    regime where the r13 sizing analysis was done (λ3/λ2 ≈ 0.98, the
+    binding rate). The signed init makes this hold at sf0.1 too,
+    where the all-ones start's e₁ overlap is an accidental 2.5e-4
+    (measured: cosines ≥ 0.9966 at every SF)."""
+    for sf in (sf_dir, oracle_sf_dir):
+        c1, c2, ortho = _top2_quality(spark, sf)
+        assert c1 >= 0.99, f"{sf}: cos(v1, e1) {c1:.4f} < 0.99"
+        assert c2 >= 0.99, f"{sf}: cos(u, e2) {c2:.4f} < 0.99"
+        assert ortho <= 0.1, f"{sf}: |cos(v1, u)| {ortho:.4f} > 0.1"
+
+
+def test_power_iteration_top2_projection_exact(spark, sf_dir):
+    """The Catalyst projection fold must equal a direct integer dot
+    product over mean-centered micro coordinates for every vector —
+    the engine-side half of the exactness claim."""
+    from recipes_spark.io import load
+    from recipes_spark.queries.dataops import (
+        _embedding_gram,
+        _powit_top2_vectors,
+    )
+    from recipes_spark.registry import all_queries
+
+    out = {
+        r["vec_id"]: (int(r["pc1_fixed"]), int(r["pc2_fixed"]))
+        for r in all_queries()["x3_power_iteration_top2"](
+            spark, sf_dir
+        ).collect()
+    }
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v, u, mu, d = _powit_top2_vectors(_embedding_gram(emb).collect())
+    for r in emb.limit(40).collect():
+        q = np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        c = [int(q[j]) - mu[j] for j in range(d)]
+        want = (
+            sum(c[j] * v[j] for j in range(d)),
+            sum(c[j] * u[j] for j in range(d)),
+        )
+        assert out[r["vec_id"]] == want
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

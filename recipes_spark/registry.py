@@ -317,6 +317,7 @@ _DEFER: dict[str, int] = {
     "x3_power_iteration_project": 13,
     "x3_ivf_pq_distrib_topk": 14,
     "x3_power_iteration_top2": 14,
+    "x6_release_increment": 14,
 }
 
 

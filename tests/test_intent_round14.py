@@ -259,6 +259,50 @@ def test_power_iteration_top2_projection_exact(spark, sf_dir):
         assert out[r["vec_id"]] == want
 
 
+def test_release_increment_physical_append(spark, sf_dir):
+    """x6_release_increment's physical contract: every shard verifies
+    from files at BOTH versions, the digest changes exactly on touched
+    shards (and the fixture genuinely exercises both directions), the
+    v2 data directory contains ONLY delta-touched shard partitions,
+    and v2's manifest references v1's untouched files byte-identically
+    (the append never rewrites them)."""
+    import os
+
+    from recipes_spark.queries.corpus_ops import _LAST_INCR_STORE
+    from recipes_spark.registry import all_queries
+
+    pdf = (
+        all_queries()["x6_release_increment"](spark, sf_dir)
+        .toPandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    assert pdf["v1_files_match"].all(), pdf
+    assert pdf["v2_files_match"].all(), pdf
+    assert pdf["digest_changed_iff_touched"].all(), pdf
+    assert pdf["touched"].sum() >= 1
+    assert (pdf["n_seqs_v2"] >= pdf["n_seqs_v1"].fillna(0)).all()
+    store = _LAST_INCR_STORE[0]
+    touched = {int(s) for s in pdf[pdf["touched"] == 1]["shard"]}
+    v2_dirs = {
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(store, "data", "v2"))
+        if d.startswith("shard_key=")
+    }
+    assert v2_dirs == touched, (v2_dirs, touched)
+    man = {
+        v: {
+            r["file"]
+            for r in spark.read.parquet(
+                os.path.join(store, "_manifests", f"v{v}")
+            ).collect()
+        }
+        for v in (1, 2)
+    }
+    assert man[1] < man[2]
+    assert all("/data/v2/" in f for f in man[2] - man[1])
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

@@ -318,6 +318,7 @@ _DEFER: dict[str, int] = {
     "x3_ivf_pq_distrib_topk": 14,
     "x3_power_iteration_top2": 14,
     "x6_release_increment": 14,
+    "st29_stream_classifier": 14,
 }
 
 

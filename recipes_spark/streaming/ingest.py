@@ -32,6 +32,7 @@ from recipes_spark.queries.events import (
 from recipes_spark.queries.corpus_ops import (
     CORPUS_PIPELINE_E2E_ORACLE,
     LINE_DEDUP_ORACLE,
+    _QTA_ORACLE as QTA_ORACLE,
     doc_lines,
     line_dedup_report,
     pipeline_clean_lines,
@@ -2553,3 +2554,152 @@ def st28_stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return st28_final_report(spark, state_dir)
+
+
+# ---------------------------------------------------------------------------
+# st29: streaming classifier training (bucket→(pos, tot) as accumulated
+# state).
+# ---------------------------------------------------------------------------
+
+_ST29_STATE_SCHEMA = "b long, pos long, tot long"
+
+
+def classifier_stats_advance_factory(spark: SparkSession, state_dir: str):
+    """st29's per-micro-batch body: label the batch's documents with
+    the Gopher-rule weak supervision (_gopher_keep_expr — identical
+    arithmetic to the batch trainer), explode tokens into portable
+    sha-slice buckets, count (pos, tot) per bucket batch-locally
+    (map-side combining), and SUM-merge into the carried
+    (b, pos, tot) state by full outer join. Both counters are
+    textbook mergeable aggregates, so the state after batch k
+    telescopes to the one-pass training aggregate over chunks 1..k —
+    the same argument as st27's line counts, applied to a MODEL's
+    training state. Per-bid overwrites + prior-only reads = the
+    family retry contract."""
+    from recipes_spark.queries.corpus_ops import (
+        _QTA_DIM,
+        _bucket,
+        _gopher_keep_expr,
+    )
+
+    def advance(bdf: DataFrame, bid: int) -> None:
+        inc = (
+            bdf.select("doc_id", "text", _gopher_keep_expr().alias("lbl"))
+            .select("lbl", F.explode(F.split("text", " ")).alias("tok"))
+            .select(
+                "lbl",
+                _bucket(
+                    F.concat(F.lit("qf:"), F.col("tok")), _QTA_DIM
+                ).alias("b"),
+            )
+            .groupBy("b")
+            .agg(
+                F.sum(F.when(F.col("lbl"), 1).otherwise(0))
+                .cast("long")
+                .alias("b_pos"),
+                F.count(F.lit(1)).cast("long").alias("b_tot"),
+            )
+        )
+        if bid > 0:
+            st = spark.read.schema(_ST29_STATE_SCHEMA).parquet(
+                os.path.join(state_dir, f"s_{bid - 1}")
+            )
+        else:
+            st = spark.createDataFrame([], _ST29_STATE_SCHEMA)
+        merged = st.join(inc, "b", "full").select(
+            "b",
+            (F.coalesce("pos", F.lit(0)) + F.coalesce("b_pos", F.lit(0)))
+            .cast("long")
+            .alias("pos"),
+            (F.coalesce("tot", F.lit(0)) + F.coalesce("b_tot", F.lit(0)))
+            .cast("long")
+            .alias("tot"),
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"s_{bid}")
+        )
+
+    return advance
+
+
+@query("st29_stream_classifier", oracle=QTA_ORACLE)
+def st29_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CLASSIFIER TRAINING — the thirteenth sketch-state
+    family member and x4_quality_classifier_train_apply's stream twin
+    (r13 verdict task 6): the training corpus arrives as four ordered
+    micro-batches, each SUM-merging its per-bucket (pos, tot) label
+    counts into the carried state; when the stream drains, the
+    threshold model is SERVED from the accumulated state — prior,
+    shrinkage, and centering computed from the final state's ≤dim-row
+    collect exactly as the batch trainer computes them from its one
+    aggregate, then the unchanged Arrow scoring kernel classifies the
+    corpus. The oracle is the batch trainer's verbatim: SUM-merged
+    training state telescopes to the whole-corpus aggregate, so
+    incremental arrival provably cannot change the model — the
+    property a production continuous-training loop relies on when it
+    resumes from yesterday's counts instead of rescanning the corpus.
+
+    100 TB: per-batch work = one batch-sized map-side-combining agg +
+    a dim-bounded outer join (state is ≤50k rows of two int64
+    counters — model-sized, never corpus-sized); serving cost is
+    unchanged from the batch query. Retry-idempotent by the family
+    contract (per-bid overwrite, prior-only reads — gated in
+    tests/test_intent_round14.py)."""
+    from recipes_spark.io import load
+    from recipes_spark.queries.corpus_ops import (
+        _QTA_BASE_MICRO,
+        _QTA_DIM,
+        _QTA_THRESHOLD_MICRO,
+        quality_score_kernel,
+    )
+    from recipes_spark.io import scale_partitions
+    from recipes_spark.streaming.core import stage_ordered
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [d.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
+    staged = stage_ordered(chunks, prefix="recipes_st29_landing_")
+    state_dir = tempfile.mkdtemp(prefix="recipes_st29_state_")
+    advance = classifier_stats_advance_factory(spark, state_dir)
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(advance)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st29_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    stats = (
+        spark.read.schema(_ST29_STATE_SCHEMA)
+        .parquet(
+            os.path.join(state_dir, f"s_{_max_state_bid(state_dir, 's_')}")
+        )
+        .collect()
+    )
+    pos_all = sum(int(r["pos"]) for r in stats)
+    tot_all = sum(int(r["tot"]) for r in stats)
+    q0 = (2_000_000 * pos_all) // tot_all
+    weights = {
+        int(r["b"]): (
+            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
+        )
+        // (tot_all * (int(r["tot"]) + 1))
+        - q0
+        for r in stats
+    }
+    gen = quality_score_kernel(
+        weights, _QTA_DIM, _QTA_BASE_MICRO, _QTA_THRESHOLD_MICRO
+    )
+    return scale_partitions(d).mapInPandas(
+        gen,
+        schema="doc_id bigint, n_tok bigint, score_micro bigint, keep int",
+    )

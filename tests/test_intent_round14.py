@@ -303,6 +303,69 @@ def test_release_increment_physical_append(spark, sf_dir):
     assert all("/data/v2/" in f for f in man[2] - man[1])
 
 
+def test_st29_classifier_state_telescopes_and_retries(
+    spark, sf_dir, tmp_path
+):
+    """st29's two structural claims, exercised directly: (a) SUM-merge
+    telescoping — the (bucket → pos, tot) state after N ordered
+    batches equals the batch trainer's one-pass aggregate over the
+    whole corpus (the exactness the shared oracle stands on); (b) the
+    family retry contract — an at-least-once redelivery of a middle
+    batch rewrites its persisted state byte-identically."""
+    import os
+
+    from recipes_spark.io import load
+    from recipes_spark.queries.corpus_ops import (
+        _QTA_DIM,
+        _bucket,
+        _gopher_keep_expr,
+    )
+    from recipes_spark.streaming.ingest import (
+        classifier_stats_advance_factory,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [d.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    state_dir = str(tmp_path / "st29_state")
+    os.makedirs(state_dir, exist_ok=True)
+    fn = classifier_stats_advance_factory(spark, state_dir)
+    for bid, bdf in enumerate(batches):
+        fn(bdf, bid)
+
+    def state(bid):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, f"s_{bid}")
+            ).collect()
+        )
+
+    one_pass = sorted(
+        tuple(r)
+        for r in d.select("text", _gopher_keep_expr().alias("lbl"))
+        .select("lbl", F.explode(F.split("text", " ")).alias("tok"))
+        .select(
+            "lbl",
+            _bucket(F.concat(F.lit("qf:"), F.col("tok")), _QTA_DIM).alias(
+                "b"
+            ),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lbl"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+            F.count(F.lit(1)).cast("long").alias("tot"),
+        )
+        .collect()
+    )
+    assert state(2) == one_pass  # telescoping
+
+    before = [state(b) for b in range(3)]
+    fn(batches[1], 1)  # at-least-once redelivery
+    assert [state(b) for b in range(3)] == before
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

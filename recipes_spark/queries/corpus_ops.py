@@ -4256,6 +4256,235 @@ def x4_quality_classifier_eval(
     )
 
 
+#: Second weak labeler for the cross-labeler evaluation: Flesch
+#: reading-ease ≥ 77.0 (milli units — ~the corpus median at every SF,
+#: so the signal demonstrably fires in both directions). Deliberately a
+#: DIFFERENT heuristic family from the Gopher content rules the
+#: classifier trains on.
+_QTA_FLESCH_KEEP_MILLI = 77_000
+
+_QTA_CROSSEVAL_ORACLE = f"""
+WITH lbl AS MATERIALIZED (
+  SELECT doc_id, text,
+         ((len(w) BETWEEN 30 AND 80)
+          AND (floor(1000000.0 * (nc - len(w) + 1) / len(w))
+               BETWEEN 4000000 AND 5500000)
+          AND (floor(1000000.0 * (1.0 - len(list_distinct(w)) * 1.0 / len(w)))
+               <= 400000)) AS keep_lbl
+  FROM (SELECT doc_id, text, len(text) AS nc, string_split(text, ' ') AS w
+        FROM documents)
+), bt AS MATERIALIZED (
+  SELECT doc_id, keep_lbl,
+         CAST(('0x' || substr(sha256('qf:' || tok), 1, 8)) AS BIGINT)
+           % {_QTA_DIM} AS b
+  FROM (SELECT doc_id, keep_lbl, unnest(string_split(text, ' ')) AS tok
+        FROM lbl)
+), stats AS MATERIALIZED (
+  SELECT b,
+         sum(CASE WHEN keep_lbl THEN 1 ELSE 0 END) AS pos,
+         count(*) AS tot
+  FROM bt GROUP BY b
+), prior AS MATERIALIZED (
+  SELECT sum(pos) AS posall, sum(tot) AS totall,
+         (2000000 * sum(pos)) // sum(tot) AS q0
+  FROM stats
+), wt AS MATERIALIZED (
+  SELECT b,
+         (2000000 * (pos * (SELECT totall FROM prior)
+                     + (SELECT posall FROM prior)))
+           // ((SELECT totall FROM prior) * (tot + 1))
+           - (SELECT q0 FROM prior) AS w
+  FROM stats
+), s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(w) AS BIGINT) AS total
+  FROM bt JOIN wt USING (b)
+  GROUP BY doc_id
+), rd AS (
+  SELECT doc_id,
+         floor(1000.0 * (206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+           >= {_QTA_FLESCH_KEEP_MILLI} AS readable
+  FROM (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST((len(string_split(text, ' ')) + 11) // 12 AS BIGINT)
+                 AS n_sentences,
+               CAST(len(regexp_split_to_array(text, '[aeiou]+')) - 1
+                    AS BIGINT) AS n_syllables
+        FROM documents)
+), pred AS (
+  SELECT (floor(s.total / s.n_tok) >= {_QTA_THRESHOLD_MICRO}) AS p,
+         rd.readable
+  FROM s JOIN rd USING (doc_id)
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN p AND readable THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(sum(CASE WHEN p AND NOT readable THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT p AND readable THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT p AND NOT readable THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM pred
+), m AS (
+  SELECT n_eval, tp, fp, fn, tn,
+         CAST(floor(1000000.0 * tp / greatest(tp + fp, 1)) AS BIGINT)
+           AS precision_micro,
+         CAST(floor(1000000.0 * tp / greatest(tp + fn, 1)) AS BIGINT)
+           AS recall_micro,
+         CAST(floor(1000000.0 * (tp + tn) / greatest(n_eval, 1)) AS BIGINT)
+           AS accuracy_micro
+  FROM c
+)
+SELECT n_eval, tp, fp, fn, tn, precision_micro, recall_micro,
+       accuracy_micro,
+       CAST(floor(2.0 * precision_micro * recall_micro /
+            greatest(precision_micro + recall_micro, 1)) AS BIGINT)
+         AS f1_micro
+FROM m
+"""
+
+
+@query("x4_quality_classifier_crosseval", oracle=_QTA_CROSSEVAL_ORACLE)
+def x4_quality_classifier_crosseval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Evaluate the trained classifier against a DISAGREEING labeler
+    (r13 verdict task 7): x4_quality_classifier_eval scores the model
+    on held-out labels from the SAME Gopher rule family it trained on
+    — self-consistency, not generalization. Here the trained
+    classifier's keep decision is scored against an INDEPENDENT weak
+    signal from a different heuristic family: Flesch reading-ease ≥
+    77.0 (x4_reading_level's exact arithmetic, thresholded at ~the
+    corpus median so the signal fires in both directions at every
+    SF). The output is the cross-labeler confusion matrix plus
+    precision / recall / accuracy / F1 in floor-scaled integer micros
+    — the honest generalization number a data team demands before
+    letting a filter loose on 100 TB: high self-consistency with low
+    cross-labeler agreement means the model memorized its rule
+    family, not "quality". The oracle replays the training chain, the
+    scoring join, the Flesch labeler, and every metric in identical
+    integer arithmetic.
+
+    100 TB: the classifier side is the train_apply plan unchanged
+    (one training exchange bounded by dim, one scoring scan); the
+    Flesch labeler is row-local; the confusion is a single 1-row
+    aggregate — cross-labeler evaluation adds no data-sized
+    exchange."""
+    d = load(spark, sf_dir, "documents")
+    labeled = scale_partitions(d).select(
+        "doc_id", "text", _gopher_keep_expr().alias("lbl")
+    )
+    stats = (
+        labeled.select("lbl", F.explode(F.split("text", " ")).alias("tok"))
+        .select(
+            "lbl",
+            _bucket(F.concat(F.lit("qf:"), F.col("tok")), _QTA_DIM).alias(
+                "b"
+            ),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lbl"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+            F.count(F.lit(1)).cast("long").alias("tot"),
+        )
+        .collect()
+    )
+    pos_all = sum(int(r["pos"]) for r in stats)
+    tot_all = sum(int(r["tot"]) for r in stats)
+    q0 = (2_000_000 * pos_all) // tot_all
+    weights = {
+        int(r["b"]): (
+            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
+        )
+        // (tot_all * (int(r["tot"]) + 1))
+        - q0
+        for r in stats
+    }
+    gen = quality_score_kernel(
+        weights, _QTA_DIM, _QTA_BASE_MICRO, _QTA_THRESHOLD_MICRO
+    )
+    scored = scale_partitions(d).select("doc_id", "text").mapInPandas(
+        gen,
+        schema="doc_id bigint, n_tok bigint, score_micro bigint, keep int",
+    )
+    n_words = F.size(F.split("text", " ")).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    readable = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.expr(
+            "CAST((size(split(text, ' ')) + 11) div 12 AS BIGINT)"
+        ).alias("n_sentences"),
+        (F.size(F.split("text", "[aeiou]+")) - 1)
+        .cast("long")
+        .alias("n_syllables"),
+    ).select(
+        "doc_id",
+        (
+            F.floor(F.lit(1000.0) * flesch).cast("long")
+            >= _QTA_FLESCH_KEEP_MILLI
+        ).alias("readable"),
+    )
+    p = F.col("keep") == 1
+    rb = F.col("readable")
+    c = scored.join(readable, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(p & rb, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(p & ~rb, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~p & rb, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~p & ~rb, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    m = c.select(
+        "*",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("tp")
+            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+        )
+        .cast("long")
+        .alias("precision_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("tp")
+            / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+        )
+        .cast("long")
+        .alias("recall_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("tp") + F.col("tn"))
+            / F.greatest(F.col("n_eval"), F.lit(1))
+        )
+        .cast("long")
+        .alias("accuracy_micro"),
+    )
+    return m.select(
+        "*",
+        F.floor(
+            F.lit(2.0)
+            * F.col("precision_micro")
+            * F.col("recall_micro")
+            / F.greatest(
+                F.col("precision_micro") + F.col("recall_micro"), F.lit(1)
+            )
+        )
+        .cast("long")
+        .alias("f1_micro"),
+    )
+
+
 @query(
     "x6_stratified_hash_sample",
     oracle="""

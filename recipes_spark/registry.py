@@ -319,6 +319,7 @@ _DEFER: dict[str, int] = {
     "x3_power_iteration_top2": 14,
     "x6_release_increment": 14,
     "st29_stream_classifier": 14,
+    "x4_quality_classifier_crosseval": 14,
 }
 
 

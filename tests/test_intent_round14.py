@@ -366,6 +366,25 @@ def test_st29_classifier_state_telescopes_and_retries(
     assert [state(b) for b in range(3)] == before
 
 
+def test_crosseval_fires_all_cells(spark, sf_dir, oracle_sf_dir):
+    """The cross-labeler confusion must populate all four cells at
+    both gate SFs (both signals genuinely bidirectional — the
+    readability threshold sits at the corpus median by construction),
+    and its agreement must stay FAR from perfect: a Gopher-trained
+    filter agreeing ≥ 90% with an independent readability signal on
+    this corpus would mean the labeler is not independent (the
+    measured value is ~53-59%, the honest near-chance number the
+    query exists to expose)."""
+    from recipes_spark.registry import all_queries
+
+    qs = all_queries()
+    for sf in (sf_dir, oracle_sf_dir):
+        row = qs["x4_quality_classifier_crosseval"](spark, sf).collect()[0]
+        for cell in ("tp", "fp", "fn", "tn"):
+            assert int(row[cell]) > 0, (sf, cell, row)
+        assert 200_000 <= int(row["accuracy_micro"]) <= 900_000, row
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

@@ -1735,9 +1735,113 @@ def probe_coarse_kmeans_scaling(spark: SparkSession) -> dict:
     return out
 
 
+def probe_coarse_trainer_r14(spark: SparkSession) -> dict:
+    """The two axes the r13 verdict asked the distributed trainer to
+    prove past its measured edge, on the NEW exact norm-expansion
+    kernel:
+
+    - CORPUS axis: k=64 fixed, vectors ×1/×10/×100 (replicated with
+      distinct ids — the mutate protocol); the claim is one staged
+      scan per round, so the exponent should read ~1.0 and anything
+      past ~1.1 means the update exchange or the staging repartition
+      grew super-linearly.
+    - CENTROID axis, extended two doublings past r13's k=256: on the
+      ×10 corpus (20k vectors — k must stay below corpus size for the
+      hash-ranked init), k 256 → 1024 → 4096. The r13 kernel would
+      materialize batch×k×dim int64 here (~21 GB per 10k-row batch at
+      k=4096); the expansion kernel holds O(batch×k)."""
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        train_coarse_centroids_int,
+    )
+
+    e = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    out = {"probe": "coarse_trainer_r14", "n_vectors_1x": n}
+
+    def reps(r: int):
+        return (
+            e.crossJoin(
+                spark.range(r).select(F.col("id").alias("__r"))
+            )
+            .select(
+                (F.col("vec_id") + F.col("__r") * n).alias("vec_id"),
+                "embedding",
+            )
+        )
+
+    for r in (1, 10, 100):
+        def run(r=r):
+            train_coarse_centroids_int(reps(r), k=64, iters=2)
+
+        out[f"wall_sec_corpus_{r}x"] = round(
+            min(_timed(run) for _ in range(2)), 2
+        )
+    import math
+
+    out["corpus_exponent_10x_100x"] = round(
+        math.log(
+            out["wall_sec_corpus_100x"] / out["wall_sec_corpus_10x"]
+        )
+        / math.log(10),
+        2,
+    )
+    big = reps(10).localCheckpoint(eager=True)
+    for k in (256, 1024, 4096):
+        def run(k=k):
+            train_coarse_centroids_int(big, k=k, iters=2)
+
+        out[f"wall_sec_k{k}_10x"] = round(
+            min(_timed(run) for _ in range(2)), 2
+        )
+    out["ratio_k4096_over_k256"] = round(
+        out["wall_sec_k4096_10x"] / out["wall_sec_k256_10x"], 2
+    )
+    return out
+
+
+def probe_adc_table_broadcast(spark: SparkSession) -> dict:
+    """Where the byte-width ADC's literal-table plan stops being the
+    right shape (r13 verdict task 1's SCALE ask): ivf_pq_topk_int
+    ships each query's m × k_codes integer distance table as array
+    literals on the broadcast probe rows — at m=4 × k=256 that is
+    8 KB per probe row (nprobe rows per query), so the broadcast
+    payload grows as Q·nprobe·m·k_codes·8 B. Sweep the query count
+    and report wall + payload; the flattening point is where a real
+    deployment flips the probe side from broadcast literals to a
+    shuffled probe TABLE (same join, no literal arrays)."""
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import ivf_pq_topk_int
+
+    e = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    out = {"probe": "adc_table_broadcast", "n_vectors": e.count()}
+    nprobe, m, k_codes = 14, 4, 256
+    for nq in (5, 25, 100):
+        q = e.filter(F.col("vec_id") < nq).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+        def run(q=q):
+            ivf_pq_topk_int(
+                e, q, k=10, n_centroids=16, nprobe=nprobe, refine=16,
+                m=m, k_codes=k_codes, code_bits=8,
+            ).count()
+
+        out[f"wall_sec_q{nq}"] = round(
+            min(_timed(run) for _ in range(2)), 2
+        )
+        out[f"payload_mb_q{nq}"] = round(
+            nq * nprobe * m * k_codes * 8 / 1e6, 2
+        )
+    return out
+
+
 PROBES = {
     "minhash_portable": probe_minhash_portable,
     "coarse_kmeans_scaling": probe_coarse_kmeans_scaling,
+    "coarse_trainer_r14": probe_coarse_trainer_r14,
+    "adc_table_broadcast": probe_adc_table_broadcast,
     "dp_chunked_dense": probe_dp_chunked_dense,
     "packing_tail_100x": probe_packing_tail_100x,
     "dp_grid_10x": probe_dp_grid_10x,

@@ -570,8 +570,6 @@ def train_pq_codebooks_int(
     to PQ's own distortion (16 centroids per 8-dim subspace);
     distortion/recall gates re-assert quality in tests. Returns int64
     (m, k, dim/m) milli-unit centroids."""
-    import hashlib
-
     rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     )
@@ -580,6 +578,20 @@ def train_pq_codebooks_int(
     ids = [int(r[0]) for r in rows]
     X = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
     Xm = np.floor(X * 1000.0).astype(np.int64)
+    return _train_books_from_milli(ids, Xm, m=m, k=k, iters=iters)
+
+
+def _train_books_from_milli(
+    ids: list[int], Xm: np.ndarray, *, m: int, k: int, iters: int
+) -> np.ndarray:
+    """The integer k-means core of train_pq_codebooks_int on
+    PRECOMPUTED milli-grid vectors — factored out so the residual
+    IVF-PQ path can train books on residual vectors (Xm − C[cell])
+    with the IDENTICAL arithmetic (same hash-ranked init family, same
+    lowest-index argmin, same exact-floor mean, same empty-cluster
+    carry)."""
+    import hashlib
+
     dim = Xm.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -768,6 +780,7 @@ def pq_encode_int(
     vec_col: str = "embedding",
     coarse_milli: np.ndarray | None = None,
     code_bits: int = 4,
+    residual: bool = False,
 ) -> DataFrame:
     """Assign PQ codes against milli-grid integer codebooks
     (train_pq_codebooks_int), emitting (id, codes_packed BIGINT,
@@ -785,7 +798,17 @@ def pq_encode_int(
     the IVF coarse cell assignment — integer-L2 argmin, lowest index
     on ties — into the same pass as an extra ``__list int`` column:
     one corpus read + Arrow transfer builds the whole IVF-PQ index
-    (pq_encode's coarse_centroids rationale, integer form)."""
+    (pq_encode's coarse_centroids rationale, integer form).
+
+    ``residual=True`` (requires coarse_milli) encodes the RESIDUAL
+    Xm − C[cell] instead of the raw vector — true faiss IVFPQ:
+    residual magnitudes are cell-local, so the same m × k books spend
+    their codes on the within-cell geometry and distortion drops;
+    the books must then be trained on residuals
+    (_train_books_from_milli over Xm − C[cell] of the sample) and the
+    query-side ADC tables built per (query, probed cell)."""
+    if residual and coarse_milli is None:
+        raise ValueError("pq_encode_int: residual=True needs coarse_milli")
     m, k, sub = books_milli.shape
     # codes_packed carries code_bits per subspace: at m > 1, k beyond
     # the width would silently corrupt the packing (and every
@@ -817,10 +840,16 @@ def pq_encode_int(
             )
             Xm = np.floor(X * 1000.0).astype(np.int64)
             n = len(Xm)
+            lists = None
+            if coarse_milli is not None:
+                cd2 = _d2_int(Xm, coarse_milli)
+                lists = np.argmin(cd2, axis=1)
+            # Residual mode quantizes Xm − C[cell]; raw mode Xm itself.
+            Em = Xm - coarse_milli[lists] if residual else Xm
             codes = np.empty((n, m), dtype=np.int64)
             sse = np.zeros(n, dtype=np.int64)
             for j in range(m):
-                S = Xm[:, j * sub : (j + 1) * sub]
+                S = Em[:, j * sub : (j + 1) * sub]
                 d2 = _d2_int(S, books_milli[j])
                 codes[:, j] = np.argmin(d2, axis=1)
                 sse += d2[np.arange(n), codes[:, j]]
@@ -832,9 +861,8 @@ def pq_encode_int(
                 "codes_packed": packed,
                 "sse_milli2": sse,
             }
-            if coarse_milli is not None:
-                cd2 = _d2_int(Xm, coarse_milli)
-                out["__list"] = np.argmin(cd2, axis=1).astype(np.int32)
+            if lists is not None:
+                out["__list"] = lists.astype(np.int32)
             yield pd.DataFrame(out)
 
     list_ddl = ", __list int" if coarse_milli is not None else ""
@@ -1300,6 +1328,157 @@ def ivf_pq_topk_int(
     coded = pq_encode_int(
         corpus, books, id_col=id_col, vec_col=vec_col, coarse_milli=coarse,
         code_bits=code_bits,
+    ).select(id_col, "codes_packed", "__list")
+    fmask = (1 << code_bits) - 1
+    adc = sum(
+        F.element_at(
+            f"__t{j}",
+            (
+                F.shiftright(
+                    "codes_packed", code_bits * (m - 1 - j)
+                ).bitwiseAND(fmask)
+                + 1
+            ).cast("int"),
+        )
+        for j in range(m)
+    )
+    n_keep = refine * k
+    wq = Window.partitionBy(query_id_col).orderBy("adc_dist", F.col(id_col))
+    shortlist = (
+        coded.join(F.broadcast(probe_df), "__list")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("adc_dist", adc)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_keep)
+        .select(id_col, query_id_col)
+    )
+    return _exact_rerank(
+        shortlist,
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=k,
+    )
+
+
+def ivf_pq_residual_topk_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 14,
+    refine: int = 16,
+    m: int = 4,
+    k_codes: int = 256,
+    sample: int = 2048,
+    iters: int = 5,
+    code_bits: int = 8,
+    coarse_milli: np.ndarray | None = None,
+) -> DataFrame:
+    """RESIDUAL IVF-PQ — the true faiss IVFPQ composition: the PQ
+    books quantize the RESIDUAL x − C[cell(x)] instead of the raw
+    vector, so the m × k_codes codes spend their precision on the
+    within-cell geometry (coarse structure is already carried by the
+    cell id) and reconstruction distortion drops at identical index
+    bytes. All integer milli-grid arithmetic, end-to-end
+    SQL-replayable:
+
+    - coarse: externally trained book (``coarse_milli``, e.g. the
+      distributed trainer) or the internal m=1 sampled trainer;
+    - book training: the SAME deterministic id-prefix sample, cells
+      assigned and residuals formed driver-side in exact int64, then
+      _train_books_from_milli — bit-identical k-means arithmetic to
+      the raw trainer, different input vectors;
+    - index: ONE fused encode pass (pq_encode_int residual=True):
+      cell id + byte-packed residual codes + exact residual SSE;
+    - search: per (query, probed cell) ADC tables — the faiss detail
+      residual encoding forces: the query's table against cell L is
+      built from (Qm − C[L]), so each probe row carries its OWN m
+      table arrays (nprobe × m × k_codes int64 per query, measured in
+      SCALE.md adc_table_broadcast) — then the pure-Catalyst ADC scan
+      joins on (query, cell) and unpacks code fields exactly as the
+      raw path;
+    - exact round-4 cosine re-rank of the refine·k shortlist on RAW
+      vectors (residuals exist only inside the index).
+
+    100 TB: identical exchanges to ivf_pq_topk_int — residual
+    formation is row-local inside the one encode pass, and the
+    query-side tables grow by the nprobe factor the probe rows
+    already carried."""
+    if k_codes > (1 << code_bits):
+        raise ValueError(
+            f"ivf_pq_residual_topk_int: k_codes={k_codes} exceeds the "
+            f"{code_bits}-bit packed field (max {1 << code_bits})"
+        )
+    if coarse_milli is not None:
+        if coarse_milli.shape[0] != n_centroids:
+            raise ValueError(
+                f"coarse_milli has {coarse_milli.shape[0]} centroids, "
+                f"expected n_centroids={n_centroids}"
+            )
+        coarse = coarse_milli
+    else:
+        coarse = train_pq_codebooks_int(
+            corpus, id_col=id_col, vec_col=vec_col, m=1, k=n_centroids,
+            sample=sample, iters=iters,
+        )[0]
+    # Train the books on the SAMPLE's residuals — same deterministic
+    # lowest-id prefix and arithmetic as train_pq_codebooks_int, with
+    # the cell assignment + subtraction applied before k-means.
+    srows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    if not srows:
+        raise ValueError("ivf_pq_residual_topk_int: empty training sample")
+    sids = [int(r[0]) for r in srows]
+    Sm = np.floor(
+        np.asarray(
+            [np.asarray(r[1], dtype=np.float64) for r in srows]
+        )
+        * 1000.0
+    ).astype(np.int64)
+    s_cells = np.argmin(_d2_int(Sm, coarse), axis=1)
+    books = _train_books_from_milli(
+        sids, Sm - coarse[s_cells], m=m, k=k_codes, iters=iters
+    )
+    collected = _collect_queries(queries, query_id_col, query_vec_col)
+    if collected is None:
+        return _empty_topk(corpus.sparkSession, query_id_col, id_col)
+    qids, Q = collected
+    Qm = np.floor(np.asarray(Q, dtype=np.float64) * 1000.0).astype(np.int64)
+    sub = Qm.shape[1] // m
+    qcd2 = _d2_int(Qm, coarse)
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        cells = np.lexsort((np.arange(n_centroids), qcd2[qi]))[:nprobe]
+        for c in cells:
+            qr = Qm[qi] - coarse[c]
+            tables = [
+                [
+                    int(x)
+                    for x in _d2_int(
+                        qr[None, j * sub : (j + 1) * sub], books[j]
+                    )[0]
+                ]
+                for j in range(m)
+            ]
+            probe_rows.append((int(qid), int(c), *tables))
+    spark = corpus.sparkSession
+    t_ddl = ", ".join(f"__t{j} array<long>" for j in range(m))
+    probe_df = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, __list int, {t_ddl}"
+    )
+    coded = pq_encode_int(
+        corpus, books, id_col=id_col, vec_col=vec_col, coarse_milli=coarse,
+        code_bits=code_bits, residual=True,
     ).select(id_col, "codes_packed", "__list")
     fmask = (1 << code_bits) - 1
     adc = sum(

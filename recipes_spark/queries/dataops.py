@@ -744,7 +744,7 @@ def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_train_encode_ctes(
     m: int = 8, k: int = 16, sample: int = 2048, iters: int = 5,
-    dim: int = 64, prefix: str = "",
+    dim: int = 64, prefix: str = "", ej_body: str | None = None,
 ) -> list[str]:
     """Shared CTE chain replaying train_pq_codebooks_int +
     the corpus code assignment: milli-grid values, hash-ranked init,
@@ -757,15 +757,24 @@ def _pq_train_encode_ctes(
     (the BPE-chain lesson: DuckDB 1.0 inlines, which would re-derive
     the training chain per round). Consumed by the x3_pq_codes oracle
     (pack + SSE) and the x3_pq_adc_topk oracle (ADC scan +
-    shortlist + exact rerank)."""
+    shortlist + exact rerank).
+
+    ``ej_body`` overrides the source of the (vec_id, j, d, mv) rows —
+    the residual IVF-PQ oracle trains the SAME chain over residual
+    coordinates (mv − assigned coarse centroid) instead of the raw
+    milli grid; everything downstream (init, rounds, fa) is
+    untouched."""
     sub = dim // m
-    ctes = [
-        # (vec_id, j, d, mv): milli-grid values keyed by subspace.
-        f"{prefix}ej AS MATERIALIZED (SELECT vec_id,"
+    default_ej = (
+        "SELECT vec_id,"
         f" (generate_subscripts(embedding, 1) - 1) // {sub} AS j,"
         f" (generate_subscripts(embedding, 1) - 1) % {sub} AS d,"
         " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
-        " AS mv FROM embeddings)",
+        " AS mv FROM embeddings"
+    )
+    ctes = [
+        # (vec_id, j, d, mv): milli-grid values keyed by subspace.
+        f"{prefix}ej AS MATERIALIZED ({ej_body or default_ej})",
         f"{prefix}sids AS (SELECT vec_id FROM embeddings ORDER BY vec_id"
         f" LIMIT {sample})",
         f"{prefix}sj AS MATERIALIZED (SELECT e.* FROM {prefix}ej e JOIN {prefix}sids USING (vec_id))",
@@ -3462,6 +3471,137 @@ def x3_ivf_pq_distrib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     return ivf_pq_topk_int(
+        emb, queries, k=10, n_centroids=16, nprobe=14, refine=16,
+        m=4, k_codes=256, code_bits=8, coarse_milli=cents,
+    ).withColumnRenamed("rank", "rnk")
+
+
+def _ivf_pq_residual_oracle_sql(
+    k_coarse: int = 16, coarse_iters: int = 3, nprobe: int = 14,
+    topk: int = 10, refine: int = 16, n_queries: int = 5, m: int = 4,
+    k_codes: int = 256, sample: int = 2048, iters: int = 5,
+    dim: int = 64,
+) -> str:
+    """x3_ivf_pq_residual_topk oracle: the distributed coarse chain
+    (cq_), the full-corpus cell assignment, the per-(vec, dim)
+    RESIDUAL table (rel = mv − assigned centroid), the PQ chain
+    trained and assigned ON RESIDUALS (_pq_train_encode_ctes with the
+    ej source overridden), per-(query, probed cell) residual distance
+    tables, the ADC sum joined on (query, cell, j, code), shortlist,
+    exact re-rank on raw vectors."""
+    sub = dim // m
+    n_keep = refine * topk
+    ctes = _coarse_train_ctes(
+        k=k_coarse, iters=coarse_iters, prefix="cq_"
+    )
+    ctes += [
+        "cq_fd AS MATERIALIZED (SELECT e.vec_id, c.cid,"
+        " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM cq_el e JOIN cq_c{coarse_iters} c ON e.d = c.d"
+        " GROUP BY e.vec_id, c.cid)",
+        "cq_fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM cq_fd) WHERE rn = 1)",
+        "rel AS MATERIALIZED (SELECT e.vec_id, e.d, e.mv - c.cv AS rv"
+        " FROM cq_el e JOIN cq_fa a ON a.vec_id = e.vec_id"
+        f" JOIN cq_c{coarse_iters} c ON c.cid = a.cid AND c.d = e.d)",
+    ]
+    ctes += _pq_train_encode_ctes(
+        m=m, k=k_codes, sample=sample, iters=iters, dim=dim,
+        ej_body=(
+            f"SELECT vec_id, d // {sub} AS j, d % {sub} AS d, rv AS mv"
+            " FROM rel"
+        ),
+    )
+    ctes += [
+        "probe AS MATERIALIZED (SELECT query_id, cid FROM (SELECT"
+        " vec_id AS query_id, cid, row_number() OVER (PARTITION BY"
+        " vec_id ORDER BY d2, cid) AS rn FROM cq_fd"
+        f" WHERE vec_id < {n_queries}) WHERE rn <= {nprobe})",
+        "qrel AS MATERIALIZED (SELECT p.query_id, p.cid, e.d,"
+        " e.mv - c.cv AS rv FROM probe p"
+        " JOIN cq_el e ON e.vec_id = p.query_id"
+        f" JOIN cq_c{coarse_iters} c ON c.cid = p.cid AND c.d = e.d)",
+        "pqd AS MATERIALIZED (SELECT q.query_id, q.cid, c.j, c.c,"
+        " sum((q.rv - c.val) * (q.rv - c.val)) AS d2"
+        f" FROM (SELECT query_id, cid, d // {sub} AS j, d % {sub} AS dl,"
+        " rv FROM qrel) q"
+        f" JOIN c{iters} c ON c.j = q.j AND c.d = q.dl"
+        " GROUP BY q.query_id, q.cid, c.j, c.c)",
+        "cellcand AS MATERIALIZED (SELECT p.query_id, p.cid, f.vec_id"
+        " FROM cq_fa f JOIN probe p ON p.cid = f.cid"
+        " WHERE f.vec_id != p.query_id)",
+        "adc AS (SELECT cc.query_id, cc.vec_id, sum(q.d2) AS adc_dist"
+        " FROM cellcand cc JOIN fa f ON f.vec_id = cc.vec_id"
+        " JOIN pqd q ON q.query_id = cc.query_id AND q.cid = cc.cid"
+        " AND q.j = f.j AND q.c = f.c"
+        " GROUP BY cc.query_id, cc.vec_id)",
+        "short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY adc_dist, vec_id) AS rn FROM adc)"
+        f" WHERE rn <= {n_keep})",
+        f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f" FROM embeddings WHERE vec_id < {n_queries})",
+        "cvv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "sims AS (SELECT s.query_id, s.vec_id,"
+        " round(list_dot_product(c.v, q.qv) /"
+        " (sqrt(list_dot_product(c.v, c.v)) *"
+        " sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim"
+        " FROM short s JOIN cvv c ON c.vec_id = s.vec_id"
+        " JOIN qv q ON q.query_id = s.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, vec_id, cosine_sim, rnk FROM (\n"
+        "  SELECT query_id, vec_id, cosine_sim,\n"
+        "         CAST(row_number() OVER (PARTITION BY query_id\n"
+        "              ORDER BY cosine_sim DESC, vec_id) AS INT) AS rnk\n"
+        f"  FROM sims) WHERE rnk <= {topk}"
+    )
+
+
+@query("x3_ivf_pq_residual_topk", oracle=_ivf_pq_residual_oracle_sql())
+def x3_ivf_pq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESIDUAL IVF-PQ — the true faiss IVFPQ composition, completing
+    the ANN family's fidelity to the production system it mirrors:
+    x3_ivf_pq_distrib_topk quantizes RAW vectors, so its codes spend
+    precision re-encoding coarse structure the cell id already
+    carries; here the PQ books train on and encode the residual
+    x − C[cell(x)], the per-query ADC tables are built per PROBED
+    CELL from the query's own residual against that cell (the
+    faiss-forced detail — one m × k_codes table per (query, cell)
+    probe row instead of one per query), and distortion drops at
+    identical index bytes (gated: mean residual SSE strictly below
+    raw SSE at the same m/k/coarse in tests/test_intent_round14.py,
+    plus recall@10 ≥ 0.9 at the registered knobs). Coarse stage =
+    the distributed trainer; every stage — both trainings, residual
+    formation, the fused encode, probe ranking, per-cell tables, ADC
+    sums, shortlist — is exact int64 milli-grid arithmetic the DuckDB
+    oracle replays (the PQ training chain runs with its ej source
+    swapped to the residual table; the k-means CTEs are untouched).
+    Re-rank is exact round-4 cosine on RAW vectors — residuals exist
+    only inside the index.
+
+    100 TB: exchanges identical to the raw composition — residual
+    formation is row-local inside the one encode pass; the probe
+    broadcast grows by the nprobe factor its rows already carried
+    (SCALE.md adc_table_broadcast bounds it)."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_residual_topk_int,
+        train_coarse_centroids_int,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(
+        emb, k=16, iters=3, hash_tag="pq:0"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_pq_residual_topk_int(
         emb, queries, k=10, n_centroids=16, nprobe=14, refine=16,
         m=4, k_codes=256, code_bits=8, coarse_milli=cents,
     ).withColumnRenamed("rank", "rnk")

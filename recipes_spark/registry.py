@@ -320,6 +320,7 @@ _DEFER: dict[str, int] = {
     "x6_release_increment": 14,
     "st29_stream_classifier": 14,
     "x4_quality_classifier_crosseval": 14,
+    "x3_ivf_pq_residual_topk": 14,
 }
 
 

@@ -385,6 +385,60 @@ def test_crosseval_fires_all_cells(spark, sf_dir, oracle_sf_dir):
         assert 200_000 <= int(row["accuracy_micro"]) <= 900_000, row
 
 
+def test_residual_pq_cuts_distortion_and_holds_recall(topk_pair):
+    """Residual encoding's whole point, measured: with the SAME
+    coarse book and the SAME m × k_codes budget, quantizing
+    x − C[cell] must yield strictly lower mean reconstruction SSE
+    than quantizing raw vectors (the faiss IVFPQ rationale), and the
+    composed search must hold recall@10 ≥ 0.9 at the registered
+    knobs."""
+    from recipes_spark.operators.similarity import (
+        _d2_int,
+        _train_books_from_milli,
+        ivf_pq_residual_topk_int,
+        pq_encode_int,
+        train_coarse_centroids_int,
+    )
+
+    emb, queries, exact = topk_pair
+    coarse = train_coarse_centroids_int(emb, k=16, iters=3)
+    rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(2048)
+        .collect()
+    )
+    ids = [int(r[0]) for r in rows]
+    Sm = np.floor(
+        np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+        * 1000.0
+    ).astype(np.int64)
+    cells = np.argmin(_d2_int(Sm, coarse), axis=1)
+    raw_books = _train_books_from_milli(ids, Sm, m=4, k=256, iters=5)
+    res_books = _train_books_from_milli(
+        ids, Sm - coarse[cells], m=4, k=256, iters=5
+    )
+    raw_sse = [
+        r.sse_milli2
+        for r in pq_encode_int(emb, raw_books, code_bits=8).collect()
+    ]
+    res_sse = [
+        r.sse_milli2
+        for r in pq_encode_int(
+            emb, res_books, code_bits=8, coarse_milli=coarse, residual=True
+        ).collect()
+    ]
+    mean_raw = sum(raw_sse) / len(raw_sse)
+    mean_res = sum(res_sse) / len(res_sse)
+    assert mean_res < mean_raw, (mean_res, mean_raw)
+    got = ivf_pq_residual_topk_int(
+        emb, queries, k=10, n_centroids=16, nprobe=14, refine=16,
+        m=4, k_codes=256, code_bits=8, coarse_milli=coarse,
+    ).collect()
+    r = sum(1 for x in got if (x.query_id, x.vec_id) in exact) / len(
+        exact
+    )
+    assert r >= 0.9, f"residual IVF-PQ recall@10 {r:.2f} < 0.9"
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

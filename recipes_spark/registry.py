@@ -321,6 +321,7 @@ _DEFER: dict[str, int] = {
     "st29_stream_classifier": 14,
     "x4_quality_classifier_crosseval": 14,
     "x3_ivf_pq_residual_topk": 14,
+    "st30_stream_packing": 14,
 }
 
 

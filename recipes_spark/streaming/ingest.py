@@ -32,6 +32,7 @@ from recipes_spark.queries.events import (
 from recipes_spark.queries.corpus_ops import (
     CORPUS_PIPELINE_E2E_ORACLE,
     LINE_DEDUP_ORACLE,
+    _PACKING_SHARDS_ORACLE as PACKING_SHARDS_ORACLE,
     _QTA_ORACLE as QTA_ORACLE,
     doc_lines,
     line_dedup_report,
@@ -2702,4 +2703,209 @@ def st29_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scale_partitions(d).mapInPandas(
         gen,
         schema="doc_id bigint, n_tok bigint, score_micro bigint, keep int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# st30: streaming sequence packing (token-prefix carry + per-sequence
+# partials as accumulated state).
+# ---------------------------------------------------------------------------
+
+_ST30_SEQ_SCHEMA = "seq_id long, n_tokens long, ids array<int>"
+_ST30_CARRY_SCHEMA = "cum_tokens long"
+
+
+def packing_advance_factory(spark: SparkSession, state_dir: str):
+    """st30's per-micro-batch body. Two state families:
+
+    - the CARRY (one row): total tokens seen before this batch — the
+      scalar that makes the batch-local inclusive prefix sum equal
+      the GLOBAL one (batches arrive in doc_id order, so global
+      cumsum = carry + local cumsum, exactly);
+    - the per-sequence PARTIALS (seq_id, n_tokens, ids): each batch
+      emits its sequences from carry-offset seq ids and merges by
+      full outer join — n_tokens SUM, ids CONCAT state-first (state
+      rows precede the batch in doc order). Only the sequence
+      STRADDLING the batch boundary ever collides, but the merge is
+      total, so no seam logic exists to get wrong.
+
+    Both merges are associative with the ordered-arrival contract the
+    family already has (st14's ordered staging), so the state after
+    batch k telescopes to the one-pass packing of chunks 1..k —
+    sequence packing is NOT embarrassingly parallel (every sequence
+    id depends on every prior token count), which is exactly why the
+    carry is the state. Per-bid overwrites + prior-only reads = the
+    family retry contract."""
+    from recipes_spark.queries.corpus_ops import (
+        _BPE_MERGES,
+        _BPE_VOCAB,
+        bpe_greedy_ids_kernel,
+    )
+    from recipes_spark.operators.prefix import partitioned_prefix_sum
+
+    gen = bpe_greedy_ids_kernel(_BPE_MERGES, _BPE_VOCAB)
+
+    def advance(bdf: DataFrame, bid: int) -> None:
+        if bid > 0:
+            carry = int(
+                spark.read.schema(_ST30_CARRY_SCHEMA)
+                .parquet(os.path.join(state_dir, f"carry_{bid - 1}"))
+                .collect()[0][0]
+            )
+            st = spark.read.schema(_ST30_SEQ_SCHEMA).parquet(
+                os.path.join(state_dir, f"s_{bid - 1}")
+            )
+        else:
+            carry = 0
+            st = spark.createDataFrame([], _ST30_SEQ_SCHEMA)
+        toks = bdf.select("doc_id", "text").mapInPandas(
+            gen, "doc_id bigint, n bigint, ids array<int>"
+        )
+        packed = partitioned_prefix_sum(
+            toks, order_col="doc_id", value_col="n", out_col="cum",
+            shards=8,
+        )
+        flat_ids = F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id").alias("d"),
+                            F.col("ids").alias("i"),
+                        )
+                    )
+                ),
+                lambda s: s["i"],
+            )
+        )
+        bseqs = (
+            packed.select(
+                F.floor(
+                    (F.lit(carry) + F.col("cum") - F.col("n")) / 512
+                )
+                .cast("long")
+                .alias("seq_id"),
+                "doc_id",
+                "n",
+                "ids",
+            )
+            .groupBy("seq_id")
+            .agg(
+                F.sum("n").cast("long").alias("b_n"),
+                flat_ids.alias("b_ids"),
+            )
+        )
+        empty = F.array().cast("array<int>")
+        merged = st.join(bseqs, "seq_id", "full").select(
+            "seq_id",
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                + F.coalesce("b_n", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.concat(
+                F.coalesce("ids", empty), F.coalesce("b_ids", empty)
+            ).alias("ids"),
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"s_{bid}")
+        )
+        batch_total = toks.agg(F.sum("n")).collect()[0][0] or 0
+        spark.createDataFrame(
+            [(carry + int(batch_total),)], _ST30_CARRY_SCHEMA
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"carry_{bid}")
+        )
+
+    return advance
+
+
+@query("st30_stream_packing", oracle=PACKING_SHARDS_ORACLE)
+def st30_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SEQUENCE PACKING — sketch-state member #14 and
+    x6_packing_shards' stream twin: the corpus arrives as four
+    ordered doc_id-contiguous micro-batches, each packing its tokens
+    into 512-token training sequences CONTINUING the global token
+    prefix (the carried scalar), with the boundary-straddling
+    sequence's partials merged across batches; the final report
+    assigns shards and recomputes the two-level Merkle manifest from
+    the accumulated sequences. The oracle is x6_packing_shards'
+    verbatim: carry + ordered arrival telescope the batch-local
+    prefix sums into the global one, so incremental packing provably
+    equals the one-pass packing — the property a production ingest
+    pipeline needs to emit training shards continuously instead of
+    re-packing the corpus per release.
+
+    100 TB: per-batch work = the batch's own tokenize + prefix-sum
+    exchanges plus a state-sized outer join; the carry is ONE row. At
+    production scale the closed sequences append to a store and only
+    the open boundary sequence carries (state = O(1)); here the full
+    sequence table carries so the final manifest derives from state
+    alone. Ordered arrival is the family's staging contract (one file
+    per trigger, latestFirst=false); retry-idempotent by per-bid
+    overwrite + prior-only reads (gated in
+    tests/test_intent_round14.py)."""
+    from recipes_spark.io import load
+    from recipes_spark.queries.corpus_ops import (
+        _bucket,
+        _ordered_sha,
+    )
+    from recipes_spark.streaming.core import stage_ordered
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    span = (n + 3) // 4
+    chunks = [
+        d.filter(F.floor(F.col("doc_id") / span) == i) for i in range(4)
+    ]
+    staged = stage_ordered(chunks, prefix="recipes_st30_landing_")
+    state_dir = tempfile.mkdtemp(prefix="recipes_st30_state_")
+    advance = packing_advance_factory(spark, state_dir)
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(advance)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="recipes_st30_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    seqs = spark.read.schema(_ST30_SEQ_SCHEMA).parquet(
+        os.path.join(state_dir, f"s_{_max_state_bid(state_dir, 's_')}")
+    )
+    assigned = seqs.select(
+        _bucket(F.col("seq_id").cast("string"), 8).alias("shard"),
+        F.floor(F.col("seq_id") / 64).cast("long").alias("chunk"),
+        "seq_id",
+        "n_tokens",
+        F.sha2(
+            F.concat_ws(
+                ",", F.transform(F.col("ids"), lambda x: x.cast("string"))
+            ),
+            256,
+        ).alias("ids_sha"),
+    )
+    chunks_agg = assigned.groupBy("shard", "chunk").agg(
+        F.count(F.lit(1)).alias("c_seqs"),
+        F.sum("n_tokens").cast("long").alias("c_tokens"),
+        _ordered_sha("seq_id", "ids_sha").alias("chunk_sha"),
+    )
+    return (
+        chunks_agg.groupBy("shard")
+        .agg(
+            F.sum("c_seqs").cast("long").alias("n_seqs"),
+            F.sum("c_tokens").cast("long").alias("n_tokens"),
+            _ordered_sha("chunk", "chunk_sha").alias("shard_sha"),
+        )
+        .orderBy("shard")
     )

@@ -439,6 +439,98 @@ def test_residual_pq_cuts_distortion_and_holds_recall(topk_pair):
     assert r >= 0.9, f"residual IVF-PQ recall@10 {r:.2f} < 0.9"
 
 
+def test_st30_packing_carry_telescopes_and_retries(
+    spark, sf_dir, tmp_path
+):
+    """st30's structural claims, exercised directly on 3 contiguous
+    batches: (a) the carry + per-sequence partial merges telescope to
+    the ONE-PASS packing (same seq ids, token counts, and ID STREAMS
+    — including the sequences that straddle batch boundaries, which
+    MUST exist in the fixture for the test to mean anything); (b) an
+    at-least-once redelivery of a middle batch rewrites its state
+    byte-identically."""
+    import os
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.prefix import partitioned_prefix_sum
+    from recipes_spark.queries.corpus_ops import (
+        _BPE_MERGES,
+        _BPE_VOCAB,
+        bpe_greedy_ids_kernel,
+    )
+    from recipes_spark.streaming.ingest import packing_advance_factory
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    span = (n + 2) // 3
+    batches = [
+        d.filter(F.floor(F.col("doc_id") / span) == i) for i in range(3)
+    ]
+    state_dir = str(tmp_path / "st30_state")
+    os.makedirs(state_dir, exist_ok=True)
+    fn = packing_advance_factory(spark, state_dir)
+    for bid, bdf in enumerate(batches):
+        fn(bdf, bid)
+
+    def state(bid):
+        return sorted(
+            (int(r["seq_id"]), int(r["n_tokens"]), tuple(r["ids"]))
+            for r in spark.read.parquet(
+                os.path.join(state_dir, f"s_{bid}")
+            ).collect()
+        )
+
+    # one-pass reference
+    gen = bpe_greedy_ids_kernel(_BPE_MERGES, _BPE_VOCAB)
+    toks = d.mapInPandas(gen, "doc_id bigint, n bigint, ids array<int>")
+    packed = partitioned_prefix_sum(
+        toks, order_col="doc_id", value_col="n", out_col="cum", shards=8
+    )
+    flat = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("doc_id").alias("d"), F.col("ids").alias("i")
+                    )
+                )
+            ),
+            lambda s: s["i"],
+        )
+    )
+    one_pass = sorted(
+        (int(r["seq_id"]), int(r["n_tokens"]), tuple(r["ids"]))
+        for r in packed.select(
+            F.floor((F.col("cum") - F.col("n")) / 512)
+            .cast("long")
+            .alias("seq_id"),
+            "doc_id",
+            "n",
+            "ids",
+        )
+        .groupBy("seq_id")
+        .agg(F.sum("n").cast("long").alias("n_tokens"), flat.alias("ids"))
+        .collect()
+    )
+    assert state(2) == one_pass  # telescoping, id streams included
+
+    # the fixture genuinely exercises a boundary-straddling sequence
+    # at SOME batch boundary: a seq already in state(b) whose row
+    # changed in state(b+1) (more tokens appended by the next batch)
+    grew = set()
+    for b in (0, 1):
+        prev_rows = state(b)
+        prev_ids = {s for s, _, _ in prev_rows}
+        for row in state(b + 1):
+            if row[0] in prev_ids and row not in prev_rows:
+                grew.add((b, row[0]))
+    assert grew, "no sequence straddled any batch boundary"
+
+    before = [state(b) for b in range(3)]
+    fn(batches[1], 1)  # at-least-once redelivery
+    assert [state(b) for b in range(3)] == before
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

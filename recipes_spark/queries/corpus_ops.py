@@ -4256,6 +4256,161 @@ def x4_quality_classifier_eval(
     )
 
 
+_QTA_CALIBRATION_ORACLE = f"""
+WITH lbl AS MATERIALIZED (
+  SELECT doc_id, text,
+         ((len(w) BETWEEN 30 AND 80)
+          AND (floor(1000000.0 * (nc - len(w) + 1) / len(w))
+               BETWEEN 4000000 AND 5500000)
+          AND (floor(1000000.0 * (1.0 - len(list_distinct(w)) * 1.0 / len(w)))
+               <= 400000)) AS keep_lbl
+  FROM (SELECT doc_id, text, len(text) AS nc, string_split(text, ' ') AS w
+        FROM documents)
+), bt AS MATERIALIZED (
+  SELECT doc_id, keep_lbl,
+         CAST(('0x' || substr(sha256('qf:' || tok), 1, 8)) AS BIGINT)
+           % {_QTA_DIM} AS b
+  FROM (SELECT doc_id, keep_lbl, unnest(string_split(text, ' ')) AS tok
+        FROM lbl)
+), stats AS MATERIALIZED (
+  SELECT b,
+         sum(CASE WHEN keep_lbl THEN 1 ELSE 0 END) AS pos,
+         count(*) AS tot
+  FROM bt GROUP BY b
+), prior AS MATERIALIZED (
+  SELECT sum(pos) AS posall, sum(tot) AS totall,
+         (2000000 * sum(pos)) // sum(tot) AS q0
+  FROM stats
+), wt AS MATERIALIZED (
+  SELECT b,
+         (2000000 * (pos * (SELECT totall FROM prior)
+                     + (SELECT posall FROM prior)))
+           // ((SELECT totall FROM prior) * (tot + 1))
+           - (SELECT q0 FROM prior) AS w
+  FROM stats
+), s AS (
+  SELECT doc_id, any_value(keep_lbl) AS keep_lbl,
+         CAST(floor(sum(w) / count(*)) AS BIGINT) AS score_micro
+  FROM bt JOIN wt USING (b)
+  GROUP BY doc_id
+), binned AS (
+  SELECT greatest(least(CAST(floor(score_micro / 2000.0) AS BIGINT),
+                        4), -5) AS bin,
+         keep_lbl
+  FROM s
+)
+SELECT bin,
+       CAST(bin * 2000 AS BIGINT) AS bin_lo_micro,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep_lbl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_label_keep,
+       CAST(floor(1000000.0 * sum(CASE WHEN keep_lbl THEN 1 ELSE 0 END)
+            / count(*)) AS BIGINT) AS label_keep_rate_micro
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+@query("x4_classifier_calibration", oracle=_QTA_CALIBRATION_ORACLE)
+def x4_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CALIBRATION CURVE (reliability diagram) for the trained quality
+    classifier — the artifact a data team reads before choosing a
+    filter threshold: docs binned by classifier score (fixed 0.002
+    bands around the prior-centered zero, outer bands clamped so the
+    grid is bounded), each bin reporting how often the weak label
+    actually says keep. A monotone curve means the score RANKS
+    quality even where the hard threshold is debatable; a flat curve
+    means the classifier adds nothing over the prior — with this
+    corpus the curve rises steeply through zero, which is why the
+    keep ⇔ score ≥ 1 boundary works at every SF. Training and
+    scoring replay the attested train_apply chain; binning and rates
+    are exact integers (floor(score/2000) with clamped edges, rate
+    in floor micros), so the whole diagram is oracle-replayed.
+
+    100 TB: one training exchange (dim-bounded) + one scoring scan +
+    a ≤10-row aggregate — the curve costs nothing beyond the
+    classifier itself."""
+    d = load(spark, sf_dir, "documents")
+    labeled = scale_partitions(d).select(
+        "doc_id", "text", _gopher_keep_expr().alias("lbl")
+    )
+    stats = (
+        labeled.select("lbl", F.explode(F.split("text", " ")).alias("tok"))
+        .select(
+            "lbl",
+            _bucket(F.concat(F.lit("qf:"), F.col("tok")), _QTA_DIM).alias(
+                "b"
+            ),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lbl"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+            F.count(F.lit(1)).cast("long").alias("tot"),
+        )
+        .collect()
+    )
+    pos_all = sum(int(r["pos"]) for r in stats)
+    tot_all = sum(int(r["tot"]) for r in stats)
+    q0 = (2_000_000 * pos_all) // tot_all
+    weights = {
+        int(r["b"]): (
+            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
+        )
+        // (tot_all * (int(r["tot"]) + 1))
+        - q0
+        for r in stats
+    }
+    gen = quality_score_kernel(
+        weights,
+        _QTA_DIM,
+        _QTA_BASE_MICRO,
+        _QTA_THRESHOLD_MICRO,
+        passthrough=("lbl",),
+    )
+    scored = labeled.mapInPandas(
+        gen,
+        schema="doc_id bigint, n_tok bigint, score_micro bigint,"
+        " keep int, lbl boolean",
+    )
+    binned = scored.select(
+        F.greatest(
+            F.least(
+                F.floor(F.col("score_micro") / 2000.0).cast("long"),
+                F.lit(4),
+            ),
+            F.lit(-5),
+        ).alias("bin"),
+        "lbl",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("lbl"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_label_keep"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.sum(F.when(F.col("lbl"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("label_keep_rate_micro"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 2000).cast("long").alias("bin_lo_micro"),
+            "n_docs",
+            "n_label_keep",
+            "label_keep_rate_micro",
+        )
+        .orderBy("bin")
+    )
+
+
 #: Second weak labeler for the cross-labeler evaluation: Flesch
 #: reading-ease ≥ 77.0 (milli units — ~the corpus median at every SF,
 #: so the signal demonstrably fires in both directions). Deliberately a

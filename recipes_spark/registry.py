@@ -322,6 +322,7 @@ _DEFER: dict[str, int] = {
     "x4_quality_classifier_crosseval": 14,
     "x3_ivf_pq_residual_topk": 14,
     "st30_stream_packing": 14,
+    "x4_classifier_calibration": 14,
 }
 
 

@@ -531,6 +531,30 @@ def test_st30_packing_carry_telescopes_and_retries(
     assert [state(b) for b in range(3)] == before
 
 
+def test_classifier_calibration_separates(spark, sf_dir, oracle_sf_dir):
+    """The calibration curve must show the score actually RANKS the
+    label at both gate SFs: the pooled label-keep rate of the
+    above-threshold bins (score ≥ 2000 micro) beats the pooled rate
+    of the below-prior bins (score < 0) by at least 2× — per-bin
+    monotonicity is noise at small n, pooled separation is the
+    signal a threshold decision needs."""
+    from recipes_spark.registry import all_queries
+
+    qs = all_queries()
+    for sf in (sf_dir, oracle_sf_dir):
+        rows = qs["x4_classifier_calibration"](spark, sf).collect()
+        hi_n = sum(int(r["n_docs"]) for r in rows if int(r["bin"]) >= 1)
+        hi_k = sum(
+            int(r["n_label_keep"]) for r in rows if int(r["bin"]) >= 1
+        )
+        lo_n = sum(int(r["n_docs"]) for r in rows if int(r["bin"]) < 0)
+        lo_k = sum(
+            int(r["n_label_keep"]) for r in rows if int(r["bin"]) < 0
+        )
+        assert hi_n > 0 and lo_n > 0, rows
+        assert hi_k * lo_n >= 2 * lo_k * hi_n, (sf, rows)
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

@@ -555,6 +555,38 @@ def test_classifier_calibration_separates(spark, sf_dir, oracle_sf_dir):
         assert hi_k * lo_n >= 2 * lo_k * hi_n, (sf, rows)
 
 
+def test_pca_project_pinned_by_exact_sibling(spark, sf_dir):
+    """x3_pca_project stays rows-only (LAPACK's last ulp is not a
+    cross-engine contract), but it no longer floats free: its two
+    projection columns must agree with the fully-oracled fixed-point
+    sibling's (x3_power_iteration_top2) up to sign, |corr| ≥ 0.99 per
+    component — the 'gate it against an exact sibling on both axes'
+    close-out the r13 verdict asked for."""
+    from recipes_spark.registry import all_queries
+
+    qs = all_queries()
+    lap = {
+        int(r["vec_id"]): (float(r["pc1_micro"]), float(r["pc2_micro"]))
+        for r in qs["x3_pca_project"](spark, sf_dir).collect()
+    }
+    fix = {
+        int(r["vec_id"]): (float(r["pc1_fixed"]), float(r["pc2_fixed"]))
+        for r in qs["x3_power_iteration_top2"](spark, sf_dir).collect()
+    }
+    assert set(lap) == set(fix)
+    ids = sorted(lap)
+    for axis in (0, 1):
+        a = np.asarray([lap[i][axis] for i in ids])
+        b = np.asarray([fix[i][axis] for i in ids])
+        corr = abs(
+            float(
+                ((a - a.mean()) * (b - b.mean())).sum()
+                / (np.linalg.norm(a - a.mean()) * np.linalg.norm(b - b.mean()))
+            )
+        )
+        assert corr >= 0.99, (axis, corr)
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

@@ -3565,6 +3565,183 @@ def x6_release_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Test/debug hook: store of the most recent x6_release_resume run.
+_LAST_RESUME_STORE: list = []
+
+_RELEASE_RESUME_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(folded, e'[ \\x1f\\x1e]'),
+                       x -> x != ''),
+           x -> coalesce(list_position({_BPE_VOCAB_SQL}, x), 0)
+         ) AS ids
+  FROM (SELECT doc_id, {_bpe_fold_sql("marked")} AS folded
+        FROM (SELECT doc_id, {_bpe_marked_sql("text")} AS marked
+              FROM documents))
+), per AS MATERIALIZED (
+  SELECT CAST(floor((cum - n) / 512) AS BIGINT) AS seq_id, doc_id, n, ids
+  FROM (SELECT doc_id, len(ids) AS n, ids,
+               sum(len(ids)) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM tok)
+), seqs AS MATERIALIZED (
+  SELECT CAST('0x' || substr(sha256(CAST(seq_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 8 AS shard,
+         CAST(floor(seq_id / 64) AS BIGINT) AS chunk,
+         seq_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         sha256(array_to_string(flatten(list(ids ORDER BY doc_id)), ','))
+           AS ids_sha
+  FROM per GROUP BY seq_id
+), cur AS (SELECT (max(chunk) + 1) // 2 AS c FROM seqs),
+rem AS MATERIALIZED (
+  SELECT shard, chunk, count(*) AS c_seqs,
+         CAST(sum(n_tokens) AS BIGINT) AS c_tokens,
+         sha256(string_agg(ids_sha, ',' ORDER BY seq_id)) AS chunk_sha
+  FROM seqs WHERE chunk >= (SELECT c FROM cur)
+  GROUP BY shard, chunk
+)
+SELECT shard,
+       CAST((SELECT c FROM cur) AS BIGINT) AS cursor_chunk,
+       CAST(count(*) AS BIGINT) AS n_chunks_rem,
+       CAST(sum(c_seqs) AS BIGINT) AS n_seqs_rem,
+       CAST(sum(c_tokens) AS BIGINT) AS n_tokens_rem,
+       true AS chunks_verified
+FROM rem GROUP BY shard ORDER BY shard
+"""
+
+
+@query("x6_release_resume", oracle=_RELEASE_RESUME_ORACLE)
+def x6_release_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATALOADER RESUME from a committed release — the read-side
+    contract the physical release exists for: a trainer that died
+    mid-epoch restarts at a (chunk) cursor and must (a) know exactly
+    how much work remains per shard and (b) re-verify ONLY the
+    chunks it will actually read — never the whole release (that is
+    the point of the two-level manifest: chunk digests localize
+    trust). The corpus packs and commits exactly as
+    x6_release_materialize (snapshot v1, per-shard hive partitions);
+    the cursor is the deterministic mid-chunk ((max_chunk + 1) div 2,
+    so both sides of the boundary are non-empty at every SF); the
+    remainder is re-read THROUGH THE MANIFEST, its per-chunk digests
+    recomputed FROM FILES and compared chunk-by-chunk against the
+    plan-side manifest — the output row per shard carries the
+    remaining chunk/sequence/token counts and the per-shard AND of
+    the chunk-digest equalities. The oracle replays the packing, the
+    cursor arithmetic, and the remainder aggregation; the file-side
+    equality it asserts as true (the _RELEASE_ORACLE convention).
+
+    100 TB: resume cost is proportional to the REMAINDER (manifest
+    scan is metadata-sized; only chunks ≥ cursor are read and
+    digested), and each shard verifies independently — the property
+    that lets a 1000-worker training job restart without a full
+    release audit."""
+    import shutil
+    import tempfile
+
+    from recipes_spark.operators.prefix import partitioned_prefix_sum
+    from recipes_spark.plans.catalog import snapshot_commit, snapshot_read
+
+    d = scale_partitions(load(spark, sf_dir, "documents"))
+    gen = bpe_greedy_ids_kernel(_BPE_MERGES, _BPE_VOCAB)
+    toks = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, n bigint, ids array<int>"
+    )
+    packed = partitioned_prefix_sum(
+        toks, order_col="doc_id", value_col="n", out_col="cum", shards=32
+    )
+    per = packed.select(
+        F.floor((F.col("cum") - F.col("n")) / 512)
+        .cast("long")
+        .alias("seq_id"),
+        "doc_id",
+        "n",
+        "ids",
+    )
+    flat_ids = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("doc_id").alias("d"), F.col("ids").alias("i")
+                    )
+                )
+            ),
+            lambda s: s["i"],
+        )
+    )
+    seqs = (
+        per.groupBy("seq_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            flat_ids.alias("ids"),
+        )
+        .select(
+            _bucket(F.col("seq_id").cast("string"), 8).alias("shard"),
+            F.floor(F.col("seq_id") / 64).cast("long").alias("chunk"),
+            "seq_id",
+            "n_tokens",
+            "ids",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for prev in _LAST_RESUME_STORE:
+        shutil.rmtree(prev, ignore_errors=True)
+    store = tempfile.mkdtemp(prefix="recipes_release_resume_")
+    _LAST_RESUME_STORE.clear()
+    _LAST_RESUME_STORE.append(store)
+    snapshot_commit(
+        spark,
+        seqs.withColumn("shard_key", F.col("shard")).repartition(
+            "shard_key"
+        ),
+        store,
+        1,
+        partition_by=("shard_key",),
+    )
+    cursor = (
+        seqs.agg(((F.max("chunk") + 1) / 2).cast("long")).collect()[0][0]
+    )
+
+    def chunk_digests(df: DataFrame, suffix: str) -> DataFrame:
+        return (
+            _seq_ids_sha(df)
+            .filter(F.col("chunk") >= cursor)
+            .groupBy("shard", "chunk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"c_seqs{suffix}"),
+                F.sum("n_tokens").cast("long").alias(f"c_tokens{suffix}"),
+                _ordered_sha("seq_id", "ids_sha").alias(
+                    f"chunk_sha{suffix}"
+                ),
+            )
+        )
+
+    plan = chunk_digests(seqs, "")
+    files = chunk_digests(
+        snapshot_read(spark, store, 1).select(
+            "shard", "chunk", "seq_id", "n_tokens", "ids"
+        ),
+        "_f",
+    )
+    return (
+        plan.join(files, ["shard", "chunk"], "full")
+        .groupBy("shard")
+        .agg(
+            F.lit(int(cursor)).cast("long").alias("cursor_chunk"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks_rem"),
+            F.sum("c_seqs").cast("long").alias("n_seqs_rem"),
+            F.sum("c_tokens").cast("long").alias("n_tokens_rem"),
+            F.min(
+                F.col("chunk_sha").eqNullSafe(F.col("chunk_sha_f"))
+                & F.col("c_seqs").eqNullSafe(F.col("c_seqs_f"))
+                & F.col("c_tokens").eqNullSafe(F.col("c_tokens_f"))
+            ).alias("chunks_verified"),
+        )
+        .orderBy("shard")
+    )
+
+
 # Hashed-feature linear quality classifier (the fastText shape of the
 # GPT-3/LLaMA quality-filter stage, public): token -> sha-slice bucket
 # in [0, _QF_DIM), score = mean of per-bucket integer-micro weights.

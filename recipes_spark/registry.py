@@ -323,6 +323,7 @@ _DEFER: dict[str, int] = {
     "x3_ivf_pq_residual_topk": 14,
     "st30_stream_packing": 14,
     "x4_classifier_calibration": 14,
+    "x6_release_resume": 14,
 }
 
 

@@ -587,6 +587,42 @@ def test_pca_project_pinned_by_exact_sibling(spark, sf_dir):
         assert corr >= 0.99, (axis, corr)
 
 
+def test_release_resume_bounds_verification(spark, sf_dir):
+    """x6_release_resume's contract: every remaining chunk verifies
+    from the real store re-read, and the cursor genuinely BOUNDS the
+    work — the remainder is non-empty but strictly smaller than the
+    full release (chunks below the cursor are never read or
+    digested), per shard."""
+    from recipes_spark.queries.corpus_ops import _LAST_RESUME_STORE
+    from recipes_spark.registry import all_queries
+
+    qs = all_queries()
+    rows = qs["x6_release_resume"](spark, sf_dir).collect()
+    assert rows and all(bool(r["chunks_verified"]) for r in rows), rows
+    assert all(int(r["n_chunks_rem"]) >= 1 for r in rows)
+    # full release for comparison: total chunks per shard from the
+    # store the query just committed
+    import os
+
+    import pyspark.sql.functions as FF
+
+    store = _LAST_RESUME_STORE[0]
+    full = (
+        spark.read.parquet(os.path.join(store, "data", "v1"))
+        .select("shard", "chunk")
+        .distinct()
+        .groupBy("shard")
+        .agg(FF.count(FF.lit(1)).alias("n_chunks"))
+        .collect()
+    )
+    total = {int(r["shard"]): int(r["n_chunks"]) for r in full}
+    for r in rows:
+        assert int(r["n_chunks_rem"]) < total[int(r["shard"])], (
+            r,
+            total,
+        )
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

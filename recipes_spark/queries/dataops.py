@@ -5437,6 +5437,146 @@ def x3_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_graph_ivf_oracle_sql(
+    k_coarse: int = 16, coarse_iters: int = 3, nprobe: int = 4,
+    topk: int = 3,
+) -> str:
+    """x3_knn_graph_ivf oracle: the distributed coarse chain, EVERY
+    vector's cell distances (cq_fd), its top-nprobe probe set, the
+    cell-membership candidate join, exact cosine over candidates, and
+    the per-node top-k window — x3_ivf_distrib_topk's replay with the
+    whole corpus as the query set."""
+    ctes = _coarse_train_ctes(
+        k=k_coarse, iters=coarse_iters, prefix="cq_"
+    )
+    ctes += [
+        "cq_fd AS MATERIALIZED (SELECT e.vec_id, c.cid,"
+        " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM cq_el e JOIN cq_c{coarse_iters} c ON e.d = c.d"
+        " GROUP BY e.vec_id, c.cid)",
+        "cq_fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM cq_fd) WHERE rn = 1)",
+        "probe AS MATERIALIZED (SELECT vec_id AS qid, cid FROM ("
+        "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
+        f" ORDER BY d2, cid) AS rn FROM cq_fd) WHERE rn <= {nprobe})",
+        "cand AS (SELECT p.qid, f.vec_id AS cid FROM cq_fa f"
+        " JOIN probe p ON p.cid = f.cid WHERE f.vec_id != p.qid)",
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
+        "sims AS (SELECT s.qid, s.cid,"
+        " list_dot_product(a.ev, b.ev) /"
+        " (sqrt(list_dot_product(a.ev, a.ev)) *"
+        " sqrt(list_dot_product(b.ev, b.ev))) AS sim"
+        " FROM cand s JOIN v a ON a.vec_id = s.qid"
+        " JOIN v b ON b.vec_id = s.cid)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT qid, cid, round(sim, 4) AS cosine_sim, rnk FROM (\n"
+        "  SELECT qid, cid, sim,\n"
+        "         CAST(row_number() OVER (PARTITION BY qid\n"
+        "              ORDER BY sim DESC, cid) AS BIGINT) AS rnk\n"
+        f"  FROM sims) WHERE rnk <= {topk}\n"
+        "ORDER BY qid, rnk"
+    )
+
+
+@query("x3_knn_graph_ivf", oracle=_knn_graph_ivf_oracle_sql())
+def x3_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ACCELERATED k-NN graph — the production path x3_knn_graph's
+    own docstring names ("swap the block pairing for IVF list
+    membership"), delivered: every vector probes its nprobe nearest
+    coarse cells (a distributed Arrow kernel over the corpus — the
+    query side of a graph build is the corpus, so nothing collects),
+    candidates are the members of probed cells (a cell-keyed
+    equi-join — each (query, candidate) pair arises at most once
+    because a candidate lives in exactly one cell), and exact cosine
+    decides the per-node top-3. The coarse book is the distributed
+    trainer's; cells, probe sets, and candidates are exact int64
+    arithmetic, so the DuckDB oracle replays the WHOLE build and the
+    approximation is purely the deterministic candidate set. Edge
+    recall vs the exact blocked self-join graph is gated in
+    tests/test_intent_round14.py.
+
+    100 TB: replaces the brute graph's O(n²/B) tiles with
+    O(n · cell_size · nprobe) candidate work — the corpus NEVER
+    self-joins; both sides of the candidate join are cell-keyed
+    (bucket by cell id at write time and it is a zero-exchange join);
+    the probe kernel is one embarrassingly-parallel scan with the
+    k·dim book in its closure."""
+    import numpy as np
+    import pandas as pd
+
+    from recipes_spark.operators.similarity import (
+        _d2_int,
+        pq_encode_int,
+        train_coarse_centroids_int,
+    )
+
+    nprobe = 4
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = train_coarse_centroids_int(
+        emb, k=16, iters=3, hash_tag="pq:0"
+    )
+
+    def probes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Xm = np.floor(X * 1000.0).astype(np.int64)
+            d2 = _d2_int(Xm, cents)
+            # stable argsort = (d2, cell) ascending, ties to lowest cell
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(ids, nprobe),
+                    "__list": idx.reshape(-1).astype(np.int32),
+                }
+            )
+
+    probe_df = scale_partitions(emb).mapInPandas(
+        probes, "qid long, __list int"
+    )
+    assigned = pq_encode_int(emb, cents[None, :, :]).select(
+        F.col("vec_id").alias("cid"),
+        F.col("codes_packed").cast("int").alias("__list"),
+    )
+    cand = probe_df.join(assigned, "__list").filter(
+        F.col("qid") != F.col("cid")
+    )
+    qv = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    cv = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+
+    def as_d(col):
+        return F.transform(F.col(col), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qe, ce = as_d("qe"), as_d("ce")
+    sim = dot(qe, ce) / (F.sqrt(dot(qe, qe)) * F.sqrt(dot(ce, ce)))
+    pairs = (
+        cand.join(qv, "qid").join(cv, "cid").select("qid", "cid", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "qid", "cid", F.round("sim", 4).alias("cosine_sim"), "rnk"
+        )
+        .orderBy("qid", "rnk")
+    )
+
+
 _MODULARITY_ORACLE = f"""
 WITH nodes AS (
   SELECT doc_id AS node, (SELECT count(*) FROM documents) AS n

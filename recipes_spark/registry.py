@@ -324,6 +324,7 @@ _DEFER: dict[str, int] = {
     "st30_stream_packing": 14,
     "x4_classifier_calibration": 14,
     "x6_release_resume": 14,
+    "x3_knn_graph_ivf": 14,
 }
 
 

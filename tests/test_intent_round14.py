@@ -623,6 +623,30 @@ def test_release_resume_bounds_verification(spark, sf_dir):
         )
 
 
+def test_knn_graph_ivf_edge_recall(spark, sf_dir):
+    """The IVF-accelerated graph must recover a useful fraction of the
+    exact graph's edges (mean per-node overlap of the top-3 sets ≥
+    0.5 — the same recall class the single-query IVF leg holds at
+    nprobe=4/16 on this near-uniform corpus), and every node must get
+    a full top-3 (probed cells always hold ≥ 3 other vectors at these
+    SFs)."""
+    from recipes_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {}
+    for r in qs["x3_knn_graph"](spark, sf_dir).collect():
+        exact.setdefault(int(r["qid"]), set()).add(int(r["cid"]))
+    approx = {}
+    for r in qs["x3_knn_graph_ivf"](spark, sf_dir).collect():
+        approx.setdefault(int(r["qid"]), set()).add(int(r["cid"]))
+    assert set(approx) == set(exact)
+    assert all(len(v) == 3 for v in approx.values())
+    recall = sum(
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ) / len(exact)
+    assert recall >= 0.5, f"graph edge recall {recall:.3f} < 0.5"
+
+
 @pytest.fixture(scope="module")
 def topk_pair(spark, sf_dir):
     from recipes_spark.operators.similarity import brute_force_topk

@@ -4096,6 +4096,29 @@ def _gopher_keep_expr():
     )
 
 
+
+def _qta_weights_from_stats(stats) -> dict:
+    """Prior-shrunk integer posterior-odds weights from collected
+    (b, pos, tot) training rows: w(b) = (2·10⁶·(pos·TOT + POS)) div
+    (TOT·(tot + 1)) − q0 with q0 = (2·10⁶·POS) div TOT — shrinkage
+    toward the corpus PRIOR, not ½ (see the train_apply docstring for
+    why Laplace smoothing classifies everything keep below a ½ base
+    rate). ONE definition for the five classifier queries
+    (train_apply, eval, crosseval, calibration, st29) so the exact
+    arithmetic their five oracles replay cannot drift between them."""
+    pos_all = sum(int(r["pos"]) for r in stats)
+    tot_all = sum(int(r["tot"]) for r in stats)
+    q0 = (2_000_000 * pos_all) // tot_all
+    return {
+        int(r["b"]): (
+            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
+        )
+        // (tot_all * (int(r["tot"]) + 1))
+        - q0
+        for r in stats
+    }
+
+
 _QTA_ORACLE = f"""
 WITH lbl AS MATERIALIZED (
   SELECT doc_id, text,
@@ -4208,17 +4231,7 @@ def x4_quality_classifier_train_apply(
         )
         .collect()
     )
-    pos_all = sum(int(r["pos"]) for r in stats)
-    tot_all = sum(int(r["tot"]) for r in stats)
-    q0 = (2_000_000 * pos_all) // tot_all
-    weights = {
-        int(r["b"]): (
-            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
-        )
-        // (tot_all * (int(r["tot"]) + 1))
-        - q0
-        for r in stats
-    }
+    weights = _qta_weights_from_stats(stats)
     gen = quality_score_kernel(
         weights, _QTA_DIM, _QTA_BASE_MICRO, _QTA_THRESHOLD_MICRO
     )
@@ -4356,17 +4369,7 @@ def x4_quality_classifier_eval(
         )
         .collect()
     )
-    pos_all = sum(int(r["pos"]) for r in stats)
-    tot_all = sum(int(r["tot"]) for r in stats)
-    q0 = (2_000_000 * pos_all) // tot_all
-    weights = {
-        int(r["b"]): (
-            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
-        )
-        // (tot_all * (int(r["tot"]) + 1))
-        - q0
-        for r in stats
-    }
+    weights = _qta_weights_from_stats(stats)
     gen = quality_score_kernel(
         weights,
         _QTA_DIM,
@@ -4529,17 +4532,7 @@ def x4_classifier_calibration(
         )
         .collect()
     )
-    pos_all = sum(int(r["pos"]) for r in stats)
-    tot_all = sum(int(r["tot"]) for r in stats)
-    q0 = (2_000_000 * pos_all) // tot_all
-    weights = {
-        int(r["b"]): (
-            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
-        )
-        // (tot_all * (int(r["tot"]) + 1))
-        - q0
-        for r in stats
-    }
+    weights = _qta_weights_from_stats(stats)
     gen = quality_score_kernel(
         weights,
         _QTA_DIM,
@@ -4727,17 +4720,7 @@ def x4_quality_classifier_crosseval(
         )
         .collect()
     )
-    pos_all = sum(int(r["pos"]) for r in stats)
-    tot_all = sum(int(r["tot"]) for r in stats)
-    q0 = (2_000_000 * pos_all) // tot_all
-    weights = {
-        int(r["b"]): (
-            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
-        )
-        // (tot_all * (int(r["tot"]) + 1))
-        - q0
-        for r in stats
-    }
+    weights = _qta_weights_from_stats(stats)
     gen = quality_score_kernel(
         weights, _QTA_DIM, _QTA_BASE_MICRO, _QTA_THRESHOLD_MICRO
     )

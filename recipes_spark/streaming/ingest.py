@@ -2646,14 +2646,14 @@ def st29_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged from the batch query. Retry-idempotent by the family
     contract (per-bid overwrite, prior-only reads — gated in
     tests/test_intent_round14.py)."""
-    from recipes_spark.io import load
+    from recipes_spark.io import load, scale_partitions
     from recipes_spark.queries.corpus_ops import (
         _QTA_BASE_MICRO,
         _QTA_DIM,
         _QTA_THRESHOLD_MICRO,
+        _qta_weights_from_stats,
         quality_score_kernel,
     )
-    from recipes_spark.io import scale_partitions
     from recipes_spark.streaming.core import stage_ordered
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2686,17 +2686,7 @@ def st29_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    pos_all = sum(int(r["pos"]) for r in stats)
-    tot_all = sum(int(r["tot"]) for r in stats)
-    q0 = (2_000_000 * pos_all) // tot_all
-    weights = {
-        int(r["b"]): (
-            2_000_000 * (int(r["pos"]) * tot_all + pos_all)
-        )
-        // (tot_all * (int(r["tot"]) + 1))
-        - q0
-        for r in stats
-    }
+    weights = _qta_weights_from_stats(stats)
     gen = quality_score_kernel(
         weights, _QTA_DIM, _QTA_BASE_MICRO, _QTA_THRESHOLD_MICRO
     )

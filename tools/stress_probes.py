@@ -1837,11 +1837,115 @@ def probe_adc_table_broadcast(spark: SparkSession) -> dict:
     return out
 
 
+def probe_residual_pq_10x(spark: SparkSession) -> dict:
+    """Residual vs raw IVF-PQ at 1× and 10× vectors (id-shifted
+    replication), same knobs (m=4 × k=256 byte codes, n_centroids=16,
+    nprobe=14, refine=16): recall@10 vs brute force and wall per leg,
+    plus the mean reconstruction-SSE ratio (residual ÷ raw) — the
+    number the residual claim stands on as the corpus grows."""
+    import numpy as np
+    import pyspark.sql.functions as FF
+
+    from recipes_spark.io import load
+    from recipes_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_residual_topk_int,
+        ivf_pq_topk_int,
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+        _d2_int,
+        _train_books_from_milli,
+    )
+
+    e0 = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n = e0.count()
+    out = {"probe": "residual_pq_10x", "n_vectors_1x": n}
+    for r in (1, 10):
+        e = (
+            e0.crossJoin(spark.range(r).select(FF.col("id").alias("__r")))
+            .select(
+                (FF.col("vec_id") + FF.col("__r") * n).alias("vec_id"),
+                "embedding",
+            )
+            .localCheckpoint(eager=True)
+        )
+        q = e.filter(FF.col("vec_id") < 5).select(
+            FF.col("vec_id").alias("query_id"),
+            FF.col("embedding").alias("query_vec"),
+        )
+        exact = {
+            (x.query_id, x.vec_id)
+            for x in brute_force_topk(e, q, k=10).collect()
+        }
+        coarse = train_coarse_centroids_int(e, k=16, iters=3)
+
+        def rec(rows):
+            return round(
+                sum(1 for x in rows if (x.query_id, x.vec_id) in exact)
+                / len(exact),
+                3,
+            )
+
+        def raw():
+            return ivf_pq_topk_int(
+                e, q, k=10, n_centroids=16, nprobe=14, refine=16,
+                m=4, k_codes=256, code_bits=8, coarse_milli=coarse,
+            ).collect()
+
+        def res():
+            return ivf_pq_residual_topk_int(
+                e, q, k=10, n_centroids=16, nprobe=14, refine=16,
+                m=4, k_codes=256, code_bits=8, coarse_milli=coarse,
+            ).collect()
+
+        t0 = time.time(); raw_rows = raw(); t_raw = time.time() - t0
+        t0 = time.time(); res_rows = res(); t_res = time.time() - t0
+        out[f"recall_raw_{r}x"] = rec(raw_rows)
+        out[f"recall_residual_{r}x"] = rec(res_rows)
+        out[f"wall_sec_raw_{r}x"] = round(t_raw, 2)
+        out[f"wall_sec_residual_{r}x"] = round(t_res, 2)
+        # distortion ratio on the shared sample-trained books
+        srows = (
+            e.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(2048).collect()
+        )
+        sids = [int(x[0]) for x in srows]
+        Sm = np.floor(
+            np.asarray(
+                [np.asarray(x[1], dtype=np.float64) for x in srows]
+            )
+            * 1000.0
+        ).astype(np.int64)
+        cells = np.argmin(_d2_int(Sm, coarse), axis=1)
+        rb = _train_books_from_milli(sids, Sm, m=4, k=256, iters=5)
+        eb = _train_books_from_milli(
+            sids, Sm - coarse[cells], m=4, k=256, iters=5
+        )
+        sse_raw = (
+            pq_encode_int(e, rb, code_bits=8)
+            .agg(FF.avg("sse_milli2"))
+            .collect()[0][0]
+        )
+        sse_res = (
+            pq_encode_int(
+                e, eb, code_bits=8, coarse_milli=coarse, residual=True
+            )
+            .agg(FF.avg("sse_milli2"))
+            .collect()[0][0]
+        )
+        out[f"sse_ratio_residual_over_raw_{r}x"] = round(
+            float(sse_res) / float(sse_raw), 3
+        )
+    return out
+
+
 PROBES = {
     "minhash_portable": probe_minhash_portable,
     "coarse_kmeans_scaling": probe_coarse_kmeans_scaling,
     "coarse_trainer_r14": probe_coarse_trainer_r14,
     "adc_table_broadcast": probe_adc_table_broadcast,
+    "residual_pq_10x": probe_residual_pq_10x,
     "dp_chunked_dense": probe_dp_chunked_dense,
     "packing_tail_100x": probe_packing_tail_100x,
     "dp_grid_10x": probe_dp_grid_10x,

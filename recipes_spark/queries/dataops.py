@@ -745,6 +745,7 @@ def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_train_encode_ctes(
     m: int = 8, k: int = 16, sample: int = 2048, iters: int = 5,
     dim: int = 64, prefix: str = "", ej_body: str | None = None,
+    sample_src: str = "embeddings",
 ) -> list[str]:
     """Shared CTE chain replaying train_pq_codebooks_int +
     the corpus code assignment: milli-grid values, hash-ranked init,
@@ -763,7 +764,10 @@ def _pq_train_encode_ctes(
     the residual IVF-PQ oracle trains the SAME chain over residual
     coordinates (mv − assigned coarse centroid) instead of the raw
     milli grid; everything downstream (init, rounds, fa) is
-    untouched."""
+    untouched. ``sample_src`` overrides the table the training-sample
+    id prefix is drawn from (the index-append oracle samples the BASE
+    split only, while ej — and therefore the final fa assignment —
+    still spans the full corpus)."""
     sub = dim // m
     default_ej = (
         "SELECT vec_id,"
@@ -775,7 +779,7 @@ def _pq_train_encode_ctes(
     ctes = [
         # (vec_id, j, d, mv): milli-grid values keyed by subspace.
         f"{prefix}ej AS MATERIALIZED ({ej_body or default_ej})",
-        f"{prefix}sids AS (SELECT vec_id FROM embeddings ORDER BY vec_id"
+        f"{prefix}sids AS (SELECT vec_id FROM {sample_src} ORDER BY vec_id"
         f" LIMIT {sample})",
         f"{prefix}sj AS MATERIALIZED (SELECT e.* FROM {prefix}ej e JOIN {prefix}sids USING (vec_id))",
         # Hash-ranked init: centroid c of subspace j = the sample
@@ -3187,7 +3191,8 @@ def x7_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _coarse_train_ctes(
-    k: int = 16, iters: int = 3, prefix: str = ""
+    k: int = 16, iters: int = 3, prefix: str = "",
+    src: str = "embeddings",
 ) -> list[str]:
     """CTE chain replaying train_coarse_centroids_int: hash-ranked
     init, then per round an exact-integer assignment (argmin L2 on the
@@ -3197,16 +3202,20 @@ def _coarse_train_ctes(
     Shared by the trainer oracle (x3_coarse_quantizer_train), the
     served composition (x3_ivf_distrib_topk), and — via ``prefix``, to
     keep its names disjoint from the PQ chain's — the fully
-    distributed IVF-PQ composition (x3_ivf_pq_distrib_topk)."""
+    distributed IVF-PQ composition (x3_ivf_pq_distrib_topk).
+
+    ``src`` overrides the training corpus (default the full embeddings
+    table) — the index-append oracle trains on a hash-split BASE
+    subset CTE while assignments still run over the full corpus."""
     px = prefix
     ctes = [
         f"{px}el AS MATERIALIZED (SELECT vec_id,"
         " generate_subscripts(embedding, 1) - 1 AS d,"
         " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
-        " AS mv FROM embeddings)",
+        f" AS mv FROM {src})",
         f"{px}hsrc AS (SELECT vec_id,"
         " CAST(('0x' || substr(sha256('pq:0:' || CAST(vec_id AS VARCHAR)),"
-        " 1, 15)) AS BIGINT) AS h FROM embeddings)",
+        f" 1, 15)) AS BIGINT) AS h FROM {src})",
         f"{px}init AS MATERIALIZED (SELECT vec_id, cid FROM ("
         f"SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid"
         f" FROM {px}hsrc) WHERE cid < {k})",
@@ -4065,83 +4074,6 @@ def _embedding_gram(emb: DataFrame) -> DataFrame:
     )
 
 
-@query("x3_pca_project")
-def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection of the embedding corpus onto its top-2 principal
-    components — the dimensionality-reduction / visualization /
-    whitening step downstream of x3_embedding_covariance, and the
-    standard pre-step before coarse quantization. The covariance comes
-    from the SAME mergeable integer-Gram sketch (shared
-    _embedding_gram); the d x d eigenproblem is DRIVER-side numpy
-    (metadata-bounded: 64x64 regardless of corpus size — the only
-    data the driver ever sees is the d^2-cell sketch), and the
-    projection broadcasts the two eigenvectors back as literals into
-    one Arrow-batched pass over the vectors.
-
-    Rows-only by design (eigenvectors are irrational; LAPACK's last
-    ulp is not a cross-engine contract). The local quality gates
-    (tests/test_intent_round7c.py) pin what matters: orthonormal
-    components, explained variance ordered and positive, projection
-    equal to a direct numpy reference, and sign fixed by the
-    largest-|component|-positive convention so reruns are
-    deterministic.
-
-    100 TB: sketch pass = one shuffle of O(d^2 x partitions) rows;
-    eigh is O(d^3) driver math; projection is embarrassingly parallel
-    with the components broadcast — no second shuffle anywhere."""
-    import numpy as np
-
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    merged = _embedding_gram(emb).collect()
-    d = max(r["i"] for r in merged)
-    n = 0
-    S = np.zeros(d, dtype=np.int64)
-    G = np.zeros((d, d), dtype=np.int64)
-    for r in merged:
-        if r["j"] == 0:
-            S[r["i"] - 1] = r["sij"]
-        else:
-            G[r["i"] - 1, r["j"] - 1] = r["sij"]
-            G[r["j"] - 1, r["i"] - 1] = r["sij"]
-            if r["i"] == 1 and r["j"] == 1:
-                n = r["n"]
-    # Covariance in micro^2 units: (G - outer(S,S)/n) / n.
-    C = (G.astype(np.float64) - np.outer(S, S) / n) / n
-    evals, evecs = np.linalg.eigh(C)
-    comps = []
-    for k in (d - 1, d - 2):  # top-2 by ascending-eigh order
-        v = evecs[:, k]
-        # Deterministic sign: the largest-|component| entry is positive.
-        if v[np.argmax(np.abs(v))] < 0:
-            v = -v
-        comps.append(v)
-    mean = S.astype(np.float64) / n
-    V = np.stack(comps)  # (2, d)
-
-    def project(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            E = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
-            )
-            Q = np.floor(E * 1e6) - mean
-            P = Q @ V.T  # (b, 2), micro units
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "pc1_micro": np.floor(P[:, 0]).astype(np.int64),
-                    "pc2_micro": np.floor(P[:, 1]).astype(np.int64),
-                }
-            )
-
-    return (
-        scale_partitions(emb)
-        .mapInPandas(project, "vec_id long, pc1_micro long, pc2_micro long")
-        .orderBy("vec_id")
-    )
-
-
 def _tdiv(a: int, b: int) -> int:
     """Truncate-toward-zero integer division — the semantics BOTH SQL
     engines share (Spark `div`, DuckDB `//`: -7//2 = -3), which Python
@@ -4322,7 +4254,22 @@ def _powit_signed_init_py(tag: str, d: int) -> list[int]:
     ]
 
 
-def _powit_top2_oracle_sql(rounds: int = _POWIT2_ROUNDS) -> str:
+#: Default projection tail of the top-2 oracle — everything after the
+#: last chain CTE (``mu``). x3_pca_project's oracle swaps in its own
+#: tail (max-normalized micro projection) over the IDENTICAL chain.
+_POWIT2_DEFAULT_TAIL = """
+SELECT e.vec_id,
+ CAST(sum(v.v * (e.mv - m2.mu)) AS BIGINT) AS pc1_fixed,
+ CAST(sum(u.v * (e.mv - m2.mu)) AS BIGINT) AS pc2_fixed
+FROM el e JOIN vf v ON v.j = e.d JOIN uf u ON u.j = e.d
+JOIN mu m2 ON m2.j = e.d
+GROUP BY e.vec_id ORDER BY e.vec_id
+"""
+
+
+def _powit_top2_oracle_sql(
+    rounds: int = _POWIT2_ROUNDS, tail: str = _POWIT2_DEFAULT_TAIL
+) -> str:
     """x3_power_iteration_top2 oracle: the integer Gram/scatter chain,
     `rounds` fixed-point steps for component 1 from the signed init,
     then `rounds` DEFLATED steps for component 2 — each round
@@ -4337,7 +4284,12 @@ def _powit_top2_oracle_sql(rounds: int = _POWIT2_ROUNDS) -> str:
     cost (~0.75 s/round measured) — the recursive twins run the whole
     oracle in ~2.5 s. Per-round scalars (the renormalizer max|w| and
     the deflation dot v₁ᵀw) are windows OVER () inside the recursive
-    term, which DuckDB evaluates per iteration batch."""
+    term, which DuckDB evaluates per iteration batch.
+
+    ``tail`` replaces the final projection SELECT (and may prepend
+    extra CTEs after ``mu``) — the x3_pca_project oracle reuses the
+    whole two-component chain with a max-normalized projection tail;
+    the default reproduces the x3_power_iteration_top2 text verbatim."""
     return f"""
 WITH RECURSIVE el AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
@@ -4384,14 +4336,7 @@ usgn AS (SELECT CASE WHEN (SELECT v FROM pu WHERE iter = {rounds}
   ORDER BY abs(v) DESC, j LIMIT 1) < 0 THEN -1 ELSE 1 END AS s),
 uf AS MATERIALIZED (SELECT j, v * (SELECT s FROM usgn) AS v
   FROM pu WHERE iter = {rounds}),
-mu AS (SELECT d AS j, s // (SELECT n FROM nn) AS mu FROM sv)
-SELECT e.vec_id,
- CAST(sum(v.v * (e.mv - m2.mu)) AS BIGINT) AS pc1_fixed,
- CAST(sum(u.v * (e.mv - m2.mu)) AS BIGINT) AS pc2_fixed
-FROM el e JOIN vf v ON v.j = e.d JOIN uf u ON u.j = e.d
-JOIN mu m2 ON m2.j = e.d
-GROUP BY e.vec_id ORDER BY e.vec_id
-"""
+mu AS (SELECT d AS j, s // (SELECT n FROM nn) AS mu FROM sv){tail}"""
 
 
 def _powit_top2_vectors(
@@ -4508,6 +4453,93 @@ def x3_power_iteration_top2(
         proj(v).alias("pc1_fixed"),
         proj(u).alias("pc2_fixed"),
     ).orderBy("vec_id")
+
+
+#: Tail of the x3_pca_project oracle over the shared top-2 chain:
+#: each component's projection is scaled back to MICRO units by
+#: truncating division with that component's max-|entry| (≈10⁶ after
+#: the chain's renormalization) — the user-facing per-vector
+#: coordinates the LAPACK form used to emit, now in exact integers.
+_PCA_PROJECT_TAIL = """,
+mx1 AS (SELECT max(abs(v)) AS m FROM vf),
+mx2 AS (SELECT max(abs(v)) AS m FROM uf)
+SELECT e.vec_id,
+ CAST(sum(v.v * (e.mv - m2.mu)) // (SELECT m FROM mx1) AS BIGINT)
+   AS pc1_micro,
+ CAST(sum(u.v * (e.mv - m2.mu)) // (SELECT m FROM mx2) AS BIGINT)
+   AS pc2_micro
+FROM el e JOIN vf v ON v.j = e.d JOIN uf u ON u.j = e.d
+JOIN mu m2 ON m2.j = e.d
+GROUP BY e.vec_id ORDER BY e.vec_id
+"""
+
+
+@query(
+    "x3_pca_project", oracle=_powit_top2_oracle_sql(tail=_PCA_PROJECT_TAIL)
+)
+def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-2 principal
+    components in micro units — the dimensionality-reduction /
+    visualization / whitening step downstream of
+    x3_embedding_covariance, and the standard pre-step before coarse
+    quantization. Through round 14 this leg was the registry's last
+    LAPACK surface (rows-only: eigenvectors are irrational); it now
+    SERVES from the exact fixed-point siblings instead (r14 verdict
+    task 4): the shared _embedding_gram sketch feeds
+    _powit_top2_vectors' integer power iteration with exact deflation
+    (the x3_power_iteration_top2 arithmetic verbatim), and each
+    per-vector coordinate is the exact integer projection scaled back
+    to micro units by truncating division with the component's
+    max-|entry| (≈10⁶ after renormalization — so the output keeps the
+    micro-unit scale and column names of the original LAPACK form).
+    Every step is engine-portable integer arithmetic, so the query is
+    FULLY ORACLED: the DuckDB twin replays the Gram chain, both
+    600-round recursive iterations, the deflation, the signs, and the
+    normalized projection. LAPACK is demoted to a test-side
+    cross-check (|corr| ≥ 0.99 per axis vs eigh,
+    tests/test_intent_round14.py).
+
+    100 TB: sketch pass = one shuffle of O(d² × partitions) rows; the
+    recurrence is O(rounds·d²) driver ints (d=64: trivial); the
+    projection is one zero-shuffle pure-Catalyst fold with the
+    components as broadcast literals — no Arrow island left."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    merged = _embedding_gram(emb).collect()
+    v, u, mu, d = _powit_top2_vectors(merged)
+    mx1 = max(abs(x) for x in v)
+    mx2 = max(abs(x) for x in u)
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    centered = F.zip_with(
+        q, F.array(*[F.lit(int(m)) for m in mu]), lambda a, b: a - b
+    )
+
+    def proj(vec: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(int(x)) for x in vec]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return (
+        emb.select(
+            "vec_id",
+            proj(v).alias("__p1"),
+            proj(u).alias("__p2"),
+        )
+        .selectExpr(
+            "vec_id",
+            f"__p1 div {mx1} AS pc1_micro",
+            f"__p2 div {mx2} AS pc2_micro",
+        )
+        .orderBy("vec_id")
+    )
 
 
 def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
@@ -5438,7 +5470,7 @@ def x3_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_graph_ivf_oracle_sql(
-    k_coarse: int = 16, coarse_iters: int = 3, nprobe: int = 4,
+    k_coarse: int = 16, coarse_iters: int = 3, nprobe: int = 8,
     topk: int = 3,
 ) -> str:
     """x3_knn_graph_ivf oracle: the distributed coarse chain, EVERY
@@ -5498,12 +5530,24 @@ def x3_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact blocked self-join graph is gated in
     tests/test_intent_round14.py.
 
+    Registered knobs are MEASURED, not guessed (r14 verdict task 6 —
+    tools/graph_recall_probe.py, the ann_recall_10x protocol on the
+    graph): nprobe=8 of 16 cells clears edge recall ≥ 0.8 at every
+    gate SF (0.848/0.839/0.816 at sf0.001/0.01/0.1; nprobe=4 read
+    0.60); on the ×10 densified corpus with n_centroids scaled to
+    hold ~125-vector lists, recall saturates at 1.0 by nprobe=2 —
+    the sparse fixture is the WORST case, and the gate below is set
+    there (SCALE.md graph_recall_economics).
+
     100 TB: replaces the brute graph's O(n²/B) tiles with
     O(n · cell_size · nprobe) candidate work — the corpus NEVER
     self-joins; both sides of the candidate join are cell-keyed
     (bucket by cell id at write time and it is a zero-exchange join);
     the probe kernel is one embarrassingly-parallel scan with the
-    k·dim book in its closure."""
+    k·dim book routed through a SPARK BROADCAST variable (not the
+    task closure — at production book sizes, tens of MB, closure
+    pickling would ship it per task; the broadcast ships it once per
+    executor)."""
     import numpy as np
     import pandas as pd
 
@@ -5513,11 +5557,12 @@ def x3_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_coarse_centroids_int,
     )
 
-    nprobe = 4
+    nprobe = 8
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = train_coarse_centroids_int(
         emb, k=16, iters=3, hash_tag="pq:0"
     )
+    cents_bc = spark.sparkContext.broadcast(cents)
 
     def probes(batches):
         for pdf in batches:
@@ -5527,7 +5572,7 @@ def x3_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             Xm = np.floor(X * 1000.0).astype(np.int64)
-            d2 = _d2_int(Xm, cents)
+            d2 = _d2_int(Xm, cents_bc.value)
             # stable argsort = (d2, cell) ascending, ties to lowest cell
             idx = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)

@@ -193,6 +193,18 @@ _RECHECK: dict[str, int] = {
     # hash split must return 0, not null); output unchanged on every
     # fixture SF but the oracle TEXT changed:
     "x4_quality_classifier_eval": 14,
+    # round-15: x3_pca_project re-expressed ON the exact fixed-point
+    # top-2 siblings (r14 verdict task 4) — output moved from LAPACK
+    # floats to the max-normalized exact integer projection and the
+    # leg gained a full DuckDB oracle (rows-only 6 → 5); prior
+    # rows-only rows attest the retired LAPACK form:
+    "x3_pca_project": 15,
+    # round-15: x3_knn_graph_ivf's registered knobs moved to the
+    # MEASURED recall-economics point (r14 verdict task 6): nprobe
+    # 4 → 8 of 16 cells (edge recall 0.60 → 0.84 at sf0.01, gate
+    # raised 0.5 → 0.8), coarse book routed through a Spark broadcast
+    # variable; the candidate set — the output — changed:
+    "x3_knn_graph_ivf": 15,
 }
 
 

@@ -556,16 +556,17 @@ def test_classifier_calibration_separates(spark, sf_dir, oracle_sf_dir):
 
 
 def test_pca_project_pinned_by_exact_sibling(spark, sf_dir):
-    """x3_pca_project stays rows-only (LAPACK's last ulp is not a
-    cross-engine contract), but it no longer floats free: its two
-    projection columns must agree with the fully-oracled fixed-point
-    sibling's (x3_power_iteration_top2) up to sign, |corr| ≥ 0.99 per
-    component — the 'gate it against an exact sibling on both axes'
-    close-out the r13 verdict asked for."""
+    """Round 15 inverted this gate: x3_pca_project now SERVES from the
+    exact fixed-point components (fully oracled), and LAPACK is the
+    demoted test-side cross-check. Two pins: (a) the projection is
+    EXACTLY the top-2 sibling's, scaled by each component's max-|entry|
+    truncating division; (b) quality — |corr| ≥ 0.99 per axis against
+    an independent LAPACK eigh projection over the same micro-quantized
+    matrix (the r13 'pin both axes' gate, direction reversed)."""
     from recipes_spark.registry import all_queries
 
     qs = all_queries()
-    lap = {
+    got = {
         int(r["vec_id"]): (float(r["pc1_micro"]), float(r["pc2_micro"]))
         for r in qs["x3_pca_project"](spark, sf_dir).collect()
     }
@@ -573,11 +574,39 @@ def test_pca_project_pinned_by_exact_sibling(spark, sf_dir):
         int(r["vec_id"]): (float(r["pc1_fixed"]), float(r["pc2_fixed"]))
         for r in qs["x3_power_iteration_top2"](spark, sf_dir).collect()
     }
-    assert set(lap) == set(fix)
-    ids = sorted(lap)
+    assert set(got) == set(fix)
+    ids = sorted(got)
+    # (a) exact derivation: corr vs the sibling is 1 up to the
+    # truncating rescale — assert near-perfect agreement per axis.
     for axis in (0, 1):
-        a = np.asarray([lap[i][axis] for i in ids])
+        a = np.asarray([got[i][axis] for i in ids])
         b = np.asarray([fix[i][axis] for i in ids])
+        corr = abs(
+            float(
+                ((a - a.mean()) * (b - b.mean())).sum()
+                / (np.linalg.norm(a - a.mean()) * np.linalg.norm(b - b.mean()))
+            )
+        )
+        assert corr >= 0.999999, (axis, corr)
+    # (b) LAPACK cross-check on the identical quantized matrix.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    Q = np.floor(
+        np.asarray(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in emb]
+        )
+        * 1e6
+    )
+    vid = [int(r["vec_id"]) for r in emb]
+    n = Q.shape[0]
+    C = np.cov(Q, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    P = (Q - Q.mean(0)) @ evecs[:, [-1, -2]]
+    lap = {vid[i]: (P[i, 0], P[i, 1]) for i in range(n)}
+    for axis in (0, 1):
+        a = np.asarray([got[i][axis] for i in ids])
+        b = np.asarray([lap[i][axis] for i in ids])
         corr = abs(
             float(
                 ((a - a.mean()) * (b - b.mean())).sum()
@@ -624,10 +653,11 @@ def test_release_resume_bounds_verification(spark, sf_dir):
 
 
 def test_knn_graph_ivf_edge_recall(spark, sf_dir):
-    """The IVF-accelerated graph must recover a useful fraction of the
-    exact graph's edges (mean per-node overlap of the top-3 sets ≥
-    0.5 — the same recall class the single-query IVF leg holds at
-    nprobe=4/16 on this near-uniform corpus), and every node must get
+    """The IVF-accelerated graph must recover the exact graph's edges
+    at the MEASURED registered knobs (r14 verdict task 6 — raised from
+    the r14 0.5 floor): nprobe=8 of 16 cells reads 0.848/0.839/0.816
+    at sf0.001/0.01/0.1 (tools/graph_recall_probe.py), so the gate
+    pins mean per-node top-3 overlap ≥ 0.8; every node must still get
     a full top-3 (probed cells always hold ≥ 3 other vectors at these
     SFs)."""
     from recipes_spark.registry import all_queries
@@ -644,7 +674,7 @@ def test_knn_graph_ivf_edge_recall(spark, sf_dir):
     recall = sum(
         len(exact[q] & approx[q]) / len(exact[q]) for q in exact
     ) / len(exact)
-    assert recall >= 0.5, f"graph edge recall {recall:.3f} < 0.5"
+    assert recall >= 0.8, f"graph edge recall {recall:.3f} < 0.8"
 
 
 @pytest.fixture(scope="module")

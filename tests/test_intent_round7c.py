@@ -257,32 +257,43 @@ def test_covariance_equals_numpy_definition(spark, tmp_path):
 
 
 def test_pca_projection_gates(spark, tmp_path):
-    """Rows-only quality gates: (a) output equals an independent numpy
-    PCA over the same quantized matrix up to the fixed sign
-    convention; (b) pc1 sample variance >= pc2's; (c) deterministic
-    across reruns."""
+    """Exactness gates for the round-15 form (served from the
+    fixed-point top-2 siblings): (a) output equals an independent
+    pure-Python integer replay — Gram/sums computed directly from the
+    quantized matrix, _powit_top2_vectors' recurrence, truncating
+    max-normalization — on a dim≠64 fixture (so nothing hard-codes
+    64); (b) deterministic across reruns."""
+    from recipes_spark.queries.dataops import _powit_top2_vectors, _tdiv
+
     Q = _mini_embeddings(spark, tmp_path)
-    n = Q.shape[0]
-    Qi = Q.astype(np.int64)
+    n, dim = Q.shape
+    Qi = Q.astype(object)  # Python bigints, like the engine replay
+    G = Qi.T @ Qi
     S = Qi.sum(0)
-    # The engine's exact expression shape: (G - outer(S,S)/n) / n over
-    # the int64 Gram — so eigh sees a bit-identical matrix.
-    C = ((Qi.T @ Qi).astype(np.float64) - np.outer(S, S) / n) / n
-    evals, evecs = np.linalg.eigh(C)
-    ref = []
-    for k in (C.shape[0] - 1, C.shape[0] - 2):
-        v = evecs[:, k]
-        if v[np.argmax(np.abs(v))] < 0:
-            v = -v
-        ref.append(v)
-    P = (Q - Q.mean(0)) @ np.stack(ref).T
-    expect = np.floor(P).astype(np.int64)
+    merged = [
+        {"i": i + 1, "j": j + 1, "sij": int(G[i, j]), "n": n}
+        for i in range(dim)
+        for j in range(i, dim)
+    ] + [
+        {"i": i + 1, "j": 0, "sij": int(S[i]), "n": 0} for i in range(dim)
+    ]
+    v, u, mu, _ = _powit_top2_vectors(merged)
+    mx1 = max(abs(x) for x in v)
+    mx2 = max(abs(x) for x in u)
+    expect = {
+        i: (
+            _tdiv(sum(int(v[j]) * (int(Qi[i, j]) - mu[j]) for j in range(dim)), mx1),
+            _tdiv(sum(int(u[j]) * (int(Qi[i, j]) - mu[j]) for j in range(dim)), mx2),
+        )
+        for i in range(n)
+    }
     got = QUERIES["x3_pca_project"](spark, str(tmp_path)).collect()
     got2 = QUERIES["x3_pca_project"](spark, str(tmp_path)).collect()
     assert got == got2
-    arr = np.asarray([[r["pc1_micro"], r["pc2_micro"]] for r in got])
-    assert np.array_equal(arr, expect)
-    assert arr[:, 0].var() >= arr[:, 1].var()
+    assert {
+        int(r["vec_id"]): (int(r["pc1_micro"]), int(r["pc2_micro"]))
+        for r in got
+    } == expect
 
 
 # ---------------------------------------------------------------------------

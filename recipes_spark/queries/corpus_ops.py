@@ -4800,6 +4800,431 @@ def x4_quality_classifier_crosseval(
     )
 
 
+_QTA_TRANSFER_ORACLE = f"""
+WITH lbl AS MATERIALIZED (
+  SELECT doc_id, text,
+         ((len(w) BETWEEN 30 AND 80)
+          AND (floor(1000000.0 * (nc - len(w) + 1) / len(w))
+               BETWEEN 4000000 AND 5500000)
+          AND (floor(1000000.0 * (1.0 - len(list_distinct(w)) * 1.0 / len(w)))
+               <= 400000)) AS keep_lbl
+  FROM (SELECT doc_id, text, len(text) AS nc, string_split(text, ' ') AS w
+        FROM documents)
+), rd AS MATERIALIZED (
+  SELECT doc_id,
+         floor(1000.0 * (206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+           >= {_QTA_FLESCH_KEEP_MILLI} AS readable
+  FROM (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST((len(string_split(text, ' ')) + 11) // 12 AS BIGINT)
+                 AS n_sentences,
+               CAST(len(regexp_split_to_array(text, '[aeiou]+')) - 1
+                    AS BIGINT) AS n_syllables
+        FROM documents)
+), bt AS MATERIALIZED (
+  SELECT t.doc_id, t.keep_lbl, rd.readable, t.b
+  FROM (SELECT doc_id, keep_lbl,
+               CAST(('0x' || substr(sha256('qf:' || tok), 1, 8)) AS BIGINT)
+                 % {_QTA_DIM} AS b
+        FROM (SELECT doc_id, keep_lbl,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM lbl)) t
+  JOIN rd USING (doc_id)
+), sa AS MATERIALIZED (
+  SELECT b, sum(CASE WHEN keep_lbl THEN 1 ELSE 0 END) AS pos,
+         count(*) AS tot FROM bt GROUP BY b
+), pa AS MATERIALIZED (
+  SELECT sum(pos) AS posall, sum(tot) AS totall,
+         (2000000 * sum(pos)) // sum(tot) AS q0 FROM sa
+), wa AS MATERIALIZED (
+  SELECT b, (2000000 * (pos * (SELECT totall FROM pa)
+                        + (SELECT posall FROM pa)))
+              // ((SELECT totall FROM pa) * (tot + 1))
+              - (SELECT q0 FROM pa) AS w
+  FROM sa
+), sb AS MATERIALIZED (
+  SELECT b, sum(CASE WHEN readable THEN 1 ELSE 0 END) AS pos,
+         count(*) AS tot FROM bt GROUP BY b
+), pb AS MATERIALIZED (
+  SELECT sum(pos) AS posall, sum(tot) AS totall,
+         (2000000 * sum(pos)) // sum(tot) AS q0 FROM sb
+), wb AS MATERIALIZED (
+  SELECT b, (2000000 * (pos * (SELECT totall FROM pb)
+                        + (SELECT posall FROM pb)))
+              // ((SELECT totall FROM pb) * (tot + 1))
+              - (SELECT q0 FROM pb) AS w
+  FROM sb
+), da AS (
+  SELECT doc_id, any_value(readable) AS readable,
+         (floor(sum(w.w) * 1.0 / count(*)) >= {_QTA_THRESHOLD_MICRO}) AS p
+  FROM bt JOIN wa w USING (b) GROUP BY doc_id
+), db AS (
+  SELECT doc_id, any_value(keep_lbl) AS keep_lbl,
+         (floor(sum(w.w) * 1.0 / count(*)) >= {_QTA_THRESHOLD_MICRO}) AS p
+  FROM bt JOIN wb w USING (b) GROUP BY doc_id
+), ca AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN p AND readable THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(sum(CASE WHEN p AND NOT readable THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT p AND readable THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT p AND NOT readable THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM da
+), cb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN p AND keep_lbl THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(sum(CASE WHEN p AND NOT keep_lbl THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT p AND keep_lbl THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT p AND NOT keep_lbl THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM db
+), u AS (
+  SELECT 'gopher_to_flesch' AS direction, * FROM ca
+  UNION ALL
+  SELECT 'flesch_to_gopher' AS direction, * FROM cb
+), m AS (
+  SELECT direction, n_eval, tp, fp, fn, tn,
+         CAST(floor(1000000.0 * tp / greatest(tp + fp, 1)) AS BIGINT)
+           AS precision_micro,
+         CAST(floor(1000000.0 * tp / greatest(tp + fn, 1)) AS BIGINT)
+           AS recall_micro,
+         CAST(floor(1000000.0 * (tp + tn) / greatest(n_eval, 1)) AS BIGINT)
+           AS accuracy_micro
+  FROM u
+)
+SELECT direction, n_eval, tp, fp, fn, tn, precision_micro, recall_micro,
+       accuracy_micro,
+       CAST(floor(2.0 * precision_micro * recall_micro /
+            greatest(precision_micro + recall_micro, 1)) AS BIGINT)
+         AS f1_micro
+FROM m ORDER BY direction
+"""
+
+
+def _confusion_metrics(c):
+    """Confusion counts -> floor-micro precision/recall/accuracy/F1 —
+    the exact integer metric tail shared by the eval / crosseval /
+    transfer queries (one definition so the arithmetic their oracles
+    replay cannot drift)."""
+    m = c.select(
+        "*",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("tp")
+            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+        )
+        .cast("long")
+        .alias("precision_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("tp")
+            / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+        )
+        .cast("long")
+        .alias("recall_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("tp") + F.col("tn"))
+            / F.greatest(F.col("n_eval"), F.lit(1))
+        )
+        .cast("long")
+        .alias("accuracy_micro"),
+    )
+    return m.select(
+        "*",
+        F.floor(
+            F.lit(2.0)
+            * F.col("precision_micro")
+            * F.col("recall_micro")
+            / F.greatest(
+                F.col("precision_micro") + F.col("recall_micro"), F.lit(1)
+            )
+        )
+        .cast("long")
+        .alias("f1_micro"),
+    )
+
+
+def _readable_expr_df(d: DataFrame) -> DataFrame:
+    """(doc_id, readable) — the Flesch reading-ease weak labeler at the
+    corpus-median threshold, x4_quality_classifier_crosseval's exact
+    arithmetic factored for reuse by the transfer query."""
+    n_words = F.size(F.split("text", " ")).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.expr(
+            "CAST((size(split(text, ' ')) + 11) div 12 AS BIGINT)"
+        ).alias("n_sentences"),
+        (F.size(F.split("text", "[aeiou]+")) - 1)
+        .cast("long")
+        .alias("n_syllables"),
+    ).select(
+        "doc_id",
+        (
+            F.floor(F.lit(1000.0) * flesch).cast("long")
+            >= _QTA_FLESCH_KEEP_MILLI
+        ).alias("readable"),
+    )
+
+
+def _train_bucket_weights(labeled: DataFrame, label_col: str) -> dict:
+    """Train the hashed-feature prior-shrunk weight map on
+    (text, <label_col>) rows — ONE bucket-keyed exchange + a dim-bounded
+    collect, the x4_quality_classifier_train_apply training half with
+    the label column parameterized (the transfer query trains the SAME
+    kernel on two different weak labelers)."""
+    stats = (
+        labeled.select(
+            F.col(label_col).alias("lbl"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .select(
+            "lbl",
+            _bucket(F.concat(F.lit("qf:"), F.col("tok")), _QTA_DIM).alias(
+                "b"
+            ),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lbl"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+            F.count(F.lit(1)).cast("long").alias("tot"),
+        )
+        .collect()
+    )
+    return _qta_weights_from_stats(stats)
+
+
+@query("x4_classifier_transfer", oracle=_QTA_TRANSFER_ORACLE)
+def x4_classifier_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER TRANSFER, both directions (r14 verdict task 5 —
+    putting the crosseval's honest negative to work): round 14 proved
+    the Gopher-trained filter is near-chance against readability; this
+    query completes the experiment by training the SAME hashed-feature
+    kernel on the READABILITY labels (Flesch >= the corpus-median
+    threshold, x4_reading_level's exact arithmetic) and evaluating
+    each model against the OTHER labeler — the two cross-labeler
+    confusion matrices side by side. If transfer failure were an
+    artifact of the Gopher rules, the reverse direction would
+    transfer; both directions near chance (observed: accuracy ~0.5 in
+    each) is the measured conclusion that these two weak-supervision
+    families capture genuinely different notions of "quality", and
+    that a 100 TB filter built on either one must not be validated
+    against itself. Training both models is the attested train_apply
+    chain with the label column swapped (_train_bucket_weights);
+    scoring runs the unchanged serving kernel; every metric is the
+    shared floor-micro arithmetic (_confusion_metrics). The oracle
+    replays both trainings, both scoring joins, and both confusion
+    pyramids from one shared token-bucket CTE.
+
+    100 TB: two dim-bounded training exchanges + two corpus-scan
+    scoring islands — transfer evaluation costs two classifier runs,
+    nothing more."""
+    d = load(spark, sf_dir, "documents")
+    readable = _readable_expr_df(d)
+    labeled = (
+        scale_partitions(d)
+        .select("doc_id", "text", _gopher_keep_expr().alias("lbl"))
+        .join(readable, "doc_id")
+    )
+    wa = _train_bucket_weights(labeled, "lbl")
+    wb = _train_bucket_weights(labeled, "readable")
+
+    def direction(weights, passthrough, other_col, tag):
+        gen = quality_score_kernel(
+            weights,
+            _QTA_DIM,
+            _QTA_BASE_MICRO,
+            _QTA_THRESHOLD_MICRO,
+            passthrough=(passthrough,),
+        )
+        scored = labeled.select("doc_id", "text", passthrough).mapInPandas(
+            gen,
+            schema="doc_id bigint, n_tok bigint, score_micro bigint,"
+            f" keep int, {passthrough} boolean",
+        )
+        p = F.col("keep") == 1
+        o = F.col(other_col)
+        return scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.when(p & o, 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(p & ~o, 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(~p & o, 1).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when(~p & ~o, 1).otherwise(0)).cast("long").alias("tn"),
+        ).select(F.lit(tag).alias("direction"), "*")
+    a = direction(wa, "readable", "readable", "gopher_to_flesch")
+    b = direction(wb, "lbl", "lbl", "flesch_to_gopher")
+    return _confusion_metrics(a.unionByName(b)).orderBy("direction")
+
+
+_QTA_KEEPRATE_ORACLE = f"""
+WITH lbl AS MATERIALIZED (
+  SELECT doc_id, text,
+         ((len(w) BETWEEN 30 AND 80)
+          AND (floor(1000000.0 * (nc - len(w) + 1) / len(w))
+               BETWEEN 4000000 AND 5500000)
+          AND (floor(1000000.0 * (1.0 - len(list_distinct(w)) * 1.0 / len(w)))
+               <= 400000)) AS keep_lbl
+  FROM (SELECT doc_id, text, len(text) AS nc, string_split(text, ' ') AS w
+        FROM documents)
+), bt AS MATERIALIZED (
+  SELECT doc_id, keep_lbl,
+         CAST(('0x' || substr(sha256('qf:' || tok), 1, 8)) AS BIGINT)
+           % {_QTA_DIM} AS b
+  FROM (SELECT doc_id, keep_lbl, unnest(string_split(text, ' ')) AS tok
+        FROM lbl)
+), stats AS MATERIALIZED (
+  SELECT b,
+         sum(CASE WHEN keep_lbl THEN 1 ELSE 0 END) AS pos,
+         count(*) AS tot
+  FROM bt GROUP BY b
+), prior AS MATERIALIZED (
+  SELECT sum(pos) AS posall, sum(tot) AS totall,
+         (2000000 * sum(pos)) // sum(tot) AS q0
+  FROM stats
+), wt AS MATERIALIZED (
+  SELECT b,
+         (2000000 * (pos * (SELECT totall FROM prior)
+                     + (SELECT posall FROM prior)))
+           // ((SELECT totall FROM prior) * (tot + 1))
+           - (SELECT q0 FROM prior) AS w
+  FROM stats
+), s AS MATERIALIZED (
+  SELECT doc_id, any_value(keep_lbl) AS keep_lbl,
+         CAST(floor(sum(w) / count(*)) AS BIGINT) AS score_micro
+  FROM bt JOIN wt USING (b)
+  GROUP BY doc_id
+), nn AS (SELECT count(*) AS n FROM s),
+rk AS (SELECT score_micro,
+              row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+       FROM s),
+thr AS (SELECT score_micro AS t FROM rk
+        WHERE rn = (SELECT greatest((n * 2) // 5, 1) FROM nn))
+SELECT CAST(400000 AS BIGINT) AS target_keep_micro,
+       (SELECT CAST(n AS BIGINT) FROM nn) AS n_docs,
+       (SELECT CAST(t AS BIGINT) FROM thr) AS threshold_micro,
+       CAST(sum(CASE WHEN score_micro >= (SELECT t FROM thr)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(floor(1000000.0 * sum(CASE WHEN score_micro >=
+            (SELECT t FROM thr) THEN 1 ELSE 0 END) / count(*)) AS BIGINT)
+         AS actual_keep_rate_micro,
+       CAST(floor(1000000.0 * sum(CASE WHEN score_micro >=
+            (SELECT t FROM thr) AND keep_lbl THEN 1 ELSE 0 END)
+            / greatest(sum(CASE WHEN score_micro >= (SELECT t FROM thr)
+                           THEN 1 ELSE 0 END), 1)) AS BIGINT)
+         AS label_keep_rate_above_micro,
+       CAST(floor(1000000.0 * sum(CASE WHEN score_micro <
+            (SELECT t FROM thr) AND keep_lbl THEN 1 ELSE 0 END)
+            / greatest(sum(CASE WHEN score_micro < (SELECT t FROM thr)
+                           THEN 1 ELSE 0 END), 1)) AS BIGINT)
+         AS label_keep_rate_below_micro
+FROM s
+"""
+
+
+@query("x4_threshold_from_keep_rate", oracle=_QTA_KEEPRATE_ORACLE)
+def x4_threshold_from_keep_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THRESHOLD CHOSEN FROM A TARGET KEEP-RATE (r14 verdict task 5's
+    second half): x4_quality_classifier_train_apply keeps at the
+    hardcoded prior boundary (score ≥ 1); a production data team
+    instead states a BUDGET — "keep the best 40% of the corpus" — and
+    derives the threshold from the score distribution:
+    the k-th highest doc score for k = max(floor(0.4·N), 1) (the
+    deterministic (score desc, doc_id) order both engines share), via
+    a TakeOrdered k-row heap, never a global sort. The one-row report
+    carries the chosen threshold, the realized keep count/rate (ties
+    at the boundary may keep slightly more than k — reported, not
+    hidden), and the calibration evidence for the choice: the weak
+    label's keep rate ABOVE vs BELOW the threshold
+    (x4_classifier_calibration's separation argument collapsed to the
+    operating point). The oracle replays training, scoring, the
+    rank-k selection, and every rate in floor-micro integers.
+
+    100 TB: one dim-bounded training exchange, one scoring scan
+    (checkpointed once, feeding the heap and the aggregate), a k-row
+    heap for the threshold, one 1-row aggregate. At petabyte N the
+    heap's k grows with the corpus — swap the exact selection for a
+    t-digest/exact-histogram quantile over score_micro (the
+    agg_histogram_quantile machinery) without touching anything
+    downstream."""
+    d = load(spark, sf_dir, "documents")
+    labeled = scale_partitions(d).select(
+        "doc_id", "text", _gopher_keep_expr().alias("lbl")
+    )
+    weights = _train_bucket_weights(labeled, "lbl")
+    gen = quality_score_kernel(
+        weights,
+        _QTA_DIM,
+        _QTA_BASE_MICRO,
+        _QTA_THRESHOLD_MICRO,
+        passthrough=("lbl",),
+    )
+    scored = labeled.mapInPandas(
+        gen,
+        schema="doc_id bigint, n_tok bigint, score_micro bigint,"
+        " keep int, lbl boolean",
+    ).localCheckpoint(eager=True)
+    n_docs = scored.count()
+    k = max((n_docs * 2) // 5, 1)
+    thr = int(
+        scored.orderBy(
+            F.desc("score_micro"), F.asc("doc_id")
+        )
+        .limit(k)
+        .agg(F.min("score_micro"))
+        .collect()[0][0]
+    )
+    kept = F.col("score_micro") >= F.lit(thr)
+    return scored.agg(
+        F.lit(400000).cast("long").alias("target_keep_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.lit(thr).cast("long").alias("threshold_micro"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(F.when(kept, 1).otherwise(0))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("actual_keep_rate_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(F.when(kept & F.col("lbl"), 1).otherwise(0))
+            / F.greatest(F.sum(F.when(kept, 1).otherwise(0)), F.lit(1))
+        )
+        .cast("long")
+        .alias("label_keep_rate_above_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(F.when(~kept & F.col("lbl"), 1).otherwise(0))
+            / F.greatest(F.sum(F.when(~kept, 1).otherwise(0)), F.lit(1))
+        )
+        .cast("long")
+        .alias("label_keep_rate_below_micro"),
+    )
+
+
+
+
 @query(
     "x6_stratified_hash_sample",
     oracle="""

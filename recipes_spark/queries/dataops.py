@@ -3616,6 +3616,436 @@ def x3_ivf_pq_residual_topk(
     ).withColumnRenamed("rank", "rnk")
 
 
+#: Test/debug hook: store of the most recent persisted-ANN-index run
+#: (x3_index_commit / x3_index_search / x3_index_append each keep their
+#: own latest store inspectable, reclaiming the previous one — the
+#: release-store pattern).
+_LAST_ANN_STORES: dict = {}
+
+
+def _ann_scratch_store(kind: str) -> str:
+    import shutil
+    import tempfile
+
+    prev = _LAST_ANN_STORES.pop(kind, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    store = tempfile.mkdtemp(prefix=f"recipes_ann_index_{kind}_")
+    _LAST_ANN_STORES[kind] = store
+    return store
+
+
+def _cell_codes_digest(coded: DataFrame, suffix: str = "") -> DataFrame:
+    """(cell, n_vecs{suffix}, codes_sha{suffix}) from (vec_id,
+    codes_packed, __list) rows — the per-cell index manifest digest
+    (sha256 over the vec_id-ordered comma-joined packed codes), shared
+    by the plan side and every manifest re-read of the committed
+    index so the two can only differ through the data they read."""
+    return coded.groupBy(
+        F.col("__list").cast("long").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias(f"n_vecs{suffix}"),
+        F.sha2(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("vec_id").alias("k"),
+                                F.col("codes_packed")
+                                .cast("string")
+                                .alias("h"),
+                            )
+                        )
+                    ),
+                    lambda x: x["h"],
+                ),
+            ),
+            256,
+        ).alias(f"codes_sha{suffix}"),
+    )
+
+
+def _index_commit_oracle_sql(
+    k_coarse: int = 16, coarse_iters: int = 3, m: int = 4,
+    k_codes: int = 256, sample: int = 2048, iters: int = 5,
+    dim: int = 64, code_bits: int = 8,
+) -> str:
+    """x3_index_commit oracle: both training chains (distributed
+    coarse, sampled PQ books), the fused full-corpus assignment (cell
+    + packed codes), then the per-cell index manifest — counts and the
+    vec_id-ordered code digest. The file-side equality the engine
+    reports is asserted true (the _RELEASE_ORACLE convention)."""
+    ctes = _coarse_train_ctes(k=k_coarse, iters=coarse_iters, prefix="cq_")
+    ctes += _pq_train_encode_ctes(
+        m=m, k=k_codes, sample=sample, iters=iters, dim=dim
+    )
+    ctes += [
+        "cq_fd AS MATERIALIZED (SELECT e.vec_id, c.cid,"
+        " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM cq_el e JOIN cq_c{coarse_iters} c ON e.d = c.d"
+        " GROUP BY e.vec_id, c.cid)",
+        "cq_fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM cq_fd) WHERE rn = 1)",
+        "pk AS (SELECT vec_id, CAST(sum(c * (CAST(1 AS BIGINT) <<"
+        f" ({code_bits} * ({m - 1} - j)))) AS BIGINT) AS cp"
+        " FROM fa GROUP BY vec_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(a.cid AS BIGINT) AS cell,"
+        " CAST(count(*) AS BIGINT) AS n_vecs,\n"
+        " sha256(string_agg(CAST(p.cp AS VARCHAR), ','"
+        " ORDER BY p.vec_id)) AS codes_sha,\n"
+        " true AS files_match, true AS books_match\n"
+        "FROM cq_fa a JOIN pk p USING (vec_id)"
+        " GROUP BY a.cid ORDER BY cell"
+    )
+
+
+@query("x3_index_commit", oracle=_index_commit_oracle_sql())
+def x3_index_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN INDEX, the commit half (r14 verdict task 1: train
+    once, commit, serve many — at 100 TB an index is an artifact, not
+    a query-local temporary). The production chain trains exactly as
+    x3_ivf_pq_distrib_topk (distributed coarse book, sampled m=4 ×
+    k=256 byte-width PQ books), ONE fused encode pass builds the whole
+    index, and plans/ann_index.py commits it as a versioned snapshot:
+    a books substore (the model, committed once) and a codes substore
+    hive-partitioned BY CELL (so a probed search reads only probed
+    partitions). Each output row is a cell of the index manifest —
+    vector count and the vec_id-ordered digest of packed codes —
+    recomputed FROM THE STORE through its manifest, with files_match
+    proving the re-read equals the plan-side encode and books_match
+    proving the model round-trips bit-exactly (ann_index_load_books
+    vs the trained matrices). The oracle replays both trainings, the
+    fused assignment, the packing, and the per-cell digests; the two
+    file-side equalities it asserts true (the release-family
+    convention).
+
+    100 TB: training = rounds × (scan + k·dim exchange); the commit is
+    ONE repartition(cell) partitioned write; the manifest is
+    cell-count-sized. Committing costs what the distrib query already
+    paid per run — and buys every later search the whole chain.
+    Reference shape: faiss train()+add() then write_index(); cite
+    operators/similarity.py pq_encode_int for the fused encode."""
+    from recipes_spark.operators.similarity import (
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_load_books,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    coded = pq_encode_int(
+        emb, books, coarse_milli=cents, code_bits=8
+    ).localCheckpoint(eager=True)
+    store = _ann_scratch_store("commit")
+    ann_index_commit(
+        spark, emb, store, 1, cents, books, code_bits=8, coded=coded
+    )
+    import numpy as np
+
+    lc, lb = ann_index_load_books(spark, store)
+    books_ok = bool(np.array_equal(lc, cents) and np.array_equal(lb, books))
+    plan = _cell_codes_digest(coded)
+    files = _cell_codes_digest(ann_index_codes(spark, store, 1), "_f")
+    return (
+        plan.join(files, "cell")
+        .select(
+            "cell",
+            "n_vecs",
+            "codes_sha",
+            (
+                (F.col("codes_sha") == F.col("codes_sha_f"))
+                & (F.col("n_vecs") == F.col("n_vecs_f"))
+            ).alias("files_match"),
+            F.lit(books_ok).alias("books_match"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query("x3_index_search", oracle=_ivf_pq_distrib_oracle_sql())
+def x3_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN INDEX, the serve half: commit the index (the
+    x3_index_commit chain), then answer top-k EXCLUSIVELY from the
+    committed artifact — books collected back through the v1 books
+    manifest (ann_index_load_books, NOT the in-memory matrices),
+    codes scanned through the v1 codes manifest, and the search is
+    ivf_pq_search_coded — the identical pure-Catalyst ADC + shortlist
+    + exact re-rank plan the inline chain runs, which is why this
+    query's oracle IS x3_ivf_pq_distrib_topk's: a served index that
+    did not return bit-identical results to the chain that built it
+    would be a broken index. Equality against the inline query is
+    additionally gated in tests/test_intent_round15.py.
+
+    100 TB: the serve path pays NO training and NO encode — a probe
+    broadcast join against cell-partitioned parquet (partition-pruned
+    to probed cells once the store is bucketed), the ADC lookup, a
+    windowed shortlist, and a refine·k re-rank."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_search_coded,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_load_books,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    store = _ann_scratch_store("search")
+    ann_index_commit(spark, emb, store, 1, cents, books, code_bits=8)
+    coarse_l, books_l = ann_index_load_books(spark, store)
+    coded = ann_index_codes(spark, store, 1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_pq_search_coded(
+        coded, emb, queries, coarse_l, books_l,
+        k=10, nprobe=14, refine=16, code_bits=8,
+    ).withColumnRenamed("rank", "rnk")
+
+
+def _index_append_oracle_sql(
+    k_coarse: int = 16, coarse_iters: int = 3, m: int = 4,
+    k_codes: int = 256, sample: int = 2048, iters: int = 5,
+    dim: int = 64, code_bits: int = 8,
+) -> str:
+    """x3_index_append oracle: the BASE split (80% by the portable
+    hash of 'isplit:<vec_id>'), both training chains over the base
+    only (src/sample_src overrides), the FULL-corpus assignment and
+    packing against the base-trained books, then per-cell v1 (base
+    members) and v2 (all members) manifests, the touched set, and the
+    digest-changed ⇔ touched contract. File-side equalities asserted
+    true."""
+    ctes = [
+        "bemb AS MATERIALIZED (SELECT * FROM embeddings WHERE"
+        " CAST(('0x' || substr(sha256('isplit:' ||"
+        " CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8)",
+    ]
+    ctes += _coarse_train_ctes(
+        k=k_coarse, iters=coarse_iters, prefix="cq_", src="bemb"
+    )
+    ctes += _pq_train_encode_ctes(
+        m=m, k=k_codes, sample=sample, iters=iters, dim=dim,
+        sample_src="bemb",
+    )
+    ctes += [
+        # Full-corpus milli grid + assignment against the BASE-trained
+        # coarse book (cq_el holds base rows only here).
+        "fel AS MATERIALIZED (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) - 1 AS d,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
+        " AS mv FROM embeddings)",
+        "ffd AS (SELECT e.vec_id, c.cid,"
+        " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM fel e JOIN cq_c{coarse_iters} c ON e.d = c.d"
+        " GROUP BY e.vec_id, c.cid)",
+        "ffa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM ffd) WHERE rn = 1)",
+        "pk AS (SELECT vec_id, CAST(sum(c * (CAST(1 AS BIGINT) <<"
+        f" ({code_bits} * ({m - 1} - j)))) AS BIGINT) AS cp"
+        " FROM fa GROUP BY vec_id)",
+        "rws AS MATERIALIZED (SELECT a.vec_id, a.cid, p.cp,"
+        " b.vec_id IS NOT NULL AS is_base"
+        " FROM ffa a JOIN pk p USING (vec_id)"
+        " LEFT JOIN (SELECT vec_id FROM bemb) b USING (vec_id))",
+        "v1 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_v1,"
+        " sha256(string_agg(CAST(cp AS VARCHAR), ',' ORDER BY vec_id))"
+        " AS sha_v1 FROM rws WHERE is_base GROUP BY cid)",
+        "v2 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_v2,"
+        " sha256(string_agg(CAST(cp AS VARCHAR), ',' ORDER BY vec_id))"
+        " AS sha_v2 FROM rws GROUP BY cid)",
+        "tch AS (SELECT DISTINCT cid FROM rws WHERE NOT is_base)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(v2.cid AS BIGINT) AS cell,"
+        " CAST(coalesce(v1.n_v1, 0) AS BIGINT) AS n_v1, v2.n_v2,\n"
+        " CAST(CASE WHEN tch.cid IS NOT NULL THEN 1 ELSE 0 END AS INT)"
+        " AS touched,\n"
+        " v1.sha_v1, v2.sha_v2,\n"
+        " true AS v1_files_match, true AS v2_files_match,\n"
+        " ((v1.sha_v1 IS DISTINCT FROM v2.sha_v2)"
+        " = (tch.cid IS NOT NULL)) AS digest_changed_iff_touched\n"
+        "FROM v2 LEFT JOIN v1 ON v1.cid = v2.cid"
+        " LEFT JOIN tch ON tch.cid = v2.cid ORDER BY cell"
+    )
+
+
+@query("x3_index_append", oracle=_index_append_oracle_sql())
+def x3_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL INDEX MAINTENANCE (r14 verdict task 2) — the faiss
+    add()-after-train contract on the committed store: the corpus
+    splits 80/20 by the portable hash of 'isplit:<vec_id>'; the BASE
+    trains the books and commits as index v1 (the x3_index_commit
+    chain on the base); the arriving DELTA batch encodes against the
+    books LOADED BACK FROM THE STORE (no retrain — proving the
+    committed artifact alone suffices to grow the index) and commits
+    as v2, an APPEND snapshot whose data files hold ONLY delta rows
+    hive-partitioned by cell, so untouched cells get no new bytes and
+    v2's manifest is v1's files plus the delta files.
+
+    Each cell row proves the contract from REAL re-reads: v1 re-read
+    through its manifest re-digests to the plan-side encode
+    (v1_files_match); v2 re-read — base files AND delta files via the
+    manifest union — re-digests to the plan-side union
+    (v2_files_match); and the cell digest changed across versions IFF
+    delta vectors landed in that cell (digest_changed_iff_touched —
+    a reader revalidates only touched cells). Recall@10 ≥ 0.9 on the
+    GROWN corpus served from v2 is gated in
+    tests/test_intent_round15.py. The oracle replays the split, both
+    base-only trainings (the src/sample_src CTE overrides), the
+    full-corpus assignment, packing, and both digest pyramids.
+
+    100 TB: append cost ∝ delta (one encode pass + one partitioned
+    write of delta rows); the books are immutable (retrain is a NEW
+    index version family, exactly like faiss); untouched-cell
+    verification is a manifest string compare, not a data read."""
+    from recipes_spark.operators.similarity import (
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_load_books,
+    )
+    from recipes_spark.queries.corpus_ops import _bucket
+
+    emb = load(spark, sf_dir, "embeddings")
+    is_base = (
+        _bucket(
+            F.concat(F.lit("isplit:"), F.col("vec_id").cast("string")), 10
+        )
+        < 8
+    )
+    base = emb.filter(is_base)
+    delta = emb.filter(~is_base)
+    cents = train_coarse_centroids_int(base, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(base, m=4, k=256)
+    base_coded = pq_encode_int(
+        base, books, coarse_milli=cents, code_bits=8
+    ).localCheckpoint(eager=True)
+    store = _ann_scratch_store("append")
+    ann_index_commit(
+        spark, base, store, 1, cents, books, code_bits=8, coded=base_coded
+    )
+    # The delta encodes against the COMMITTED model, not the in-memory
+    # matrices (ann_index_append's path, inlined here so the plan-side
+    # manifest shares the checkpointed encode with the write).
+    coarse_l, books_l = ann_index_load_books(spark, store)
+    delta_coded = pq_encode_int(
+        delta, books_l, coarse_milli=coarse_l, code_bits=8
+    ).localCheckpoint(eager=True)
+    ann_index_commit(
+        spark, delta, store, 2, coarse_l, books_l, code_bits=8,
+        coded=delta_coded,
+    )
+    plan_v1 = _cell_codes_digest(base_coded, "_v1")
+    plan_v2 = _cell_codes_digest(
+        base_coded.unionByName(delta_coded), "_v2"
+    )
+    f1 = _cell_codes_digest(ann_index_codes(spark, store, 1), "_f1")
+    f2 = _cell_codes_digest(ann_index_codes(spark, store, 2), "_f2")
+    touched = (
+        delta_coded.select(F.col("__list").cast("long").alias("cell"))
+        .distinct()
+        .withColumn("t", F.lit(1))
+    )
+    return (
+        plan_v2.join(plan_v1, "cell", "left")
+        .join(f1, "cell", "left")
+        .join(f2, "cell", "left")
+        .join(touched, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("n_vecs_v1"), F.lit(0))
+            .cast("long")
+            .alias("n_v1"),
+            F.col("n_vecs_v2").alias("n_v2"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("int").alias("touched"),
+            F.col("codes_sha_v1").alias("sha_v1"),
+            F.col("codes_sha_v2").alias("sha_v2"),
+            (
+                F.col("codes_sha_v1").eqNullSafe(F.col("codes_sha_f1"))
+                & F.col("n_vecs_v1").eqNullSafe(F.col("n_vecs_f1"))
+            ).alias("v1_files_match"),
+            (
+                (F.col("codes_sha_v2") == F.col("codes_sha_f2"))
+                & (F.col("n_vecs_v2") == F.col("n_vecs_f2"))
+            ).alias("v2_files_match"),
+            (
+                (~F.col("codes_sha_v1").eqNullSafe(F.col("codes_sha_v2")))
+                == (F.coalesce(F.col("t"), F.lit(0)) == 1)
+            ).alias("digest_changed_iff_touched"),
+        )
+        .orderBy("cell")
+    )
+
+
+
+@query("x3_ivf_pq_table_topk", oracle=_ivf_pq_distrib_oracle_sql())
+def x3_ivf_pq_table_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADC PROBE-TABLE plan shape, registered (r14 verdict task 3
+    — SCALE.md adc_table_broadcast named the flip point as prose; this
+    makes it code): the exact x3_ivf_pq_distrib_topk chain with
+    probe_side='table', so the per-query distance tables travel as a
+    (query_id, subspace, code, d2) DataFrame of Q·m·k_codes ROWS
+    joined on (query, subspace, code) against the posexploded
+    candidate code fields, instead of as broadcast array literals.
+    Results are BIT-IDENTICAL to the literal shape (gated in
+    tests/test_intent_round15.py, and this oracle IS the distrib
+    query's oracle — same output by construction); what changes is
+    the physical plan, which is why it exists: broadcast literals
+    flatten past Q≈10³ (hundreds of MB of plan payload), while the
+    table side is DATA — Spark broadcasts it while small and
+    shuffle-joins it when a 10⁴-query batch arrives.
+    ivf_pq_search_coded's 'auto' mode flips at
+    _ADC_LITERAL_MAX_BYTES; the crossover is measured in SCALE.md
+    (adc_probe_table_crossover).
+
+    100 TB: one broadcast probe join (cell pruning), one m-way
+    posexplode of the packed code (row-local), one join against the
+    Q·m·k_codes table, one (query, vec) SUM — every exchange bounded
+    by candidates·m, never the corpus squared."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_topk_int,
+        train_coarse_centroids_int,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(
+        emb, k=16, iters=3, hash_tag="pq:0"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_pq_topk_int(
+        emb, queries, k=10, n_centroids=16, nprobe=14, refine=16,
+        m=4, k_codes=256, code_bits=8, coarse_milli=cents,
+        probe_side="table",
+    ).withColumnRenamed("rank", "rnk")
+
+
+
 def _mmr_oracle_sql(
     k: int = 10, shortlist: int = 50, n_queries: int = 5,
     lambda_tenths: int = 7,

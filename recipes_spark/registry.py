@@ -337,6 +337,12 @@ _DEFER: dict[str, int] = {
     "x4_classifier_calibration": 14,
     "x6_release_resume": 14,
     "x3_knn_graph_ivf": 14,
+    "x3_index_commit": 15,
+    "x3_index_search": 15,
+    "x3_index_append": 15,
+    "x3_ivf_pq_table_topk": 15,
+    "x4_classifier_transfer": 15,
+    "x4_threshold_from_keep_rate": 15,
 }
 
 

@@ -1,0 +1,232 @@
+"""Round-15 intent gates: the persisted ANN index lifecycle
+(commit → serve → append — r14 verdict tasks 1–2), the ADC probe-table
+plan shape (task 3), and the classifier-transfer arc (task 5)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from recipes_spark.io import load
+from recipes_spark.registry import all_queries
+
+
+def test_index_commit_contract(spark, sf_dir):
+    """Every cell of the committed index re-reads to exactly the
+    plan-side encode (files_match), the model round-trips bit-exactly
+    (books_match), and the store physically holds cell-partitioned
+    codes under a books/codes substore pair."""
+    from recipes_spark.queries.dataops import _LAST_ANN_STORES
+
+    rows = all_queries()["x3_index_commit"](spark, sf_dir).collect()
+    assert rows, "empty index manifest"
+    assert all(bool(r["files_match"]) for r in rows), rows
+    assert all(bool(r["books_match"]) for r in rows), rows
+    store = _LAST_ANN_STORES["commit"]
+    assert os.path.isdir(os.path.join(store, "books", "_manifests", "v1"))
+    cells = {
+        d
+        for d in os.listdir(os.path.join(store, "codes", "data", "v1"))
+        if d.startswith("cell_key=")
+    }
+    assert len(cells) == len(rows)
+
+
+def test_index_search_equals_inline_chain(spark, sf_dir):
+    """Serving from the committed artifact must be BIT-IDENTICAL to
+    the inline train→encode→search chain on the same corpus — the
+    core index-lifecycle contract (a committed index that answers
+    differently than the chain that built it is corrupt)."""
+    qs = all_queries()
+    served = {
+        tuple(r) for r in qs["x3_index_search"](spark, sf_dir).collect()
+    }
+    inline = {
+        tuple(r)
+        for r in qs["x3_ivf_pq_distrib_topk"](spark, sf_dir).collect()
+    }
+    assert served == inline
+
+
+def test_index_append_layout_and_grown_recall(spark, sf_dir):
+    """The append contract, physically: v2's data directory holds ONLY
+    touched-cell partitions (untouched cells get no new bytes), v2's
+    manifest is a strict superset of v1's, every file-side equality
+    holds — and the GROWN index still serves: recall@10 ≥ 0.9 vs
+    brute force over the full corpus, from v2, through the committed
+    books (r14 verdict task 2's done-bar)."""
+    from recipes_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_search_coded,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_load_books,
+    )
+    from recipes_spark.queries.dataops import _LAST_ANN_STORES
+
+    rows = all_queries()["x3_index_append"](spark, sf_dir).collect()
+    assert rows
+    assert all(bool(r["v1_files_match"]) for r in rows), rows
+    assert all(bool(r["v2_files_match"]) for r in rows), rows
+    assert all(bool(r["digest_changed_iff_touched"]) for r in rows), rows
+    touched = {int(r["cell"]) for r in rows if r["touched"]}
+    assert touched
+    store = _LAST_ANN_STORES["append"]
+    v2_cells = {
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(store, "codes", "data", "v2"))
+        if d.startswith("cell_key=")
+    }
+    assert v2_cells == touched
+    man = os.path.join(store, "codes", "_manifests")
+    f1 = {r["file"] for r in spark.read.parquet(os.path.join(man, "v1")).collect()}
+    f2 = {r["file"] for r in spark.read.parquet(os.path.join(man, "v2")).collect()}
+    assert f1 < f2, "v2 manifest must strictly contain v1's files"
+    # Untouched-cell physical contract: the fixture's 20% delta
+    # scatters into every cell at these SFs, so append a SMALL v3
+    # (5 "new arrivals" — fewer than cells, so untouched cells must
+    # exist) onto the same committed store and assert untouched cells
+    # get NO new bytes: every pre-existing data file byte-identical,
+    # v3's data dir holding at most 5 cell partitions.
+    from recipes_spark.plans.ann_index import ann_index_append
+
+    emb = load(spark, sf_dir, "embeddings")
+    tiny = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    before = {}
+    data_root = os.path.join(store, "codes", "data")
+    for dirpath, _dirs, files in os.walk(data_root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                before[p] = open(p, "rb").read()
+    ann_index_append(spark, tiny, store, 3, code_bits=8)
+    v3_cells = {
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(data_root, "v3"))
+        if d.startswith("cell_key=")
+    }
+    assert 0 < len(v3_cells) <= 5 < len(rows), v3_cells
+    for p, b in before.items():
+        assert open(p, "rb").read() == b, f"pre-existing file mutated: {p}"
+    f3 = {
+        r["file"]
+        for r in spark.read.parquet(os.path.join(man, "v3")).collect()
+    }
+    assert f2 < f3, "v3 manifest must strictly contain v2's files"
+    # Grown-index recall@10 from v2 through the committed books only.
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    coarse_l, books_l = ann_index_load_books(spark, store)
+    got = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in ivf_pq_search_coded(
+            ann_index_codes(spark, store, 2),
+            emb,
+            queries,
+            coarse_l,
+            books_l,
+            k=10,
+            nprobe=14,
+            refine=16,
+            code_bits=8,
+        ).collect()
+    }
+    exact = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"grown-index recall@10 {recall:.3f} < 0.9"
+
+
+def test_probe_table_bit_identity_and_auto_flip(spark, sf_dir):
+    """The probe-table ADC shape must be BIT-IDENTICAL to the literal
+    shape at the registered knobs, and 'auto' must select each side of
+    its payload threshold correctly (r14 verdict task 3)."""
+    from recipes_spark.operators import similarity as sim
+    from recipes_spark.operators.similarity import (
+        ivf_pq_topk_int,
+        train_coarse_centroids_int,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    kw = dict(
+        k=10, n_centroids=16, nprobe=14, refine=16, m=4, k_codes=256,
+        code_bits=8, coarse_milli=cents,
+    )
+    lit = sorted(
+        map(tuple, ivf_pq_topk_int(emb, queries, probe_side="literal", **kw).collect())
+    )
+    tab = sorted(
+        map(tuple, ivf_pq_topk_int(emb, queries, probe_side="table", **kw).collect())
+    )
+    assert lit == tab and lit
+    # auto below the threshold = literal; shrink the threshold to force
+    # the table side and re-assert identity through the auto path.
+    auto = sorted(
+        map(tuple, ivf_pq_topk_int(emb, queries, probe_side="auto", **kw).collect())
+    )
+    assert auto == lit
+    old = sim._ADC_LITERAL_MAX_BYTES
+    try:
+        sim._ADC_LITERAL_MAX_BYTES = 0
+        forced = sorted(
+            map(tuple, ivf_pq_topk_int(emb, queries, probe_side="auto", **kw).collect())
+        )
+    finally:
+        sim._ADC_LITERAL_MAX_BYTES = old
+    assert forced == lit
+    with pytest.raises(ValueError, match="probe_side"):
+        ivf_pq_topk_int(emb, queries, probe_side="bogus", **kw)
+
+
+def test_classifier_transfer_both_directions_near_chance(spark, sf_dir):
+    """The transfer experiment's measured conclusion (r14 verdict task
+    5): training the same kernel on EITHER weak labeler fails to
+    predict the other — both directions' accuracy sits near chance
+    (measured 0.489–0.586 across sf0.001/0.01/0.1), and every
+    confusion cell fires in both directions, so the number is a real
+    two-sided disagreement, not a degenerate always-keep collapse."""
+    rows = {
+        r["direction"]: r
+        for r in all_queries()["x4_classifier_transfer"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"gopher_to_flesch", "flesch_to_gopher"}
+    for d, r in rows.items():
+        for cell in ("tp", "fp", "fn", "tn"):
+            assert int(r[cell]) > 0, (d, cell, r)
+        assert 350_000 <= int(r["accuracy_micro"]) <= 700_000, (d, r)
+
+
+def test_threshold_from_keep_rate_contract(spark, sf_dir):
+    """The budgeted threshold keeps ~the target fraction (≥ target by
+    the k-th-score rule; ties may push slightly past it, never 10%
+    past on these fixtures), and the operating point separates the
+    weak label: keep rate above the threshold ≥ 1.4× the rate below
+    (measured 5.1× / 5.3× / 1.5× at sf0.001/0.01/0.1 — the
+    calibration curve's separation collapsed to one operating
+    point)."""
+    r = all_queries()["x4_threshold_from_keep_rate"](
+        spark, sf_dir
+    ).collect()[0]
+    assert int(r["n_keep"]) >= max((int(r["n_docs"]) * 2) // 5, 1)
+    assert 400_000 <= int(r["actual_keep_rate_micro"]) <= 440_000, r
+    assert int(r["label_keep_rate_above_micro"]) * 10 >= 14 * int(
+        r["label_keep_rate_below_micro"]
+    ), r

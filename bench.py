@@ -9,10 +9,18 @@ Prints ONE JSON line:
 Materialization is a noop-sink write (format("noop")) — full plan
 executes, nothing collects to the driver, so timings reflect the
 distributed plan, not driver serialization.
+
+--passes N (or $SPARK_GRAFT_BENCH_PASSES, default 2): run the whole
+query loop N times and report each query's MIN across passes — the
+min-of-N discipline applied across the suite, not just within a query
+(r14 verdict task 7: three of four r14 bench sessions self-flagged at
+least one run; a single-pass reading inherits whatever burst hit its
+pass). Raw per-pass totals ride along as "pass_totals".
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
@@ -91,6 +99,16 @@ def _calibration_sec(spark) -> float:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--passes",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")),
+        help="full query-loop passes; per-query time = min across passes",
+    )
+    args = ap.parse_args()
+    passes = max(args.passes, 1)
+
     from recipes_spark.registry import all_queries
     from recipes_spark.session import get_session
 
@@ -132,14 +150,22 @@ def main() -> None:
     calib_pre = _calibration_sec(spark)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    pass_totals: list[float] = []
+    for _p in range(passes):
+        pass_total = 0.0
+        for name in HEADLINE:
+            fn = queries[name]
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            pass_total += best
+            prev = timings.get(name, float("inf"))
+            timings[name] = round(min(prev, best), 3)
+        pass_totals.append(round(pass_total, 3))
 
     # ... and AFTER: the two readings bracket the loop, so a host load
     # burst during the queries shows up as canary drift instead of
@@ -173,6 +199,11 @@ def main() -> None:
                 "calib_drift": round(drift, 3),
                 "unreliable_run": drift > 0.25,
                 "value_per_calib": round(total / calib, 2),
+                # min-of-passes discipline (see module docstring): the
+                # headline is the per-query min across `passes` full
+                # loops; raw per-pass sums expose any burst one pass ate.
+                "passes": passes,
+                "pass_totals": pass_totals,
             }
         )
     )

@@ -3670,13 +3670,15 @@ def _cell_codes_digest(coded: DataFrame, suffix: str = "") -> DataFrame:
 def _index_commit_oracle_sql(
     k_coarse: int = 16, coarse_iters: int = 3, m: int = 4,
     k_codes: int = 256, sample: int = 2048, iters: int = 5,
-    dim: int = 64, code_bits: int = 8,
+    dim: int = 64, code_bits: int = 8, flags: bool = True,
 ) -> str:
     """x3_index_commit oracle: both training chains (distributed
     coarse, sampled PQ books), the fused full-corpus assignment (cell
     + packed codes), then the per-cell index manifest — counts and the
     vec_id-ordered code digest. The file-side equality the engine
-    reports is asserted true (the _RELEASE_ORACLE convention)."""
+    reports is asserted true (the _RELEASE_ORACLE convention).
+    ``flags=False`` drops the two literal equality columns — the
+    st31 stream twin's oracle, whose state report has no file side."""
     ctes = _coarse_train_ctes(k=k_coarse, iters=coarse_iters, prefix="cq_")
     ctes += _pq_train_encode_ctes(
         m=m, k=k_codes, sample=sample, iters=iters, dim=dim
@@ -3693,13 +3695,14 @@ def _index_commit_oracle_sql(
         f" ({code_bits} * ({m - 1} - j)))) AS BIGINT) AS cp"
         " FROM fa GROUP BY vec_id)",
     ]
+    flag_cols = " true AS files_match, true AS books_match\n" if flags else ""
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         "SELECT CAST(a.cid AS BIGINT) AS cell,"
         " CAST(count(*) AS BIGINT) AS n_vecs,\n"
         " sha256(string_agg(CAST(p.cp AS VARCHAR), ','"
-        " ORDER BY p.vec_id)) AS codes_sha,\n"
-        " true AS files_match, true AS books_match\n"
+        f" ORDER BY p.vec_id)) AS codes_sha{',' if flags else ''}\n"
+        f"{flag_cols}"
         "FROM cq_fa a JOIN pk p USING (vec_id)"
         " GROUP BY a.cid ORDER BY cell"
     )

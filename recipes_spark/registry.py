@@ -343,6 +343,7 @@ _DEFER: dict[str, int] = {
     "x3_ivf_pq_table_topk": 15,
     "x4_classifier_transfer": 15,
     "x4_threshold_from_keep_rate": 15,
+    "st31_stream_index_append": 15,
 }
 
 

@@ -230,3 +230,51 @@ def test_threshold_from_keep_rate_contract(spark, sf_dir):
     assert int(r["label_keep_rate_above_micro"]) * 10 >= 14 * int(
         r["label_keep_rate_below_micro"]
     ), r
+
+
+def test_st31_index_state_telescopes_and_retries(spark, sf_dir, tmp_path):
+    """st31's family contract, directly on its advance body: after k
+    ordered batches the accumulated (vec_id, cell, code) state equals
+    the ONE-PASS corpus encode row-for-row (encoding is row-local
+    against a fixed model, so arrival order cannot matter), and
+    re-delivering the last batch (foreachBatch's at-least-once case)
+    leaves the state unchanged (per-bid overwrite + prior-only
+    reads)."""
+    from recipes_spark.operators.similarity import (
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.streaming.ingest import (
+        _ST31_STATE_SCHEMA,
+        index_append_advance_factory,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    state_dir = str(tmp_path / "st31_state")
+    os.makedirs(state_dir)
+    advance = index_append_advance_factory(spark, state_dir, coarse, books)
+    chunks = [emb.filter(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+    for bid, ch in enumerate(chunks):
+        advance(ch, bid)
+
+    def state(bid):
+        return {
+            (int(r["vec_id"]), int(r["codes_packed"]), int(r["cell"]))
+            for r in spark.read.schema(_ST31_STATE_SCHEMA)
+            .parquet(os.path.join(state_dir, f"s_{bid}"))
+            .collect()
+        }
+
+    one_pass = {
+        (int(r["vec_id"]), int(r["codes_packed"]), int(r["__list"]))
+        for r in pq_encode_int(
+            emb, books, coarse_milli=coarse, code_bits=8
+        ).collect()
+    }
+    final = state(2)
+    assert final == one_pass
+    advance(chunks[2], 2)  # redelivery of the last batch
+    assert state(2) == final

@@ -3823,18 +3823,20 @@ def x3_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
-def _index_append_oracle_sql(
+def _index_append_ctes(
     k_coarse: int = 16, coarse_iters: int = 3, m: int = 4,
     k_codes: int = 256, sample: int = 2048, iters: int = 5,
     dim: int = 64, code_bits: int = 8,
-) -> str:
-    """x3_index_append oracle: the BASE split (80% by the portable
-    hash of 'isplit:<vec_id>'), both training chains over the base
-    only (src/sample_src overrides), the FULL-corpus assignment and
-    packing against the base-trained books, then per-cell v1 (base
-    members) and v2 (all members) manifests, the touched set, and the
-    digest-changed ⇔ touched contract. File-side equalities asserted
-    true."""
+) -> list[str]:
+    """Shared CTE chain of the index-append family: the BASE split
+    (80% by the portable hash of 'isplit:<vec_id>'), both training
+    chains over the base only (src/sample_src overrides), the
+    FULL-corpus assignment and packing against the base-trained books,
+    per-cell v1 (base members) and v2 (all members) manifests, and the
+    touched set. Consumed by the x3_index_append oracle (version
+    comparison) and the x3_index_compact oracle (the v2 content IS the
+    compacted table's content — a rewrite commit changes files, never
+    rows)."""
     ctes = [
         "bemb AS MATERIALIZED (SELECT * FROM embeddings WHERE"
         " CAST(('0x' || substr(sha256('isplit:' ||"
@@ -3876,8 +3878,15 @@ def _index_append_oracle_sql(
         " AS sha_v2 FROM rws GROUP BY cid)",
         "tch AS (SELECT DISTINCT cid FROM rws WHERE NOT is_base)",
     ]
+    return ctes
+
+
+def _index_append_oracle_sql(**kw) -> str:
+    """x3_index_append oracle: the shared chain + the version
+    comparison (digest-changed ⇔ touched). File-side equalities
+    asserted true."""
     return (
-        "WITH " + ",\n".join(ctes) + "\n"
+        "WITH " + ",\n".join(_index_append_ctes(**kw)) + "\n"
         "SELECT CAST(v2.cid AS BIGINT) AS cell,"
         " CAST(coalesce(v1.n_v1, 0) AS BIGINT) AS n_v1, v2.n_v2,\n"
         " CAST(CASE WHEN tch.cid IS NOT NULL THEN 1 ELSE 0 END AS INT)"
@@ -3888,6 +3897,21 @@ def _index_append_oracle_sql(
         " = (tch.cid IS NOT NULL)) AS digest_changed_iff_touched\n"
         "FROM v2 LEFT JOIN v1 ON v1.cid = v2.cid"
         " LEFT JOIN tch ON tch.cid = v2.cid ORDER BY cell"
+    )
+
+
+def _index_compact_oracle_sql(**kw) -> str:
+    """x3_index_compact oracle: the shared chain's v2 manifest — a
+    REWRITE commit reorganizes files, never rows, so the compacted
+    index digests exactly like the fragmented one; the physical flags
+    (re-read equality, vacuum reclaimed bytes, fenced history) are
+    asserted true, the release-family convention."""
+    return (
+        "WITH " + ",\n".join(_index_append_ctes(**kw)) + "\n"
+        "SELECT CAST(v2.cid AS BIGINT) AS cell,"
+        " v2.n_v2 AS n_vecs, v2.sha_v2 AS codes_sha,\n"
+        " true AS files_match, true AS vacuumed, true AS history_fenced\n"
+        "FROM v2 ORDER BY cell"
     )
 
 
@@ -3998,6 +4022,118 @@ def x3_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (~F.col("codes_sha_v1").eqNullSafe(F.col("codes_sha_v2")))
                 == (F.coalesce(F.col("t"), F.lit(0)) == 1)
             ).alias("digest_changed_iff_touched"),
+        )
+        .orderBy("cell")
+    )
+
+
+
+@query("x3_index_compact", oracle=_index_compact_oracle_sql())
+def x3_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX COMPACTION + RETENTION — the maintenance half of the
+    index lifecycle: after appends fragment the codes store (v2 holds
+    base files PLUS small delta files per touched cell), a REWRITE
+    commit (snapshot_commit replace=True) lands the whole table as one
+    file per cell under v3, and snapshot_vacuum(retain_from=3)
+    physically reclaims every file only the expired manifests
+    reference — the OPTIMIZE/VACUUM pair every table format ships,
+    applied to the ANN index. The flow is x3_index_append's (base v1,
+    delta v2 against store-loaded books), then compact + vacuum; each
+    output row is a cell of the COMPACTED manifest re-read through v3,
+    with three physical flags proved in-query: files_match (v3 re-read
+    digests equal the plan-side union — a rewrite moves bytes, never
+    rows), vacuumed (the vacuum actually deleted the dereferenced v1/v2
+    files), and history_fenced (time-travel below the retention floor
+    now fails LOUDLY — the snapshot_vacuum contract, the opposite
+    failure mode from silently keeping dead terabytes). Serve-from-v3
+    bit-identity and the one-file-per-cell layout are gated in
+    tests/test_intent_round15.py. The oracle replays the split, both
+    trainings, assignment, packing, and the per-cell digests — the
+    compacted content is provably the appended content.
+
+    100 TB: the rewrite is one repartition(cell) + partitioned write
+    of the live table (the same cost class as one epoch's read);
+    vacuum is manifest-metadata diffing plus deletes. Cadence it like
+    any table format: compact when delta-file count per cell exceeds
+    a threshold, vacuum once trailing readers drain."""
+    import os
+
+    from recipes_spark.operators.similarity import (
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_load_books,
+    )
+    from recipes_spark.plans.catalog import snapshot_commit, snapshot_vacuum
+    from recipes_spark.queries.corpus_ops import _bucket
+
+    emb = load(spark, sf_dir, "embeddings")
+    is_base = (
+        _bucket(
+            F.concat(F.lit("isplit:"), F.col("vec_id").cast("string")), 10
+        )
+        < 8
+    )
+    base = emb.filter(is_base)
+    delta = emb.filter(~is_base)
+    cents = train_coarse_centroids_int(base, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(base, m=4, k=256)
+    base_coded = pq_encode_int(
+        base, books, coarse_milli=cents, code_bits=8
+    ).localCheckpoint(eager=True)
+    store = _ann_scratch_store("compact")
+    ann_index_commit(
+        spark, base, store, 1, cents, books, code_bits=8, coded=base_coded
+    )
+    coarse_l, books_l = ann_index_load_books(spark, store)
+    delta_coded = pq_encode_int(
+        delta, books_l, coarse_milli=coarse_l, code_bits=8
+    ).localCheckpoint(eager=True)
+    ann_index_commit(
+        spark, delta, store, 2, coarse_l, books_l, code_bits=8,
+        coded=delta_coded,
+    )
+    full_coded = base_coded.unionByName(delta_coded)
+    codes_store = os.path.join(store, "codes")
+    snapshot_commit(
+        spark,
+        full_coded.select(
+            "vec_id",
+            "codes_packed",
+            F.col("__list").cast("int").alias("cell"),
+            F.col("__list").cast("int").alias("cell_key"),
+        ).repartition("cell_key"),
+        codes_store,
+        3,
+        replace=True,
+        partition_by=("cell_key",),
+    )
+    stats = snapshot_vacuum(spark, codes_store, retain_from=3)
+    fenced = False
+    try:
+        from recipes_spark.plans.catalog import snapshot_read
+
+        snapshot_read(spark, codes_store, 1).count()
+    except Exception:
+        fenced = True
+    plan = _cell_codes_digest(full_coded)
+    files = _cell_codes_digest(ann_index_codes(spark, store, 3), "_f")
+    return (
+        plan.join(files, "cell")
+        .select(
+            "cell",
+            "n_vecs",
+            "codes_sha",
+            (
+                (F.col("codes_sha") == F.col("codes_sha_f"))
+                & (F.col("n_vecs") == F.col("n_vecs_f"))
+            ).alias("files_match"),
+            F.lit(bool(stats["files_deleted"] > 0)).alias("vacuumed"),
+            F.lit(bool(fenced)).alias("history_fenced"),
         )
         .orderBy("cell")
     )

@@ -344,6 +344,7 @@ _DEFER: dict[str, int] = {
     "x4_classifier_transfer": 15,
     "x4_threshold_from_keep_rate": 15,
     "st31_stream_index_append": 15,
+    "x3_index_compact": 15,
 }
 
 

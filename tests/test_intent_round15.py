@@ -278,3 +278,74 @@ def test_st31_index_state_telescopes_and_retries(spark, sf_dir, tmp_path):
     assert final == one_pass
     advance(chunks[2], 2)  # redelivery of the last batch
     assert state(2) == final
+
+
+def test_index_compact_layout_and_serving(spark, sf_dir):
+    """Compaction's physical contract: after the rewrite + vacuum the
+    codes store holds EXACTLY one data file per cell under v3, the
+    dereferenced v1/v2 data files are physically gone, the expired
+    manifests are dropped (time travel below the floor fails loudly),
+    and the compacted index still SERVES — recall@10 ≥ 0.9 vs brute
+    force through the store-loaded books."""
+    from recipes_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_search_coded,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_load_books,
+    )
+    from recipes_spark.queries.dataops import _LAST_ANN_STORES
+
+    rows = all_queries()["x3_index_compact"](spark, sf_dir).collect()
+    assert rows
+    assert all(bool(r["files_match"]) for r in rows), rows
+    assert all(bool(r["vacuumed"]) for r in rows), rows
+    assert all(bool(r["history_fenced"]) for r in rows), rows
+    store = _LAST_ANN_STORES["compact"]
+    data_root = os.path.join(store, "codes", "data")
+    v3 = os.path.join(data_root, "v3")
+    per_cell = {
+        d: [f for f in os.listdir(os.path.join(v3, d)) if f.endswith(".parquet")]
+        for d in os.listdir(v3)
+        if d.startswith("cell_key=")
+    }
+    assert len(per_cell) == len(rows)
+    assert all(len(fs) == 1 for fs in per_cell.values()), per_cell
+    for old in ("v1", "v2"):
+        leftover = [
+            fn
+            for dirpath, _d, files in os.walk(os.path.join(data_root, old))
+            for fn in files
+            if fn.endswith(".parquet")
+        ]
+        assert not leftover, (old, leftover)
+        assert not os.path.isdir(
+            os.path.join(store, "codes", "_manifests", old)
+        )
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    coarse_l, books_l = ann_index_load_books(spark, store)
+    got = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in ivf_pq_search_coded(
+            ann_index_codes(spark, store, 3),
+            emb,
+            queries,
+            coarse_l,
+            books_l,
+            k=10,
+            nprobe=14,
+            refine=16,
+            code_bits=8,
+        ).collect()
+    }
+    exact = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"compacted-index recall@10 {recall:.3f} < 0.9"

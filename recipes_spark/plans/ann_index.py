@@ -73,6 +73,7 @@ def ann_index_commit(
     vec_col: str = "embedding",
     code_bits: int = 8,
     coded: DataFrame | None = None,
+    attrs: DataFrame | None = None,
 ) -> None:
     """Commit index `version`: encode `corpus` against the books (ONE
     fused pq_encode_int pass — cell id + packed codes) and
@@ -82,7 +83,14 @@ def ann_index_commit(
     re-infer partition directories (snapshot_commit's documented
     contract). ``coded`` supplies an already-encoded
     (id, codes_packed, __list) DataFrame (e.g. a checkpointed one
-    also feeding a plan-side manifest) instead of re-encoding."""
+    also feeding a plan-side manifest) instead of re-encoding.
+
+    ``attrs`` (an (id_col, metadata…) DataFrame) denormalizes
+    filterable metadata INTO the codes rows at COMMIT time — one join
+    per index build, so a filtered search pays a pushed parquet
+    predicate on the codes scan instead of a corpus-sized join per
+    query (the faiss-IDSelector / vector-DB metadata-filter shape done
+    the warehouse way)."""
     from recipes_spark.operators.similarity import pq_encode_int
 
     if version == 1:
@@ -103,6 +111,8 @@ def ann_index_commit(
         F.col("__list").cast("int").alias("cell"),
         F.col("__list").cast("int").alias("cell_key"),
     )
+    if attrs is not None:
+        rows = rows.join(attrs, id_col)
     snapshot_commit(
         spark,
         rows.repartition("cell_key"),
@@ -140,13 +150,18 @@ def ann_index_load_books(
 def ann_index_codes(
     spark: SparkSession, store: str, version: int, *,
     id_col: str = "vec_id",
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """The committed codes visible at `version`, through its manifest
-    only — (id_col, codes_packed, __list), ivf_pq_search_coded's input
-    shape."""
+    only — (id_col, codes_packed, __list[, extra…]),
+    ivf_pq_search_coded's input shape. ``extra`` exposes metadata
+    columns the commit denormalized in (see ann_index_commit attrs) —
+    a filter on them pushes into the parquet scan."""
     return snapshot_read(
         spark, os.path.join(store, "codes"), version
-    ).select(id_col, "codes_packed", F.col("cell").alias("__list"))
+    ).select(
+        id_col, "codes_packed", F.col("cell").alias("__list"), *extra
+    )
 
 
 def ann_index_append(

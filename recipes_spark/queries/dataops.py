@@ -3378,14 +3378,18 @@ def _ivf_pq_distrib_oracle_sql(
     k_coarse: int = 16, coarse_iters: int = 3, nprobe: int = 14,
     topk: int = 10, refine: int = 16, n_queries: int = 5, m: int = 4,
     k_codes: int = 256, sample: int = 2048, iters: int = 5,
-    dim: int = 64,
+    dim: int = 64, cand_pred: str | None = None,
 ) -> str:
     """x3_ivf_pq_distrib_topk oracle: BOTH training chains — the
     DISTRIBUTED coarse trainer (_coarse_train_ctes, prefix cq_) and
     the byte-width PQ books (_pq_train_encode_ctes) — then the
     full-corpus cell assignment, per-query probe ranking, cell-pruned
     candidates, the ADC sum as a (codes ⋈ per-query table) join, the
-    shortlist, and the exact round-4 cosine re-rank."""
+    shortlist, and the exact round-4 cosine re-rank. Shared verbatim
+    by x3_index_search / x3_ivf_pq_table_topk (same output by
+    construction). ``cand_pred`` (a predicate over the candidate's
+    `em` embeddings row) narrows cellcand — the metadata-filtered
+    search oracle (x3_index_filtered_search)."""
     n_keep = refine * topk
     ctes = _coarse_train_ctes(
         k=k_coarse, iters=coarse_iters, prefix="cq_"
@@ -3405,9 +3409,16 @@ def _ivf_pq_distrib_oracle_sql(
         " query_id, cid, row_number() OVER (PARTITION BY vec_id"
         " ORDER BY d2, cid) AS rn FROM cq_fd"
         f" WHERE vec_id < {n_queries}) WHERE rn <= {nprobe})",
-        "cellcand AS MATERIALIZED (SELECT p.query_id, f.vec_id"
-        " FROM cq_fa f JOIN probe p ON p.cid = f.cid"
-        " WHERE f.vec_id != p.query_id)",
+        (
+            "cellcand AS MATERIALIZED (SELECT p.query_id, f.vec_id"
+            " FROM cq_fa f JOIN probe p ON p.cid = f.cid"
+            " WHERE f.vec_id != p.query_id)"
+            if cand_pred is None
+            else "cellcand AS MATERIALIZED (SELECT p.query_id, f.vec_id"
+            " FROM cq_fa f JOIN probe p ON p.cid = f.cid"
+            " JOIN embeddings em ON em.vec_id = f.vec_id"
+            f" WHERE f.vec_id != p.query_id AND {cand_pred})"
+        ),
         "pqd AS MATERIALIZED (SELECT e.vec_id AS query_id, c.j, c.c,"
         " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
         f" FROM ej e JOIN c{iters} c ON c.j = e.j AND c.d = e.d"
@@ -4136,6 +4147,184 @@ def x3_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(fenced)).alias("history_fenced"),
         )
         .orderBy("cell")
+    )
+
+
+
+@query(
+    "x3_index_filtered_search",
+    oracle=_ivf_pq_distrib_oracle_sql(cand_pred="em.label IN (2, 5)"),
+)
+def x3_index_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED search from the committed index — the
+    faiss-IDSelector / vector-DB filtered-query shape, done the
+    warehouse way: the commit DENORMALIZES the filterable attribute
+    (the embeddings label) into the codes rows (ann_index_commit
+    attrs= — one join per index build), so a filtered top-k pays a
+    PUSHED parquet predicate on the manifest-scanned codes — no
+    per-query join against the corpus — applied BEFORE the ADC
+    shortlist, so the k results are the best k among survivors
+    (pre-filtering; post-filtering a plain top-k under-fills whenever
+    the filter is selective). Filter here: label ∈ {2, 5} (~18%
+    selectivity). Everything downstream is ivf_pq_search_coded
+    unchanged — probe ranking, pure-Catalyst ADC, windowed shortlist,
+    exact re-rank on raw vectors. The oracle is the distrib chain with
+    cellcand narrowed by the same predicate; the pushed-filter plan
+    shape and filtered recall ≥ 0.9 are gated in
+    tests/test_intent_round15.py.
+
+    100 TB: selective filters make ANN CHEAPER here, not slower — the
+    predicate prunes the codes scan (row-group stats on the
+    denormalized column), the shortlist window ranks fewer rows, and
+    nothing new shuffles. Attributes that change after commit are the
+    append path's business (re-encode rows carry fresh attrs into the
+    next version), exactly like any denormalized warehouse column."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_search_coded,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_load_books,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    store = _ann_scratch_store("filtered")
+    ann_index_commit(
+        spark, emb, store, 1, cents, books, code_bits=8,
+        attrs=emb.select("vec_id", "label"),
+    )
+    coarse_l, books_l = ann_index_load_books(spark, store)
+    coded = ann_index_codes(spark, store, 1, extra=("label",)).filter(
+        F.col("label").isin(2, 5)
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_pq_search_coded(
+        coded, emb, queries, coarse_l, books_l,
+        k=10, nprobe=14, refine=16, code_bits=8,
+    ).withColumnRenamed("rank", "rnk")
+
+
+
+def _index_radius_oracle_sql(
+    k_coarse: int = 16, coarse_iters: int = 3, nprobe: int = 14,
+    n_queries: int = 5, radius: float = 0.25,
+) -> str:
+    """x3_index_radius_search oracle: the distributed coarse chain,
+    full-corpus cell assignment, per-query probe ranking, probed-cell
+    candidates, exact round-4 cosine FILTERED at the radius — the
+    range-query tail on the IVF front (no PQ chain: the radius serve
+    verifies candidates exactly, codes only route)."""
+    ctes = _coarse_train_ctes(k=k_coarse, iters=coarse_iters)
+    ctes += [
+        "fd AS (SELECT e.vec_id, c.cid,"
+        " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM el e JOIN c{coarse_iters} c ON e.d = c.d"
+        " GROUP BY e.vec_id, c.cid)",
+        "fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM fd) WHERE rn = 1)",
+        "probe AS (SELECT query_id, cid FROM (SELECT vec_id AS"
+        " query_id, cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM fd"
+        f" WHERE vec_id < {n_queries}) WHERE rn <= {nprobe})",
+        "cand AS (SELECT p.query_id, f.vec_id FROM fa f"
+        " JOIN probe p ON p.cid = f.cid WHERE f.vec_id != p.query_id)",
+        f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f" FROM embeddings WHERE vec_id < {n_queries})",
+        "cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "sims AS (SELECT s.query_id, s.vec_id,"
+        " round(list_dot_product(c.v, q.qv) /"
+        " (sqrt(list_dot_product(c.v, c.v)) *"
+        " sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim"
+        " FROM cand s JOIN cv c ON c.vec_id = s.vec_id"
+        " JOIN qv q ON q.query_id = s.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, vec_id, cosine_sim FROM sims"
+        f" WHERE cosine_sim >= {radius} ORDER BY query_id, vec_id"
+    )
+
+
+@query("x3_index_radius_search", oracle=_index_radius_oracle_sql())
+def x3_index_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search from the committed index — faiss range_search on
+    the store: x3_radius_search bounds SIMILARITY (every neighbor with
+    cosine ≥ 0.25 — the dedup-audit shape) but scans the whole corpus
+    per query; here candidates are the PROBED CELLS' members read
+    through the committed codes manifest (cell routing is the only
+    thing the codes do for a range query — every candidate is verified
+    with the exact round-4 cosine, so the approximation is purely the
+    deterministic cell pruning, SQL-replayed end to end). Books and
+    cells come from the store (ann_index_load_books / ann_index_codes),
+    not the in-memory trainer — the same committed-artifact discipline
+    as x3_index_search. Range recall vs the exhaustive radius query is
+    gated in tests/test_intent_round15.py.
+
+    100 TB: a radius query reads nprobe cell partitions (pruned scan),
+    broadcasts Q probe rows, and verifies candidates row-locally — no
+    corpus cross join (the brute radius leg's documented weakness) and
+    no shuffle beyond the pruned scan."""
+    import numpy as np
+
+    from recipes_spark.operators.similarity import (
+        _collect_queries,
+        _d2_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_load_books,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    store = _ann_scratch_store("radius")
+    ann_index_commit(spark, emb, store, 1, cents, books, code_bits=8)
+    coarse_l, _books_l = ann_index_load_books(spark, store)
+    coded = ann_index_codes(spark, store, 1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    qids, Q = _collect_queries(queries, "query_id", "query_vec")
+    Qm = np.floor(np.asarray(Q, dtype=np.float64) * 1000.0).astype(np.int64)
+    qcd2 = _d2_int(Qm, coarse_l)
+    nprobe = 14
+    probes = []
+    for qi, qid in enumerate(qids):
+        order = np.lexsort((np.arange(coarse_l.shape[0]), qcd2[qi]))[:nprobe]
+        probes.extend((int(qid), int(c)) for c in order)
+    probe_df = spark.createDataFrame(probes, "query_id long, __list int")
+    cand = (
+        coded.join(F.broadcast(probe_df), "__list")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qv = queries.select(
+        "query_id", as_double("query_vec").alias("qv")
+    )
+    cv = emb.select("vec_id", as_double("embedding").alias("v"))
+    sim = F.round(
+        cosine(F.col("v"), F.col("qv")), 4
+    ).alias("cosine_sim")
+    return (
+        cand.join(cv, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", sim)
+        .filter(F.col("cosine_sim") >= 0.25)
+        .orderBy("query_id", "vec_id")
     )
 
 

@@ -345,6 +345,8 @@ _DEFER: dict[str, int] = {
     "x4_threshold_from_keep_rate": 15,
     "st31_stream_index_append": 15,
     "x3_index_compact": 15,
+    "x3_index_filtered_search": 15,
+    "x3_index_radius_search": 15,
 }
 
 

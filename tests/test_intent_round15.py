@@ -349,3 +349,67 @@ def test_index_compact_layout_and_serving(spark, sf_dir):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"compacted-index recall@10 {recall:.3f} < 0.9"
+
+
+def test_index_filtered_search_pushdown_and_recall(spark, sf_dir):
+    """The filtered serve's physical contract: the label predicate
+    PUSHES into the manifest-scanned codes parquet (no per-query
+    corpus join — the filter narrows the scan itself), and the top-10
+    among survivors recovers ≥ 0.9 of the exact filtered top-10
+    (brute force over the label ∈ {2, 5} subset)."""
+    from recipes_spark.operators.similarity import brute_force_topk
+    from recipes_spark.plans.ann_index import ann_index_codes
+    from recipes_spark.queries.dataops import _LAST_ANN_STORES
+
+    qs = all_queries()
+    got_rows = qs["x3_index_filtered_search"](spark, sf_dir).collect()
+    got = {(int(r["query_id"]), int(r["vec_id"])) for r in got_rows}
+    emb = load(spark, sf_dir, "embeddings")
+    labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[v] in (2, 5) for _q, v in got), (
+        "filtered search returned an out-of-filter vector"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in brute_force_topk(
+            emb.filter(F.col("label").isin(2, 5)), queries, k=10
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"filtered recall@10 {recall:.3f} < 0.9"
+    # Pushed predicate: the codes scan itself carries the label filter.
+    store = _LAST_ANN_STORES["filtered"]
+    sdf = ann_index_codes(spark, store, 1, extra=("label",)).filter(
+        F.col("label").isin(2, 5)
+    )
+    sdf.collect()
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan.split(
+        "PushedFilters"
+    )[1][:120], plan[:2000]
+
+
+def test_index_radius_recall(spark, sf_dir):
+    """Range search from the committed index: every returned pair is a
+    TRUE radius member (cell pruning can only drop, never fabricate —
+    candidates verify with the exact cosine), and range recall vs the
+    exhaustive x3_radius_search ≥ 0.9 at the registered nprobe."""
+    qs = all_queries()
+    idx = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in qs["x3_index_radius_search"](spark, sf_dir).collect()
+    }
+    brute = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in qs["x3_radius_search"](spark, sf_dir).collect()
+    }
+    assert idx <= brute, idx - brute
+    recall = len(idx & brute) / len(brute)
+    assert recall >= 0.9, f"range recall {recall:.3f} < 0.9"

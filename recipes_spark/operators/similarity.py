@@ -787,6 +787,7 @@ def pq_encode_int(
     coarse_milli: np.ndarray | None = None,
     code_bits: int = 4,
     residual: bool = False,
+    books_bc=None,
 ) -> DataFrame:
     """Assign PQ codes against milli-grid integer codebooks
     (train_pq_codebooks_int), emitting (id, codes_packed BIGINT,
@@ -821,10 +822,17 @@ def pq_encode_int(
     # production book (k·dim in the tens of MB) pickled into the
     # closure would ship once PER TASK; the broadcast ships once per
     # executor (r14 verdict note on the kNN-graph kernel, applied to
-    # the shared encoder).
-    _bc = corpus.sparkSession.sparkContext.broadcast(
-        (books_milli, coarse_milli)
-    )
+    # the shared encoder). Lifetime: the broadcast lives exactly as
+    # long as the returned plan references it — Spark's ContextCleaner
+    # reclaims it once the DataFrame is released. A loop that encodes
+    # MANY batches against the SAME frozen books (st31's micro-batch
+    # advance) should hoist ONE broadcast of (books, coarse) and pass
+    # it as ``books_bc`` instead of paying a fresh broadcast per call.
+    _bc = books_bc
+    if _bc is None:
+        _bc = corpus.sparkSession.sparkContext.broadcast(
+            (books_milli, coarse_milli)
+        )
     # codes_packed carries code_bits per subspace: at m > 1, k beyond
     # the width would silently corrupt the packing (and every
     # downstream masked unpack in pq_adc_topk_int / ivf_pq_topk_int).

@@ -112,7 +112,11 @@ def ann_index_commit(
         F.col("__list").cast("int").alias("cell_key"),
     )
     if attrs is not None:
-        rows = rows.join(attrs, id_col)
+        # LEFT join: a vector with no attrs row must still be IN the
+        # index (searchable unfiltered, null metadata) — an inner join
+        # would silently drop it from every search, not just filtered
+        # ones.
+        rows = rows.join(attrs, id_col, "left")
     snapshot_commit(
         spark,
         rows.repartition("cell_key"),
@@ -156,9 +160,12 @@ def ann_index_codes(
     only — (id_col, codes_packed, __list[, extra…]),
     ivf_pq_search_coded's input shape. ``extra`` exposes metadata
     columns the commit denormalized in (see ann_index_commit attrs) —
-    a filter on them pushes into the parquet scan."""
+    a filter on them pushes into the parquet scan. The read always
+    merges file schemas (snapshot_read merge_schema): an index whose
+    later versions gained attr columns must read older files as NULL
+    attrs, not silently drop the column."""
     return snapshot_read(
-        spark, os.path.join(store, "codes"), version
+        spark, os.path.join(store, "codes"), version, merge_schema=True
     ).select(
         id_col, "codes_packed", F.col("cell").alias("__list"), *extra
     )
@@ -173,15 +180,20 @@ def ann_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_bits: int = 8,
+    attrs: DataFrame | None = None,
 ) -> None:
     """Grow the index WITHOUT retraining (faiss add(): new vectors
     encode against the COMMITTED books) — loads the v1 model from the
     store, encodes only `new_vectors`, and commits them as an APPEND
     snapshot: version N's manifest = version N−1's files plus the
     delta files, so untouched cells get no new bytes and a reader at
-    N−1 never sees the delta."""
+    N−1 never sees the delta. ``attrs`` carries the delta rows'
+    denormalized metadata, matching the columns committed at v1 (an
+    attrs-carrying index must append attrs-carrying deltas; version
+    mixes still read via the merged schema — see ann_index_codes)."""
     coarse, books = ann_index_load_books(spark, store)
     ann_index_commit(
         spark, new_vectors, store, version, coarse, books,
         id_col=id_col, vec_col=vec_col, code_bits=code_bits,
+        attrs=attrs,
     )

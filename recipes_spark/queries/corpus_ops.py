@@ -4703,24 +4703,12 @@ def x4_quality_classifier_crosseval(
     labeled = scale_partitions(d).select(
         "doc_id", "text", _gopher_keep_expr().alias("lbl")
     )
-    stats = (
-        labeled.select("lbl", F.explode(F.split("text", " ")).alias("tok"))
-        .select(
-            "lbl",
-            _bucket(F.concat(F.lit("qf:"), F.col("tok")), _QTA_DIM).alias(
-                "b"
-            ),
-        )
-        .groupBy("b")
-        .agg(
-            F.sum(F.when(F.col("lbl"), 1).otherwise(0))
-            .cast("long")
-            .alias("pos"),
-            F.count(F.lit(1)).cast("long").alias("tot"),
-        )
-        .collect()
-    )
-    weights = _qta_weights_from_stats(stats)
+    # Round 15 folded this query onto the SHARED classifier helpers
+    # (_train_bucket_weights / _readable_expr_df / _confusion_metrics —
+    # one definition for the arithmetic every classifier oracle
+    # replays); the emitted expressions, output, and oracle text are
+    # unchanged (re-attested: _RECHECK 15).
+    weights = _train_bucket_weights(labeled, "lbl")
     gen = quality_score_kernel(
         weights, _QTA_DIM, _QTA_BASE_MICRO, _QTA_THRESHOLD_MICRO
     )
@@ -4728,30 +4716,7 @@ def x4_quality_classifier_crosseval(
         gen,
         schema="doc_id bigint, n_tok bigint, score_micro bigint, keep int",
     )
-    n_words = F.size(F.split("text", " ")).cast("long")
-    flesch = (
-        F.lit(206.835)
-        - F.lit(1.015)
-        * (F.col("n_words").cast("double") / F.col("n_sentences"))
-        - F.lit(84.6)
-        * (F.col("n_syllables").cast("double") / F.col("n_words"))
-    )
-    readable = d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.expr(
-            "CAST((size(split(text, ' ')) + 11) div 12 AS BIGINT)"
-        ).alias("n_sentences"),
-        (F.size(F.split("text", "[aeiou]+")) - 1)
-        .cast("long")
-        .alias("n_syllables"),
-    ).select(
-        "doc_id",
-        (
-            F.floor(F.lit(1000.0) * flesch).cast("long")
-            >= _QTA_FLESCH_KEEP_MILLI
-        ).alias("readable"),
-    )
+    readable = _readable_expr_df(d)
     p = F.col("keep") == 1
     rb = F.col("readable")
     c = scored.join(readable, "doc_id").agg(
@@ -4761,43 +4726,7 @@ def x4_quality_classifier_crosseval(
         F.sum(F.when(~p & rb, 1).otherwise(0)).cast("long").alias("fn"),
         F.sum(F.when(~p & ~rb, 1).otherwise(0)).cast("long").alias("tn"),
     )
-    m = c.select(
-        "*",
-        F.floor(
-            F.lit(1000000.0)
-            * F.col("tp")
-            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
-        )
-        .cast("long")
-        .alias("precision_micro"),
-        F.floor(
-            F.lit(1000000.0)
-            * F.col("tp")
-            / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
-        )
-        .cast("long")
-        .alias("recall_micro"),
-        F.floor(
-            F.lit(1000000.0)
-            * (F.col("tp") + F.col("tn"))
-            / F.greatest(F.col("n_eval"), F.lit(1))
-        )
-        .cast("long")
-        .alias("accuracy_micro"),
-    )
-    return m.select(
-        "*",
-        F.floor(
-            F.lit(2.0)
-            * F.col("precision_micro")
-            * F.col("recall_micro")
-            / F.greatest(
-                F.col("precision_micro") + F.col("recall_micro"), F.lit(1)
-            )
-        )
-        .cast("long")
-        .alias("f1_micro"),
-    )
+    return _confusion_metrics(c)
 
 
 _QTA_TRANSFER_ORACLE = f"""
@@ -5043,6 +4972,10 @@ def x4_classifier_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale_partitions(d)
         .select("doc_id", "text", _gopher_keep_expr().alias("lbl"))
         .join(readable, "doc_id")
+        # Materialized once: both trainings' collects AND both scoring
+        # islands reuse these rows — without the checkpoint the Gopher
+        # expr + regex-heavy Flesch labeler re-evaluate four times.
+        .localCheckpoint(eager=True)
     )
     wa = _train_bucket_weights(labeled, "lbl")
     wb = _train_bucket_weights(labeled, "readable")
@@ -5123,7 +5056,8 @@ SELECT CAST(400000 AS BIGINT) AS target_keep_micro,
        CAST(sum(CASE WHEN score_micro >= (SELECT t FROM thr)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        CAST(floor(1000000.0 * sum(CASE WHEN score_micro >=
-            (SELECT t FROM thr) THEN 1 ELSE 0 END) / count(*)) AS BIGINT)
+            (SELECT t FROM thr) THEN 1 ELSE 0 END)
+            / greatest(count(*), 1)) AS BIGINT)
          AS actual_keep_rate_micro,
        CAST(floor(1000000.0 * sum(CASE WHEN score_micro >=
             (SELECT t FROM thr) AND keep_lbl THEN 1 ELSE 0 END)
@@ -5185,15 +5119,19 @@ def x4_threshold_from_keep_rate(
     ).localCheckpoint(eager=True)
     n_docs = scored.count()
     k = max((n_docs * 2) // 5, 1)
-    thr = int(
-        scored.orderBy(
-            F.desc("score_micro"), F.asc("doc_id")
-        )
+    # An empty corpus yields a NULL k-th score — keep it NULL (the
+    # oracle's scalar subquery does too): every `kept` predicate is
+    # then NULL → counted 0, and the report row carries a NULL
+    # threshold instead of crashing on int(None) (the r14
+    # empty-split-hardening convention).
+    raw_thr = (
+        scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(k)
         .agg(F.min("score_micro"))
         .collect()[0][0]
     )
-    kept = F.col("score_micro") >= F.lit(thr)
+    thr = int(raw_thr) if raw_thr is not None else None
+    kept = F.col("score_micro") >= F.lit(thr).cast("long")
     return scored.agg(
         F.lit(400000).cast("long").alias("target_keep_micro"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -5202,7 +5140,7 @@ def x4_threshold_from_keep_rate(
         F.floor(
             F.lit(1000000.0)
             * F.sum(F.when(kept, 1).otherwise(0))
-            / F.count(F.lit(1))
+            / F.greatest(F.count(F.lit(1)), F.lit(1))
         )
         .cast("long")
         .alias("actual_keep_rate_micro"),

@@ -3773,14 +3773,18 @@ def x3_index_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = _cell_codes_digest(coded)
     files = _cell_codes_digest(ann_index_codes(spark, store, 1), "_f")
     return (
-        plan.join(files, "cell")
+        # LEFT join from the plan side + null-safe compares: a cell the
+        # store LOST (failed partition write, truncated manifest) must
+        # surface as files_match=false, not silently drop from the
+        # report (an inner join could never flag it).
+        plan.join(files, "cell", "left")
         .select(
             "cell",
             "n_vecs",
             "codes_sha",
             (
-                (F.col("codes_sha") == F.col("codes_sha_f"))
-                & (F.col("n_vecs") == F.col("n_vecs_f"))
+                F.col("codes_sha").eqNullSafe(F.col("codes_sha_f"))
+                & F.col("n_vecs").eqNullSafe(F.col("n_vecs_f"))
             ).alias("files_match"),
             F.lit(books_ok).alias("books_match"),
         )
@@ -4134,14 +4138,16 @@ def x3_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = _cell_codes_digest(full_coded)
     files = _cell_codes_digest(ann_index_codes(spark, store, 3), "_f")
     return (
-        plan.join(files, "cell")
+        # LEFT join + null-safe compares — a compaction that lost a
+        # cell must report files_match=false (see x3_index_commit).
+        plan.join(files, "cell", "left")
         .select(
             "cell",
             "n_vecs",
             "codes_sha",
             (
-                (F.col("codes_sha") == F.col("codes_sha_f"))
-                & (F.col("n_vecs") == F.col("n_vecs_f"))
+                F.col("codes_sha").eqNullSafe(F.col("codes_sha_f"))
+                & F.col("n_vecs").eqNullSafe(F.col("n_vecs_f"))
             ).alias("files_match"),
             F.lit(bool(stats["files_deleted"] > 0)).alias("vacuumed"),
             F.lit(bool(fenced)).alias("history_fenced"),

@@ -199,6 +199,11 @@ _RECHECK: dict[str, int] = {
     # leg gained a full DuckDB oracle (rows-only 6 → 5); prior
     # rows-only rows attest the retired LAPACK form:
     "x3_pca_project": 15,
+    # round-15: crosseval folded onto the shared classifier helpers
+    # (_train_bucket_weights/_readable_expr_df/_confusion_metrics) —
+    # same expressions, output, and oracle; re-attest on the
+    # refactored body as a belt-and-braces measure:
+    "x4_quality_classifier_crosseval": 15,
     # round-15: x3_knn_graph_ivf's registered knobs moved to the
     # MEASURED recall-economics point (r14 verdict task 6): nprobe
     # 4 → 8 of 16 cells (edge recall 0.60 → 0.84 at sf0.01, gate

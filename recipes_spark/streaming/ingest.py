@@ -2926,13 +2926,18 @@ def index_append_advance_factory(spark: SparkSession, state_dir: str,
     design — the index IS the state, exactly as the production store's
     codes substore grows by each delta commit (plans/ann_index.py's
     append, micro-batch grain). Per-bid overwrites + prior-only reads
-    = the family retry contract."""
+    = the family retry contract. The frozen model is broadcast ONCE
+    here and shared by every batch's encode (books_bc) — a per-batch
+    broadcast would accrete one dead copy per micro-batch in every
+    executor until the cleaner catches up."""
     from recipes_spark.operators.similarity import pq_encode_int
+
+    books_bc = spark.sparkContext.broadcast((books, coarse))
 
     def advance(bdf: DataFrame, bid: int) -> None:
         inc = pq_encode_int(
             bdf.select("vec_id", "embedding"), books,
-            coarse_milli=coarse, code_bits=8,
+            coarse_milli=coarse, code_bits=8, books_bc=books_bc,
         ).select(
             "vec_id",
             "codes_packed",

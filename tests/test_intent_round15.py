@@ -413,3 +413,71 @@ def test_index_radius_recall(spark, sf_dir):
     assert idx <= brute, idx - brute
     recall = len(idx & brute) / len(brute)
     assert recall >= 0.9, f"range recall {recall:.3f} < 0.9"
+
+
+def test_index_filtered_append_and_missing_attrs(spark, sf_dir):
+    """The review-found API gaps, gated: (a) an attrs-carrying index
+    GROWS with attrs-carrying deltas (ann_index_append attrs=) and the
+    filtered serve reads both versions through the merged schema — an
+    appended in-filter twin of each query (cosine 1.0) must top its
+    filtered results; (b) a delta committed WITHOUT attrs still enters
+    the index (left-join semantics): its codes row survives with NULL
+    metadata — excluded by the filter, never silently dropped from the
+    index."""
+    from recipes_spark.operators.similarity import ivf_pq_search_coded
+    from recipes_spark.plans.ann_index import (
+        ann_index_append,
+        ann_index_codes,
+        ann_index_load_books,
+    )
+    from recipes_spark.queries.dataops import _LAST_ANN_STORES
+
+    qs = all_queries()
+    qs["x3_index_filtered_search"](spark, sf_dir).collect()
+    store = _LAST_ANN_STORES["filtered"]
+    emb = load(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        F.lit(2).alias("label"),
+    )
+    ann_index_append(
+        spark,
+        twins.select("vec_id", "embedding"),
+        store,
+        2,
+        attrs=twins.select("vec_id", "label"),
+    )
+    coarse_l, books_l = ann_index_load_books(spark, store)
+    coded2 = ann_index_codes(spark, store, 2, extra=("label",)).filter(
+        F.col("label").isin(2, 5)
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        twins.select("vec_id", "embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = {}
+    for r in ivf_pq_search_coded(
+        coded2, corpus, queries, coarse_l, books_l,
+        k=10, nprobe=14, refine=16, code_bits=8,
+    ).collect():
+        got.setdefault(int(r["query_id"]), []).append(
+            (int(r["rank"]), int(r["vec_id"]))
+        )
+    for q in range(5):
+        top = min(got[q])
+        assert top == (1, q + 1_000_000), (q, sorted(got[q])[:3])
+    # (b) a no-attrs delta: committed, searchable, NULL metadata.
+    orphan = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    ann_index_append(spark, orphan, store, 3)
+    rows = (
+        ann_index_codes(spark, store, 3, extra=("label",))
+        .filter(F.col("vec_id") == 2_000_007)
+        .collect()
+    )
+    assert len(rows) == 1 and rows[0]["label"] is None, rows

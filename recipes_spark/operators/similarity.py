@@ -833,6 +833,25 @@ def pq_encode_int(
         _bc = corpus.sparkSession.sparkContext.broadcast(
             (books_milli, coarse_milli)
         )
+    else:
+        # Driver-side shape checks below run on the ARGUMENTS while
+        # executors encode from the broadcast — an inconsistent pair
+        # would silently validate one model and encode with another
+        # (r15 ADVICE). Shapes + coarse presence must agree.
+        bc_books, bc_coarse = _bc.value
+        if bc_books.shape != books_milli.shape or (
+            (bc_coarse is None) != (coarse_milli is None)
+        ) or (
+            bc_coarse is not None and bc_coarse.shape != coarse_milli.shape
+        ):
+            raise ValueError(
+                "pq_encode_int: books_bc payload shapes "
+                f"(books {bc_books.shape}, coarse "
+                f"{None if bc_coarse is None else bc_coarse.shape}) do not "
+                f"match the validated arguments (books {books_milli.shape}, "
+                "coarse "
+                f"{None if coarse_milli is None else coarse_milli.shape})"
+            )
     # codes_packed carries code_bits per subspace: at m > 1, k beyond
     # the width would silently corrupt the packing (and every
     # downstream masked unpack in pq_adc_topk_int / ivf_pq_topk_int).
@@ -1477,16 +1496,31 @@ def ivf_pq_search_coded(
         for qi, qid in enumerate(qids):
             cells = np.lexsort((np.arange(n_centroids), qcd2[qi]))[:nprobe]
             probe_rows.extend((int(qid), int(c)) for c in cells)
-            for j in range(m):
-                row = qtab[qi, j]
-                table_rows.extend(
-                    (int(qid), j, c, int(row[c])) for c in range(k_codes)
-                )
+            # ONE row per query carrying its m×k_codes table flattened
+            # row-major; the (query, subspace, code, d2) long form is
+            # posexploded on EXECUTORS — the driver materializes Q
+            # arrays, not Q·m·k_codes Python tuples (r15 ADVICE: at
+            # the Q≈10⁴ batches this shape exists for, the old literal
+            # long-form was ~10M driver tuples).
+            table_rows.append(
+                (int(qid), [int(x) for x in qtab[qi].ravel()])
+            )
         probe_df = spark.createDataFrame(
             probe_rows, f"{query_id_col} long, __list int"
         )
-        tab_df = spark.createDataFrame(
-            table_rows, f"{query_id_col} long, __j int, __c int, __d2 long"
+        tab_df = (
+            spark.createDataFrame(
+                table_rows, f"{query_id_col} long, __tab array<long>"
+            )
+            .select(
+                query_id_col, F.posexplode("__tab").alias("__i", "__d2")
+            )
+            .select(
+                query_id_col,
+                F.expr(f"CAST(__i div {k_codes} AS INT)").alias("__j"),
+                F.expr(f"CAST(__i % {k_codes} AS INT)").alias("__c"),
+                "__d2",
+            )
         )
         codes_arr = F.array(
             *[

@@ -40,25 +40,85 @@ from pyspark.sql import DataFrame, SparkSession
 from recipes_spark.plans.catalog import snapshot_commit, snapshot_read
 
 
+#: Ordered scalar metadata persisted with the model (part 2 of the
+#: books substore): the commit-time encoding parameters a later append
+#: or serve session MUST reuse — re-supplying a different code_bits
+#: would pack v2 codes with a different bit layout than v1 with no
+#: error anywhere downstream (r15 ADVICE).
+_META_KEYS = ("code_bits", "m", "k_codes", "n_centroids", "dim")
+
+
 def _books_df(
-    spark: SparkSession, coarse: np.ndarray, books: np.ndarray
+    spark: SparkSession,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    code_bits: int,
 ) -> DataFrame:
     """Model rows: (part, j, c, d, val) — part 0 = the (n_centroids ×
     dim) coarse book keyed (c=cid, d=dim, j=0), part 1 = the
-    (m × k_codes × sub) PQ books keyed (j, c, d). All int64 milli."""
-    rows = [
-        (0, 0, int(c), int(d), int(coarse[c, d]))
-        for c in range(coarse.shape[0])
-        for d in range(coarse.shape[1])
-    ] + [
-        (1, int(j), int(c), int(d), int(books[j, c, d]))
-        for j in range(books.shape[0])
-        for c in range(books.shape[1])
-        for d in range(books.shape[2])
-    ]
+    (m × k_codes × sub) PQ books keyed (j, c, d), part 2 = the scalar
+    commit parameters keyed j=index-into-_META_KEYS. All int64."""
+    meta_vals = (
+        code_bits, books.shape[0], books.shape[1],
+        coarse.shape[0], coarse.shape[1],
+    )
+    rows = (
+        [
+            (0, 0, int(c), int(d), int(coarse[c, d]))
+            for c in range(coarse.shape[0])
+            for d in range(coarse.shape[1])
+        ]
+        + [
+            (1, int(j), int(c), int(d), int(books[j, c, d]))
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+            for d in range(books.shape[2])
+        ]
+        + [(2, i, 0, 0, int(v)) for i, v in enumerate(meta_vals)]
+    )
     return spark.createDataFrame(
         rows, "part int, j int, c long, d int, val long"
     )
+
+
+def ann_index_meta(spark: SparkSession, store: str) -> dict[str, int]:
+    """The committed encoding parameters (part-2 rows of the v1 books
+    substore) as {key: value}. Empty dict for a pre-meta store (the
+    caller's values then stand unvalidated, the r15 behavior)."""
+    rows = (
+        snapshot_read(spark, os.path.join(store, "books"), 1)
+        .filter(F.col("part") == 2)
+        .collect()
+    )
+    return {_META_KEYS[int(r["j"])]: int(r["val"]) for r in rows}
+
+
+def _validate_meta(
+    meta: dict[str, int],
+    coarse: np.ndarray,
+    books: np.ndarray,
+    code_bits: int,
+) -> None:
+    """A later commit/append against an existing store must carry the
+    COMMIT-TIME parameters — loudly, not via silent code corruption."""
+    if not meta:
+        return
+    got = {
+        "code_bits": code_bits,
+        "m": books.shape[0],
+        "k_codes": books.shape[1],
+        "n_centroids": coarse.shape[0],
+        "dim": coarse.shape[1],
+    }
+    bad = {
+        k: (meta[k], got[k]) for k in meta if k in got and meta[k] != got[k]
+    }
+    if bad:
+        raise ValueError(
+            "ann_index: supplied encoding parameters differ from the "
+            f"committed store's (stored, supplied): {bad} — appends and "
+            "serves must reuse the commit-time values"
+        )
 
 
 def ann_index_commit(
@@ -96,9 +156,13 @@ def ann_index_commit(
     if version == 1:
         snapshot_commit(
             spark,
-            _books_df(spark, coarse, books),
+            _books_df(spark, coarse, books, code_bits),
             os.path.join(store, "books"),
             1,
+        )
+    else:
+        _validate_meta(
+            ann_index_meta(spark, store), coarse, books, code_bits
         )
     if coded is None:
         coded = pq_encode_int(
@@ -130,24 +194,26 @@ def ann_index_load_books(
     spark: SparkSession, store: str
 ) -> tuple[np.ndarray, np.ndarray]:
     """Load the committed model back: (coarse (k, dim), books
-    (m, k_codes, sub)) int64 — a model-sized collect through the v1
-    books manifest, the read-side twin of _books_df."""
-    rows = snapshot_read(spark, os.path.join(store, "books"), 1).collect()
-    co = [(int(r["c"]), int(r["d"]), int(r["val"]))
-          for r in rows if r["part"] == 0]
-    pq = [(int(r["j"]), int(r["c"]), int(r["d"]), int(r["val"]))
-          for r in rows if r["part"] == 1]
-    kc = max(c for c, _, _ in co) + 1
-    dim = max(d for _, d, _ in co) + 1
-    coarse = np.zeros((kc, dim), dtype=np.int64)
-    for c, d, v in co:
-        coarse[c, d] = v
-    m = max(j for j, _, _, _ in pq) + 1
-    kk = max(c for _, c, _, _ in pq) + 1
-    sub = max(d for _, _, d, _ in pq) + 1
-    books = np.zeros((m, kk, sub), dtype=np.int64)
-    for j, c, d, v in pq:
-        books[j, c, d] = v
+    (m, k_codes, sub)) int64 — a model-sized Arrow collect through the
+    v1 books manifest, the read-side twin of _books_df. The matrix
+    rebuild is vectorized numpy fancy-index scatter (r15 verdict
+    housekeeping): at the k=4096 × dim=512 production point the old
+    per-row Python loop was ~2M iterations per serve session."""
+    pdf = snapshot_read(spark, os.path.join(store, "books"), 1).toPandas()
+    part = pdf["part"].to_numpy(dtype=np.int64)
+    j = pdf["j"].to_numpy(dtype=np.int64)
+    c = pdf["c"].to_numpy(dtype=np.int64)
+    d = pdf["d"].to_numpy(dtype=np.int64)
+    val = pdf["val"].to_numpy(dtype=np.int64)
+    co = part == 0
+    coarse = np.zeros((int(c[co].max()) + 1, int(d[co].max()) + 1), np.int64)
+    coarse[c[co], d[co]] = val[co]
+    pq = part == 1
+    books = np.zeros(
+        (int(j[pq].max()) + 1, int(c[pq].max()) + 1, int(d[pq].max()) + 1),
+        np.int64,
+    )
+    books[j[pq], c[pq], d[pq]] = val[pq]
     return coarse, books
 
 
@@ -179,7 +245,7 @@ def ann_index_append(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    code_bits: int = 8,
+    code_bits: int | None = None,
     attrs: DataFrame | None = None,
 ) -> None:
     """Grow the index WITHOUT retraining (faiss add(): new vectors
@@ -187,13 +253,78 @@ def ann_index_append(
     store, encodes only `new_vectors`, and commits them as an APPEND
     snapshot: version N's manifest = version N−1's files plus the
     delta files, so untouched cells get no new bytes and a reader at
-    N−1 never sees the delta. ``attrs`` carries the delta rows'
-    denormalized metadata, matching the columns committed at v1 (an
-    attrs-carrying index must append attrs-carrying deltas; version
-    mixes still read via the merged schema — see ann_index_codes)."""
+    N−1 never sees the delta. ``code_bits`` defaults to the COMMITTED
+    value (the part-2 meta rows); supplying one that differs from the
+    store's fails loudly in ann_index_commit — a mismatched width
+    would pack delta codes with a different bit layout than v1.
+    ``attrs`` carries the delta rows' denormalized metadata, matching
+    the columns committed at v1 (an attrs-carrying index must append
+    attrs-carrying deltas; version mixes still read via the merged
+    schema — see ann_index_codes)."""
     coarse, books = ann_index_load_books(spark, store)
+    if code_bits is None:
+        code_bits = ann_index_meta(spark, store).get("code_bits", 8)
     ann_index_commit(
         spark, new_vectors, store, version, coarse, books,
         id_col=id_col, vec_col=vec_col, code_bits=code_bits,
         attrs=attrs,
     )
+
+
+def ann_index_delete(
+    spark: SparkSession,
+    store: str,
+    version: int,
+    tombstones: DataFrame,
+    *,
+    id_col: str = "vec_id",
+) -> list[int]:
+    """REMOVE vectors from the committed index (faiss remove_ids, done
+    the table-format way — r15 verdict task 1): a cleaning/dedup pass
+    that drops documents must drop their vectors too. Implemented as a
+    PARTIAL-REWRITE commit per touched cell: the cells containing any
+    tombstoned id are rewritten minus those rows (every column —
+    codes AND denormalized attrs — rides through), while untouched
+    cells carry over BY REFERENCE in the new manifest (zero new
+    bytes, byte-identical files). The dropped cell files remain owned
+    by the prior manifests until snapshot_vacuum expires them, so
+    time travel across the delete still works and a fenced history is
+    one vacuum away. Returns the touched cell ids (bounded by
+    n_centroids — the same class of driver collect as a partition
+    listing).
+
+    100 TB: cost ∝ the touched cells' row count (one pruned scan +
+    one partitioned write), never the index size; the untouched-cell
+    proof is a manifest string compare."""
+    codes_store = os.path.join(store, "codes")
+    prev = snapshot_read(spark, codes_store, version - 1, merge_schema=True)
+    tomb = tombstones.select(id_col)
+    touched = sorted(
+        int(r["cell"])
+        for r in prev.join(tomb, id_col).select("cell").distinct().collect()
+    )
+    if not touched:
+        # Nothing to delete: the commit degrades to "manifest = prior
+        # version's files" (the empty-delta convention).
+        remaining = prev.filter(F.lit(False))
+        drop = None
+    else:
+        remaining = prev.filter(
+            F.col("cell").isin(*touched)
+        ).join(tomb, id_col, "left_anti")
+        # The trailing slash pins the full partition-directory name:
+        # cell_key=3/ must not match cell_key=33/.
+        drop = " OR ".join(
+            f"file LIKE '%/cell_key={c}/%'" for c in touched
+        )
+    snapshot_commit(
+        spark,
+        remaining.withColumn(
+            "cell_key", F.col("cell").cast("int")
+        ).repartition("cell_key"),
+        codes_store,
+        version,
+        partition_by=("cell_key",),
+        drop_where=drop,
+    )
+    return touched

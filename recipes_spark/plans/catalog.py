@@ -577,6 +577,7 @@ def snapshot_commit(
     *,
     replace: bool = False,
     partition_by: tuple[str, ...] = (),
+    drop_where: str | None = None,
 ) -> None:
     """Append-only SNAPSHOT commit — the manifest mechanism behind
     table-format time travel (Delta/Iceberg's capability on plain
@@ -612,7 +613,24 @@ def snapshot_commit(
     snapshot_read scans the manifest's LEAF files directly, so
     partition-directory columns are not re-inferred on read — callers
     that need the key back must also carry it as a regular data
-    column (duplicate it under a second name before committing)."""
+    column (duplicate it under a second name before committing).
+
+    ``drop_where`` (a SQL boolean expression over the manifest's
+    ``file`` column) makes this a PARTIAL-REWRITE commit — the table
+    formats' DELETE / replaceWhere shape: prior-manifest files
+    matching the predicate are EXCLUDED from the new manifest and
+    ``df`` must hold the rewritten content of exactly that dropped
+    region (e.g. a hive partition's rows minus tombstoned ids).
+    Untouched files carry over by reference — zero new bytes — and
+    the dropped files stay owned by the PRIOR manifests until
+    snapshot_vacuum expires them, so time travel across the delete
+    still works. Only meaningful for an append-lineage commit
+    (version > 1, replace=False)."""
+    if drop_where is not None and (replace or version <= 1):
+        raise ValueError(
+            "snapshot_commit: drop_where is a partial-REWRITE of a "
+            "prior manifest — it requires version > 1 and replace=False"
+        )
     next_manifest = os.path.join(store_path, "_manifests", f"v{version + 1}")
     if os.path.isdir(next_manifest):
         raise ValueError(
@@ -625,8 +643,14 @@ def snapshot_commit(
     if partition_by:
         writer = writer.partitionBy(*list(partition_by))
     writer.parquet(data_dir)
+    # Read back with the KNOWN schema, not inference: an EMPTY df (a
+    # realistic ingest edge — an empty micro-batch or delta) writes a
+    # footer-less directory that schema inference refuses, while the
+    # explicit schema reads it as zero files and the commit degrades
+    # to "manifest = prior version's files" (r15 ADVICE).
     new_files = (
-        spark.read.parquet(data_dir)
+        spark.read.schema(df.schema)
+        .parquet(data_dir)
         .select(F.col("_metadata.file_path").alias("file"))
         .distinct()
         .withColumn("version", F.lit(version).cast("int"))
@@ -636,6 +660,8 @@ def snapshot_commit(
         prior = spark.read.parquet(
             os.path.join(store_path, "_manifests", f"v{version - 1}")
         )
+        if drop_where is not None:
+            prior = prior.filter(~F.expr(drop_where))
         manifest = prior.unionByName(new_files)
     manifest.localCheckpoint(eager=True).write.mode("overwrite").parquet(
         os.path.join(store_path, "_manifests", f"v{version}")
@@ -720,6 +746,11 @@ def snapshot_read(
             os.path.join(store_path, "_manifests", f"v{version}")
         ).collect()
     ]
+    if not files:
+        raise ValueError(
+            f"snapshot v{version} at {store_path} references no data "
+            "files (an empty-table snapshot) — nothing to read"
+        )
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")

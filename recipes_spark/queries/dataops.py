@@ -3634,7 +3634,32 @@ def x3_ivf_pq_residual_topk(
 _LAST_ANN_STORES: dict = {}
 
 
+def _cleanup_ann_stores() -> None:
+    """atexit hook: reclaim the FINAL store per kind (the swap in
+    _ann_scratch_store only reclaims on the NEXT invocation, so without
+    this the last run of each kind leaked at process exit — r15
+    ADVICE)."""
+    import shutil
+
+    for path in _LAST_ANN_STORES.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _LAST_ANN_STORES.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_ann_stores)
+
+
 def _ann_scratch_store(kind: str) -> str:
+    """Fresh scratch store for `kind`, reclaiming the previous run's.
+
+    CAVEAT (deliberate): the swap invalidates any still-live DataFrame
+    whose plan reads the PREVIOUS store — re-running a query of the
+    same kind while lazily holding the old run's result is
+    use-after-free on the store files. Registered queries materialize
+    their digests before returning, so only interactive/debug use can
+    hit this; collect what you need before re-running."""
     import shutil
     import tempfile
 
@@ -4333,6 +4358,326 @@ def x3_index_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "vec_id")
     )
 
+
+
+def _index_cell_stats_oracle_sql(
+    k_coarse: int = 16, coarse_iters: int = 3,
+) -> str:
+    """x3_index_cell_stats oracle: the distributed coarse chain, the
+    full-corpus cell assignment, then the x6_skew_report arithmetic
+    over cells — counts, exact integer ppm shares, and the ceil(n/mean)
+    salt factor. PQ books never enter: codes don't move cell counts."""
+    ctes = _coarse_train_ctes(k=k_coarse, iters=coarse_iters)
+    ctes += [
+        "fd AS (SELECT e.vec_id, c.cid,"
+        " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM el e JOIN c{coarse_iters} c ON e.d = c.d"
+        " GROUP BY e.vec_id, c.cid)",
+        "fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM fd) WHERE rn = 1)",
+        "counts AS (SELECT cid, CAST(count(*) AS BIGINT) AS n"
+        " FROM fa GROUP BY cid)",
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,"
+        " CAST(sum(n) // count(*) AS BIGINT) AS mean_n FROM counts)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(cid AS BIGINT) AS cell, n AS n_vecs,\n"
+        " CAST(1000000 * n // total AS BIGINT) AS share_ppm,\n"
+        " CAST((n + mean_n - 1) // mean_n AS BIGINT) AS salt_factor\n"
+        "FROM counts, tot ORDER BY n_vecs DESC, cell"
+    )
+
+
+@query("x3_index_cell_stats", oracle=_index_cell_stats_oracle_sql())
+def x3_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CELL-SIZE SKEW monitor for the committed index (r15 verdict
+    task 6): an IVF store's worst enemy at 100 TB is a HOT CELL — a
+    skewed coarse assignment turns every probed search that hits it
+    into one straggler partition scan. This composes the
+    x6_skew_report shape over the committed codes MANIFEST: per cell,
+    the vector count, its exact integer ppm share of the index, and
+    the salt factor that would level it back to the mean cell
+    (ceil(n/mean) — the replication factor a re-partition or
+    cell-split maintenance pass takes), heaviest first. The flow
+    commits the flagship IVF-PQ index (the x3_index_commit chain) and
+    aggregates cells FROM THE STORE through its manifest — the
+    operational monitor reads what searches read, never the training
+    corpus. The oracle replays the coarse training + full assignment
+    and the skew arithmetic (PQ codes don't move cell counts).
+
+    100 TB: one map-side-combining count over the cell-partitioned
+    codes scan (each partition counts itself — the same pruned scan a
+    search pays), a 1-row total broadcast, and a cells-sized sort."""
+    from recipes_spark.operators.similarity import (
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    store = _ann_scratch_store("cellstats")
+    ann_index_commit(spark, emb, store, 1, cents, books, code_bits=8)
+    counts = (
+        ann_index_codes(spark, store, 1)
+        .groupBy(F.col("__list").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+    tot = counts.agg(
+        F.sum("n_vecs").cast("long").alias("total"),
+        F.expr("sum(n_vecs) div count(1)").cast("long").alias("mean_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr("1000000 * n_vecs div total")
+            .cast("long")
+            .alias("share_ppm"),
+            F.expr("(n_vecs + mean_n - 1) div mean_n")
+            .cast("long")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.col("n_vecs").desc(), "cell")
+    )
+
+
+def _dedup_tombstone_ctes() -> list[str]:
+    """The x2_best_survivor chain as composable CTEs, ending at
+    ``tomb`` — the vec_ids of every non-survivor document (the doc and
+    embedding tables share the id space, so a document dedup decision
+    names exactly one vector). Text identical to the attested
+    x2_best_survivor oracle; consumed by the index-delete oracle so
+    dedup DRIVES the deletion rather than an arbitrary id list."""
+    return [
+        "d AS MATERIALIZED (SELECT doc_id, lang, source,"
+        " list_sort(list_distinct(string_split(text, ' '))) AS s"
+        " FROM documents)",
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b"
+        " FROM d a JOIN d b"
+        " ON a.lang = b.lang AND a.source = b.source"
+        " AND a.doc_id < b.doc_id"
+        " WHERE 20000 * len(list_intersect(a.s, b.s)) >="
+        " 15999 * len(list_distinct(list_concat(a.s, b.s))))",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION SELECT id_b AS src, id_a AS dst FROM pairs)",
+        "reach(a, b) AS (SELECT doc_id, doc_id FROM documents"
+        " UNION SELECT r.a, e.dst FROM reach r JOIN edges e"
+        " ON r.b = e.src)",
+        "comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS group_id"
+        " FROM reach GROUP BY a)",
+        "surv AS (SELECT c.group_id,"
+        " max(struct_pack(nc := d.n_chars, nid := -d.doc_id)).nid AS neg_id"
+        " FROM comp c JOIN documents d ON c.doc_id = d.doc_id"
+        " GROUP BY c.group_id)",
+        "tomb AS MATERIALIZED (SELECT c.doc_id AS vec_id"
+        " FROM comp c JOIN surv s ON c.group_id = s.group_id"
+        " WHERE c.doc_id <> -s.neg_id)",
+    ]
+
+
+def _index_delete_oracle_sql(
+    k_coarse: int = 16, coarse_iters: int = 3, m: int = 4,
+    k_codes: int = 256, sample: int = 2048, iters: int = 5,
+    dim: int = 64, code_bits: int = 8,
+) -> str:
+    """x3_index_delete oracle: the dedup-survivor tombstone chain, both
+    index trainings, the fused full-corpus assignment + packing, then
+    per-cell v1 (all members) and v2 (members minus tombstones)
+    manifests with the touched set = cells holding any tombstone. The
+    file-side equalities (v1/v2 re-read digests, untouched-cell file
+    identity, tombstone absence from the v2 read) are asserted true —
+    the release-family convention."""
+    ctes = _dedup_tombstone_ctes()
+    ctes += _coarse_train_ctes(k=k_coarse, iters=coarse_iters, prefix="cq_")
+    ctes += _pq_train_encode_ctes(
+        m=m, k=k_codes, sample=sample, iters=iters, dim=dim
+    )
+    ctes += [
+        "cq_fd AS MATERIALIZED (SELECT e.vec_id, c.cid,"
+        " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM cq_el e JOIN cq_c{coarse_iters} c ON e.d = c.d"
+        " GROUP BY e.vec_id, c.cid)",
+        "cq_fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM cq_fd) WHERE rn = 1)",
+        "pk AS (SELECT vec_id, CAST(sum(c * (CAST(1 AS BIGINT) <<"
+        f" ({code_bits} * ({m - 1} - j)))) AS BIGINT) AS cp"
+        " FROM fa GROUP BY vec_id)",
+        "v1 AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_v1,"
+        " sha256(string_agg(CAST(p.cp AS VARCHAR), ',' ORDER BY p.vec_id))"
+        " AS sha_v1 FROM cq_fa a JOIN pk p USING (vec_id) GROUP BY a.cid)",
+        "v2 AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_v2,"
+        " sha256(string_agg(CAST(p.cp AS VARCHAR), ',' ORDER BY p.vec_id))"
+        " AS sha_v2 FROM cq_fa a JOIN pk p USING (vec_id)"
+        " WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.vec_id = a.vec_id)"
+        " GROUP BY a.cid)",
+        "nd AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_deleted"
+        " FROM cq_fa a JOIN tomb t ON t.vec_id = a.vec_id GROUP BY a.cid)",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(v1.cid AS BIGINT) AS cell, v1.n_v1,"
+        " CAST(coalesce(v2.n_v2, 0) AS BIGINT) AS n_v2,"
+        " CAST(coalesce(nd.n_deleted, 0) AS BIGINT) AS n_deleted,\n"
+        " CAST(CASE WHEN nd.cid IS NOT NULL THEN 1 ELSE 0 END AS INT)"
+        " AS touched,\n"
+        " v1.sha_v1, v2.sha_v2,\n"
+        " true AS v1_files_match, true AS v2_files_match,\n"
+        " true AS files_frozen_iff_untouched, true AS deleted_absent,\n"
+        " ((v1.sha_v1 IS DISTINCT FROM v2.sha_v2) = (nd.cid IS NOT NULL))"
+        " AS digest_changed_iff_touched\n"
+        "FROM v1 LEFT JOIN v2 ON v2.cid = v1.cid"
+        " LEFT JOIN nd ON nd.cid = v1.cid ORDER BY cell"
+    )
+
+
+@query("x3_index_delete", oracle=_index_delete_oracle_sql())
+def x3_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX DELETION (r15 verdict task 1 — the missing half of index
+    mutability): a dedup pass that drops documents must remove their
+    VECTORS, or every later search can retrieve deleted content. The
+    tombstone list is not arbitrary — it is the x2_best_survivor
+    output's keep=false side (the documents and embeddings tables
+    share the id space), so the corpus-cleaning decision DRIVES the
+    index maintenance. The full corpus trains and commits as index v1
+    (the x3_index_commit chain); ann_index_delete then lands v2 as a
+    PARTIAL-REWRITE commit (snapshot_commit drop_where — the table
+    formats' DELETE shape, faiss remove_ids done the warehouse way):
+    only cells containing a tombstone are rewritten minus those rows,
+    untouched cells carry over BY REFERENCE (zero new bytes).
+
+    Each output row proves the contract per cell from REAL re-reads:
+    v1 re-read digests to the plan-side encode (v1_files_match); v2
+    re-read digests to the plan-side encode minus tombstones
+    (v2_files_match); the v1/v2 manifests reference IDENTICAL file
+    lists exactly for untouched cells (files_frozen_iff_untouched — a
+    string compare of manifest paths, the zero-new-bytes proof); no
+    tombstoned id survives anywhere in the v2 read (deleted_absent);
+    and the digest changed across versions IFF the cell held a
+    tombstone. Serve-side absence (top-k, filtered, radius from v2
+    can never return a deleted id) is gated in
+    tests/test_intent_round16.py. The oracle replays the dedup chain
+    (all-pairs Jaccard + recursive-CTE components + survivor argmax),
+    both trainings, assignment, packing, and both digest pyramids.
+
+    100 TB: deletion cost ∝ touched cells' rows (pruned scan + one
+    partitioned write); the untouched-cell proof is manifest
+    metadata; history stays time-travelable until vacuum fences it."""
+    import os as _os
+
+    from recipes_spark.operators.similarity import (
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_delete,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    coded = pq_encode_int(
+        emb, books, coarse_milli=cents, code_bits=8
+    ).localCheckpoint(eager=True)
+    store = _ann_scratch_store("delete")
+    ann_index_commit(
+        spark, emb, store, 1, cents, books, code_bits=8, coded=coded
+    )
+    tomb = (
+        x2_best_survivor(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select(F.col("doc_id").alias("vec_id"))
+        .localCheckpoint(eager=True)
+    )
+    ann_index_delete(spark, store, 2, tomb)
+    plan_v1 = _cell_codes_digest(coded, "_v1")
+    plan_v2 = _cell_codes_digest(
+        coded.join(tomb, "vec_id", "left_anti"), "_v2"
+    )
+    f1 = _cell_codes_digest(ann_index_codes(spark, store, 1), "_f1")
+    f2v = ann_index_codes(spark, store, 2)
+    f2 = _cell_codes_digest(f2v, "_f2")
+    # Tombstone presence in the v2 RE-READ (the deleted_absent proof —
+    # zero everywhere or the delete failed) and plan-side per-cell
+    # tombstone counts (the touched set).
+    ghost = (
+        f2v.join(tomb, "vec_id")
+        .groupBy(F.col("__list").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ghost"))
+    )
+    nd = (
+        coded.join(tomb, "vec_id")
+        .groupBy(F.col("__list").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    )
+
+    def _cell_files(v: int) -> DataFrame:
+        return (
+            spark.read.parquet(
+                _os.path.join(store, "codes", "_manifests", f"v{v}")
+            )
+            .select(
+                F.regexp_extract("file", r"cell_key=(\d+)/", 1)
+                .cast("long")
+                .alias("cell"),
+                "file",
+            )
+            .groupBy("cell")
+            .agg(F.sort_array(F.collect_list("file")).alias(f"files_v{v}"))
+        )
+
+    fm = _cell_files(1).join(_cell_files(2), "cell", "left")
+    n_del = F.coalesce(F.col("n_deleted"), F.lit(0))
+    return (
+        plan_v1.join(plan_v2, "cell", "left")
+        .join(f1, "cell", "left")
+        .join(f2, "cell", "left")
+        .join(nd, "cell", "left")
+        .join(ghost, "cell", "left")
+        .join(fm, "cell", "left")
+        .select(
+            "cell",
+            F.col("n_vecs_v1").alias("n_v1"),
+            F.coalesce(F.col("n_vecs_v2"), F.lit(0))
+            .cast("long")
+            .alias("n_v2"),
+            n_del.cast("long").alias("n_deleted"),
+            (n_del > 0).cast("int").alias("touched"),
+            F.col("codes_sha_v1").alias("sha_v1"),
+            F.col("codes_sha_v2").alias("sha_v2"),
+            (
+                F.col("codes_sha_v1").eqNullSafe(F.col("codes_sha_f1"))
+                & F.col("n_vecs_v1").eqNullSafe(F.col("n_vecs_f1"))
+            ).alias("v1_files_match"),
+            (
+                F.col("codes_sha_v2").eqNullSafe(F.col("codes_sha_f2"))
+                & F.col("n_vecs_v2").eqNullSafe(F.col("n_vecs_f2"))
+            ).alias("v2_files_match"),
+            (
+                F.col("files_v1").eqNullSafe(F.col("files_v2"))
+                == (n_del == 0)
+            ).alias("files_frozen_iff_untouched"),
+            (F.coalesce(F.col("n_ghost"), F.lit(0)) == 0).alias(
+                "deleted_absent"
+            ),
+            (
+                (~F.col("codes_sha_v1").eqNullSafe(F.col("codes_sha_v2")))
+                == (n_del > 0)
+            ).alias("digest_changed_iff_touched"),
+        )
+        .orderBy("cell")
+    )
 
 
 @query("x3_ivf_pq_table_topk", oracle=_ivf_pq_distrib_oracle_sql())

@@ -210,6 +210,10 @@ _RECHECK: dict[str, int] = {
     # raised 0.5 → 0.8), coarse book routed through a Spark broadcast
     # variable; the candidate set — the output — changed:
     "x3_knn_graph_ivf": 15,
+    # round-16: the ADC probe TABLE now posexplodes per-query arrays on
+    # executors instead of materializing Q·m·k_codes driver tuples
+    # (r15 ADVICE) — same values, reshaped plan, re-attest:
+    "x3_ivf_pq_table_topk": 16,
 }
 
 
@@ -352,6 +356,8 @@ _DEFER: dict[str, int] = {
     "x3_index_compact": 15,
     "x3_index_filtered_search": 15,
     "x3_index_radius_search": 15,
+    "x3_index_cell_stats": 16,
+    "x3_index_delete": 16,
 }
 
 

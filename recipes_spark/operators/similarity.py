@@ -1933,6 +1933,7 @@ def mmr_rerank(
     k: int = 10,
     shortlist: int = 50,
     lambda_tenths: int = 7,
+    shortlist_df: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversity rerank (Carbonell &
     Goldstein 1998) — the standard post-retrieval step that trades
@@ -1961,14 +1962,23 @@ def mmr_rerank(
       no summation-order surface (the old form floored UNROUNDED
       float cosines at 1e-6, whose ulp-level engine differences sat
       right on boundary density 100× higher)."""
-    cand = brute_force_topk(
-        corpus,
-        queries,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=query_id_col,
-        query_vec_col=query_vec_col,
-        k=shortlist,
+    # ``shortlist_df`` swaps the retrieval stage: any (query_id, id,
+    # cosine_sim round-4) ranked list — e.g. ivf_pq_search_coded over a
+    # COMMITTED index — re-ranks through the identical greedy
+    # arithmetic, making diversity a store-serving capability instead
+    # of a brute-force-only tail (r15 verdict task 4).
+    cand = (
+        shortlist_df
+        if shortlist_df is not None
+        else brute_force_topk(
+            corpus,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            k=shortlist,
+        )
     )
     rows = cand.select(query_id_col, id_col, "cosine_sim").collect()
     by_q: dict = {}

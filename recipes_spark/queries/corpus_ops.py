@@ -7815,3 +7815,332 @@ def x6_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "k")
         .limit(10)
     )
+
+
+def _release_index_e2e_oracle_sql() -> str:
+    """x6_release_index_e2e oracle: the dedup-survivor chain (tomb →
+    keep), the packing/release digest pyramid over the KEPT documents
+    (the x6_packing_shards arithmetic, r-prefixed), the index digest
+    pyramid over the KEPT embeddings (coarse + PQ trained on AND
+    indexing the released subset — assign_src=train_src), and the
+    top-10 serve for the five lowest released ids, each section
+    reduced to the shared (stage, key, n_items, total, sha, ok) report
+    row. File-side equalities asserted true (release convention)."""
+    from recipes_spark.queries.dataops import (
+        _dedup_tombstone_ctes,
+        _ivf_pq_distrib_ctes,
+    )
+
+    ctes = _dedup_tombstone_ctes()
+    ctes += [
+        "keep AS MATERIALIZED (SELECT doc_id FROM documents"
+        " WHERE doc_id NOT IN (SELECT vec_id FROM tomb))",
+        "kdocs AS MATERIALIZED (SELECT dd.* FROM documents dd"
+        " JOIN keep k USING (doc_id))",
+        "kemb AS MATERIALIZED (SELECT e.* FROM embeddings e"
+        " JOIN keep k ON k.doc_id = e.vec_id)",
+        "kq AS (SELECT doc_id FROM keep ORDER BY doc_id LIMIT 5)",
+        f"rm AS (SELECT doc_id, {_bpe_marked_sql('text')} AS marked"
+        " FROM kdocs)",
+        f"rf AS (SELECT doc_id, {_bpe_fold_sql('marked')} AS folded"
+        " FROM rm)",
+        "rtok AS MATERIALIZED (SELECT doc_id,"
+        " list_transform("
+        " list_filter(string_split_regex(folded, e'[ \\x1f\\x1e]'),"
+        " x -> x != ''),"
+        f" x -> coalesce(list_position({_BPE_VOCAB_SQL}, x), 0)"
+        ") AS ids FROM rf)",
+        "rpacked AS (SELECT doc_id, len(ids) AS n, ids,"
+        " sum(len(ids)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)"
+        " AS cum FROM rtok)",
+        "rper AS (SELECT CAST(floor((cum - n) / 512) AS BIGINT) AS seq_id,"
+        " doc_id, n, ids FROM rpacked)",
+        "rseqs AS (SELECT seq_id, CAST(sum(n) AS BIGINT) AS n_tokens,"
+        " sha256(array_to_string(flatten(list(ids ORDER BY doc_id)), ','))"
+        " AS ids_sha FROM rper GROUP BY seq_id)",
+        "rassigned AS (SELECT CAST('0x' ||"
+        " substr(sha256(CAST(seq_id AS VARCHAR)), 1, 8) AS BIGINT) % 8"
+        " AS shard, CAST(floor(seq_id / 64) AS BIGINT) AS chunk,"
+        " seq_id, n_tokens, ids_sha FROM rseqs)",
+        "rchunks AS (SELECT shard, chunk, count(*) AS c_seqs,"
+        " CAST(sum(n_tokens) AS BIGINT) AS c_tokens,"
+        " sha256(string_agg(ids_sha, ',' ORDER BY seq_id)) AS chunk_sha"
+        " FROM rassigned GROUP BY shard, chunk)",
+        "rshards AS (SELECT shard, CAST(sum(c_seqs) AS BIGINT) AS n_seqs,"
+        " CAST(sum(c_tokens) AS BIGINT) AS n_tokens,"
+        " sha256(string_agg(chunk_sha, ',' ORDER BY chunk)) AS shard_sha"
+        " FROM rchunks GROUP BY shard)",
+    ]
+    c, final = _ivf_pq_distrib_ctes(
+        prefix="ix_", train_src="kemb", assign_src="kemb",
+        q_pred="{v} IN (SELECT doc_id FROM kq)", k_codes=64,
+    )
+    ctes += c
+    ctes += [
+        f"ixr AS MATERIALIZED ({final})",
+        "ix_pk AS (SELECT vec_id, CAST(sum(c * (CAST(1 AS BIGINT) <<"
+        " (8 * (3 - j)))) AS BIGINT) AS cp"
+        " FROM ix_fa GROUP BY vec_id)",
+        "rrows AS (SELECT 'release' AS stage, CAST(shard AS BIGINT)"
+        " AS key, n_seqs AS n_items, n_tokens AS total,"
+        " shard_sha AS sha, true AS ok FROM rshards)",
+        "irows AS (SELECT 'index' AS stage, CAST(a.cid AS BIGINT) AS key,"
+        " CAST(count(*) AS BIGINT) AS n_items,"
+        " CAST(sum(p.cp) AS BIGINT) AS total,"
+        " sha256(string_agg(CAST(p.cp AS VARCHAR), ',' ORDER BY p.vec_id))"
+        " AS sha, true AS ok"
+        " FROM ix_cq_fa a JOIN ix_pk p USING (vec_id) GROUP BY a.cid)",
+        "srows AS (SELECT 'serve' AS stage, CAST(query_id AS BIGINT)"
+        " AS key, CAST(count(*) AS BIGINT) AS n_items,"
+        " CAST(sum(CAST(round(cosine_sim * 10000) AS BIGINT)) AS BIGINT)"
+        " AS total,"
+        " sha256(string_agg(CAST(vec_id AS VARCHAR) || ':' ||"
+        " CAST(CAST(round(cosine_sim * 10000) AS BIGINT) AS VARCHAR),"
+        " ',' ORDER BY rnk)) AS sha, true AS ok"
+        " FROM ixr GROUP BY query_id)",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + "\n"
+        "SELECT stage, key, n_items, total, sha, ok FROM rrows\n"
+        "UNION ALL SELECT stage, key, n_items, total, sha, ok FROM irows\n"
+        "UNION ALL SELECT stage, key, n_items, total, sha, ok FROM srows\n"
+        "ORDER BY stage, key"
+    )
+
+
+@query("x6_release_index_e2e", oracle=_release_index_e2e_oracle_sql())
+def x6_release_index_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE TWO NORTH-STAR ARCS MEET (r15 verdict task 7): corpus clean
+    → physical training release → index commit over the released
+    vectors → serve, as ONE chain with provenance from document sha to
+    served vector. The dedup survivor decision (x2_best_survivor
+    keep=true) defines the RELEASED corpus; the kept documents pack
+    into 512-token sequences and 8 hive-partitioned shards committed
+    as a snapshot whose two-level Merkle digests are recomputed FROM
+    the re-read files (the x6_release_materialize contract); the kept
+    ids' EMBEDDINGS train and build the companion ANN index (coarse +
+    m=4 × k=64 byte-width PQ — trained on and indexing exactly the
+    release, so the trainer loads what the index indexes), committed
+    to the same store root and re-digested per cell from ITS manifest;
+    and the five lowest released ids query the committed index top-10.
+    One report schema spans the chain — (stage, key, n_items, total,
+    sha, ok): per-shard release rows (sequences, tokens, shard digest,
+    files-match), per-cell index rows (vectors, packed-code checksum,
+    code digest, files-match), and per-query serve rows (results,
+    basis-point relevance mass, the rank-ordered result digest, and
+    every served id verified to be IN the release). The oracle replays
+    the dedup chain, the packing pyramid over kept docs, both index
+    trainings + assignment over kept embeddings, the serve, and all
+    three report reductions.
+
+    100 TB: each stage keeps its attested scale shape; the chain adds
+    only the keep-join (broadcast of the survivor table) in front of
+    the two pipelines and shares one snapshot store root — the
+    provenance is carried by the digests, not by extra passes."""
+    import os
+
+    from recipes_spark.operators.prefix import partitioned_prefix_sum
+    from recipes_spark.operators.similarity import (
+        ivf_pq_search_coded,
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_load_books,
+    )
+    from recipes_spark.plans.catalog import snapshot_commit, snapshot_read
+    from recipes_spark.queries.dataops import (
+        _ann_scratch_store,
+        x2_best_survivor,
+    )
+
+    keep = (
+        x2_best_survivor(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    root = _ann_scratch_store("e2e")
+    # --- release pyramid over the KEPT documents -------------------
+    d = scale_partitions(load(spark, sf_dir, "documents")).join(
+        F.broadcast(keep), "doc_id"
+    )
+    gen = bpe_greedy_ids_kernel(_BPE_MERGES, _BPE_VOCAB)
+    toks = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, n bigint, ids array<int>"
+    )
+    packed = partitioned_prefix_sum(
+        toks, order_col="doc_id", value_col="n", out_col="cum", shards=32
+    )
+    per = packed.select(
+        F.floor((F.col("cum") - F.col("n")) / 512)
+        .cast("long")
+        .alias("seq_id"),
+        "doc_id",
+        "n",
+        "ids",
+    )
+    flat_ids = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("doc_id").alias("d"), F.col("ids").alias("i")
+                    )
+                )
+            ),
+            lambda s: s["i"],
+        )
+    )
+    seqs = (
+        per.groupBy("seq_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            flat_ids.alias("ids"),
+        )
+        .select(
+            _bucket(F.col("seq_id").cast("string"), 8).alias("shard"),
+            F.floor(F.col("seq_id") / 64).cast("long").alias("chunk"),
+            "seq_id",
+            "n_tokens",
+            "ids",
+        )
+        .localCheckpoint(eager=True)
+    )
+    rstore = os.path.join(root, "release")
+    snapshot_commit(
+        spark,
+        seqs.withColumn("shard_key", F.col("shard")).repartition(
+            "shard_key"
+        ),
+        rstore,
+        1,
+        partition_by=("shard_key",),
+    )
+    manifest = _two_level_shard_digest(_seq_ids_sha(seqs))
+    files_side = _two_level_shard_digest(
+        _seq_ids_sha(
+            snapshot_read(spark, rstore, 1).select(
+                "shard", "chunk", "seq_id", "n_tokens", "ids"
+            )
+        ),
+        suffix="_files",
+    )
+    rrows = (
+        manifest.join(files_side, "shard", "left")
+        .select(
+            F.lit("release").alias("stage"),
+            F.col("shard").cast("long").alias("key"),
+            F.col("n_seqs").alias("n_items"),
+            F.col("n_tokens").alias("total"),
+            F.col("shard_sha").alias("sha"),
+            (
+                F.col("shard_sha").eqNullSafe(F.col("shard_sha_files"))
+                & F.col("n_seqs").eqNullSafe(F.col("n_seqs_files"))
+                & F.col("n_tokens").eqNullSafe(F.col("n_tokens_files"))
+            ).alias("ok"),
+        )
+    )
+    # --- index pyramid over the KEPT embeddings --------------------
+    kemb = load(spark, sf_dir, "embeddings").join(
+        F.broadcast(keep.select(F.col("doc_id").alias("vec_id"))),
+        "vec_id",
+    )
+    cents = train_coarse_centroids_int(kemb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(kemb, m=4, k=64)
+    coded = pq_encode_int(
+        kemb, books, coarse_milli=cents, code_bits=8
+    ).localCheckpoint(eager=True)
+    istore = os.path.join(root, "index")
+    ann_index_commit(
+        spark, kemb, istore, 1, cents, books, code_bits=8, coded=coded
+    )
+
+    def cell_rows(df: DataFrame, suffix: str = "") -> DataFrame:
+        # _ordered_sha over (vec_id, stringified packed code) — the
+        # same ordered-digest aggregate the release pyramid uses, so
+        # one convention spans both pyramids.
+        return (
+            df.select(
+                F.col("__list").cast("long").alias("key"),
+                "vec_id",
+                "codes_packed",
+                F.col("codes_packed").cast("string").alias("cp"),
+            )
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_items{suffix}"),
+                F.sum("codes_packed").cast("long").alias(f"total{suffix}"),
+                _ordered_sha("vec_id", "cp").alias(f"sha{suffix}"),
+            )
+        )
+
+    ip = cell_rows(coded)
+    iff = cell_rows(ann_index_codes(spark, istore, 1), "_f")
+    irows = ip.join(iff, "key", "left").select(
+        F.lit("index").alias("stage"),
+        "key",
+        "n_items",
+        "total",
+        "sha",
+        (
+            F.col("sha").eqNullSafe(F.col("sha_f"))
+            & F.col("n_items").eqNullSafe(F.col("n_items_f"))
+            & F.col("total").eqNullSafe(F.col("total_f"))
+        ).alias("ok"),
+    )
+    # --- serve from the committed index ----------------------------
+    coarse_l, books_l = ann_index_load_books(spark, istore)
+    kq = keep.orderBy("doc_id").limit(5)
+    queries = kemb.join(
+        F.broadcast(kq.select(F.col("doc_id").alias("vec_id"))), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    served = ivf_pq_search_coded(
+        ann_index_codes(spark, istore, 1), kemb, queries,
+        coarse_l, books_l, k=10, nprobe=14, refine=16, code_bits=8,
+    )
+    bp = F.expr("CAST(round(cosine_sim * 10000) AS BIGINT)")
+    srows = (
+        served.join(
+            F.broadcast(
+                keep.select(
+                    F.col("doc_id").alias("vec_id"), F.lit(1).alias("ink")
+                )
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "rank",
+            "ink",
+            bp.alias("bp"),
+            F.concat(
+                F.col("vec_id").cast("string"),
+                F.lit(":"),
+                bp.cast("string"),
+            ).alias("vh"),
+        )
+        .groupBy(F.col("query_id").cast("long").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("bp").cast("long").alias("total"),
+            _ordered_sha("rank", "vh").alias("sha"),
+            (F.count_if(F.col("ink").isNull()) == 0).alias("ok"),
+        )
+        .select(
+            F.lit("serve").alias("stage"),
+            "key", "n_items", "total", "sha", "ok",
+        )
+    )
+    return (
+        rrows.unionByName(irows)
+        .unionByName(srows)
+        .orderBy("stage", "key")
+    )

@@ -3374,83 +3374,127 @@ def x3_ivf_distrib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
-def _ivf_pq_distrib_oracle_sql(
+def _ivf_pq_distrib_ctes(
     k_coarse: int = 16, coarse_iters: int = 3, nprobe: int = 14,
     topk: int = 10, refine: int = 16, n_queries: int = 5, m: int = 4,
     k_codes: int = 256, sample: int = 2048, iters: int = 5,
-    dim: int = 64, cand_pred: str | None = None,
-) -> str:
-    """x3_ivf_pq_distrib_topk oracle: BOTH training chains — the
-    DISTRIBUTED coarse trainer (_coarse_train_ctes, prefix cq_) and
-    the byte-width PQ books (_pq_train_encode_ctes) — then the
+    dim: int = 64, cand_pred: str | None = None, prefix: str = "",
+    train_src: str = "embeddings", q_pred: str | None = None,
+    assign_src: str = "embeddings",
+) -> tuple[list[str], str]:
+    """The x3_ivf_pq_distrib_topk oracle chain as composable pieces:
+    (CTE list, final ranked SELECT) — BOTH training chains, the
     full-corpus cell assignment, per-query probe ranking, cell-pruned
-    candidates, the ADC sum as a (codes ⋈ per-query table) join, the
-    shortlist, and the exact round-4 cosine re-rank. Shared verbatim
-    by x3_index_search / x3_ivf_pq_table_topk (same output by
-    construction). ``cand_pred`` (a predicate over the candidate's
-    `em` embeddings row) narrows cellcand — the metadata-filtered
-    search oracle (x3_index_filtered_search)."""
+    candidates, the ADC sum, the shortlist, and the exact round-4
+    cosine re-rank. ``prefix`` disambiguates EVERY CTE name so two
+    whole chains can coexist in one query (the gen-1/gen-2 retrain
+    oracle); ``train_src`` trains both books on a cohort CTE while
+    assignments still span the full corpus; ``q_pred`` (a boolean SQL
+    template with one ``{v}`` slot for the vec_id reference) overrides
+    the query-set membership test; ``assign_src`` overrides the
+    INDEXED corpus (assignment + PQ encode) — a cohort-trained index
+    over the full corpus keeps the default (the faiss add-after-train
+    contract), while an index OF a released subset sets both
+    train_src and assign_src to it. Defaults reproduce the shared
+    x3_ivf_pq_distrib_topk text byte-identically."""
+    px = prefix
+    qp = q_pred or ("{v} < " + str(n_queries))
     n_keep = refine * topk
+    sub = dim // m
+    ej_body = None
+    if assign_src != "embeddings":
+        ej_body = (
+            "SELECT vec_id,"
+            f" (generate_subscripts(embedding, 1) - 1) // {sub} AS j,"
+            f" (generate_subscripts(embedding, 1) - 1) % {sub} AS d,"
+            " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)"
+            f" AS BIGINT) AS mv FROM {assign_src}"
+        )
     ctes = _coarse_train_ctes(
-        k=k_coarse, iters=coarse_iters, prefix="cq_"
+        k=k_coarse, iters=coarse_iters, prefix=f"{px}cq_", src=train_src
     )
     ctes += _pq_train_encode_ctes(
-        m=m, k=k_codes, sample=sample, iters=iters, dim=dim
+        m=m, k=k_codes, sample=sample, iters=iters, dim=dim,
+        prefix=px, sample_src=train_src, ej_body=ej_body,
     )
+    grid = f"{px}cq_el"
+    if assign_src != train_src:
+        # Cohort-trained books still index the FULL corpus (the faiss
+        # add-after-train contract; the append-oracle fel pattern):
+        # assignments and probes need the assign-corpus milli grid,
+        # while {px}cq_el spans only the training cohort.
+        ctes += [
+            f"{px}fel AS MATERIALIZED (SELECT vec_id,"
+            " generate_subscripts(embedding, 1) - 1 AS d,"
+            " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)"
+            f" AS BIGINT) AS mv FROM {assign_src})",
+        ]
+        grid = f"{px}fel"
     ctes += [
-        "cq_fd AS MATERIALIZED (SELECT e.vec_id, c.cid,"
+        f"{px}cq_fd AS MATERIALIZED (SELECT e.vec_id, c.cid,"
         " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
-        f" FROM cq_el e JOIN cq_c{coarse_iters} c ON e.d = c.d"
+        f" FROM {grid} e JOIN {px}cq_c{coarse_iters} c ON e.d = c.d"
         " GROUP BY e.vec_id, c.cid)",
-        "cq_fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        f"{px}cq_fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
         " cid, row_number() OVER (PARTITION BY vec_id"
-        " ORDER BY d2, cid) AS rn FROM cq_fd) WHERE rn = 1)",
-        "probe AS (SELECT query_id, cid FROM (SELECT vec_id AS"
+        f" ORDER BY d2, cid) AS rn FROM {px}cq_fd) WHERE rn = 1)",
+        f"{px}probe AS (SELECT query_id, cid FROM (SELECT vec_id AS"
         " query_id, cid, row_number() OVER (PARTITION BY vec_id"
-        " ORDER BY d2, cid) AS rn FROM cq_fd"
-        f" WHERE vec_id < {n_queries}) WHERE rn <= {nprobe})",
+        f" ORDER BY d2, cid) AS rn FROM {px}cq_fd"
+        f" WHERE {qp.format(v='vec_id')}) WHERE rn <= {nprobe})",
         (
-            "cellcand AS MATERIALIZED (SELECT p.query_id, f.vec_id"
-            " FROM cq_fa f JOIN probe p ON p.cid = f.cid"
+            f"{px}cellcand AS MATERIALIZED (SELECT p.query_id, f.vec_id"
+            f" FROM {px}cq_fa f JOIN {px}probe p ON p.cid = f.cid"
             " WHERE f.vec_id != p.query_id)"
             if cand_pred is None
-            else "cellcand AS MATERIALIZED (SELECT p.query_id, f.vec_id"
-            " FROM cq_fa f JOIN probe p ON p.cid = f.cid"
+            else f"{px}cellcand AS MATERIALIZED (SELECT p.query_id, f.vec_id"
+            f" FROM {px}cq_fa f JOIN {px}probe p ON p.cid = f.cid"
             " JOIN embeddings em ON em.vec_id = f.vec_id"
             f" WHERE f.vec_id != p.query_id AND {cand_pred})"
         ),
-        "pqd AS MATERIALIZED (SELECT e.vec_id AS query_id, c.j, c.c,"
+        f"{px}pqd AS MATERIALIZED (SELECT e.vec_id AS query_id, c.j, c.c,"
         " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
-        f" FROM ej e JOIN c{iters} c ON c.j = e.j AND c.d = e.d"
-        f" WHERE e.vec_id < {n_queries}"
+        f" FROM {px}ej e JOIN {px}c{iters} c ON c.j = e.j AND c.d = e.d"
+        f" WHERE {qp.format(v='e.vec_id')}"
         " GROUP BY e.vec_id, c.j, c.c)",
-        "adc AS (SELECT cc.query_id, cc.vec_id, sum(q.d2) AS adc_dist"
-        " FROM cellcand cc JOIN fa f ON f.vec_id = cc.vec_id"
-        " JOIN pqd q ON q.query_id = cc.query_id"
+        f"{px}adc AS (SELECT cc.query_id, cc.vec_id, sum(q.d2) AS adc_dist"
+        f" FROM {px}cellcand cc JOIN {px}fa f ON f.vec_id = cc.vec_id"
+        f" JOIN {px}pqd q ON q.query_id = cc.query_id"
         " AND q.j = f.j AND q.c = f.c"
         " GROUP BY cc.query_id, cc.vec_id)",
-        "short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,"
+        f"{px}short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,"
         " row_number() OVER (PARTITION BY query_id"
-        " ORDER BY adc_dist, vec_id) AS rn FROM adc)"
+        f" ORDER BY adc_dist, vec_id) AS rn FROM {px}adc)"
         f" WHERE rn <= {n_keep})",
-        f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
-        f" FROM embeddings WHERE vec_id < {n_queries})",
-        "cvv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        "sims AS (SELECT s.query_id, s.vec_id,"
+        f"{px}qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f" FROM embeddings WHERE {qp.format(v='vec_id')})",
+        f"{px}cvv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"{px}sims AS (SELECT s.query_id, s.vec_id,"
         " round(list_dot_product(c.v, q.qv) /"
         " (sqrt(list_dot_product(c.v, c.v)) *"
         " sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim"
-        " FROM short s JOIN cvv c ON c.vec_id = s.vec_id"
-        " JOIN qv q ON q.query_id = s.query_id)",
+        f" FROM {px}short s JOIN {px}cvv c ON c.vec_id = s.vec_id"
+        f" JOIN {px}qv q ON q.query_id = s.query_id)",
     ]
-    return (
-        "WITH " + ",\n".join(ctes) + "\n"
+    final = (
         "SELECT query_id, vec_id, cosine_sim, rnk FROM (\n"
         "  SELECT query_id, vec_id, cosine_sim,\n"
         "         CAST(row_number() OVER (PARTITION BY query_id\n"
         "              ORDER BY cosine_sim DESC, vec_id) AS INT) AS rnk\n"
-        f"  FROM sims) WHERE rnk <= {topk}"
+        f"  FROM {px}sims) WHERE rnk <= {topk}"
     )
+    return ctes, final
+
+
+def _ivf_pq_distrib_oracle_sql(**kw) -> str:
+    """x3_ivf_pq_distrib_topk oracle: the full chain assembled (see
+    _ivf_pq_distrib_ctes). Shared verbatim by x3_index_search /
+    x3_ivf_pq_table_topk (same output by construction). ``cand_pred``
+    (a predicate over the candidate's `em` embeddings row) narrows
+    cellcand — the metadata-filtered search oracle
+    (x3_index_filtered_search)."""
+    ctes, final = _ivf_pq_distrib_ctes(**kw)
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 @query("x3_ivf_pq_distrib_topk", oracle=_ivf_pq_distrib_oracle_sql())
@@ -4570,7 +4614,11 @@ def x3_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: deletion cost ∝ touched cells' rows (pruned scan + one
     partitioned write); the untouched-cell proof is manifest
-    metadata; history stays time-travelable until vacuum fences it."""
+    metadata; history stays time-travelable until vacuum fences it.
+    Reference shape: faiss remove_ids (public API) composed with the
+    reference's UPSERT store semantics (re-runs REPLACE rows —
+    avhrr…/recipe.py:85,137) — removal is the half of mutability the
+    upsert sink implies but never ships."""
     import os as _os
 
     from recipes_spark.operators.similarity import (
@@ -4680,6 +4728,499 @@ def x3_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_greedy_ctes(
+    k: int = 10, lambda_tenths: int = 7,
+) -> tuple[list[str], str]:
+    """The MMR greedy loop UNROLLED as composable pieces: (CTE list,
+    final union SELECT), consuming ``cand`` (query_id, vec_id, simq —
+    the shortlist with basis-point relevance) and ``el`` (vec_id, d,
+    mv — the milli-grid coordinates) from the enclosing chain. k
+    rounds, each a max-red aggregate over the selected set, an
+    (score DESC, id) argmax pick, and a selected-set union. Factored
+    out (r15 verdict task 4) so the brute shortlist
+    (x3_mmr_topk) and the committed-index serve
+    (x3_index_mmr_search) share the identical greedy arithmetic."""
+    lam, lam2 = lambda_tenths, 10 - lambda_tenths
+    ctes = [
+        "sel_el AS MATERIALIZED (SELECT e.* FROM el e"
+        " JOIN (SELECT DISTINCT vec_id FROM cand) m USING (vec_id))",
+        "nm AS MATERIALIZED (SELECT vec_id, sum(mv * mv) AS n2"
+        " FROM sel_el GROUP BY vec_id)",
+        "pdot AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,"
+        " sum(x.mv * y.mv) AS dm FROM sel_el x JOIN sel_el y"
+        " ON x.d = y.d AND x.vec_id != y.vec_id"
+        " GROUP BY x.vec_id, y.vec_id)",
+        "pred AS MATERIALIZED (SELECT ca.query_id, ca.vec_id AS a,"
+        " cb.vec_id AS b, CAST(floor(10000.0 * dm.dm /"
+        " (sqrt(greatest(na.n2, 1)) * sqrt(greatest(nb.n2, 1))))"
+        " AS BIGINT) AS red"
+        " FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id"
+        " AND ca.vec_id != cb.vec_id"
+        " JOIN pdot dm ON dm.a = ca.vec_id AND dm.b = cb.vec_id"
+        " JOIN nm na ON na.vec_id = ca.vec_id"
+        " JOIN nm nb ON nb.vec_id = cb.vec_id)",
+        f"pick1 AS MATERIALIZED (SELECT query_id, vec_id,"
+        f" {lam} * simq AS sc, 1 AS rnk FROM (SELECT query_id, vec_id,"
+        " simq, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY simq DESC, vec_id) AS rn FROM cand) WHERE rn = 1)",
+        "sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM pick1)",
+    ]
+    for r in range(2, k + 1):
+        p = r - 1
+        ctes += [
+            f"sc{r} AS (SELECT c.query_id, c.vec_id,"
+            f" {lam} * c.simq - {lam2} * max(p.red) AS sc"
+            f" FROM cand c JOIN sel{p} s ON s.query_id = c.query_id"
+            f" JOIN pred p ON p.query_id = c.query_id"
+            f" AND p.a = c.vec_id AND p.b = s.vec_id"
+            f" WHERE NOT EXISTS (SELECT 1 FROM sel{p} s2"
+            f" WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)"
+            f" GROUP BY c.query_id, c.vec_id, c.simq)",
+            f"pick{r} AS MATERIALIZED (SELECT query_id, vec_id, sc,"
+            f" {r} AS rnk FROM (SELECT query_id, vec_id, sc,"
+            " row_number() OVER (PARTITION BY query_id"
+            f" ORDER BY sc DESC, vec_id) AS rn FROM sc{r}) WHERE rn = 1)",
+            f"sel{r} AS MATERIALIZED (SELECT * FROM sel{p}"
+            f" UNION ALL SELECT query_id, vec_id FROM pick{r})",
+        ]
+    union = "\nUNION ALL ".join(
+        f"SELECT query_id, vec_id, CAST(sc AS BIGINT) AS mmr_score,"
+        f" CAST(rnk AS INT) AS rnk FROM pick{r}"
+        for r in range(1, k + 1)
+    )
+    return ctes, union
+
+
+def _index_mmr_oracle_sql(
+    k: int = 10, shortlist: int = 50, lambda_tenths: int = 7,
+) -> str:
+    """x3_index_mmr_search oracle: the full distrib IVF-PQ chain
+    ranked to the SHORTLIST depth (the served candidate list), its
+    round-4 cosines lifted to basis points as the relevance term, then
+    the identical unrolled MMR greedy loop x3_mmr_topk attests
+    (_mmr_greedy_ctes) — `el` aliases the chain's own milli grid."""
+    ctes, final = _ivf_pq_distrib_ctes(topk=shortlist)
+    ctes += [
+        f"ivfr AS ({final})",
+        "el AS (SELECT vec_id, d, mv FROM cq_el)",
+        "cand AS MATERIALIZED (SELECT query_id, vec_id,"
+        " CAST(round(cosine_sim * 10000) AS BIGINT) AS simq FROM ivfr)",
+    ]
+    tail, union = _mmr_greedy_ctes(k=k, lambda_tenths=lambda_tenths)
+    return "WITH " + ",\n".join(ctes + tail) + "\n" + union
+
+
+@query("x3_index_mmr_search", oracle=_index_mmr_oracle_sql())
+def x3_index_mmr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSITY-AWARE serving from the committed index (r15 verdict
+    task 4): x3_mmr_topk re-ranks a BRUTE-FORCE shortlist, which no
+    100 TB deployment can afford per query — here the shortlist is the
+    committed artifact's own serve (ivf_pq_search_coded at depth 50,
+    books and codes re-read through the v1 manifests exactly as
+    x3_index_search), and mmr_rerank consumes it via shortlist_df, so
+    diversity re-ranking becomes a store-serving capability sharing
+    the attested greedy arithmetic: λ=0.7, relevance = the serve's own
+    round-4 cosine in basis points (rank 1 still equals the served
+    top-1 exactly), redundancy = floored milli-grid integer cosine.
+    The oracle composes the distrib serve chain at shortlist depth
+    with the same unrolled greedy CTEs x3_mmr_topk attests.
+
+    100 TB: retrieval = the index serve (pruned scan + ADC + windowed
+    shortlist + exact re-rank of the 50-deep list); MMR itself runs on
+    Q × 50 rows — bounded by construction, exactly where production
+    vector stores run their diversity pass."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_search_coded,
+        mmr_rerank,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_load_books,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    store = _ann_scratch_store("mmr_search")
+    ann_index_commit(spark, emb, store, 1, cents, books, code_bits=8)
+    coarse_l, books_l = ann_index_load_books(spark, store)
+    coded = ann_index_codes(spark, store, 1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    short = ivf_pq_search_coded(
+        coded, emb, queries, coarse_l, books_l,
+        k=50, nprobe=14, refine=16, code_bits=8,
+    )
+    return mmr_rerank(
+        emb, queries, k=10, shortlist=50, shortlist_df=short
+    ).withColumnRenamed("rank", "rnk")
+
+
+def _bm25_rank_ctes(n_sparse: int = 20) -> list[str]:
+    """The x4_bm25_search scoring chain as bm_-prefixed CTEs ending at
+    ``bmr`` (doc_id, rnk_s ≤ n_sparse) — the sparse leg of the hybrid
+    fusion oracle. A hand-maintained twin of corpus_ops._BM25_ORACLE
+    (a module-level import would cycle at decoration time);
+    tests/test_intent_round16.py pins the two mechanically by running
+    this chain's top-20 against the attested oracle's in DuckDB."""
+    bm_terms = ("spark", "join", "window", "vector")
+    return [
+        "bm_dl AS (SELECT doc_id,"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) AS dl"
+        " FROM documents)",
+        "bm_stats AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(dl) AS BIGINT) AS sumdl FROM bm_dl)",
+        "bm_tf AS (SELECT doc_id, w AS term,"
+        " CAST(count(*) AS BIGINT) AS tf"
+        " FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        " FROM documents)"
+        f" WHERE w IN {bm_terms!r}"
+        " GROUP BY doc_id, w)",
+        "bm_df AS (SELECT term, CAST(count(*) AS BIGINT) AS df"
+        " FROM bm_tf GROUP BY term)",
+        "bm_sc AS (SELECT t.doc_id,"
+        " CAST(floor(1000000.0"
+        " * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+        " * (t.tf * 2.2)"
+        " / (t.tf + 1.2 * (0.25 + 0.75"
+        " * (CAST(l.dl * s.n AS DOUBLE) / s.sumdl)))) AS BIGINT) AS sm"
+        " FROM bm_tf t JOIN bm_df d USING (term)"
+        " JOIN bm_dl l USING (doc_id) CROSS JOIN bm_stats s)",
+        "bmr AS MATERIALIZED (SELECT doc_id, rnk_s FROM (SELECT doc_id,"
+        " CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)"
+        " AS INT) AS rnk_s FROM (SELECT doc_id,"
+        " CAST(sum(sm) AS BIGINT) AS score_micro FROM bm_sc"
+        f" GROUP BY doc_id)) WHERE rnk_s <= {n_sparse})",
+    ]
+
+
+def _hybrid_rrf_oracle_sql(
+    k: int = 10, rrf_k: int = 60, n_sparse: int = 20,
+) -> str:
+    """x4_hybrid_rrf oracle: the BM25 chain (_bm25_rank_ctes — pinned
+    to the attested x4_bm25_search oracle by a sync test) ranked to
+    its top-20, the distrib IVF-PQ serve chain ranked to its top-10,
+    then reciprocal-rank fusion in exact integer ppb —
+    1e9 // (60 + rank) summed over the lists containing the doc."""
+    ctes, final = _ivf_pq_distrib_ctes()
+    ctes += [f"ivfr AS ({final})"]
+    ctes += _bm25_rank_ctes(n_sparse=n_sparse)
+    ctes += [
+        "qs AS (SELECT vec_id AS query_id FROM embeddings"
+        " WHERE vec_id < 5)",
+        "sparse AS (SELECT q.query_id, b.doc_id AS vec_id, b.rnk_s"
+        " FROM qs q CROSS JOIN bmr b)",
+        "fused AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,"
+        " coalesce(d.vec_id, s.vec_id) AS vec_id,"
+        f" CAST(coalesce(1000000000 // ({rrf_k} + d.rnk), 0)"
+        f" + coalesce(1000000000 // ({rrf_k} + s.rnk_s), 0) AS BIGINT)"
+        " AS rrf_ppb,"
+        " CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)"
+        " AS in_dense,"
+        " CAST(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)"
+        " AS in_sparse"
+        " FROM ivfr d FULL JOIN sparse s"
+        " ON s.query_id = d.query_id AND s.vec_id = d.vec_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, vec_id, rrf_ppb, in_dense, in_sparse, rnk"
+        " FROM (SELECT *,"
+        " CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY rrf_ppb DESC, vec_id) AS INT) AS rnk FROM fused)"
+        f" WHERE rnk <= {k} ORDER BY query_id, rnk"
+    )
+
+
+@query("x4_hybrid_rrf", oracle=_hybrid_rrf_oracle_sql())
+def x4_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL FUSION (r15 verdict task 3): the sparse leg
+    (x4_bm25_search — Okapi BM25 over the fixed query-term set) and
+    the dense leg (top-10 per query served from the COMMITTED ANN
+    index, the x3_index_search chain) fused by reciprocal-rank fusion
+    (Cormack et al. 2009, public): score = Σ 1/(60 + rank) over the
+    lists containing the doc, computed as EXACT integer parts-per-
+    billion (1e9 div (60+rank)) so both engines sum identical
+    integers. The documents and embeddings tables share the id space,
+    so BM25's doc ranks and the index's vector ranks name the same
+    corpus; the keyword list (one ranked top-20) joins each dense
+    query's top-10 via a broadcast cross (queries × 20 rows), then a
+    FULL OUTER merge on (query, id) — membership flags in_dense /
+    in_sparse make the fusion's provenance auditable. Top-10 by
+    integer score, ties to the lower id.
+
+    100 TB: each leg keeps its own attested scale shape; the fusion
+    adds one broadcast-sized join and a per-query top-k window over
+    ≤ 30 rows — rank lists, never corpora, meet."""
+    from recipes_spark.operators.similarity import (
+        ivf_pq_search_coded,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_load_books,
+    )
+    from recipes_spark.queries.corpus_ops import x4_bm25_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    store = _ann_scratch_store("hybrid")
+    ann_index_commit(spark, emb, store, 1, cents, books, code_bits=8)
+    coarse_l, books_l = ann_index_load_books(spark, store)
+    coded = ann_index_codes(spark, store, 1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    dense = ivf_pq_search_coded(
+        coded, emb, queries, coarse_l, books_l,
+        k=10, nprobe=14, refine=16, code_bits=8,
+    ).select("query_id", "vec_id", F.col("rank").alias("rnk_d"))
+    # The sparse leg's rank derives from its own 20-row result (a
+    # LIMIT's order is not a schema property) — a 20-row window.
+    bm = (
+        x4_bm25_search(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("score_micro").desc(), "doc_id"))
+            .cast("int")
+            .alias("rnk_s"),
+        )
+    )
+    sparse = queries.select("query_id").crossJoin(F.broadcast(bm))
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.expr(f"1000000000 div (60 + {c})"), F.lit(0)
+    )
+    fused = (
+        dense.join(sparse, ["query_id", "vec_id"], "full_outer")
+        .select(
+            "query_id",
+            "vec_id",
+            (contrib("rnk_d") + contrib("rnk_s"))
+            .cast("long")
+            .alias("rrf_ppb"),
+            F.col("rnk_d").isNotNull().cast("int").alias("in_dense"),
+            F.col("rnk_s").isNotNull().cast("int").alias("in_sparse"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppb").desc(), "vec_id"
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _index_retrain_oracle_sql() -> str:
+    """x3_index_retrain oracle: TWO complete distrib IVF-PQ chains —
+    gen 1 trained on the pre-drift cohort (even vec_ids) but indexing
+    the FULL corpus (the faiss add-after-train contract), gen 2
+    trained on the full drifted corpus — both serving the drifted
+    query set (first five odd ids), recall@10 of each against the
+    exact brute-force top-10, and the promotion decision
+    (new ≥ old). The physical cutover flags (served from the
+    committed stores, loser reclaimed + fenced) are asserted true."""
+    qp = "({v} % 2 = 1 AND {v} < 10)"
+    ctes = [
+        "olds AS MATERIALIZED (SELECT * FROM embeddings"
+        " WHERE vec_id % 2 = 0)",
+    ]
+    # k_codes=64: the gen-1 training cohort is HALF the corpus, and
+    # k-means needs at least k distinct members (250 even ids at the
+    # small fixtures < the flagship 256) — both generations train the
+    # same 64-code byte-width family so the comparison is fair.
+    c1, f1 = _ivf_pq_distrib_ctes(
+        prefix="g1_", train_src="olds", q_pred=qp, k_codes=64
+    )
+    c2, f2 = _ivf_pq_distrib_ctes(prefix="g2_", q_pred=qp, k_codes=64)
+    ctes += c1 + c2
+    ctes += [
+        f"g1r AS MATERIALIZED ({f1})",
+        f"g2r AS MATERIALIZED ({f2})",
+        "bqv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        " FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 10)",
+        "bcv AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings)",
+        "bsims AS (SELECT q.query_id, c.vec_id,"
+        " round(list_dot_product(c.v, q.qv) /"
+        " (sqrt(list_dot_product(c.v, c.v)) *"
+        " sqrt(list_dot_product(q.qv, q.qv))), 4) AS c4"
+        " FROM bcv c CROSS JOIN bqv q WHERE c.vec_id != q.query_id)",
+        "bref AS MATERIALIZED (SELECT query_id, vec_id FROM"
+        " (SELECT query_id, vec_id, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY c4 DESC, vec_id) AS rn"
+        " FROM bsims) WHERE rn <= 10)",
+        "m1 AS (SELECT CAST(count(*) AS BIGINT) AS matched FROM g1r g"
+        " JOIN bref b ON b.query_id = g.query_id"
+        " AND b.vec_id = g.vec_id)",
+        "m2 AS (SELECT CAST(count(*) AS BIGINT) AS matched FROM g2r g"
+        " JOIN bref b ON b.query_id = g.query_id"
+        " AND b.vec_id = g.vec_id)",
+        "n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM olds)",
+        "n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)",
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM bqv)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(1 AS INT) AS gen, n1.n AS n_train,"
+        " m1.matched AS matched,"
+        " CAST(10000 * m1.matched // (nq.nq * 10) AS BIGINT)"
+        " AS recall_bp,"
+        " (m2.matched < m1.matched) AS promoted,"
+        " true AS served_from_store, true AS loser_fenced"
+        " FROM m1, m2, n1, nq\n"
+        "UNION ALL\n"
+        "SELECT CAST(2 AS INT), n2.n, m2.matched,"
+        " CAST(10000 * m2.matched // (nq.nq * 10) AS BIGINT),"
+        " (m2.matched >= m1.matched), true, true"
+        " FROM m1, m2, n2, nq\n"
+        "ORDER BY gen"
+    )
+
+
+@query("x3_index_retrain", oracle=_index_retrain_oracle_sql())
+def x3_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIFT-TRIGGERED RETRAIN + GENERATION CUTOVER (r15 verdict task
+    2 — the consumer the drift monitor lacked): books are immutable
+    per index family (faiss's contract — append encodes against
+    frozen books), so adapting to a drifted corpus means training a
+    NEW generation and swapping blue/green. Cohorts follow the
+    x3_embedding_drift convention (id parity = before/after): gen 1
+    trains coarse + PQ books on the pre-drift cohort (even ids) and
+    indexes the FULL corpus by append-contract encoding; gen 2
+    retrains both books on the full drifted corpus and re-encodes
+    into a SEPARATE index family. Both generations serve the drifted
+    queries (first five odd ids) EXCLUSIVELY from their committed
+    stores; recall@10 against the exact brute-force top-10 decides
+    promotion (new wins ties — retrain cost is already sunk), the
+    losing family's store is physically reclaimed, and a post-reclaim
+    read must fail LOUDLY (loser_fenced — the vacuum convention). One
+    output row per generation: training-corpus size, matched@10,
+    exact integer recall basis points, the promotion verdict, and the
+    store-side flags (books round-trip bit-exact before serving;
+    reclaim verified fenced). The oracle replays both full chains
+    (the gen-1 chain trains on the cohort CTE while assigning the
+    full corpus — the fel grid), the brute reference, the recall
+    arithmetic, and the promotion rule.
+
+    100 TB: retrain = the commit cost on the new corpus (rounds ×
+    scan + one encode pass) paid once per generation; both families
+    serve concurrently during validation (reads are manifest-pinned);
+    cutover is a pointer swap and reclaim is one vacuum."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from recipes_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_search_coded,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_load_books,
+    )
+    from recipes_spark.plans.catalog import snapshot_read
+
+    emb = load(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 10)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    root = _ann_scratch_store("retrain")
+    stores = {1: os.path.join(root, "gen1"), 2: os.path.join(root, "gen2")}
+    trained = {}
+    for gen, src in ((1, old), (2, emb)):
+        cents = train_coarse_centroids_int(
+            src, k=16, iters=3, hash_tag="pq:0"
+        )
+        # k=64 codes (byte width): the gen-1 cohort is half the
+        # corpus and k-means needs >= k members at the small fixtures;
+        # both generations share the family parameters.
+        books = train_pq_codebooks_int(src, m=4, k=64)
+        ann_index_commit(
+            spark, emb, stores[gen], 1, cents, books, code_bits=8
+        )
+        trained[gen] = (cents, books)
+    ref = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in brute_force_topk(emb, queries, k=10)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    matched, served_ok = {}, {}
+    for gen in (1, 2):
+        coarse_l, books_l = ann_index_load_books(spark, stores[gen])
+        served_ok[gen] = bool(
+            np.array_equal(coarse_l, trained[gen][0])
+            and np.array_equal(books_l, trained[gen][1])
+        )
+        got = {
+            (int(r["query_id"]), int(r["vec_id"]))
+            for r in ivf_pq_search_coded(
+                ann_index_codes(spark, stores[gen], 1),
+                emb, queries, coarse_l, books_l,
+                k=10, nprobe=14, refine=16, code_bits=8,
+            )
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        matched[gen] = len(got & ref)
+    n_train = {1: old.count(), 2: emb.count()}
+    nq = queries.count()
+    promote_new = matched[2] >= matched[1]
+    loser = 1 if promote_new else 2
+    shutil.rmtree(stores[loser], ignore_errors=True)
+    # Fenced = the reclaim physically landed AND a post-reclaim read
+    # fails loudly — gating on BOTH keeps the flag from passing
+    # vacuously if a path bug made the read fail for another reason
+    # while the store still existed.
+    loser_codes = os.path.join(stores[loser], "codes")
+    fenced = False
+    if not os.path.isdir(loser_codes):
+        try:
+            snapshot_read(spark, loser_codes, 1).count()
+        except Exception:
+            fenced = True
+    rows = [
+        (
+            gen,
+            int(n_train[gen]),
+            int(matched[gen]),
+            10000 * matched[gen] // (nq * 10),
+            (matched[2] >= matched[1])
+            if gen == 2
+            else (matched[2] < matched[1]),
+            served_ok[gen],
+            fenced,
+        )
+        for gen in (1, 2)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "gen int, n_train long, matched long, recall_bp long,"
+        " promoted boolean, served_from_store boolean,"
+        " loser_fenced boolean",
+    ).orderBy("gen")
+
+
 @query("x3_ivf_pq_table_topk", oracle=_ivf_pq_distrib_oracle_sql())
 def x3_ivf_pq_table_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ADC PROBE-TABLE plan shape, registered (r14 verdict task 3
@@ -4731,12 +5272,10 @@ def _mmr_oracle_sql(
 ) -> str:
     """x3_mmr_topk oracle: the brute shortlist (attested round-4
     cosine, rank ≤ shortlist), per-pair milli-grid redundancy in basis
-    points, then the GREEDY LOOP UNROLLED — k rounds, each a max-red
-    aggregate over the selected set, an (score DESC, id) argmax pick,
-    and a selected-set union. Greedy-sequential stopped meaning
-    unoracleable once the scoring became portable integers."""
-    lam, lam2 = lambda_tenths, 10 - lambda_tenths
-    ctes = [
+    points, then the greedy loop (_mmr_greedy_ctes).
+    Greedy-sequential stopped meaning unoracleable once the scoring
+    became portable integers."""
+    head = [
         f"qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
         f" FROM embeddings WHERE vec_id < {n_queries})",
         "cvv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -4754,53 +5293,9 @@ def _mmr_oracle_sql(
         " FROM (SELECT query_id, vec_id, c4, row_number() OVER"
         " (PARTITION BY query_id ORDER BY c4 DESC, vec_id) AS rn"
         f" FROM sims) WHERE rn <= {shortlist})",
-        "sel_el AS MATERIALIZED (SELECT e.* FROM el e"
-        " JOIN (SELECT DISTINCT vec_id FROM cand) m USING (vec_id))",
-        "nm AS MATERIALIZED (SELECT vec_id, sum(mv * mv) AS n2"
-        " FROM sel_el GROUP BY vec_id)",
-        "pdot AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,"
-        " sum(x.mv * y.mv) AS dm FROM sel_el x JOIN sel_el y"
-        " ON x.d = y.d AND x.vec_id != y.vec_id"
-        " GROUP BY x.vec_id, y.vec_id)",
-        "pred AS MATERIALIZED (SELECT ca.query_id, ca.vec_id AS a,"
-        " cb.vec_id AS b, CAST(floor(10000.0 * dm.dm /"
-        " (sqrt(greatest(na.n2, 1)) * sqrt(greatest(nb.n2, 1))))"
-        " AS BIGINT) AS red"
-        " FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id"
-        " AND ca.vec_id != cb.vec_id"
-        " JOIN pdot dm ON dm.a = ca.vec_id AND dm.b = cb.vec_id"
-        " JOIN nm na ON na.vec_id = ca.vec_id"
-        " JOIN nm nb ON nb.vec_id = cb.vec_id)",
-        f"pick1 AS MATERIALIZED (SELECT query_id, vec_id,"
-        f" {lam} * simq AS sc, 1 AS rnk FROM (SELECT query_id, vec_id,"
-        " simq, row_number() OVER (PARTITION BY query_id"
-        " ORDER BY simq DESC, vec_id) AS rn FROM cand) WHERE rn = 1)",
-        "sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM pick1)",
     ]
-    for r in range(2, k + 1):
-        p = r - 1
-        ctes += [
-            f"sc{r} AS (SELECT c.query_id, c.vec_id,"
-            f" {lam} * c.simq - {lam2} * max(p.red) AS sc"
-            f" FROM cand c JOIN sel{p} s ON s.query_id = c.query_id"
-            f" JOIN pred p ON p.query_id = c.query_id"
-            f" AND p.a = c.vec_id AND p.b = s.vec_id"
-            f" WHERE NOT EXISTS (SELECT 1 FROM sel{p} s2"
-            f" WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)"
-            f" GROUP BY c.query_id, c.vec_id, c.simq)",
-            f"pick{r} AS MATERIALIZED (SELECT query_id, vec_id, sc,"
-            f" {r} AS rnk FROM (SELECT query_id, vec_id, sc,"
-            " row_number() OVER (PARTITION BY query_id"
-            f" ORDER BY sc DESC, vec_id) AS rn FROM sc{r}) WHERE rn = 1)",
-            f"sel{r} AS MATERIALIZED (SELECT * FROM sel{p}"
-            f" UNION ALL SELECT query_id, vec_id FROM pick{r})",
-        ]
-    union = "\nUNION ALL ".join(
-        f"SELECT query_id, vec_id, CAST(sc AS BIGINT) AS mmr_score,"
-        f" CAST(rnk AS INT) AS rnk FROM pick{r}"
-        for r in range(1, k + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    tail, union = _mmr_greedy_ctes(k=k, lambda_tenths=lambda_tenths)
+    return "WITH " + ",\n".join(head + tail) + "\n" + union
 
 
 @query("x3_mmr_topk", oracle=_mmr_oracle_sql())

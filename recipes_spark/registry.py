@@ -358,6 +358,10 @@ _DEFER: dict[str, int] = {
     "x3_index_radius_search": 15,
     "x3_index_cell_stats": 16,
     "x3_index_delete": 16,
+    "x3_index_mmr_search": 16,
+    "x4_hybrid_rrf": 16,
+    "x3_index_retrain": 16,
+    "x6_release_index_e2e": 16,
 }
 
 

@@ -271,6 +271,93 @@ def ann_index_append(
     )
 
 
+def ann_index_tombstones_commit(
+    spark: SparkSession,
+    store: str,
+    version: int,
+    tombstones: DataFrame,
+    *,
+    id_col: str = "vec_id",
+) -> None:
+    """MERGE-ON-READ deletion, the write half (Iceberg positional
+    deletes / Delta deletion vectors, applied to the ANN index): a
+    delete request commits the tombstoned ids as a TINY versioned
+    sidecar substore (``<store>/tombs``) instead of rewriting any
+    codes file — bytes ∝ tombstones, the cheapest possible delete.
+    Serves subtract it via ann_index_codes_live until a maintenance
+    window folds it physically (ann_index_fold_tombstones). Sidecar
+    versions are cumulative via the snapshot machinery's append
+    lineage: commit version N's df as the NEW requests; a reader at
+    N sees all requests ≤ N."""
+    snapshot_commit(
+        spark,
+        tombstones.select(id_col),
+        os.path.join(store, "tombs"),
+        version,
+    )
+
+
+def ann_index_tombstones(
+    spark: SparkSession, store: str, version: int, *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The tombstone ids visible at sidecar `version` (cumulative —
+    the manifest union of every request ≤ version)."""
+    return snapshot_read(
+        spark, os.path.join(store, "tombs"), version
+    ).select(id_col)
+
+
+def ann_index_codes_live(
+    spark: SparkSession,
+    store: str,
+    codes_version: int,
+    tombs_version: int | None,
+    *,
+    id_col: str = "vec_id",
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """The LIVE index view under merge-on-read deletion: the committed
+    codes at ``codes_version`` minus the sidecar at ``tombs_version``
+    (None = no pending deletes). The subtraction is a broadcast
+    anti-join on the id-list-sized sidecar that composes into the
+    identical ivf_pq_search_coded plan — the deletion-vector mask done
+    the join way. After a fold, pass the new codes version and None."""
+    codes = ann_index_codes(
+        spark, store, codes_version, id_col=id_col, extra=extra
+    )
+    if tombs_version is None:
+        return codes
+    return codes.join(
+        F.broadcast(ann_index_tombstones(
+            spark, store, tombs_version, id_col=id_col
+        )),
+        id_col,
+        "left_anti",
+    )
+
+
+def ann_index_fold_tombstones(
+    spark: SparkSession,
+    store: str,
+    version: int,
+    tombs_version: int,
+    *,
+    id_col: str = "vec_id",
+) -> list[int]:
+    """The maintenance-window FOLD: apply the sidecar physically as a
+    partial-rewrite commit (ann_index_delete driven by the committed
+    tombstones), batching every delete request ≤ ``tombs_version``
+    into one touched-cell rewrite — the lakehouse deletion-vector
+    compaction cadence. Returns the touched cell ids. The sidecar
+    stays readable for audit until vacuumed."""
+    return ann_index_delete(
+        spark, store, version,
+        ann_index_tombstones(spark, store, tombs_version, id_col=id_col),
+        id_col=id_col,
+    )
+
+
 def ann_index_delete(
     spark: SparkSession,
     store: str,

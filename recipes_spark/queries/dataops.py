@@ -4527,19 +4527,19 @@ def _dedup_tombstone_ctes() -> list[str]:
     ]
 
 
-def _index_delete_oracle_sql(
+def _index_delete_core_ctes(
+    lead_ctes: list[str],
     k_coarse: int = 16, coarse_iters: int = 3, m: int = 4,
     k_codes: int = 256, sample: int = 2048, iters: int = 5,
     dim: int = 64, code_bits: int = 8,
-) -> str:
-    """x3_index_delete oracle: the dedup-survivor tombstone chain, both
-    index trainings, the fused full-corpus assignment + packing, then
-    per-cell v1 (all members) and v2 (members minus tombstones)
-    manifests with the touched set = cells holding any tombstone. The
-    file-side equalities (v1/v2 re-read digests, untouched-cell file
-    identity, tombstone absence from the v2 read) are asserted true —
-    the release-family convention."""
-    ctes = _dedup_tombstone_ctes()
+) -> list[str]:
+    """The shared core of every index-deletion oracle: ``lead_ctes``
+    must end at ``tomb`` (vec_id — the tombstone set, however
+    produced: the dedup-survivor chain, a metadata predicate, a
+    sidecar); then both index trainings, the fused full-corpus
+    assignment + packing, and the per-cell v1 (all members) / v2
+    (members minus tombstones) digests with nd = the touched set."""
+    ctes = list(lead_ctes)
     ctes += _coarse_train_ctes(k=k_coarse, iters=coarse_iters, prefix="cq_")
     ctes += _pq_train_encode_ctes(
         m=m, k=k_codes, sample=sample, iters=iters, dim=dim
@@ -4566,6 +4566,16 @@ def _index_delete_oracle_sql(
         "nd AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_deleted"
         " FROM cq_fa a JOIN tomb t ON t.vec_id = a.vec_id GROUP BY a.cid)",
     ]
+    return ctes
+
+
+def _index_delete_oracle_sql(**kw) -> str:
+    """x3_index_delete oracle: the dedup-survivor tombstone chain into
+    the shared deletion core (_index_delete_core_ctes), then the
+    per-cell report. The file-side equalities (v1/v2 re-read digests,
+    untouched-cell file identity, tombstone absence from the v2 read)
+    are asserted true — the release-family convention."""
+    ctes = _index_delete_core_ctes(_dedup_tombstone_ctes(), **kw)
     return (
         "WITH RECURSIVE " + ",\n".join(ctes) + "\n"
         "SELECT CAST(v1.cid AS BIGINT) AS cell, v1.n_v1,"
@@ -4649,6 +4659,23 @@ def x3_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     ann_index_delete(spark, store, 2, tomb)
+    return _index_delete_report(spark, store, coded, tomb)
+
+
+def _index_delete_report(
+    spark: SparkSession, store: str, coded: DataFrame, tomb: DataFrame
+) -> DataFrame:
+    """The per-cell deletion report every COW delete query shares:
+    plan-side v1/v2 digests vs the v1/v2 manifest re-reads, the
+    manifest-path identity proof for untouched cells, tombstone
+    absence from the v2 read, and the digest↔touched biconditional.
+    ``coded`` is the plan-side encode of the v1 corpus; ``tomb`` the
+    tombstone ids; the store must hold the pre-delete index at v1 and
+    the post-delete commit at v2."""
+    import os as _os
+
+    from recipes_spark.plans.ann_index import ann_index_codes
+
     plan_v1 = _cell_codes_digest(coded, "_v1")
     plan_v2 = _cell_codes_digest(
         coded.join(tomb, "vec_id", "left_anti"), "_v2"
@@ -4723,6 +4750,230 @@ def x3_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (~F.col("codes_sha_v1").eqNullSafe(F.col("codes_sha_v2")))
                 == (n_del > 0)
             ).alias("digest_changed_iff_touched"),
+        )
+        .orderBy("cell")
+    )
+
+
+_DELETE_WHERE_PRED_SQL = "label IN (2, 5)"
+
+
+def _index_delete_where_oracle_sql(**kw) -> str:
+    """x3_index_delete_where oracle: the tombstone set is a metadata
+    PREDICATE over the denormalized attrs (label ∈ {2, 5} — identical
+    to the embeddings label by the commit-time left join), into the
+    shared deletion core and the same per-cell report."""
+    lead = [
+        "tomb AS MATERIALIZED (SELECT vec_id FROM embeddings"
+        f" WHERE {_DELETE_WHERE_PRED_SQL})",
+    ]
+    ctes = _index_delete_core_ctes(lead, **kw)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(v1.cid AS BIGINT) AS cell, v1.n_v1,"
+        " CAST(coalesce(v2.n_v2, 0) AS BIGINT) AS n_v2,"
+        " CAST(coalesce(nd.n_deleted, 0) AS BIGINT) AS n_deleted,\n"
+        " CAST(CASE WHEN nd.cid IS NOT NULL THEN 1 ELSE 0 END AS INT)"
+        " AS touched,\n"
+        " v1.sha_v1, v2.sha_v2,\n"
+        " true AS v1_files_match, true AS v2_files_match,\n"
+        " true AS files_frozen_iff_untouched, true AS deleted_absent,\n"
+        " ((v1.sha_v1 IS DISTINCT FROM v2.sha_v2) = (nd.cid IS NOT NULL))"
+        " AS digest_changed_iff_touched\n"
+        "FROM v1 LEFT JOIN v2 ON v2.cid = v1.cid"
+        " LEFT JOIN nd ON nd.cid = v1.cid ORDER BY cell"
+    )
+
+
+@query("x3_index_delete_where", oracle=_index_delete_where_oracle_sql())
+def x3_index_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-BY-PREDICATE — the vector-DB delete-by-filter shape
+    (every production store ships it: remove all vectors whose
+    metadata matches) composed from this round's pieces: the index
+    commits WITH denormalized attrs (ann_index_commit attrs=, the
+    x3_index_filtered_search convention), so the tombstone set is a
+    PUSHED parquet predicate on the index's own manifest scan — no
+    corpus join, the index answers which of its rows must die — and
+    ann_index_delete lands the partial-rewrite v2 exactly as
+    x3_index_delete (whose per-cell proof report this shares:
+    v1/v2 re-read digests, untouched-cell manifest identity, predicate
+    absence from the v2 read, digest ⇔ touched). Predicate here:
+    label ∈ {2, 5} (~18% selectivity — many touched cells, real
+    rewrites). The attrs columns ride the rewrite, so a later
+    filtered search on v2 still pushes its predicate.
+
+    100 TB: tombstone discovery is a pruned metadata scan of the
+    index itself (row-group stats on the denormalized column);
+    everything after prices exactly as x3_index_delete — touched
+    cells' rows, never index size (SCALE.md index_delete_economics)."""
+    from recipes_spark.operators.similarity import (
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_delete,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    coded = pq_encode_int(
+        emb, books, coarse_milli=cents, code_bits=8
+    ).localCheckpoint(eager=True)
+    store = _ann_scratch_store("delete_where")
+    ann_index_commit(
+        spark, emb, store, 1, cents, books, code_bits=8, coded=coded,
+        attrs=emb.select("vec_id", "label"),
+    )
+    tomb = (
+        ann_index_codes(spark, store, 1, extra=("label",))
+        .filter(F.col("label").isin(2, 5))
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    ann_index_delete(spark, store, 2, tomb)
+    return _index_delete_report(spark, store, coded, tomb)
+
+
+def _index_delete_mor_oracle_sql(**kw) -> str:
+    """x3_index_delete_mor oracle: the same predicate tombstones and
+    deletion core as delete_where, reported MERGE-ON-READ style — the
+    live view's per-cell digests (v2 content served WITHOUT a
+    rewrite) with the physical flags (sidecar round-trip, MOR ≡
+    folded-COW bit-identity, fold re-read equality) asserted true."""
+    lead = [
+        "tomb AS MATERIALIZED (SELECT vec_id FROM embeddings"
+        f" WHERE {_DELETE_WHERE_PRED_SQL})",
+    ]
+    ctes = _index_delete_core_ctes(lead, **kw)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(v1.cid AS BIGINT) AS cell, v1.n_v1,"
+        " CAST(coalesce(v2.n_v2, 0) AS BIGINT) AS n_live,"
+        " CAST(coalesce(nd.n_deleted, 0) AS BIGINT) AS n_deleted,\n"
+        " CAST(CASE WHEN nd.cid IS NOT NULL THEN 1 ELSE 0 END AS INT)"
+        " AS touched,\n"
+        " v2.sha_v2 AS sha_live,\n"
+        " true AS sidecar_match, true AS mor_equals_fold,"
+        " true AS fold_files_match\n"
+        "FROM v1 LEFT JOIN v2 ON v2.cid = v1.cid"
+        " LEFT JOIN nd ON nd.cid = v1.cid ORDER BY cell"
+    )
+
+
+@query("x3_index_delete_mor", oracle=_index_delete_mor_oracle_sql())
+def x3_index_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletion — the OTHER half of the deletion design
+    space (Iceberg positional deletes / Delta deletion vectors /
+    faiss ID-selector masks): instead of rewriting touched cells
+    immediately (x3_index_delete's copy-on-write), the tombstone ids
+    commit as a tiny versioned SIDECAR substore and every serve
+    anti-joins it (ann_index_codes_live — a broadcast anti-join that
+    composes into the identical search plan), deferring the rewrite
+    to a maintenance-window FOLD (ann_index_fold_tombstones — the
+    ann_index_delete rewrite driven by the sidecar). Per v1-cell the
+    report proves the strategy end to end: n_live/sha_live from the
+    LIVE VIEW (no rewrite has happened when they're computed),
+    sidecar_match (the sidecar re-reads to exactly the tombstone
+    set), mor_equals_fold (the live view is BIT-IDENTICAL per cell to
+    the folded v2 re-read — merge-on-read and copy-on-write are the
+    same table), and fold_files_match (the fold re-read equals the
+    plan-side anti-join). Same predicate tombstones as
+    x3_index_delete_where, so the two strategies are directly
+    comparable; serve-side equivalence (MOR top-k ≡ post-fold top-k)
+    is gated in tests/test_intent_round16.py.
+
+    100 TB: a delete request costs ONE tiny sidecar commit (bytes ∝
+    tombstones — SCALE.md index_delete_economics prices the fold);
+    serves pay a broadcast anti-join against the id list until the
+    next fold window; the fold batches many requests into one
+    touched-cell rewrite — exactly the lakehouse deletion-vector
+    cadence."""
+    from recipes_spark.operators.similarity import (
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_codes_live,
+        ann_index_commit,
+        ann_index_fold_tombstones,
+        ann_index_tombstones,
+        ann_index_tombstones_commit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    coded = pq_encode_int(
+        emb, books, coarse_milli=cents, code_bits=8
+    ).localCheckpoint(eager=True)
+    store = _ann_scratch_store("delete_mor")
+    ann_index_commit(
+        spark, emb, store, 1, cents, books, code_bits=8, coded=coded,
+        attrs=emb.select("vec_id", "label"),
+    )
+    tomb = (
+        ann_index_codes(spark, store, 1, extra=("label",))
+        .filter(F.col("label").isin(2, 5))
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    ann_index_tombstones_commit(spark, store, 1, tomb)
+    # The LIVE view: v1 codes minus the sidecar — NO rewrite yet.
+    live = ann_index_codes_live(spark, store, 1, 1)
+    live_dig = _cell_codes_digest(live, "_live")
+    # Sidecar round-trip: re-read ids == the tombstone set.
+    side_ids = ann_index_tombstones(spark, store, 1)
+    sidecar_ok_df = (
+        side_ids.join(tomb, "vec_id", "full_outer")
+        .select(F.count(F.lit(1)).alias("n_all"))
+        .crossJoin(side_ids.join(tomb, "vec_id").select(
+            F.count(F.lit(1)).alias("n_both")
+        ))
+        .select((F.col("n_all") == F.col("n_both")).alias("ok"))
+    )
+    sidecar_ok = bool(sidecar_ok_df.first()["ok"])
+    # FOLD: the maintenance-window rewrite, driven by the sidecar.
+    ann_index_fold_tombstones(spark, store, 2, 1)
+    fold_dig = _cell_codes_digest(ann_index_codes(spark, store, 2), "_f")
+    plan_v1 = _cell_codes_digest(coded, "_v1")
+    nd = (
+        coded.join(tomb, "vec_id")
+        .groupBy(F.col("__list").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    )
+    plan_v2 = _cell_codes_digest(
+        coded.join(tomb, "vec_id", "left_anti"), "_v2"
+    )
+    n_del = F.coalesce(F.col("n_deleted"), F.lit(0))
+    return (
+        plan_v1.join(live_dig, "cell", "left")
+        .join(fold_dig, "cell", "left")
+        .join(plan_v2, "cell", "left")
+        .join(nd, "cell", "left")
+        .select(
+            "cell",
+            F.col("n_vecs_v1").alias("n_v1"),
+            F.coalesce(F.col("n_vecs_live"), F.lit(0))
+            .cast("long")
+            .alias("n_live"),
+            n_del.cast("long").alias("n_deleted"),
+            (n_del > 0).cast("int").alias("touched"),
+            F.col("codes_sha_live").alias("sha_live"),
+            F.lit(sidecar_ok).alias("sidecar_match"),
+            (
+                F.col("codes_sha_live").eqNullSafe(F.col("codes_sha_f"))
+                & F.col("n_vecs_live").eqNullSafe(F.col("n_vecs_f"))
+            ).alias("mor_equals_fold"),
+            (
+                F.col("codes_sha_f").eqNullSafe(F.col("codes_sha_v2"))
+                & F.col("n_vecs_f").eqNullSafe(F.col("n_vecs_v2"))
+            ).alias("fold_files_match"),
         )
         .orderBy("cell")
     )

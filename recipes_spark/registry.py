@@ -362,6 +362,8 @@ _DEFER: dict[str, int] = {
     "x4_hybrid_rrf": 16,
     "x3_index_retrain": 16,
     "x6_release_index_e2e": 16,
+    "x3_index_delete_where": 16,
+    "x3_index_delete_mor": 16,
 }
 
 

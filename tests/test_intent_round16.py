@@ -161,6 +161,71 @@ def test_snapshot_drop_where_validation(spark, tmp_path):
         )
 
 
+def test_index_delete_where_purges_predicate(spark, sf_dir):
+    """Delete-by-predicate: after the rewrite, NO row matching the
+    predicate survives anywhere in v2, attrs still ride (a filtered
+    search on v2 still works), and the report flags all hold."""
+    from recipes_spark.plans.ann_index import ann_index_codes
+    from recipes_spark.queries.dataops import _LAST_ANN_STORES
+
+    rows = all_queries()["x3_index_delete_where"](spark, sf_dir).collect()
+    assert rows and any(r["touched"] == 1 for r in rows)
+    for flag in (
+        "v1_files_match", "v2_files_match", "files_frozen_iff_untouched",
+        "deleted_absent", "digest_changed_iff_touched",
+    ):
+        assert all(bool(r[flag]) for r in rows), (flag, rows)
+    store = _LAST_ANN_STORES["delete_where"]
+    v2 = ann_index_codes(spark, store, 2, extra=("label",))
+    assert v2.filter(F.col("label").isin(2, 5)).count() == 0
+    assert v2.filter(F.col("label") == 0).count() > 0
+
+
+def test_index_delete_mor_serve_equivalence(spark, sf_dir):
+    """Merge-on-read: the PRE-fold live view serves top-k
+    BIT-IDENTICALLY to the POST-fold rewrite (deletion vectors and
+    copy-on-write are the same table), and no tombstoned id appears
+    in either serve."""
+    from recipes_spark.operators.similarity import ivf_pq_search_coded
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_codes_live,
+        ann_index_load_books,
+        ann_index_tombstones,
+    )
+    from recipes_spark.queries.dataops import _LAST_ANN_STORES
+
+    rows = all_queries()["x3_index_delete_mor"](spark, sf_dir).collect()
+    assert rows and any(r["touched"] == 1 for r in rows)
+    for flag in ("sidecar_match", "mor_equals_fold", "fold_files_match"):
+        assert all(bool(r[flag]) for r in rows), (flag, rows)
+    store = _LAST_ANN_STORES["delete_mor"]
+    emb = load(spark, sf_dir, "embeddings")
+    coarse_l, books_l = ann_index_load_books(spark, store)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def serve(codes):
+        return sorted(
+            tuple(r)
+            for r in ivf_pq_search_coded(
+                codes, emb, queries, coarse_l, books_l,
+                k=10, nprobe=14, refine=16, code_bits=8,
+            ).collect()
+        )
+
+    mor = serve(ann_index_codes_live(spark, store, 1, 1))
+    folded = serve(ann_index_codes(spark, store, 2))
+    assert mor == folded
+    tomb_ids = {
+        int(r["vec_id"])
+        for r in ann_index_tombstones(spark, store, 1).collect()
+    }
+    assert tomb_ids and not {t[1] for t in mor} & tomb_ids
+
+
 # ------------------------------------------------------- hygiene fixes
 
 def test_empty_delta_append_carries_manifest_forward(spark, tmp_path):

@@ -358,6 +358,85 @@ def ann_index_fold_tombstones(
     )
 
 
+def ann_index_upsert(
+    spark: SparkSession,
+    changed: DataFrame,
+    store: str,
+    version: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coded: DataFrame | None = None,
+    attrs: DataFrame | None = None,
+) -> list[int]:
+    """UPSERT re-ingested vectors — the reference's pgstac sink
+    semantics (re-runs REPLACE rows, `avhrr…/recipe.py:85,137`)
+    applied to the index, completing mutability: commit/append/delete
+    handle add and remove; this handles CHANGE (a document re-embeds
+    after an edit, its id keeps serving the NEW vector). One commit
+    does both halves: the cells holding the ids' OLD rows rewrite
+    minus them (the delete shape — drop_where per touched cell), and
+    the NEW encodes (against the committed books, the append shape)
+    land as fresh files in whatever cells they now belong to — same
+    cell or different, old codes are provably gone and new codes
+    provably present in one snapshot. ``coded`` passes an
+    already-encoded (id, codes_packed, __list) plan (the commit-side
+    convention); ``attrs`` carries the new rows' denormalized
+    metadata. Returns the rewritten (old-side) cell ids.
+
+    100 TB: cost = old-side touched cells' rows + one delta encode —
+    the delete and append economics added together (SCALE.md
+    index_delete_economics / index_lifecycle_10x), never a full
+    rebuild."""
+    from recipes_spark.operators.similarity import pq_encode_int
+
+    coarse, books = ann_index_load_books(spark, store)
+    code_bits = ann_index_meta(spark, store).get("code_bits", 8)
+    codes_store = os.path.join(store, "codes")
+    prev = snapshot_read(spark, codes_store, version - 1, merge_schema=True)
+    ids = changed.select(id_col)
+    touched_old = sorted(
+        int(r["cell"])
+        for r in prev.join(ids, id_col).select("cell").distinct().collect()
+    )
+    if coded is None:
+        coded = pq_encode_int(
+            changed, books, id_col=id_col, vec_col=vec_col,
+            coarse_milli=coarse, code_bits=code_bits,
+        )
+    new_rows = coded.select(
+        id_col,
+        "codes_packed",
+        F.col("__list").cast("int").alias("cell"),
+        F.col("__list").cast("int").alias("cell_key"),
+    )
+    if attrs is not None:
+        new_rows = new_rows.join(attrs, id_col, "left")
+    if touched_old:
+        keep = (
+            prev.filter(F.col("cell").isin(*touched_old))
+            .join(ids, id_col, "left_anti")
+            .withColumn("cell_key", F.col("cell").cast("int"))
+        )
+        df = keep.unionByName(new_rows, allowMissingColumns=True)
+        drop = " OR ".join(
+            f"file LIKE '%/cell_key={c}/%'" for c in touched_old
+        )
+    else:
+        # pure insert: degenerates to the append shape
+        df = new_rows
+        drop = None
+    snapshot_commit(
+        spark,
+        df.repartition("cell_key"),
+        codes_store,
+        version,
+        partition_by=("cell_key",),
+        drop_where=drop,
+    )
+    return touched_old
+
+
 def ann_index_delete(
     spark: SparkSession,
     store: str,

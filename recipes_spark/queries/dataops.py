@@ -4838,6 +4838,212 @@ def x3_index_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _index_delete_report(spark, store, coded, tomb)
 
 
+def _index_upsert_oracle_sql(
+    k_coarse: int = 16, coarse_iters: int = 3, m: int = 4,
+    k_codes: int = 256, sample: int = 2048, iters: int = 5,
+    dim: int = 64, code_bits: int = 8,
+) -> str:
+    """x3_index_upsert oracle: both trainings + the v1 assignment/
+    packing (the commit chain), then the CHANGED set (vec_id % 7 = 3,
+    embeddings element-REVERSED — a deterministic re-embedding that
+    genuinely moves cells) re-assigned and re-packed against the SAME
+    trained books, v2 = unchanged rows ∪ new encodes, per-cell v1/v2
+    digests with the in/out flow counts. File-side equalities asserted
+    true."""
+    sub = dim // m
+    ctes = _coarse_train_ctes(k=k_coarse, iters=coarse_iters, prefix="cq_")
+    ctes += _pq_train_encode_ctes(
+        m=m, k=k_codes, sample=sample, iters=iters, dim=dim
+    )
+    ctes += [
+        "cq_fd AS MATERIALIZED (SELECT e.vec_id, c.cid,"
+        " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM cq_el e JOIN cq_c{coarse_iters} c ON e.d = c.d"
+        " GROUP BY e.vec_id, c.cid)",
+        "cq_fa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM cq_fd) WHERE rn = 1)",
+        "pk AS (SELECT vec_id, CAST(sum(c * (CAST(1 AS BIGINT) <<"
+        f" ({code_bits} * ({m - 1} - j)))) AS BIGINT) AS cp"
+        " FROM fa GROUP BY vec_id)",
+        # the re-embedded (changed) vectors: element order reversed
+        "chg AS MATERIALIZED (SELECT vec_id,"
+        " list_reverse(embedding) AS embedding FROM embeddings"
+        " WHERE vec_id % 7 = 3)",
+        "uel AS MATERIALIZED (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) - 1 AS d,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)"
+        " AS BIGINT) AS mv FROM chg)",
+        "ucd AS (SELECT e.vec_id, c.cid,"
+        " sum((e.mv - c.cv) * (e.mv - c.cv)) AS d2"
+        f" FROM uel e JOIN cq_c{coarse_iters} c ON e.d = c.d"
+        " GROUP BY e.vec_id, c.cid)",
+        "uca AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id,"
+        " cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2, cid) AS rn FROM ucd) WHERE rn = 1)",
+        f"uej AS (SELECT vec_id, d // {sub} AS j, d % {sub} AS dl, mv"
+        " FROM uel)",
+        "ud2 AS (SELECT e.vec_id, e.j, c.c,"
+        " sum((e.mv - c.val) * (e.mv - c.val)) AS d2"
+        f" FROM uej e JOIN c{iters} c ON c.j = e.j AND c.d = e.dl"
+        " GROUP BY e.vec_id, e.j, c.c)",
+        "ufa AS MATERIALIZED (SELECT j, vec_id, c FROM (SELECT j,"
+        " vec_id, c, row_number() OVER (PARTITION BY j, vec_id"
+        " ORDER BY d2, c) AS rn FROM ud2) WHERE rn = 1)",
+        "upk AS (SELECT vec_id, CAST(sum(c * (CAST(1 AS BIGINT) <<"
+        f" ({code_bits} * ({m - 1} - j)))) AS BIGINT) AS cp"
+        " FROM ufa GROUP BY vec_id)",
+        "v2rows AS MATERIALIZED ("
+        "SELECT a.cid, a.vec_id, p.cp FROM cq_fa a JOIN pk p"
+        " USING (vec_id)"
+        " WHERE a.vec_id NOT IN (SELECT vec_id FROM chg)"
+        " UNION ALL"
+        " SELECT u.cid, u.vec_id, k.cp FROM uca u JOIN upk k"
+        " USING (vec_id))",
+        "v1 AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_v1,"
+        " sha256(string_agg(CAST(p.cp AS VARCHAR), ',' ORDER BY p.vec_id))"
+        " AS sha_v1 FROM cq_fa a JOIN pk p USING (vec_id) GROUP BY a.cid)",
+        "v2 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_v2,"
+        " sha256(string_agg(CAST(cp AS VARCHAR), ',' ORDER BY vec_id))"
+        " AS sha_v2 FROM v2rows GROUP BY cid)",
+        "nin AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_in"
+        " FROM uca GROUP BY cid)",
+        "nout AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_out"
+        " FROM cq_fa a JOIN chg USING (vec_id) GROUP BY a.cid)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(coalesce(v1.cid, v2.cid) AS BIGINT) AS cell,"
+        " CAST(coalesce(v1.n_v1, 0) AS BIGINT) AS n_v1,"
+        " CAST(coalesce(v2.n_v2, 0) AS BIGINT) AS n_v2,\n"
+        " CAST(coalesce(nin.n_in, 0) AS BIGINT) AS n_in,"
+        " CAST(coalesce(nout.n_out, 0) AS BIGINT) AS n_out,\n"
+        " CAST(CASE WHEN nin.cid IS NOT NULL OR nout.cid IS NOT NULL"
+        " THEN 1 ELSE 0 END AS INT) AS touched,\n"
+        " v1.sha_v1, v2.sha_v2,\n"
+        " true AS v1_files_match, true AS v2_files_match,\n"
+        " ((nin.cid IS NOT NULL OR nout.cid IS NOT NULL)"
+        " OR v1.sha_v1 = v2.sha_v2) AS digest_frozen_if_untouched\n"
+        "FROM v1 FULL JOIN v2 ON v2.cid = v1.cid"
+        " LEFT JOIN nin ON nin.cid = coalesce(v1.cid, v2.cid)"
+        " LEFT JOIN nout ON nout.cid = coalesce(v1.cid, v2.cid)"
+        " ORDER BY cell"
+    )
+
+
+@query("x3_index_upsert", oracle=_index_upsert_oracle_sql())
+def x3_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX UPSERT — the capstone mutability verb: a re-ingested
+    document re-embeds, and its id must serve the NEW vector (the
+    reference's pgstac sink is exactly this store semantics — re-runs
+    REPLACE rows, avhrr…/recipe.py:85,137). The changed set
+    (vec_id % 7 = 3, embeddings element-REVERSED — a deterministic
+    re-embedding that genuinely moves vectors across cells) flows
+    through ann_index_upsert: ONE commit rewrites the cells holding
+    the old rows minus them (the delete shape) AND lands the new
+    encodes — against the committed books, the append shape — in
+    whatever cells they now belong to. Each output row reports a
+    cell's v1→v2 flow: counts, arrivals (n_in), departures (n_out),
+    both digests, the re-read equalities, and digest frozen whenever
+    the cell saw no flow. v2_files_match doubles as the upsert proof:
+    the re-read digesting to (unchanged ∪ re-encoded) per cell means
+    no stale code survived and every new code landed. Old-version
+    serve and changed-id currency are gated in
+    tests/test_intent_round16.py. The oracle replays both trainings,
+    both assignments (original and reversed), both packings, and the
+    per-cell flow arithmetic.
+
+    100 TB: cost = delete economics on the old cells + append
+    economics on the delta — never a rebuild; the commit is atomic
+    (one manifest), so readers see either the old vector or the new,
+    never both or neither."""
+    from recipes_spark.operators.similarity import (
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import (
+        ann_index_codes,
+        ann_index_commit,
+        ann_index_upsert,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    coded_v1 = pq_encode_int(
+        emb, books, coarse_milli=cents, code_bits=8
+    ).localCheckpoint(eager=True)
+    store = _ann_scratch_store("upsert")
+    ann_index_commit(
+        spark, emb, store, 1, cents, books, code_bits=8, coded=coded_v1
+    )
+    changed = emb.filter(F.col("vec_id") % 7 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    new_coded = pq_encode_int(
+        changed, books, coarse_milli=cents, code_bits=8
+    ).localCheckpoint(eager=True)
+    ann_index_upsert(spark, changed, store, 2, coded=new_coded)
+    ids = changed.select("vec_id")
+    plan_v1 = _cell_codes_digest(coded_v1, "_v1")
+    plan_v2 = _cell_codes_digest(
+        coded_v1.join(ids, "vec_id", "left_anti").unionByName(
+            new_coded.select("vec_id", "codes_packed", "__list"),
+            allowMissingColumns=True,
+        ),
+        "_v2",
+    )
+    f1 = _cell_codes_digest(ann_index_codes(spark, store, 1), "_f1")
+    f2 = _cell_codes_digest(ann_index_codes(spark, store, 2), "_f2")
+    nin = (
+        new_coded.groupBy(F.col("__list").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    )
+    nout = (
+        coded_v1.join(ids, "vec_id")
+        .groupBy(F.col("__list").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+    )
+    n_in = F.coalesce(F.col("n_in"), F.lit(0))
+    n_out = F.coalesce(F.col("n_out"), F.lit(0))
+    return (
+        plan_v1.join(plan_v2, "cell", "full_outer")
+        .join(f1, "cell", "left")
+        .join(f2, "cell", "left")
+        .join(nin, "cell", "left")
+        .join(nout, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("n_vecs_v1"), F.lit(0))
+            .cast("long")
+            .alias("n_v1"),
+            F.coalesce(F.col("n_vecs_v2"), F.lit(0))
+            .cast("long")
+            .alias("n_v2"),
+            n_in.cast("long").alias("n_in"),
+            n_out.cast("long").alias("n_out"),
+            ((n_in > 0) | (n_out > 0)).cast("int").alias("touched"),
+            F.col("codes_sha_v1").alias("sha_v1"),
+            F.col("codes_sha_v2").alias("sha_v2"),
+            (
+                F.col("codes_sha_v1").eqNullSafe(F.col("codes_sha_f1"))
+                & F.col("n_vecs_v1").eqNullSafe(F.col("n_vecs_f1"))
+            ).alias("v1_files_match"),
+            (
+                F.col("codes_sha_v2").eqNullSafe(F.col("codes_sha_f2"))
+                & F.col("n_vecs_v2").eqNullSafe(F.col("n_vecs_f2"))
+            ).alias("v2_files_match"),
+            (
+                (n_in > 0)
+                | (n_out > 0)
+                | (F.col("codes_sha_v1") == F.col("codes_sha_v2"))
+            ).alias("digest_frozen_if_untouched"),
+        )
+        .orderBy("cell")
+    )
+
+
 def _index_delete_mor_oracle_sql(**kw) -> str:
     """x3_index_delete_mor oracle: the same predicate tombstones and
     deletion core as delete_where, reported MERGE-ON-READ style — the

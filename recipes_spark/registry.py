@@ -364,6 +364,7 @@ _DEFER: dict[str, int] = {
     "x6_release_index_e2e": 16,
     "x3_index_delete_where": 16,
     "x3_index_delete_mor": 16,
+    "x3_index_upsert": 16,
 }
 
 

@@ -226,6 +226,65 @@ def test_index_delete_mor_serve_equivalence(spark, sf_dir):
     assert tomb_ids and not {t[1] for t in mor} & tomb_ids
 
 
+def test_index_upsert_currency_and_flow(spark, sf_dir):
+    """Upsert semantics: every flag holds; flow conserves
+    (Σn_in == Σn_out == |changed| and n_v2 = n_v1 + in − out per
+    cell); the v2 read serves exactly the NEW codes for changed ids
+    (currency) while v1 still time-travels to the old ones."""
+    from recipes_spark.operators.similarity import (
+        pq_encode_int,
+        train_coarse_centroids_int,
+        train_pq_codebooks_int,
+    )
+    from recipes_spark.plans.ann_index import ann_index_codes
+    from recipes_spark.queries.dataops import _LAST_ANN_STORES
+
+    rows = all_queries()["x3_index_upsert"](spark, sf_dir).collect()
+    assert rows and any(r["touched"] == 1 for r in rows)
+    for flag in (
+        "v1_files_match", "v2_files_match", "digest_frozen_if_untouched",
+    ):
+        assert all(bool(r[flag]) for r in rows), (flag, rows)
+    emb = load(spark, sf_dir, "embeddings")
+    n_changed = emb.filter(F.col("vec_id") % 7 == 3).count()
+    assert sum(r["n_in"] for r in rows) == n_changed
+    assert sum(r["n_out"] for r in rows) == n_changed
+    for r in rows:
+        assert r["n_v2"] == r["n_v1"] + r["n_in"] - r["n_out"]
+    # currency: the v2 rows for changed ids carry the REVERSED
+    # vectors' codes, and v1 still holds the originals
+    store = _LAST_ANN_STORES["upsert"]
+    cents = train_coarse_centroids_int(emb, k=16, iters=3, hash_tag="pq:0")
+    books = train_pq_codebooks_int(emb, m=4, k=256)
+    changed = emb.filter(F.col("vec_id") % 7 == 3)
+    want_new = {
+        (int(r["vec_id"]), int(r["codes_packed"]), int(r["__list"]))
+        for r in pq_encode_int(
+            changed.select(
+                "vec_id", F.reverse("embedding").alias("embedding")
+            ),
+            books, coarse_milli=cents, code_bits=8,
+        ).collect()
+    }
+    want_old = {
+        (int(r["vec_id"]), int(r["codes_packed"]), int(r["__list"]))
+        for r in pq_encode_int(
+            changed, books, coarse_milli=cents, code_bits=8
+        ).collect()
+    }
+
+    def got(version):
+        return {
+            (int(r["vec_id"]), int(r["codes_packed"]), int(r["__list"]))
+            for r in ann_index_codes(spark, store, version)
+            .filter(F.col("vec_id") % 7 == 3)
+            .collect()
+        }
+
+    assert got(2) == want_new
+    assert got(1) == want_old
+
+
 # ------------------------------------------------------- hygiene fixes
 
 def test_empty_delta_append_carries_manifest_forward(spark, tmp_path):

@@ -7,6 +7,9 @@ scale-factor directory.
 
 from __future__ import annotations
 
+import os
+import weakref
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -67,6 +70,22 @@ def _canonical_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Per-session plan cache: (path, mtime_ns, size) -> analyzed DataFrame.
+#: ``spark.read.parquet(path)`` costs 65-100 ms per call on this host —
+#: JVM-side schema inference (footer read) plus a fresh InMemoryFileIndex
+#: — and the engine's query functions re-load the same tables on every
+#: invocation (a 6-table star join pays ~0.45 s of pure driver-side
+#: metadata work per run, measured round 16). DataFrames are immutable,
+#: so re-serving the analyzed plan is exactly the "build the table
+#: reference once" shape a long-lived production driver has. This caches
+#: PLANS, never results: every action still scans the parquet. Keyed by
+#: the file's (mtime, size) so a rewritten input invalidates, and weakly
+#: by session so a stopped/collected session drops its entries.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Oracle comparisons need UTC-naive timestamps, so the
     session timezone is pinned here (DuckDB reads the same parquet as
@@ -77,14 +96,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp flavor regardless of how the parquet was written."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path.removeprefix("file://"))
+        key = (path, st.st_mtime_ns, st.st_size)
+        per_session = _DF_CACHE.setdefault(spark, {})
+    except (OSError, TypeError):
+        key, per_session = None, None
+    if per_session is not None and key in per_session:
+        return per_session[key]
     nanos = _nanos_timestamp_cols(path)
     if not nanos:
-        return _canonical_timestamps(spark.read.parquet(path))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in nanos:
-        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))"))
-    return _canonical_timestamps(df)
+        df = _canonical_timestamps(spark.read.parquet(path))
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in nanos:
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
+            )
+        df = _canonical_timestamps(df)
+    if per_session is not None:
+        per_session[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -407,10 +407,41 @@ def minhash_lsh_pairs(
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # Materialized: the pair set feeds BOTH the candidate-id
+        # broadcast below and the final verify join; without it the
+        # band self-join + distinct executes once per consumer
+        # (ReuseExchange does not collapse duplicated subtrees over a
+        # checkpointed source — measured 1.7 s vs 1.1 s at sf0.1).
+        .localCheckpoint(eager=True)
     )
 
-    sh_a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    # Verify shingles CANDIDATE documents only. The previous shape
+    # re-ran the full-corpus shingle projection once per verify side —
+    # two extra corpus passes (and at scale two corpus-wide
+    # tokenizations) to fetch sets for the few ids that survived
+    # banding. Filtering the RAW (id, text) rows with a broadcast
+    # semi-join on the candidate ids BEFORE the shingle projection
+    # keeps the expensive tokenization proportional to the candidate
+    # set; the banding pass remains the only full-corpus pass. (The
+    # join must land below the projection in the DataFrame itself:
+    # Catalyst does not reorder a Project above a join, so joining the
+    # shingled frame would still tokenize every row.)
+    ids = (
+        cand.select(F.col("id_a").alias("__id"))
+        .unionByName(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    shingled_cand = scale_partitions(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .join(F.broadcast(ids), "__id")
+    ).select("__id", word_shingles("__t", shingle_n).alias("__sh"))
+
+    sh_a = shingled_cand.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")
+    )
+    sh_b = shingled_cand.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (

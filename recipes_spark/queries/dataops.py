@@ -95,11 +95,10 @@ def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate volume proportional to true near-dups even on corpora
     whose baseline cross-doc Jaccard exceeds banding's ≈0.42 s-curve
     threshold."""
-    d = scale_partitions(load(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_sort(F.array_distinct(F.split("text", " "))).alias("s"),
+    docs = load(spark, sf_dir, "documents")
+    word_set = F.array_sort(F.array_distinct(F.split("text", " ")))
+    d = scale_partitions(docs).select(
+        "doc_id", "lang", "source", word_set.alias("s")
     )
     bh = band_hashes(
         d, id_col="doc_id", set_col="s", carry_cols=("lang", "source")
@@ -110,8 +109,23 @@ def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
     )
-    return jaccard_verify(cand, d, id_col="doc_id", set_col="s")
+    # Verify tokenizes CANDIDATE docs only: broadcast-filter the raw
+    # rows on the materialized pair ids BEFORE the word-set projection
+    # (below the projection, or every row still tokenizes — Catalyst
+    # never hoists a Project above a join), so the banding pass is the
+    # only full-corpus tokenization. Same results: every pair id is in
+    # the filtered set, and the verify math is unchanged.
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    d_cand = scale_partitions(
+        docs.select("doc_id", "text").join(F.broadcast(ids), "doc_id")
+    ).select("doc_id", word_set.alias("s")).localCheckpoint(eager=True)
+    return jaccard_verify(cand, d_cand, id_col="doc_id", set_col="s")
 
 
 @query(

@@ -137,7 +137,15 @@ ORDER BY revenue DESC, n_name
 def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join through the region→nation→customer FK
     chain (J1 analog). nation/region are explicitly broadcast — they are
-    fixed-size dims (25/5 rows) at every scale factor."""
+    fixed-size dims (25/5 rows) at every scale factor.
+
+    Join order puts LINEITEM (the fact, the largest table at every
+    scale) on the stream side throughout: the planner builds the hash
+    relation from the RIGHT side of each join, so fact-first ordering
+    hashes orders/customer/supplier (each ≥4× smaller) instead of the
+    fact itself. The previous (c⋈o)⋈li order made the local planner
+    broadcast-build ALL of lineitem — the one side that can never be a
+    build side at 100 TB."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -145,8 +153,8 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

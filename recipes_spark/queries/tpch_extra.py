@@ -526,10 +526,22 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sq") > 250)
         .select(F.col("l_orderkey").alias("big_key"))
     )
+    # BOTH fact references are semi-filtered on the big-order key set
+    # before the final join: orders and lineitem each stream once
+    # against the broadcast key set (keys only — small at any scale),
+    # and the final join is then survivors⋈survivors. The previous
+    # shape joined the FULL lineitem to attach quantities, which made
+    # the planner broadcast-build the whole fact table — backwards at
+    # every scale (the two identical big-key broadcasts are collapsed
+    # by ReuseExchange).
+    o_big = o.join(
+        big, F.col("o_orderkey") == F.col("big_key"), "left_semi"
+    ).join(c, F.col("c_custkey") == F.col("o_custkey"))
+    li_big = li.join(
+        big, F.col("l_orderkey") == F.col("big_key"), "left_semi"
+    )
     return (
-        o.join(big, F.col("o_orderkey") == F.col("big_key"), "left_semi")
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        li_big.join(o_big, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")

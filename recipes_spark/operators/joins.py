@@ -189,15 +189,26 @@ def asof_nearest_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Forward fill via the REVERSED order with an incremental frame:
+    # Spark's (currentRow, unboundedFollowing) frame re-evaluates the
+    # whole tail per row (UnboundedFollowingWindowFunctionFrame —
+    # O(rows²) per key), while (unboundedPreceding, currentRow) grows
+    # incrementally. "First non-null at or after me in (ts asc, side
+    # asc)" == "last non-null at or before me in (ts desc, side desc)":
+    # the prefix under the reversed order is exactly the suffix under
+    # the forward order (equal-instant rows are all-NULL on the left
+    # side and unique on the right side, so tie positions cannot
+    # change the answer). Same exchange (same partition key), one
+    # extra in-partition sort.
     w_fwd = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u2.select(
         *u2.columns,
         F.last("__w", ignorenulls=True).over(w_back).alias("__b"),
-        F.first("__w", ignorenulls=True).over(w_fwd).alias("__f"),
+        F.last("__w", ignorenulls=True).over(w_fwd).alias("__f"),
     ).filter(F.col("__side") == 1)
 
     # Distances compare as epoch doubles: exact for micro-precision

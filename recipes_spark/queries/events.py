@@ -1119,18 +1119,25 @@ def ts_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward neighbors via the REVERSED order with an incremental
+    # frame: Spark's (currentRow, unboundedFollowing) frame re-scans
+    # the tail per row — O(grid²) per event type, and the grid scales
+    # with TIME SPAN, not event volume (measured 4.9 s warm at sf0.01;
+    # 0.87 s with the reversed frame). Buckets are unique per type, so
+    # "first non-null at or after me (asc)" == "last non-null at or
+    # before me (desc)" exactly. Same single exchange on event_type.
     fwd = (
         Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
     f = j.select(
         "event_type", "bucket", "v",
         F.last("v", ignorenulls=True).over(back).alias("pv"),
         F.last(obs_bucket, ignorenulls=True).over(back).alias("pt"),
-        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(obs_bucket, ignorenulls=True).over(fwd).alias("nt"),
+        F.last("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.last(obs_bucket, ignorenulls=True).over(fwd).alias("nt"),
     )
     filled = F.when(F.col("v").isNotNull(), F.col("v") * 1000).otherwise(
         F.col("pv") * 1000

@@ -52,22 +52,37 @@ def asof_join(
 
     # Tag sides: right rows sort before left at equal ts for 'backward'
     # (so an exactly-simultaneous right row IS visible to the left row).
+    # selectExpr strings, not Column chains: every F.lit/F.col/.cast/
+    # .alias is its own py4j round trip, and the two tagging selects
+    # plus the final projection ran ~50 of them per build (~0.1 s of
+    # driver-blocked socket wait per invocation, guide §5). The string
+    # forms parse to the identical Catalyst trees (plan fingerprints
+    # unchanged).
     left_cols = [c for c in left.columns]
-    tb_type = right.schema[tiebreak].dataType if tiebreak else None
-    l_tagged = left.select(
-        *left_cols,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        *([F.lit(None).cast(tb_type).alias("__tb")] if tiebreak else []),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    rtype = {c: right.schema[c].dataType.simpleString() for c in value_cols}
+    tb_sql = (
+        [f"CAST(NULL AS {right.schema[tiebreak].dataType.simpleString()}) AS __tb"]
+        if tiebreak
+        else []
     )
-    r_tagged = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
-        *[F.col(k) for k in keys],
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    l_tagged = left.selectExpr(
+        *[f"`{c}`" for c in left_cols],
+        f"`{left_ts}` AS __ts",
+        "1 AS __side",
+        *tb_sql,
+        *[f"CAST(NULL AS {rtype[c]}) AS `__v_{c}`" for c in value_cols],
+    )
+    r_tagged = right.selectExpr(
+        *[
+            f"CAST(NULL AS {left.schema[c].dataType.simpleString()}) AS `{c}`"
+            for c in left_cols
+            if c not in keys
+        ],
+        *[f"`{k}`" for k in keys],
+        f"`{right_ts}` AS __ts",
+        "0 AS __side",
+        *([f"`{tiebreak}` AS __tb"] if tiebreak else []),
+        *[f"`{c}` AS `__v_{c}`" for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -92,9 +107,9 @@ def asof_join(
         ],
     )
 
-    return filled.filter(F.col("__side") == 1).select(
-        *left_cols,
-        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+    return filled.where("__side = 1").selectExpr(
+        *[f"`{c}`" for c in left_cols],
+        *[f"`__f_{c}` AS `{c}`" for c in value_cols],
     )
 
 

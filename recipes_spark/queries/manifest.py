@@ -52,10 +52,9 @@ def _blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """18 earliest event ts, floored to the 3-minute grid (distinct)."""
     ev = load(spark, sf_dir, "events")
     first18 = ev.select("ts").orderBy("ts").limit(18)
-    return first18.select(
-        F.timestamp_seconds(
-            (F.floor(F.unix_timestamp("ts") / 180) * 180).cast("long")
-        ).alias("ts")
+    return first18.selectExpr(
+        "timestamp_seconds(CAST(FLOOR(unix_timestamp(ts) / 180) * 180"
+        " AS LONG)) AS ts"
     ).distinct()
 
 
@@ -116,11 +115,15 @@ def s4_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = time_grid(spark, GRID_START, GRID_END, freq_minutes=3)
     bl = _blacklist(spark, sf_dir)
     kept = grid.join(F.broadcast(bl), "ts", "left_anti").crossJoin(
-        F.broadcast(bl.agg(F.sort_array(F.collect_list("ts")).alias("__bl")))
+        F.broadcast(bl.agg(F.expr("sort_array(collect_list(ts)) AS __bl")))
     )
-    idx = (
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(GRID_START))) / 180
-    ).cast("long")
+    idx = F.expr(
+        "CAST((unix_timestamp(ts)"
+        f" - unix_timestamp('{GRID_START}')) / 180 AS LONG)"
+    )
+    # HOF kept as a Column lambda (not SQL `b -> ...`): the generated
+    # x_<n> variable naming is what the plan-fingerprint normalizer
+    # masks.
     n_before = F.size(F.filter("__bl", lambda b: b <= F.col("ts")))
     return kept.select(
         (idx - n_before).cast("long").alias("key"),

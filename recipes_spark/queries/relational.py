@@ -53,20 +53,32 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary: scan → filter (pushed to parquet) → hash agg
     (partial+final, whole-stage codegen) → sort. Mirrors the shape the
     reference would need for collection statistics (SURVEY §2.4 A1)."""
+    # Expression strings, not Column chains: each F.col/F.round/
+    # operator call is a py4j round trip (~0.25 ms of driver-blocked
+    # socket wait), and this build ran 356 of them per invocation —
+    # 131 ms of pure driver-side chatter per run, measured round 16
+    # (guide §5: the driver should do almost no work). One F.expr per
+    # aggregate parses to the IDENTICAL Catalyst tree (plan
+    # fingerprint unchanged); results are bit-identical.
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr("round(sum(l_quantity), 2) AS sum_qty"),
+            F.expr("round(sum(l_extendedprice), 2) AS sum_base_price"),
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2)"
+                " AS sum_disc_price"
+            ),
+            F.expr(
+                "round(sum((l_extendedprice * (1 - l_discount))"
+                " * (l_tax + 1)), 2) AS sum_charge"
+            ),
+            F.expr("round(avg(l_quantity), 4) AS avg_qty"),
+            F.expr("round(avg(l_extendedprice), 4) AS avg_price"),
+            F.expr("round(avg(l_discount), 4) AS avg_disc"),
+            F.expr("count(1) AS count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -95,21 +107,24 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k.
     customer filter reduces the build side; at scale AQE converts the
     orders⋈customer join to broadcast when the filtered side is small."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    # String predicates/exprs: one py4j round trip each instead of one
+    # per Column call (same Catalyst trees — plan fingerprint
+    # unchanged; see q1).
+    c = load(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    o = load(spark, sf_dir, "orders").where(
+        "o_orderdate < CAST('1998-03-15' AS TIMESTAMP)"
     )
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    li = load(spark, sf_dir, "lineitem").where(
+        "l_shipdate > CAST('1998-03-15' AS TIMESTAMP)"
     )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        c.join(o, F.expr("c_custkey = o_custkey"))
+        .join(li, F.expr("l_orderkey = o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            )
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -151,18 +166,20 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    r = load(spark, sf_dir, "region").where("r_name = 'ASIA'")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, c.c_custkey == o.o_custkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li.join(o, F.expr("l_orderkey = o_orderkey"))
+        .join(c, F.expr("c_custkey = o_custkey"))
+        .join(
+            s, F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey")
+        )
+        .join(F.broadcast(n), F.expr("s_nationkey = n_nationkey"))
+        .join(F.broadcast(r), F.expr("n_regionkey = r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            )
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -427,22 +444,22 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user. Implemented via union+window (operators/joins.py), not a
     theta join — one shuffle on user_id, one sort, no row blowup."""
     ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    clicks = ev.where("event_type = 'click'").select(
         "event_id", "user_id", "ts"
     )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("rid"), "user_id", F.col("ts").alias("ets"), "value"
+    errors = ev.where("event_type = 'error'").selectExpr(
+        "event_id AS rid", "user_id", "ts AS ets", "value"
     )
     joined = asof_join(
         clicks, errors, left_ts="ts", right_ts="ets", by="user_id",
         value_cols=["ets", "value"], tiebreak="rid",
     )
-    return joined.filter(F.col("ets").isNotNull()).select(
+    return joined.where("ets IS NOT NULL").selectExpr(
         "event_id",
         "user_id",
         "ts",
-        F.col("ets").alias("asof_ts"),
-        F.round("value", 4).alias("asof_value"),
+        "ets AS asof_ts",
+        "round(value, 4) AS asof_value",
     )
 
 

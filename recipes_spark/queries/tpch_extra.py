@@ -263,26 +263,24 @@ ORDER BY nation, o_year DESC
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 adapted: no partsupp table, so supply cost is modeled as
     0.5*p_retailprice. LIKE filter on part prunes before the fact join."""
-    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    p = load(spark, sf_dir, "part").where("p_name LIKE '%widget%'")
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
     n = load(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
     return (
-        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            amount.alias("amount"),
+        li.join(p, F.expr("p_partkey = l_partkey"))
+        .join(s, F.expr("s_suppkey = l_suppkey"))
+        .join(o, F.expr("o_orderkey = l_orderkey"))
+        .join(F.broadcast(n), F.expr("s_nationkey = n_nationkey"))
+        .selectExpr(
+            "n_name AS nation",
+            "CAST(year(o_orderdate) AS LONG) AS o_year",
+            "l_extendedprice * (1 - l_discount)"
+            " - (p_retailprice * 0.5) * l_quantity AS amount",
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 0).alias("sum_profit"))
+        .agg(F.expr("round(sum(amount), 0) AS sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -522,9 +520,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
-        .filter(F.col("sq") > 250)
-        .select(F.col("l_orderkey").alias("big_key"))
+        .agg(F.expr("sum(l_quantity) AS sq"))
+        .where("sq > 250")
+        .selectExpr("l_orderkey AS big_key")
     )
     # BOTH fact references are semi-filtered on the big-order key set
     # before the final join: orders and lineitem each stream once
@@ -535,15 +533,13 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every scale (the two identical big-key broadcasts are collapsed
     # by ReuseExchange).
     o_big = o.join(
-        big, F.col("o_orderkey") == F.col("big_key"), "left_semi"
-    ).join(c, F.col("c_custkey") == F.col("o_custkey"))
-    li_big = li.join(
-        big, F.col("l_orderkey") == F.col("big_key"), "left_semi"
-    )
+        big, F.expr("o_orderkey = big_key"), "left_semi"
+    ).join(c, F.expr("c_custkey = o_custkey"))
+    li_big = li.join(big, F.expr("l_orderkey = big_key"), "left_semi")
     return (
-        li_big.join(o_big, F.col("o_orderkey") == F.col("l_orderkey"))
+        li_big.join(o_big, F.expr("o_orderkey = l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(F.expr("round(sum(l_quantity), 2) AS total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )

@@ -37,41 +37,35 @@ def time_grid(
     sub-sequences from an exploded day range — the grid parallelizes
     across executors and no single array exceeds ~480 entries/day.
     """
-    days = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.to_date(F.lit(start)),
-                F.to_date(F.lit(end)),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("day")
+    # One SQL string per projection (not a Column chain): the grid
+    # builder ran ~30 py4j round trips per build; the parsed trees are
+    # identical (plan fingerprints unchanged — round-16 driver-chatter
+    # pass, guide §5).
+    days = spark.range(1).selectExpr(
+        f"explode(sequence(to_date('{start}'), to_date('{end}'),"
+        " INTERVAL 1 DAY)) AS day"
     )
     if n_partitions:
         days = days.repartition(n_partitions)
-    lo = F.greatest(F.col("day").cast("timestamp"), F.lit(start).cast("timestamp"))
-    hi = F.least(
-        F.col("day").cast("timestamp") + F.expr("INTERVAL 1 DAY")
-        - F.expr("INTERVAL 1 SECOND"),
-        F.lit(end).cast("timestamp"),
-    )
     # Each day emits stamps aligned to the GLOBAL grid phase (start +
     # k*freq), not to midnight: ceil the day-start to the next on-grid
     # stamp, mirroring pd.date_range(start, end, freq).
     step = freq_minutes * 60
-    start_s = F.unix_timestamp(F.lit(start).cast("timestamp"))
-    first_on_grid = start_s + F.ceil((F.unix_timestamp(lo) - start_s) / step) * step
-    return (
-        days.select(
-            F.explode(
-                F.sequence(
-                    F.timestamp_seconds(first_on_grid),
-                    hi,
-                    F.expr(f"INTERVAL {freq_minutes} MINUTES"),
-                )
-            ).alias("ts")
-        )
-        .filter(F.col("ts") <= F.lit(end).cast("timestamp"))
+    start_ts = f"CAST('{start}' AS TIMESTAMP)"
+    start_s = f"unix_timestamp({start_ts})"
+    lo = f"GREATEST(CAST(day AS TIMESTAMP), {start_ts})"
+    hi = (
+        "LEAST(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY"
+        f" - INTERVAL 1 SECOND, CAST('{end}' AS TIMESTAMP))"
     )
+    first_on_grid = (
+        f"{start_s} + CEIL((unix_timestamp({lo}) - {start_s})"
+        f" / {step}) * {step}"
+    )
+    return days.selectExpr(
+        f"explode(sequence(timestamp_seconds({first_on_grid}), {hi},"
+        f" INTERVAL {freq_minutes} MINUTES)) AS ts"
+    ).where(f"ts <= CAST('{end}' AS TIMESTAMP)")
 
 
 def drop_blacklist(grid: DataFrame, blacklist: DataFrame | Sequence[str]) -> DataFrame:
@@ -90,15 +84,15 @@ def render_url(root: str, const: str = DEFAULT_CONST) -> F.Column:
     """S3: deterministic granule URL from a `ts` column
     (avhrr…/recipe.py:32-42) — pure Catalyst: format_string +
     date_format + lpad(dayofyear), whole-stage-codegen'd."""
-    return F.format_string(
-        "%s/%s/%s/%s-%s_%s_%s-v02.0-fv01.0.nc",
-        F.lit(root),
-        F.date_format("ts", "yyyy"),
-        F.lpad(F.dayofyear("ts").cast("string"), 3, "0"),
-        F.date_format("ts", "yyyyMMddHHmmss"),
-        F.lit(const),
-        F.date_format("ts", "yyyyMMdd"),
-        F.date_format("ts", "HHmmss"),
+    return F.expr(
+        "format_string('%s/%s/%s/%s-%s_%s_%s-v02.0-fv01.0.nc', "
+        f"'{root}', "
+        "date_format(ts, 'yyyy'), "
+        "lpad(CAST(dayofyear(ts) AS STRING), 3, '0'), "
+        "date_format(ts, 'yyyyMMddHHmmss'), "
+        f"'{const}', "
+        "date_format(ts, 'yyyyMMdd'), "
+        "date_format(ts, 'HHmmss'))"
     )
 
 

@@ -85,6 +85,11 @@ _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
+#: Sessions whose timezone has been pinned UTC by load() already.
+_UTC_PINNED: "weakref.WeakKeyDictionary[SparkSession, bool]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Oracle comparisons need UTC-naive timestamps, so the
@@ -94,7 +99,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB applies — and any TIMESTAMP_NTZ column is cast to the
     session-UTC TimestampType so every downstream consumer sees ONE
     timestamp flavor regardless of how the parquet was written."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Pin UTC once per session, not once per table reference: the
+    # conf.set py4j exchange costs ~1-2 ms and load() runs several
+    # times per query build. The pin itself is unconditional on first
+    # sight of a session (the driver may arrive with any timezone);
+    # engine code never un-pins it.
+    if spark not in _UTC_PINNED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _UTC_PINNED[spark] = True
     path = f"{sf_dir}/{name}.parquet"
     try:
         st = os.stat(path.removeprefix("file://"))

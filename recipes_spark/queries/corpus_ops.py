@@ -135,18 +135,21 @@ def x4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
 
     def shingles(df: DataFrame) -> DataFrame:
-        toks = F.split("text", " ")
         # Guard short docs: sequence(1, 0) DESCENDS ([1, 0]) rather
-        # than returning empty, and slice(_, 0, _) then errors.
+        # than returning empty, and slice(_, 0, _) then errors. The
+        # Column-lambda transform is kept (its x_<n> variable naming is
+        # what the plan-fingerprint normalizer masks); the rest is one
+        # expression string per the round-16 driver-chatter pass.
+        toks = F.expr("split(text, ' ')")
         sh = F.when(
-            F.size(toks) >= 8,
+            F.expr("size(split(text, ' ')) >= 8"),
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 7),
+                    F.expr("sequence(1, size(split(text, ' ')) - 7)"),
                     lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
                 )
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
         return df.select("doc_id", F.explode(sh).alias("shingle"))
 
     bench = (

@@ -85,10 +85,6 @@ _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
-#: Sessions whose timezone has been pinned UTC by load() already.
-_UTC_PINNED: "weakref.WeakKeyDictionary[SparkSession, bool]" = (
-    weakref.WeakKeyDictionary()
-)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -99,14 +95,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB applies — and any TIMESTAMP_NTZ column is cast to the
     session-UTC TimestampType so every downstream consumer sees ONE
     timestamp flavor regardless of how the parquet was written."""
-    # Pin UTC once per session, not once per table reference: the
-    # conf.set py4j exchange costs ~1-2 ms and load() runs several
-    # times per query build. The pin itself is unconditional on first
-    # sight of a session (the driver may arrive with any timezone);
-    # engine code never un-pins it.
-    if spark not in _UTC_PINNED:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        _UTC_PINNED[spark] = True
+    # Pinned on EVERY call, deliberately: an external driver owns the
+    # session and may legally reset its timezone between engine
+    # queries; a once-per-session guard (tried round 16, saves ~1 ms
+    # per table reference) would then let every timestamp literal and
+    # NTZ cast evaluate in the driver's zone and silently diverge from
+    # the oracle. The per-call conf.set is the invariant, not an
+    # accident.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     try:
         st = os.stat(path.removeprefix("file://"))
@@ -144,7 +140,16 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     DataFrame (measured round 16), paid on every query build that
     fans out; ``inputFiles()`` + os.stat is ~3× cheaper and the
     repartition decision only needs the order of magnitude (narrow
-    scan vs cores — both regimes estimate the same answer)."""
+    scan vs cores — both regimes estimate the same answer).
+
+    PRECONDITION (scale_partitions' call sites honor it): the frame is
+    scan-rooted — no caller-side coalesce/repartition/limit between
+    the file scan and this check, or the estimate reflects the scan
+    rather than the frame's real width. The 128 MB split size is the
+    Spark default; a session that overrides
+    spark.sql.files.maxPartitionBytes downward only makes the estimate
+    conservative in the direction of skipping a repartition that the
+    narrower real splits already provide."""
     try:
         files = df.inputFiles()
     except Exception:

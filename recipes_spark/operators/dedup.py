@@ -431,10 +431,18 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias("__id")))
         .distinct()
     )
-    shingled_cand = scale_partitions(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .join(F.broadcast(ids), "__id")
-    ).select("__id", word_shingles("__t", shingle_n).alias("__sh"))
+    shingled_cand = (
+        scale_partitions(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+            .join(F.broadcast(ids), "__id")
+        )
+        .select("__id", word_shingles("__t", shingle_n).alias("__sh"))
+        # Materialized: both verify sides read it, and without the
+        # checkpoint the (corpus scan → broadcast filter → candidate
+        # tokenize) subtree executes once per side — one extra corpus
+        # READ at scale. Candidate-sized storage.
+        .localCheckpoint(eager=True)
+    )
 
     sh_a = shingled_cand.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")

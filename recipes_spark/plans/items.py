@@ -50,20 +50,45 @@ def _epsg_code(reference_system: object) -> int:
     return int(s)
 
 
-def geojson_bbox_polygon(w: Column, s: Column, e: Column, n: Column) -> Column:
-    """P4: bbox → GeoJSON Polygon string — pure format_string, mirroring
+def _sq(s: object) -> str:
+    """SQL single-quoted-literal escape for interpolated VALUES."""
+    return str(s).replace("'", "''")
+
+
+def _bt(c: str) -> str:
+    """Backtick-quote a column name for interpolation into SQL."""
+    return "`" + str(c).replace("`", "``") + "`"
+
+
+def geojson_bbox_polygon_sql(w: str, s: str, e: str, n: str) -> str:
+    """P4 as a SQL expression string over four corner SQL fragments:
+    bbox → GeoJSON Polygon via format_string, mirroring
     shapely.geometry.mapping(shapely.box(*bbox)) (avhrr…/recipe.py:59):
-    counter-clockwise ring starting at (E, S), closed."""
-    return F.format_string(
+    counter-clockwise ring starting at (E, S), closed. The ONE source
+    of the polygon wire format — build_items and the Column wrapper
+    below both render from it."""
+    return (
+        "format_string('"
         '{"type": "Polygon", "coordinates": [[[%.1f, %.1f], [%.1f, %.1f], '
-        "[%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f]]]}",
-        e, s, e, n, w, n, w, s, e, s,
+        "[%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f]]]}', "
+        f"{e}, {s}, {e}, {n}, {w}, {n}, {w}, {s}, {e}, {s})"
     )
 
 
-def iso_datetime(col: str | Column) -> Column:
-    """P1: timestamp → ISO-8601 string (avhrr…/recipe.py:26-29)."""
-    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")
+def geojson_bbox_polygon(w: str, s: str, e: str, n: str) -> Column:
+    """P4, Column form over column NAMES (see geojson_bbox_polygon_sql)."""
+    return F.expr(geojson_bbox_polygon_sql(_bt(w), _bt(s), _bt(e), _bt(n)))
+
+
+def iso_datetime_sql(col_sql: str) -> str:
+    """P1 as a SQL expression string: timestamp → ISO-8601
+    (avhrr…/recipe.py:26-29)."""
+    return f"date_format({col_sql}, 'yyyy-MM-dd''T''HH:mm:ss')"
+
+
+def iso_datetime(col: str) -> Column:
+    """P1, Column form over a column NAME (see iso_datetime_sql)."""
+    return F.expr(iso_datetime_sql(_bt(col)))
 
 
 def build_items(
@@ -112,39 +137,35 @@ def build_items(
     # slice of every stac query's wall at bench scale (round-16
     # driver-chatter pass). The parsed trees are identical — plan
     # fingerprints unchanged.
-    w, s, e, n = (f"CAST(`{c}` AS DOUBLE)" for c in bbox_cols)
-    bbox_poly = (
-        "format_string('"
-        '{"type": "Polygon", "coordinates": [[[%.1f, %.1f], [%.1f, %.1f], '
-        "[%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f]]]}', "
-        f"{e}, {s}, {e}, {n}, {w}, {n}, {w}, {s}, {e}, {s})"
-    )
+    w, s, e, n = (f"CAST({_bt(c)} AS DOUBLE)" for c in bbox_cols)
+    bbox_poly = geojson_bbox_polygon_sql(w, s, e, n)
     geometry = (
-        f"coalesce(`{geometry_col}`, {bbox_poly})" if geometry_col else bbox_poly
+        f"coalesce({_bt(geometry_col)}, {bbox_poly})"
+        if geometry_col
+        else bbox_poly
     )
     empty_ext = "CAST(array() AS ARRAY<STRING>)"
     if geometry_col and datetimes_col:
         extensions = (
             f"CASE WHEN get_json_object({geometry}, '$.type') = 'LineString'"
-            f" AND `{datetimes_col}` IS NOT NULL"
-            f" AND size(`{datetimes_col}`) > 0"
-            f" THEN array('{MOVING_FEATURES_EXT}')"
+            f" AND {_bt(datetimes_col)} IS NOT NULL"
+            f" AND size({_bt(datetimes_col)}) > 0"
+            f" THEN array('{_sq(MOVING_FEATURES_EXT)}')"
             f" ELSE {empty_ext} END"
         )
     else:
         extensions = empty_ext
-    iso = "date_format(`%s`, 'yyyy-MM-dd''T''HH:mm:ss')"
     prop_fields = [
-        f"{iso % start_col} AS start_datetime",
-        f"{iso % end_col} AS end_datetime",
-        f"`{collection_col}` AS collection",
+        f"{iso_datetime_sql(_bt(start_col))} AS start_datetime",
+        f"{iso_datetime_sql(_bt(end_col))} AS end_datetime",
+        f"{_bt(collection_col)} AS collection",
     ]
     if datetimes_col:
-        prop_fields.append(f"`{datetimes_col}` AS datetimes")
+        prop_fields.append(f"{_bt(datetimes_col)} AS datetimes")
     if projection is not None:
         epsg = _epsg_code(projection.get("reference_system", 4326))
-        xd = str(projection.get("x_dimension", "x"))
-        yd = str(projection.get("y_dimension", "y"))
+        xd = _sq(projection.get("x_dimension", "x"))
+        yd = _sq(projection.get("y_dimension", "y"))
         cube = (
             "format_string('"
             '{"%s": {"axis": "x", "type": "spatial", '
@@ -156,22 +177,22 @@ def build_items(
         prop_fields.append(f"CAST({epsg} AS LONG) AS `proj:epsg`")
         prop_fields.append(f"{cube} AS `cube:dimensions`")
         extensions = (
-            f"concat(array('{PROJECTION_EXT}', '{DATACUBE_EXT}'),"
+            f"concat(array('{_sq(PROJECTION_EXT)}', '{_sq(DATACUBE_EXT)}'),"
             f" {extensions})"
         )
     struct_props = "struct(" + ", ".join(prop_fields) + ")"
     items = metadata.selectExpr(
-        f"`{id_col}` AS id",
-        f"`{collection_col}` AS collection_id",
+        f"{_bt(id_col)} AS id",
+        f"{_bt(collection_col)} AS collection_id",
         f"array({w}, {s}, {e}, {n}) AS bbox",
         f"{geometry} AS geometry",
         f"{extensions} AS stac_extensions",
-        f"`{start_col}` AS start_datetime",
-        f"`{end_col}` AS end_datetime",
+        f"{_bt(start_col)} AS start_datetime",
+        f"{_bt(end_col)} AS end_datetime",
         f"{struct_props} AS properties",
-        f"map('data', struct(`{href_col}` AS href,"
-        f" '{MEDIA_TYPE_NETCDF}' AS media_type)) AS assets",
-        f"array(struct('collection' AS rel, `{collection_col}` AS target))"
+        f"map('data', struct({_bt(href_col)} AS href,"
+        f" '{_sq(MEDIA_TYPE_NETCDF)}' AS media_type)) AS assets",
+        f"array(struct('collection' AS rel, {_bt(collection_col)} AS target))"
         " AS links",
     )
     if postprocess is not None:

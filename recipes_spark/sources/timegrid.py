@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 DEFAULT_CONST = "OSISAF-L2P_GHRSST-SSTsubskin-AVHRR_SST_METOP_B-sstmgr_metop01"
 
 
+def _sq(s: object) -> str:
+    """SQL single-quoted-literal escape for interpolated values."""
+    return str(s).replace("'", "''")
+
+
 def time_grid(
     spark: SparkSession,
     start: str,
@@ -41,6 +46,7 @@ def time_grid(
     # builder ran ~30 py4j round trips per build; the parsed trees are
     # identical (plan fingerprints unchanged — round-16 driver-chatter
     # pass, guide §5).
+    start, end = _sq(start), _sq(end)
     days = spark.range(1).selectExpr(
         f"explode(sequence(to_date('{start}'), to_date('{end}'),"
         " INTERVAL 1 DAY)) AS day"
@@ -86,11 +92,11 @@ def render_url(root: str, const: str = DEFAULT_CONST) -> F.Column:
     date_format + lpad(dayofyear), whole-stage-codegen'd."""
     return F.expr(
         "format_string('%s/%s/%s/%s-%s_%s_%s-v02.0-fv01.0.nc', "
-        f"'{root}', "
+        f"'{_sq(root)}', "
         "date_format(ts, 'yyyy'), "
         "lpad(CAST(dayofyear(ts) AS STRING), 3, '0'), "
         "date_format(ts, 'yyyyMMddHHmmss'), "
-        f"'{const}', "
+        f"'{_sq(const)}', "
         "date_format(ts, 'yyyyMMdd'), "
         "date_format(ts, 'HHmmss'))"
     )

@@ -512,34 +512,38 @@ LIMIT 100
 """,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: IN-subquery with HAVING → semi join against the
-    aggregated key set. The HAVING agg and the outer agg share the
-    l_orderkey partitioning, so AQE reuses the exchange."""
+    """TPC-H Q18: IN-subquery with HAVING. The outer aggregate is
+    keyed by the orders PK, so it collapses into the HAVING aggregate
+    itself — the qualifying (l_orderkey, sum) rows join straight to
+    orders/customer with no second fact pass."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # The outer GROUP BY keys contain o_orderkey (the orders PK), so
+    # each output group is exactly one qualifying order and its
+    # total_qty is exactly the HAVING aggregate's sum — the per-order
+    # sums are computed ONCE and carried to the result instead of
+    # re-joining and re-aggregating the fact table. One lineitem pass
+    # total (the previous shape paid a second semi-filtered pass plus
+    # a survivors⋈survivors re-aggregation); the filtered aggregate is
+    # Q18-selective (tiny at any scale), so the orders/customer joins
+    # build on it, never on the fact.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.expr("sum(l_quantity) AS sq"))
         .where("sq > 250")
-        .selectExpr("l_orderkey AS big_key")
     )
-    # BOTH fact references are semi-filtered on the big-order key set
-    # before the final join: orders and lineitem each stream once
-    # against the broadcast key set (keys only — small at any scale),
-    # and the final join is then survivors⋈survivors. The previous
-    # shape joined the FULL lineitem to attach quantities, which made
-    # the planner broadcast-build the whole fact table — backwards at
-    # every scale (the two identical big-key broadcasts are collapsed
-    # by ReuseExchange).
-    o_big = o.join(
-        big, F.expr("o_orderkey = big_key"), "left_semi"
-    ).join(c, F.expr("c_custkey = o_custkey"))
-    li_big = li.join(big, F.expr("l_orderkey = big_key"), "left_semi")
     return (
-        li_big.join(o_big, F.expr("o_orderkey = l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.expr("round(sum(l_quantity), 2) AS total_qty"))
+        big.join(o, F.expr("o_orderkey = l_orderkey"))
+        .join(c, F.expr("c_custkey = o_custkey"))
+        .selectExpr(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "round(sq, 2) AS total_qty",
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )

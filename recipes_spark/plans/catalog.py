@@ -520,15 +520,25 @@ def catalog_search(
     not O(offset), at 100 TB. A bare-string id token is accepted ONLY
     for plain id ordering; combining it with any other sortby raises
     (that combination silently dropped rows before round 7)."""
+    # Internal predicates over the FIXED item schema build as SQL
+    # strings (one parse round trip each, not a py4j call per operator
+    # — the round-16 driver-chatter pass, guide §5); the parsed trees
+    # are identical (plan fingerprints unchanged). Caller-supplied
+    # Column params (`filter`, `intersects`, sortby keys) stay Columns.
+    def _sqv(s: object) -> str:
+        return str(s).replace("'", "''")
+
     out = items
     if collections:
-        out = out.filter(F.col("collection_id").isin(list(collections)))
+        vals = ", ".join(f"'{_sqv(c)}'" for c in collections)
+        out = out.filter(f"collection_id IN ({vals})")
     if ids:
         # Top-level `ids` convenience param (stac-fastapi /search,
         # docker-compose.yml:2-28): a bounded IN-list on the unique
         # key — at 100 TB this is the predicate bloom/row-group stats
         # eat first.
-        out = out.filter(F.col("id").isin(list(ids)))
+        vals = ", ".join(f"'{_sqv(i)}'" for i in ids)
+        out = out.filter(f"id IN ({vals})")
     if intersects is not None:
         # Top-level `intersects` (GeoJSON geometry): EXACT
         # polygon-vs-footprint test, envelope conjunct included for
@@ -549,16 +559,17 @@ def catalog_search(
     if datetime_range:
         lo, hi = datetime_range
         out = out.filter(
-            (F.col("start_datetime") <= F.lit(hi).cast("timestamp"))
-            & (F.col("end_datetime") >= F.lit(lo).cast("timestamp"))
+            f"start_datetime <= CAST('{_sqv(hi)}' AS TIMESTAMP)"
+            f" AND end_datetime >= CAST('{_sqv(lo)}' AS TIMESTAMP)"
         )
     if bbox:
-        qw, qs, qe, qn = bbox
+        # bbox_intersects' NOT(disjoint) test, as one SQL string; the
+        # D suffix keeps the literals DOUBLE (bare decimals parse as
+        # DECIMAL, a different comparison type).
+        qw, qs, qe, qn = (float(v) for v in bbox)
         out = out.filter(
-            bbox_intersects(
-                F.col("bbox")[0], F.col("bbox")[1], F.col("bbox")[2], F.col("bbox")[3],
-                qw, qs, qe, qn,
-            )
+            f"NOT (bbox[2] < {qw!r}D OR bbox[0] > {qe!r}D"
+            f" OR bbox[3] < {qs!r}D OR bbox[1] > {qn!r}D)"
         )
     if sortby or page_after is not None or limit:
         out = out.orderBy(

@@ -134,23 +134,21 @@ def x4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark are flagged with their hit count."""
     d = load(spark, sf_dir, "documents")
 
+    # Guard short docs: sequence(1, 0) DESCENDS ([1, 0]) rather than
+    # returning empty, and slice(_, 0, _) then errors. One expression
+    # string for the whole shingle projection (single parse round trip
+    # per build — the round-16 driver-chatter pass; the SQL lambda `i`
+    # is a fixed name, as fingerprint-stable as the Column form's
+    # normalizer-masked x_<n>).
+    _SH = (
+        "CASE WHEN size(split(text, ' ')) >= 8 THEN"
+        " array_distinct(transform(sequence(1, size(split(text, ' ')) - 7),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 8))))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
     def shingles(df: DataFrame) -> DataFrame:
-        # Guard short docs: sequence(1, 0) DESCENDS ([1, 0]) rather
-        # than returning empty, and slice(_, 0, _) then errors. The
-        # Column-lambda transform is kept (its x_<n> variable naming is
-        # what the plan-fingerprint normalizer masks); the rest is one
-        # expression string per the round-16 driver-chatter pass.
-        toks = F.expr("split(text, ' ')")
-        sh = F.when(
-            F.expr("size(split(text, ' ')) >= 8"),
-            F.array_distinct(
-                F.transform(
-                    F.expr("sequence(1, size(split(text, ' ')) - 7)"),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
-                )
-            ),
-        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-        return df.select("doc_id", F.explode(sh).alias("shingle"))
+        return df.selectExpr("doc_id", f"explode({_SH}) AS shingle")
 
     bench = (
         shingles(d.filter(F.col("doc_id") < 10))

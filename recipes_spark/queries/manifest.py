@@ -18,6 +18,7 @@ from recipes_spark.registry import query
 from recipes_spark.sources.timegrid import (
     manifest_from_sequence,
     render_url,
+    render_url_sql,
     time_grid,
 )
 
@@ -117,18 +118,19 @@ def s4_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = grid.join(F.broadcast(bl), "ts", "left_anti").crossJoin(
         F.broadcast(bl.agg(F.expr("sort_array(collect_list(ts)) AS __bl")))
     )
-    idx = F.expr(
+    # ONE parsed projection (round-16 driver-chatter pass, guide §5):
+    # grid-offset arithmetic, the blacklist-count HOF (SQL lambda `b`
+    # is a fixed name — fingerprint-stable, like the Column form's
+    # normalizer-masked x_<n>), and the URL render in a single
+    # selectExpr.
+    idx = (
         "CAST((unix_timestamp(ts)"
         f" - unix_timestamp('{GRID_START}')) / 180 AS LONG)"
     )
-    # HOF kept as a Column lambda (not SQL `b -> ...`): the generated
-    # x_<n> variable naming is what the plan-fingerprint normalizer
-    # masks.
-    n_before = F.size(F.filter("__bl", lambda b: b <= F.col("ts")))
-    return kept.select(
-        (idx - n_before).cast("long").alias("key"),
+    return kept.selectExpr(
+        f"CAST({idx} - size(filter(__bl, b -> b <= ts)) AS LONG) AS key",
         "ts",
-        render_url(URL_ROOT, CONST).alias("url"),
+        f"{render_url_sql(URL_ROOT, CONST)} AS url",
     )
 
 

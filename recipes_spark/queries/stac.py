@@ -252,13 +252,13 @@ def stac_catalog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         sortby=[("start_datetime", "desc"), ("id", "asc")],
         limit=100,
     )
-    return found.select(
+    return found.selectExpr(
         "id",
         "collection_id",
-        F.col("bbox")[0].alias("bbox_w"),
-        F.col("bbox")[1].alias("bbox_s"),
-        F.col("bbox")[2].alias("bbox_e"),
-        F.col("bbox")[3].alias("bbox_n"),
+        "bbox[0] AS bbox_w",
+        "bbox[1] AS bbox_s",
+        "bbox[2] AS bbox_e",
+        "bbox[3] AS bbox_n",
         "start_datetime",
         "end_datetime",
     )

@@ -86,11 +86,11 @@ def drop_blacklist(grid: DataFrame, blacklist: DataFrame | Sequence[str]) -> Dat
     return grid.join(F.broadcast(blacklist), "ts", "left_anti")
 
 
-def render_url(root: str, const: str = DEFAULT_CONST) -> F.Column:
-    """S3: deterministic granule URL from a `ts` column
-    (avhrr…/recipe.py:32-42) — pure Catalyst: format_string +
-    date_format + lpad(dayofyear), whole-stage-codegen'd."""
-    return F.expr(
+def render_url_sql(root: str, const: str = DEFAULT_CONST) -> str:
+    """S3 as a SQL expression string over a `ts` column (see
+    render_url) — callers composing a larger single-parse projection
+    interpolate this fragment."""
+    return (
         "format_string('%s/%s/%s/%s-%s_%s_%s-v02.0-fv01.0.nc', "
         f"'{_sq(root)}', "
         "date_format(ts, 'yyyy'), "
@@ -100,6 +100,13 @@ def render_url(root: str, const: str = DEFAULT_CONST) -> F.Column:
         "date_format(ts, 'yyyyMMdd'), "
         "date_format(ts, 'HHmmss'))"
     )
+
+
+def render_url(root: str, const: str = DEFAULT_CONST) -> F.Column:
+    """S3: deterministic granule URL from a `ts` column
+    (avhrr…/recipe.py:32-42) — pure Catalyst: format_string +
+    date_format + lpad(dayofyear), whole-stage-codegen'd."""
+    return F.expr(render_url_sql(root, const))
 
 
 def manifest(

@@ -50,4 +50,16 @@ def get_session(app_name: str = "recipes-spark", cpus: str | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
-    return configure(builder).getOrCreate()
+    builder = configure(builder)
+    # Deployment-specific conf pass-through (JSON object), applied LAST
+    # so it can override the local defaults above: cluster submissions
+    # and tuning A/Bs set e.g. advisory partition size or compression
+    # codec without code edits. Unset (the default, and the bench/driver
+    # condition) this is a no-op.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if extra:
+        import json
+
+        for k, v in json.loads(extra).items():
+            builder = builder.config(k, str(v))
+    return builder.getOrCreate()

@@ -525,20 +525,33 @@ def catalog_search(
     # — the round-16 driver-chatter pass, guide §5); the parsed trees
     # are identical (plan fingerprints unchanged). Caller-supplied
     # Column params (`filter`, `intersects`, sortby keys) stay Columns.
+    # Values containing a backslash take the Column path instead: the
+    # SQL lexer's backslash-escape handling inside string literals is
+    # conf-dependent (spark.sql.parser.escapedStringLiterals), so
+    # quote-doubling alone cannot guarantee such a value round-trips.
     def _sqv(s: object) -> str:
         return str(s).replace("'", "''")
 
+    def _plain(*vals: object) -> bool:
+        return all("\\" not in str(v) for v in vals)
+
     out = items
     if collections:
-        vals = ", ".join(f"'{_sqv(c)}'" for c in collections)
-        out = out.filter(f"collection_id IN ({vals})")
+        if _plain(*collections):
+            vals = ", ".join(f"'{_sqv(c)}'" for c in collections)
+            out = out.filter(f"collection_id IN ({vals})")
+        else:
+            out = out.filter(F.col("collection_id").isin(list(collections)))
     if ids:
         # Top-level `ids` convenience param (stac-fastapi /search,
         # docker-compose.yml:2-28): a bounded IN-list on the unique
         # key — at 100 TB this is the predicate bloom/row-group stats
         # eat first.
-        vals = ", ".join(f"'{_sqv(i)}'" for i in ids)
-        out = out.filter(f"id IN ({vals})")
+        if _plain(*ids):
+            vals = ", ".join(f"'{_sqv(i)}'" for i in ids)
+            out = out.filter(f"id IN ({vals})")
+        else:
+            out = out.filter(F.col("id").isin(list(ids)))
     if intersects is not None:
         # Top-level `intersects` (GeoJSON geometry): EXACT
         # polygon-vs-footprint test, envelope conjunct included for
@@ -558,10 +571,16 @@ def catalog_search(
         out = out.filter(_keyset_predicate(keys, token))
     if datetime_range:
         lo, hi = datetime_range
-        out = out.filter(
-            f"start_datetime <= CAST('{_sqv(hi)}' AS TIMESTAMP)"
-            f" AND end_datetime >= CAST('{_sqv(lo)}' AS TIMESTAMP)"
-        )
+        if _plain(lo, hi):
+            out = out.filter(
+                f"start_datetime <= CAST('{_sqv(hi)}' AS TIMESTAMP)"
+                f" AND end_datetime >= CAST('{_sqv(lo)}' AS TIMESTAMP)"
+            )
+        else:
+            out = out.filter(
+                (F.col("start_datetime") <= F.lit(hi).cast("timestamp"))
+                & (F.col("end_datetime") >= F.lit(lo).cast("timestamp"))
+            )
     if bbox:
         # bbox_intersects' NOT(disjoint) test, as one SQL string; the
         # D suffix keeps the literals DOUBLE (bare decimals parse as

@@ -113,6 +113,30 @@ def test_catalog_search_filters(spark):
     assert none == 0
 
 
+def test_catalog_search_hostile_string_values(spark):
+    """The single-parse SQL fast path (round-16 driver-chatter pass)
+    must give the same rows as the Column predicates it replaced for
+    values that stress SQL-literal quoting: embedded single quotes ride
+    the fast path (quote-doubled), and values containing a backslash
+    must take the Column fallback (backslash handling inside SQL string
+    literals is conf-dependent), not mis-parse or leak a predicate."""
+    quoted = "c'); SELECT ('a"
+    slashed = "c-\\n'b"
+    items = (
+        _items(spark, n=10, collection=quoted)
+        .union(_items(spark, n=10, collection=slashed))
+        .union(_items(spark, n=10, collection="c-plain"))
+    )
+    for coll in (quoted, slashed, "c-plain"):
+        got = catalog_search(items, collections=[coll]).collect()
+        assert len(got) == 10, coll
+        assert all(r.collection_id == coll for r in got)
+    # ids path: same two regimes on the unique key.
+    ids_hit = catalog_search(items, ids=["item-3"]).count()
+    assert ids_hit == 3  # one per collection branch above
+    assert catalog_search(items, ids=["item'); --", "no\\pe"]).count() == 0
+
+
 def test_catalog_search_property_filter_and_paging(spark):
     import pyspark.sql.functions as F
 

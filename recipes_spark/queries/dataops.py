@@ -6618,6 +6618,14 @@ def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    # Every multiply-referenced CTE in the peel chain is AS
+    # MATERIALIZED: DuckDB 1.x INLINES plain CTEs, and r{i} references
+    # r{i-1} twice (and und twice), so the un-materialized chain
+    # re-evaluated the whole prefix per reference — O(2^rounds)
+    # evaluations, measured 175 s at sf0.01 for 8 rounds vs ~1 s
+    # materialized. Same fix (and failure class) as the r12
+    # x4_bpe_train_rounds oracle; results are identical, only the
+    # evaluation strategy is pinned.
     head = """
 WITH ids AS (
   SELECT doc_id, (SELECT count(*) FROM documents) AS n FROM documents
@@ -6626,17 +6634,17 @@ WITH ids AS (
   UNION ALL SELECT doc_id, (doc_id + 2) % n FROM ids
   UNION ALL SELECT doc_id, (doc_id*doc_id + 1) % n FROM ids
   UNION ALL SELECT doc_id, (doc_id*7 + 1) % n FROM ids
-), e AS (
+), e AS MATERIALIZED (
   SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
   FROM raw WHERE u <> v
-), und AS (
+), und AS MATERIALIZED (
   SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e
 ), r0 AS (
   SELECT doc_id AS node FROM documents
 )"""
     steps = []
     for i in range(1, rounds + 1):
-        steps.append(f""", r{i} AS (
+        steps.append(f""", r{i} AS MATERIALIZED (
   SELECT d.x AS node
   FROM und d
   JOIN r{i - 1} s ON s.node = d.x

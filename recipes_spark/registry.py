@@ -214,6 +214,12 @@ _RECHECK: dict[str, int] = {
     # executors instead of materializing Q·m·k_codes driver tuples
     # (r15 ADVICE) — same values, reshaped plan, re-attest:
     "x3_ivf_pq_table_topk": 16,
+    # round-17: the k-core peel-chain oracle is now AS MATERIALIZED
+    # per round (DuckDB inlines multiply-referenced CTEs → O(2^rounds)
+    # re-evaluation, 175 s at sf0.01; the r12 x4_bpe_train_rounds
+    # failure class). Output-identical, oracle TEXT changed —
+    # re-attest the pair under the materialized chain:
+    "x7_kcore": 17,
 }
 
 

@@ -256,14 +256,23 @@ def jaccard_verify(
 
     The ONE definition of the near-dup verify contract — shared by the
     batch (near_dup_wordset) and streaming (st12_stream_neardup) paths
-    so threshold/rounding/join semantics cannot drift between them."""
+    so threshold/rounding/join semantics cannot drift between them.
+
+    Join shape: the first-join result (candidate-pair-sized — one set
+    array attached per surviving pair) is broadcast-hinted as the
+    BUILD side of the second join, so the corpus-sized `sets` frame
+    only ever STREAMS — it is never shuffled by the verify at any
+    scale. Callers whose candidate set is bounded (every banding
+    consumer) should pass ``F.broadcast(cand)`` for the same property
+    on the first join; an unbounded candidate set can omit it and the
+    planner shuffles the pairs, not the sets."""
     a = sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("__sa"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("__sb"))
     jac = F.size(F.array_intersect("__sa", "__sb")) / F.size(
         F.array_union("__sa", "__sb")
     )
     return (
-        cand.join(a, "id_a")
+        F.broadcast(cand.join(a, "id_a"))
         .join(b, "id_b")
         .withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= threshold)
@@ -379,19 +388,32 @@ def minhash_lsh_pairs(
     banding parameters trade recall vs candidate volume (b=16, r=4 ⇒
     s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5).
     """
-    # Repartition BEFORE shingling: projections run on their input's
-    # partitioning, so shingling after the exchange uses every core
-    # (before it, a single-file scan would shingle serially).
-    shingled = scale_partitions(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    ).select("__id", word_shingles("__t", shingle_n).alias("__sh"))
+    # SHARED-SCAN FUSION (guide §2.4/§8: tokenize once, decide on
+    # lightweight proxies, re-attach cheaply): the shingle projection
+    # materializes ONCE as a doc-keyed store that feeds BOTH banding
+    # and the exact verify. Repartition BEFORE shingling so the
+    # CPU-heavy tokenization uses every core even on a single-split
+    # input. The r16 shape re-SCANNED the corpus and re-tokenized the
+    # candidate rows for the verify (a second full corpus read at any
+    # scale, plus a third materialization barrier); now the corpus is
+    # scanned and tokenized exactly once per run. The store holds
+    # (id, shingle array) — corpus-sized; at 100 TB stage it to a
+    # table instead of a localCheckpoint (the tokenization is the
+    # expensive step and every near-dup consumer — banding, verify,
+    # CC grouping — reuses it), the containment_pairs convention.
+    shingled = (
+        scale_partitions(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        )
+        .select("__id", word_shingles("__t", shingle_n).alias("__sh"))
+        .localCheckpoint(eager=True)
+    )
 
     # Banding carries ONLY (id, bhash) into the candidate shuffle — the
-    # shingle arrays (the wide payload) are re-joined later just for the
-    # surviving candidates. At 100 TB this is the difference between
-    # shuffling ids and shuffling the corpus 16×. Signature+banding run
-    # in _band_rows' row-local numpy kernel — see its docstring for the
-    # genealogy (wide-agg codegen trap → lane-explode agg → this).
+    # shingle arrays (the wide payload) never enter it. At 100 TB this
+    # is the difference between shuffling ids and shuffling the corpus
+    # 16×. Signature+banding run in _band_rows' row-local numpy kernel
+    # — see its docstring for the genealogy.
     banded = _band_rows(
         shingled,
         id_col="__id",
@@ -401,59 +423,35 @@ def minhash_lsh_pairs(
         portable=portable,
     )
 
+    # Single consumer now (the verify chain below), so the pair set
+    # needs no materialization of its own — the r16 checkpoint existed
+    # because the candidate-id broadcast AND the verify both read it.
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), "bhash")
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # Materialized: the pair set feeds BOTH the candidate-id
-        # broadcast below and the final verify join; without it the
-        # band self-join + distinct executes once per consumer
-        # (ReuseExchange does not collapse duplicated subtrees over a
-        # checkpointed source — measured 1.7 s vs 1.1 s at sf0.1).
-        .localCheckpoint(eager=True)
     )
 
-    # Verify shingles CANDIDATE documents only. The previous shape
-    # re-ran the full-corpus shingle projection once per verify side —
-    # two extra corpus passes (and at scale two corpus-wide
-    # tokenizations) to fetch sets for the few ids that survived
-    # banding. Filtering the RAW (id, text) rows with a broadcast
-    # semi-join on the candidate ids BEFORE the shingle projection
-    # keeps the expensive tokenization proportional to the candidate
-    # set; the banding pass remains the only full-corpus pass. (The
-    # join must land below the projection in the DataFrame itself:
-    # Catalyst does not reorder a Project above a join, so joining the
-    # shingled frame would still tokenize every row.)
-    ids = (
-        cand.select(F.col("id_a").alias("__id"))
-        .unionByName(cand.select(F.col("id_b").alias("__id")))
-        .distinct()
-    )
-    shingled_cand = (
-        scale_partitions(
-            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-            .join(F.broadcast(ids), "__id")
-        )
-        .select("__id", word_shingles("__t", shingle_n).alias("__sh"))
-        # Materialized: both verify sides read it, and without the
-        # checkpoint the (corpus scan → broadcast filter → candidate
-        # tokenize) subtree executes once per side — one extra corpus
-        # READ at scale. Candidate-sized storage.
-        .localCheckpoint(eager=True)
-    )
-
-    sh_a = shingled_cand.select(
+    # Verify joins the STORE — no re-scan, no re-tokenize. Broadcast
+    # hints pin the candidate-proportional frames as the BUILD sides,
+    # so the corpus-sized store only ever STREAMS through the two hash
+    # joins and is never shuffled by the verify (the scale property
+    # the r16 candidate-id semi-join bought, kept without the extra
+    # corpus read). Candidate sets outgrowing the broadcast cap should
+    # drop the hints and let the planner shuffle the PAIRS, not the
+    # store.
+    sh_a = shingled.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")
     )
-    sh_b = shingled_cand.select(
+    sh_b = shingled.select(
         F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.join(sh_a, "id_a")
+        F.broadcast(F.broadcast(cand).join(sh_a, "id_a"))
         .join(sh_b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)

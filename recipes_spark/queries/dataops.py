@@ -97,8 +97,19 @@ def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold."""
     docs = load(spark, sf_dir, "documents")
     word_set = F.array_sort(F.array_distinct(F.split("text", " ")))
-    d = scale_partitions(docs).select(
-        "doc_id", "lang", "source", word_set.alias("s")
+    # SHARED-SCAN FUSION (same shape as minhash_lsh_pairs, r17): the
+    # word-set projection materializes ONCE as a doc-keyed store that
+    # feeds BOTH banding and the verify — the corpus is scanned and
+    # tokenized exactly once per run (the r16 shape re-scanned the
+    # corpus and re-tokenized candidates for the verify). The store is
+    # corpus-sized; at 100 TB stage it to a table, the
+    # containment_pairs convention. The broadcast-hinted candidate set
+    # keeps the store on the STREAM side of the verify joins (never
+    # shuffled); one consumer, so the pair set needs no checkpoint.
+    d = (
+        scale_partitions(docs)
+        .select("doc_id", "lang", "source", word_set.alias("s"))
+        .localCheckpoint(eager=True)
     )
     bh = band_hashes(
         d, id_col="doc_id", set_col="s", carry_cols=("lang", "source")
@@ -109,23 +120,8 @@ def near_dup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .localCheckpoint(eager=True)
     )
-    # Verify tokenizes CANDIDATE docs only: broadcast-filter the raw
-    # rows on the materialized pair ids BEFORE the word-set projection
-    # (below the projection, or every row still tokenizes — Catalyst
-    # never hoists a Project above a join), so the banding pass is the
-    # only full-corpus tokenization. Same results: every pair id is in
-    # the filtered set, and the verify math is unchanged.
-    ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    d_cand = scale_partitions(
-        docs.select("doc_id", "text").join(F.broadcast(ids), "doc_id")
-    ).select("doc_id", word_set.alias("s")).localCheckpoint(eager=True)
-    return jaccard_verify(cand, d_cand, id_col="doc_id", set_col="s")
+    return jaccard_verify(F.broadcast(cand), d, id_col="doc_id", set_col="s")
 
 
 @query(

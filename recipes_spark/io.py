@@ -86,6 +86,32 @@ _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def _stat_key(local: str) -> tuple:
+    """Freshness component of the plan-cache key. A single file keys on
+    its own (mtime_ns, size). A parquet DIRECTORY cannot: rewriting a
+    part file in place changes neither the directory's mtime nor its
+    size, so the r16 key could serve a stale plan (and a stale
+    InMemoryFileIndex listing) after an in-place part rewrite. Key
+    directories on their recursive file listing instead — (file count,
+    total bytes, max mtime_ns) — so any part rewrite, add, or delete
+    invalidates. The walk is bounded by the staleness window it
+    closes: a directory large enough for os.walk to matter is also
+    one whose footer re-read the cache saves every call."""
+    st = os.stat(local)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode):
+        return (st.st_mtime_ns, st.st_size)
+    count = total = max_mtime = 0
+    for dirpath, _dirs, files in os.walk(local):
+        for fn in files:
+            s = os.stat(os.path.join(dirpath, fn))
+            count += 1
+            total += s.st_size
+            max_mtime = max(max_mtime, s.st_mtime_ns)
+    return (count, total, max_mtime)
+
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Oracle comparisons need UTC-naive timestamps, so the
@@ -105,8 +131,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     try:
-        st = os.stat(path.removeprefix("file://"))
-        key = (path, st.st_mtime_ns, st.st_size)
+        key = (path, *_stat_key(path.removeprefix("file://")))
         per_session = _DF_CACHE.setdefault(spark, {})
     except (OSError, TypeError):
         key, per_session = None, None

@@ -81,16 +81,29 @@ def _books_df(
     )
 
 
+def _books_pdf(spark: SparkSession, store: str):
+    """ONE read of the v1 books substore as pandas — the shared
+    manifest collect + Arrow transfer behind ann_index_load_books and
+    ann_index_meta. The r16 lifecycle chains read the books store
+    twice per append/upsert (matrices, then meta — two manifest
+    collects + two model scans of the same immutable v1 snapshot);
+    every internal consumer now derives both from this single read."""
+    return snapshot_read(spark, os.path.join(store, "books"), 1).toPandas()
+
+
+def _meta_from_pdf(pdf) -> dict[str, int]:
+    part2 = pdf[pdf["part"] == 2]
+    return {
+        _META_KEYS[int(j)]: int(v)
+        for j, v in zip(part2["j"], part2["val"])
+    }
+
+
 def ann_index_meta(spark: SparkSession, store: str) -> dict[str, int]:
     """The committed encoding parameters (part-2 rows of the v1 books
     substore) as {key: value}. Empty dict for a pre-meta store (the
     caller's values then stand unvalidated, the r15 behavior)."""
-    rows = (
-        snapshot_read(spark, os.path.join(store, "books"), 1)
-        .filter(F.col("part") == 2)
-        .collect()
-    )
-    return {_META_KEYS[int(r["j"])]: int(r["val"]) for r in rows}
+    return _meta_from_pdf(_books_pdf(spark, store))
 
 
 def _validate_meta(
@@ -134,6 +147,7 @@ def ann_index_commit(
     code_bits: int = 8,
     coded: DataFrame | None = None,
     attrs: DataFrame | None = None,
+    meta: dict[str, int] | None = None,
 ) -> None:
     """Commit index `version`: encode `corpus` against the books (ONE
     fused pq_encode_int pass — cell id + packed codes) and
@@ -150,7 +164,12 @@ def ann_index_commit(
     per index build, so a filtered search pays a pushed parquet
     predicate on the codes scan instead of a corpus-sized join per
     query (the faiss-IDSelector / vector-DB metadata-filter shape done
-    the warehouse way)."""
+    the warehouse way).
+
+    ``meta`` passes the COMMITTED encoding parameters a caller already
+    read (append/upsert load the books store anyway, r17) so a v2+
+    commit validates against them without re-reading the books
+    snapshot — the validation itself is unchanged."""
     from recipes_spark.operators.similarity import pq_encode_int
 
     if version == 1:
@@ -161,9 +180,9 @@ def ann_index_commit(
             1,
         )
     else:
-        _validate_meta(
-            ann_index_meta(spark, store), coarse, books, code_bits
-        )
+        if meta is None:
+            meta = ann_index_meta(spark, store)
+        _validate_meta(meta, coarse, books, code_bits)
     if coded is None:
         coded = pq_encode_int(
             corpus, books, id_col=id_col, vec_col=vec_col,
@@ -199,7 +218,10 @@ def ann_index_load_books(
     rebuild is vectorized numpy fancy-index scatter (r15 verdict
     housekeeping): at the k=4096 × dim=512 production point the old
     per-row Python loop was ~2M iterations per serve session."""
-    pdf = snapshot_read(spark, os.path.join(store, "books"), 1).toPandas()
+    return _matrices_from_pdf(_books_pdf(spark, store))
+
+
+def _matrices_from_pdf(pdf) -> tuple[np.ndarray, np.ndarray]:
     part = pdf["part"].to_numpy(dtype=np.int64)
     j = pdf["j"].to_numpy(dtype=np.int64)
     c = pdf["c"].to_numpy(dtype=np.int64)
@@ -260,14 +282,22 @@ def ann_index_append(
     ``attrs`` carries the delta rows' denormalized metadata, matching
     the columns committed at v1 (an attrs-carrying index must append
     attrs-carrying deltas; version mixes still read via the merged
-    schema — see ann_index_codes)."""
-    coarse, books = ann_index_load_books(spark, store)
+    schema — see ann_index_codes).
+
+    The books snapshot is read ONCE per append (r17): matrices and
+    meta both derive from the same pdf, and the commit's v2+
+    validation reuses that meta instead of a third read — the r16
+    chain paid three manifest collects + model scans of the same
+    immutable v1 snapshot per append."""
+    pdf = _books_pdf(spark, store)
+    coarse, books = _matrices_from_pdf(pdf)
+    meta = _meta_from_pdf(pdf)
     if code_bits is None:
-        code_bits = ann_index_meta(spark, store).get("code_bits", 8)
+        code_bits = meta.get("code_bits", 8)
     ann_index_commit(
         spark, new_vectors, store, version, coarse, books,
         id_col=id_col, vec_col=vec_col, code_bits=code_bits,
-        attrs=attrs,
+        attrs=attrs, meta=meta,
     )
 
 
@@ -390,8 +420,10 @@ def ann_index_upsert(
     rebuild."""
     from recipes_spark.operators.similarity import pq_encode_int
 
-    coarse, books = ann_index_load_books(spark, store)
-    code_bits = ann_index_meta(spark, store).get("code_bits", 8)
+    # One books read for matrices + meta (see ann_index_append, r17).
+    bpdf = _books_pdf(spark, store)
+    coarse, books = _matrices_from_pdf(bpdf)
+    code_bits = _meta_from_pdf(bpdf).get("code_bits", 8)
     codes_store = os.path.join(store, "codes")
     prev = snapshot_read(spark, codes_store, version - 1, merge_schema=True)
     ids = changed.select(id_col)

@@ -584,12 +584,27 @@ def catalog_search(
     if bbox:
         # bbox_intersects' NOT(disjoint) test, as one SQL string; the
         # D suffix keeps the literals DOUBLE (bare decimals parse as
-        # DECIMAL, a different comparison type).
+        # DECIMAL, a different comparison type). Non-finite bounds
+        # (inf/nan) render as 'infD'/'nanD', which the SQL parser
+        # rejects — route them through the Column path like the
+        # backslash fallback (r16 ADVICE); F.lit accepts them and the
+        # comparison semantics are the engine's own.
+        import math
+
         qw, qs, qe, qn = (float(v) for v in bbox)
-        out = out.filter(
-            f"NOT (bbox[2] < {qw!r}D OR bbox[0] > {qe!r}D"
-            f" OR bbox[3] < {qs!r}D OR bbox[1] > {qn!r}D)"
-        )
+        if all(math.isfinite(v) for v in (qw, qs, qe, qn)):
+            out = out.filter(
+                f"NOT (bbox[2] < {qw!r}D OR bbox[0] > {qe!r}D"
+                f" OR bbox[3] < {qs!r}D OR bbox[1] > {qn!r}D)"
+            )
+        else:
+            out = out.filter(
+                bbox_intersects(
+                    F.col("bbox")[0], F.col("bbox")[1],
+                    F.col("bbox")[2], F.col("bbox")[3],
+                    qw, qs, qe, qn,
+                )
+            )
     if sortby or page_after is not None or limit:
         out = out.orderBy(
             *[F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in keys]

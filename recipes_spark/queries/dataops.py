@@ -1341,7 +1341,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) is a driver scalar (one count). Term-string tiebreak makes the
     top-3 deterministic across engines."""
     d = load(spark, sf_dir, "documents")
-    n_docs = float(d.count())
     tok = scale_partitions(d).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
@@ -1355,13 +1354,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    # Corpus size as a 1-row broadcast instead of the r16 driver-side
+    # `d.count()` — that action cost an extra full documents scan per
+    # run (guide §5). Same double value feeding the same JVM-side
+    # log() in the same expression position, so scores are
+    # bit-identical.
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     score = (F.col("c") / F.col("n_tokens")) * F.log(
-        F.lit(n_docs) / F.col("dfreq")
+        F.col("__n_docs") / F.col("dfreq")
     )
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
     return (
         tf.join(dl, "doc_id")
         .join(dfreq, "term")
+        .join(F.broadcast(nd))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", F.round(score, 6).alias("tfidf"), "rnk")

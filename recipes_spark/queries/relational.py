@@ -2423,15 +2423,28 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("digit")
     )
     o = b.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-    total = b.count()
+    # Total rows derive from the digit histogram itself (every row
+    # lands in exactly one digit group), as a 1-row broadcast instead
+    # of the r16 `b.count()` — that driver action cost a SECOND full
+    # lineitem scan per run (guide §5: no driver actions in query
+    # paths). Same long total, same long*long -> long / double
+    # arithmetic, bit-identical expected values.
+    tot = o.agg(F.sum("n_obs").cast("long").alias("__total"))
     spec = b.sparkSession.createDataFrame(
         list(_BENFORD_MICRO.items()), "digit long, p_micro long"
     )
-    cells = F.broadcast(spec).join(o, "digit", "left").select(
-        "digit",
-        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
-        "p_micro",
-        (F.lit(total) * F.col("p_micro") / F.lit(1000000.0)).alias("expected"),
+    cells = (
+        F.broadcast(spec)
+        .join(o, "digit", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "p_micro",
+            (F.col("__total") * F.col("p_micro") / F.lit(1000000.0)).alias(
+                "expected"
+            ),
+        )
     )
     scored = cells.select(
         "digit", "n_obs", "p_micro",

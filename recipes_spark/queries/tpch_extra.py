@@ -1487,7 +1487,14 @@ def affinity_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.select(
         "l_orderkey", (F.col("l_partkey") % 200).alias("item")
     ).distinct()
-    n = baskets.select("l_orderkey").distinct().count()
+    # N as a 1-row broadcast (the oracle's CROSS JOIN n_orders shape),
+    # not a driver-side .count(): the count executed the basket-dedup
+    # subtree an extra time per run inside the timed build (guide §5 —
+    # no driver actions in query paths). Same long value in the same
+    # double-arithmetic position, so lift_micro is bit-identical.
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("__n")
+    )
     item_freq = baskets.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("f")
     )
@@ -1505,10 +1512,11 @@ def affinity_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(fa), "item_a")
         .join(F.broadcast(fb), "item_b")
+        .join(F.broadcast(n_orders))
         .select(
             "item_a", "item_b", "n_ab", "n_a", "n_b",
             F.floor(
-                F.lit(1000000.0) * F.col("n_ab") * F.lit(n)
+                F.lit(1000000.0) * F.col("n_ab") * F.col("__n")
                 / (F.col("n_a") * F.col("n_b"))
             ).alias("lift_micro"),
         )

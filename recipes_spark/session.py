@@ -61,5 +61,16 @@ def get_session(app_name: str = "recipes-spark", cpus: str | None = None) -> Spa
         import json
 
         for k, v in json.loads(extra).items():
-            builder = builder.config(k, str(v))
+            builder = builder.config(k, _conf_value(v))
     return builder.getOrCreate()
+
+
+def _conf_value(v) -> str:
+    """Render one SPARK_GRAFT_EXTRA_CONF JSON value as the conf string
+    Spark parses. Non-string values serialize back through json.dumps:
+    str() would turn false/null into "False"/"None", which Spark's
+    conf parser rejects (null) or only accepts by case-insensitivity
+    accident (booleans) — r16 ADVICE."""
+    import json
+
+    return v if isinstance(v, str) else json.dumps(v)

@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from recipes_spark.io import load
 
 _STAGED: dict[tuple[str, int, int], str] = {}
+#: Memoized recursive byte totals of staged dirs (immutable once
+#: written) — read by adaptive_state_partitions at every stream start.
+_STAGED_BYTES: dict[str, int] = {}
 _IDS = itertools.count()
 
 
@@ -149,12 +152,21 @@ def adaptive_state_partitions(spark: SparkSession) -> int:
         return max(1, int(env))
     total = 0
     for path in _STAGED.values():
-        for dirpath, _dirs, files in os.walk(path):
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(dirpath, f))
-                except OSError:
-                    pass
+        # Staged dirs are immutable once written (stage_* force mtimes
+        # and never rewrite), so the byte total is memoized per path —
+        # this runs at EVERY stream start and an os.walk per start is
+        # avoidable fixed cost (r16 verdict housekeeping).
+        cached = _STAGED_BYTES.get(path)
+        if cached is None:
+            cached = 0
+            for dirpath, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        cached += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+            _STAGED_BYTES[path] = cached
+        total += cached
     current = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n = max(8, -(-total // _STATE_PARTITION_TARGET_BYTES))
     return min(n, max(current, 2048))
@@ -197,3 +209,4 @@ def cleanup_staged() -> None:
     for path in _STAGED.values():
         shutil.rmtree(path, ignore_errors=True)
     _STAGED.clear()
+    _STAGED_BYTES.clear()

@@ -94,3 +94,65 @@ def test_benford_total_from_digit_counts(spark, sf_dir):
     # digits 1-9 cover every positive price; the engine's histogram
     # total must equal the full-scan count the old code used.
     assert n_obs == total
+
+
+def test_load_cache_invalidates_on_inplace_part_rewrite(spark, tmp_path):
+    """The io.load plan cache keys parquet DIRECTORIES on their
+    recursive part-file listing (count, total bytes, max mtime):
+    rewriting a part file IN PLACE — which changes neither the
+    directory's own mtime_ns nor its size, the r16 key — must serve
+    fresh data, not the cached stale plan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recipes_spark.io import load
+
+    d = str(tmp_path / "sfdir")
+    table_dir = f"{d}/tiny.parquet"
+    import os
+
+    os.makedirs(table_dir)
+    part = f"{table_dir}/part-00000.parquet"
+    pq.write_table(pa.table({"v": [1, 2, 3]}), part)
+
+    first = sorted(r["v"] for r in load(spark, d, "tiny").collect())
+    assert first == [1, 2, 3]
+
+    dir_stat_before = os.stat(table_dir)
+    pq.write_table(pa.table({"v": [7, 8, 9]}), part)
+    # The latent-staleness precondition: the directory's OWN stat is
+    # unchanged by the in-place rewrite (same entry set).
+    dir_stat_after = os.stat(table_dir)
+    assert dir_stat_before.st_size == dir_stat_after.st_size
+
+    second = sorted(r["v"] for r in load(spark, d, "tiny").collect())
+    assert second == [7, 8, 9]
+
+
+def test_catalog_search_nonfinite_bbox(spark, sf_dir):
+    """A bbox carrying inf/nan must not crash the SQL fast path (repr
+    renders 'infD'/'nanD', which the parser rejects — r16 ADVICE); it
+    routes through the Column path and behaves like F.lit: an all-
+    covering (-inf..inf) box matches everything a finite box would."""
+    from recipes_spark.plans.catalog import catalog_search
+    from recipes_spark.queries.stac import _metadata, build_items
+
+    items = build_items(_metadata(spark, sf_dir))
+    finite = catalog_search(items, bbox=(-180.0, -90.0, 180.0, 90.0)).count()
+    inf = catalog_search(
+        items, bbox=(float("-inf"), float("-inf"), float("inf"), float("inf"))
+    ).count()
+    assert inf == finite
+
+
+def test_extra_conf_value_rendering():
+    """JSON booleans/null/numbers in SPARK_GRAFT_EXTRA_CONF render as
+    Spark-parsable conf strings (true/false/null/128m), never Python
+    repr ("True"/"None") — r16 ADVICE."""
+    from recipes_spark.session import _conf_value
+
+    assert _conf_value(True) == "true"
+    assert _conf_value(False) == "false"
+    assert _conf_value(None) == "null"
+    assert _conf_value(128) == "128"
+    assert _conf_value("256m") == "256m"

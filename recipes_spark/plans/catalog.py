@@ -17,11 +17,20 @@ arithmetic — all pushdown-friendly, zero UDFs.
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
+
+#: Per-session snapshot-read plan cache — see snapshot_read. Weak by
+#: session (a stopped session drops its entries), keyed on the
+#: manifest directory's file-listing stats so any manifest rewrite
+#: (idempotent latest-version re-commit) invalidates.
+_SNAPSHOT_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def bbox_intersects(
@@ -708,7 +717,12 @@ def snapshot_commit(
         if drop_where is not None:
             prior = prior.filter(~F.expr(drop_where))
         manifest = prior.unionByName(new_files)
-    manifest.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+    # One job, not two: the manifest plan reads only the PRIOR
+    # version's manifest dir and the just-written data dir's _metadata
+    # — never its own output path — so the write executes it directly;
+    # the r16 eager localCheckpoint added a materialization job per
+    # commit for a file-count-sized frame with no self-read to guard.
+    manifest.write.mode("overwrite").parquet(
         os.path.join(store_path, "_manifests", f"v{version}")
     )
 
@@ -784,12 +798,31 @@ def snapshot_read(
     schemas (additive schema EVOLUTION across snapshot versions:
     columns absent from older files read as NULL) — without it Spark
     takes one file's schema and silently drops columns the sampled
-    file lacks, which is the wrong default for an evolved store."""
+    file lacks, which is the wrong default for an evolved store.
+
+    The resolved manifest (file list) and the analyzed scan plan are
+    cached per session, keyed on the manifest directory's own file
+    listing (count/bytes/max-mtime — the io.load directory convention,
+    r17): manifests are immutable once written except for the
+    idempotent latest-version re-commit, which rewrites the manifest
+    dir and therefore invalidates. The lifecycle chains re-read the
+    same (store, version) snapshot several times per query (digest
+    re-verification is their declared semantics); each repeat was a
+    full manifest collect job plus a fresh footer-inferred scan plan
+    — now only the first call pays it. Plans only, never results:
+    every action still scans the data files."""
+    man_dir = os.path.join(store_path, "_manifests", f"v{version}")
+    from recipes_spark.io import _stat_key
+
+    try:
+        key = (man_dir, merge_schema, *_stat_key(man_dir))
+        per_session = _SNAPSHOT_CACHE.setdefault(spark, {})
+    except OSError:
+        key, per_session = None, None
+    if per_session is not None and key in per_session:
+        return per_session[key]
     files = [
-        r["file"]
-        for r in spark.read.parquet(
-            os.path.join(store_path, "_manifests", f"v{version}")
-        ).collect()
+        r["file"] for r in spark.read.parquet(man_dir).collect()
     ]
     if not files:
         raise ValueError(
@@ -799,4 +832,7 @@ def snapshot_read(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    df = reader.parquet(*files)
+    if per_session is not None:
+        per_session[key] = df
+    return df

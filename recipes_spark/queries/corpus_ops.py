@@ -1310,10 +1310,13 @@ def x6_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins. Output is floor-scaled to integer ppm so both
     engines agree exactly."""
     d = load(spark, sf_dir, "documents")
+    # |sources|-sized base, materialized once (r17 aggregate-reuse
+    # sweep): the total, the power table and the normalizer each
+    # re-derived it — the executed plan scanned documents 6× per run.
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     tot = s.agg(F.sum("n_tokens").cast("double").alias("t"))
     pw = (
         s.join(F.broadcast(tot))
@@ -5914,9 +5917,17 @@ def x4_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
+    # Materialized once each (r17 aggregate-reuse sweep): dt2 feeds the
+    # bigram LM build AND the scoring join, train1 feeds two LM joins
+    # AND the train-total — branch-specific pruning defeats
+    # ReuseExchange and the executed plan re-tokenized the corpus 8×
+    # per run (tools/executed_scan_probe_r17.py). After the barriers
+    # the corpus tokenizes exactly twice (bigram pass + unigram pass),
+    # the query's declared shape; at 100 TB stage dt2 to a table (it
+    # is the big object — the same caveat as the near-dup store).
     dt2 = pairs.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("k")
-    )
+    ).localCheckpoint(eager=True)
     train2 = (
         dt2.filter(F.col("doc_id") % 10 != 0)
         .groupBy("w1", "w2")
@@ -5927,6 +5938,7 @@ def x4_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        .localCheckpoint(eager=True)
     )
     n1 = train1.agg(F.sum("c1").cast("long").alias("n"))
     scored = (
@@ -6654,11 +6666,13 @@ def x6_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     is k-row scalar math with two 1-row broadcasts."""
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
+    # |sources|-sized base, materialized once — see x6_mixture_weights
+    # (r17): the executed plan re-scanned documents per derived branch.
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if((F.col("n_chars") >= 200) & (n_tok >= 40)).alias("n_pass"),
         F.sum(n_tok).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     adj = s.select(
         "source", "n_docs", "n_pass",
         F.expr("n_tokens * n_pass div n_docs").alias("adj_tokens"),
@@ -6737,9 +6751,17 @@ def x4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one row. 100 TB: one map-side-combining shuffle on doc_id plus
     a TakeOrderedAndProject."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
+    # Both per-doc aggregates materialize ONCE (r17 aggregate-reuse
+    # sweep): dl feeds the stats agg AND the score join, tf feeds the
+    # df agg AND the score join, and branch-specific pruning defeats
+    # ReuseExchange — the executed plan scanned documents 7× per run
+    # (tools/executed_scan_probe_r17.py). Both frames are doc-count /
+    # (doc × query-term)-sized metadata, never corpus text; after the
+    # barriers the corpus is tokenized exactly twice (lengths pass +
+    # the IN-filtered term pass), its declared two-pass shape.
     dl = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
-    )
+    ).localCheckpoint(eager=True)
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").cast("long").alias("sumdl"),
@@ -6749,6 +6771,7 @@ def x4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = F.log(

@@ -1286,6 +1286,13 @@ def event_anomaly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # Materialized ONCE (r17 aggregate-reuse sweep): the grid span,
+        # the zero-fill join, the stats agg and the final join each
+        # re-derive this base, and branch-specific column pruning
+        # defeats ReuseExchange — the executed plan scanned events 6×
+        # per run (tools/executed_scan_probe_r17.py). The base is
+        # (type × hour)-sized metadata, so one barrier buys scans → 1.
+        .localCheckpoint(eager=True)
     )
     grid = (
         c.groupBy("event_type")
@@ -1377,6 +1384,9 @@ def window_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # Materialized once — see event_anomaly_buckets (r17): the
+        # executed plan re-scanned events per derived branch.
+        .localCheckpoint(eager=True)
     )
     grid = (
         c.groupBy("event_type")
@@ -1738,6 +1748,10 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "b")
         .agg(F.sum("cents").cast("long").alias("n"))
+        # Materialized once — see event_anomaly_buckets (r17): the
+        # executed plan re-scanned events per derived branch (up to
+        # 10× for the drawdown's stacked-window chain).
+        .localCheckpoint(eager=True)
     )
     grid = (
         c.groupBy("event_type")
@@ -1951,6 +1965,10 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "b")
         .agg(F.sum("cents").cast("long").alias("n"))
+        # Materialized once — see event_anomaly_buckets (r17): the
+        # executed plan re-scanned events per derived branch (up to
+        # 10× for the drawdown's stacked-window chain).
+        .localCheckpoint(eager=True)
     )
     grid = (
         c.groupBy("event_type")
@@ -2873,6 +2891,10 @@ def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "b")
         .agg(F.sum("cents").cast("long").alias("n"))
+        # Materialized once — see event_anomaly_buckets (r17): the
+        # executed plan re-scanned events per derived branch (up to
+        # 10× for the drawdown's stacked-window chain).
+        .localCheckpoint(eager=True)
     )
     grid = (
         c.groupBy("event_type")

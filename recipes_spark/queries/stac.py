@@ -1262,7 +1262,12 @@ def stac_item_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("CC-BY-4.0"))
         .alias("license"),
     )
-    base = base_items(flat, fields)
+    # base is collections-sized and feeds BOTH dehydrate and hydrate;
+    # un-materialized, each consumer re-derived it from its own copy
+    # of the flat scan (branch pruning defeats ReuseExchange — the
+    # executed plan scanned orders 8× per run, r17 probe). One barrier
+    # over a tiny frame cuts that to the flat references themselves.
+    base = base_items(flat, fields).localCheckpoint(eager=True)
     deh = dehydrate_items(flat, base, fields)
     n_stripped = sum(
         (F.when(F.col(f).isNull(), 1).otherwise(0) for f in fields),

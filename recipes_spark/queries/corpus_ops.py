@@ -1436,9 +1436,12 @@ def x4_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears at most n_sources times, so the join fan-out is bounded by
     sources² per word and the output matrix is sources² rows."""
     d = load(spark, sf_dir, "documents")
+    # Vocabulary-sized base, materialized once (r17 aggregate-reuse
+    # sweep): sizes and both self-join sides re-derived it — the
+    # executed plan tokenized the corpus 3× per run.
     vocab = d.select(
         "source", F.explode(F.split("text", " ")).alias("word")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = vocab.select(F.col("source").alias("source_a"), "word")
     b = vocab.select(F.col("source").alias("source_b"), "word")
@@ -1788,10 +1791,15 @@ def x4_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1e-6 floor boundary for some term — ~1e-9 per distinct term,
     with no amplification through the sum."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
+    # Per-doc (term, k) base, materialized once (r17 aggregate-reuse
+    # sweep): the LM build AND the scoring join re-derived it — the
+    # executed plan tokenized the corpus 3× per run. The barrier holds
+    # the aggregate the query already declares as its shuffle object.
     dt = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
     )
     cnt = dt.groupBy("term").agg(F.sum("k").cast("long").alias("c"))
     tot = cnt.agg(F.sum("c").cast("long").alias("t"))
@@ -7486,10 +7494,16 @@ def x4_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    # (doc × query-term)-sized base, materialized once (r17
+    # aggregate-reuse sweep): both top-10 cuts and the candidate count
+    # re-derived it — the executed plan tokenized the corpus 3× per
+    # run. Result is partitioning-invariant by the two-phase top-10
+    # argument (and pinned by test_partition_invariance), so the
+    # checkpoint's partitioning is free to differ from the agg's.
     cand = tf.withColumn(
         "rel",
         ((F.col("doc_id") + F.length("term")) % 4).cast("long"),
-    )
+    ).localCheckpoint(eager=True)
     disc = F.broadcast(
         load(spark, sf_dir, "documents")
         .sparkSession.createDataFrame(_NDCG_DISCOUNT, "pos int, dm bigint")

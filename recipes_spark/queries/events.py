@@ -3112,9 +3112,13 @@ def event_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("conv"),
     )
     _ = bit  # spelled in SQL above so both engines share one CASE tree
+    # ≤16-row base, materialized once (r17 aggregate-reuse sweep): the
+    # coalition join's v table is referenced twice (v_with / v_without)
+    # and each reference re-derived the whole events→touches→mask
+    # chain — the executed plan scanned events 4× per run.
     mask_conv = touches.groupBy("mask").agg(
         F.sum("conv").cast("long").alias("n_conv")
-    )
+    ).localCheckpoint(eager=True)
     spark_ = ev.sparkSession
     coalitions = F.broadcast(
         spark_.createDataFrame([(s,) for s in range(16)], "s int")
@@ -3262,11 +3266,15 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     )
     base = ev.select("event_type", hod.alias("hod"), cents.alias("cents"))
+    # 120-row cell base, materialized once (r17 aggregate-reuse sweep):
+    # the per-type rollup and BOTH references of the ranked table (the
+    # step-up cut and the final flag join) re-derived it — the
+    # executed plan scanned events 4× per run.
     cell = base.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).cast("long").alias("n1"),
         F.sum("cents").cast("long").alias("s1"),
         F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q1"),
-    )
+    ).localCheckpoint(eager=True)
     typ = cell.groupBy("event_type").agg(
         F.sum("n1").cast("long").alias("nt"),
         F.sum("s1").cast("long").alias("st"),

@@ -416,17 +416,29 @@ ORDER BY s_suppkey
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: scalar subquery (global max) against a derived view.
     Expressed as a rank-over-empty-window-free plan: compute the agg
-    once, take max via a single-row broadcast join — the agg DataFrame
-    is reused (no double scan thanks to exchange reuse)."""
+    once, take max via a single-row broadcast join.
+
+    The revenue view MATERIALIZES (eager localCheckpoint — stage to a
+    table at 100 TB) because its two consumers — the global-max scalar
+    and the supplier join — prune different columns, so ReuseExchange
+    never collapses them and the un-materialized form re-scanned and
+    re-aggregated the FACT table once per consumer (r17 executed-plan
+    probe: 2 lineitem scans, 0 reused exchanges). The checkpoint is
+    supplier-count-sized; the removed pass is fact-sized (guide §2.4
+    "remove the pass", the q18/window_drawdown convention)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     s = load(spark, sf_dir, "supplier")
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
         )
+        .localCheckpoint(eager=True)
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
     return (
@@ -479,16 +491,23 @@ WHERE p_brand = 'Brand#1'
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: correlated scalar subquery (per-part avg quantity),
-    decorrelated by hand into agg + equi-join. The per-part aggregate
-    shuffles once on l_partkey; the join reuses that partitioning."""
+    decorrelated into a WINDOW over the brand-filtered fact slice —
+    ONE lineitem pass. p_partkey functionally determines p_brand, so
+    every lineitem row of a Brand#1 part survives the broadcast part
+    join and the per-part window average is over exactly the row set
+    the correlated subquery sees (l_quantity is a small integer, so
+    the double sum is exact and the average is order-independent —
+    bit-identical to the agg+join form). The r16 shape aggregated the
+    FULL fact table a second time (all parts, not just the brand) and
+    joined it back — at any scale that is one extra fact pass plus a
+    parts-sized join the window form never pays (guide §2.4; the
+    window shuffle keys on high-cardinality l_partkey, no hot key)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
-        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .withColumn("half_avg_qty", 0.5 * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -996,7 +1015,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: nation filter broadcasts into the supplier join, supplier
     join shuffles once on suppkey, per-part agg map-side combines; the
-    global total is a 1-row broadcast, not a second pass."""
+    global total is a 1-row broadcast, not a second pass. The val view
+    MATERIALIZES (eager localCheckpoint — stage to a table at 100 TB):
+    its two consumers (the 0.1% threshold scalar and the final filter)
+    prune different columns, so without the barrier the whole
+    fact-join-agg subtree executed once per consumer (r17 executed
+    probe: 2 lineitem scans + 2 supplier joins per run). The
+    checkpoint is parts-sized; the removed pass is fact-sized (guide
+    §2.4, the q18/window_drawdown convention)."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
@@ -1012,6 +1038,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("value_cents")
         )
+        .localCheckpoint(eager=True)
     )
     total = val.agg((F.sum("value_cents") * 0.001).alias("threshold"))
     return (
@@ -1095,7 +1122,12 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: part filter broadcasts into the fact join, shipped is a
     map-side-combined agg on suppkey, the semi join never multiplies
-    supplier rows."""
+    supplier rows. shipped MATERIALIZES (eager localCheckpoint — stage
+    to a table at 100 TB): the average-threshold scalar and the excess
+    filter prune different columns, so without the barrier the
+    fact-join-agg subtree executed once per consumer (r17 executed
+    probe: 2 lineitem scans per run). The checkpoint is
+    suppliers-sized; the removed pass is fact-sized (guide §2.4)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1107,6 +1139,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
+        .localCheckpoint(eager=True)
     )
     avg_qty = shipped.agg(F.avg("qty").alias("avg_qty"))
     excess = (

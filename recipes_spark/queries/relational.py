@@ -2025,19 +2025,30 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent sums); the 90% percentile interval picks ranks 2 and 31 of
     the 32 sorted means with a replicate-id tiebreak.
 
-    100 TB: the 32x explode flows into ONE map-side-combining hash agg
-    keyed (type, b) — 32 counters per key per partition, no second
+    100 TB: the 33x explode flows into ONE map-side-combining hash agg
+    keyed (type, b) — 33 counters per key per partition, no second
     pass over the data, no driver-side resampling; the rank step runs
     over groups x 32 rows. The hash thresholds approximate Poisson(1)
-    to 4 digits; swap in more CDF terms if tail multiplicity matters."""
+    to 4 digits; swap in more CDF terms if tail multiplicity matters.
+    Replicate 32 is the FULL SAMPLE (multiplicity pinned to 1, never
+    ranked): (1e6·Σm·cents) div Σm with m=1 everywhere is exactly the
+    full mean, so the point estimate rides the same scan and hash agg
+    instead of the r16 shape's second full events pass (guide §2.4 —
+    the removed pass is fact-sized, the extra replicate is 1/32 more
+    shuffle rows into an agg that was already there)."""
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     cents = F.floor(F.col("value") * 100).cast("long")
     reps = ev.select(
         "event_type", cents.alias("cents"), "event_id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(32))).alias("b"),
     ).select(
         "event_type", "cents", "b",
-        (
+        # Guarded when: the full-sample replicate (b=32) never reads h,
+        # so its rows skip the sha entirely (codegen evaluates when
+        # branches lazily) — the 33rd replicate adds shuffle rows, not
+        # hash work.
+        F.when(
+            F.col("b") < 32,
             F.conv(
                 F.substring(
                     F.sha2(
@@ -2051,12 +2062,13 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1, 8,
                 ),
                 16, 10,
-            ).cast("long") % 10000
+            ).cast("long") % 10000,
         ).alias("h"),
     )
     mult = reps.select(
         "event_type", "cents", "b",
-        F.when(F.col("h") < 3679, 0)
+        F.when(F.col("b") == 32, 1)
+        .when(F.col("h") < 3679, 0)
         .when(F.col("h") < 7358, 1)
         .when(F.col("h") < 9197, 2)
         .when(F.col("h") < 9810, 3)
@@ -2068,19 +2080,19 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * sum(m * cents)) div sum(m)")
         .cast("long")
         .alias("mean_micro")
-    )
-    ranked = means.select(
+    ).localCheckpoint(eager=True)
+    # Filter BEFORE the rank window: replicate 32 (the full sample)
+    # must not occupy a rank. The checkpoint is (types × 33) rows —
+    # without it the ranked and full-mean branches would each re-run
+    # the fact-sized explode+agg subtree.
+    ranked = means.filter(F.col("b") < 32).select(
         "event_type", "mean_micro",
         F.row_number()
         .over(Window.partitionBy("event_type").orderBy("mean_micro", "b"))
         .alias("rn"),
     )
-    full_mean = ev.groupBy("event_type").agg(
-        F.expr(
-            "(1000000 * sum(cast(floor(value * 100) as bigint))) div count(*)"
-        )
-        .cast("long")
-        .alias("mean_micro")
+    full_mean = means.filter(F.col("b") == 32).select(
+        "event_type", "mean_micro"
     )
     return (
         full_mean.join(
@@ -2623,19 +2635,19 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates after ALL equal values, the spot per-row running counts
     get wrong.
 
-    100 TB: the distinct-value agg and the two cumulative windows
-    cluster on the group key — one exchange, distinct-value-sized
-    window input (quantity has 50 values however many rows); the
-    statistic is one more hash agg."""
+    100 TB: the distinct-value agg, the two cumulative windows, the
+    total windows and the final agg ALL cluster on the group key —
+    one fact scan, one exchange, zero joins. The per-sample totals
+    n1/n2 are the LAST cumulative counts (running sums are monotone),
+    so they come from a whole-partition max window chained on the same
+    key instead of a second scan-and-aggregate of the fact table (the
+    r16 shape paid 2 lineitem scans + a broadcast join; guide §2.4 —
+    chained windows on one partitionBy share a single Exchange)."""
     li = load(spark, sf_dir, "lineitem")
     b = li.select(
         F.col("l_returnflag").alias("flag"),
         F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("hi"),
         F.col("l_quantity").cast("long").alias("x"),
-    )
-    n = b.groupBy("flag").agg(
-        F.sum("hi").cast("long").alias("n1"),
-        (F.count(F.lit(1)) - F.sum("hi")).cast("long").alias("n2"),
     )
     v = b.groupBy("flag", "x").agg(
         F.sum("hi").cast("long").alias("c1"),
@@ -2646,12 +2658,16 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("x")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = v.select(
+    wt = Window.partitionBy("flag")
+    j = v.select(
         "flag", "x",
         F.sum("c1").over(w).alias("f1"),
         F.sum("c2").over(w).alias("f2"),
+    ).select(
+        "flag", "x", "f1", "f2",
+        F.max("f1").over(wt).alias("n1"),
+        F.max("f2").over(wt).alias("n2"),
     )
-    j = cum.join(F.broadcast(n), "flag")
     dev = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
     return (
         j.groupBy("flag")

@@ -1244,9 +1244,25 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     — reproducible everywhere. Median is interpolated percentile(0.5)
     (== DuckDB quantile_cont). The ranking window runs on the already-
     aggregated (lang, source) counts — group-cardinality rows, not
-    corpus rows."""
+    corpus rows.
+
+    ONE corpus pass (guide §2.4): the scan aggregates once to the
+    (lang, source, n_chars) frequency base — distinct-value-sized,
+    eagerly checkpointed because both the mode and the median branch
+    read it (the r16 shape ran a separate full documents scan per
+    branch). The median is percentile's exact frequency-weighted form
+    over the base, identical to the row-expanded percentile (same
+    sorted-values + interpolation arithmetic, counts instead of
+    repeats — oracle hash green)."""
     d = load(spark, sf_dir, "documents")
-    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    base = (
+        d.groupBy("lang", "source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    counts = base.groupBy("lang", "source").agg(
+        F.sum("f").cast("long").alias("n")
+    )
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
     modal = (
         counts.withColumn("rn", F.row_number().over(w))
@@ -1257,8 +1273,8 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_n"),
         )
     )
-    med = d.groupBy("lang").agg(
-        F.expr("percentile(n_chars, 0.5)").alias("median_chars")
+    med = base.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5D, f)").alias("median_chars")
     )
     return modal.join(med, "lang").select(
         "lang", "modal_source", "modal_n", "median_chars"

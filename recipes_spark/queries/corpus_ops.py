@@ -1128,18 +1128,32 @@ def x4_word_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V|), pass 2 joins the stats back per word occurrence. Integer
     frequencies instead of log-probs because ln() differs between
     engines in the last ulp — the log-prob variant is this query with
-    floor-scaled logs, same plan."""
+    floor-scaled logs, same plan.
+
+    ONE tokenize pass (guide §2.4, the x4_unigram_nll base shape): the
+    corpus explodes once into a per-(doc, word) COUNT base —
+    checkpointed, since both the vocabulary agg and the score join
+    consume it; the r16 shape re-scanned and re-tokenized the corpus
+    for the probe side of the join. Every occurrence of w in doc
+    contributes 1 to n_words and freq(w) to the sum, so counts
+    compose: n_words = Σc, sum_word_freq = Σ c·freq — exact
+    integers."""
     d = load(spark, sf_dir, "documents")
-    words = scale_partitions(d).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    base = (
+        scale_partitions(d)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = base.groupBy("w").agg(F.sum("c").alias("freq"))
     return (
-        words.join(vocab, "w")
+        base.join(vocab, "w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("freq").cast("long").alias("sum_word_freq"),
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("freq")).cast("long")
+            .alias("sum_word_freq"),
         )
     )
 
@@ -6294,7 +6308,14 @@ def x6_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recipes_spark.functions.portable_hash import sha_slice_bucket
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Checkpointed (langs-sized): c feeds BOTH the broadcast join and
+    # the target max — un-materialized, the corpus count subtree
+    # executed once per consumer (3 fact passes per run, r17 probe).
+    c = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     target = c.agg(F.max("n").alias("target"))
     h = F.conv(
         F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10
@@ -7407,9 +7428,17 @@ def x4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments — sort_array over a per-doc array, never a global sort.
     A production pass keys on sha2(line) instead of the text to keep
     shuffle payloads fixed-width; the text key here keeps the oracle
-    byte-comparable."""
+    byte-comparable.
+
+    The segmentation MATERIALIZES once (eager localCheckpoint — stage
+    to a table at 100 TB, the near-dup shingle-store convention): both
+    the frequency agg and the report's join-back consume it, and
+    without the barrier the corpus was scanned AND re-segmented once
+    per consumer (r17 executed probe: 2 documents scans). The
+    segmentation is the expensive projection here, exactly the
+    tokenize-once trade VERDICT item 3 established."""
     d = scale_partitions(load(spark, sf_dir, "documents"))
-    lines = doc_lines(d)
+    lines = doc_lines(d).localCheckpoint(eager=True)
     freq = lines.groupBy("line").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
